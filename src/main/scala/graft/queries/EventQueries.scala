@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-checked batch queries over the synthesized event envelope —
+  * SURVEY §2.2-§2.5 operators in deterministic DataFrame form.
+  *
+  * Convention for DuckDB parity (SURVEY §5.2):
+  *   - every double aggregate goes through an exact DECIMAL sum and is cast
+  *     to double at the end (partial-aggregation order then cannot change
+  *     the result);
+  *   - every query ends with a total ORDER BY;
+  *   - nondeterministic operators (uuid round-robin P1g, E2 jitter) are
+  *     excluded from hashed queries and covered by ScalaTest bounds specs.
+  */
+object EventQueries {
+
+  private val cte = Envelope.oracleCte
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.withEnvelope(Tables.events(s, dir))
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** Synthetic event-class name so the P1h CUSTOM dispatch exercises every
+    * branch (the raw fixture event types contain none of the trigger words).
+    */
+  private def className(c: org.apache.spark.sql.Column) =
+    when(c === "signup", "TenantCreatedEvent")
+      .when(c === "click", "UserLoginEvent")
+      .when(c === "view", "NotificationSentEvent")
+      .when(c === "purchase", "PaymentProcessedEvent")
+      .otherwise("ErrorEvent")
+
+  private val classNameSql =
+    """CASE event_type WHEN 'signup' THEN 'TenantCreatedEvent'
+      | WHEN 'click' THEN 'UserLoginEvent' WHEN 'view' THEN 'NotificationSentEvent'
+      | WHEN 'purchase' THEN 'PaymentProcessedEvent' ELSE 'ErrorEvent' END""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // F3 validity matrix: valid x too-old counts (too-old is observed, not
+    // dropped — reference BaseEventConsumer.java:150-159).
+    "f3_validity" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val maxTs = e.agg(max("ts").as("max_ts"))
+        e.crossJoin(broadcast(maxTs))
+          .select(
+            Validation.isValid(col("event_id_s"), col("props")).as("valid"),
+            Validation.isTooOld(col("ts"), col("max_ts")).as("too_old"))
+          .groupBy("valid", "too_old")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("valid", "too_old")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT (props IS NOT NULL AND event_id_s IS NOT NULL AND event_id_s <> '') AS valid,
+           |       ts < (SELECT max(ts) FROM env) - INTERVAL 7 DAY AS too_old,
+           |       COUNT(*) AS n
+           |FROM env GROUP BY 1, 2 ORDER BY valid, too_old""".stripMargin),
+      doc = "F3 validity predicate + age flag matrix"),
+
+    // F7: effective retry count with metadata->header->0 fallback.
+    "f7_retry_source" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+          .withColumn("meta_retry",
+            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("retry_count")))
+          .withColumn("hdr_retry",
+            when(col("event_id") % 14 === 0, lit(null))
+              .otherwise(col("retry_count").cast("string")))
+        e.select(Validation.effectiveRetryCount(col("meta_retry"), col("hdr_retry"))
+            .as("effective_retry"))
+          .groupBy("effective_retry").agg(count(lit(1)).as("n"))
+          .orderBy("effective_retry")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT COALESCE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE retry_count END,
+           |                CAST(CASE WHEN event_id % 14 = 0 THEN NULL ELSE CAST(retry_count AS STRING) END AS INT),
+           |                0) AS effective_retry,
+           |       COUNT(*) AS n
+           |FROM env GROUP BY 1 ORDER BY effective_retry""".stripMargin),
+      doc = "F7 retry-count extraction with fallback chain"),
+
+    // P1a-P1h key-derivation truth table over the full corpus.
+    "p1_keys" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir).withColumn("class_name", className(col("event_type")))
+        e.select(
+            col("event_id"),
+            PartitionKeys.tenantBased(col("tenant_id")).as("k_tenant"),
+            PartitionKeys.userBased(col("user_s"), col("tenant_id")).as("k_user"),
+            PartitionKeys.correlationBased(col("correlation_id"), col("event_id_s")).as("k_corr"),
+            PartitionKeys.priorityBased(col("priority")).as("k_priority"),
+            PartitionKeys.eventTypeBased(col("class_name")).as("k_type"),
+            PartitionKeys.composite(col("tenant_id"), col("user_s")).as("k_comp"),
+            PartitionKeys.custom(col("class_name"), col("tenant_id"), col("user_s"),
+              col("correlation_id"), col("event_id_s")).as("k_custom"),
+            PartitionKeys.isBalancedKey(
+              PartitionKeys.composite(col("tenant_id"), col("user_s"))).as("balanced"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte, keyed AS (
+           |  SELECT event_id, tenant_id, user_s, correlation_id, event_id_s, priority,
+           |         $classNameSql AS class_name
+           |  FROM env)
+           |SELECT event_id,
+           |  COALESCE(NULLIF(tenant_id,''),'default-tenant') AS k_tenant,
+           |  COALESCE(NULLIF(user_s,''), NULLIF(tenant_id,''), 'default-tenant') AS k_user,
+           |  COALESCE(NULLIF(correlation_id,''), NULLIF(event_id_s,''), 'unknown') AS k_corr,
+           |  COALESCE(NULLIF(priority,''),'PRIORITY_MEDIUM') AS k_priority,
+           |  class_name AS k_type,
+           |  COALESCE(NULLIF(tenant_id,''),'default') || ':' || COALESCE(NULLIF(user_s,''),'system') AS k_comp,
+           |  CASE
+           |    WHEN lower(class_name) LIKE '%tenant%' THEN COALESCE(NULLIF(tenant_id,''),'default-tenant')
+           |    WHEN lower(class_name) LIKE '%user%' OR lower(class_name) LIKE '%auth%'
+           |      THEN COALESCE(NULLIF(tenant_id,''),'default') || ':' || COALESCE(NULLIF(user_s,''),'system')
+           |    WHEN lower(class_name) LIKE '%notification%'
+           |      THEN COALESCE(NULLIF(user_s,''), NULLIF(tenant_id,''), 'default-tenant')
+           |    ELSE COALESCE(NULLIF(correlation_id,''), NULLIF(event_id_s,''), 'unknown')
+           |  END AS k_custom,
+           |  (length(COALESCE(NULLIF(tenant_id,''),'default') || ':' || COALESCE(NULLIF(user_s,''),'system')) >= 8
+           |   AND NOT regexp_matches(COALESCE(NULLIF(tenant_id,''),'default') || ':' || COALESCE(NULLIF(user_s,''),'system'), '^[0-9]+$$')) AS balanced
+           |FROM keyed ORDER BY event_id""".stripMargin),
+      doc = "P1a-P1h partition-key strategies + P3 balance heuristic"),
+
+    // D1 dedup: inject duplicates, keep first per event_id in event time.
+    "d1_dedup" -> QueryDef(
+      build = (s, dir) => {
+        val dup = Dedup.withInjectedDuplicates(env(s, dir))
+        Dedup.keepFirst(dup, Seq("event_id"), Seq("ts"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""$cte, dup AS (
+           |  SELECT * FROM env
+           |  UNION ALL
+           |  SELECT * REPLACE (ts + INTERVAL 1 HOUR AS ts) FROM env WHERE event_id % 10 = 0),
+           |ranked AS (
+           |  SELECT event_type, value, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+           |  FROM dup)
+           |SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           |FROM ranked WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "D1 idempotent dedup, keep-first-by-event-time"),
+
+    // D3 consumer-scoped dedup: same event consumed by two consumers is NOT
+    // a duplicate across them.
+    "d3_scoped_dedup" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val fanned = e.withColumn("consumer", lit("TenantEventConsumer"))
+          .unionByName(e.filter(col("event_id") % 4 === 0)
+            .withColumn("consumer", lit("AuditEventConsumer")))
+        val dup = fanned.unionByName(
+          fanned.filter(col("event_id") % 10 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+        Dedup.keepFirstScoped(dup, "consumer", "event_id", Seq("ts"))
+          .groupBy("consumer").agg(count(lit(1)).as("n"))
+          .orderBy("consumer")
+      },
+      oracle = Some(
+        s"""$cte, fanned AS (
+           |  SELECT 'TenantEventConsumer' AS consumer, event_id, ts FROM env
+           |  UNION ALL
+           |  SELECT 'AuditEventConsumer' AS consumer, event_id, ts FROM env WHERE event_id % 4 = 0),
+           |dup AS (
+           |  SELECT * FROM fanned
+           |  UNION ALL
+           |  SELECT consumer, event_id, ts + INTERVAL 1 HOUR FROM fanned WHERE event_id % 10 = 0),
+           |ranked AS (
+           |  SELECT consumer, row_number() OVER (PARTITION BY consumer, event_id ORDER BY ts) AS rn
+           |  FROM dup)
+           |SELECT consumer, COUNT(*) AS n FROM ranked WHERE rn = 1
+           |GROUP BY consumer ORDER BY consumer""".stripMargin),
+      doc = "D3 per-consumer idempotency scoping"),
+
+    // E1/E2/P5/P6: retry-or-DLQ split with routing topics and backoff.
+    "e1_retry_routing" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir).filter(!col("topic").startsWith("_"))
+        val routed = e.withColumn("action",
+            when(Retry.shouldRetry(col("retry_count")), lit("retry")).otherwise(lit("dlq")))
+          .withColumn("route_topic",
+            when(Retry.shouldRetry(col("retry_count")),
+                 Retry.retryTopic(col("topic"), col("retry_count") + 1))
+              .otherwise(Retry.dlqTopic(col("topic"))))
+          .withColumn("backoff_ms",
+            when(col("retry_count") >= 1, Retry.backoffDelayMs(col("retry_count")))
+              .otherwise(lit(0L)))
+        routed.groupBy("action", "route_topic", "backoff_ms")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("action", "route_topic", "backoff_ms")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT CASE WHEN retry_count < 3 THEN 'retry' ELSE 'dlq' END AS action,
+           |  CASE WHEN retry_count < 3 THEN topic || '.retry.' || CAST(retry_count + 1 AS STRING)
+           |       ELSE regexp_replace(topic, '^nnipa\\.events\\.', 'nnipa.dlq.') END AS route_topic,
+           |  CASE WHEN retry_count >= 1
+           |       THEN CAST(least(1000 * pow(2, retry_count - 1), 60000) AS BIGINT)
+           |       ELSE 0 END AS backoff_ms,
+           |  COUNT(*) AS n
+           |FROM env WHERE topic NOT LIKE '\\_%' ESCAPE '\\'
+           |GROUP BY 1, 2, 3 ORDER BY action, route_topic, backoff_ms""".stripMargin),
+      doc = "E1 retry-vs-DLQ decision + P5/P6 topic naming + E2 backoff"),
+
+    // F8: visible (non-internal) topics, sorted.
+    "f8_topics" -> QueryDef(
+      build = (s, dir) => Routing.visibleTopics(env(s, dir)),
+      oracle = Some(
+        s"""$cte
+           |SELECT DISTINCT topic FROM env
+           |WHERE topic NOT LIKE '\\_%' ESCAPE '\\' ORDER BY topic""".stripMargin),
+      doc = "F8 internal-topic filter + sorted listing"),
+
+    // A4: per-topic event statistics (EventStatistics model).
+    "a4_event_stats" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        e.groupBy("topic")
+          .agg(
+            count(lit(1)).as("total_events"),
+            count(when(col("event_type") =!= "error" && col("event_id_s") =!= "", 1)).as("successful"),
+            count(when(col("event_type") === "error", 1)).as("failed"),
+            count(when(col("event_id_s") === "", 1)).as("dlq"),
+            round(sum(dec(col("proc_ms"))).cast("double") / count(lit(1)), 4).as("avg_proc_ms"),
+            max(col("ts")).as("last_event_ts"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy("topic")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT topic, COUNT(*) AS total_events,
+           |  COUNT(CASE WHEN event_type <> 'error' AND event_id_s <> '' THEN 1 END) AS successful,
+           |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS failed,
+           |  COUNT(CASE WHEN event_id_s = '' THEN 1 END) AS dlq,
+           |  ROUND(CAST(SUM(CAST(proc_ms AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_proc_ms,
+           |  MAX(ts) AS last_event_ts,
+           |  COUNT(DISTINCT event_type) AS n_types
+           |FROM env GROUP BY topic ORDER BY topic""".stripMargin),
+      doc = "A4 per-topic EventStatistics rollup"),
+
+    // A4b: eventsByType map flattened to rows.
+    "a4_events_by_type" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir).groupBy("topic", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("topic", "event_type"),
+      oracle = Some(
+        s"""$cte
+           |SELECT topic, event_type, COUNT(*) AS n
+           |FROM env GROUP BY topic, event_type ORDER BY topic, event_type""".stripMargin),
+      doc = "A4 eventsByType breakdown")
+  )
+}
