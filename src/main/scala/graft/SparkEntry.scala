@@ -14,7 +14,9 @@ object SparkEntry {
   /** All registered queries, assembled from the per-family modules. */
   val registry: Map[String, QueryDef] = QueryReg.collect(Seq(
     TpchQueries.defs,
-    EventQueries.defs))
+    EventQueries.defs,
+    StatsQueries.defs,
+    WindowQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
