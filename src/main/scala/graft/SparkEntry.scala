@@ -16,7 +16,8 @@ object SparkEntry {
     TpchQueries.defs,
     EventQueries.defs,
     StatsQueries.defs,
-    WindowQueries.defs))
+    WindowQueries.defs,
+    ScaleQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

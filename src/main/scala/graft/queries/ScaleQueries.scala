@@ -1,0 +1,341 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.scale._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the `documents`/`embeddings` fixtures
+  * (SURVEY §7.1 scale/): dedup (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search (brute-force + bucketed cosine top-k), text
+  * analysis, multimodal plumbing.
+  *
+  * Oracle-parity technique: all hashes are explicit polynomial arithmetic;
+  * the DuckDB SQL is *generated from the same Scala constants*
+  * (NearDup.paramsA/B, TextOps.stopwords...) so the two sides cannot drift.
+  */
+object ScaleQueries {
+
+  private val P = TextOps.P
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  // ---- shared DuckDB fragments (generated from the Scala constants) ----
+
+  /** polyhash over the characters of expr `e`, mod m, seed 7 (= TextOps.polyHash). */
+  private def sqlPolyHash(e: String, m: Long): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $m)"
+
+  private val sqlStopwords = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** word 3-gram shingles of `text` (= TextOps.shingles). */
+  private val sqlShingles =
+    "list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), " +
+      "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+
+  /** The near-dup corpus: originals plus a mutated copy of every 20th doc
+    * (id + 200000, text suffixed) — guarantees true near-duplicate pairs.
+    */
+  private val sqlNearDupDocs =
+    """docs2 AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' near duplicate suffix marker', source
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  private def nearDupDocs(d: DataFrame): DataFrame =
+    d.select("doc_id", "text", "source").unionByName(
+      d.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+        col("source")))
+
+  private val sqlMinhashSig: String = {
+    val hashes = (0 until NearDup.K).map { i =>
+      s"list_min(list_transform(shh, h -> (${NearDup.paramsA(i)} * h + ${NearDup.paramsB(i)}) % $P))"
+    }
+    s"[${hashes.mkString(", ")}]"
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---------------- text analysis ----------------
+
+    "txt_stats" -> QueryDef(
+      build = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+            round(TextOps.meanTokenLen(col("text")), 6).as("mean_token_len"),
+            round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS bpeish_tokens,
+           |  ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
+           |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len,
+           |  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+           |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+           |  ROUND(CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[0-9]$$'))) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Text stats: token counts (whitespace + BPE-ish), lengths, ratios"),
+
+    "txt_quality_lang" -> QueryDef(
+      build = (s, dir) =>
+        docs(s, dir).select(
+            col("doc_id"),
+            TextOps.qualityScore(col("text")).as("quality"),
+            TextOps.predictedLang(col("text")).as("predicted_lang"),
+            col("lang"),
+            (TextOps.predictedLang(col("text")) === col("lang")).as("agree"))
+          .orderBy("doc_id"),
+      oracle = {
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val markers = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), t -> t IN ($markers))) AS s_$l"
+        }.mkString(",\n           |    ")
+        val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pred = "CASE " + langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+        Some(
+          s"""WITH scored AS (
+             |  SELECT doc_id, lang, text,
+             |    $scoreCols
+             |  FROM documents)
+             |SELECT doc_id,
+             |  ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+             |             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+             |    + (1.0 - CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[0-9]$$'))) AS DOUBLE)
+             |             / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality,
+             |  $pred AS predicted_lang,
+             |  lang,
+             |  ($pred = lang) AS agree
+             |FROM scored ORDER BY doc_id""".stripMargin)
+      },
+      doc = "Quality scoring + n-gram-marker language ID"),
+
+    "txt_fingerprint" -> QueryDef(
+      build = (s, dir) =>
+        docs(s, dir).select(
+            col("doc_id"),
+            TextOps.polyHash(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        s"""SELECT doc_id, ${sqlPolyHash("text", P)} AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Rolling-hash document fingerprint"),
+
+    // ---------------- deduplication ----------------
+
+    "dedup_exact" -> QueryDef(
+      build = (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text", "source")
+        val withDups = d.unionByName(
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000))
+        withDups.groupBy("text")
+          .agg(min("doc_id").as("kept_id"), count(lit(1)).as("n_copies"))
+          .select("kept_id", "n_copies")
+          .orderBy("kept_id")
+      },
+      oracle = Some(
+        """WITH withdups AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+          |SELECT min(doc_id) AS kept_id, COUNT(*) AS n_copies
+          |FROM withdups GROUP BY text ORDER BY kept_id""".stripMargin),
+      doc = "Exact dedup: hash-groupBy on content, keep lowest id"),
+
+    "dedup_jaccard" -> QueryDef(
+      build = (s, dir) => {
+        val d = nearDupDocs(docs(s, dir))
+          .withColumn("sh", TextOps.shingles(col("text")))
+        val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+        a.join(b, Seq("source"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2
+           |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "N-gram Jaccard near-dup pairs (within-source blocking)"),
+
+    "dedup_minhash_lsh" -> QueryDef(
+      build = (s, dir) => {
+        val d = NearDup.withSignatures(nearDupDocs(docs(s, dir)))
+        val cands = NearDup.lshCandidates(d, "doc_id")
+        // join candidates back to signatures + shingles for verification
+        val left = d.select(col("doc_id").as("doc_a"),
+          col("minhash_sig").as("sig_a"),
+          TextOps.shingles(col("text")).as("sh_a"))
+        val right = d.select(col("doc_id").as("doc_b"),
+          col("minhash_sig").as("sig_b"),
+          TextOps.shingles(col("text")).as("sh_b"))
+        cands.join(left, "doc_a").join(right, "doc_b")
+          .withColumn("sig_matches",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v))
+          .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+          .select("doc_a", "doc_b", "sig_matches", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, $sqlShingles AS sh FROM docs2),
+           |hashed AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${sqlPolyHash("s", P)}) AS shh FROM sh),
+           |sigs AS (SELECT doc_id, sh, $sqlMinhashSig AS sig FROM hashed),
+           |bands AS (
+           |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches,
+           |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |        / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+           |FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+           |          JOIN sigs sb ON cand.doc_b = sb.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "MinHash(8) + LSH(4x2) candidate pairs with exact-Jaccard verify"),
+
+    "dedup_simhash" -> QueryDef(
+      build = (s, dir) =>
+        NearDup.simhash32(docs(s, dir), "doc_id").orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH th AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(string_split(text, ' '), t -> ${sqlPolyHash("t", TextOps.M32)})) AS th
+           |  FROM documents),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |    SUM(CASE WHEN (th // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+           |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) bs
+           |  GROUP BY doc_id, b)
+           |SELECT doc_id,
+           |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "32-bit SimHash signatures (explode + bit-vote aggregation)"),
+
+    // ---------------- similarity search ----------------
+
+    "emb_cosine_topk" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.bruteForceTopK(
+            e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    ROUND(
+           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b)
+           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b))
+           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, score,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, score, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      doc = "Brute-force cosine top-10 (correctness baseline for ANN)"),
+
+    "emb_bucket_topk" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.bucketedTopK(
+            e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+           |     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+           |     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+           |     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+           |scored AS (
+           |  SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+           |    ROUND(
+           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b)
+           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b))
+           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |  FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, bucket, neighbor_id, score,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, bucket, neighbor_id, score, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      doc = "Sign-bucketed (SRP-LSH-style) cosine top-3 — the scale path"),
+
+    // ---------------- multimodal plumbing ----------------
+
+    "mm_decode_meta" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs(s, dir)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+          |       ELSE 'video' END AS media_type,
+          |  CAST(length(text) AS BIGINT) AS byte_len,
+          |  CAST(length(text) % 640 AS INT) AS width,
+          |  CAST((length(text) * 7) % 480 AS INT) AS height,
+          |  CAST(unicode(substr(text, 1, 1)) % 16 AS INT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Multimodal decode-stub: typed mapPartitions over binary payloads"),
+
+    "mm_content_hash" -> QueryDef(
+      build = (s, dir) =>
+        docs(s, dir).select(
+            col("doc_id"),
+            sha2(encode(col("text"), "UTF-8"), 256).as("content_sha256"),
+            length(encode(col("text"), "UTF-8")).as("byte_len"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        """SELECT doc_id, sha256(text) AS content_sha256,
+          |  CAST(length(text) AS INT) AS byte_len
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Binary content hashing for payload-level exact dedup")
+  )
+}

@@ -1,0 +1,67 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §7.1 scale/): image/audio/video
+  * payloads ride as opaque `BINARY` columns with typed metadata beside them.
+  *
+  * The decode step is a STUB — the real codec libraries are not in this
+  * container — but everything Spark-side is real and tested: the schema,
+  * the typed `Dataset[MediaRecord] -> Dataset[MediaMeta]` mapPartitions
+  * plumbing (the Scala analog of `mapInPandas` batch UDFs), partition-level
+  * batching, and deterministic outputs an oracle can check.
+  *
+  * At 100 TB: payloads stay columnar in parquet, the decode runs once per
+  * partition with per-partition codec initialization (the expensive part the
+  * mapPartitions shape amortizes), and metadata-only queries never touch the
+  * binary column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + routing metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted metadata (decode-stub output). */
+  final case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: deterministic pseudo-dimensions derived from the payload
+    * bytes. A real build swaps `decodeOne` for the codec call; the
+    * partition-iterator shape (one codec init per partition) is the part
+    * that matters for scale.
+    */
+  private def decodeOne(r: MediaRecord): MediaMeta = {
+    val len = r.payload.length.toLong
+    val first = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+    MediaMeta(r.doc_id, r.media_type, len,
+      width = (len % 640).toInt,
+      height = ((len * 7) % 480).toInt,
+      n_frames = first % 16)
+  }
+
+  /** Partition-batched decode: the per-partition prefix is where a real
+    * implementation initializes its codec once.
+    */
+  def decodeMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // codec init would go here (once per partition, not per record)
+      it.map(decodeOne)
+    }
+  }
+
+  /** Builds a deterministic media frame from the documents fixture: the
+    * UTF-8 text bytes play the role of the opaque payload.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

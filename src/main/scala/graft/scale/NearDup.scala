@@ -1,0 +1,91 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale: MinHash + LSH banding and SimHash
+  * (SURVEY §7.1 scale/; Broder 1997 resemblance sketches, Charikar 2002
+  * SimHash — public literature, see PAPERS.md).
+  *
+  * 100 TB posture: signatures are fixed-width per document (k longs), buckets
+  * shuffle-join on (band, hash) — candidate generation is O(docs) with no
+  * quadratic pair explosion; the exact-Jaccard verification only runs on
+  * bucket-collision candidates. All arithmetic is explicit mod-P polynomial
+  * hashing so the DuckDB oracle reproduces byte-identical signatures.
+  */
+object NearDup {
+
+  import TextOps.{M32, P}
+
+  /** Number of MinHash functions / signature width. */
+  val K = 8
+  /** LSH bands (K/bandRows rows each): 4 bands x 2 rows. */
+  val Bands = 4
+  val BandRows: Int = K / Bands
+
+  /** Affine MinHash parameters h_i(x) = (a_i * x + b_i) mod P — fixed
+    * constants shared with the oracle SQL (generated from these values).
+    */
+  val paramsA: Seq[Long] = (0 until K).map(i => ((i + 1) * 2654435761L + 1) % P)
+  val paramsB: Seq[Long] = (0 until K).map(i => (i.toLong * 40503L + 17) % P)
+
+  /** MinHash signature: array of K longs over the document's shingle hashes. */
+  def minhashSignature(shingleHashes: Column): Column =
+    array((0 until K).map { i =>
+      array_min(transform(shingleHashes,
+        h => (lit(paramsA(i)) * h + lit(paramsB(i))) % P))
+    }: _*)
+
+  /** LSH band hashes: Bands entries, each combining BandRows signature rows. */
+  def bandHashes(sig: Column): Column =
+    array((0 until Bands).map { j =>
+      val lo = sig.getItem(j * BandRows)
+      val hi = sig.getItem(j * BandRows + 1)
+      (lo * 31 + hi) % P
+    }: _*)
+
+  /** Adds shingle hashes + minhash signature + band hashes to a frame with a
+    * `text` column.
+    */
+  def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("shingle_hashes",
+        transform(TextOps.shingles(col("text"), shingleN), sh => TextOps.polyHash(sh)))
+      .withColumn("minhash_sig", minhashSignature(col("shingle_hashes")))
+      .withColumn("bands", bandHashes(col("minhash_sig")))
+
+  /** LSH candidate pairs: documents sharing any (band index, band hash)
+    * bucket, deduplicated, a < b. The join is a shuffle on the band hash —
+    * linear in corpus size, never quadratic.
+    */
+  def lshCandidates(withSigs: DataFrame, idCol: String): DataFrame = {
+    val buckets = withSigs.select(col(idCol).as("doc"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over token hashes: bit b of the signature is set when
+    * the (+1/-1) vote sum across tokens at that bit is positive.
+    * Implemented as an explode + two grouped aggregations — fully
+    * shuffle-parallel, no per-row quadratic work.
+    */
+  def simhash32(docs: DataFrame, idCol: String): DataFrame = {
+    val tokenHashes = docs.select(col(idCol),
+        explode(transform(TextOps.tokens(col("text")),
+          t => TextOps.polyHash(t, M32))).as("th"))
+    val bitVotes = tokenHashes
+      .select(col(idCol), col("th"), explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy(idCol, "b")
+      .agg(sum(when(expr("(th div CAST(pow(2, b) AS BIGINT)) % 2 = 1"), 1)
+        .otherwise(-1)).as("vote"))
+    bitVotes.groupBy(idCol)
+      .agg(sum(when(col("vote") > 0,
+        pow(lit(2.0), col("b").cast("double")).cast("long")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §7.1 scale/): exact cosine top-k as
+  * the correctness baseline, sign-quantized bucketing (an SRP-LSH / coarse
+  * IVF hybrid) as the 100 TB path.
+  *
+  * Dot products are left-fold sums of per-element double products
+  * (`zip_with` + `aggregate`) — the same association order as DuckDB's
+  * `list_reduce`, so scores compare bit-identical before rounding.
+  *
+  * Scale notes: brute force is O(queries x corpus) — fine for a bounded
+  * query set against a partitioned corpus (the corpus side stays
+  * distributed; queries broadcast). The bucketed variant cuts the corpus
+  * side by 2^bits via a pre-shuffle on the bucket id, the standard
+  * recall/latency trade.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product, left-fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-quantization bucket over the first `bits` dimensions: bit d set
+    * when component d >= 0. A degenerate-but-deterministic random-hyperplane
+    * LSH (axis-aligned planes) — the structure, shuffle and join shape are
+    * identical to SRP with learned/random planes.
+    */
+  def signBucket(vec: Column, bits: Int = 4): Column =
+    (0 until bits).map { d =>
+      when(vec.getItem(d) >= 0f, lit(1 << (bits - 1 - d))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-k cosine neighbors for each query row (excluding self).
+    * `queries`/`corpus` both carry (idCol, vecCol). Scores are rounded to 6
+    * decimals before ranking so ordering is reproducible across engines;
+    * ties break on neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Bucketed top-k: identical shape, but the cross join is constrained to
+    * matching sign buckets — the corpus side is pre-partitioned by bucket,
+    * so each query probes ~corpus/2^bits vectors.
+    */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = broadcast(q).join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "neighbor_id", "score", "rank")
+  }
+}

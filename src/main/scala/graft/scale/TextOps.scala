@@ -1,0 +1,121 @@
+package graft.scale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline extensions
+  * (SURVEY §7.1 scale/): tokenization, polynomial hashing, shingling,
+  * quality metrics, language-ID heuristic.
+  *
+  * Everything is pure Catalyst higher-order functions — no UDFs — so the
+  * whole stage codegens and distributes; per-document cost is linear in
+  * text length and the operators are embarrassingly parallel at 100 TB.
+  *
+  * Determinism: all hashes are explicit polynomial arithmetic (not Spark's
+  * murmur3 `hash()`, which DuckDB cannot reproduce), so every derived
+  * quantity is oracle-checkable.
+  */
+object TextOps {
+
+  /** Large prime modulus for polynomial hashes. */
+  val P: Long = 1000000007L
+  /** 32-bit modulus for SimHash bit sampling. */
+  val M32: Long = 4294967296L
+
+  /** Whitespace tokenization (single-space corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Characters of a string as a non-empty array (split("") emits a
+    * trailing empty element under Java regex semantics — filtered).
+    */
+  def chars(text: Column): Column =
+    filter(split(text, ""), ch => ch =!= "")
+
+  /** Rolling polynomial hash over characters: h = (h*31 + code) mod `mod`,
+    * seeded with 7. Mirrors the DuckDB oracle's
+    * `list_reduce(list_prepend(7, [unicode(c) ...]), (a,b) -> (a*31+b) % mod)`.
+    */
+  def polyHash(text: Column, mod: Long = P): Column =
+    aggregate(
+      transform(chars(text), ch => ascii(ch).cast("long")),
+      lit(7L),
+      (h, c) => (h * 31 + c) % mod)
+
+  /** Word n-gram shingles (default 3): positions 1..len-n+1, space-joined.
+    * Documents shorter than n words yield their full token join as the
+    * single shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** Stopword list for quality scoring / language-ID (fixed, tiny). */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Digit-character ratio. */
+  def digitRatio(text: Column): Column =
+    size(filter(chars(text), ch => ch.rlike("^[0-9]$"))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * stopword/digit load — the usual pretraining-filter shape.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(length(text).cast("double") / 500.0, lit(1.0)) * 0.4
+        + (lit(1.0) - stopwordRatio(text)) * 0.4
+        + (lit(1.0) - digitRatio(text)) * 0.2,
+      6)
+
+  /** BPE-ish token count: word pieces of <=4 chars via regex matching —
+    * a deterministic proxy for subword token counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"))
+
+  /** Language-ID marker dictionaries (n-gram heuristic): score = marker-token
+    * hits per language; argmax with alphabetical tie-break.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "en" -> Seq("the", "a", "and", "is"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("shi", "de", "le", "bu"))
+
+  def langScore(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(langMarkers(lang): _*)))
+
+  /** Predicted language: max marker score, ties broken alphabetically. */
+  def predictedLang(text: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l => (l, langScore(text, l)))
+    // fold: keep current winner unless a strictly higher score appears
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, sc)) =>
+        (when(sc > bestScore, lit(l)).otherwise(bestLang),
+         when(sc > bestScore, sc).otherwise(bestScore))
+    }._1
+  }
+}
