@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partition-placement hash functions (SURVEY §4.2.1, §7.4.3).
+  *
+  * Three hash families decide record placement in the reference's world:
+  *   - Java `String.hashCode` — used by the reference's own
+  *     `calculatePartition` (`service/PartitionKeyExtractor.java:122-135`);
+  *   - MurmurHash2 — Kafka's default partitioner placement for keyed sends
+  *     (public MurmurHash2 algorithm, seed/constants as used by Kafka's
+  *     `Utils.murmur2`);
+  *   - Spark's murmur3 `hash()` — the engine-native option.
+  *
+  * `partitionFor(key, n, algo)` exposes all three behind one function so
+  * parity checks can pin the family. The first two are native Catalyst
+  * expressions with codegen — no UDF boxing on the hot path.
+  */
+object Hashing {
+
+  /** MurmurHash2 (Austin Appleby's public-domain algorithm) with the seed
+    * and final-mix constants Kafka applies to record keys.
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val length = data.length
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4 + 0) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    // handle the last few bytes of the input array
+    (length % 4) match {
+      case 3 =>
+        h ^= (data((length & ~3) + 2) & 0xff) << 16
+        h ^= (data((length & ~3) + 1) & 0xff) << 8
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data((length & ~3) + 1) & 0xff) << 8
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** Kafka default-partitioner placement: toPositive(murmur2(bytes)) % n. */
+  def murmur2Partition(key: UTF8String, numPartitions: Int): Int =
+    if (key == null || key.numBytes() == 0) 0
+    else (murmur2(key.getBytes) & 0x7fffffff) % numPartitions
+
+  /** Reference `calculatePartition` placement: abs(String.hashCode) % n,
+    * 0 for null/empty (`service/PartitionKeyExtractor.java:122-135`).
+    */
+  def javaHashPartition(key: UTF8String, numPartitions: Int): Int =
+    if (key == null || key.numBytes() == 0) 0
+    else math.abs(key.toString.hashCode) % numPartitions
+
+  /** Installs `murmur2_partition(key, n)` / `java_hash_partition(key, n)`
+    * into the session's function registry (idempotent). Column and SQL
+    * surfaces both resolve through the registry.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("murmur2_partition",
+      exprs => Murmur2PartitionExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("java_hash_partition",
+      exprs => JavaHashPartitionExpr(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Column API: partition number for `key` under the chosen algorithm.
+    * Call [[register]] on the session first for the native variants.
+    */
+  def partitionFor(key: Column, numPartitions: Int, algo: String = "murmur2"): Column =
+    algo match {
+      case "murmur2" => call_function("murmur2_partition", key, lit(numPartitions))
+      case "java"    => call_function("java_hash_partition", key, lit(numPartitions))
+      case "spark"   => pmod(hash(key), lit(numPartitions))
+      case other     => throw new IllegalArgumentException(s"unknown hash algo: $other")
+    }
+}
+
+/** Native expression: Kafka-placement partition of a string key. */
+final case class Murmur2PartitionExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(key: Any, n: Any): Any =
+    Hashing.murmur2Partition(key.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, n) => s"graft.functions.Hashing.murmur2Partition($k, $n)")
+  override def prettyName: String = "murmur2_partition"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native expression: the reference's Java-hashCode partition placement. */
+final case class JavaHashPartitionExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(key: Any, n: Any): Any =
+    Hashing.javaHashPartition(key.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, n) => s"graft.functions.Hashing.javaHashPartition($k, $n)")
+  override def prettyName: String = "java_hash_partition"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,89 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kafka source/sink plumbing (SURVEY §2.1 S1-S10) — option-complete
+  * builders over Spark's `format("kafka")` connector.
+  *
+  * Requires `spark-sql-kafka-0-10` on the cluster classpath (not present in
+  * this offline container — these builders compile and are unit-tested for
+  * option construction; integration runs only where a broker exists, per
+  * SURVEY §7.5.6). The fixture-backed pipelines (`graft.streaming`,
+  * `graft.queries`) exercise the same operator logic offline.
+  */
+object KafkaIO {
+
+  /** S6 streaming source: subscribe with the reference's consumer posture —
+    * read_committed isolation (`config/KafkaConfig.java:120`) and bounded
+    * per-trigger intake (max.poll.records 500 ≙ maxOffsetsPerTrigger).
+    */
+  def source(spark: SparkSession, bootstrap: String, topics: Seq[String],
+             maxOffsetsPerTrigger: Long = 500L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("kafka.isolation.level", "read_committed")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** S7 replay source: time-bounded batch read — Spark resolves the offsets
+    * (the reference's offsetsForTimes + seek loop,
+    * `service/EventReplayService.java:62-88`, collapses into two options).
+    */
+  def replayByTimestamp(spark: SparkSession, bootstrap: String, topic: String,
+                        fromMs: Long, toMs: Long): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingTimestamp", fromMs)
+      .option("endingTimestamp", toMs)
+      .load()
+
+  /** S8 replay source: offset-bounded single-partition batch read. */
+  def replayByOffset(spark: SparkSession, bootstrap: String, topic: String,
+                     partition: Int, fromOffset: Long, toOffset: Long): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("assign", s"""{"$topic":[$partition]}""")
+      .option("startingOffsets", s"""{"$topic":{"$partition":$fromOffset}}""")
+      .option("endingOffsets", s"""{"$topic":{"$partition":${toOffset + 1}}}""")
+      .load()
+
+  /** S1/S4 sink posture: acks=all + idempotence + snappy batching
+    * (`config/KafkaConfig.java:69-88`). Batch write: `.save()`; streaming:
+    * swap `write` for `writeStream`.
+    */
+  def sinkOptions(bootstrap: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "kafka.acks" -> "all",
+    "kafka.enable.idempotence" -> "true",
+    "kafka.compression.type" -> "snappy",
+    "kafka.batch.size" -> "16384",
+    "kafka.linger.ms" -> "10")
+
+  /** S10 replay re-publish projection: stamp replay.* headers and the
+    * target topic (`service/EventReplayService.java:245-261`). Works on any
+    * frame with kafka-shaped (topic, partition, offset, key, value) columns.
+    */
+  def replayProjection(df: DataFrame, targetTopic: Option[String]): DataFrame = {
+    val target = targetTopic.map(lit).getOrElse(concat(col("topic"), lit(".replay")))
+    df.select(
+      target.as("topic"),
+      col("key"), col("value"),
+      array(
+        struct(lit("replay.original.topic").as("key"), encode(col("topic"), "UTF-8").as("value")),
+        struct(lit("replay.original.partition").as("key"),
+          encode(col("partition").cast("string"), "UTF-8").as("value")),
+        struct(lit("replay.original.offset").as("key"),
+          encode(col("offset").cast("string"), "UTF-8").as("value"))
+      ).as("headers"))
+  }
+
+  /** Confluent wire format strips to bare protobuf: drop the 5-byte magic +
+    * schema-id prefix before `from_protobuf` (SURVEY §7.4.5).
+    */
+  def stripConfluentPrefix(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(value, 6, Int.MaxValue)
+}

@@ -132,6 +132,51 @@ object EventQueries {
            |FROM keyed ORDER BY event_id""".stripMargin),
       doc = "P1a-P1h partition-key strategies + P3 balance heuristic"),
 
+    // P2: partition placement under the reference's Java-hashCode rule —
+    // the Spark side runs the native JavaHashPartitionExpr (codegen'd
+    // String.hashCode); the oracle reproduces int32 wraparound arithmetic
+    // in SQL. Cross-validates the custom Catalyst expression end-to-end.
+    "p2_partition_java" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = env(s, dir)
+        e.select(col("event_id"),
+            PartitionKeys.tenantBased(col("tenant_id")).as("key"))
+          .withColumn("part_java",
+            graft.functions.Hashing.partitionFor(col("key"), 6, "java"))
+          .groupBy("key", "part_java").agg(count(lit(1)).as("n"))
+          .orderBy("key")
+      },
+      oracle = Some(
+        s"""$cte, keyed AS (
+           |  SELECT COALESCE(NULLIF(tenant_id,''),'default-tenant') AS key FROM env),
+           |hashed AS (
+           |  SELECT key,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(key, ''), c -> CAST(unicode(c) AS BIGINT))),
+           |      (a, b) -> (a * 31 + b) % 4294967296) AS hu
+           |  FROM keyed)
+           |SELECT key,
+           |  CAST(abs(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) % 6 AS INT) AS part_java,
+           |  COUNT(*) AS n
+           |FROM hashed GROUP BY 1, 2 ORDER BY key""".stripMargin),
+      doc = "P2 Java-hashCode partition placement via native Catalyst expression"),
+
+    // P2 comparison surface across all three hash families (murmur2 has no
+    // SQL-reproducible oracle offline — structural rows-only check).
+    "p2_partition_families" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = env(s, dir)
+        e.select(PartitionKeys.tenantBased(col("tenant_id")).as("key")).distinct()
+          .withColumn("part_java", graft.functions.Hashing.partitionFor(col("key"), 6, "java"))
+          .withColumn("part_murmur2", graft.functions.Hashing.partitionFor(col("key"), 6, "murmur2"))
+          .withColumn("part_spark", graft.functions.Hashing.partitionFor(col("key"), 6, "spark"))
+          .orderBy("key")
+      },
+      oracle = None,
+      doc = "P2/P3 placement across java/murmur2/spark hash families"),
+
     // D1 dedup: inject duplicates, keep first per event_id in event time.
     "d1_dedup" -> QueryDef(
       build = (s, dir) => {

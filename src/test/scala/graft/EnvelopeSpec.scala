@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{Envelope, Validation}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Envelope synthesis determinism + F3 validity semantics over the real
+  * fixture table.
+  */
+class EnvelopeSpec extends SparkSpec {
+
+  test("envelope is deterministic across reads") {
+    val a = Envelope.withEnvelope(Tables.events(spark, sf())).orderBy("event_id")
+    val b = Envelope.withEnvelope(Tables.events(spark, sf())).orderBy("event_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("ts normalization is microsecond truncation of the raw nanos") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+      .select("event_id", "ts").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cooked = Tables.events(spark, sf())
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).limit(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cooked.foreach { case (id, us) => assert(us == raw(id) / 1000) }
+  }
+
+  test("F3: exactly the id%20==0 rows are invalid; metadata struct carries them") {
+    val e = Envelope.withEnvelope(Tables.events(spark, sf()))
+    val invalid = e.filter(!Validation.isValid(col("event_id_s"), col("props")))
+      .select("event_id").collect().map(_.getLong(0))
+    assert(invalid.nonEmpty && invalid.forall(_ % 20 == 0))
+    val meta = e.select(Envelope.metadataStruct.as("m"))
+      .select("m.event_id", "m.tenant_id", "m.priority").limit(3).collect()
+    assert(meta.forall(r => r.getString(1).startsWith("tenant-")))
+  }
+}
