@@ -161,29 +161,21 @@ object ScaleQueries {
       doc = "Exact dedup: hash-groupBy on content, keep lowest id"),
 
     "dedup_jaccard" -> QueryDef(
-      build = (s, dir) => {
-        val d = nearDupDocs(docs(s, dir))
-          .withColumn("sh", TextOps.shingles(col("text")))
-        val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
-        a.join(b, Seq("source"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      build = (s, dir) =>
+        NearDup.jaccardPairs(nearDupDocs(docs(s, dir)), "doc_id", "source",
+            shingleN = 3, threshold = 0.2)
+          .orderBy("doc_a", "doc_b"),
       oracle = Some(
         s"""WITH $sqlNearDupDocs,
-           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
-           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.2
-           |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "N-gram Jaccard near-dup pairs (within-source blocking)"),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "N-gram Jaccard near-dup pairs (inverted shingle index, within-source blocking)"),
 
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
@@ -191,11 +183,9 @@ object ScaleQueries {
         val cands = NearDup.lshCandidates(d, "doc_id")
         // join candidates back to signatures + shingles for verification
         val left = d.select(col("doc_id").as("doc_a"),
-          col("minhash_sig").as("sig_a"),
-          TextOps.shingles(col("text")).as("sh_a"))
+          col("minhash_sig").as("sig_a"), col("sh").as("sh_a"))
         val right = d.select(col("doc_id").as("doc_b"),
-          col("minhash_sig").as("sig_b"),
-          TextOps.shingles(col("text")).as("sh_b"))
+          col("minhash_sig").as("sig_b"), col("sh").as("sh_b"))
         cands.join(left, "doc_a").join(right, "doc_b")
           .withColumn("sig_matches",
             aggregate(zip_with(col("sig_a"), col("sig_b"),

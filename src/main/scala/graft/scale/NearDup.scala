@@ -46,13 +46,26 @@ object NearDup {
 
   /** Adds shingle hashes + minhash signature + band hashes to a frame with a
     * `text` column.
+    *
+    * Each derivation stage is persisted: higher-order-function expressions
+    * do not whole-stage-codegen, so without a materialization barrier
+    * Catalyst's CollapseProject inlines `shingle_hashes` into all 8
+    * signature components (and `minhash_sig` into all band hashes),
+    * recomputing the full per-document hash pass dozens of times — measured
+    * 40x slowdown at sf0.1. The persisted intermediates are tiny (K longs +
+    * one hash per shingle per doc) and exactly what a 100 TB pipeline would
+    * checkpoint between stages anyway.
     */
-  def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs
-      .withColumn("shingle_hashes",
-        transform(TextOps.shingles(col("text"), shingleN), sh => TextOps.polyHash(sh)))
+  def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val hashed = docs
+      .withColumn("sh", TextOps.shingles(col("text"), shingleN))
+      .withColumn("shingle_hashes", transform(col("sh"), sh => TextOps.polyHash(sh)))
+      .persist()
+    val sigs = hashed
       .withColumn("minhash_sig", minhashSignature(col("shingle_hashes")))
-      .withColumn("bands", bandHashes(col("minhash_sig")))
+      .persist()
+    sigs.withColumn("bands", bandHashes(col("minhash_sig")))
+  }
 
   /** LSH candidate pairs: documents sharing any (band index, band hash)
     * bucket, deduplicated, a < b. The join is a shuffle on the band hash —
@@ -67,6 +80,35 @@ object NearDup {
         col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * explode shingles, self-join on (block, shingle), count co-occurrences,
+    * then jaccard = common / (|a| + |b| - common).
+    *
+    * Unlike a blocked cross join with per-pair `array_intersect` (quadratic
+    * in block size and linear in shingle count *per pair*), this only does
+    * work for pairs that actually share a shingle — the shape that survives
+    * 100 TB. Ultra-frequent shingles would fan out k^2; production runs cap
+    * document frequency first (not done here to keep the oracle exact).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, blockCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        TextOps.shingles(col("text"), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist()
+    val ex = sh.select(col("doc"), col("blk"), col("n_sh"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
