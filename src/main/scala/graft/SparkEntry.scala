@@ -17,7 +17,8 @@ object SparkEntry {
     EventQueries.defs,
     StatsQueries.defs,
     WindowQueries.defs,
-    ScaleQueries.defs))
+    ScaleQueries.defs,
+    MiscQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

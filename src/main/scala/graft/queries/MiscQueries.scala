@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Query-surface generalizations the reference gets "for free" from a real
+  * engine (SURVEY §2.8): JSON bridging, rollup/grouping sets, per-group
+  * top-k, sketched distinct counts.
+  */
+object MiscQueries {
+
+  private val cte = Envelope.oracleCte
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.withEnvelope(Tables.events(s, dir))
+
+  private def dec(c: Column) = c.cast(DecimalType(12, 2))
+  private def one = lit(1).cast(DecimalType(4, 2))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // F10: JSON <-> columns bridge (controller JsonFormat parse/print ≙
+    // from_json/get_json_object over the props payload).
+    "f10_json_bridge" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir)
+          .withColumn("k",
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"),
+               min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("k_mod"),
+      oracle = Some(
+        s"""$cte
+           |SELECT CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_mod,
+           |       COUNT(*) AS n,
+           |       MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS min_k,
+           |       MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS max_k
+           |FROM env GROUP BY 1 ORDER BY k_mod""".stripMargin),
+      doc = "F10 JSON payload decode + aggregation"),
+
+    // Rollup over the star join: region/nation revenue with subtotal and
+    // grand-total rows (grouping-sets surface).
+    "rollup_revenue" -> QueryDef(
+      build = (s, dir) => {
+        // via the engine's SQL surface: the rollup text is dialect-shared
+        // with the oracle (grouping() + ROLLUP are ANSI), and Catalyst
+        // plans the same broadcast star join as the DataFrame form.
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        Tables.region(s, dir).createOrReplaceTempView("region")
+        s.sql(
+          """SELECT r_name, n_name,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            |  COUNT(*) AS n_items,
+            |  CAST(GROUPING(r_name) AS TINYINT) AS g_r,
+            |  CAST(GROUPING(n_name) AS TINYINT) AS g_n
+            |FROM lineitem
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY ROLLUP(r_name, n_name)
+            |ORDER BY g_r, g_n, r_name, n_name""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT r_name, n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_items,
+          |  CAST(GROUPING(r_name) AS TINYINT) AS g_r,
+          |  CAST(GROUPING(n_name) AS TINYINT) AS g_n
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY g_r, g_n, r_name, n_name""".stripMargin),
+      doc = "Rollup/grouping-sets revenue with subtotals"),
+
+    // Per-group top-k: 3 highest-value orders per priority class.
+    "topk_per_priority" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rank")
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+          |FROM (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+          |  FROM orders) t
+          |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin),
+      doc = "Per-group top-k via window ranking"),
+
+    // Exact distinct tenants per event type (oracle) — the sketched variant
+    // lives in hll_distinct_tenants.
+    "distinct_tenants" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir).groupBy("event_type")
+          .agg(countDistinct("tenant_id").as("n_tenants"),
+               countDistinct("user_s").as("n_users"))
+          .orderBy("event_type"),
+      oracle = Some(
+        s"""$cte
+           |SELECT event_type, COUNT(DISTINCT tenant_id) AS n_tenants,
+           |       COUNT(DISTINCT user_s) AS n_users
+           |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Exact distinct counts (correctness baseline for the HLL path)"),
+
+    // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
+    // one pass, bounded memory). Deterministic for a fixed input+impl but
+    // not reproducible in DuckDB -> structural rows-only check.
+    "hll_distinct_tenants" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir).groupBy("event_type")
+          .agg(approx_count_distinct(col("tenant_id"), rsd = 0.01).as("n_tenants_approx"),
+               countDistinct("tenant_id").as("n_tenants_exact"))
+          .withColumn("rel_err",
+            round(abs(col("n_tenants_approx") - col("n_tenants_exact"))
+              .cast("double") / col("n_tenants_exact"), 4))
+          .orderBy("event_type"),
+      oracle = None,
+      doc = "approx_count_distinct sketch vs exact, with realized error")
+  )
+}
