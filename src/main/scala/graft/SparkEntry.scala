@@ -18,7 +18,8 @@ object SparkEntry {
     StatsQueries.defs,
     WindowQueries.defs,
     ScaleQueries.defs,
-    MiscQueries.defs))
+    MiscQueries.defs,
+    CoverageQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
