@@ -41,6 +41,20 @@ class RetryBackoffSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 0.1))
   }
 
+  test("E3 retry-header bump replaces retry.count and stamps retry.timestamp") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+      .withColumn("hdrs", map(
+        lit("retry.count"), lit("1"),
+        lit("event.id"), lit("e-1")))
+      .select(graft.operators.Headers.bumpRetryCount(
+        col("hdrs"), lit(2), lit("2024-01-01 00:00:00")).as("h"))
+    val m = df.collect()(0).getAs[Map[String, String]]("h")
+    assert(m("retry.count") == "2")
+    assert(m("event.id") == "e-1")
+    assert(m("retry.timestamp") == "2024-01-01 00:00:00")
+  }
+
   test("E1 split: retry below max, DLQ at max, topics renamed") {
     import spark.implicits._
     val df = Seq((0, "nnipa.events.tenant.created"), (2, "nnipa.events.auth.login"),
