@@ -12,11 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink, not count(): count() lets Catalyst prune every projection
+    // (a key-derivation query would degenerate to a scan row count) — the
+    // noop write forces full computation of all output columns.
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      (System.nanoTime() - t0) / 1e9
     }
+    // JIT/codegen warm-up so the first measured query isn't charged for it
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // sorted order, best-of-2 per query: stable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(runOnce(fn, name), runOnce(fn, name))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.{JavaHashPartitionExpr, Murmur2PartitionExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: install the engine's native functions at
+  * session build time —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (equivalently `graft.functions.Hashing.register(spark)` at runtime).
+  * This is the (c)-tier extension route from the build brief: custom
+  * Catalyst expressions registered via SparkSessionExtensions, usable from
+  * both the Column API and SQL text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("murmur2_partition"),
+      new ExpressionInfo(classOf[Murmur2PartitionExpr].getName, "murmur2_partition"),
+      (exprs: Seq[Expression]) => Murmur2PartitionExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("java_hash_partition"),
+      new ExpressionInfo(classOf[JavaHashPartitionExpr].getName, "java_hash_partition"),
+      (exprs: Seq[Expression]) => JavaHashPartitionExpr(exprs(0), exprs(1))))
+  }
+}

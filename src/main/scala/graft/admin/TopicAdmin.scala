@@ -1,0 +1,69 @@
+package graft.admin
+
+import scala.collection.mutable
+
+/** Topic management plane (SURVEY §2.1/§2.6 management computations;
+  * reference `service/TopicManagementService.java:70-412`).
+  *
+  * Offline/catalog-backed: the same create/delete/list/describe/alter
+  * surface the reference exposes over Kafka AdminClient, kept as local
+  * catalog state so the management queries (F8, A3) and naming conventions
+  * are testable without a broker. Where a broker exists, the same interface
+  * fronts AdminClient (kafka-clients is not on this classpath by design).
+  */
+object TopicAdmin {
+
+  /** Default topic shape (application.yml:135-141 / TopicManagementService.java:43-56). */
+  final case class TopicConfig(
+      partitions: Int = 6,
+      replicationFactor: Int = 3,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,   // 7 d events
+      minInSyncReplicas: Int = 2,
+      compression: String = "snappy")
+
+  val DlqRetentionMs: Long = 14L * 24 * 3600 * 1000   // 14 d
+  val AuditRetentionMs: Long = 28L * 24 * 3600 * 1000 // 28 d
+
+  /** Well-known topic name builders (application.yml:107-132,
+    * TopicManagementService.java:574-641).
+    */
+  def eventTopic(domain: String, action: String): String = s"nnipa.events.$domain.$action"
+  def commandTopic(service: String, action: String): String = s"nnipa.commands.$service.$action"
+  def dlqTopic(suffix: String): String = s"nnipa.dlq.$suffix"
+
+  /** Retention policy by topic family (W3). */
+  def defaultConfigFor(topic: String): TopicConfig =
+    if (topic.startsWith("nnipa.dlq.")) TopicConfig(retentionMs = DlqRetentionMs)
+    else if (topic.contains(".audit.")) TopicConfig(retentionMs = AuditRetentionMs)
+    else TopicConfig()
+}
+
+/** Mutable catalog with the reference's admin verbs. */
+final class TopicAdmin {
+  import TopicAdmin._
+
+  private val topics = mutable.LinkedHashMap.empty[String, TopicConfig]
+
+  def create(name: String, config: Option[TopicConfig] = None): Boolean =
+    if (topics.contains(name)) false
+    else { topics(name) = config.getOrElse(defaultConfigFor(name)); true }
+
+  def delete(name: String): Boolean = topics.remove(name).isDefined
+
+  /** F8: visible topics — internal (leading underscore) filtered, sorted. */
+  def list(): Seq[String] = topics.keys.filterNot(_.startsWith("_")).toSeq.sorted
+
+  def listAll(): Seq[String] = topics.keys.toSeq.sorted
+
+  def describe(name: String): Option[TopicConfig] = topics.get(name)
+
+  /** Alter = replace config (partitions can only grow, as in Kafka). */
+  def alter(name: String, config: TopicConfig): Boolean =
+    topics.get(name) match {
+      case Some(old) if config.partitions >= old.partitions =>
+        topics(name) = config; true
+      case _ => false
+    }
+
+  def exists(name: String): Boolean = topics.contains(name)
+}

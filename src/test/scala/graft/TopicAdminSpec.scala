@@ -1,0 +1,56 @@
+package graft
+
+import graft.admin.TopicAdmin
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Admin-plane catalog semantics (TopicManagementService verbs offline). */
+class TopicAdminSpec extends AnyFunSuite {
+
+  test("naming conventions and retention families") {
+    assert(TopicAdmin.eventTopic("tenant", "created") == "nnipa.events.tenant.created")
+    assert(TopicAdmin.commandTopic("audit", "log") == "nnipa.commands.audit.log")
+    assert(TopicAdmin.dlqTopic("events") == "nnipa.dlq.events")
+    assert(TopicAdmin.defaultConfigFor("nnipa.events.x.y").retentionMs == 7L * 24 * 3600 * 1000)
+    assert(TopicAdmin.defaultConfigFor("nnipa.dlq.x").retentionMs == TopicAdmin.DlqRetentionMs)
+    assert(TopicAdmin.defaultConfigFor("nnipa.commands.audit.log").retentionMs == TopicAdmin.AuditRetentionMs)
+  }
+
+  test("create/list/describe/alter/delete with F8 internal filtering") {
+    val admin = new TopicAdmin
+    assert(admin.create("nnipa.events.tenant.created"))
+    assert(!admin.create("nnipa.events.tenant.created"))     // already exists
+    assert(admin.create("_internal.metrics"))
+    assert(admin.create("nnipa.dlq.events"))
+    assert(admin.list() == Seq("nnipa.dlq.events", "nnipa.events.tenant.created"))
+    assert(admin.listAll().contains("_internal.metrics"))
+    assert(admin.describe("nnipa.events.tenant.created").exists(_.partitions == 6))
+    // partitions can only grow
+    assert(admin.alter("nnipa.events.tenant.created", TopicAdmin.TopicConfig(partitions = 12)))
+    assert(!admin.alter("nnipa.events.tenant.created", TopicAdmin.TopicConfig(partitions = 3)))
+    assert(admin.delete("_internal.metrics"))
+    assert(!admin.exists("_internal.metrics"))
+  }
+
+}
+
+/** Native functions resolve from SQL text; the extensions class installs
+  * the same builders at session build time (applied to a fresh
+  * SparkSessionExtensions here — getOrCreate would ignore the config once
+  * any session exists in the test JVM).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered native functions resolve from SQL text") {
+    graft.functions.Hashing.register(spark)
+    val r = spark.sql(
+      "SELECT java_hash_partition('tenant-1', 6) AS j, murmur2_partition('tenant-1', 6) AS m")
+      .collect()(0)
+    assert(r.getInt(0) == math.abs("tenant-1".hashCode) % 6)
+    assert(r.getInt(1) >= 0 && r.getInt(1) < 6)
+  }
+
+  test("GraftExtensions applies its injections cleanly") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must not throw
+  }
+}
