@@ -119,6 +119,62 @@ object MiscQueries {
            |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin),
       doc = "Exact distinct counts (correctness baseline for the HLL path)"),
 
+    // E7: poison-pill tolerance — corrupt JSON decodes to null instead of
+    // killing the pipeline (ErrorHandlingDeserializer ≙ PERMISSIVE
+    // from_json), and the corrupt branch is DLQ-routable.
+    "e7_decode_tolerance" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir)
+          .withColumn("props_wire",
+            when(col("event_id") % 50 === 0, lit("not-json{")).otherwise(col("props")))
+          .withColumn("k",
+            from_json(col("props_wire"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+          .withColumn("decode", when(col("k").isNull, "corrupt").otherwise("ok"))
+          .groupBy("decode").agg(count(lit(1)).as("n"))
+          .orderBy("decode"),
+      oracle = Some(
+        s"""$cte, wire AS (
+           |  SELECT CASE WHEN event_id % 50 = 0 THEN 'not-json{' ELSE props END AS props_wire
+           |  FROM env)
+           |SELECT CASE WHEN json_valid(props_wire)
+           |              AND json_extract_string(props_wire, '$$.k') IS NOT NULL
+           |            THEN 'ok' ELSE 'corrupt' END AS decode,
+           |       COUNT(*) AS n
+           |FROM wire GROUP BY 1 ORDER BY decode""".stripMargin),
+      doc = "E7 poison-pill decode tolerance (corrupt payload -> null -> DLQ branch)"),
+
+    // Skew mitigation: salted two-stage aggregation — result identical to
+    // the direct groupBy (the oracle), shuffle shape bounded per salt.
+    "skew_salted_counts" -> QueryDef(
+      build = (s, dir) =>
+        graft.scale.Skew.saltedAgg(env(s, dir), "tenant_id",
+            saltSource = col("event_id"), nSalts = 8, valueCol = "value")
+          .orderBy("tenant_id"),
+      oracle = Some(
+        s"""$cte
+           |SELECT tenant_id, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           |FROM env GROUP BY tenant_id ORDER BY tenant_id""".stripMargin),
+      doc = "Salted two-stage aggregation == direct groupBy (skew path)"),
+
+    // A8 scale path: approx_percentile sketch vs exact — rows-only (the
+    // sketch is engine-specific), realized error surfaced as a column.
+    "a8_latency_approx" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir).groupBy("event_type")
+          .agg(
+            expr("approx_percentile(proc_ms, array(0.5, 0.95, 0.99), 10000)").as("approx"),
+            expr("percentile(proc_ms, array(0.5, 0.95, 0.99))").as("exact"))
+          .withColumn("max_rel_err",
+            aggregate(
+              zip_with(col("approx").cast("array<double>"), col("exact"),
+                (a, e) => abs(a - e) / e),
+              lit(0.0), (acc, x) => greatest(acc, x)))
+          .orderBy("event_type"),
+      oracle = None,
+      doc = "A8 approx_percentile sketch vs exact with realized error"),
+
     // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
     // one pass, bounded memory). Deterministic for a fixed input+impl but
     // not reproducible in DuckDB -> structural rows-only check.

@@ -93,14 +93,27 @@ object ScaleQueries {
       doc = "Text stats: token counts (whitespace + BPE-ish), lengths, ratios"),
 
     "txt_quality_lang" -> QueryDef(
-      build = (s, dir) =>
-        docs(s, dir).select(
+      build = (s, dir) => {
+        // tokenization materialized once (HOF recompute pitfall): every
+        // score reads the persisted token column instead of re-splitting.
+        val staged = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_digits",
+            size(filter(TextOps.chars(col("text")), ch => ch.rlike("^[0-9]$"))))
+          .persist()
+        val pred = TextOps.predictedLangOf(col("toks"))
+        staged.select(
             col("doc_id"),
-            TextOps.qualityScore(col("text")).as("quality"),
-            TextOps.predictedLang(col("text")).as("predicted_lang"),
+            round(
+              least(length(col("text")).cast("double") / 500.0, lit(1.0)) * 0.4
+                + (lit(1.0) - TextOps.stopwordRatioOf(col("toks"))) * 0.4
+                + (lit(1.0) - col("n_digits").cast("double") / length(col("text")).cast("double")) * 0.2,
+              6).as("quality"),
+            pred.as("predicted_lang"),
             col("lang"),
-            (TextOps.predictedLang(col("text")) === col("lang")).as("agree"))
-          .orderBy("doc_id"),
+            (pred === col("lang")).as("agree"))
+          .orderBy("doc_id")
+      },
       oracle = {
         val langs = TextOps.langMarkers.keys.toSeq.sorted
         val scoreCols = langs.map { l =>

@@ -61,11 +61,16 @@ object TextOps {
   /** Stopword list for quality scoring / language-ID (fixed, tiny). */
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  /** Token-column variants: when several scores derive from the same
+    * tokenization, materialize `tokens(text)` once (HOFs don't codegen, so
+    * repeated references otherwise re-tokenize per score — see
+    * spark-perf-pitfalls).
+    */
+  def stopwordRatioOf(toks: Column): Column =
     size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
       size(toks).cast("double")
-  }
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
   /** Mean token length. */
   def meanTokenLen(text: Column): Column = {
@@ -105,17 +110,23 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "est"),
     "zh" -> Seq("shi", "de", "le", "bu"))
 
-  def langScore(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isin(langMarkers(lang): _*)))
+  def langScoreOf(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
 
-  /** Predicted language: max marker score, ties broken alphabetically. */
-  def predictedLang(text: Column): Column = {
-    val scored = langMarkers.keys.toSeq.sorted.map(l => (l, langScore(text, l)))
-    // fold: keep current winner unless a strictly higher score appears
+  def langScore(text: Column, lang: String): Column = langScoreOf(tokens(text), lang)
+
+  /** Predicted language from a token column: max marker score, ties broken
+    * alphabetically (fold keeps the earlier language unless strictly
+    * beaten).
+    */
+  def predictedLangOf(toks: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l => (l, langScoreOf(toks, l)))
     scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bestLang, bestScore), (l, sc)) =>
         (when(sc > bestScore, lit(l)).otherwise(bestLang),
          when(sc > bestScore, sc).otherwise(bestScore))
     }._1
   }
+
+  def predictedLang(text: Column): Column = predictedLangOf(tokens(text))
 }
