@@ -20,15 +20,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalizes a raw-nanos `ts` LONG column (nanosAsLong read) to a
+    * microsecond TIMESTAMP; passthrough when already a timestamp.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+
   /** `events` with `ts` normalized to a microsecond TIMESTAMP. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw // already a timestamp (future-proof)
-    }
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
