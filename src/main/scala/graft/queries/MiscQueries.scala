@@ -137,11 +137,12 @@ object MiscQueries {
         s"""$cte, wire AS (
            |  SELECT CASE WHEN event_id % 50 = 0 THEN 'not-json{' ELSE props END AS props_wire
            |  FROM env)
-           |SELECT CASE WHEN json_valid(props_wire)
-           |              AND json_extract_string(props_wire, '$$.k') IS NOT NULL
-           |            THEN 'ok' ELSE 'corrupt' END AS decode,
+           |SELECT CASE WHEN json_valid(props_wire) THEN 'ok' ELSE 'corrupt' END AS decode,
            |       COUNT(*) AS n
            |FROM wire GROUP BY 1 ORDER BY decode""".stripMargin),
+      // NB: no json_extract on the corrupt branch — DuckDB's vectorized
+      // evaluation does not short-circuit AND, so extracting from malformed
+      // JSON raises even behind a json_valid guard (bit at sf0.1).
       doc = "E7 poison-pill decode tolerance (corrupt payload -> null -> DLQ branch)"),
 
     // Skew mitigation: salted two-stage aggregation — result identical to
