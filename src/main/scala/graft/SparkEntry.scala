@@ -19,7 +19,8 @@ object SparkEntry {
     WindowQueries.defs,
     ScaleQueries.defs,
     MiscQueries.defs,
-    CoverageQueries.defs))
+    CoverageQueries.defs,
+    ScalarQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Envelope
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function and set-operation surface (SURVEY §2.8): the string /
+  * date-time / set primitives the reference uses imperatively, exercised as
+  * hash-checked columns. Functions chosen for exact cross-engine parity
+  * (no locale- or week-numbering-sensitive ops).
+  */
+object ScalarQueries {
+
+  private val cte = Envelope.oracleCte
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.withEnvelope(Tables.events(s, dir))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "scalar_string_funcs" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir).filter(col("event_id") < 200)
+          .select(
+            col("event_id"),
+            substring(col("topic"), 1, 12).as("sub"),
+            upper(col("event_type")).as("up"),
+            regexp_replace(col("topic"), "\\.", "/").as("rep"),
+            col("topic").startsWith("nnipa").as("starts"),
+            col("topic").endsWith("recorded").as("ends"),
+            reverse(col("event_type")).as("rev"),
+            lpad(col("event_id").cast("string"), 8, "0").as("padded"),
+            expr("split_part(topic, '.', 2)").as("second_seg"),
+            length(col("source_service")).as("svc_len"),
+            concat_ws("|", col("event_type"), col("tenant_id")).as("joined"))
+          .orderBy("event_id"),
+      oracle = Some(
+        s"""$cte
+           |SELECT event_id,
+           |  substring(topic, 1, 12) AS sub,
+           |  upper(event_type) AS up,
+           |  regexp_replace(topic, '\\.', '/', 'g') AS rep,
+           |  starts_with(topic, 'nnipa') AS starts,
+           |  ends_with(topic, 'recorded') AS ends,
+           |  reverse(event_type) AS rev,
+           |  lpad(CAST(event_id AS STRING), 8, '0') AS padded,
+           |  split_part(topic, '.', 2) AS second_seg,
+           |  length(source_service) AS svc_len,
+           |  concat_ws('|', event_type, tenant_id) AS joined
+           |FROM env WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+      doc = "String scalar surface: substring/replace/pad/split/affix tests"),
+
+    "scalar_datetime_funcs" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val minTs = e.agg(min("ts").as("min_ts"))
+        e.crossJoin(broadcast(minTs))
+          .filter(col("event_id") < 200)
+          .select(
+            col("event_id"),
+            unix_millis(col("ts")).as("epoch_ms"),
+            year(col("ts")).as("y"),
+            month(col("ts")).as("mo"),
+            dayofmonth(col("ts")).as("d"),
+            hour(col("ts")).as("h"),
+            minute(col("ts")).as("mi"),
+            (col("ts") + expr("INTERVAL 90 MINUTE")).as("plus_90m"),
+            date_trunc("day", col("ts")).as("day_start"),
+            ((unix_millis(col("ts")) - unix_millis(col("min_ts"))) / 1000)
+              .cast("long").as("secs_since_start"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte, m AS (SELECT min(ts) AS min_ts FROM env)
+           |SELECT event_id,
+           |  epoch_ms(ts) AS epoch_ms,
+           |  CAST(year(ts) AS INT) AS y,
+           |  CAST(month(ts) AS INT) AS mo,
+           |  CAST(day(ts) AS INT) AS d,
+           |  CAST(hour(ts) AS INT) AS h,
+           |  CAST(minute(ts) AS INT) AS mi,
+           |  ts + INTERVAL 90 MINUTE AS plus_90m,
+           |  date_trunc('day', ts) AS day_start,
+           |  (epoch_ms(ts) - epoch_ms(min_ts)) // 1000 AS secs_since_start
+           |FROM env, m WHERE event_id < 200 ORDER BY event_id""".stripMargin),
+      doc = "Date-time scalar surface: epoch, fields, interval arithmetic"),
+
+    "set_ops_tenants" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val purchasers = e.filter(col("event_type") === "purchase")
+          .select("tenant_id").distinct()
+        val erroring = e.filter(col("event_type") === "error")
+          .select("tenant_id").distinct()
+        purchasers.intersect(erroring).withColumn("op", lit("both"))
+          .unionByName(purchasers.except(erroring).withColumn("op", lit("purchase_only")))
+          .orderBy("op", "tenant_id")
+      },
+      oracle = Some(
+        s"""$cte, purchasers AS (
+           |  SELECT DISTINCT tenant_id FROM env WHERE event_type = 'purchase'),
+           |erroring AS (
+           |  SELECT DISTINCT tenant_id FROM env WHERE event_type = 'error')
+           |SELECT tenant_id, 'both' AS op
+           |FROM (SELECT tenant_id FROM purchasers INTERSECT SELECT tenant_id FROM erroring)
+           |UNION ALL
+           |SELECT tenant_id, 'purchase_only' AS op
+           |FROM (SELECT tenant_id FROM purchasers EXCEPT SELECT tenant_id FROM erroring)
+           |ORDER BY op, tenant_id""".stripMargin),
+      doc = "Set operations: INTERSECT / EXCEPT over derived tenant sets")
+  )
+}
