@@ -66,4 +66,40 @@ final class TopicAdmin {
     }
 
   def exists(name: String): Boolean = topics.contains(name)
+
+  // ---- consumer-group verbs (TopicManagementService.java:258-412) ----
+
+  private val groupOffsets = mutable.LinkedHashMap
+    .empty[(String, String, Int), Long] // (group, topic, partition) -> committed
+
+  def commitOffset(group: String, topic: String, partition: Int, offset: Long): Unit =
+    groupOffsets((group, topic, partition)) = offset
+
+  def listGroups(): Seq[String] = groupOffsets.keys.map(_._1).toSeq.distinct.sorted
+
+  /** Per-partition committed offsets of one group. */
+  def describeGroup(group: String): Map[(String, Int), Long] =
+    groupOffsets.collect { case ((g, t, p), o) if g == group => (t, p) -> o }.toMap
+
+  /** Groups whose committed offsets touch a topic (A10 semi-join). */
+  def groupsForTopic(topic: String): Seq[String] =
+    groupOffsets.keys.collect { case (g, t, _) if t == topic => g }.toSeq.distinct.sorted
+
+  /** Offset reset: rewrite every committed offset of `group` on `topic`
+    * via `newOffset(partition, current)` — the earliest/latest/timestamp
+    * strategies supply the function (the per-partition targets themselves
+    * are a data-plane computation: query a11_offset_reset).
+    */
+  def resetOffsets(group: String, topic: String,
+                   newOffset: (Int, Long) => Long): Int = {
+    val touched = groupOffsets.keys.filter(k => k._1 == group && k._2 == topic).toSeq
+    touched.foreach { case k @ (_, _, p) => groupOffsets(k) = newOffset(p, groupOffsets(k)) }
+    touched.size
+  }
+
+  def deleteGroup(group: String): Int = {
+    val touched = groupOffsets.keys.filter(_._1 == group).toSeq
+    touched.foreach(groupOffsets.remove)
+    touched.size
+  }
 }

@@ -231,6 +231,31 @@ object StatsQueries {
            |ORDER BY topic, grp""".stripMargin),
       doc = "A10 groups-for-topic semi-join"),
 
+    // A11: consumer-group offset reset targets — the three reset strategies
+    // (earliest / latest / to-timestamp) as one computation per (topic,
+    // partition), ≙ resetConsumerGroupOffsets over AdminClient
+    // (service/TopicManagementService.java:258-412).
+    "a11_offset_reset" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir).withColumn("part", (col("user_id") % 6).cast("int"))
+        val cutoff = e.agg((min("ts") + expr("INTERVAL 15 DAY")).as("cutoff_ts"))
+        e.crossJoin(broadcast(cutoff))
+          .groupBy("topic", "part")
+          .agg(
+            min("event_id").as("reset_earliest"),
+            (max("event_id") + 1).as("reset_latest"),
+            min(when(col("ts") >= col("cutoff_ts"), col("event_id"))).as("reset_to_ts"))
+          .orderBy("topic", "part")
+      },
+      oracle = Some(
+        s"""$cte, c AS (SELECT min(ts) + INTERVAL 15 DAY AS cutoff_ts FROM env)
+           |SELECT topic, CAST(user_id % 6 AS INT) AS part,
+           |  MIN(event_id) AS reset_earliest,
+           |  MAX(event_id) + 1 AS reset_latest,
+           |  MIN(CASE WHEN ts >= cutoff_ts THEN event_id END) AS reset_to_ts
+           |FROM env, c GROUP BY 1, 2 ORDER BY topic, part""".stripMargin),
+      doc = "A11 offset-reset targets: earliest/latest/to-timestamp per partition"),
+
     // F1/F9 round-trip: metadata -> 7 kafka headers -> map -> extracted back.
     "f9_header_roundtrip" -> QueryDef(
       build = (s, dir) => {

@@ -15,6 +15,21 @@ class TopicAdminSpec extends AnyFunSuite {
     assert(TopicAdmin.defaultConfigFor("nnipa.commands.audit.log").retentionMs == TopicAdmin.AuditRetentionMs)
   }
 
+  test("consumer-group verbs: commit/describe/groups-for-topic/reset/delete") {
+    val admin = new TopicAdmin
+    admin.commitOffset("cg-1", "nnipa.events.a", 0, 100L)
+    admin.commitOffset("cg-1", "nnipa.events.a", 1, 200L)
+    admin.commitOffset("cg-2", "nnipa.events.b", 0, 50L)
+    assert(admin.listGroups() == Seq("cg-1", "cg-2"))
+    assert(admin.describeGroup("cg-1") == Map(("nnipa.events.a", 0) -> 100L,
+      ("nnipa.events.a", 1) -> 200L))
+    assert(admin.groupsForTopic("nnipa.events.a") == Seq("cg-1"))
+    assert(admin.resetOffsets("cg-1", "nnipa.events.a", (_, _) => 0L) == 2)
+    assert(admin.describeGroup("cg-1").values.forall(_ == 0L))
+    assert(admin.deleteGroup("cg-2") == 1)
+    assert(admin.listGroups() == Seq("cg-1"))
+  }
+
   test("create/list/describe/alter/delete with F8 internal filtering") {
     val admin = new TopicAdmin
     assert(admin.create("nnipa.events.tenant.created"))
