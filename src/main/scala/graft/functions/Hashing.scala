@@ -79,9 +79,27 @@ object Hashing {
     if (key == null || key.numBytes() == 0) 0
     else math.abs(key.toString.hashCode) % numPartitions
 
-  /** Installs `murmur2_partition(key, n)` / `java_hash_partition(key, n)`
-    * into the session's function registry (idempotent). Column and SQL
-    * surfaces both resolve through the registry.
+  /** Rolling polynomial hash h = (h*31 + codepoint) % mod, seed 7 — the
+    * native form of `TextOps.polyHash`'s HOF chain: one pass over the
+    * string's code points, no per-char array materialization. Iterates
+    * code points (surrogate pairs as one), matching DuckDB `unicode()`.
+    */
+  def polyHash(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var h = 7L % mod
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Installs the native functions into the session's function registry
+    * (idempotent). Column and SQL surfaces both resolve through the
+    * registry.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -89,6 +107,8 @@ object Hashing {
       exprs => Murmur2PartitionExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("java_hash_partition",
       exprs => JavaHashPartitionExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_hash",
+      exprs => PolyHashExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: partition number for `key` under the chosen algorithm.
@@ -112,6 +132,22 @@ final case class Murmur2PartitionExpr(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (k, n) => s"graft.functions.Hashing.murmur2Partition($k, $n)")
   override def prettyName: String = "murmur2_partition"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native expression: rolling poly-hash of a string (seed 7, mult 31,
+  * caller-chosen modulus) — the codegen'd backbone of fingerprinting,
+  * MinHash shingle hashing and SimHash token hashing (scale/TextOps).
+  */
+final case class PolyHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(s: Any, mod: Any): Any =
+    Hashing.polyHash(s.asInstanceOf[UTF8String], mod.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, m) => s"graft.functions.Hashing.polyHash($s, $m)")
+  override def prettyName: String = "graft_poly_hash"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

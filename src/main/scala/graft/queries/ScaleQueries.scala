@@ -141,11 +141,13 @@ object ScaleQueries {
       doc = "Quality scoring + n-gram-marker language ID"),
 
     "txt_fingerprint" -> QueryDef(
-      build = (s, dir) =>
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
         docs(s, dir).select(
             col("doc_id"),
             TextOps.polyHash(col("text")).as("fingerprint"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       oracle = Some(
         s"""SELECT doc_id, ${sqlPolyHash("text", P)} AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin),
@@ -192,6 +194,7 @@ object ScaleQueries {
 
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
+        graft.functions.Hashing.register(s)
         val d = NearDup.withSignatures(nearDupDocs(docs(s, dir)))
         val cands = NearDup.lshCandidates(d, "doc_id")
         // join candidates back to signatures + shingles for verification
@@ -231,8 +234,10 @@ object ScaleQueries {
       doc = "MinHash(8) + LSH(4x2) candidate pairs with exact-Jaccard verify"),
 
     "dedup_simhash" -> QueryDef(
-      build = (s, dir) =>
-        NearDup.simhash32(docs(s, dir), "doc_id").orderBy("doc_id"),
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        NearDup.simhash32(docs(s, dir), "doc_id").orderBy("doc_id")
+      },
       oracle = Some(
         s"""WITH th AS (
            |  SELECT doc_id,

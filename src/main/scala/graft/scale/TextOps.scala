@@ -31,11 +31,23 @@ object TextOps {
   def chars(text: Column): Column =
     filter(split(text, ""), ch => ch =!= "")
 
-  /** Rolling polynomial hash over characters: h = (h*31 + code) mod `mod`,
+  /** Rolling polynomial hash over code points: h = (h*31 + code) mod `mod`,
     * seeded with 7. Mirrors the DuckDB oracle's
     * `list_reduce(list_prepend(7, [unicode(c) ...]), (a,b) -> (a*31+b) % mod)`.
+    *
+    * Backed by the native codegen'd `PolyHashExpr` (one pass, no per-char
+    * array) — sessions must run `graft.functions.Hashing.register` first;
+    * every registry query builder that hashes does so. [[polyHashHof]] is
+    * the pure-builtin fallback, kept spec-cross-checked against the native
+    * form.
     */
   def polyHash(text: Column, mod: Long = P): Column =
+    call_function("graft_poly_hash", text, lit(mod))
+
+  /** Pure higher-order-function form of [[polyHash]] (identical values on
+    * BMP text; slower — interpreted, materializes the char array).
+    */
+  def polyHashHof(text: Column, mod: Long = P): Column =
     aggregate(
       transform(chars(text), ch => ascii(ch).cast("long")),
       lit(7L),

@@ -16,6 +16,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
   }
 
+  test("native PolyHashExpr matches the HOF form over the real corpus") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sf())
+      .select(TextOps.polyHash(col("text")).as("native"),
+              TextOps.polyHashHof(col("text")).as("hof"))
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("polyHash is order-sensitive and stable") {
     import spark.implicits._
     val h = Seq("abc", "acb", "abc").toDF("t")

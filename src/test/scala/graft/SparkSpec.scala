@@ -11,7 +11,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
+  lazy val session: SparkSession = {
+    val s = builder()
+    graft.functions.Hashing.register(s)
+    s
+  }
+
+  private def builder(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
