@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JavaHashPartitionExpr, Murmur2PartitionExpr}
+import graft.functions.{JavaHashPartitionExpr, Murmur2PartitionExpr, PolyHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("java_hash_partition"),
       new ExpressionInfo(classOf[JavaHashPartitionExpr].getName, "java_hash_partition"),
       (exprs: Seq[Expression]) => JavaHashPartitionExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_poly_hash"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs(0), exprs(1))))
   }
 }

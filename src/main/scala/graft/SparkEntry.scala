@@ -20,7 +20,8 @@ object SparkEntry {
     ScaleQueries.defs,
     MiscQueries.defs,
     CoverageQueries.defs,
-    ScalarQueries.defs))
+    ScalarQueries.defs,
+    SubqueryQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
