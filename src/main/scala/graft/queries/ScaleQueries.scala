@@ -316,6 +316,43 @@ object ScaleQueries {
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
       doc = "Sign-bucketed (SRP-LSH-style) cosine top-3 — the scale path"),
 
+    // Embedding-cosine near-dup: thresholded pairs within sign buckets.
+    "dedup_embedding" -> QueryDef(
+      build = (s, dir) =>
+        Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
+            threshold = 0.8)
+          .orderBy("vec_a", "vec_b"),
+      oracle = Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+           |     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+           |     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+           |     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           |    ROUND(
+           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(l.embedding)), i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))), (a, b) -> a + b)
+           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(l.embedding)), i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))), (a, b) -> a + b))
+           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(generate_series(1, len(r.embedding)), i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+           |SELECT vec_a, vec_b, score FROM pairs
+           |WHERE score >= 0.8 ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "Embedding-cosine near-dup pairs (sign-bucket blocking + threshold)"),
+
+    // IVF ANN: KMeans-centroid inverted lists (mllib fit, seeded) — the
+    // cluster-probe scale path. Engine-specific centroids -> rows-only.
+    "emb_ivf_topk" -> QueryDef(
+      build = (s, dir) =>
+        Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 3, nLists = 8)
+          .orderBy("query_id", "rank"),
+      oracle = None,
+      doc = "IVF (KMeans inverted lists) cosine top-3 — rows-only"),
+
     // ---------------- multimodal plumbing ----------------
 
     "mm_decode_meta" -> QueryDef(

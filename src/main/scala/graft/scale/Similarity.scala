@@ -58,6 +58,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: same sign-bucket blocking as
+    * [[bucketedTopK]], thresholded instead of ranked — the vector-space
+    * member of the dedup family (candidates linear in corpus, verify only
+    * on bucket collisions).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 4): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("score", round(cosine(col("l.v"), col("r.v")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"), col("score"))
+  }
+
+  /** IVF-style ANN: KMeans centroids form the inverted file; each query
+    * probes only its nearest centroid's list. The mllib fit runs once over
+    * a sample; assignment + probe are plain shuffles. Deterministic for a
+    * fixed seed+data but not oracle-reproducible (rows-only check).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeatures = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col("id"), col("v"), col("prediction").as("list_id"))
+    val q = assigned.select(col("id").as("query_id"), col("v").as("qv"),
+      col("list_id"))
+    val scored = broadcast(q).join(assigned, "list_id")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("list_id"), col("id").as("neighbor_id"),
+        col("score"), col("rank"))
+  }
+
   /** Bucketed top-k: identical shape, but the cross join is constrained to
     * matching sign buckets — the corpus side is pre-partitioned by bucket,
     * so each query probes ~corpus/2^bits vectors.
