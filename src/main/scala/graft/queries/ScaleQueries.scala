@@ -76,7 +76,8 @@ object ScaleQueries {
             TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
             round(TextOps.meanTokenLen(col("text")), 6).as("mean_token_len"),
             round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"))
+            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -88,7 +89,9 @@ object ScaleQueries {
            |  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
            |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
            |  ROUND(CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[0-9]$$'))) AS DOUBLE)
-           |        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+           |        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+           |  ROUND(CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[^a-zA-Z0-9 ]$$'))) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
            |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Text stats: token counts (whitespace + BPE-ish), lengths, ratios"),
 

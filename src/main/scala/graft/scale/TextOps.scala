@@ -96,6 +96,11 @@ object TextOps {
     size(filter(chars(text), ch => ch.rlike("^[0-9]$"))).cast("double") /
       length(text).cast("double")
 
+  /** Punctuation-character ratio (non-alphanumeric, non-space). */
+  def punctRatio(text: Column): Column =
+    size(filter(chars(text), ch => ch.rlike("^[^a-zA-Z0-9 ]$"))).cast("double") /
+      length(text).cast("double")
+
   /** Composite quality score in [0,1]: rewards mid-length docs with low
     * stopword/digit load — the usual pretraining-filter shape.
     */
