@@ -109,6 +109,8 @@ object Hashing {
       exprs => JavaHashPartitionExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_poly_hash",
       exprs => PolyHashExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_f",
+      exprs => FloatDotExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: partition number for `key` under the chosen algorithm.

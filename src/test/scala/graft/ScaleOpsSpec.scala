@@ -60,6 +60,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native graft_dot_f matches the HOF dot over the real embeddings") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf()).limit(100)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(500)
+      .select(Similarity.dot(col("va"), col("vb")).as("native"),
+              Similarity.dotHof(col("va"), col("vb")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
