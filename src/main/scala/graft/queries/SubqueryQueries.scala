@@ -67,6 +67,54 @@ object SubqueryQueries {
           |ORDER BY o_orderkey""".stripMargin),
       doc = "Q18 IN-subquery with HAVING (decorrelated to a semi-join)"),
 
+    // Anti-join: consumer groups whose offsets touch NO visible topic of
+    // interest (complement of A10's semi-join).
+    "a10_orphan_groups" -> QueryDef(
+      build = (s, dir) => {
+        val e = graft.operators.Envelope.withEnvelope(Tables.events(s, dir))
+        val groupOffsets = e.select(
+          concat(lit("cg-"), (col("user_id") % 10).cast("string")).as("grp"),
+          col("topic")).distinct()
+        val topics = graft.operators.Routing.visibleTopics(e)
+          .filter(col("topic").contains("purchase") || col("topic").contains("signup"))
+        groupOffsets.join(topics, Seq("topic"), "left_anti")
+          .select("grp", "topic").distinct()
+          .orderBy("grp", "topic")
+      },
+      oracle = Some(
+        s"""${graft.operators.Envelope.oracleCte}, group_offsets AS (
+           |  SELECT DISTINCT 'cg-' || CAST(user_id % 10 AS STRING) AS grp, topic FROM env),
+           |topics AS (
+           |  SELECT DISTINCT topic FROM env
+           |  WHERE topic NOT LIKE '\\_%' ESCAPE '\\'
+           |    AND (topic LIKE '%purchase%' OR topic LIKE '%signup%'))
+           |SELECT grp, topic FROM group_offsets
+           |WHERE topic NOT IN (SELECT topic FROM topics)
+           |ORDER BY grp, topic""".stripMargin),
+      doc = "Anti-join complement of A10 (left_anti)"),
+
+    // Outer-join surface: per-customer order counts keeping order-less
+    // customers (left outer + coalesce).
+    "join_outer_customers" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0))
+                 .as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_mktsegment,
+          |  COUNT(o_orderkey) AS n_orders,
+          |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+          |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey, c_mktsegment
+          |ORDER BY c_custkey""".stripMargin),
+      doc = "Left-outer join keeping order-less customers"),
+
     // Correlated scalar subquery: customers above their nation's average
     // balance (decimal-exact average for cross-engine determinism).
     "corr_above_nation_avg" -> QueryDef(
