@@ -69,15 +69,22 @@ object ScaleQueries {
 
     "txt_stats" -> QueryDef(
       build = (s, dir) => {
-        val toks = TextOps.tokens(col("text"))
-        docs(s, dir).select(
+        // tokens/chars materialized once (HOF recompute pitfall)
+        val staged = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("chs", TextOps.chars(col("text")))
+          .persist()
+        staged.select(
             col("doc_id"),
-            size(toks).as("n_tokens"),
+            size(col("toks")).as("n_tokens"),
             TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
-            round(TextOps.meanTokenLen(col("text")), 6).as("mean_token_len"),
-            round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
-            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+            round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+              / size(col("toks")).cast("double"), 6).as("mean_token_len"),
+            round(TextOps.stopwordRatioOf(col("toks")), 6).as("stopword_ratio"),
+            round(size(filter(col("chs"), ch => ch.rlike("^[0-9]$"))).cast("double")
+              / length(col("text")).cast("double"), 6).as("digit_ratio"),
+            round(size(filter(col("chs"), ch => ch.rlike("^[^a-zA-Z0-9 ]$"))).cast("double")
+              / length(col("text")).cast("double"), 6).as("punct_ratio"))
           .orderBy("doc_id")
       },
       oracle = Some(
