@@ -327,19 +327,30 @@ object ScaleQueries {
       doc = "Sign-bucketed (SRP-LSH-style) cosine top-3 — the scale path"),
 
     // Embedding-cosine near-dup: thresholded pairs within sign buckets.
+    // Exact-duplicate vectors are injected (id + 100000 for every 25th) so
+    // true near-dups exist; organic same-cluster pairs appear above 0.35.
     "dedup_embedding" -> QueryDef(
-      build = (s, dir) =>
-        Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
-            threshold = 0.8)
-          .orderBy("vec_a", "vec_b"),
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding",
+            threshold = 0.35)
+          .orderBy("vec_a", "vec_b")
+      },
       oracle = Some(
-        s"""WITH b AS (
+        s"""WITH embs2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |b AS (
            |  SELECT vec_id, embedding,
            |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
            |     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
            |     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
            |     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-           |  FROM embeddings),
+           |  FROM embs2),
            |pairs AS (
            |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
            |    ROUND(
@@ -351,7 +362,7 @@ object ScaleQueries {
            |           list_transform(generate_series(1, len(r.embedding)), i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
            |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
            |SELECT vec_a, vec_b, score FROM pairs
-           |WHERE score >= 0.8 ORDER BY vec_a, vec_b""".stripMargin),
+           |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "Embedding-cosine near-dup pairs (sign-bucket blocking + threshold)"),
 
     // IVF ANN: KMeans-centroid inverted lists (mllib fit, seeded) — the
