@@ -20,6 +20,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      finally Caches.release()
       (System.nanoTime() - t0) / 1e9
     }
     // JIT/codegen warm-up so the first measured query isn't charged for it

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JavaHashPartitionExpr, Murmur2PartitionExpr, PolyHashExpr}
+import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, Murmur2PartitionExpr, PolyHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_poly_hash"),
       (exprs: Seq[Expression]) => PolyHashExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[FloatDotExpr].getName, "graft_dot_f"),
+      (exprs: Seq[Expression]) => FloatDotExpr(exprs(0), exprs(1))))
   }
 }

@@ -81,9 +81,29 @@ object KafkaIO {
       ).as("headers"))
   }
 
-  /** Confluent wire format strips to bare protobuf: drop the 5-byte magic +
-    * schema-id prefix before `from_protobuf` (SURVEY §7.4.5).
+  /** Confluent wire format, Avro/JSON-Schema flavor: drop the 5-byte
+    * magic + schema-id prefix (SURVEY §7.4.5). Protobuf payloads carry an
+    * additional message-index list after the schema id — use
+    * [[stripConfluentProtobufPrefix]] for those.
     */
   def stripConfluentPrefix(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(value, 6, Int.MaxValue)
+
+  /** Confluent wire format, protobuf flavor: after magic(1) + schema-id(4)
+    * comes the message-index list — zigzag varints: a count, then that many
+    * indexes, with the single-`0` list compressed to one 0x00 byte. Handles
+    * the wire shapes where count and every index fit in one varint byte
+    * each (count < 64 messages deep, index < 64 — every real registry
+    * subject); anything longer yields null rather than a misparse.
+    */
+  def stripConfluentProtobufPrefix(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // byte 6 (1-based), as unsigned int
+    val b0 = conv(hex(substring(value, 6, 1)), 16, 10).cast("int")
+    // zigzag-decode: non-negative counts land on even wire bytes
+    val count = (b0 / 2).cast("int")
+    when(b0 === 0, substring(value, 7, Int.MaxValue))
+      .when(b0 < 128 && (b0 % 2 === 0),
+        value.substr(lit(7) + count, lit(Int.MaxValue)))
+      .otherwise(lit(null).cast("binary"))
+  }
 }

@@ -74,8 +74,14 @@ object PartitionKeys {
       (acc, c) => pmod(acc * 31 + c, lit(4294967296L)))
     val hSigned =
       when(hUnsigned >= 2147483648L, hUnsigned - 4294967296L).otherwise(hUnsigned)
+    // Java semantics, including the Integer.MIN_VALUE edge: Math.abs keeps
+    // MIN_VALUE negative and Java % keeps the dividend's sign, so the
+    // placement can be negative for that one hash — reproduced exactly
+    // (matches Hashing.javaHashPartition and the reference's
+    // Math.abs(key.hashCode()) % n).
+    val hAbs = when(hSigned === -2147483648L, hSigned).otherwise(abs(hSigned))
     when(key.isNull || key === "", lit(0))
-      .otherwise(pmod(abs(hSigned), lit(numPartitions.toLong)).cast("int"))
+      .otherwise((hAbs % numPartitions.toLong).cast("int"))
   }
 
   /** P3 key-balance heuristic: length >= 8 and not all digits (`:140-148`). */

@@ -168,10 +168,20 @@ object MiscQueries {
             expr("approx_percentile(proc_ms, array(0.5, 0.95, 0.99), 10000)").as("approx"),
             expr("percentile(proc_ms, array(0.5, 0.95, 0.99))").as("exact"))
           .withColumn("max_rel_err",
-            aggregate(
+            round(aggregate(
               zip_with(col("approx").cast("array<double>"), col("exact"),
                 (a, e) => abs(a - e) / e),
-              lit(0.0), (acc, x) => greatest(acc, x)))
+              lit(0.0), (acc, x) => greatest(acc, x)), 6))
+          // Scalar projection only: the driver harness canonicalizes by
+          // sorting every column, and ARRAY cells are unsortable.
+          .select(col("event_type"),
+            col("approx").getItem(0).cast("double").as("p50_approx"),
+            col("approx").getItem(1).cast("double").as("p95_approx"),
+            col("approx").getItem(2).cast("double").as("p99_approx"),
+            round(col("exact").getItem(0), 6).as("p50_exact"),
+            round(col("exact").getItem(1), 6).as("p95_exact"),
+            round(col("exact").getItem(2), 6).as("p99_exact"),
+            col("max_rel_err"))
           .orderBy("event_type"),
       oracle = None,
       doc = "A8 approx_percentile sketch vs exact with realized error"),

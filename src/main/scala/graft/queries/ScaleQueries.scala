@@ -33,6 +33,36 @@ object ScaleQueries {
 
   private val sqlStopwords = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Left-fold double dot product of two DuckDB list expressions — same
+    * accumulation order as the native `graft_dot_f`.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  /** round(cosine, 6) of two DuckDB list expressions (= Similarity.cosine). */
+  private def sqlCosine(a: String, b: String): String =
+    s"ROUND(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+
+  /** Sign bucket over the first `bits` dims (= Similarity.signBucket —
+    * generated from the same bit weights so the two sides cannot drift).
+    */
+  private def sqlSignBucket(v: String, bits: Int): String =
+    (0 until bits).map { d =>
+      s"(CASE WHEN $v[${d + 1}] >= 0 THEN ${1 << (bits - 1 - d)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Banded sign buckets (= Similarity.signBands): band j quantizes dims
+    * [j*bitsPerBand, (j+1)*bitsPerBand).
+    */
+  private def sqlSignBands(v: String, bands: Int, bitsPerBand: Int): String =
+    (0 until bands).map { j =>
+      (0 until bitsPerBand).map { d =>
+        s"(CASE WHEN $v[${j * bitsPerBand + d + 1}] >= 0 THEN ${1 << (bitsPerBand - 1 - d)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+
   /** word 3-gram shingles of `text` (= TextOps.shingles). */
   private val sqlShingles =
     "list_distinct(list_transform(" +
@@ -69,22 +99,26 @@ object ScaleQueries {
 
     "txt_stats" -> QueryDef(
       build = (s, dir) => {
-        // tokens/chars materialized once (HOF recompute pitfall)
-        val staged = docs(s, dir)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("chs", TextOps.chars(col("text")))
-          .persist()
-        staged.select(
+        // Token scores via explode -> hash aggregate -> join back: every
+        // step whole-stage-codegens, unlike per-row HOF folds (interpreted,
+        // and recomputed per referencing column without a persist barrier).
+        // Char-class ratios are single-pass regexp_count.
+        val d = docs(s, dir)
+        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).cast("int").as("n_tokens"),
+            sum(length(col("t"))).as("tok_len_sum"),
+            sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+        d.join(agg, "doc_id").select(
             col("doc_id"),
-            size(col("toks")).as("n_tokens"),
+            col("n_tokens"),
             TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
-            round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
-              / size(col("toks")).cast("double"), 6).as("mean_token_len"),
-            round(TextOps.stopwordRatioOf(col("toks")), 6).as("stopword_ratio"),
-            round(size(filter(col("chs"), ch => ch.rlike("^[0-9]$"))).cast("double")
-              / length(col("text")).cast("double"), 6).as("digit_ratio"),
-            round(size(filter(col("chs"), ch => ch.rlike("^[^a-zA-Z0-9 ]$"))).cast("double")
-              / length(col("text")).cast("double"), 6).as("punct_ratio"))
+            round(col("tok_len_sum").cast("double")
+              / col("n_tokens").cast("double"), 6).as("mean_token_len"),
+            round(col("n_stop").cast("double")
+              / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
+            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -95,29 +129,40 @@ object ScaleQueries {
            |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len,
            |  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
            |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
-           |  ROUND(CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[0-9]$$'))) AS DOUBLE)
+           |  ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
            |        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
-           |  ROUND(CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[^a-zA-Z0-9 ]$$'))) AS DOUBLE)
+           |  ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
            |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
            |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Text stats: token counts (whitespace + BPE-ish), lengths, ratios"),
 
     "txt_quality_lang" -> QueryDef(
       build = (s, dir) => {
-        // tokenization materialized once (HOF recompute pitfall): every
-        // score reads the persisted token column instead of re-splitting.
-        val staged = docs(s, dir)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("n_digits",
-            size(filter(TextOps.chars(col("text")), ch => ch.rlike("^[0-9]$"))))
-          .persist()
-        val pred = TextOps.predictedLangOf(col("toks"))
-        staged.select(
+        // One explode + one hash aggregate computes the stopword count and
+        // all 5 language-marker scores in a single codegen'd pass; the
+        // argmax fold then runs over plain int columns (was: 6 interpreted
+        // HOF array scans per document behind a persist barrier).
+        val d = docs(s, dir)
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val aggCols =
+          sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop") +:
+          langs.map(l => sum(when(col("t").isin(TextOps.langMarkers(l): _*), 1L)
+            .otherwise(0L)).as(s"s_$l"))
+        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), aggCols: _*)
+        val pred = langs.tail.foldLeft((lit(langs.head), col(s"s_${langs.head}"))) {
+          case ((bestLang, bestScore), l) =>
+            (when(col(s"s_$l") > bestScore, lit(l)).otherwise(bestLang),
+             when(col(s"s_$l") > bestScore, col(s"s_$l")).otherwise(bestScore))
+        }._1
+        d.join(agg, "doc_id").select(
             col("doc_id"),
             round(
               least(length(col("text")).cast("double") / 500.0, lit(1.0)) * 0.4
-                + (lit(1.0) - TextOps.stopwordRatioOf(col("toks"))) * 0.4
-                + (lit(1.0) - col("n_digits").cast("double") / length(col("text")).cast("double")) * 0.2,
+                + (lit(1.0) - col("n_stop").cast("double")
+                    / col("n_toks").cast("double")) * 0.4
+                + (lit(1.0) - TextOps.digitRatio(col("text"))) * 0.2,
               6).as("quality"),
             pred.as("predicted_lang"),
             col("lang"),
@@ -141,7 +186,7 @@ object ScaleQueries {
              |  ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
              |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
              |             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
-             |    + (1.0 - CAST(len(list_filter(string_split(text, ''), c -> regexp_matches(c, '^[0-9]$$'))) AS DOUBLE)
+             |    + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
              |             / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality,
              |  $pred AS predicted_lang,
              |  lang,
@@ -171,7 +216,12 @@ object ScaleQueries {
         val withDups = d.unionByName(
           d.filter(col("doc_id") % 10 === 0)
             .withColumn("doc_id", col("doc_id") + 100000))
-        withDups.groupBy("text")
+        // Group by the 32-byte content digest, not the raw text: the shuffle
+        // then moves (digest, id) pairs instead of the full corpus — the
+        // difference between shuffling 100 TB and shuffling ~N*40 bytes.
+        withDups
+          .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
+          .groupBy("digest")
           .agg(min("doc_id").as("kept_id"), count(lit(1)).as("n_copies"))
           .select("kept_id", "n_copies")
           .orderBy("kept_id")
@@ -182,8 +232,8 @@ object ScaleQueries {
           |  UNION ALL
           |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
           |SELECT min(doc_id) AS kept_id, COUNT(*) AS n_copies
-          |FROM withdups GROUP BY text ORDER BY kept_id""".stripMargin),
-      doc = "Exact dedup: hash-groupBy on content, keep lowest id"),
+          |FROM withdups GROUP BY sha256(text) ORDER BY kept_id""".stripMargin),
+      doc = "Exact dedup: hash-groupBy on the sha256 content digest, keep lowest id"),
 
     "dedup_jaccard" -> QueryDef(
       build = (s, dir) =>
@@ -276,13 +326,7 @@ object ScaleQueries {
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
            |scored AS (
            |  SELECT q.query_id, c.vec_id AS neighbor_id,
-           |    ROUND(
-           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b)
-           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b))
-           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |    ${sqlCosine("qv", "c.embedding")} AS score
            |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
            |ranked AS (
            |  SELECT query_id, neighbor_id, score,
@@ -302,21 +346,12 @@ object ScaleQueries {
       oracle = Some(
         s"""WITH b AS (
            |  SELECT vec_id, embedding,
-           |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-           |     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-           |     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-           |     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+           |    ${sqlSignBucket("embedding", Similarity.DefaultBits)} AS bucket
            |  FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 20),
            |scored AS (
            |  SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
-           |    ROUND(
-           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b)
-           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b))
-           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |    ${sqlCosine("qv", "c.embedding")} AS score
            |  FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
            |ranked AS (
            |  SELECT query_id, bucket, neighbor_id, score,
@@ -346,33 +381,88 @@ object ScaleQueries {
            |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
            |b AS (
            |  SELECT vec_id, embedding,
-           |    (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
-           |     + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
-           |     + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
-           |     + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+           |    ${sqlSignBucket("embedding", Similarity.DefaultBits)} AS bucket
            |  FROM embs2),
            |pairs AS (
            |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-           |    ROUND(
-           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list_transform(generate_series(1, len(l.embedding)), i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))), (a, b) -> a + b)
-           |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(l.embedding)), i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))), (a, b) -> a + b))
-           |        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |           list_transform(generate_series(1, len(r.embedding)), i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))), (a, b) -> a + b))), 6) AS score
+           |    ${sqlCosine("l.embedding", "r.embedding")} AS score
            |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
            |SELECT vec_a, vec_b, score FROM pairs
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "Embedding-cosine near-dup pairs (sign-bucket blocking + threshold)"),
 
-    // IVF ANN: KMeans-centroid inverted lists (mllib fit, seeded) — the
-    // cluster-probe scale path. Engine-specific centroids -> rows-only.
+    // Banded multi-probe SRP near-dup: the NearDup.lshCandidates structure
+    // in vector space — candidates share ANY 4-bit sign band (4 bands over
+    // the first 16 dims), verified by exact cosine. Higher recall than one
+    // monolithic 2^bits bucket at the same quantized width.
+    "dedup_embedding_banded" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        Similarity.srpBandedNearDupPairs(withDups, "vec_id", "embedding",
+            threshold = 0.35, bands = 4, bitsPerBand = 4)
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some(
+        s"""WITH embs2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |b AS (
+           |  SELECT vec_id, embedding,
+           |    ${sqlSignBands("embedding", 4, 4)} AS bands
+           |  FROM embs2),
+           |buckets AS (
+           |  SELECT vec_id, j, bands[j + 1] AS bucket
+           |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           |  FROM buckets l JOIN buckets r
+           |    ON l.j = r.j AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+           |pairs AS (
+           |  SELECT id_a AS vec_a, id_b AS vec_b,
+           |    ${sqlCosine("la.embedding", "rb.embedding")} AS score
+           |  FROM cand JOIN embs2 la ON cand.id_a = la.vec_id
+           |            JOIN embs2 rb ON cand.id_b = rb.vec_id)
+           |SELECT vec_a, vec_b, score FROM pairs
+           |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "Banded multi-probe SRP near-dup pairs (any-band collision + cosine verify)"),
+
+    // IVF ANN with a deterministic codebook (the nLists lowest-id vectors):
+    // assignment, probe and rank all replay in SQL -> hash-checked. The
+    // KMeans-centroid variant (Similarity.ivfTopK) keeps the same probe
+    // shape and is spec-checked instead (engine-specific centroids).
     "emb_ivf_topk" -> QueryDef(
       build = (s, dir) =>
-        Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 3, nLists = 8)
+        Similarity.ivfSeededTopK(embs(s, dir), "vec_id", "embedding",
+            k = 3, nLists = 8)
           .orderBy("query_id", "rank"),
-      oracle = None,
-      doc = "IVF (KMeans inverted lists) cosine top-3 — rows-only"),
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cscored AS (
+           |  SELECT c.id, c.v, cents.cent_id,
+           |    ${sqlCosine("c.v", "cents.cv")} AS cscore
+           |  FROM c, cents),
+           |assigned AS (
+           |  SELECT id, v, list_id FROM (
+           |    SELECT id, v, cent_id AS list_id,
+           |      row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cent_id) AS crank
+           |    FROM cscored) t
+           |  WHERE crank = 1),
+           |scored AS (
+           |  SELECT q.id AS query_id, q.list_id, c.id AS neighbor_id,
+           |    ${sqlCosine("q.v", "c.v")} AS score
+           |  FROM assigned q JOIN assigned c ON q.list_id = c.list_id AND q.id <> c.id),
+           |ranked AS (
+           |  SELECT query_id, list_id, neighbor_id, score,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, list_id, neighbor_id, score, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      doc = "IVF cosine top-3 with a deterministic codebook (hash-checked probe+rank)"),
 
     // ---------------- multimodal plumbing ----------------
 

@@ -73,7 +73,7 @@ object StatsQueries {
           .orderBy("topic"),
       oracle = Some(
         s"""$lagCte
-           |SELECT topic, SUM(end_offset - committed) AS total_lag,
+           |SELECT topic, CAST(SUM(end_offset - committed) AS BIGINT) AS total_lag,
            |  CASE WHEN SUM(end_offset - committed) > 100 THEN 'UNHEALTHY'
            |       WHEN SUM(end_offset - committed) > 10 THEN 'WARN'
            |       ELSE 'OK' END AS health

@@ -57,13 +57,11 @@ object NearDup {
     * checkpoint between stages anyway.
     */
   def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hashed = docs
+    val hashed = graft.Caches.persist(docs
       .withColumn("sh", TextOps.shingles(col("text"), shingleN))
-      .withColumn("shingle_hashes", transform(col("sh"), sh => TextOps.polyHash(sh)))
-      .persist()
-    val sigs = hashed
-      .withColumn("minhash_sig", minhashSignature(col("shingle_hashes")))
-      .persist()
+      .withColumn("shingle_hashes", transform(col("sh"), sh => TextOps.polyHash(sh))))
+    val sigs = graft.Caches.persist(hashed
+      .withColumn("minhash_sig", minhashSignature(col("shingle_hashes"))))
     sigs.withColumn("bands", bandHashes(col("minhash_sig")))
   }
 
@@ -94,10 +92,10 @@ object NearDup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, blockCol: String,
                    shingleN: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        TextOps.shingles(col("text"), shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .persist()
+    val sh = graft.Caches.persist(
+      docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+          TextOps.shingles(col("text"), shingleN).as("sh"))
+        .withColumn("n_sh", size(col("sh"))))
     val ex = sh.select(col("doc"), col("blk"), col("n_sh"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
         col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&

@@ -37,15 +37,47 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Default sign-bucket width: 2^8 = 256 buckets. Within-bucket work is
+    * O(N²/2^bits), so `bits` must grow with the corpus — see [[bitsFor]].
+    */
+  val DefaultBits = 8
+
+  /** Bucket-width rule for a corpus of `n` vectors: enough sign bits that
+    * the expected bucket holds ~`targetBucketSize` vectors (within-bucket
+    * verification is quadratic in bucket size), floor [[DefaultBits]],
+    * capped by the embedding dimensionality.
+    */
+  def bitsFor(n: Long, dim: Int, targetBucketSize: Long = 1024L): Int = {
+    val needed = math.ceil(math.log(math.max(n / targetBucketSize, 1L).toDouble)
+      / math.log(2.0)).toInt
+    math.min(math.max(needed, DefaultBits), dim)
+  }
+
   /** Sign-quantization bucket over the first `bits` dimensions: bit d set
     * when component d >= 0. A degenerate-but-deterministic random-hyperplane
     * LSH (axis-aligned planes) — the structure, shuffle and join shape are
     * identical to SRP with learned/random planes.
     */
-  def signBucket(vec: Column, bits: Int = 4): Column =
+  def signBucket(vec: Column, bits: Int = DefaultBits): Column =
     (0 until bits).map { d =>
-      when(vec.getItem(d) >= 0f, lit(1 << (bits - 1 - d))).otherwise(lit(0))
+      // get() tolerates vectors shorter than `bits` (null -> bit 0), the
+      // same semantics as DuckDB's out-of-bounds list index.
+      when(get(vec, lit(d)) >= 0f, lit(1 << (bits - 1 - d))).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Banded sign buckets for multi-probe SRP (the `NearDup.lshCandidates`
+    * structure transplanted to vector space): `bands` entries, band j
+    * quantizing dimensions [j*bitsPerBand, (j+1)*bitsPerBand). Two vectors
+    * are candidates when ANY band collides, so recall degrades gracefully
+    * as `bands*bitsPerBand` grows — the scale knob single-bucket SRP lacks.
+    */
+  def signBands(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      (0 until bitsPerBand).map { d =>
+        when(get(vec, lit(j * bitsPerBand + d)) >= 0f,
+          lit(1 << (bitsPerBand - 1 - d))).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 
   /** (id, vec, norm) projection — norms computed once per vector. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
@@ -77,7 +109,7 @@ object Similarity {
     * linear in corpus, verify only on bucket collisions).
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int = 4): DataFrame = {
+                         threshold: Double, bits: Int = DefaultBits): DataFrame = {
     Hashing.register(corpus.sparkSession)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"), signBucket(col(vecCol), bits).as("bucket"))
@@ -89,10 +121,31 @@ object Similarity {
       .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"), col("score"))
   }
 
+  /** IVF probe + rank over a corpus already carrying `list_id`: self-join on
+    * the inverted-list id (a plain shuffle join — the corpus is NEVER
+    * broadcast; at 100 TB the "queries" side here is the corpus itself, and
+    * a broadcast hint would pin the whole table on every executor), score,
+    * window-rank top-k.
+    */
+  private def probeTopK(assigned: DataFrame, k: Int): DataFrame = {
+    val q = assigned.select(col("id").as("query_id"), col("v").as("qv"),
+      col("n").as("qn"), col("list_id"))
+    val scored = q.join(assigned, "list_id")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("list_id"), col("id").as("neighbor_id"),
+        col("score"), col("rank"))
+  }
+
   /** IVF-style ANN: KMeans centroids form the inverted file; each query
     * probes only its nearest centroid's list. The mllib fit runs once over
     * the corpus; assignment + probe are plain shuffles. Deterministic for a
-    * fixed seed+data but not oracle-reproducible (rows-only check).
+    * fixed seed+data but not oracle-reproducible (spec-checked;
+    * [[ivfSeededTopK]] is the oracle-checkable variant).
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nLists: Int, seed: Long = 42L): DataFrame = {
@@ -106,17 +159,31 @@ object Similarity {
     val assigned = model.transform(withFeatures)
       .select(col("id"), col("v"), norm(col("v")).as("n"),
         col("prediction").as("list_id"))
-    val q = assigned.select(col("id").as("query_id"), col("v").as("qv"),
-      col("n").as("qn"), col("list_id"))
-    val scored = broadcast(q).join(assigned, "list_id")
-      .filter(col("query_id") =!= col("id"))
-      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("list_id"), col("id").as("neighbor_id"),
-        col("score"), col("rank"))
+    probeTopK(assigned, k)
+  }
+
+  /** IVF with deterministic, SQL-reproducible centroids: the `nLists`
+    * lowest-id vectors serve as the fixed codebook; assignment is argmax
+    * cosine against them (rounded to 6, ties to the lower centroid id).
+    * Identical probe shape to [[ivfTopK]], but every step replays in the
+    * DuckDB oracle — the hash-checkable member of the IVF family. The
+    * codebook broadcast is legitimately tiny (nLists rows); the corpus side
+    * stays distributed end to end.
+    */
+  def ivfSeededTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nLists: Int): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+    val cents = c.filter(col("id") < nLists)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val cscored = c.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+    val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
+    val assigned = cscored.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id"))
+    probeTopK(assigned, k)
   }
 
   /** Bucketed top-k: identical shape to brute force, but the cross join is
@@ -125,7 +192,8 @@ object Similarity {
     * vectors.
     */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame,
-                   idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+                   idCol: String, vecCol: String, k: Int,
+                   bits: Int = DefaultBits): DataFrame = {
     Hashing.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"), signBucket(col(vecCol), bits).as("bucket"))
@@ -139,5 +207,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "neighbor_id", "score", "rank")
+  }
+
+  /** Banded multi-probe SRP near-dup pairs: candidates are pairs whose sign
+    * quantization collides in ANY of `bands` bands (each `bitsPerBand` wide),
+    * deduplicated, then verified by exact cosine. Same candidate-generation
+    * structure as `NearDup.lshCandidates` — explode bands, shuffle-join on
+    * (band index, band bucket), distinct — so candidate volume is linear in
+    * the corpus while recall is the OR over bands instead of one monolithic
+    * 2^bits bucket. The total quantized width (bands*bitsPerBand) controls
+    * precision; `bands` controls recall.
+    */
+  def srpBandedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, bands: Int = 4,
+                            bitsPerBand: Int = 4): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"),
+      signBands(col(vecCol), bands, bitsPerBand).as("bands"))
+    val buckets = b.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val cands = buckets.as("l").join(buckets.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val left = b.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val right = b.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    cands.join(left, "id_a").join(right, "id_b")
+      .withColumn("score",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("score"))
   }
 }

@@ -91,14 +91,19 @@ object TextOps {
       size(toks).cast("double")
   }
 
-  /** Digit-character ratio. */
+  /** Digit-character ratio — one vectorized regex pass per document
+    * (`regexp_count`), not a per-character interpreted `rlike` over an
+    * exploded char array.
+    */
   def digitRatio(text: Column): Column =
-    size(filter(chars(text), ch => ch.rlike("^[0-9]$"))).cast("double") /
+    regexp_count(text, lit("[0-9]")).cast("double") /
       length(text).cast("double")
 
-  /** Punctuation-character ratio (non-alphanumeric, non-space). */
+  /** Punctuation-character ratio (non-alphanumeric, non-space) — same
+    * single-pass `regexp_count` shape as [[digitRatio]].
+    */
   def punctRatio(text: Column): Column =
-    size(filter(chars(text), ch => ch.rlike("^[^a-zA-Z0-9 ]$"))).cast("double") /
+    regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double") /
       length(text).cast("double")
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low

@@ -1,0 +1,50 @@
+package graft
+
+import graft.io.KafkaIO
+import org.apache.spark.sql.functions._
+
+/** Confluent wire-format prefix handling (SURVEY §7.4.5): the Avro/JSON
+  * flavor is magic(1) + schema-id(4); the protobuf flavor additionally
+  * carries a zigzag-varint message-index list before the payload.
+  */
+class KafkaWireSpec extends SparkSpec {
+
+  private val payload = Array[Byte](0x0a, 0x03, 'f', 'o', 'o')
+  private val magicId = Array[Byte](0, 0, 0, 0, 1)
+
+  private def strip(wire: Array[Byte],
+                    f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[Array[Byte]] = {
+    import spark.implicits._
+    Option(Seq(wire).toDF("value").select(f(col("value")).as("p"))
+      .collect()(0).getAs[Array[Byte]]("p"))
+  }
+
+  test("Avro/JSON flavor strips exactly the 5-byte magic + schema id") {
+    val got = strip(magicId ++ payload, KafkaIO.stripConfluentPrefix)
+    assert(got.exists(_.sameElements(payload)))
+  }
+
+  test("protobuf flavor skips the compressed single-0 message-index list") {
+    val got = strip(magicId ++ Array[Byte](0) ++ payload,
+      KafkaIO.stripConfluentProtobufPrefix)
+    assert(got.exists(_.sameElements(payload)))
+  }
+
+  test("protobuf flavor skips a multi-entry index list (zigzag varints)") {
+    // nested message indexes [1, 3]: count 2 -> zigzag 4; 1 -> 2; 3 -> 6
+    val got = strip(magicId ++ Array[Byte](4, 2, 6) ++ payload,
+      KafkaIO.stripConfluentProtobufPrefix)
+    assert(got.exists(_.sameElements(payload)))
+  }
+
+  test("protobuf flavor yields null (not a misparse) beyond the 1-byte-varint bound") {
+    // first index-list byte with the varint continuation bit set
+    val multi = strip(magicId ++ Array[Byte](0x81.toByte, 0x01) ++ payload,
+      KafkaIO.stripConfluentProtobufPrefix)
+    assert(multi.isEmpty)
+    // odd wire byte = zigzag-negative count: invalid, also null
+    val neg = strip(magicId ++ Array[Byte](3) ++ payload,
+      KafkaIO.stripConfluentProtobufPrefix)
+    assert(neg.isEmpty)
+  }
+}

@@ -69,13 +69,25 @@ class PartitionKeysSpec extends SparkSpec {
   }
 
   test("P2 murmur2 known-answer vectors (Kafka Utils.murmur2 values)") {
-    // Known murmur2 outputs for Kafka's seed 0x9747b28c, computed from the
-    // published algorithm; guards the byte-chunking and tail handling.
+    // Fixed vectors from Apache Kafka's public UtilsTest.testMurmur2 —
+    // independent of this repo's transcription, so they pin byte-chunking,
+    // tail handling (lengths % 4 = 0..3) and the final mix.
+    val vectors = Map(
+      "21" -> -973932308,
+      "foobar" -> -790332482,
+      "a-little-bit-long-string" -> -985981536,
+      "a-little-bit-longer-string" -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8" -> -58897971,
+      "abc" -> 479470107)
+    vectors.foreach { case (k, expected) =>
+      assert(Hashing.murmur2(k.getBytes("UTF-8")) == expected, s"murmur2('$k')")
+    }
+    // ... and the derived Kafka placements (toPositive(h) % n) for n = 6.
+    vectors.foreach { case (k, h) =>
+      assert(Hashing.murmur2Partition(UTF8String.fromString(k), 6) ==
+        (h & 0x7fffffff) % 6, s"partition('$k')")
+    }
     assert(Hashing.murmur2("".getBytes("UTF-8")) == Hashing.murmur2(Array.emptyByteArray))
-    val h1 = Hashing.murmur2("abc".getBytes("UTF-8"))
-    val h2 = Hashing.murmur2("abcd".getBytes("UTF-8"))
-    val h3 = Hashing.murmur2("abcde".getBytes("UTF-8"))
-    assert(Set(h1, h2, h3).size == 3) // tail lengths 3/0/1 all mix differently
     // placement is stable, in range, and 0 for empty keys
     assert(Hashing.murmur2Partition(UTF8String.fromString(""), 6) == 0)
     val gen = Gen.asciiPrintableStr
@@ -85,6 +97,42 @@ class PartitionKeysSpec extends SparkSpec {
         val p = Hashing.murmur2Partition(UTF8String.fromString(s), 6)
         assert(p >= 0 && p < 6, s"key '$s'")
       }
+    }
+  }
+
+  test("P2 murmur2 expression matches the Kafka known-answer placements end to end") {
+    Hashing.register(spark)
+    import spark.implicits._
+    val expected = Map(
+      "21" -> -973932308, "foobar" -> -790332482,
+      "a-little-bit-long-string" -> -985981536,
+      "a-little-bit-longer-string" -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8" -> -58897971,
+      "abc" -> 479470107)
+    val rows = expected.keys.toSeq.toDF("k")
+      .select(col("k"), Hashing.partitionFor(col("k"), 12, "murmur2").as("p"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == (expected(r.getString(0)) & 0x7fffffff) % 12,
+        s"key '${r.getString(0)}'")
+    }
+  }
+
+  test("P2 column-HOF javaHashPartition agrees with native across generated keys") {
+    Hashing.register(spark)
+    import spark.implicits._
+    val gen = Gen.asciiPrintableStr
+    val keys = (0 until 200).map { i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i)).getOrElse("x")
+    }.filter(_.nonEmpty).distinct
+    val rows = keys.toDF("k").select(
+        PartitionKeys.javaHashPartition(col("k"), 6).as("hof"),
+        Hashing.partitionFor(col("k"), 6, "java").as("native"),
+        col("k"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"key '${r.getString(2)}'")
+      assert(r.getInt(0) == math.abs(r.getString(2).hashCode) % 6)
     }
   }
 

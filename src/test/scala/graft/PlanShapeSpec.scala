@@ -61,4 +61,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       plan.take(2000))
   }
+
+  test("IVF probe join keeps the corpus distributed (no corpus-side broadcast)") {
+    // At 100 TB the "queries" side of the probe IS the corpus; a broadcast
+    // hint there is a guaranteed OOM. Pin the plan: the only broadcast in
+    // the seeded variant is the nLists-row codebook, and the probe
+    // self-join on list_id is a shuffle join. Auto-broadcast is disabled so
+    // a hint (the regression this guards against) is the only way a
+    // BroadcastExchange could appear.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val embs = Tables.embeddings(spark, sf())
+      val seeded = graft.scale.Similarity
+        .ivfSeededTopK(embs, "vec_id", "embedding", k = 3, nLists = 8)
+      val plan = seeded.queryExecution.executedPlan.toString
+      val nBroadcast = plan.sliding("BroadcastExchange".length)
+        .count(_ == "BroadcastExchange")
+      assert(nBroadcast == 1,
+        s"expected exactly the codebook broadcast, got $nBroadcast:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+      val kmeans = graft.scale.Similarity
+        .ivfTopK(embs, "vec_id", "embedding", k = 3, nLists = 4)
+      val kplan = kmeans.queryExecution.executedPlan.toString
+      assert(!kplan.contains("BroadcastExchange"), kplan.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("no cached frames survive a stage-persisted query + Caches.release") {
+    Caches.release()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.registry("dedup_minhash_lsh").build(spark, sf())
+      .write.format("noop").mode("overwrite").save()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the MinHash stage frames to be cached during the query")
+    Caches.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "Caches.release must unpersist every tracked stage frame")
+  }
 }

@@ -8,7 +8,8 @@ class RegistrySmokeSpec extends SparkSpec {
 
   test("every registered query returns rows at sf0.001") {
     val empty = SparkEntry.registry.keys.toSeq.sorted.filter { name =>
-      SparkEntry.registry(name).build(spark, sf()).limit(1).count() == 0
+      try SparkEntry.registry(name).build(spark, sf()).limit(1).count() == 0
+      finally Caches.release()
     }
     assert(empty.isEmpty, s"queries with no rows at sf0.001: $empty")
   }

@@ -94,6 +94,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("ivfSeededTopK: one list per vector; an injected exact dup ranks first") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding")
+    val withDup = e.unionByName(
+      e.filter(col("vec_id") === 3).withColumn("vec_id", col("vec_id") + 900000))
+    val topk = Similarity.ivfSeededTopK(withDup, "vec_id", "embedding",
+      k = 2, nLists = 8).cache()
+    try {
+      // every query is assigned exactly one inverted list
+      assert(topk.groupBy("query_id")
+        .agg(countDistinct("list_id").as("n"))
+        .filter(col("n") =!= 1).count() == 0)
+      // the duplicate pair find each other at rank 1 with cosine 1
+      val best = topk.filter(col("rank") === 1)
+        .select("query_id", "neighbor_id", "score").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(best(900003L) == (3L, 1.0))
+      assert(best(3L) == (900003L, 1.0))
+    } finally topk.unpersist()
+  }
+
+  test("banded SRP recall is a superset of the single-bucket blocking at equal width") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding")
+    val withDups = e.unionByName(
+      e.filter(col("vec_id") % 25 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 monolithic sign bits = the concatenation of 4 bands x 4 bits, so
+    // colliding on all 16 implies colliding in every band -> banded ⊇ single
+    val single = pairSet(Similarity.cosineNearDupPairs(
+      withDups, "vec_id", "embedding", threshold = 0.35, bits = 16))
+    val banded = pairSet(Similarity.srpBandedNearDupPairs(
+      withDups, "vec_id", "embedding", threshold = 0.35,
+      bands = 4, bitsPerBand = 4))
+    assert(single.subsetOf(banded), s"missing: ${single.diff(banded).take(5)}")
+    // exact duplicates collide in every band -> always recalled
+    val dupPairs = e.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    assert(dupPairs.subsetOf(banded), s"missing dups: ${dupPairs.diff(banded).take(5)}")
+  }
+
+  test("bitsFor scales bucket width with corpus size and caps at the dimension") {
+    assert(Similarity.bitsFor(1000L, dim = 64) == Similarity.DefaultBits)
+    assert(Similarity.bitsFor(1L << 30, dim = 64) == 20) // 2^30/1024 lists
+    assert(Similarity.bitsFor(1L << 40, dim = 16) == 16) // capped at dim
+    assert(Similarity.bitsFor(0L, dim = 64) == Similarity.DefaultBits)
+  }
+
   test("multimodal decode stub: typed mapPartitions yields deterministic meta") {
     import spark.implicits._
     val docs = Seq((6L, "hello world", "en", "s", 11L))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.schema.SchemaCatalog
+import graft.schema.{EventSchemas, SchemaCatalog}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -71,5 +71,63 @@ class SchemaCatalogSpec extends AnyFunSuite {
     val cat = new SchemaCatalog
     assert(cat.subjectForTopic("nnipa.events.auth.login") == "nnipa.events.auth.login-value")
     assert(cat.subjectForTopic("nnipa.events.auth.login", isKey = true) == "nnipa.events.auth.login-key")
+  }
+
+  test("bootstrap registers the reference's 10 well-known subjects at v1, idempotently") {
+    val cat = EventSchemas.bootstrap()
+    val expected = Seq(
+      "nnipa.events.tenant.created-value", "nnipa.events.tenant.updated-value",
+      "nnipa.events.tenant.activated-value", "nnipa.events.tenant.deactivated-value",
+      "nnipa.events.auth.login-value", "nnipa.events.auth.logout-value",
+      "nnipa.events.auth.login-failed-value", "nnipa.events.auth.password-changed-value",
+      "nnipa.commands.notification.send-value", "nnipa.commands.audit.log-value")
+    assert(cat.subjects == expected) // registration order preserved
+    expected.foreach(s => assert(cat.latestVersion(s).contains(1), s))
+    // every subject name derives from its topic via the -value convention
+    expected.foreach(s => assert(cat.subjectForTopic(s.stripSuffix("-value")) == s))
+    // re-bootstrap on the same catalog is a no-op (registry semantics)
+    EventSchemas.bootstrap(cat)
+    expected.foreach(s => assert(cat.latestVersion(s).contains(1), s))
+  }
+
+  test("bootstrapped schemas carry the common EventMetadata and domain payloads") {
+    val cat = EventSchemas.bootstrap()
+    // every event embeds metadata (common.proto:38-49) with the 10 fields
+    EventSchemas.wellKnownSubjects.foreach { case (subject, _) =>
+      val schema = cat.latest(subject).get
+      val meta = schema("metadata").dataType.asInstanceOf[StructType]
+      assert(meta == EventSchemas.eventMetadata, subject)
+      assert(meta.fieldNames.toSeq == Seq("event_id", "correlation_id",
+        "source_service", "timestamp", "version", "headers", "tenant_id",
+        "user_id", "priority", "retry_count"))
+    }
+    // spot-check the §1.2 type mapping on the richest payload
+    val tenant = cat.latest("nnipa.events.tenant.created-value").get("tenant")
+      .dataType.asInstanceOf[StructType]
+    assert(tenant("is_active").dataType == BooleanType)
+    assert(tenant("created_at").dataType == TimestampType)
+    assert(tenant("settings").dataType == MapType(StringType, StringType))
+    assert(tenant("enabled_features").dataType == ArrayType(StringType))
+    assert(tenant("organization_type").dataType == StringType) // enum -> name
+    val contact = tenant("contact_info").dataType.asInstanceOf[StructType]
+    assert(contact("address").dataType.asInstanceOf[StructType]("latitude").dataType == DoubleType)
+    // google.protobuf.Any -> (type_url, value BINARY)
+    val entry = cat.latest("nnipa.commands.audit.log-value").get("entry")
+      .dataType.asInstanceOf[StructType]
+    assert(entry("old_value").dataType.asInstanceOf[StructType]("value").dataType == BinaryType)
+  }
+
+  test("bootstrapped subjects evolve under the same FULL_TRANSITIVE gate") {
+    val cat = EventSchemas.bootstrap()
+    val subject = "nnipa.events.auth.login-value"
+    val evolved = cat.latest(subject).get
+      .add(StructField("geo_region", StringType, nullable = true))
+    assert(cat.testCompatibility(subject, evolved))
+    assert(cat.register(subject, evolved) == 2)
+    val broken = StructType(cat.latest(subject).get.fields.map {
+      case f if f.name == "metadata" => f.copy(dataType = StringType)
+      case f => f
+    })
+    assert(!cat.testCompatibility(subject, broken))
   }
 }
