@@ -186,6 +186,38 @@ object MiscQueries {
       oracle = None,
       doc = "A8 approx_percentile sketch vs exact with realized error"),
 
+    // As-of enrichment: each event picks up the most recent "config update"
+    // (a sampled event stream) at or before its timestamp, per tenant —
+    // Spark lacks ASOF JOIN, so this exercises the union + running-last
+    // composition (operators/AsofJoin); DuckDB's native ASOF LEFT JOIN is
+    // the oracle, so the semantics are pinned engine-to-engine.
+    "asof_enrich" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        // right side unique per (tenant, ts): max(value) dedupes equal-ts
+        // updates deterministically on both engines
+        val cfg = e.filter(col("event_id") % 50 === 0)
+          .groupBy("tenant_id", "ts").agg(max("value").as("cfg_value"))
+          .withColumn("cfg_ts", col("ts"))
+          .select("tenant_id", "ts", "cfg_ts", "cfg_value")
+        val lhs = e.filter(col("event_id") % 7 === 0)
+          .select("event_id", "tenant_id", "ts")
+        AsofJoin.latestAtOrBefore(lhs, cfg, key = "tenant_id", ts = "ts")
+          .select("event_id", "tenant_id", "cfg_ts", "cfg_value")
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte,
+           |cfg AS (
+           |  SELECT tenant_id, ts, ts AS cfg_ts, MAX(value) AS cfg_value
+           |  FROM env WHERE event_id % 50 = 0 GROUP BY tenant_id, ts),
+           |lhs AS (SELECT event_id, tenant_id, ts FROM env WHERE event_id % 7 = 0)
+           |SELECT l.event_id, l.tenant_id, c.cfg_ts, c.cfg_value
+           |FROM lhs l ASOF LEFT JOIN cfg c
+           |  ON l.tenant_id = c.tenant_id AND l.ts >= c.ts
+           |ORDER BY l.event_id""".stripMargin),
+      doc = "As-of join: latest config at-or-before event time per tenant"),
+
     // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
     // one pass, bounded memory). Deterministic for a fixed input+impl but
     // not reproducible in DuckDB -> structural rows-only check.

@@ -252,6 +252,40 @@ object ScaleQueries {
            |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "N-gram Jaccard near-dup pairs (inverted shingle index, within-source blocking)"),
 
+    // Doc-frequency-capped variant: shingles shared by more than maxDf docs
+    // are dropped before the co-occurrence join — the hot-key guard a 100 TB
+    // inverted index needs (one boilerplate shingle in k docs fans out k²
+    // rows without it). Counts are recomputed over kept shingles, so the
+    // operator is deterministic and the oracle replays it exactly.
+    "dedup_jaccard_capped" -> QueryDef(
+      build = (s, dir) =>
+        NearDup.jaccardPairsCapped(nearDupDocs(docs(s, dir)), "doc_id", "source",
+            shingleN = 3, threshold = 0.2, maxDf = 4)
+          .orderBy("doc_a", "doc_b"),
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source, unnest($sqlShingles) AS s FROM docs2),
+           |dfreq AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s),
+           |kept AS (
+           |  SELECT sh.doc_id, sh.source, sh.s
+           |  FROM sh JOIN dfreq ON sh.source = dfreq.source AND sh.s = dfreq.s
+           |  WHERE dfreq.df <= 4),
+           |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+           |co AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           |  FROM kept a JOIN kept b
+           |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b,
+           |    ROUND(CAST(common AS DOUBLE)
+           |          / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+           |  FROM co JOIN nsh na ON co.doc_a = na.doc_id
+           |          JOIN nsh nb ON co.doc_b = nb.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "N-gram Jaccard near-dup with a shingle doc-frequency cap (hot-key guard)"),
+
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)

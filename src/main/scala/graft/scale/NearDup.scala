@@ -109,6 +109,39 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[jaccardPairs]] with a document-frequency cap: shingles appearing in
+    * more than `maxDf` documents of a block are dropped from the index
+    * BEFORE the co-occurrence join, and per-doc shingle counts are
+    * recomputed over the kept shingles so the Jaccard stays internally
+    * consistent. This is the production guard the plain inverted index
+    * lacks: one boilerplate shingle shared by k documents fans out k² join
+    * rows — the cap bounds every shingle's fan-out at maxDf², making worst-
+    * case candidate volume O(shingles · maxDf²) regardless of corpus skew.
+    * Deterministic and SQL-reproducible (oracle-checked), unlike sampling.
+    */
+  def jaccardPairsCapped(docs: DataFrame, idCol: String, blockCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.2,
+                         maxDf: Int = 4): DataFrame = {
+    val ex = graft.Caches.persist(
+      docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+          explode(TextOps.shingles(col("text"), shingleN)).as("s")))
+    val dfreq = ex.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+    val kept = graft.Caches.persist(
+      ex.join(dfreq.filter(col("df") <= maxDf), Seq("blk", "s")))
+    val nsh = kept.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val co = kept.as("a").join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    co.join(nsh.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
     * the (+1/-1) vote sum across tokens at that bit is positive.
     * Implemented as an explode + two grouped aggregations — fully

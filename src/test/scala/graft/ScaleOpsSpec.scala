@@ -94,6 +94,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("doc-frequency cap kills hot-shingle fan-out but keeps true near-dups") {
+    import spark.implicits._
+    // d1/d2: a genuine near-dup pair. d3..d8: unrelated docs sharing ONE
+    // boilerplate shingle ("x y z", df=6) that the uncapped index pairs up.
+    val boiler = (3 to 8).map(i => (i.toLong, s"x y z p$i q$i", "s"))
+    val docs = (Seq((1L, "a b c d e f", "s"), (2L, "a b c d e g", "s")) ++ boiler)
+      .toDF("doc_id", "text", "source")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(NearDup.jaccardPairs(docs, "doc_id", "source"))
+    val capped = pairs(NearDup.jaccardPairsCapped(docs, "doc_id", "source",
+      maxDf = 4))
+    assert(uncapped.contains((3L, 4L))) // boilerplate-only pair, jaccard 0.2
+    assert(!capped.exists(p => p._1 >= 3L), s"boilerplate pairs survived: $capped")
+    assert(capped == Set((1L, 2L)))     // the real near-dup is kept
+    graft.Caches.release()
+  }
+
   test("ivfSeededTopK: one list per vector; an injected exact dup ranks first") {
     val e = graft.sources.Tables.embeddings(spark, sf())
       .select("vec_id", "embedding")
