@@ -258,13 +258,17 @@ object ScaleQueries {
     // rows without it). Counts are recomputed over kept shingles, so the
     // operator is deterministic and the oracle replays it exactly.
     "dedup_jaccard_capped" -> QueryDef(
-      build = (s, dir) =>
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
         NearDup.jaccardPairsCapped(nearDupDocs(docs(s, dir)), "doc_id", "source",
             shingleN = 3, threshold = 0.2, maxDf = 4)
-          .orderBy("doc_a", "doc_b"),
+          .orderBy("doc_a", "doc_b")
+      },
       oracle = Some(
         s"""WITH $sqlNearDupDocs,
-           |sh AS (SELECT doc_id, source, unnest($sqlShingles) AS s FROM docs2),
+           |sh AS (SELECT doc_id, source,
+           |    unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
+           |  FROM docs2),
            |dfreq AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s),
            |kept AS (
            |  SELECT sh.doc_id, sh.source, sh.s

@@ -122,17 +122,28 @@ object NearDup {
   def jaccardPairsCapped(docs: DataFrame, idCol: String, blockCol: String,
                          shingleN: Int = 3, threshold: Double = 0.2,
                          maxDf: Int = 4): DataFrame = {
-    val ex = graft.Caches.persist(
+    // One aggregation gives both the document frequency (list size) and the
+    // collision group; no self-join of the exploded index ever happens. Pair
+    // generation runs in-place over each kept group's sorted doc list —
+    // bounded at maxDf*(maxDf-1)/2 pairs per shingle by construction, so the
+    // interpreted HOF touches only tiny arrays. The index key is the
+    // polynomial hash of the shingle, not the string: fixed-width longs
+    // through the shuffle instead of n-gram text (the oracle replays the
+    // same mod-P hash, so a collision merges identically on both engines).
+    val groups = graft.Caches.persist(
       docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-          explode(TextOps.shingles(col("text"), shingleN)).as("s")))
-    val dfreq = ex.groupBy("blk", "s").agg(count(lit(1)).as("df"))
-    val kept = graft.Caches.persist(
-      ex.join(dfreq.filter(col("df") <= maxDf), Seq("blk", "s")))
-    val nsh = kept.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val co = kept.as("a").join(kept.as("b"),
-        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
-        col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          explode(transform(TextOps.shingles(col("text"), shingleN),
+            sh => TextOps.polyHash(sh))).as("s"))
+        .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")) <= maxDf)
+        .withColumn("ds", sort_array(col("ds"))))
+    val nsh = groups.select(explode(col("ds")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val co = groups
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     co.join(nsh.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(nsh.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
