@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, Murmur2PartitionExpr, PolyHashExpr}
+import graft.plans.AsofJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[FloatDotExpr].getName, "graft_dot_f"),
       (exprs: Seq[Expression]) => FloatDotExpr(exprs(0), exprs(1))))
+    // Whole-operator extension: plans graft.plans.AsofJoinPlan into its
+    // streaming-merge exec (runtime equivalent: AsofJoinNative.install).
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -218,6 +218,36 @@ object MiscQueries {
            |ORDER BY l.event_id""".stripMargin),
       doc = "As-of join: latest config at-or-before event time per tenant"),
 
+    // Same enrichment through the whole-operator Catalyst path
+    // (plans.AsofJoinPlan -> AsofJoinExec streaming merge): one
+    // co-partitioning shuffle + sort per side, O(1) merge state — vs the
+    // composition's union + window. Same DuckDB ASOF oracle pins both
+    // routes to identical semantics.
+    "asof_enrich_native" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val cfg = e.filter(col("event_id") % 50 === 0)
+          .groupBy("tenant_id", "ts").agg(max("value").as("cfg_value"))
+          .withColumn("cfg_ts", col("ts"))
+          .select("tenant_id", "ts", "cfg_ts", "cfg_value")
+        val lhs = e.filter(col("event_id") % 7 === 0)
+          .select("event_id", "tenant_id", "ts")
+        graft.plans.AsofJoinNative.latestAtOrBefore(lhs, cfg, key = "tenant_id", ts = "ts")
+          .select("event_id", "tenant_id", "cfg_ts", "cfg_value")
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte,
+           |cfg AS (
+           |  SELECT tenant_id, ts, ts AS cfg_ts, MAX(value) AS cfg_value
+           |  FROM env WHERE event_id % 50 = 0 GROUP BY tenant_id, ts),
+           |lhs AS (SELECT event_id, tenant_id, ts FROM env WHERE event_id % 7 = 0)
+           |SELECT l.event_id, l.tenant_id, c.cfg_ts, c.cfg_value
+           |FROM lhs l ASOF LEFT JOIN cfg c
+           |  ON l.tenant_id = c.tenant_id AND l.ts >= c.ts
+           |ORDER BY l.event_id""".stripMargin),
+      doc = "Native Catalyst as-of join (custom plan + strategy + exec)"),
+
     // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
     // one pass, bounded memory). Deterministic for a fixed input+impl but
     // not reproducible in DuckDB -> structural rows-only check.

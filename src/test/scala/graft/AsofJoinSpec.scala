@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.AsofJoin
+import graft.plans.AsofJoinNative
 import org.apache.spark.sql.functions._
 
 /** AsofJoin semantics (the DuckDB ASOF LEFT JOIN contract the asof_enrich
@@ -45,5 +46,61 @@ class AsofJoinSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"),
       s"asof composition must not plan a join:\n${plan.take(1500)}")
+  }
+
+  // ---- native whole-operator path (plans.AsofJoinPlan/Strategy/Exec) ----
+
+  test("native: same edge semantics as the composition") {
+    import spark.implicits._
+    val left = Seq(("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k1", 5L, "e0"),
+        ("k2", 10L, "e3"), (null.asInstanceOf[String], 10L, "e4"))
+      .toDF("k", "ts", "ev")
+    val right = Seq(("k1", 10L, "cfgA"), ("k1", 15L, "cfgB"), ("k3", 1L, "cfgX"),
+        (null.asInstanceOf[String], 2L, "cfgNull"))
+      .toDF("k", "ts", "cfg")
+    val got = AsofJoinNative.latestAtOrBefore(left, right, "k", "ts")
+      .select("ev", "cfg").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("e1").contains("cfgA")) // equal ts matches (inclusive)
+    assert(got("e2").contains("cfgB")) // latest earlier right row wins
+    assert(got("e0").isEmpty)          // nothing at or before
+    assert(got("e3").isEmpty)          // key has no right rows
+    assert(got("e4").isEmpty)          // null keys never match (both engines)
+    assert(got.size == 5)              // left-join: every left row survives
+  }
+
+  test("native == composition on a seeded random workload (shared lineage)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = Seq.tabulate(800) { i =>
+      (i.toLong, s"t${rnd.nextInt(17)}", rnd.nextInt(500).toLong, rnd.nextDouble())
+    }.toDF("event_id", "k", "ts", "v")
+    // both sides derive from the same parent -> exercises the attribute-id
+    // re-alias path
+    val right = base.filter($"event_id" % 9 === 0)
+      .groupBy("k", "ts").agg(max("v").as("cfg"))
+    val left = base.filter($"event_id" % 2 === 0).select("event_id", "k", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "k", "ts", "cfg").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2))
+    val nat = canon(AsofJoinNative.latestAtOrBefore(left, right, "k", "ts"))
+    val comp = canon(AsofJoin.latestAtOrBefore(left, right, "k", "ts"))
+    assert(nat.length == comp.length)
+    assert(nat.sameElements(comp))
+  }
+
+  test("native plan: AsofJoinExec with exactly one co-partitioning shuffle per side") {
+    import spark.implicits._
+    val left = Seq(("k1", 10L, "e")).toDF("k", "ts", "ev")
+    val right = Seq(("k1", 5L, "c")).toDF("k", "ts", "cfg")
+    val plan = AsofJoinNative.latestAtOrBefore(left, right, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native exec missing:\n${plan.take(1500)}")
+    val shuffles = "(?i)exchange".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.toLowerCase.contains("window"),
+      s"native path must not fall back to join/window:\n${plan.take(1500)}")
   }
 }
