@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, Murmur2PartitionExpr, PolyHashExpr}
+import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, MinHashSigExpr, Murmur2PartitionExpr, PolyHashExpr, ShingleHashesExpr, SimHash32Expr}
 import graft.plans.AsofJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[FloatDotExpr].getName, "graft_dot_f"),
       (exprs: Seq[Expression]) => FloatDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashesExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => SimHash32Expr(exprs(0), exprs(1))))
     // Whole-operator extension: plans graft.plans.AsofJoinPlan into its
     // streaming-merge exec (runtime equivalent: AsofJoinNative.install).
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)

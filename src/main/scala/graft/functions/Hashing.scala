@@ -111,6 +111,12 @@ object Hashing {
       exprs => PolyHashExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot_f",
       exprs => FloatDotExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSigExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      exprs => SimHash32Expr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: partition number for `key` under the chosen algorithm.

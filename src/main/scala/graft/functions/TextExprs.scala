@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the dedup/fingerprint family (scale/TextOps,
+  * scale/NearDup).
+  *
+  * The higher-order-function forms (split → sequence → transform →
+  * concat_ws → array_distinct, then one `transform` per MinHash function)
+  * evaluate interpreted, materialize every intermediate array, and pay the
+  * Invoke overhead per element. These kernels do the same arithmetic in one
+  * fused pass per document — identical values (the DuckDB oracle SQL is
+  * generated from the same constants), 100 TB-relevant because the per-doc
+  * constant factor is the entire cost of a signature scan.
+  */
+object TextKernels {
+
+  /** = TextOps.P; duplicated here so the kernels stay dependency-free. */
+  val P: Long = 1000000007L
+
+  /** MinHash signature width (shared source of truth with NearDup). */
+  val MinhashK = 8
+
+  /** Affine MinHash parameters h_i(x) = (a_i * x + b_i) mod P. */
+  val minhashA: Array[Long] =
+    Array.tabulate(MinhashK)(i => ((i + 1) * 2654435761L + 1) % P)
+  val minhashB: Array[Long] =
+    Array.tabulate(MinhashK)(i => (i.toLong * 40503L + 17) % P)
+
+  /** Rolling poly-hash over code points, seed 7 (= Hashing.polyHash on a
+    * java String).
+    */
+  def polyHashString(s: String, mod: Long): Long = {
+    var h = 7L % mod
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Poly-hashes of the distinct word n-gram shingles of `text` — the fused
+    * form of `transform(TextOps.shingles(text, n), polyHash)`: same
+    * tokenization (`split(" ", -1)`, trailing empties kept, matching Spark's
+    * `split`), same "short doc yields its full token join" rule, distinct on
+    * the shingle STRING (first occurrence order) before hashing.
+    */
+  def shingleHashes(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = polyHashString(it.next(), mod)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All K MinHash minima in one pass over the shingle hashes (= K
+    * `array_min(transform(...))` columns). An empty input yields the
+    * identity signature (Long.MaxValue per row) — callers never produce one
+    * (every document has at least one shingle).
+    */
+  def minhashSig(hashes: ArrayData): ArrayData = {
+    val m = hashes.numElements()
+    val sig = Array.fill(MinhashK)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = hashes.getLong(i)
+      var k = 0
+      while (k < MinhashK) {
+        val v = (minhashA(k) * x + minhashB(k)) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 32-bit SimHash over whitespace tokens in one pass: token hash mod
+    * `mod`, ±1 vote per bit, bit set when votes are positive. Same values
+    * as the explode + bit-vote aggregation (and its DuckDB oracle), with no
+    * shuffle at all.
+    */
+  def simhash32(text: UTF8String, mod: Long): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val th = polyHashString(toks(i), mod)
+      var b = 0
+      while (b < 32) {
+        if (((th >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) res |= 1L << b
+      b += 1
+    }
+    res
+  }
+}
+
+/** `graft_shingle_hashes(text, n, mod)`: distinct word n-gram shingle
+  * poly-hashes of a string.
+  */
+final case class ShingleHashesExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any, m: Any): Any =
+    TextKernels.shingleHashes(
+      t.asInstanceOf[UTF8String], n.asInstanceOf[Int], m.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, m) => s"graft.functions.TextKernels.shingleHashes($t, $n, $m)")
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_minhash_sig(shingle_hashes)`: the K-wide MinHash signature. */
+final case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(hashes: Any): Any =
+    TextKernels.minhashSig(hashes.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.TextKernels.minhashSig($h)")
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_simhash32(text, mod)`: 32-bit SimHash of a string's tokens. */
+final case class SimHash32Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any, m: Any): Any =
+    TextKernels.simhash32(t.asInstanceOf[UTF8String], m.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.functions.TextKernels.simhash32($t, $m)")
+  override def prettyName: String = "graft_simhash32"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

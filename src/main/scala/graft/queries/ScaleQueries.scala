@@ -295,26 +295,29 @@ object ScaleQueries {
         graft.functions.Hashing.register(s)
         val d = NearDup.withSignatures(nearDupDocs(docs(s, dir)))
         val cands = NearDup.lshCandidates(d, "doc_id")
-        // join candidates back to signatures + shingles for verification
+        // join candidates back to signatures + shingle hashes for
+        // verification — the exact Jaccard runs over the hash arrays
+        // (fixed-width longs; the oracle replays the same mod-P hashes, so
+        // a collision merges identically on both engines)
         val left = d.select(col("doc_id").as("doc_a"),
-          col("minhash_sig").as("sig_a"), col("sh").as("sh_a"))
+          col("minhash_sig").as("sig_a"), col("shingle_hashes").as("shh_a"))
         val right = d.select(col("doc_id").as("doc_b"),
-          col("minhash_sig").as("sig_b"), col("sh").as("sh_b"))
+          col("minhash_sig").as("sig_b"), col("shingle_hashes").as("shh_b"))
         cands.join(left, "doc_a").join(right, "doc_b")
           .withColumn("sig_matches",
             aggregate(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (acc, v) => acc + v))
-          .withColumn("jaccard", round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
+          .withColumn("jaccard", round(TextOps.jaccard(col("shh_a"), col("shh_b")), 6))
           .select("doc_a", "doc_b", "sig_matches", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(
         s"""WITH $sqlNearDupDocs,
            |sh AS (SELECT doc_id, $sqlShingles AS sh FROM docs2),
-           |hashed AS (SELECT doc_id, sh,
+           |hashed AS (SELECT doc_id,
            |  list_transform(sh, s -> ${sqlPolyHash("s", P)}) AS shh FROM sh),
-           |sigs AS (SELECT doc_id, sh, $sqlMinhashSig AS sig FROM hashed),
+           |sigs AS (SELECT doc_id, shh, $sqlMinhashSig AS sig FROM hashed),
            |bands AS (
            |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
@@ -324,8 +327,8 @@ object ScaleQueries {
            |SELECT doc_a, doc_b,
            |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches,
-           |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           |        / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+           |  ROUND(CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE)
+           |        / CAST(len(list_distinct(sa.shh || sb.shh)) AS DOUBLE), 6) AS jaccard
            |FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
            |          JOIN sigs sb ON cand.doc_b = sb.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin),

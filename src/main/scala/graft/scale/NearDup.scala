@@ -18,19 +18,29 @@ object NearDup {
   import TextOps.{M32, P}
 
   /** Number of MinHash functions / signature width. */
-  val K = 8
+  val K: Int = graft.functions.TextKernels.MinhashK
   /** LSH bands (K/bandRows rows each): 4 bands x 2 rows. */
   val Bands = 4
   val BandRows: Int = K / Bands
 
-  /** Affine MinHash parameters h_i(x) = (a_i * x + b_i) mod P — fixed
-    * constants shared with the oracle SQL (generated from these values).
+  /** Affine MinHash parameters h_i(x) = (a_i * x + b_i) mod P — single
+    * source of truth in [[graft.functions.TextKernels]] (the native kernel
+    * bakes them in); the oracle SQL is generated from these same values.
     */
-  val paramsA: Seq[Long] = (0 until K).map(i => ((i + 1) * 2654435761L + 1) % P)
-  val paramsB: Seq[Long] = (0 until K).map(i => (i.toLong * 40503L + 17) % P)
+  val paramsA: Seq[Long] = graft.functions.TextKernels.minhashA.toSeq
+  val paramsB: Seq[Long] = graft.functions.TextKernels.minhashB.toSeq
 
-  /** MinHash signature: array of K longs over the document's shingle hashes. */
+  /** MinHash signature: array of K longs over the document's shingle
+    * hashes — all K minima in one native pass ([[minhashSignatureHof]] is
+    * the pure-builtin form, kept spec-cross-checked).
+    */
   def minhashSignature(shingleHashes: Column): Column =
+    call_function("graft_minhash_sig", shingleHashes)
+
+  /** Higher-order-function form of [[minhashSignature]]: K interpreted
+    * `array_min(transform(...))` passes, identical values.
+    */
+  def minhashSignatureHof(shingleHashes: Column): Column =
     array((0 until K).map { i =>
       array_min(transform(shingleHashes,
         h => (lit(paramsA(i)) * h + lit(paramsB(i))) % P))
@@ -45,22 +55,21 @@ object NearDup {
     }: _*)
 
   /** Adds shingle hashes + minhash signature + band hashes to a frame with a
-    * `text` column.
+    * `text` column. Both hash stages are single native codegen'd passes
+    * (`graft_shingle_hashes`, `graft_minhash_sig`).
     *
-    * Each derivation stage is persisted: higher-order-function expressions
-    * do not whole-stage-codegen, so without a materialization barrier
-    * Catalyst's CollapseProject inlines `shingle_hashes` into all 8
-    * signature components (and `minhash_sig` into all band hashes),
-    * recomputing the full per-document hash pass dozens of times — measured
-    * 40x slowdown at sf0.1. The persisted intermediates are tiny (K longs +
-    * one hash per shingle per doc) and exactly what a 100 TB pipeline would
-    * checkpoint between stages anyway.
+    * The signature stage is still persisted: `bands` reads `minhash_sig`
+    * K times via getItem, and CollapseProject would otherwise inline (and
+    * recompute) the whole text→signature pass per band — the recompute
+    * blowup measured at 40x in the HOF era shrinks with native kernels but
+    * does not disappear. The persisted rows are tiny (K longs + one hash
+    * per shingle) and exactly what a 100 TB pipeline would checkpoint
+    * between stages anyway; callers also fan the frame out to several
+    * downstream joins (candidates + both verification sides).
     */
   def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hashed = graft.Caches.persist(docs
-      .withColumn("sh", TextOps.shingles(col("text"), shingleN))
-      .withColumn("shingle_hashes", transform(col("sh"), sh => TextOps.polyHash(sh))))
-    val sigs = graft.Caches.persist(hashed
+    val sigs = graft.Caches.persist(docs
+      .withColumn("shingle_hashes", TextOps.shingleHashes(col("text"), shingleN))
       .withColumn("minhash_sig", minhashSignature(col("shingle_hashes"))))
     sigs.withColumn("bands", bandHashes(col("minhash_sig")))
   }
@@ -132,8 +141,7 @@ object NearDup {
     // same mod-P hash, so a collision merges identically on both engines).
     val groups = graft.Caches.persist(
       docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-          explode(transform(TextOps.shingles(col("text"), shingleN),
-            sh => TextOps.polyHash(sh))).as("s"))
+          explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
         .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
         .filter(size(col("ds")) <= maxDf)
         .withColumn("ds", sort_array(col("ds"))))
@@ -154,11 +162,19 @@ object NearDup {
   }
 
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
-    * the (+1/-1) vote sum across tokens at that bit is positive.
-    * Implemented as an explode + two grouped aggregations — fully
-    * shuffle-parallel, no per-row quadratic work.
+    * the (+1/-1) vote sum across tokens at that bit is positive. One native
+    * codegen'd pass per document (`graft_simhash32`) — a pure map with no
+    * shuffle, embarrassingly parallel at any scale. [[simhash32Exploded]]
+    * is the builtin-composition form, kept spec-cross-checked.
     */
-  def simhash32(docs: DataFrame, idCol: String): DataFrame = {
+  def simhash32(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      call_function("graft_simhash32", col("text"), lit(M32)).as("simhash"))
+
+  /** Explode + bit-vote-aggregation form of [[simhash32]] (identical
+    * values; 32 rows per token through two shuffles).
+    */
+  def simhash32Exploded(docs: DataFrame, idCol: String): DataFrame = {
     val tokenHashes = docs.select(col(idCol),
         explode(transform(TextOps.tokens(col("text")),
           t => TextOps.polyHash(t, M32))).as("th"))

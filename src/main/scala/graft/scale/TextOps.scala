@@ -65,6 +65,15 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Poly-hashes of the distinct shingles, as one fused native pass
+    * (= `transform(shingles(text, n), polyHash)` — kept spec-cross-checked
+    * against that HOF composition). The signature/index paths only ever
+    * need the hashes; skipping the intermediate string array keeps the
+    * whole derivation in codegen.
+    */
+  def shingleHashes(text: Column, n: Int = 3, mod: Long = P): Column =
+    call_function("graft_shingle_hashes", text, lit(n), lit(mod))
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -31,6 +31,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(h(0) == h(2) && h(0) != h(1))
   }
 
+  test("native shingle-hash / minhash-sig / simhash kernels match the HOF compositions") {
+    val d = graft.sources.Tables.documents(spark, sf())
+    // shingle hashes: fused kernel vs transform(shingles, polyHash)
+    val sh = d.select(
+      TextOps.shingleHashes(col("text")).as("native"),
+      transform(TextOps.shingles(col("text")), s => TextOps.polyHash(s)).as("hof"))
+    assert(sh.filter(col("native") =!= col("hof")).count() == 0)
+    // minhash signature: one-pass kernel vs K array_min(transform(...))
+    val sig = d.select(TextOps.shingleHashes(col("text")).as("shh"))
+      .select(NearDup.minhashSignature(col("shh")).as("native"),
+              NearDup.minhashSignatureHof(col("shh")).as("hof"))
+    assert(sig.filter(col("native") =!= col("hof")).count() == 0)
+    // simhash: per-doc kernel vs explode + bit-vote aggregation
+    val nat = NearDup.simhash32(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expl = NearDup.simhash32Exploded(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == expl)
+  }
+
   test("minhash signatures: near-identical docs collide on most components") {
     import spark.implicits._
     val docs = Seq(
