@@ -334,6 +334,59 @@ object ScaleQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "MinHash(8) + LSH(4x2) candidate pairs with exact-Jaccard verify"),
 
+    // Incremental admission — the shape a 100 TB training pipeline actually
+    // runs: the corpus exists only as its persisted signature index
+    // (fixed-width rows, no text), and each incoming shard signatures
+    // itself, probes the index on band buckets, and admits or rejects.
+    // Corpus here = docs with doc_id % 5 != 0; the incoming batch = the
+    // % 5 == 0 docs plus injected near-dups of corpus members.
+    "dedup_incremental" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+        val batch = d.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .unionByName(d.filter(col("doc_id") % 20 === 1).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+        NearDup.admitAgainst(
+            NearDup.signatureIndex(corpus, "doc_id"), batch, "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    text || ' near duplicate suffix marker' AS text
+           |  FROM documents WHERE doc_id % 20 = 1),
+           |csigs AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+           |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+           |  FROM corpus)),
+           |bsigs AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+           |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+           |  FROM batch)),
+           |cbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |bbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM bsigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |cand AS (SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+           |  FROM bbands b JOIN cbands c ON b.j = c.j AND b.bh = c.bh),
+           |scored AS (SELECT b_doc, c_doc,
+           |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
+           |    i -> CASE WHEN bs.sig[i] = cs.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches
+           |  FROM cand JOIN bsigs bs ON cand.b_doc = bs.doc_id
+           |            JOIN csigs cs ON cand.c_doc = cs.doc_id),
+           |best AS (SELECT b_doc, c_doc, sig_matches,
+           |  ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY sig_matches DESC, c_doc ASC) AS rn
+           |  FROM scored)
+           |SELECT bt.doc_id, COALESCE(best.sig_matches >= 6, FALSE) AS is_dup,
+           |  best.c_doc AS matched_doc, COALESCE(best.sig_matches, 0) AS sig_matches
+           |FROM batch bt LEFT JOIN best ON bt.doc_id = best.b_doc AND best.rn = 1
+           |ORDER BY bt.doc_id""".stripMargin),
+      doc = "Incremental shard admission vs a persisted MinHash signature index"),
+
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)

@@ -161,6 +161,55 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persistable signature index of a corpus: one row per (doc, band_idx,
+    * band_hash), carrying the doc's MinHash signature. This is the artifact
+    * an incremental pipeline checkpoints — fixed-width rows (K+2 longs + id)
+    * independent of document length, so 100 TB of text indexes to a few
+    * hundred GB of parquet. Corpus text is never needed again for admission.
+    */
+  def signatureIndex(docs: DataFrame, idCol: String, shingleN: Int = 3): DataFrame =
+    withSignatures(docs, shingleN).select(col(idCol).as("doc"), col("minhash_sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+
+  /** Incremental admission: dedup an incoming batch against an existing
+    * [[signatureIndex]] WITHOUT recomputing (or even reading) the corpus.
+    * The batch is signatured, probed into the index on (band_idx,
+    * band_hash), and a batch doc is a duplicate when any indexed doc agrees
+    * on >= `minSigMatches` of the K signature components. Returns one row
+    * per batch doc: (doc_id, is_dup, matched_doc, sig_matches) with the
+    * best-agreeing corpus doc (ties -> smallest id; null when no bucket
+    * collision at all).
+    *
+    * Scale shape: work is O(batch + bucket collisions) — the corpus-side
+    * cost is one shuffle of the (already tiny) index rows that share a
+    * bucket with the batch; admitted docs' index rows can be unioned back
+    * in to grow the index shard by shard.
+    */
+  def admitAgainst(index: DataFrame, batch: DataFrame, idCol: String,
+                   shingleN: Int = 3, minSigMatches: Int = 6): DataFrame = {
+    val probe = signatureIndex(batch, idCol, shingleN)
+      .select(col("doc").as("b_doc"), col("minhash_sig").as("b_sig"),
+        col("band_idx"), col("band_hash"))
+    val idx = index.select(col("doc").as("c_doc"),
+      col("minhash_sig").as("c_sig"), col("band_idx"), col("band_hash"))
+    val cand = probe.join(idx, Seq("band_idx", "band_hash"))
+      .select("b_doc", "b_sig", "c_doc", "c_sig").distinct()
+    val scored = cand.withColumn("sig_matches",
+      aggregate(zip_with(col("b_sig"), col("c_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+    // best candidate per batch doc: max sig agreement, ties -> smallest id
+    val best = scored.groupBy(col("b_doc"))
+      .agg(max(struct(col("sig_matches"), (-col("c_doc")).as("neg_doc"))).as("m"))
+      .select(col("b_doc"), col("m.sig_matches").as("sig_matches"),
+        (-col("m.neg_doc")).as("matched_doc"))
+    batch.select(col(idCol).as("doc_id")).join(
+        best, col("doc_id") === col("b_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sig_matches") >= minSigMatches, lit(false)).as("is_dup"),
+        col("matched_doc"),
+        coalesce(col("sig_matches"), lit(0)).as("sig_matches"))
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
     * the (+1/-1) vote sum across tokens at that bit is positive. One native
     * codegen'd pass per document (`graft_simhash32`) — a pure map with no

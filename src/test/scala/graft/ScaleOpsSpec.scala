@@ -67,6 +67,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(match13 == 0)
   }
 
+  test("incremental admission: dup rejected via the index alone, fresh doc admitted") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    val index = NearDup.signatureIndex(corpus, "doc_id")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"), // near dup of 1
+      (12L, "entirely novel sentence about glaciers carving fjords in ancient valleys"))
+      .toDF("doc_id", "text")
+    // admission never touches corpus text — only the index rows
+    val got = NearDup.admitAgainst(index, batch, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(10L)._1 && got(10L)._2.contains(1L)) // exact dup: 8/8 agreement
+    assert(got(11L)._2.contains(1L))                 // near dup collides with doc 1
+    assert(!got(12L)._1 && got(12L)._2.isEmpty)      // fresh doc admitted
+    // the index is append-composable: admitted docs' own index rows union in
+    val grown = index.unionByName(
+      NearDup.signatureIndex(batch.filter($"doc_id" === 12L), "doc_id"))
+    val second = NearDup.admitAgainst(grown, batch.filter($"doc_id" === 12L), "doc_id")
+      .collect()(0)
+    assert(second.getBoolean(1) && second.getLong(2) == 12L) // re-sent shard now dups itself
+  }
+
   test("LSH candidates find the injected near-dup and skip the unrelated doc") {
     import spark.implicits._
     val docs = Seq(
