@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.scale.NearDup
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous corpus growth: the streaming form of
+  * [[graft.scale.NearDup.admitAgainst]]. Each micro-batch of documents is
+  * (1) near-dup'd WITHIN the batch (LSH candidates + signature agreement,
+  * smaller id survives), (2) admitted against the persisted signature
+  * index, and (3) appended — both the surviving documents and their index
+  * rows — partitioned by batch id with dynamic partition overwrite, so a
+  * replayed micro-batch overwrites its own partition instead of
+  * double-appending (checkpoint-replay idempotency without a transaction
+  * log).
+  *
+  * The index directory is the ONLY cross-batch state: no executor state
+  * store, so corpus size is bounded by object storage, not cluster memory
+  * — the property that lets a dedup'd corpus grow past any single
+  * cluster's state capacity. Per-batch cost is O(batch + bucket
+  * collisions), never O(corpus).
+  */
+object StreamingAdmission {
+
+  /** Admit one (batch, id) pair — also directly usable for backfill. */
+  def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                 admittedDir: String, minSigMatches: Int = 6): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val sigs = NearDup.withSignatures(batch)
+
+    // (1) intra-batch near-dups: of any agreeing pair, the smaller id wins
+    val cands = NearDup.lshCandidates(sigs, "doc_id")
+    val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
+    val intraDropped = cands
+      .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
+      .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
+      .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("m") >= minSigMatches)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val intraSurvivors = batch.join(intraDropped, Seq("doc_id"), "left_anti")
+
+    // (2) cross-shard admission against the persisted index AS OF before
+    // this batch: a replayed micro-batch filters out its own (and any
+    // later) partition, so it sees exactly the index state of its first
+    // run and reproduces the same verdicts. Batch ids must be
+    // monotonically increasing — Structured Streaming guarantees it.
+    val index =
+      if (new java.io.File(indexDir).exists())
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
+      else NearDup.signatureIndex(batch.limit(0), "doc_id")
+    val verdicts = NearDup.admitAgainst(index, intraSurvivors, "doc_id",
+      minSigMatches = minSigMatches)
+    val admitted = intraSurvivors.join(
+      verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // (3) idempotent append: one partition per micro-batch (signatures
+    // reused from the stage frame, not recomputed)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sigs.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc"), col("minhash_sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(indexDir)
+    admitted.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(admittedDir)
+    graft.Caches.release()
+  }
+
+  /** Start the continuous admission stream over a `(doc_id, text)` source. */
+  def start(docs: DataFrame, indexDir: String, admittedDir: String,
+            checkpoint: String, minSigMatches: Int = 6): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        admitBatch(batch, id, indexDir, admittedDir, minSigMatches)
+      }
+      .start()
+}

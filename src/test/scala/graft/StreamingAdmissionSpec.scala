@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.StreamingAdmission
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+final case class Doc(doc_id: Long, text: String)
+
+/** Streaming admission: cross-batch dedup through the parquet index only,
+  * intra-batch dedup via LSH, and replay idempotency via per-batch
+  * partition overwrite.
+  */
+class StreamingAdmissionSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("d").toString
+
+  test("cross-batch near-dups rejected, intra-batch pair keeps smaller id, replay is idempotent") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("adm-index")
+    val admittedDir = tmp("adm-out")
+
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val c = "entirely novel sentence about glaciers carving fjords in ancient valleys"
+    val input = MemoryStream[Doc]
+    val q = StreamingAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("adm-ckpt"))
+    try {
+      input.addData(Doc(1L, a), Doc(2L, "completely different content with no overlap whatsoever at all"))
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 1 (cross-batch), fresh doc, and an
+      // intra-batch near-dup pair (5, 6)
+      input.addData(Doc(4L, a + " today"), Doc(3L, c), Doc(5L, c + " and rivers"), Doc(6L, c + " and rivers too"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(1L) && admitted.contains(2L))
+    assert(!admitted.contains(4L), "cross-batch near-dup must be rejected via the index")
+    // intra-batch pair: 5 survives, 6 dies; 3 is near 5 but arrived in the
+    // same batch — the intra pass also links 3-5/3-6; smallest id wins
+    assert(admitted.contains(3L))
+    assert(!admitted.contains(6L))
+
+    // replay idempotency: re-admitting batch 1's docs under the same batch
+    // id overwrites its partition — no duplicate index/output rows
+    val before = spark.read.parquet(indexDir).count()
+    StreamingAdmission.admitBatch(
+      Seq(Doc(1L, a), Doc(2L, "completely different content with no overlap whatsoever at all"))
+        .toDF(), 0L, indexDir, admittedDir)
+    assert(spark.read.parquet(indexDir).count() == before)
+    assert(spark.read.parquet(admittedDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() == 1)
+  }
+}
