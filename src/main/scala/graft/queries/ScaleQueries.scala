@@ -93,7 +93,92 @@ object ScaleQueries {
     s"[${hashes.mkString(", ")}]"
   }
 
+  /** Per-language mixture rates for q:sample_stratified — the oracle CASE
+    * is generated from this map so the two sides cannot drift.
+    */
+  private val langRates = Map(
+    "en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.6)
+  private val defaultRate = 0.1
+
+  /** = Sampling.sampleBucket: salt-prefixed rolling hash, squared mod P
+    * (mid-square mixing), bucketed to 1e4.
+    */
+  private def sqlBucket(keyExpr: String, salt: String): String = {
+    val h = sqlPolyHash(s"'$salt:' || $keyExpr", P)
+    s"((($h) * ($h)) % $P % 10000)"
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---------------- deterministic sampling / corpus mixing ----------------
+
+    // Reproducible training-data mixture: hash-gated Bernoulli sampling
+    // (scale/Sampling) — a pure function of (doc_id, salt), so re-runs,
+    // task retries, repartitions, and the DuckDB oracle keep exactly the
+    // same rows. rand(seed) cannot give this at scale (draws depend on
+    // partition layout); this is the auditable form a 100 TB mixture needs.
+    "sample_stratified" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val kept = Sampling.stratifiedSample(
+          d, "doc_id", "lang", langRates, defaultRate, "mix1")
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+          .join(d.groupBy("lang").agg(count(lit(1)).as("n_total")), "lang")
+          .withColumn("realized_rate",
+            round(col("n_kept").cast("double") / col("n_total"), 4))
+          .select("lang", "n_kept", "n_total", "sum_kept_ids", "realized_rate")
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val cases = langRates.toSeq.sorted.map { case (l, r) =>
+          s"WHEN '$l' THEN ${math.round(r * 10000)}"
+        }.mkString(" ")
+        s"""WITH kept AS (
+           |  SELECT doc_id, lang FROM documents
+           |  WHERE ${sqlBucket("CAST(doc_id AS VARCHAR)", "mix1")}
+           |    < CASE lang $cases ELSE ${math.round(defaultRate * 10000)} END),
+           |tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+           |SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(MAX(tot.n_total) AS BIGINT) AS n_total,
+           |  CAST(SUM(k.doc_id) AS BIGINT) AS sum_kept_ids,
+           |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_total), 4) AS realized_rate
+           |FROM kept k JOIN tot ON k.lang = tot.lang
+           |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+      },
+      doc = "Deterministic per-language stratified sampling (hash-gated, reproducible)"),
+
+    // Weighted two-part mixture (curated 80% + web 20%) — filter + union,
+    // no shuffle; part-specific salts keep the draws independent.
+    "sample_mixture" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        Sampling.mixture(Seq(
+            ("curated", d.filter(col("doc_id") % 3 === 0), 0.8),
+            ("web", d.filter(col("doc_id") % 3 =!= 0), 0.2)),
+            "doc_id", "mix2")
+          .groupBy("mix_source")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+               sum("n_chars").as("sum_chars"))
+          .orderBy("mix_source")
+      },
+      oracle = Some(
+        s"""WITH curated AS (
+           |  SELECT 'curated' AS mix_source, doc_id, n_chars FROM documents
+           |  WHERE doc_id % 3 = 0
+           |    AND ${sqlBucket("CAST(doc_id AS VARCHAR)", "mix2/curated")} < 8000),
+           |web AS (
+           |  SELECT 'web' AS mix_source, doc_id, n_chars FROM documents
+           |  WHERE doc_id % 3 != 0
+           |    AND ${sqlBucket("CAST(doc_id AS VARCHAR)", "mix2/web")} < 2000),
+           |mixed AS (SELECT * FROM curated UNION ALL SELECT * FROM web)
+           |SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM mixed GROUP BY mix_source ORDER BY mix_source""".stripMargin),
+      doc = "Weighted deterministic corpus mixture (hash-gated union, shuffle-free)"),
 
     // ---------------- text analysis ----------------
 

@@ -1,0 +1,66 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, auditable sampling for training-data mixtures.
+  *
+  * `rand(seed)` sampling is NOT reproducible at scale: the draw depends on
+  * partition layout and task retries, so two runs of the same job (or a
+  * recovered run) can keep different rows. Hash-gating on a stable key is
+  * the production shape — keep a row iff
+  * `polyHash(key ':' salt) mod 10000 < rate*10000`. The decision is a pure
+  * function of (key, salt): re-runs, retries, repartitions, and even other
+  * engines (the DuckDB oracle) agree row for row. Changing the salt draws
+  * an independent sample; sweeping the rate with a fixed salt yields
+  * nested samples (a 10% sample is a subset of the 20% one), which is how
+  * scaling-law subsets stay comparable.
+  */
+object Sampling {
+
+  /** Bucket in [0, 10000) for a key under a salt (4-decimal rate grid).
+    *
+    * Two deliberate mixing steps, both oracle-replayable:
+    *   - the salt PREFIXES the key — a rolling hash diffuses a prefix
+    *     through every step, whereas a suffix salt only offsets the final
+    *     value (`h*31 + c`), making near-equal salts draw near-identical
+    *     samples;
+    *   - the hash is SQUARED mod P before bucketing (mid-square mixing) —
+    *     the raw rolling hash has no avalanche on trailing characters, so
+    *     consecutive keys ("…123", "…124") land in consecutive buckets and
+    *     a plain `h % 10000` keeps contiguous id-runs instead of a sample.
+    */
+  def sampleBucket(key: Column, salt: String): Column = {
+    val h = TextOps.polyHash(concat(lit(salt + ":"), key.cast("string")))
+    ((h * h) % TextOps.P) % 10000
+  }
+
+  /** Keep ~`rate` of rows, decided purely by hash(key, salt). */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 salt: String): DataFrame =
+    df.filter(sampleBucket(col(keyCol), salt) < math.round(rate * 10000).toInt)
+
+  /** Per-stratum rates (e.g. per-language mixture weights); strata not in
+    * `rates` use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 10000).toInt)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(keyCol), salt) < threshold)
+  }
+
+  /** Weighted corpus mixture: each part is hash-sampled at its rate under
+    * a part-specific salt and tagged `mix_source`. One scan per part, no
+    * shuffle — the mixture is a pure filter + union.
+    */
+  def mixture(parts: Seq[(String, DataFrame, Double)], keyCol: String,
+              salt: String): DataFrame =
+    parts.map { case (tag, df, rate) =>
+      hashSample(df, keyCol, rate, s"$salt/$tag")
+        .withColumn("mix_source", lit(tag))
+    }.reduce(_.unionByName(_))
+}

@@ -67,6 +67,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(match13 == 0)
   }
 
+  test("hash sampling: deterministic under repartition, nested across rates") {
+    import graft.scale.Sampling
+    val d = graft.sources.Tables.documents(spark, sf())
+    val s10 = Sampling.hashSample(d, "doc_id", 0.1, "s").select("doc_id")
+    val s20 = Sampling.hashSample(d, "doc_id", 0.2, "s").select("doc_id")
+    // partition layout must not change the draw (rand(seed) fails this)
+    val repart = Sampling.hashSample(d.repartition(13), "doc_id", 0.1, "s")
+      .select("doc_id")
+    assert(s10.exceptAll(repart).isEmpty && repart.exceptAll(s10).isEmpty)
+    // fixed salt -> nested samples: the 10% draw is a subset of the 20%
+    assert(s10.exceptAll(s20).isEmpty)
+    assert(s10.count() < s20.count())
+    // different salt -> a different draw
+    val other = Sampling.hashSample(d, "doc_id", 0.1, "t").select("doc_id")
+    assert(other.exceptAll(s10).count() > 0)
+    // realized rate lands near the nominal one
+    val rate = s10.count().toDouble / d.count()
+    assert(rate > 0.05 && rate < 0.15, s"realized rate $rate")
+  }
+
   test("incremental admission: dup rejected via the index alone, fresh doc admitted") {
     import spark.implicits._
     val corpus = Seq(
