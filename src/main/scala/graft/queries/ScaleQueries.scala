@@ -180,6 +180,41 @@ object ScaleQueries {
            |FROM mixed GROUP BY mix_source ORDER BY mix_source""".stripMargin),
       doc = "Weighted deterministic corpus mixture (hash-gated union, shuffle-free)"),
 
+    // Int8-quantized cosine top-k: per-vector symmetric scales cancel in
+    // cosine, so ranking is pure integer arithmetic — exact in any engine.
+    // 4x less vector data through scan/shuffle at ~1% cosine error.
+    "emb_quant_topk" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        Quant.quantizedTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        def intDot(a: String, b: String): String =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), " +
+            s"(x, y) -> x + y)"
+        s"""WITH sc AS (SELECT vec_id, embedding,
+           |    greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127 AS s
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, sqrt(CAST(${intDot("q", "q")} AS DOUBLE)) AS n FROM (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+           |  FROM sc)),
+           |scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ROUND(CAST(${intDot("a.q", "b.q")} AS DOUBLE) / (a.n * b.n), 6) AS qscore
+           |  FROM qn a JOIN qn b ON a.vec_id != b.vec_id
+           |  WHERE a.vec_id < 5),
+           |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, qscore, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "Int8-quantized cosine top-k (integer scoring, scales cancel)"),
+
     // ---------------- text analysis ----------------
 
     "txt_stats" -> QueryDef(

@@ -138,6 +138,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("int8 quantized top-k tracks the exact ranking (recall@10 and score error)") {
+    import graft.scale.Quant
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "score"), "score")
+    val quant = pairs(Quant.quantizedTopK(q, e, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "qscore"), "qscore")
+    val recall = exact.keySet.intersect(quant.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 $recall")
+    val maxErr = exact.keySet.intersect(quant.keySet)
+      .map(k => math.abs(exact(k) - quant(k))).max
+    assert(maxErr <= 0.02, s"max |cos - cos_q| = $maxErr")
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
