@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, MinHashSigExpr, Murmur2PartitionExpr, PolyHashExpr, ShingleHashesExpr, SimHash32Expr}
+import graft.functions.{FloatDotExpr, JavaHashPartitionExpr, MinHashSigExpr, Murmur2PartitionExpr, PolyHashExpr, ShingleHashesExpr, ShinglesExpr, SimHash32Expr}
 import graft.plans.AsofJoinStrategy
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashesExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShinglesExpr(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),

@@ -113,6 +113,8 @@ object Hashing {
       exprs => FloatDotExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShinglesExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSigExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash32",

@@ -79,6 +79,37 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** The distinct shingle STRINGS themselves (same tokenization/distinct
+    * rules as [[shingleHashes]]) — for the exact string-keyed Jaccard
+    * baseline, where the downstream oracle intersects strings.
+    */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All K MinHash minima in one pass over the shingle hashes (= K
     * `array_min(transform(...))` columns). An empty input yields the
     * identity signature (Long.MaxValue per row) — callers never produce one
@@ -145,6 +176,21 @@ final case class ShingleHashesExpr(first: Expression, second: Expression, third:
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_shingles(text, n)`: distinct word n-gram shingles of a string. */
+final case class ShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.shingleStrings(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.TextKernels.shingleStrings($t, $n)")
+  override def prettyName: String = "graft_shingles"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `graft_minhash_sig(shingle_hashes)`: the K-wide MinHash signature. */

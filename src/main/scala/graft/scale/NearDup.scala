@@ -103,7 +103,7 @@ object NearDup {
                    shingleN: Int = 3, threshold: Double = 0.2): DataFrame = {
     val sh = graft.Caches.persist(
       docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-          TextOps.shingles(col("text"), shingleN).as("sh"))
+          TextOps.shinglesNative(col("text"), shingleN).as("sh"))
         .withColumn("n_sh", size(col("sh"))))
     val ex = sh.select(col("doc"), col("blk"), col("n_sh"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),

@@ -65,6 +65,13 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Native fused form of [[shingles]] (one pass, no HOF chain) — kept
+    * spec-cross-checked against the builtin composition. Sessions must
+    * register `graft.functions.Hashing.register` first.
+    */
+  def shinglesNative(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", text, lit(n))
+
   /** Poly-hashes of the distinct shingles, as one fused native pass
     * (= `transform(shingles(text, n), polyHash)` — kept spec-cross-checked
     * against that HOF composition). The signature/index paths only ever

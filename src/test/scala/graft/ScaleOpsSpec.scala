@@ -38,6 +38,10 @@ class ScaleOpsSpec extends SparkSpec {
       TextOps.shingleHashes(col("text")).as("native"),
       transform(TextOps.shingles(col("text")), s => TextOps.polyHash(s)).as("hof"))
     assert(sh.filter(col("native") =!= col("hof")).count() == 0)
+    // shingle strings: fused kernel vs the builtin composition
+    val ss = d.select(TextOps.shinglesNative(col("text")).as("native"),
+      TextOps.shingles(col("text")).as("hof"))
+    assert(ss.filter(col("native") =!= col("hof")).count() == 0)
     // minhash signature: one-pass kernel vs K array_min(transform(...))
     val sig = d.select(TextOps.shingleHashes(col("text")).as("shh"))
       .select(NearDup.minhashSignature(col("shh")).as("native"),
