@@ -81,6 +81,27 @@ object KafkaIO {
       ).as("headers"))
   }
 
+  /** Serialize side of the Confluent wire format (Avro/JSON-Schema
+    * flavor): magic 0x00 + big-endian int32 schema id + payload. The
+    * mirror of [[stripConfluentPrefix]], so an offline pipeline can
+    * produce byte-identical wire values (round-trip pinned in
+    * KafkaWireSpec) and publish them unchanged once a broker exists.
+    */
+  def toConfluentWireFormat(schemaId: org.apache.spark.sql.Column,
+                            payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Array[Byte](0)),
+      unhex(lpad(hex(schemaId.cast("int")), 8, "0")), payload)
+
+  /** Serialize side, protobuf flavor: adds the single-`0` message-index
+    * byte after the schema id (the compressed form every top-level message
+    * uses; nested message paths need the full zigzag-varint list).
+    */
+  def toConfluentProtobufWireFormat(schemaId: org.apache.spark.sql.Column,
+                                    payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Array[Byte](0)),
+      unhex(lpad(hex(schemaId.cast("int")), 8, "0")),
+      lit(Array[Byte](0)), payload)
+
   /** Confluent wire format, Avro/JSON-Schema flavor: drop the 5-byte
     * magic + schema-id prefix (SURVEY §7.4.5). Protobuf payloads carry an
     * additional message-index list after the schema id — use

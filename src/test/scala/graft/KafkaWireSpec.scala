@@ -37,6 +37,34 @@ class KafkaWireSpec extends SparkSpec {
     assert(got.exists(_.sameElements(payload)))
   }
 
+  test("serialize mirrors: wire bytes round-trip through the strip helpers") {
+    import spark.implicits._
+    val df = Seq((1, payload), (131071, payload)).toDF("schema_id", "p")
+    // Avro/JSON flavor: magic + big-endian id + payload, byte-exact
+    val wire = df.select(
+        KafkaIO.toConfluentWireFormat(col("schema_id"), col("p")).as("w"),
+        col("schema_id"), col("p"))
+      .collect()
+    wire.foreach { r =>
+      val w = r.getAs[Array[Byte]]("w")
+      val id = r.getInt(1)
+      assert(w(0) == 0 &&
+        java.nio.ByteBuffer.wrap(w.slice(1, 5)).getInt == id &&
+        w.drop(5).sameElements(payload))
+    }
+    // and both flavors strip back to the original payload
+    val rt = df.select(
+      KafkaIO.stripConfluentPrefix(
+        KafkaIO.toConfluentWireFormat(col("schema_id"), col("p"))).as("a"),
+      KafkaIO.stripConfluentProtobufPrefix(
+        KafkaIO.toConfluentProtobufWireFormat(col("schema_id"), col("p"))).as("b"))
+      .collect()
+    rt.foreach { r =>
+      assert(r.getAs[Array[Byte]]("a").sameElements(payload))
+      assert(r.getAs[Array[Byte]]("b").sameElements(payload))
+    }
+  }
+
   test("protobuf flavor yields null (not a misparse) beyond the 1-byte-varint bound") {
     // first index-list byte with the varint continuation bit set
     val multi = strip(magicId ++ Array[Byte](0x81.toByte, 0x01) ++ payload,
