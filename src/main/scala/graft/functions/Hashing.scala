@@ -97,28 +97,29 @@ object Hashing {
     h
   }
 
+  /** The one table of native functions — [[register]] (runtime) and
+    * `GraftExtensions` (session-build) both install exactly this list, so
+    * the two routes structurally cannot drift.
+    */
+  val nativeFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "murmur2_partition" -> (exprs => Murmur2PartitionExpr(exprs(0), exprs(1))),
+    "java_hash_partition" -> (exprs => JavaHashPartitionExpr(exprs(0), exprs(1))),
+    "graft_poly_hash" -> (exprs => PolyHashExpr(exprs(0), exprs(1))),
+    "graft_dot_f" -> (exprs => FloatDotExpr(exprs(0), exprs(1))),
+    "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), exprs(1))),
+    "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0), exprs(1), exprs(2))),
+    "graft_minhash_sig" -> (exprs => MinHashSigExpr(exprs(0))),
+    "graft_simhash32" -> (exprs => SimHash32Expr(exprs(0), exprs(1))))
+
   /** Installs the native functions into the session's function registry
     * (idempotent). Column and SQL surfaces both resolve through the
     * registry.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("murmur2_partition",
-      exprs => Murmur2PartitionExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("java_hash_partition",
-      exprs => JavaHashPartitionExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_poly_hash",
-      exprs => PolyHashExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot_f",
-      exprs => FloatDotExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashesExpr(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => ShinglesExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSigExpr(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash32",
-      exprs => SimHash32Expr(exprs(0), exprs(1)), "built-in")
+    nativeFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Column API: partition number for `key` under the chosen algorithm.

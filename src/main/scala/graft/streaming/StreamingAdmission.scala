@@ -57,15 +57,17 @@ object StreamingAdmission {
       verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
 
     // (3) idempotent append: one partition per micro-batch (signatures
-    // reused from the stage frame, not recomputed)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // reused from the stage frame, not recomputed); dynamic overwrite is a
+    // per-write option — the shared session's conf is left untouched
     sigs.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc"), col("minhash_sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(indexDir)
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
     admitted.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(admittedDir)
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(admittedDir)
     graft.Caches.release()
   }
 
