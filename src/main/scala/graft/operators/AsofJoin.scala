@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,9 +23,17 @@ object AsofJoin {
 
   /** `left` keeps all its columns; every non-(key, ts) column of `right` is
     * filled in as the as-of payload.
+    *
+    * `toleranceMicros >= 0` bounds staleness: a right row older than the
+    * tolerance (in microseconds for TIMESTAMP ts; raw units for numeric
+    * ts) no longer fills — "the config applies for at most an hour". The
+    * fill itself stays a running `last`; the bound is a post-fill null-out
+    * using the carried right timestamp, so the plan shape (one shuffle,
+    * one sort, no join) is unchanged.
     */
   def latestAtOrBefore(left: DataFrame, right: DataFrame,
-                       key: String, ts: String): DataFrame = {
+                       key: String, ts: String,
+                       toleranceMicros: Long = -1L): DataFrame = {
     val payload = right.columns.filter(c => c != key && c != ts).toSeq
     val leftCols = left.columns.filter(c => c != key && c != ts).toSeq
     require(leftCols.intersect(payload).isEmpty,
@@ -39,17 +47,33 @@ object AsofJoin {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(ordered: _*)
 
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Fill one struct, not per-column: a right row with a null inside its
     // payload must still be carried forward atomically (per-column
     // last(ignoreNulls) would mix payloads from different right rows).
+    // The right ts rides along as __rts for the staleness bound.
     val packed = l.unionByName(r)
       .withColumn("__p",
-        when(col("__is_left") === 0, struct(payload.map(col): _*)))
+        when(col("__is_left") === 0,
+          struct(payload.map(col) :+ col(ts).as("__rts"): _*)))
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
-    payload.foldLeft(packed) { (d, c) => d.withColumn(c, col("__p").getField(c)) }
+    val tsType = right.schema(ts).dataType
+    val fresh =
+      if (toleranceMicros < 0) col("__p").isNotNull
+      else col("__p").isNotNull &&
+        micros(col(ts), tsType) - micros(col("__p").getField("__rts"), tsType) <=
+          toleranceMicros
+    payload.foldLeft(packed) { (d, c) =>
+      d.withColumn(c, when(fresh, col("__p").getField(c)))
+    }
       .filter(col("__is_left") === 1)
       .drop("__is_left", "__p")
   }

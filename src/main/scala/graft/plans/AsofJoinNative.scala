@@ -36,7 +36,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    toleranceMicros: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
@@ -59,12 +60,21 @@ object AsofJoinNative {
     * keeps all its columns; every non-(key, ts) column of `right` fills in
     * as the as-of payload, null when no right row is at or before. Key and
     * ts must be orderable atomic types (the merge compares evaluated
-    * values).
+    * values). `toleranceMicros >= 0` bounds staleness (ts must be
+    * TIMESTAMP or integral — both evaluate to a long internally).
     */
   def latestAtOrBefore(left: DataFrame, right: DataFrame,
-                       key: String, ts: String): DataFrame = {
+                       key: String, ts: String,
+                       toleranceMicros: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    if (toleranceMicros >= 0) {
+      val dt = left.schema(ts).dataType
+      require(dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+        s"tolerance requires a timestamp or integral ts column, got $dt")
+    }
     val lPlan = left.queryExecution.analyzed
     // Self-join safety: when both sides descend from the same source the
     // attribute ids collide; re-alias the right side to fresh ids (what the
@@ -85,15 +95,16 @@ object AsofJoinNative {
     PlanBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
       attr(lPlan, key, "left"), attr(lPlan, ts, "left"),
-      attr(rPlan, key, "right"), attr(rPlan, ts, "right"), payload))
+      attr(rPlan, key, "right"), attr(rPlan, ts, "right"), payload,
+      toleranceMicros))
   }
 }
 
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; a no-op on everything else. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, payload) =>
-      AsofJoinExec(lk, lt, rk, rt, payload, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, payload, tol) =>
+      AsofJoinExec(lk, lt, rk, rt, payload, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -107,6 +118,7 @@ case class AsofJoinExec(
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
     payload: Seq[Attribute],
+    toleranceMicros: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
@@ -139,6 +151,7 @@ case class AsofJoinExec(
     val payloadB = payload.map(a => BindReferences.bindReference(a: Expression, rOut))
     val keyType = rightKey.dataType
     val nPayload = payload.length
+    val tol = toleranceMicros
     val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -160,6 +173,7 @@ case class AsofJoinExec(
       // O(1) merge state: the latest right row consumed for the key at hand.
       var matchKeyRow: InternalRow = null
       var matchPayload: InternalRow = null
+      var matchTs: Any = null
 
       lIter.map { l =>
         val lk = lKeyB.eval(l)
@@ -177,10 +191,13 @@ case class AsofJoinExec(
             else if (c == 0 && cmp(rTsB.eval(r), lt) <= 0) {
               matchKeyRow = keyProj(r).copy()
               matchPayload = payloadProj(r).copy()
+              matchTs = rTsB.eval(r)
               rBuf.next()
             } else done = true
           }
-          usable = matchPayload != null && cmp(matchKeyRow.get(0, keyType), lk) == 0
+          usable = matchPayload != null && cmp(matchKeyRow.get(0, keyType), lk) == 0 &&
+            (tol < 0 || lt.asInstanceOf[Number].longValue -
+              matchTs.asInstanceOf[Number].longValue <= tol)
         }
         numOutputRows += 1
         resultProj(joined(l, if (usable) matchPayload else nullPayload))

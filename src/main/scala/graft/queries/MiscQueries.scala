@@ -248,6 +248,40 @@ object MiscQueries {
            |ORDER BY l.event_id""".stripMargin),
       doc = "Native Catalyst as-of join (custom plan + strategy + exec)"),
 
+    // Bounded-staleness variant: a config older than 1 hour no longer
+    // applies ("latest at or before, if fresh enough"). Same native
+    // operator with toleranceMicros; DuckDB oracle = ASOF LEFT JOIN with a
+    // CASE null-out past the interval.
+    "asof_enrich_ttl" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val cfg = e.filter(col("event_id") % 50 === 0)
+          .groupBy("tenant_id", "ts").agg(max("value").as("cfg_value"))
+          .withColumn("cfg_ts", col("ts"))
+          .select("tenant_id", "ts", "cfg_ts", "cfg_value")
+        val lhs = e.filter(col("event_id") % 7 === 0)
+          .select("event_id", "tenant_id", "ts")
+        graft.plans.AsofJoinNative.latestAtOrBefore(lhs, cfg,
+            key = "tenant_id", ts = "ts", toleranceMicros = 3600000000L)
+          .select("event_id", "tenant_id", "cfg_ts", "cfg_value")
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte,
+           |cfg AS (
+           |  SELECT tenant_id, ts, ts AS cfg_ts, MAX(value) AS cfg_value
+           |  FROM env WHERE event_id % 50 = 0 GROUP BY tenant_id, ts),
+           |lhs AS (SELECT event_id, tenant_id, ts FROM env WHERE event_id % 7 = 0)
+           |SELECT l.event_id, l.tenant_id,
+           |  CASE WHEN c.cfg_ts IS NOT NULL AND l.ts - c.cfg_ts <= INTERVAL '1 hour'
+           |    THEN c.cfg_ts END AS cfg_ts,
+           |  CASE WHEN c.cfg_ts IS NOT NULL AND l.ts - c.cfg_ts <= INTERVAL '1 hour'
+           |    THEN c.cfg_value END AS cfg_value
+           |FROM lhs l ASOF LEFT JOIN cfg c
+           |  ON l.tenant_id = c.tenant_id AND l.ts >= c.ts
+           |ORDER BY l.event_id""".stripMargin),
+      doc = "As-of join with bounded staleness (1 h TTL on the fill)"),
+
     // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
     // one pass, bounded memory). Deterministic for a fixed input+impl but
     // not reproducible in DuckDB -> structural rows-only check.

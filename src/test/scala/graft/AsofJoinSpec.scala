@@ -90,6 +90,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(nat.sameElements(comp))
   }
 
+  test("staleness bound: a too-old fill nulls out, both paths agree") {
+    import spark.implicits._
+    val left = Seq(("k1", 100L, "fresh"), ("k1", 500L, "stale"), ("k1", 50L, "none"))
+      .toDF("k", "ts", "ev")
+    val right = Seq(("k1", 90L, "cfgA")).toDF("k", "ts", "cfg")
+    def got(df: org.apache.spark.sql.DataFrame) = df.select("ev", "cfg").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val comp = got(AsofJoin.latestAtOrBefore(left, right, "k", "ts", toleranceMicros = 100L))
+    val nat = got(AsofJoinNative.latestAtOrBefore(left, right, "k", "ts", toleranceMicros = 100L))
+    for (g <- Seq(comp, nat)) {
+      assert(g("fresh").contains("cfgA")) // age 10 <= 100
+      assert(g("stale").isEmpty)          // age 410 > 100
+      assert(g("none").isEmpty)           // nothing at or before
+    }
+    // randomized differential with tolerance, shared lineage
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(600) { i =>
+      (i.toLong, s"t${rnd.nextInt(11)}", rnd.nextInt(300).toLong, rnd.nextDouble())
+    }.toDF("event_id", "k", "ts", "v")
+    val r2 = base.filter($"event_id" % 8 === 0).groupBy("k", "ts").agg(max("v").as("cfg"))
+    val l2 = base.filter($"event_id" % 2 === 1).select("event_id", "k", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "cfg").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(canon(AsofJoinNative.latestAtOrBefore(l2, r2, "k", "ts", 40L))
+      .sameElements(canon(AsofJoin.latestAtOrBefore(l2, r2, "k", "ts", 40L))))
+  }
+
   test("native plan: AsofJoinExec with exactly one co-partitioning shuffle per side") {
     import spark.implicits._
     val left = Seq(("k1", 10L, "e")).toDF("k", "ts", "ev")
