@@ -678,6 +678,35 @@ object ScaleQueries {
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
       doc = "IVF cosine top-3 with a deterministic codebook (hash-checked probe+rank)"),
 
+    // Multi-probe IVF: each query fans out to its 2 nearest lists — the
+    // recall knob (candidates grow linearly with nProbe). Each corpus
+    // vector lives in exactly one list, so pairs join at most once.
+    "emb_ivf_probe2" -> QueryDef(
+      build = (s, dir) =>
+        Similarity.ivfSeededTopK(embs(s, dir), "vec_id", "embedding",
+            k = 3, nLists = 8, nProbe = 2)
+          .orderBy("query_id", "rank"),
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cranked AS (
+           |  SELECT id, v, cent_id,
+           |    row_number() OVER (PARTITION BY id ORDER BY ${sqlCosine("c.v", "cents.cv")} DESC, cent_id) AS crank
+           |  FROM c, cents),
+           |assigned AS (SELECT id, v, cent_id AS list_id FROM cranked WHERE crank = 1),
+           |probes AS (SELECT id, v, cent_id AS list_id FROM cranked WHERE crank <= 2),
+           |scored AS (
+           |  SELECT q.id AS query_id, c.list_id, c.id AS neighbor_id,
+           |    ${sqlCosine("q.v", "c.v")} AS score
+           |  FROM probes q JOIN assigned c ON q.list_id = c.list_id AND q.id <> c.id),
+           |ranked AS (
+           |  SELECT query_id, list_id, neighbor_id, score,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, list_id, neighbor_id, score, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      doc = "Multi-probe IVF (nProbe=2): linear-candidate recall knob, hash-checked"),
+
     // ---------------- multimodal plumbing ----------------
 
     "mm_decode_meta" -> QueryDef(

@@ -121,16 +121,15 @@ object Similarity {
       .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"), col("score"))
   }
 
-  /** IVF probe + rank over a corpus already carrying `list_id`: self-join on
-    * the inverted-list id (a plain shuffle join — the corpus is NEVER
-    * broadcast; at 100 TB the "queries" side here is the corpus itself, and
-    * a broadcast hint would pin the whole table on every executor), score,
-    * window-rank top-k.
+  /** IVF probe + rank: join query probes against a corpus carrying
+    * `list_id` (a plain shuffle join — the corpus is NEVER broadcast; at
+    * 100 TB the "queries" side here is the corpus itself, and a broadcast
+    * hint would pin the whole table on every executor), score, window-rank
+    * top-k. Each corpus vector lives in exactly one list, so a (query,
+    * neighbor) pair joins at most once even under multi-probe.
     */
-  private def probeTopK(assigned: DataFrame, k: Int): DataFrame = {
-    val q = assigned.select(col("id").as("query_id"), col("v").as("qv"),
-      col("n").as("qn"), col("list_id"))
-    val scored = q.join(assigned, "list_id")
+  private def probeTopK(probes: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val scored = probes.join(assigned, "list_id")
       .filter(col("query_id") =!= col("id"))
       .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
     val w = Window.partitionBy("query_id")
@@ -140,6 +139,10 @@ object Similarity {
       .select(col("query_id"), col("list_id"), col("id").as("neighbor_id"),
         col("score"), col("rank"))
   }
+
+  private def selfProbes(assigned: DataFrame): DataFrame =
+    assigned.select(col("id").as("query_id"), col("v").as("qv"),
+      col("n").as("qn"), col("list_id"))
 
   /** IVF-style ANN: KMeans centroids form the inverted file; each query
     * probes only its nearest centroid's list. The mllib fit runs once over
@@ -159,7 +162,7 @@ object Similarity {
     val assigned = model.transform(withFeatures)
       .select(col("id"), col("v"), norm(col("v")).as("n"),
         col("prediction").as("list_id"))
-    probeTopK(assigned, k)
+    probeTopK(selfProbes(assigned), assigned, k)
   }
 
   /** IVF with deterministic, SQL-reproducible centroids: the `nLists`
@@ -171,7 +174,7 @@ object Similarity {
     * stays distributed end to end.
     */
   def ivfSeededTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nLists: Int): DataFrame = {
+                    k: Int, nLists: Int, nProbe: Int = 1): DataFrame = {
     Hashing.register(corpus.sparkSession)
     val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
     val cents = c.filter(col("id") < nLists)
@@ -180,10 +183,19 @@ object Similarity {
       .withColumn("cscore",
         round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
     val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
-    val assigned = cscored.withColumn("crank", row_number().over(cw))
-      .filter(col("crank") === 1)
+    val ranked = cscored.withColumn("crank", row_number().over(cw))
+    // corpus membership: exactly one list per vector
+    val assigned = ranked.filter(col("crank") === 1)
       .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id"))
-    probeTopK(assigned, k)
+    // multi-probe: each query fans out to its nProbe nearest lists — the
+    // standard IVF recall knob (candidates scale linearly with nProbe,
+    // never quadratically)
+    val probes =
+      if (nProbe <= 1) selfProbes(assigned)
+      else ranked.filter(col("crank") <= nProbe)
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("n").as("qn"), col("cent_id").as("list_id"))
+    probeTopK(probes, assigned, k)
   }
 
   /** Bucketed top-k: identical shape to brute force, but the cross join is

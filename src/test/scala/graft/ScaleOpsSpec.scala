@@ -222,6 +222,27 @@ class ScaleOpsSpec extends SparkSpec {
     } finally topk.unpersist()
   }
 
+  test("multi-probe IVF: k-th best score never degrades, recall vs exact never drops") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    def kth(df: org.apache.spark.sql.DataFrame) = df.filter(col("rank") === 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val p1 = Similarity.ivfSeededTopK(e, "vec_id", "embedding", 3, 8)
+    val p2 = Similarity.ivfSeededTopK(e, "vec_id", "embedding", 3, 8, nProbe = 2)
+    val (k1, k2) = (kth(p1), kth(p2))
+    // with a superset candidate pool the 3rd-best score can only improve
+    k1.keySet.intersect(k2.keySet).foreach { q =>
+      assert(k2(q) >= k1(q), s"query $q: nProbe=2 kth ${k2(q)} < nProbe=1 ${k1(q)}")
+    }
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (r1, r2) = (pairs(p1.select(col("query_id"), col("list_id"), col("neighbor_id"))),
+      pairs(p2.select(col("query_id"), col("list_id"), col("neighbor_id"))))
+    assert(exact.intersect(r2).size >= exact.intersect(r1).size)
+  }
+
   test("banded SRP recall is a superset of the single-bucket blocking at equal width") {
     val e = graft.sources.Tables.embeddings(spark, sf())
       .select("vec_id", "embedding")
