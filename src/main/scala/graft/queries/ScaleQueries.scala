@@ -215,6 +215,64 @@ object ScaleQueries {
       },
       doc = "Int8-quantized cosine top-k (integer scoring, scales cancel)"),
 
+    // Capstone: the whole corpus-prep pipeline as ONE oracle-checked
+    // dataflow — quality gate -> exact dedup (digest-keyed, min id wins)
+    // -> deterministic priority -> per-source token budget (cumulative
+    // window, "2k tokens per source"). Every stage is an operator proven
+    // above; this pins that they COMPOSE deterministically, which is the
+    // property a reproducible training-data build needs end to end.
+    "corpus_prepare" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val q = d.filter(TextOps.qualityScore(col("text")) >= 0.55)
+        val ded = q
+          .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val sel = ded
+          .withColumn("toks", TextOps.bpeishTokenCount(col("text")))
+          .withColumn("prio", Sampling.sampleBucket(col("doc_id"), "prep1"))
+          .withColumn("cum_toks", sum(col("toks")).over(
+            Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))))
+          .filter(col("cum_toks") <= 2000)
+        sel.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("sum_toks"),
+            sum("doc_id").as("sum_ids"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH q AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+           |             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |    + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |             / CAST(length(text) AS DOUBLE)) * 0.2, 6) >= 0.55),
+           |ded AS (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text,
+           |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           |    FROM q) t WHERE rn = 1),
+           |sel AS (
+           |  SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS toks,
+           |    ${sqlBucket("CAST(doc_id AS VARCHAR)", "prep1")} AS prio
+           |  FROM ded),
+           |cum AS (
+           |  SELECT source, doc_id, toks,
+           |    SUM(toks) OVER (PARTITION BY source ORDER BY prio, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+           |  FROM sel)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS sum_toks,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+           |FROM cum WHERE cum_toks <= 2000
+           |GROUP BY source ORDER BY source""".stripMargin),
+      doc = "End-to-end corpus prep: quality gate, exact dedup, deterministic per-source token budget"),
+
     // ---------------- text analysis ----------------
 
     "txt_stats" -> QueryDef(
