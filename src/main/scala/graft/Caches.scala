@@ -13,6 +13,7 @@ import scala.collection.mutable
   */
 object Caches {
   private val live = mutable.ArrayBuffer.empty[DataFrame]
+  private val liveRddIds = mutable.ArrayBuffer.empty[(org.apache.spark.SparkContext, Int)]
 
   /** persist() + track for later release. */
   def persist(df: DataFrame): DataFrame = synchronized {
@@ -20,9 +21,30 @@ object Caches {
     df.persist()
   }
 
+  /** Eager localCheckpoint() + track the checkpoint blocks for release.
+    * For iterative operators (scale/Clusters): persist() alone caches data
+    * but keeps the logical plan nested, and self-join loops double the plan
+    * per round — analysis itself blows up after ~6 rounds. Checkpointing
+    * truncates lineage to the materialized rows. (On a real cluster a
+    * reliable checkpoint() to durable storage is the fault-tolerant form;
+    * executor-local blocks are the right trade for these small label
+    * tables.)
+    */
+  def localCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    liveRddIds ++= sc.getPersistentRDDs.keySet.diff(before).map(sc -> _)
+    out
+  }
+
   /** Unpersist every tracked frame and clear the registry. */
   def release(): Unit = synchronized {
     live.foreach(_.unpersist())
     live.clear()
+    liveRddIds.foreach { case (sc, id) =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    liveRddIds.clear()
   }
 }

@@ -386,6 +386,123 @@ object ScaleQueries {
            |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Rolling-hash document fingerprint"),
 
+    // Train/eval n-gram contamination (scale/Contamination): eval docs whose
+    // n-grams largely exist in the training split are flagged. Eval set =
+    // the % 10 == 7 docs plus injected copies of train docs (guaranteed
+    // contamination); train side collapses to its distinct n-gram hash set
+    // before the semi-join probe.
+    "txt_contamination" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val train = d.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text")
+        val evalSet = d.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+          .unionByName(d.filter(col("doc_id") % 30 === 0).select(
+            (col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" eval copy")).as("text")))
+        Contamination.overlap(train, evalSet, "doc_id").orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+           |evals AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text || ' eval copy' FROM documents WHERE doc_id % 30 = 0),
+           |tg AS (SELECT DISTINCT unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
+           |  FROM train),
+           |eh AS (SELECT doc_id,
+           |    list_distinct(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS hs
+           |  FROM evals),
+           |eg AS (SELECT doc_id, unnest(hs) AS s FROM eh),
+           |hits AS (SELECT eg.doc_id, COUNT(*) AS n_overlap
+           |  FROM eg JOIN tg ON eg.s = tg.s GROUP BY eg.doc_id),
+           |scored AS (
+           |  SELECT eh.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+           |    CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |    ROUND(CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / len(hs), 6) AS overlap_ratio
+           |  FROM eh LEFT JOIN hits ON eh.doc_id = hits.doc_id)
+           |SELECT doc_id, n_grams, n_overlap, overlap_ratio,
+           |  overlap_ratio >= 0.5 AS contaminated
+           |FROM scored ORDER BY doc_id""".stripMargin),
+      doc = "Train/eval n-gram overlap decontamination check"),
+
+    // PII scrubbing (TextOps.redactPii): single-pass vectorized regex
+    // redaction with per-doc counts and a digest of the redacted text (the
+    // digest pins the exact redaction output, not just the counts). The
+    // fixture corpus carries no PII, so deterministic synthetic emails and
+    // phone numbers are injected first; patterns are restricted to
+    // constructs with identical Java-regex/RE2 semantics.
+    "txt_pii_redact" -> QueryDef(
+      build = (s, dir) => {
+        val withPii = docs(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 3,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 5,
+            concat(lit(" call +49-555-0"), (col("doc_id") % 10).cast("string"),
+              lit("23 today"))).otherwise(lit(""))).as("text"))
+        withPii.select(col("doc_id"),
+            regexp_count(col("text"), lit(TextOps.emailRe)).as("n_emails"),
+            regexp_count(col("text"), lit(TextOps.phoneRe)).as("n_phones"),
+            sha2(encode(TextOps.redactPii(col("text")), "UTF-8"), 256)
+              .as("redacted_sha"),
+            length(TextOps.redactPii(col("text"))).as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH withpii AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 3
+           |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 5
+           |      THEN ' call +49-555-0' || CAST(doc_id % 10 AS VARCHAR) || '23 today'
+           |      ELSE '' END AS text
+           |  FROM documents),
+           |red AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '${TextOps.emailRe}')) AS INT) AS n_emails,
+           |    CAST(len(regexp_extract_all(text, '${TextOps.phoneRe}')) AS INT) AS n_phones,
+           |    regexp_replace(regexp_replace(text, '${TextOps.emailRe}', '<EMAIL>', 'g'),
+           |                   '${TextOps.phoneRe}', '<PHONE>', 'g') AS r
+           |  FROM withpii)
+           |SELECT doc_id, n_emails, n_phones, sha256(r) AS redacted_sha,
+           |  CAST(length(r) AS INT) AS redacted_len
+           |FROM red ORDER BY doc_id""".stripMargin),
+      doc = "PII redaction: typed email/phone scrubbing with digest-pinned output"),
+
+    // Sequence packing (scale/Packing): docs fill fixed token-budget
+    // training sequences in stable order within each source — the
+    // pretraining-loader shard assignment as one window cumsum, no
+    // sequential bin state.
+    "pack_sequences" -> QueryDef(
+      build = (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("toks"))
+        Packing.packSummary(d, "source", "doc_id", "toks", budget = 2000L)
+          .orderBy("source", "seq_id")
+      },
+      oracle = Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS BIGINT) AS toks
+           |  FROM documents),
+           |packed AS (
+           |  SELECT source, doc_id, toks,
+           |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks AS cum_before
+           |  FROM toks),
+           |seqs AS (
+           |  SELECT source, doc_id, toks,
+           |    CAST(FLOOR(CAST(cum_before AS DOUBLE) / 2000.0) AS BIGINT) AS seq_id
+           |  FROM packed)
+           |SELECT source, seq_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           |  ROUND(CAST(SUM(toks) AS DOUBLE) / 2000.0, 6) AS utilization,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM seqs GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
+      doc = "Token-budget sequence packing: per-sequence composition summary"),
+
     // ---------------- deduplication ----------------
 
     "dedup_exact" -> QueryDef(
@@ -511,6 +628,63 @@ object ScaleQueries {
            |          JOIN sigs sb ON cand.doc_b = sb.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "MinHash(8) + LSH(4x2) candidate pairs with exact-Jaccard verify"),
+
+    // Pair graph -> components: pairs alone under-delete (A~B, B~C keeps A
+    // and C); production dedup resolves the graph and keeps one canonical
+    // doc per component. Corpus: originals + one mutant per 20th doc + a
+    // second mutant per 40th doc, so some components have 3 members and the
+    // merge step actually merges. scale/Clusters iterates min-label
+    // propagation with pointer jumping (O(log diameter) rounds); the oracle
+    // replays it as a recursive reachability CTE.
+    "dedup_clusters" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val corpus = d.select("doc_id", "text", "source")
+          .unionByName(d.filter(col("doc_id") % 20 === 0).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+            col("source")))
+          .unionByName(d.filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"),
+              lit(" near duplicate suffix marker second mutation tail")).as("text"),
+            col("source")))
+        val pairs = NearDup.jaccardPairs(corpus, "doc_id", "source",
+          shingleN = 3, threshold = 0.2)
+        Clusters.dedupClusters(pairs, "doc_a", "doc_b").orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE clusterdocs AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000, text || ' near duplicate suffix marker', source
+           |  FROM documents WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 400000,
+           |    text || ' near duplicate suffix marker second mutation tail', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM clusterdocs),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.2
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.2),
+           |reach(n, r) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+           |cc AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+           |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+           |SELECT cc.doc_id, cc.cluster_id, sized.cluster_size,
+           |  cc.doc_id = cc.cluster_id AS is_canonical
+           |FROM cc JOIN sized ON cc.cluster_id = sized.cluster_id
+           |ORDER BY doc_id""".stripMargin),
+      doc = "Near-dup pair graph resolved to connected components (canonical keep/drop)"),
 
     // Incremental admission — the shape a 100 TB training pipeline actually
     // runs: the corpus exists only as its persisted signature index

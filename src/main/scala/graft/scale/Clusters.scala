@@ -1,0 +1,95 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-component resolution over near-dup candidate pairs — the stage
+  * that turns pairwise similarity hits (NearDup/Similarity output) into
+  * keep/drop decisions. Pairs alone under-delete: if A~B and B~C, keeping
+  * "the lower id of each pair" keeps A and C even though all three are one
+  * duplicate group. Production dedup (the reference pipelines' published
+  * shape — MapReduce CC, Kiveris et al. 2014; see PAPERS.md) resolves the
+  * pair graph into components and keeps one canonical doc per component.
+  *
+  * 100 TB posture: iterative min-label propagation with pointer jumping —
+  * each round is one edge-join + groupBy-min (shuffle on node id) plus one
+  * label-to-label join, and the jump squares resolved path lengths, so
+  * rounds needed grow with log(component diameter), not diameter. Dedup
+  * components are overwhelmingly tiny (pairs/triples), so in practice 2-3
+  * rounds converge; the driver-side loop only ever compares one boolean per
+  * round (`changed.isEmpty`), never collects data.
+  */
+object Clusters {
+
+  /** Resolves the undirected pair graph into components.
+    * Returns one row per node appearing in `pairs`:
+    * (node, cluster_id) with cluster_id = the component's minimum node id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 16): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // Checkpoints (not persists) throughout: the loop self-joins its own
+    // output, so a nested plan doubles per round — lineage must be cut to
+    // the materialized rows each iteration, or analysis alone blows up
+    // around round 6.
+    // Undirected edges plus a self-loop per node: with self-loops,
+    // min-over-neighbor-labels subsumes "keep own label", so the loop body
+    // is one join + groupBy with no per-round union (unions whose branches
+    // descend from the same checkpointed relation trip Union's constraint
+    // rewrite in analysis).
+    val nodes = half.select(col("src"))
+      .union(half.select(col("dst").as("src"))).distinct()
+    val edges = graft.Caches.localCheckpoint(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .union(nodes.select(col("src"), col("src").as("dst")))
+        .distinct())
+    var labels = graft.Caches.localCheckpoint(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    // Labels only ever decrease pointwise, so the label sum is a strictly
+    // decreasing convergence witness: one scalar action per round instead
+    // of a change-detection join.
+    var labelSum = sumOf(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // min over every neighbor's label (self-loop covers the own label)
+      val prop = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.node"))
+        .groupBy(col("e.src").as("node"))
+        .agg(min(col("l.label")).as("label"))
+      // pointer jump: follow the label one more hop (label(label(x))).
+      // Every label is itself a node of the pair graph (labels start as node
+      // ids and min() keeps them in-set), so the join always matches.
+      val jumped = graft.Caches.localCheckpoint(prop.as("p")
+        .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
+          col("p.label") === col("j.jn"), "left")
+        .select(col("p.node").as("node"),
+          coalesce(col("j.jl"), col("p.label")).as("label")))
+      val newSum = sumOf(jumped)
+      done = newSum == labelSum
+      labelSum = newSum
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  private def sumOf(labels: DataFrame): Long = {
+    val r = labels.agg(sum("label")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** [[connectedComponents]] plus the dedup verdict: cluster size and the
+    * canonical flag (lowest id in the component survives). One row per doc
+    * that participated in at least one pair.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("node") === col("cluster_id")).as("is_canonical"))
+  }
+}

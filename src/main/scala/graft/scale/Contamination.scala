@@ -1,0 +1,50 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination detection: how much of an eval document's
+  * n-gram set already appears anywhere in the training corpus. The standard
+  * pre-training hygiene check (n-gram-overlap decontamination as published
+  * for GPT-3/C4-style pipelines — see PAPERS.md): an eval doc whose n-grams
+  * largely exist in the training set cannot be used to measure
+  * generalization, so it is flagged and dropped from the benchmark (or the
+  * colliding train docs are dropped from the corpus).
+  *
+  * 100 TB posture: the train side collapses to its DISTINCT n-gram *hash*
+  * set — fixed-width longs, one shuffle to build, reusable across eval
+  * suites (persist it like the MinHash signature index). The probe is a
+  * left-semi join on the hash — no text moves, no quadratic pair set, and
+  * the eval side is tiny by construction. Skewed boilerplate n-grams cost
+  * nothing extra: the train set is distinct, so each eval n-gram matches at
+  * most one index row.
+  */
+object Contamination {
+
+  /** Distinct n-gram hash set of a corpus — the persistable index. */
+  def ngramIndex(train: DataFrame, shingleN: Int = 3): DataFrame =
+    train.select(explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
+      .distinct()
+
+  /** One row per eval doc: distinct n-gram count, how many of those occur
+    * in the train corpus, the overlap ratio, and the contamination flag at
+    * `threshold`.
+    */
+  def overlap(train: DataFrame, eval: DataFrame, idCol: String,
+              shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val index = ngramIndex(train, shingleN)
+    val evalGrams = eval.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s"))
+    val hits = evalGrams.join(index, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    eval.select(col(idCol).as("doc_id"),
+        size(array_distinct(TextOps.shingleHashes(col("text"), shingleN)))
+          .cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("overlap_ratio") >= lit(threshold))
+  }
+}

@@ -138,6 +138,21 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"))
 
+  /** PII patterns — kept to constructs with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB oracle): character classes + bounded
+    * repetition, no lookaround, no backreferences.
+    */
+  val emailRe: String = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe: String = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: emails then phone numbers replaced by typed tags — one
+    * vectorized regex pass each, embarrassingly parallel at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** Language-ID marker dictionaries (n-gram heuristic): score = marker-token
     * hits per language; argmax with alphabetical tie-break.
     */
