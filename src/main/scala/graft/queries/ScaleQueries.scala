@@ -100,6 +100,12 @@ object ScaleQueries {
     "en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.6)
   private val defaultRate = 0.1
 
+  /** Target mixture shares for q:sample_rebalance (single-sourced into the
+    * oracle CASE the same way).
+    */
+  private val rebalanceTargets = Map(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
   /** = Sampling.sampleBucket: salt-prefixed rolling hash, squared mod P
     * (mid-square mixing), bucketed to 1e4.
     */
@@ -179,6 +185,77 @@ object ScaleQueries {
            |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
            |FROM mixed GROUP BY mix_source ORDER BY mix_source""".stripMargin),
       doc = "Weighted deterministic corpus mixture (hash-gated union, shuffle-free)"),
+
+    // Rebalance to a target language mixture: keep-rates are COMPUTED from
+    // observed counts (scale = min_g N_g/t_g, rate_g = scale*t_g/N_g) and
+    // applied with the deterministic hash gate — the domain-reweighting
+    // step of a training mixture, auditable end to end.
+    "sample_rebalance" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val kept = Sampling.rebalanceToTarget(
+          d, "doc_id", "lang", rebalanceTargets, "bal1")
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+          .join(d.groupBy("lang").agg(count(lit(1)).as("n_total")), "lang")
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("total_kept"))))
+          .withColumn("realized_share",
+            round(col("n_kept").cast("double") / col("total_kept"), 4))
+          .select("lang", "n_total", "n_kept", "sum_kept_ids",
+            "total_kept", "realized_share")
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val cases = rebalanceTargets.toSeq.sorted.map { case (l, w) =>
+          s"WHEN '$l' THEN CAST($w AS DOUBLE)"
+        }.mkString(" ")
+        s"""WITH tgt AS (
+           |  SELECT lang, COUNT(*) AS n_g,
+           |    CASE lang $cases ELSE NULL END AS t_g
+           |  FROM documents GROUP BY lang),
+           |c AS (SELECT MIN(CAST(n_g AS DOUBLE) / t_g) AS scale_c
+           |  FROM tgt WHERE t_g IS NOT NULL),
+           |rates AS (
+           |  SELECT lang, least(1.0, c.scale_c * t_g / CAST(n_g AS DOUBLE)) AS rate
+           |  FROM tgt, c WHERE t_g IS NOT NULL),
+           |kept AS (
+           |  SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+           |  WHERE ${sqlBucket("CAST(doc_id AS VARCHAR)", "bal1")} < ROUND(r.rate * 10000)),
+           |tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+           |tk AS (SELECT COUNT(*) AS total_kept FROM kept)
+           |SELECT k.lang, CAST(MAX(tot.n_total) AS BIGINT) AS n_total,
+           |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(k.doc_id) AS BIGINT) AS sum_kept_ids,
+           |  CAST(MAX(tk.total_kept) AS BIGINT) AS total_kept,
+           |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tk.total_kept), 4) AS realized_share
+           |FROM kept k JOIN tot ON k.lang = tot.lang, tk
+           |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+      },
+      doc = "Rebalance corpus to a target mixture (computed rates + hash gate)"),
+
+    // Per-label embedding centroids — the E-step/cluster-profile shape
+    // (posexplode -> one hash aggregation per (label, dim)); one scalar row
+    // per dimension, no array output (the harness canonicalizer sorts
+    // columns, and array cells don't sort).
+    "emb_label_centroids" -> QueryDef(
+      build = (s, dir) =>
+        embs(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(round(avg(col("v").cast("double")), 6).as("mean"),
+            count(lit(1)).as("n_vecs"))
+          .orderBy("label", "pos"),
+      oracle = Some(
+        s"""WITH dims AS (SELECT unnest(generate_series(1,
+           |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+           |ex AS (
+           |  SELECT label, CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+           |  FROM embeddings, dims WHERE i <= len(embedding))
+           |SELECT label, pos, ROUND(AVG(v), 6) AS mean,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+           |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+      doc = "Per-label embedding centroids, one scalar row per dimension"),
 
     // Int8-quantized cosine top-k: per-vector symmetric scales cancel in
     // cosine, so ranking is pure integer arithmetic — exact in any engine.
@@ -471,6 +548,48 @@ object ScaleQueries {
            |  CAST(length(r) AS INT) AS redacted_len
            |FROM red ORDER BY doc_id""".stripMargin),
       doc = "PII redaction: typed email/phone scrubbing with digest-pinned output"),
+
+    // Intra-document repetition (TextOps.ngramsAll): share of the doc's
+    // n-gram MULTISET taken by its most frequent n-gram — the boilerplate/
+    // degenerate-text filter (repeated nav bars, keyword stuffing). Docs
+    // with injected repeated boilerplate must flag; explode -> two hash
+    // aggregations, fully shuffle-parallel.
+    "txt_repetition" -> QueryDef(
+      build = (s, dir) => {
+        val boiler = " buy now click here"
+        val d = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 9 === 4,
+            concat(col("text"), lit(boiler * 6))).otherwise(col("text")).as("text"))
+        val grams = d.select(col("doc_id"),
+          explode(TextOps.ngramsAll(col("text"), 3)).as("g"))
+        val freq = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        freq.groupBy("doc_id")
+          .agg(sum("c").as("n_grams"), max("c").as("top_count"))
+          .withColumn("rep_ratio",
+            round(col("top_count").cast("double") / col("n_grams"), 6))
+          .withColumn("repetitive", col("rep_ratio") >= 0.05)
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val ngramsAllSql =
+          "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), " +
+            "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"
+        s"""WITH boosted AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 9 = 4
+           |    THEN text || repeat(' buy now click here', 6) ELSE text END AS text
+           |  FROM documents),
+           |grams AS (SELECT doc_id, unnest($ngramsAllSql) AS g FROM boosted),
+           |freq AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+           |agg AS (
+           |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           |    CAST(MAX(c) AS BIGINT) AS top_count
+           |  FROM freq GROUP BY doc_id)
+           |SELECT doc_id, n_grams, top_count,
+           |  ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS rep_ratio,
+           |  ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) >= 0.05 AS repetitive
+           |FROM agg ORDER BY doc_id""".stripMargin
+      },
+      doc = "Intra-doc repetition: top n-gram share of the n-gram multiset"),
 
     // Sequence packing (scale/Packing): docs fill fixed token-budget
     // training sequences in stable order within each source — the

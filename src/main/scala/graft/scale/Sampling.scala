@@ -53,6 +53,36 @@ object Sampling {
     df.filter(sampleBucket(col(keyCol), salt) < threshold)
   }
 
+  /** Rebalance a corpus to a target mixture over `stratumCol`: per-stratum
+    * keep-rates are COMPUTED from the observed counts (rate_g =
+    * scale·t_g/N_g with scale = min_g N_g/t_g — the largest output for
+    * which no stratum is over-asked), then applied with the same
+    * deterministic hash gate as [[hashSample]]. Strata not in `targets`
+    * are dropped. This is the domain-reweighting step of a training
+    * mixture (DoReMi-style fixed-weight application, not the optimizer):
+    * two aggregations + one broadcast-sized join of per-stratum rates —
+    * the corpus itself is touched once, and the decision stays a pure
+    * function of (key, salt) so retries and the oracle agree row for row.
+    */
+  def rebalanceToTarget(df: DataFrame, keyCol: String, stratumCol: String,
+                        targets: Map[String, Double], salt: String): DataFrame = {
+    val share = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+        when(col(stratumCol) === s, lit(w)).otherwise(acc)
+      }
+    val tagged = df.withColumn("target_share", share)
+      .filter(col("target_share").isNotNull)
+    val counts = tagged.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_g"), first(col("target_share")).as("t_g"))
+    val budget = counts.agg(
+      min(col("n_g").cast("double") / col("t_g")).as("scale_c"))
+    val rates = counts.crossJoin(budget)
+      .withColumn("rate", least(lit(1.0),
+        col("scale_c") * col("t_g") / col("n_g").cast("double")))
+    tagged.join(rates.select(col(stratumCol), col("rate")), Seq(stratumCol))
+      .filter(sampleBucket(col(keyCol), salt) < round(col("rate") * 10000))
+  }
+
   /** Weighted corpus mixture: each part is hash-sampled at its rate under
     * a part-specific salt and tagged `mix_source`. One scan per part, no
     * shuffle — the mixture is a pure filter + union.

@@ -65,6 +65,16 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** All word n-grams with duplicates kept ([[shingles]] without the
+    * distinct) — the multiset view repetition detection needs.
+    */
+  def ngramsAll(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    transform(sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
   /** Native fused form of [[shingles]] (one pass, no HOF chain) — kept
     * spec-cross-checked against the builtin composition. Sessions must
     * register `graft.functions.Hashing.register` first.
