@@ -87,6 +87,39 @@ object WindowQueries {
            |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
       doc = "W session windows (30 min gap) per user"),
 
+    // Key-equal interval join (operators/IntervalJoin): every purchase
+    // attributed to the same user's clicks in the preceding hour. The same
+    // function joins two watermarked streams (stream-stream inner join with
+    // provably bounded state) — IntervalJoinSpec pins stream ≡ batch; this
+    // is the deterministic batch form.
+    "w_click_attribution" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        IntervalJoin.attribute(clicks, purchases, "user_id",
+            "click_ts", "purchase_ts", horizonSeconds = 3600)
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+              .as("micros_between"))
+          .orderBy("purchase_id", "click_id")
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+          |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase')
+          |SELECT p.purchase_id, c.click_id, c.user_id,
+          |  date_diff('microsecond', c.click_ts, p.purchase_ts) AS micros_between
+          |FROM c JOIN p ON c.user_id = p.user_id
+          | AND p.purchase_ts >= c.click_ts
+          | AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECOND
+          |ORDER BY purchase_id, click_id""".stripMargin),
+      doc = "Interval join: purchases attributed to same-user clicks within 1h"),
+
     // S7/F5/F6: time-bounded replay with a user filter — the bounded batch
     // read + re-publish projection (service/EventReplayService.java:45-147).
     "s7_replay_window" -> QueryDef(
