@@ -234,6 +234,50 @@ object ScaleQueries {
       },
       doc = "Rebalance corpus to a target mixture (computed rates + hash gate)"),
 
+    // Balanced ordered sharding (scale/Sharding): quantile boundaries +
+    // per-row comparison fold — the explicit, oracle-replayable form of
+    // repartitionByRange's layout decision. 8 shards over doc length.
+    "shard_range" -> QueryDef(
+      build = (s, dir) =>
+        Sharding.shardSummary(docs(s, dir), "n_chars", nShards = 8)
+          .orderBy("shard_id"),
+      oracle = Some {
+        val probs = (1 until 8).map(k => k / 8.0).mkString(", ")
+        s"""WITH bs AS (SELECT quantile_cont(n_chars, [$probs]) AS b FROM documents),
+           |a AS (
+           |  SELECT d.n_chars,
+           |    CAST(len(list_filter(bs.b, x -> d.n_chars > x)) AS INT) AS shard_id
+           |  FROM documents d, bs)
+           |SELECT shard_id, COUNT(*) AS n_rows,
+           |  MIN(n_chars) AS min_key, MAX(n_chars) AS max_key
+           |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin
+      },
+      doc = "Balanced range sharding: quantile boundaries, per-shard balance report"),
+
+    // Corpus report over GROUPING SETS (CUBE lang x source): doc counts and
+    // token totals at every granularity in one pass — the corpus-card
+    // rollup a dataset release ships.
+    "corpus_report" -> QueryDef(
+      build = (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), col("source"),
+            TextOps.bpeishTokenCount(col("text")).cast("long").as("toks"))
+          .cube(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("lang"), col("source")),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT lang, source,
+          |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS BIGINT) AS toks
+          |  FROM documents)
+          |SELECT lang, source, COUNT(*) AS n_docs,
+          |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid
+          |FROM t GROUP BY CUBE (lang, source)
+          |ORDER BY gid, lang, source""".stripMargin),
+      doc = "Corpus card: CUBE(lang, source) doc/token rollup with grouping ids"),
+
     // Per-label embedding centroids — the E-step/cluster-profile shape
     // (posexplode -> one hash aggregation per (label, dim)); one scalar row
     // per dimension, no array output (the harness canonicalizer sorts
@@ -1074,6 +1118,30 @@ object ScaleQueries {
           |  CAST(unicode(substr(text, 1, 1)) % 16 AS INT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Multimodal decode-stub: typed mapPartitions over binary payloads"),
+
+    // Frame sampling (Multimodal.sampleFrames): uniform-stride indices +
+    // stub per-frame extraction in the same typed mapPartitions shape as
+    // the decode — fan-out bounded at `target` rows per media row.
+    "mm_frame_sample" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.mediaFromDocuments(docs(s, dir)), target = 4)
+          .toDF().orderBy("doc_id", "frame_idx"),
+      oracle = Some(
+        """WITH meta AS (
+          |  SELECT doc_id, text, unicode(substr(text, 1, 1)) % 16 AS n_frames
+          |  FROM documents),
+          |valid AS (SELECT doc_id, text, n_frames, least(4, n_frames) AS k
+          |  FROM meta WHERE n_frames > 0),
+          |series AS (SELECT unnest(generate_series(0, 15)) AS i),
+          |picks AS (
+          |  SELECT DISTINCT doc_id, text,
+          |    CAST(FLOOR(CAST(i * n_frames AS DOUBLE) / k) AS INT) AS frame_idx
+          |  FROM valid, series WHERE i < k)
+          |SELECT doc_id, frame_idx,
+          |  sha256(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+          |FROM picks ORDER BY doc_id, frame_idx""".stripMargin),
+      doc = "Uniform-stride frame sampling with stub per-frame extraction"),
 
     "mm_content_hash" -> QueryDef(
       build = (s, dir) =>

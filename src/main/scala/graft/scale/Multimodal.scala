@@ -51,6 +51,38 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: the decode-stub digest stands in for the frame
+    * tensor a real codec would return.
+    */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_digest: String)
+
+  /** Uniform-stride frame sampling, the video-side analog of [[decodeMeta]]:
+    * up to `target` frames per media row at indices floor(i·n_frames/k),
+    * k = min(target, n_frames). Index selection is pure arithmetic; the
+    * per-frame "extraction" is the stub digest of (payload, index), and the
+    * partition iterator is where a real build seeks/decodes — one codec
+    * (and one digest instance) per partition, not per frame. Frame fan-out
+    * is bounded at `target` rows per media row, so output size is
+    * predictable at any corpus scale.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], target: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val m = decodeOne(r)
+        val k = math.min(target, m.n_frames)
+        if (k <= 0) Iterator.empty
+        else (0 until k).map(i => i * m.n_frames / k).distinct.iterator.map { idx =>
+          md.reset()
+          md.update(r.payload)
+          md.update(s"#$idx".getBytes("UTF-8"))
+          FrameSample(r.doc_id, idx, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Builds a deterministic media frame from the documents fixture: the
     * UTF-8 text bytes play the role of the opaque payload.
     */

@@ -1,0 +1,45 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Balanced ordered sharding: assign rows to `nShards` contiguous key
+  * ranges of ~equal row count — the write-path layout step for ordered
+  * storage (sorted parquet shards, ordered training-data files). This is
+  * what `repartitionByRange` does internally, made explicit and
+  * deterministic: boundaries at the k/n quantiles, shard id = number of
+  * boundaries strictly below the key, so the assignment is a pure function
+  * of (key, boundary list) and replays identically anywhere — including
+  * in the DuckDB oracle.
+  *
+  * Scale: the boundary aggregation is one pass (exact `percentile` here —
+  * sort-based; at 100 TB swap in `approx_percentile`, which is the same
+  * sampled estimate `repartitionByRange` uses, and accept ±ε balance).
+  * Assignment broadcasts n-1 doubles and folds one comparison per
+  * boundary per row — no shuffle at all until the caller actually
+  * repartitions/writes by `shard_id`.
+  */
+object Sharding {
+
+  /** Adds `shard_id` in [0, nShards): contiguous in `keyCol` order,
+    * ~equal-count (ties share a shard — a tied key never splits).
+    */
+  def rangeShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 1, "need at least 2 shards")
+    val probs = (1 until nShards).map(_.toDouble / nShards)
+    val bounds = df.agg(
+      expr(s"percentile($keyCol, array(${probs.mkString(", ")}))").as("_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("shard_id",
+        aggregate(col("_bounds"), lit(0),
+          (acc, b) => acc + when(col(keyCol) > b, 1).otherwise(0)))
+      .drop("_bounds")
+  }
+
+  /** Per-shard balance report: row count and key range per shard. */
+  def shardSummary(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
+    rangeShards(df, keyCol, nShards)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+}
