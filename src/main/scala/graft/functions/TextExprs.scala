@@ -158,6 +158,33 @@ object TextKernels {
     }
     res
   }
+
+  /** Per-document n-gram repetition statistic: [total n-grams (multiset),
+    * top n-gram count] in one pass. Counting is by exact gram string (a
+    * per-doc hash map), so the values match a string-keyed explode +
+    * count exactly — no hash-collision drift against the oracle.
+    */
+  def ngramRep(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - (n - 1), 1)
+    val freq = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val c = freq.merge(sb.toString, 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](count.toLong, top.toLong))
+  }
 }
 
 /** `graft_shingle_hashes(text, n, mod)`: distinct word n-gram shingle
@@ -203,6 +230,22 @@ final case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_minhash_sig"
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_ngram_rep(text, n)`: [total multiset n-grams, top n-gram count]
+  * — the per-document repetition statistic as one native pass (a per-doc
+  * stat needs no gram explode/shuffle at any scale).
+  */
+final case class NgramRepExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.ngramRep(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.ngramRep($t, $n)")
+  override def prettyName: String = "graft_ngram_rep"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `graft_simhash32(text, mod)`: 32-bit SimHash of a string's tokens. */

@@ -593,22 +593,22 @@ object ScaleQueries {
            |FROM red ORDER BY doc_id""".stripMargin),
       doc = "PII redaction: typed email/phone scrubbing with digest-pinned output"),
 
-    // Intra-document repetition (TextOps.ngramsAll): share of the doc's
-    // n-gram MULTISET taken by its most frequent n-gram — the boilerplate/
-    // degenerate-text filter (repeated nav bars, keyword stuffing). Docs
-    // with injected repeated boilerplate must flag; explode -> two hash
-    // aggregations, fully shuffle-parallel.
+    // Intra-document repetition: share of the doc's n-gram MULTISET taken
+    // by its most frequent n-gram — the boilerplate/degenerate-text filter
+    // (repeated nav bars, keyword stuffing). One native pass per doc
+    // (TextOps.ngramRep) — a per-doc stat needs no gram explode/shuffle;
+    // the explode + count composition is spec-cross-checked.
     "txt_repetition" -> QueryDef(
       build = (s, dir) => {
+        graft.functions.Hashing.register(s)
         val boiler = " buy now click here"
         val d = docs(s, dir).select(col("doc_id"),
           when(col("doc_id") % 9 === 4,
             concat(col("text"), lit(boiler * 6))).otherwise(col("text")).as("text"))
-        val grams = d.select(col("doc_id"),
-          explode(TextOps.ngramsAll(col("text"), 3)).as("g"))
-        val freq = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        freq.groupBy("doc_id")
-          .agg(sum("c").as("n_grams"), max("c").as("top_count"))
+        d.select(col("doc_id"), TextOps.ngramRep(col("text"), 3).as("rep"))
+          .select(col("doc_id"),
+            col("rep").getItem(0).as("n_grams"),
+            col("rep").getItem(1).as("top_count"))
           .withColumn("rep_ratio",
             round(col("top_count").cast("double") / col("n_grams"), 6))
           .withColumn("repetitive", col("rep_ratio") >= 0.05)

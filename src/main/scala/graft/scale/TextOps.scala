@@ -75,6 +75,16 @@ object TextOps {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
+  /** Per-document repetition statistic as one native pass:
+    * `[total multiset n-grams, top n-gram count]` (`graft_ngram_rep`).
+    * A per-doc stat needs no gram explode/shuffle at any scale; the
+    * explode + count composition over [[ngramsAll]] is kept
+    * spec-cross-checked. Sessions must register
+    * `graft.functions.Hashing.register` first.
+    */
+  def ngramRep(text: Column, n: Int = 3): Column =
+    call_function("graft_ngram_rep", text, lit(n))
+
   /** Native fused form of [[shingles]] (one pass, no HOF chain) — kept
     * spec-cross-checked against the builtin composition. Sessions must
     * register `graft.functions.Hashing.register` first.

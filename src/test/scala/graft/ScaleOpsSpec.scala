@@ -53,6 +53,16 @@ class ScaleOpsSpec extends SparkSpec {
     val expl = NearDup.simhash32Exploded(d, "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nat == expl)
+    // ngram repetition: one-pass kernel vs explode + two aggregations
+    val natRep = d.select(col("doc_id"), TextOps.ngramRep(col("text")).as("r"))
+      .select(col("doc_id"), col("r").getItem(0), col("r").getItem(1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val explRep = d.select(col("doc_id"),
+        explode(TextOps.ngramsAll(col("text"), 3)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(sum("count").as("t"), max("count").as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(natRep == explRep)
   }
 
   test("minhash signatures: near-identical docs collide on most components") {
