@@ -301,6 +301,55 @@ object ScaleQueries {
            |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       doc = "Per-label embedding centroids, one scalar row per dimension"),
 
+    // Semantic outlier filter: cosine of each vector to its own label
+    // centroid, lowest-10 per label flagged — the embedding-space quality
+    // gate (mislabeled/degenerate samples sit far from their cluster).
+    // The centroid table is labels x dims (tiny) and broadcast; the
+    // per-vector score is one joined aggregation.
+    "emb_outliers" -> QueryDef(
+      build = (s, dir) => {
+        val ex = embs(s, dir).select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("v", col("v").cast("double"))
+        val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("m"))
+        val sc = ex.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("v") * col("m")).as("dot_c"),
+            sum(col("v") * col("v")).as("n2_v"),
+            sum(col("m") * col("m")).as("n2_c"))
+          .select(col("vec_id"), col("label"),
+            round(col("dot_c") / (sqrt(col("n2_v")) * sqrt(col("n2_c"))), 6)
+              .as("cos_c"))
+        sc.withColumn("orank", row_number().over(
+            Window.partitionBy("label").orderBy(col("cos_c").asc, col("vec_id")))
+          .cast("int"))
+          .filter(col("orank") <= 10)
+          .select("label", "orank", "vec_id", "cos_c")
+          .orderBy("label", "orank")
+      },
+      oracle = Some(
+        s"""WITH dims AS (SELECT unnest(generate_series(1,
+           |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+           |ex AS (
+           |  SELECT label, vec_id, CAST(i - 1 AS INT) AS pos,
+           |    CAST(embedding[i] AS DOUBLE) AS v
+           |  FROM embeddings, dims WHERE i <= len(embedding)),
+           |cent AS (SELECT label, pos, AVG(v) AS m FROM ex GROUP BY label, pos),
+           |sc AS (
+           |  SELECT ex.vec_id, ex.label,
+           |    SUM(ex.v * cent.m) AS dot_c, SUM(ex.v * ex.v) AS n2_v,
+           |    SUM(cent.m * cent.m) AS n2_c
+           |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+           |  GROUP BY ex.vec_id, ex.label),
+           |scored AS (SELECT vec_id, label,
+           |    ROUND(dot_c / (sqrt(n2_v) * sqrt(n2_c)), 6) AS cos_c FROM sc),
+           |ranked AS (SELECT label, vec_id, cos_c,
+           |    CAST(row_number() OVER (PARTITION BY label ORDER BY cos_c ASC, vec_id) AS INT) AS orank
+           |  FROM scored)
+           |SELECT label, orank, vec_id, cos_c FROM ranked
+           |WHERE orank <= 10 ORDER BY label, orank""".stripMargin),
+      doc = "Embedding outliers: lowest cosine-to-own-centroid per label"),
+
     // Int8-quantized cosine top-k: per-vector symmetric scales cancel in
     // cosine, so ranking is pure integer arithmetic — exact in any engine.
     // 4x less vector data through scan/shuffle at ~1% cosine error.
@@ -546,6 +595,39 @@ object ScaleQueries {
            |  overlap_ratio >= 0.5 AS contaminated
            |FROM scored ORDER BY doc_id""".stripMargin),
       doc = "Train/eval n-gram overlap decontamination check"),
+
+    // Corpus vocabulary heavy hitters: top tokens by occurrence with doc
+    // frequency — explode + one map-side-combined aggregation + top-k.
+    // At 100 TB this is the canonical heavy-hitter shape (partial
+    // aggregation collapses each partition to its token counts before the
+    // single shuffle; a count-min sketch replaces exactness only when the
+    // vocabulary itself exceeds memory).
+    "txt_vocab_topk" -> QueryDef(
+      build = (s, dir) => {
+        val grams = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val agg = grams.groupBy("t").agg(
+          count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        agg.withColumn("rank", row_number().over(
+            Window.orderBy(col("n_occ").desc, col("t"))).cast("int"))
+          .filter(col("rank") <= 50)
+          .select("rank", "t", "n_occ", "n_docs")
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH grams AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |agg AS (
+          |  SELECT t, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+          |  FROM grams GROUP BY t),
+          |ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, t) AS INT) AS rank,
+          |    t, n_occ, n_docs
+          |  FROM agg)
+          |SELECT rank, t, n_occ, n_docs FROM ranked
+          |WHERE rank <= 50 ORDER BY rank""".stripMargin),
+      doc = "Vocabulary heavy hitters: top-50 tokens by occurrence + doc frequency"),
 
     // PII scrubbing (TextOps.redactPii): single-pass vectorized regex
     // redaction with per-doc counts and a digest of the redacted text (the

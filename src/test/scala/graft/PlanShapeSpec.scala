@@ -94,6 +94,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("per-doc repetition stat is a pure map: no exchange before the sort") {
+    // The native kernel keeps the statistic per-row; the only exchange in
+    // the whole plan is the final presentation orderBy's range partition.
+    // (The explode composition this replaced shuffled every n-gram row.)
+    graft.functions.Hashing.register(spark)
+    val plan = SparkEntry.registry("txt_repetition").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    val nExchange = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(nExchange == 1, s"expected only the orderBy exchange:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate"), s"no explode expected:\n${plan.take(3000)}")
+  }
+
+  test("contamination probe is a semi-join; eval side never carries text") {
+    val plan = SparkEntry.registry("txt_contamination").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("range sharding broadcasts only the boundary row; data side unshuffled") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val tagged = graft.scale.Sharding.rangeShards(
+        Tables.documents(spark, sf()), "n_chars", nShards = 8)
+      val plan = tagged.queryExecution.executedPlan.toString
+      // one broadcast (the 7 boundary doubles); no hash/range exchange of
+      // the data side before assignment
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no cached frames survive a stage-persisted query + Caches.release") {
     Caches.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
