@@ -629,6 +629,36 @@ object ScaleQueries {
           |WHERE rank <= 50 ORDER BY rank""".stripMargin),
       doc = "Vocabulary heavy hitters: top-50 tokens by occurrence + doc frequency"),
 
+    // Unigram corpus-LM scoring: avg log P(token) per doc under the
+    // corpus's own unigram distribution — the cheap perplexity proxy for
+    // quality filtering (garbled/unusual text scores low). Two phases:
+    // vocab counts (map-side combined), then a vocab join + per-doc
+    // aggregation. The vocab table is the only broadcast-or-shuffle
+    // decision; AQE picks broadcast while vocab stays small.
+    "txt_lm_score" -> QueryDef(
+      build = (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum("c").as("n_total"))
+        toks.join(vocab, "t").crossJoin(broadcast(total))
+          .withColumn("lp",
+            log(col("c").cast("double") / col("n_total").cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), round(avg("lp"), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+          |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logprob
+          |FROM toks JOIN vocab USING (t), total
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Unigram corpus-LM scoring: per-doc avg token log-probability"),
+
     // PII scrubbing (TextOps.redactPii): single-pass vectorized regex
     // redaction with per-doc counts and a digest of the redacted text (the
     // digest pins the exact redaction output, not just the counts). The
