@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal proto3 wire-format reader — the real decode path for the
+  * reference's value format (protobuf over Kafka, SURVEY §1.2), built
+  * directly on the PUBLIC wire spec (protobuf.dev encoding docs: varint
+  * tags `(field_no << 3) | wire_type`, types 0=varint, 1=fixed64,
+  * 2=length-delimited, 5=fixed32). `spark-protobuf`/`protobuf-java` are
+  * not in this container, so instead of stubbing, the engine carries its
+  * own ~100-line scanner: enough to project scalar/nested fields out of
+  * every message in the reference's 5 proto files (strings, int32/64,
+  * bools, enums-as-varints, nested messages incl.
+  * `google.protobuf.Timestamp`).
+  *
+  * Semantics follow proto3: an absent field yields its default ("" / 0),
+  * unknown fields and wire types are skipped, and the LAST occurrence of
+  * a scalar field wins (proto3 merge rule). Field paths descend nested
+  * messages: `"1.4"` = field 4 inside the message at field 1 (e.g.
+  * `metadata.timestamp` on every event envelope).
+  *
+  * Scale: one forward scan per (row, path) with no allocation until the
+  * leaf — codegen'd via the same static-call pattern as the text kernels.
+  * Compose with `KafkaIO.stripConfluentProtobufPrefix` for Confluent-
+  * framed values.
+  */
+object ProtoWire {
+
+  // ---- encode helpers (spec round-trips + offline fixture building) ----
+
+  def varintBytes(v0: Long): Array[Byte] = {
+    var v = v0
+    val out = new java.io.ByteArrayOutputStream(10)
+    var continue = true
+    while (continue) {
+      val b = (v & 0x7fL).toInt
+      v = v >>> 7
+      if (v == 0) { out.write(b); continue = false }
+      else out.write(b | 0x80)
+    }
+    out.toByteArray
+  }
+
+  private def tagBytes(fieldNo: Int, wireType: Int): Array[Byte] =
+    varintBytes(((fieldNo.toLong) << 3) | wireType)
+
+  def varintField(fieldNo: Int, v: Long): Array[Byte] =
+    tagBytes(fieldNo, 0) ++ varintBytes(v)
+
+  def lenField(fieldNo: Int, payload: Array[Byte]): Array[Byte] =
+    tagBytes(fieldNo, 2) ++ varintBytes(payload.length.toLong) ++ payload
+
+  def stringField(fieldNo: Int, s: String): Array[Byte] =
+    lenField(fieldNo, s.getBytes("UTF-8"))
+
+  /** google.protobuf.Timestamp message: {1: seconds, 2: nanos}. */
+  def timestampField(fieldNo: Int, seconds: Long, nanos: Int): Array[Byte] =
+    lenField(fieldNo, varintField(1, seconds) ++ varintField(2, nanos.toLong))
+
+  def message(fields: Array[Byte]*): Array[Byte] =
+    fields.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  // ---- decode: one forward scan per path ----
+
+  /** Reads a varint at `p`; returns the value and writes the next position
+    * into `posOut(0)`.
+    */
+  private def readVarint(b: Array[Byte], p0: Int, end: Int, posOut: Array[Int]): Long = {
+    var v = 0L
+    var shift = 0
+    var p = p0
+    while (p < end) {
+      val x = b(p) & 0xff
+      v |= (x & 0x7fL) << shift
+      p += 1
+      if ((x & 0x80) == 0) { posOut(0) = p; return v }
+      shift += 7
+      if (shift > 63) throw new IllegalArgumentException("varint too long")
+    }
+    throw new IllegalArgumentException("truncated varint")
+  }
+
+  /** Scans [from, end) for `fieldNo`. On a hit writes the span into
+    * `out = [kind, a, b]`: kind 0 = varint (a = value), kind 2 =
+    * length-delimited (a = start, b = end). Last occurrence wins
+    * (proto3 merge). Returns false when absent.
+    */
+  private def scan(bytes: Array[Byte], from: Int, end: Int, fieldNo: Int,
+                   out: Array[Long]): Boolean = {
+    val pos = new Array[Int](1)
+    var p = from
+    var found = false
+    while (p < end) {
+      val tag = readVarint(bytes, p, end, pos); p = pos(0)
+      val f = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      wt match {
+        case 0 =>
+          val v = readVarint(bytes, p, end, pos); p = pos(0)
+          if (f == fieldNo) { out(0) = 0; out(1) = v; found = true }
+        case 1 =>
+          if (f == fieldNo) { out(0) = 1; out(1) = p.toLong; out(2) = (p + 8).toLong; found = true }
+          p += 8
+        case 2 =>
+          val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          if (f == fieldNo) { out(0) = 2; out(1) = p.toLong; out(2) = (p + len).toLong; found = true }
+          p += len
+        case 5 =>
+          if (f == fieldNo) { out(0) = 5; out(1) = p.toLong; out(2) = (p + 4).toLong; found = true }
+          p += 4
+        case other =>
+          throw new IllegalArgumentException(s"unsupported wire type $other")
+      }
+    }
+    found
+  }
+
+  /** Descends `path` ("1.4" style); returns [kind, a, b] of the leaf span
+    * or null when any step is absent.
+    */
+  private def resolve(bytes: Array[Byte], path: UTF8String): Array[Long] = {
+    val parts = path.toString.split('.')
+    var from = 0
+    var end = bytes.length
+    val out = new Array[Long](3)
+    var i = 0
+    while (i < parts.length) {
+      if (!scan(bytes, from, end, parts(i).toInt, out)) return null
+      if (i < parts.length - 1) {
+        require(out(0) == 2, s"path step ${parts(i)} is not a message")
+        from = out(1).toInt
+        end = out(2).toInt
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** String/bytes field at `path` (proto3 default: empty string). */
+  def stringAtPath(bytes: Array[Byte], path: UTF8String): UTF8String = {
+    val span = resolve(bytes, path)
+    if (span == null) UTF8String.EMPTY_UTF8
+    else {
+      require(span(0) == 2, "field is not length-delimited")
+      UTF8String.fromBytes(bytes, span(1).toInt, (span(2) - span(1)).toInt)
+    }
+  }
+
+  /** Varint field (int32/int64/bool/enum) at `path` (proto3 default 0). */
+  def longAtPath(bytes: Array[Byte], path: UTF8String): Long = {
+    val span = resolve(bytes, path)
+    if (span == null) 0L
+    else {
+      require(span(0) == 0, "field is not a varint")
+      span(1)
+    }
+  }
+
+  /** `google.protobuf.Timestamp` message at `path` → epoch micros
+    * (proto3 default 0 = epoch).
+    */
+  def timestampMicrosAtPath(bytes: Array[Byte], path: UTF8String): Long = {
+    val span = resolve(bytes, path)
+    if (span == null) 0L
+    else {
+      require(span(0) == 2, "timestamp field is not a message")
+      val out = new Array[Long](3)
+      val from = span(1).toInt
+      val end = span(2).toInt
+      val secs = if (scan(bytes, from, end, 1, out)) out(1) else 0L
+      val nanos = if (scan(bytes, from, end, 2, out)) out(1) else 0L
+      secs * 1000000L + nanos / 1000L
+    }
+  }
+}
+
+/** `graft_proto_string(value, '1.2')`: UTF-8 string field at a wire path. */
+final case class ProtoStringExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.stringAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.stringAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_string"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_long(value, '1.5')`: varint field (int/bool/enum) at a wire path. */
+final case class ProtoLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.longAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.longAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_long"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_timestamp(value, '1.4')`: google.protobuf.Timestamp at a
+  * wire path, as a Spark TIMESTAMP (micros).
+  */
+final case class ProtoTimestampExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = TimestampType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.timestampMicrosAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.timestampMicrosAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_timestamp"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -127,4 +127,33 @@ object KafkaIO {
         value.substr(lit(7) + count, lit(Int.MaxValue)))
       .otherwise(lit(null).cast("binary"))
   }
+
+  /** Projects the common `EventMetadata` envelope (field 1 of EVERY
+    * reference event, `common.proto:38-49`) out of a bare-protobuf value
+    * column, using the engine's own wire reader
+    * ([[graft.functions.ProtoWire]] — `spark-protobuf` is absent in this
+    * container, so the decode path is real, not stubbed). Compose with
+    * [[stripConfluentProtobufPrefix]] for Confluent-framed Kafka values.
+    * Scalar surface (the map<string,string> `headers` field needs
+    * repeated-field collection — tracked limitation). Sessions must call
+    * `graft.functions.Hashing.register` first.
+    */
+  def decodeEventMetadata(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def s(p: String) = call_function("graft_proto_string", value, lit(p))
+    def l(p: String) = call_function("graft_proto_long", value, lit(p))
+    val priority = graft.operators.Envelope.priorities.zipWithIndex
+      .foldLeft(lit(graft.operators.Envelope.priorities.head)) {
+        case (acc, (name, i)) => when(l("1.9") === i.toLong, lit(name)).otherwise(acc)
+      }
+    struct(
+      s("1.1").as("event_id"),
+      s("1.2").as("correlation_id"),
+      s("1.3").as("source_service"),
+      call_function("graft_proto_timestamp", value, lit("1.4")).as("timestamp"),
+      l("1.5").cast("int").as("version"),
+      s("1.7").as("tenant_id"),
+      s("1.8").as("user_id"),
+      priority.as("priority"),
+      l("1.10").cast("int").as("retry_count"))
+  }
 }

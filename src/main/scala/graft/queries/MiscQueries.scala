@@ -24,6 +24,56 @@ object MiscQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // F11: protobuf wire round-trip, oracle-validated end to end. The
+    // envelope is wire-ENCODED from the events fixture (typed
+    // mapPartitions over graft.functions.ProtoWire — proto3 spec bytes),
+    // then DECODED back with the native graft_proto_* expressions; the
+    // DuckDB oracle computes the same scalars directly from the fixture,
+    // so any wire corruption breaks the hash. This is the real decode
+    // path for the reference's value format (spark-protobuf absent —
+    // SURVEY §1.2/§7.4.5), Confluent framing included in ProtoWireSpec.
+    "f11_proto_roundtrip" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        import s.implicits._
+        import graft.functions.ProtoWire._
+        val src = Tables.events(s, dir).select(
+            col("event_id"), unix_micros(col("ts")).as("micros"), col("user_id"))
+          .as[(Long, Long, Long)]
+        val wire = src.mapPartitions { it =>
+          it.map { case (id, micros, user) =>
+            (id, message(lenField(1, message(
+              stringField(1, id.toString),
+              timestampField(4, Math.floorDiv(micros, 1000000L),
+                (Math.floorMod(micros, 1000000L) * 1000L).toInt),
+              stringField(7, s"tenant-${user % 50}"),
+              stringField(8, user.toString),
+              varintField(9, id % 5),
+              varintField(10, id % 5)))))
+          }
+        }.toDF("event_id", "value")
+        wire.select(col("event_id"),
+            graft.io.KafkaIO.decodeEventMetadata(col("value")).as("m"))
+          .select(col("event_id"),
+            col("m.event_id").as("event_id_s"),
+            col("m.timestamp").as("ts"),
+            col("m.tenant_id"), col("m.user_id").as("user_id_s"),
+            col("m.priority"), col("m.retry_count"))
+          .orderBy("event_id")
+      },
+      oracle = Some {
+        val prio = Envelope.priorities.zipWithIndex
+          .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+        s"""SELECT event_id, CAST(event_id AS VARCHAR) AS event_id_s,
+           |  CAST(ts AS TIMESTAMP) AS ts,
+           |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS tenant_id,
+           |  CAST(user_id AS VARCHAR) AS user_id_s,
+           |  CASE event_id % 5 $prio END AS priority,
+           |  CAST(event_id % 5 AS INT) AS retry_count
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+      doc = "Protobuf wire encode->decode round-trip, oracle-pinned scalars"),
+
     // F10: JSON <-> columns bridge (controller JsonFormat parse/print ≙
     // from_json/get_json_object over the props payload).
     "f10_json_bridge" -> QueryDef(

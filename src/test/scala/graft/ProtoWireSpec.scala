@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.ProtoWire
+import graft.io.KafkaIO
+import org.apache.spark.sql.functions._
+
+/** functions/ProtoWire — proto3 wire-format reader, built from the public
+  * encoding spec. Round-trips hand-encoded reference messages
+  * (EventMetadata + TenantCreatedEvent shapes, common.proto:38-49 /
+  * tenant_events.proto:18-37) through the native decode expressions,
+  * including the Confluent protobuf framing.
+  */
+class ProtoWireSpec extends SparkSpec {
+
+  import spark.implicits._
+  import ProtoWire._
+
+  /** EventMetadata wire bytes (field numbers per common.proto:38-49). */
+  private def metadataBytes(eventId: String, tenant: String, user: String,
+                            prioEnum: Int, retry: Int, secs: Long, nanos: Int) =
+    message(
+      stringField(1, eventId), stringField(2, s"corr-$eventId"),
+      stringField(3, "tenant-service"),
+      timestampField(4, secs, nanos),
+      varintField(5, 1),
+      stringField(7, tenant), stringField(8, user),
+      varintField(9, prioEnum.toLong), varintField(10, retry.toLong))
+
+  /** TenantCreatedEvent: metadata (1) + TenantData (2). */
+  private def tenantCreated(eventId: String): Array[Byte] =
+    message(
+      lenField(1, metadataBytes(eventId, "t-42", "u-7", prioEnum = 3,
+        retry = 2, secs = 1704103200L, nanos = 500000000)),
+      lenField(2, message(
+        stringField(1, "t-42"), stringField(2, "Acme"),
+        stringField(3, "acme.example"), varintField(4, 2),
+        varintField(8, 1))))
+
+  test("decodes every scalar envelope + payload field from the wire bytes") {
+    val df = Seq(Tuple1(tenantCreated("ev-1"))).toDF("value")
+    val row = df.select(
+        KafkaIO.decodeEventMetadata(col("value")).as("m"),
+        call_function("graft_proto_string", col("value"), lit("2.1")).as("tenant_id"),
+        call_function("graft_proto_string", col("value"), lit("2.2")).as("name"),
+        call_function("graft_proto_long", col("value"), lit("2.4")).as("org_type"),
+        call_function("graft_proto_long", col("value"), lit("2.8")).as("is_active"))
+      .head()
+    val m = row.getStruct(0)
+    assert(m.getAs[String]("event_id") == "ev-1")
+    assert(m.getAs[String]("correlation_id") == "corr-ev-1")
+    assert(m.getAs[String]("source_service") == "tenant-service")
+    assert(m.getAs[java.sql.Timestamp]("timestamp").getTime == 1704103200500L)
+    assert(m.getAs[Int]("version") == 1)
+    assert(m.getAs[String]("tenant_id") == "t-42")
+    assert(m.getAs[String]("user_id") == "u-7")
+    assert(m.getAs[String]("priority") == "PRIORITY_HIGH")
+    assert(m.getAs[Int]("retry_count") == 2)
+    assert(row.getString(1) == "t-42" && row.getString(2) == "Acme")
+    assert(row.getLong(3) == 2L && row.getLong(4) == 1L)
+  }
+
+  test("proto3 defaults: absent fields read as empty / zero") {
+    val sparse = message(lenField(1, stringField(1, "only-id")))
+    val df = Seq(Tuple1(sparse)).toDF("value")
+    val m = df.select(KafkaIO.decodeEventMetadata(col("value")).as("m")).head().getStruct(0)
+    assert(m.getAs[String]("event_id") == "only-id")
+    assert(m.getAs[String]("tenant_id") == "")
+    assert(m.getAs[Int]("retry_count") == 0)
+    assert(m.getAs[String]("priority") == "PRIORITY_UNSPECIFIED")
+  }
+
+  test("unknown fields of every wire type are skipped; last scalar wins") {
+    val noise = message(
+      varintField(99, 7),                                 // unknown varint
+      tenantCreated("ev-x"),
+      lenField(50, "junk".getBytes("UTF-8")),             // unknown bytes
+      lenField(1, metadataBytes("ev-final", "t-9", "u-9", 1, 0, 1L, 0)))
+    val df = Seq(Tuple1(noise)).toDF("value")
+    val m = df.select(KafkaIO.decodeEventMetadata(col("value")).as("m")).head().getStruct(0)
+    // proto3 merge: the later metadata message replaces the earlier one
+    assert(m.getAs[String]("event_id") == "ev-final")
+    assert(m.getAs[String]("tenant_id") == "t-9")
+  }
+
+  test("Confluent protobuf framing round-trips into the decoder") {
+    val df = Seq(Tuple1(tenantCreated("ev-wire"))).toDF("payload")
+    val framed = df.select(KafkaIO.toConfluentProtobufWireFormat(
+      lit(1234), col("payload")).as("value"))
+    val m = framed.select(KafkaIO.decodeEventMetadata(
+        KafkaIO.stripConfluentProtobufPrefix(col("value"))).as("m"))
+      .head().getStruct(0)
+    assert(m.getAs[String]("event_id") == "ev-wire")
+    assert(m.getAs[String]("priority") == "PRIORITY_HIGH")
+  }
+
+  test("varint encode/decode round-trips multi-byte values") {
+    val big = message(varintField(3, 300L), varintField(4, Long.MaxValue))
+    val df = Seq(Tuple1(big)).toDF("value")
+    val row = df.select(
+      call_function("graft_proto_long", col("value"), lit("3")),
+      call_function("graft_proto_long", col("value"), lit("4"))).head()
+    assert(row.getLong(0) == 300L && row.getLong(1) == Long.MaxValue)
+  }
+}
