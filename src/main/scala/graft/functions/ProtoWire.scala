@@ -60,6 +60,19 @@ object ProtoWire {
   def timestampField(fieldNo: Int, seconds: Long, nanos: Int): Array[Byte] =
     lenField(fieldNo, varintField(1, seconds) ++ varintField(2, nanos.toLong))
 
+  /** fixed64 double field (IEEE-754 little-endian). */
+  def doubleField(fieldNo: Int, v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+    tagBytes(fieldNo, 1) ++ b
+  }
+
+  /** One `map<string,string>` entry: a repeated `{1: key, 2: value}`. */
+  def mapEntryField(fieldNo: Int, k: String, v: String): Array[Byte] =
+    lenField(fieldNo, stringField(1, k) ++ stringField(2, v))
+
   def message(fields: Array[Byte]*): Array[Byte] =
     fields.foldLeft(Array.emptyByteArray)(_ ++ _)
 
@@ -175,6 +188,127 @@ object ProtoWire {
       secs * 1000000L + nanos / 1000L
     }
   }
+
+  /** Double field (wire type 1, IEEE-754 little-endian) at `path`
+    * (proto3 default 0.0).
+    */
+  def doubleAtPath(bytes: Array[Byte], path: UTF8String): Double = {
+    val span = resolve(bytes, path)
+    if (span == null) 0.0
+    else {
+      require(span(0) == 1, "field is not fixed64")
+      var bits = 0L
+      var i = 0
+      val from = span(1).toInt
+      while (i < 8) {
+        bits |= (bytes(from + i) & 0xffL) << (8 * i)
+        i += 1
+      }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+  }
+
+  /** Bounds of the message holding the LAST path step, or null if absent:
+    * ((from, end), lastFieldNo).
+    */
+  private def parentBounds(bytes: Array[Byte], path: UTF8String): (Int, Int, Int) = {
+    val parts = path.toString.split('.')
+    var from = 0
+    var end = bytes.length
+    val out = new Array[Long](3)
+    var i = 0
+    while (i < parts.length - 1) {
+      if (!scan(bytes, from, end, parts(i).toInt, out)) return null
+      require(out(0) == 2, s"path step ${parts(i)} is not a message")
+      from = out(1).toInt
+      end = out(2).toInt
+      i += 1
+    }
+    (from, end, parts(parts.length - 1).toInt)
+  }
+
+  /** Collects the spans of EVERY occurrence of the last path step (the
+    * repeated-field read the scalar scan's last-wins rule hides).
+    */
+  private def scanAll(bytes: Array[Byte], from: Int, end: Int,
+                      fieldNo: Int): java.util.ArrayList[Array[Long]] = {
+    val hits = new java.util.ArrayList[Array[Long]]()
+    val pos = new Array[Int](1)
+    var p = from
+    while (p < end) {
+      val tag = readVarint(bytes, p, end, pos); p = pos(0)
+      val f = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      wt match {
+        case 0 =>
+          val v = readVarint(bytes, p, end, pos); p = pos(0)
+          if (f == fieldNo) hits.add(Array(0L, v, 0L))
+        case 1 =>
+          if (f == fieldNo) hits.add(Array(1L, p.toLong, (p + 8).toLong))
+          p += 8
+        case 2 =>
+          val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          if (f == fieldNo) hits.add(Array(2L, p.toLong, (p + len).toLong))
+          p += len
+        case 5 =>
+          if (f == fieldNo) hits.add(Array(5L, p.toLong, (p + 4).toLong))
+          p += 4
+        case other =>
+          throw new IllegalArgumentException(s"unsupported wire type $other")
+      }
+    }
+    hits
+  }
+
+  /** `repeated string` at `path` → array of strings (empty when absent). */
+  def stringListAtPath(bytes: Array[Byte], path: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val pb = parentBounds(bytes, path)
+    if (pb == null) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hits = scanAll(bytes, pb._1, pb._2, pb._3)
+    val out = new Array[Any](hits.size())
+    var i = 0
+    while (i < hits.size()) {
+      val h = hits.get(i)
+      require(h(0) == 2, "repeated field is not length-delimited")
+      out(i) = UTF8String.fromBytes(bytes, h(1).toInt, (h(2) - h(1)).toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `map<string, string>` at `path` (repeated `{1: key, 2: value}`
+    * entries) → Spark map (empty when absent; last entry per key wins,
+    * the proto3 map-merge rule).
+    */
+  def stringMapAtPath(bytes: Array[Byte], path: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val pb = parentBounds(bytes, path)
+    val entries = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+    if (pb != null) {
+      val hits = scanAll(bytes, pb._1, pb._2, pb._3)
+      val out = new Array[Long](3)
+      var i = 0
+      while (i < hits.size()) {
+        val h = hits.get(i)
+        require(h(0) == 2, "map entry is not a message")
+        val k = if (scan(bytes, h(1).toInt, h(2).toInt, 1, out) && out(0) == 2)
+          UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+        else UTF8String.EMPTY_UTF8
+        val v = if (scan(bytes, h(1).toInt, h(2).toInt, 2, out) && out(0) == 2)
+          UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+        else UTF8String.EMPTY_UTF8
+        entries.put(k, v)
+        i += 1
+      }
+    }
+    val ks = new Array[Any](entries.size())
+    val vs = new Array[Any](entries.size())
+    val it = entries.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue; i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
 }
 
 /** `graft_proto_string(value, '1.2')`: UTF-8 string field at a wire path. */
@@ -199,6 +333,47 @@ final case class ProtoLongExpr(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.longAtPath($b, $p)")
   override def prettyName: String = "graft_proto_long"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_double(value, '2.7')`: fixed64 IEEE double at a wire path. */
+final case class ProtoDoubleExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.doubleAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.doubleAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_double"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_string_list(value, '2.12')`: repeated string at a wire path. */
+final case class ProtoStringListExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.stringListAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.stringListAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_string_list"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_string_map(value, '1.6')`: map<string,string> at a wire path. */
+final case class ProtoStringMapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, StringType, valueContainsNull = false)
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.stringMapAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.stringMapAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_string_map"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

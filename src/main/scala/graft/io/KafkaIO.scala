@@ -134,8 +134,8 @@ object KafkaIO {
     * ([[graft.functions.ProtoWire]] — `spark-protobuf` is absent in this
     * container, so the decode path is real, not stubbed). Compose with
     * [[stripConfluentProtobufPrefix]] for Confluent-framed Kafka values.
-    * Scalar surface (the map<string,string> `headers` field needs
-    * repeated-field collection — tracked limitation). Sessions must call
+    * Full EventMetadata surface incl. the `headers` map (repeated
+    * map-entry collection). Sessions must call
     * `graft.functions.Hashing.register` first.
     */
   def decodeEventMetadata(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -151,6 +151,7 @@ object KafkaIO {
       s("1.3").as("source_service"),
       call_function("graft_proto_timestamp", value, lit("1.4")).as("timestamp"),
       l("1.5").cast("int").as("version"),
+      call_function("graft_proto_string_map", value, lit("1.6")).as("headers"),
       s("1.7").as("tenant_id"),
       s("1.8").as("user_id"),
       priority.as("priority"),

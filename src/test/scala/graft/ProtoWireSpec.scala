@@ -23,6 +23,7 @@ class ProtoWireSpec extends SparkSpec {
       stringField(3, "tenant-service"),
       timestampField(4, secs, nanos),
       varintField(5, 1),
+      mapEntryField(6, "h1", "v1"), mapEntryField(6, "h2", "v2"),
       stringField(7, tenant), stringField(8, user),
       varintField(9, prioEnum.toLong), varintField(10, retry.toLong))
 
@@ -91,6 +92,32 @@ class ProtoWireSpec extends SparkSpec {
       .head().getStruct(0)
     assert(m.getAs[String]("event_id") == "ev-wire")
     assert(m.getAs[String]("priority") == "PRIORITY_HIGH")
+  }
+
+  test("headers map, repeated strings, and doubles decode from the wire") {
+    val tenantData = message(
+      stringField(1, "t-1"),
+      mapEntryField(11, "k1", "a"), mapEntryField(11, "k2", "b"),
+      mapEntryField(11, "k1", "override"),       // proto3 map merge: last wins
+      lenField(12, "feat-a".getBytes("UTF-8")),  // repeated string
+      lenField(12, "feat-b".getBytes("UTF-8")),
+      doubleField(20, 3.25))
+    val bytes = message(
+      lenField(1, metadataBytes("ev-m", "t-1", "u-1", 2, 0, 10L, 0)),
+      lenField(2, tenantData))
+    val row = Seq(Tuple1(bytes)).toDF("value").select(
+        KafkaIO.decodeEventMetadata(col("value")).as("m"),
+        call_function("graft_proto_string_map", col("value"), lit("2.11")).as("settings"),
+        call_function("graft_proto_string_list", col("value"), lit("2.12")).as("features"),
+        call_function("graft_proto_double", col("value"), lit("2.20")).as("price"),
+        call_function("graft_proto_string_list", col("value"), lit("2.99")).as("absent"))
+      .head()
+    assert(row.getStruct(0).getAs[Map[String, String]]("headers") ==
+      Map("h1" -> "v1", "h2" -> "v2"))
+    assert(row.getAs[Map[String, String]](1) == Map("k1" -> "override", "k2" -> "b"))
+    assert(row.getAs[scala.collection.Seq[String]](2).toSeq == Seq("feat-a", "feat-b"))
+    assert(row.getDouble(3) == 3.25)
+    assert(row.getAs[scala.collection.Seq[String]](4).isEmpty)
   }
 
   test("varint encode/decode round-trips multi-byte values") {
