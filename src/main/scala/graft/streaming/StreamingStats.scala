@@ -26,4 +26,18 @@ object StreamingStats {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Session windows (gap-merged) per user over the same event-time
+    * column — the streaming form of q:w_session_30m. A session closes
+    * (and in append mode emits exactly once) when the watermark passes
+    * last-event + gap; state per open session is one merged range.
+    */
+  def sessionStats(events: DataFrame, gap: String,
+                   watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
 }

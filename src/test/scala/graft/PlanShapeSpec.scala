@@ -127,6 +127,16 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("per-key top-k runs through WindowGroupLimit, not a full sort") {
+    // Spark 3.5+ rewrites rank()<=k into a per-partition group limit —
+    // the reason a native bounded-heap operator is NOT needed here (the
+    // build-ladder's compose-first rule). Pin it so a query rewrite that
+    // silently loses the optimization gets caught.
+    val plan = SparkEntry.registry("topk_per_priority").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("no cached frames survive a stage-persisted query + Caches.release") {
     Caches.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 final case class SEv(event_type: String, ts: java.sql.Timestamp, value: Double)
+final case class UEv(user_id: Long, ts: java.sql.Timestamp)
 
 /** Watermarked tumbling aggregation: append-mode finalization, exactly-once
   * emission per window, late-drop beyond the horizon, and equivalence with
@@ -49,5 +50,35 @@ class StreamingStatsSpec extends SparkSpec {
     assert(byKey((t(0), "b")) == ((1L, 2.0)))
     assert(byKey((t(10), "a")) == ((1L, 4.0)))
     assert(byKey.size == 3)
+  }
+
+  test("session windows gap-merge across batches and close under the watermark") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UEv]
+    val q = StreamingStats.sessionStats(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    try {
+      // user 1: events at 10:00 and 10:06 merge (gap < 10 min); user 2 alone
+      input.addData(UEv(1, t(0)), UEv(2, t(2)))
+      q.processAllAvailable()
+      input.addData(UEv(1, t(6)))                 // extends user 1's session
+      q.processAllAvailable()
+      input.addData(UEv(1, t(59)))                // watermark -> closes both
+      q.processAllAvailable()
+      input.addData(UEv(2, t(59)))                // flush emission
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ssess")
+      .filter(col("session_start") < t(20))
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      .sortBy(_._1)
+    // user 1: one merged session [10:00, 10:16) with 2 events
+    assert(rows(0) == ((1L, t(0), t(16), 2L)))
+    // user 2: singleton session [10:02, 10:12)
+    assert(rows(1) == ((2L, t(2), t(12), 1L)))
+    assert(rows.length == 2)
   }
 }
