@@ -116,7 +116,9 @@ object Hashing {
     "graft_proto_timestamp" -> (exprs => ProtoTimestampExpr(exprs(0), exprs(1))),
     "graft_proto_double" -> (exprs => ProtoDoubleExpr(exprs(0), exprs(1))),
     "graft_proto_string_list" -> (exprs => ProtoStringListExpr(exprs(0), exprs(1))),
-    "graft_proto_string_map" -> (exprs => ProtoStringMapExpr(exprs(0), exprs(1))))
+    "graft_proto_string_map" -> (exprs => ProtoStringMapExpr(exprs(0), exprs(1))),
+    "graft_proto_bytes" -> (exprs => ProtoBytesExpr(exprs(0), exprs(1))),
+    "graft_proto_json_value_map" -> (exprs => ProtoJsonValueMapExpr(exprs(0), exprs(1))))
 
   /** Installs the native functions into the session's function registry
     * (idempotent). Column and SQL surfaces both resolve through the

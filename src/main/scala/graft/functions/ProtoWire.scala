@@ -276,6 +276,142 @@ object ProtoWire {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Raw length-delimited payload (bytes / embedded message) at `path`,
+    * or null when absent — the `google.protobuf.Any.value` reader.
+    */
+  def bytesAtPath(bytes: Array[Byte], path: UTF8String): Array[Byte] = {
+    val span = resolve(bytes, path)
+    if (span == null) null
+    else {
+      require(span(0) == 2, "field is not length-delimited")
+      java.util.Arrays.copyOfRange(bytes, span(1).toInt, span(2).toInt)
+    }
+  }
+
+  /** `google.protobuf.Value` (struct.proto) at [from, end) rendered as
+    * JSON text — the §1.2 mapping for `map<string, Value>` fields (the
+    * arbitrary-JSON case). Handles every Value kind: null_value(1),
+    * number_value(2), string_value(3), bool_value(4), struct_value(5),
+    * list_value(6), recursing through Struct.fields entries and
+    * ListValue.values.
+    */
+  private def valueToJson(bytes: Array[Byte], from: Int, end: Int): String = {
+    val out = new Array[Long](3)
+    // later-set kind wins (proto3 oneof merge): take the LAST present tag
+    var kind = -1
+    var a = 0L; var b = 0L
+    val pos = new Array[Int](1)
+    var p = from
+    while (p < end) {
+      val tag = readVarint(bytes, p, end, pos); p = pos(0)
+      val f = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      wt match {
+        case 0 =>
+          val v = readVarint(bytes, p, end, pos); p = pos(0)
+          if (f == 1 || f == 4) { kind = f; a = v }
+        case 1 =>
+          if (f == 2) { kind = 2; a = p.toLong }
+          p += 8
+        case 2 =>
+          val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          if (f == 3 || f == 5 || f == 6) { kind = f; a = p.toLong; b = (p + len).toLong }
+          p += len
+        case 5 => p += 4
+        case other => throw new IllegalArgumentException(s"wire type $other in Value")
+      }
+    }
+    kind match {
+      case -1 | 1 => "null"
+      case 2 =>
+        var bits = 0L
+        var i = 0
+        while (i < 8) { bits |= (bytes(a.toInt + i) & 0xffL) << (8 * i); i += 1 }
+        val d = java.lang.Double.longBitsToDouble(bits)
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case 3 => jsonQuote(new String(bytes, a.toInt, (b - a).toInt, "UTF-8"))
+      case 4 => if (a != 0L) "true" else "false"
+      case 5 => // Struct: repeated FieldsEntry {1: key, 2: Value}
+        val entries = scanAll(bytes, a.toInt, b.toInt, 1)
+        val sb = new java.lang.StringBuilder("{")
+        var i = 0
+        while (i < entries.size()) {
+          val h = entries.get(i)
+          val k = if (scan(bytes, h(1).toInt, h(2).toInt, 1, out) && out(0) == 2)
+            new String(bytes, out(1).toInt, (out(2) - out(1)).toInt, "UTF-8") else ""
+          val v = if (scan(bytes, h(1).toInt, h(2).toInt, 2, out) && out(0) == 2)
+            valueToJson(bytes, out(1).toInt, out(2).toInt) else "null"
+          if (i > 0) sb.append(',')
+          sb.append(jsonQuote(k)).append(':').append(v)
+          i += 1
+        }
+        sb.append('}').toString
+      case 6 => // ListValue: repeated Value
+        val vals = scanAll(bytes, a.toInt, b.toInt, 1)
+        val sb = new java.lang.StringBuilder("[")
+        var i = 0
+        while (i < vals.size()) {
+          val h = vals.get(i)
+          if (i > 0) sb.append(',')
+          sb.append(valueToJson(bytes, h(1).toInt, h(2).toInt))
+          i += 1
+        }
+        sb.append(']').toString
+    }
+  }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"').toString
+  }
+
+  /** `map<string, google.protobuf.Value>` at `path` → map with values
+    * JSON-encoded as text (the EventSchemas §1.2 mapping).
+    */
+  def jsonValueMapAtPath(bytes: Array[Byte], path: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val pb = parentBounds(bytes, path)
+    val entries = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+    if (pb != null) {
+      val hits = scanAll(bytes, pb._1, pb._2, pb._3)
+      val out = new Array[Long](3)
+      var i = 0
+      while (i < hits.size()) {
+        val h = hits.get(i)
+        require(h(0) == 2, "map entry is not a message")
+        val k = if (scan(bytes, h(1).toInt, h(2).toInt, 1, out) && out(0) == 2)
+          UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+        else UTF8String.EMPTY_UTF8
+        val v = if (scan(bytes, h(1).toInt, h(2).toInt, 2, out) && out(0) == 2)
+          UTF8String.fromString(valueToJson(bytes, out(1).toInt, out(2).toInt))
+        else UTF8String.fromString("null")
+        entries.put(k, v)
+        i += 1
+      }
+    }
+    val ks = new Array[Any](entries.size())
+    val vs = new Array[Any](entries.size())
+    val it = entries.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue; i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
+
   /** `map<string, string>` at `path` (repeated `{1: key, 2: value}`
     * entries) → Spark map (empty when absent; last entry per key wins,
     * the proto3 map-merge rule).
@@ -374,6 +510,37 @@ final case class ProtoStringMapExpr(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.stringMapAtPath($b, $p)")
   override def prettyName: String = "graft_proto_string_map"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_bytes(value, '2.6.2')`: raw length-delimited payload
+  * (bytes / google.protobuf.Any.value) at a wire path, null when absent.
+  */
+final case class ProtoBytesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.bytesAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.bytesAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_bytes"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_json_value_map(value, '2.2')`: map<string,
+  * google.protobuf.Value> at a wire path, values rendered as JSON text.
+  */
+final case class ProtoJsonValueMapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, StringType, valueContainsNull = false)
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.jsonValueMapAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.jsonValueMapAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_json_value_map"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
