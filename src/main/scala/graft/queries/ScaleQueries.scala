@@ -747,6 +747,126 @@ object ScaleQueries {
       },
       doc = "Intra-doc repetition: top n-gram share of the n-gram multiset"),
 
+    // TF-IDF (TextOps.idf): classic sparse-retrieval weighting, the
+    // text-analysis primitive quality filters and keyword extractors build
+    // on. Two partial-aggregated shuffles — per-(doc,term) counts, then a
+    // term-keyed df join; the df table is vocabulary-sized so AQE
+    // broadcasts it while it stays small. Exact-integer tf/df/N through
+    // one ln keeps every double bit-reproducible by the oracle.
+    "txt_tfidf_topterms" -> QueryDef(
+      build = (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(df, "t").crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * TextOps.idf(col("n_docs"), col("df")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("t"))).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("t"),
+            round(col("score"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |tf AS (
+          |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM toks GROUP BY doc_id, t),
+          |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT doc_id, t,
+          |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+          |  FROM tf JOIN df USING (t), n),
+          |ranked AS (
+          |  SELECT doc_id, CAST(row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY score DESC, t) AS INT) AS rank,
+          |    t, ROUND(score, 6) AS tfidf
+          |  FROM scored)
+          |SELECT doc_id, rank, t, tfidf FROM ranked
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      doc = "TF-IDF top-3 terms per document (smoothed idf)"),
+
+    // BM25 retrieval (TextOps.bm25Term, Robertson/Okapi k1=1.2 b=0.75)
+    // against a fixed 3-term query. Per-term contributions are pivoted to
+    // columns and added in FIXED textual order — never a double `sum()`
+    // aggregation — so the score is order-independent under any partial
+    // aggregation and AQE re-plan, hence oracle-hashable. One shuffle
+    // (per-doc pivot); corpus stats are a single broadcast row.
+    "txt_bm25_rank" -> QueryDef(
+      build = (s, dir) => {
+        val q = Seq("vector", "merge", "filter")
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val perdoc = toks.groupBy("doc_id").agg(
+          count(lit(1)).as("dl"),
+          sum(when(col("t") === q(0), 1L).otherwise(0L)).as("tf0"),
+          sum(when(col("t") === q(1), 1L).otherwise(0L)).as("tf1"),
+          sum(when(col("t") === q(2), 1L).otherwise(0L)).as("tf2"))
+        val stats = perdoc.agg(
+          count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+          sum((col("tf0") > 0).cast("long")).as("df0"),
+          sum((col("tf1") > 0).cast("long")).as("df1"),
+          sum((col("tf2") > 0).cast("long")).as("df2"))
+        def w(i: Int) =
+          when(col(s"tf$i") > 0,
+            TextOps.bm25Term(col(s"tf$i"), col(s"df$i"), col("n_docs"),
+              col("dl"), col("avgdl"))).otherwise(lit(0.0))
+        perdoc.crossJoin(broadcast(stats))
+          .withColumn("score", round(w(0) + w(1) + w(2), 6))
+          .withColumn("n_hits", (col("tf0") > 0).cast("int")
+            + (col("tf1") > 0).cast("int") + (col("tf2") > 0).cast("int"))
+          .filter(col("n_hits") > 0)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 20)
+          .select("rank", "doc_id", "n_hits", "score")
+          .orderBy("rank")
+      },
+      oracle = Some {
+        // generated from the same constants/shape as TextOps.bm25Term
+        def w(tf: String, df: String): String =
+          s"ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +
+            s" * (CAST($tf AS DOUBLE) * CAST(${1.2 + 1} AS DOUBLE))" +
+            s" / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(${1.0 - 0.75} AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+        def cw(i: Int): String =
+          s"CASE WHEN tf$i > 0 THEN ${w(s"tf$i", s"df$i")} ELSE CAST(0.0 AS DOUBLE) END"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+           |    CAST(SUM(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+           |    CAST(SUM(CASE WHEN t = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+           |    CAST(SUM(CASE WHEN t = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+           |  FROM toks GROUP BY doc_id),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           |  FROM perdoc),
+           |scored AS (
+           |  SELECT doc_id,
+           |    ROUND(${cw(0)} + ${cw(1)} + ${cw(2)}, 6) AS score,
+           |    CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_hits
+           |  FROM perdoc, stats),
+           |ranked AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           |    doc_id, n_hits, score
+           |  FROM scored WHERE n_hits > 0)
+           |SELECT rank, doc_id, n_hits, score FROM ranked
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
+      doc = "BM25 top-20 docs for a fixed 3-term query (Okapi k1=1.2 b=0.75)"),
+
     // Sequence packing (scale/Packing): docs fill fixed token-budget
     // training sequences in stable order within each source — the
     // pretraining-loader shard assignment as one window cumsum, no

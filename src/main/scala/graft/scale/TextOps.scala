@@ -158,6 +158,26 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"))
 
+  /** Smoothed inverse document frequency ln((N+1)/(df+1)) — the classic
+    * TF-IDF weighting (reference for the formula: Sparck Jones 1972 /
+    * the Lucene ClassicSimilarity docs). Exact-integer inputs through one
+    * `ln`, so the double is bit-reproducible by the DuckDB oracle.
+    */
+  def idf(nDocs: Column, df: Column): Column =
+    log((nDocs + 1).cast("double") / (df + 1))
+
+  /** BM25 contribution of one query term (Robertson/Okapi, k1=1.2 b=0.75):
+    * idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the probabilistic
+    * idf ln(1 + (N - df + 0.5)/(df + 0.5)). Callers add per-term
+    * contributions in a FIXED textual order (not a double `sum()`
+    * aggregation) so the result is order-independent and oracle-hashable.
+    */
+  def bm25Term(tf: Column, df: Column, nDocs: Column, dl: Column,
+               avgdl: Column, k1: Double = 1.2, b: Double = 0.75): Column =
+    log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * (k1 + 1)) /
+      (tf + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+
   /** PII patterns — kept to constructs with identical semantics in Java
     * regex (Spark) and RE2 (DuckDB oracle): character classes + bounded
     * repetition, no lookaround, no backreferences.
