@@ -38,6 +38,21 @@ object Caches {
     out
   }
 
+  /** Eager reliable checkpoint() — lineage cut to files under
+    * `sc.setCheckpointDir`, surviving executor loss. The durable sibling of
+    * [[localCheckpoint]] for iterative operators on unreliable executors:
+    * same lineage truncation, but a lost executor replays from storage
+    * instead of failing the job (local checkpoint blocks are
+    * non-replicated executor state). Costs one write+read of the frame per
+    * call — the right trade when rounds are long-lived or executors are
+    * preemptible. Requires a checkpoint dir to be configured.
+    */
+  def reliableCheckpoint(df: DataFrame): DataFrame = {
+    require(df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliable checkpointing needs spark.sparkContext.setCheckpointDir(...)")
+    df.checkpoint()
+  }
+
   /** Unpersist every tracked frame and clear the registry. */
   def release(): Unit = synchronized {
     live.foreach(_.unpersist())

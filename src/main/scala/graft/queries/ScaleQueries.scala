@@ -114,6 +114,48 @@ object ScaleQueries {
     s"((($h) * ($h)) % $P % 10000)"
   }
 
+  /** Train/eval fixture split shared by the two contamination queries:
+    * 90% train, 10% eval, plus planted eval copies of train docs (suffixed
+    * so they are near- not exact dups at the text level but share n-grams).
+    */
+  private def contaminationSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val train = d.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text")
+    val evalSet = d.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      .unionByName(d.filter(col("doc_id") % 30 === 0).select(
+        (col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" eval copy")).as("text")))
+    (train, evalSet)
+  }
+
+  /** One oracle for both contamination queries — the bloom prune cannot
+    * change the answer (exact semi-join downstream), so both hash against
+    * the same SQL.
+    */
+  private val contaminationOracle: String =
+    s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+       |evals AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' eval copy' FROM documents WHERE doc_id % 30 = 0),
+       |tg AS (SELECT DISTINCT unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
+       |  FROM train),
+       |eh AS (SELECT doc_id,
+       |    list_distinct(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS hs
+       |  FROM evals),
+       |eg AS (SELECT doc_id, unnest(hs) AS s FROM eh),
+       |hits AS (SELECT eg.doc_id, COUNT(*) AS n_overlap
+       |  FROM eg JOIN tg ON eg.s = tg.s GROUP BY eg.doc_id),
+       |scored AS (
+       |  SELECT eh.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |    CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |    ROUND(CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / len(hs), 6) AS overlap_ratio
+       |  FROM eh LEFT JOIN hits ON eh.doc_id = hits.doc_id)
+       |SELECT doc_id, n_grams, n_overlap, overlap_ratio,
+       |  overlap_ratio >= 0.5 AS contaminated
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---------------- deterministic sampling / corpus mixing ----------------
@@ -233,6 +275,59 @@ object ScaleQueries {
            |GROUP BY k.lang ORDER BY k.lang""".stripMargin
       },
       doc = "Rebalance corpus to a target mixture (computed rates + hash gate)"),
+
+    // Per-domain cap (scale/Sampling.capPerGroup): at most 15 docs per
+    // source, the keep set chosen by deterministic hash rank, not arrival
+    // order — the anti-domination guard of a crawl mixture. The rank<=cap
+    // filter rides Spark's WindowGroupLimit rewrite (bounded per-group
+    // heap), so a 10 M-doc domain costs a 15-row heap, not a sort.
+    "sample_domain_cap" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val kept = Sampling.capPerGroup(d, "doc_id", "source", cap = 15,
+          salt = "cap1")
+        kept.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+          .join(d.groupBy("source").agg(count(lit(1)).as("n_total")), "source")
+          .select("source", "n_total", "n_kept", "sum_kept_ids")
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH ranked AS (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "cap1")}, doc_id) AS rk
+           |  FROM documents),
+           |kept AS (SELECT source, doc_id FROM ranked WHERE rk <= 15),
+           |tot AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
+           |SELECT k.source, CAST(MAX(t.n_total) AS BIGINT) AS n_total,
+           |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(k.doc_id) AS BIGINT) AS sum_kept_ids
+           |FROM kept k JOIN tot t ON k.source = t.source
+           |GROUP BY k.source ORDER BY k.source""".stripMargin),
+      doc = "Per-domain document cap (deterministic hash-ranked keep set)"),
+
+    // Exactly-n deterministic sample (Sampling.fixedSizeSample): the
+    // reproducible eval-subset draw. orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition n-row heaps, no global sort
+    // (plan-pinned in PlanShapeSpec alongside the vocab top-k).
+    "sample_fixed_n" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Sampling.fixedSizeSample(docs(s, dir), "doc_id", n = 100, salt = "fix1")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH ranked AS (
+           |  SELECT doc_id, lang, source,
+           |    row_number() OVER (
+           |      ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "fix1")}, doc_id) AS rk
+           |  FROM documents)
+           |SELECT doc_id, lang, source FROM ranked
+           |WHERE rk <= 100 ORDER BY doc_id""".stripMargin),
+      doc = "Exactly-100 deterministic hash-ranked sample (TakeOrdered, no sort)"),
 
     // Balanced ordered sharding (scale/Sharding): quantile boundaries +
     // per-row comparison fold — the explicit, oracle-replayable form of
@@ -543,6 +638,31 @@ object ScaleQueries {
       },
       doc = "Quality scoring + n-gram-marker language ID"),
 
+    // Distribution-relative quality gate (TextOps.keepAbovePercentile):
+    // drop the bottom 30% by quality score. The threshold is one exact-
+    // percentile scalar broadcast against the scan — no shuffle of the
+    // corpus; approx_percentile is the drop-in at 100 TB.
+    "txt_quality_filter" -> QueryDef(
+      build = (s, dir) => {
+        val scored = docs(s, dir).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+           |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |      + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |               / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality
+           |  FROM documents),
+           |thr AS (SELECT quantile_cont(quality, 0.3) AS t FROM scored)
+           |SELECT doc_id, quality FROM scored, thr
+           |WHERE quality >= t ORDER BY doc_id""".stripMargin),
+      doc = "Percentile-gated quality filter: keep the top 70% by score"),
+
     "txt_fingerprint" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
@@ -556,6 +676,63 @@ object ScaleQueries {
            |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Rolling-hash document fingerprint"),
 
+    // Canonical normalization (TextOps.normalize): lowercase + whitespace
+    // collapse + trim, the pre-hash cleanup pass. Pure vectorized regex,
+    // no shuffle; output pinned by sha256 of the normalized text.
+    "txt_normalize" -> QueryDef(
+      build = (s, dir) => {
+        val norm = TextOps.normalize(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_before"),
+            length(norm).cast("long").as("n_after"),
+            sha2(encode(norm, "UTF-8"), 256).as("norm_hash"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+          |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_after,
+          |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Canonical text normalization (lowercase, whitespace collapse)"),
+
+    // Winnowing fingerprints (TextOps.winnowFingerprints — Schleimer et
+    // al. 2003): min-hash of each w-window over positional k-gram hashes.
+    // Guarantees any >= w+k-1-token overlap between docs shares a
+    // fingerprint at ~2/(w+1) density — the local-match signature whole-
+    // doc MinHash can't give. Scalars only to the driver: count + an
+    // order-insensitive mod-P checksum of the fingerprint set (Spark's
+    // array_distinct and DuckDB's list_distinct order differently).
+    "txt_winnow" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val fps = TextOps.winnowFingerprints(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            size(fps).cast("long").as("n_fps"),
+            aggregate(fps, lit(0L), (a, x) => (a + x) % lit(P))
+              .as("fp_checksum"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |    list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+           |      i -> ${sqlPolyHash("array_to_string(list_slice(toks, i, i + 2), ' ')", P)}) AS hs
+           |  FROM t),
+           |w AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+           |      j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+           |  FROM g)
+           |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+           |    (a, x) -> (a + x) % $P) AS fp_checksum
+           |FROM w ORDER BY doc_id""".stripMargin),
+      doc = "Winnowing (MOSS) fingerprints: windowed min of positional k-gram hashes"),
+
     // Train/eval n-gram contamination (scale/Contamination): eval docs whose
     // n-grams largely exist in the training split are flagged. Eval set =
     // the % 10 == 7 docs plus injected copies of train docs (guaranteed
@@ -564,44 +741,39 @@ object ScaleQueries {
     "txt_contamination" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
-        val d = docs(s, dir)
-        val train = d.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text")
-        val evalSet = d.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
-          .unionByName(d.filter(col("doc_id") % 30 === 0).select(
-            (col("doc_id") + 300000).as("doc_id"),
-            concat(col("text"), lit(" eval copy")).as("text")))
+        val (train, evalSet) = contaminationSplit(s, dir)
         Contamination.overlap(train, evalSet, "doc_id").orderBy("doc_id")
       },
-      oracle = Some(
-        s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
-           |evals AS (
-           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
-           |  UNION ALL
-           |  SELECT doc_id + 300000, text || ' eval copy' FROM documents WHERE doc_id % 30 = 0),
-           |tg AS (SELECT DISTINCT unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
-           |  FROM train),
-           |eh AS (SELECT doc_id,
-           |    list_distinct(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS hs
-           |  FROM evals),
-           |eg AS (SELECT doc_id, unnest(hs) AS s FROM eh),
-           |hits AS (SELECT eg.doc_id, COUNT(*) AS n_overlap
-           |  FROM eg JOIN tg ON eg.s = tg.s GROUP BY eg.doc_id),
-           |scored AS (
-           |  SELECT eh.doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
-           |    CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
-           |    ROUND(CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / len(hs), 6) AS overlap_ratio
-           |  FROM eh LEFT JOIN hits ON eh.doc_id = hits.doc_id)
-           |SELECT doc_id, n_grams, n_overlap, overlap_ratio,
-           |  overlap_ratio >= 0.5 AS contaminated
-           |FROM scored ORDER BY doc_id""".stripMargin),
+      oracle = Some(contaminationOracle),
       doc = "Train/eval n-gram overlap decontamination check"),
+
+    // Bloom-join form of the same check: the eval side's n-gram bloom
+    // (broadcast, ~1.2 MB/M grams at 1% fpp) prunes the train index BEFORE
+    // the semi-join shuffle, cutting the big side's shuffle volume to
+    // hits + fpp·misses. False positives only pass extra rows to the exact
+    // semi-join, so the answer — and the oracle — are identical to
+    // txt_contamination.
+    "txt_contamination_bloom" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val (train, evalSet) = contaminationSplit(s, dir)
+        Contamination.overlapBloomPruned(train, evalSet, "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some(contaminationOracle),
+      doc = "Decontamination with a bloom-join prune of the train-side index"),
 
     // Corpus vocabulary heavy hitters: top tokens by occurrence with doc
     // frequency — explode + one map-side-combined aggregation + top-k.
     // At 100 TB this is the canonical heavy-hitter shape (partial
     // aggregation collapses each partition to its token counts before the
     // single shuffle; a count-min sketch replaces exactness only when the
-    // vocabulary itself exceeds memory).
+    // vocabulary itself exceeds memory). The top-k itself is orderBy+limit,
+    // which Spark plans as TakeOrderedAndProject — each partition keeps its
+    // own 50, the driver merges 50·nPartitions rows — so the full vocabulary
+    // is never globally sorted or pushed through one window partition
+    // (plan-pinned in PlanShapeSpec); the rank window runs on the 50
+    // surviving rows only.
     "txt_vocab_topk" -> QueryDef(
       build = (s, dir) => {
         val grams = docs(s, dir).select(col("doc_id"),
@@ -609,9 +781,9 @@ object ScaleQueries {
         val agg = grams.groupBy("t").agg(
           count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"))
-        agg.withColumn("rank", row_number().over(
+        val top = agg.orderBy(col("n_occ").desc, col("t")).limit(50)
+        top.withColumn("rank", row_number().over(
             Window.orderBy(col("n_occ").desc, col("t"))).cast("int"))
-          .filter(col("rank") <= 50)
           .select("rank", "t", "n_occ", "n_docs")
           .orderBy("rank")
       },
@@ -628,6 +800,19 @@ object ScaleQueries {
           |SELECT rank, t, n_occ, n_docs FROM ranked
           |WHERE rank <= 50 ORDER BY rank""".stripMargin),
       doc = "Vocabulary heavy hitters: top-50 tokens by occurrence + doc frequency"),
+
+    // The sketch arm of the heavy-hitter story (scale/Sketches): count-min
+    // estimates next to the exact counts for the top-20 tokens, realized
+    // error surfaced as `within_bound`. Rows-only by declared discipline
+    // (the sketch is engine-specific); guarantees spec-pinned in
+    // SketchesSpec. At 100 TB with an exploding key space (long n-grams),
+    // only the sketch arm ships: fixed width*depth counters, partials
+    // merge by addition.
+    "txt_cms_heavyhitters" -> QueryDef(
+      build = (s, dir) => Sketches.cmsVocabCheck(docs(s, dir))
+        .orderBy("rank"),
+      oracle = None,
+      doc = "Count-min-sketch token counts vs exact (bounded-memory heavy hitters)"),
 
     // Unigram corpus-LM scoring: avg log P(token) per doc under the
     // corpus's own unigram distribution — the cheap perplexity proxy for
@@ -897,6 +1082,36 @@ object ScaleQueries {
            |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            |FROM seqs GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
       doc = "Token-budget sequence packing: per-sequence composition summary"),
+
+    // Context-window chunking (scale/Packing.chunkByTokens): overlapping
+    // 40-token windows advancing 20 tokens — the doc→model-sized-unit
+    // split. Pure per-row explode, no shuffle except the presentation
+    // sort; chunk text pinned by sha256 so reconstruction is exact without
+    // dumping the text twice.
+    "txt_chunks" -> QueryDef(
+      build = (s, dir) =>
+        Packing.chunkByTokens(docs(s, dir), "doc_id", maxTokens = 40,
+            stride = 20)
+          .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+            sha2(encode(col("chunk_text"), "UTF-8"), 256).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |    CASE WHEN len(toks) <= 40 THEN 1
+          |         ELSE 1 + CAST(CEIL((len(toks) - 40) / 20.0) AS INT) END AS nc
+          |  FROM t),
+          |x AS (
+          |  SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_idx FROM c)
+          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+          |  CAST(LEAST(chunk_idx * 20 + 40, n) - chunk_idx * 20 AS INT) AS n_tokens,
+          |  sha256(array_to_string(
+          |    list_slice(toks, chunk_idx * 20 + 1, LEAST(chunk_idx * 20 + 40, n)),
+          |    ' ')) AS chunk_hash
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin),
+      doc = "Overlapping token-window chunking (40-token windows, stride 20)"),
 
     // ---------------- deduplication ----------------
 

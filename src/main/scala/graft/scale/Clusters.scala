@@ -24,9 +24,19 @@ object Clusters {
   /** Resolves the undirected pair graph into components.
     * Returns one row per node appearing in `pairs`:
     * (node, cluster_id) with cluster_id = the component's minimum node id.
+    *
+    * `reliable = true` flips the per-round lineage cut from executor-local
+    * checkpoint blocks to a durable `checkpoint()` (requires
+    * `sc.setCheckpointDir`): same operator, but a preempted executor
+    * replays its label partition from storage instead of failing the whole
+    * iteration — the production setting for long dedup runs on spot
+    * capacity.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 16): DataFrame = {
+                          maxIter: Int = 16,
+                          reliable: Boolean = false): DataFrame = {
+    val cut: DataFrame => DataFrame =
+      if (reliable) graft.Caches.reliableCheckpoint else graft.Caches.localCheckpoint
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // Checkpoints (not persists) throughout: the loop self-joins its own
@@ -40,11 +50,11 @@ object Clusters {
     // rewrite in analysis).
     val nodes = half.select(col("src"))
       .union(half.select(col("dst").as("src"))).distinct()
-    val edges = graft.Caches.localCheckpoint(
+    val edges = cut(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .union(nodes.select(col("src"), col("src").as("dst")))
         .distinct())
-    var labels = graft.Caches.localCheckpoint(
+    var labels = cut(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
     // Labels only ever decrease pointwise, so the label sum is a strictly
@@ -62,7 +72,7 @@ object Clusters {
       // pointer jump: follow the label one more hop (label(label(x))).
       // Every label is itself a node of the pair graph (labels start as node
       // ids and min() keeps them in-set), so the join always matches.
-      val jumped = graft.Caches.localCheckpoint(prop.as("p")
+      val jumped = cut(prop.as("p")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
           col("p.label") === col("j.jn"), "left")
         .select(col("p.node").as("node"),

@@ -31,8 +31,53 @@ object Contamination {
     * `threshold`.
     */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String,
-              shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val index = ngramIndex(train, shingleN)
+              shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    score(ngramIndex(train, shingleN), eval, idCol, shingleN, threshold)
+
+  /** [[overlap]] with a bloom-join prune of the TRAIN index: a bloom filter
+    * is built over the eval n-gram hashes (the small side — a benchmark
+    * suite, not the corpus) and broadcast; train-index rows that cannot
+    * match (`mightContain` false) are dropped BEFORE the semi-join shuffle.
+    * With fpp f, the big side's shuffle volume falls from |train n-grams|
+    * to |true hits| + f·|misses| — at 100 TB that is the difference between
+    * shuffling the whole distinct-n-gram table and shuffling ~1% of it.
+    * False positives only let extra index rows through to the EXACT
+    * semi-join, so the result is identical to [[overlap]] (same oracle).
+    * Driver/executor memory holds only the eval-side bloom (~1.2 MB per
+    * million n-grams at 1% fpp).
+    */
+  def overlapBloomPruned(train: DataFrame, eval: DataFrame, idCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval.select(
+      explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s"))
+    val expected = math.max(1L, evalGrams.count())
+    val bloom = evalGrams.stat.bloomFilter("s", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // per-executor lazy deserialization: the closure ships the bytes once,
+    // each executor materializes the sketch once
+    val holder = new BloomHolder(bytes)
+    val might = udf((s: Long) => holder.bf.mightContainLong(s))
+    val prunedIndex = ngramIndex(train, shingleN).filter(might(col("s")))
+    score(prunedIndex, eval, idCol, shingleN, threshold)
+  }
+
+  private final class BloomHolder(bytes: Array[Byte]) extends Serializable {
+    @transient lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Shared scoring tail: probe `index` with the eval docs' distinct
+    * n-gram hashes (left-semi — exact, so any upstream prune that only
+    * adds non-matching index rows cannot change the answer).
+    */
+  private def score(index: DataFrame, eval: DataFrame, idCol: String,
+                    shingleN: Int, threshold: Double): DataFrame = {
     val evalGrams = eval.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s"))
     val hits = evalGrams.join(index, Seq("s"), "left_semi")

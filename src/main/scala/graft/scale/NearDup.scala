@@ -210,6 +210,40 @@ object NearDup {
         coalesce(col("sig_matches"), lit(0)).as("sig_matches"))
   }
 
+  /** Probability a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under `b` bands of `r` rows: 1 - (1 - s^r)^b — the banding
+    * S-curve (Broder/LSH analysis, standard in the MMDS literature). The
+    * curve's inflection sits near (1/b)^(1/r), which is the effective
+    * similarity threshold of a (b, r) plan.
+    */
+  def candidateProbability(s: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
+  /** One (b, r) banding plan and its derived operating point. */
+  final case class BandPlan(bands: Int, rows: Int) {
+    /** Effective threshold: similarity at the S-curve inflection. */
+    def threshold: Double = math.pow(1.0 / bands, 1.0 / rows)
+    /** Recall at similarity `s` (= candidate probability). */
+    def recallAt(s: Double): Double = candidateProbability(s, bands, rows)
+  }
+
+  /** Choose (b, r) for a signature budget of `k` hash functions and a target
+    * Jaccard threshold: among all factorizations b·r = k, pick the plan
+    * whose S-curve threshold lands closest to `targetThreshold` (ties →
+    * more bands = higher recall). This is the tuning rule for sizing
+    * [[withSignatures]]' banding to a corpus's dup definition — more rows
+    * per band sharpens precision (raises the threshold), more bands raise
+    * recall below it; the signature budget k trades index size
+    * (k longs/doc) against curve sharpness. Pure arithmetic, usable at
+    * planning time with no data scan.
+    */
+  def bandPlan(k: Int, targetThreshold: Double): BandPlan = {
+    require(k > 0 && targetThreshold > 0 && targetThreshold < 1)
+    val plans = (1 to k).filter(k % _ == 0)
+      .map(r => BandPlan(bands = k / r, rows = r))
+    plans.minBy(p => (math.abs(p.threshold - targetThreshold), -p.bands))
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
     * the (+1/-1) vote sum across tokens at that bit is positive. One native
     * codegen'd pass per document (`graft_simhash32`) — a pure map with no

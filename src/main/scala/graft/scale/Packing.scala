@@ -33,6 +33,41 @@ object Packing {
         floor(col("cum_before").cast("double") / budget.toDouble))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * `maxTokens`-token chunks advancing by `stride` tokens — the
+    * tokenize-and-window step that turns raw documents into model-sized
+    * training/indexing units (stride < maxTokens overlaps chunks so no
+    * boundary context is lost). Chunk count per doc is
+    * 1 + ceil((n - maxTokens)/stride) for n > maxTokens, else 1, so the
+    * tail is always covered and output volume is bounded at ~n/stride
+    * chunks per doc.
+    *
+    * Scale shape: a pure per-row explode — no shuffle, no state; the
+    * fan-out factor is capped by the doc length over the stride. Output:
+    * (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, maxTokens: Int,
+                    stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1)).otherwise(
+      lit(1) + ceil((n - maxTokens).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol), toks.as("_toks"), n.as("_n"), nChunks.as("_nc"))
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .withColumn("_start", col("chunk_idx") * stride)
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (least(col("_start") + maxTokens, col("_n")) - col("_start"))
+          .cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(maxTokens)))
+          .as("chunk_text"))
+  }
+
   /** Per-sequence composition: doc count, token total, utilization vs the
     * budget, and the id range packed into the sequence.
     */

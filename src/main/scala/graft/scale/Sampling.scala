@@ -83,6 +83,43 @@ object Sampling {
       .filter(sampleBucket(col(keyCol), salt) < round(col("rate") * 10000))
   }
 
+  /** Exactly-`n` deterministic global sample: every row ranked by its hash
+    * bucket (ties → key), first n kept — "give me a reproducible 10k-doc
+    * eval subset" without a full shuffle or a driver-side reservoir. Plans
+    * as TakeOrderedAndProject: each partition keeps an n-row bounded heap,
+    * the driver merges n·nPartitions candidates — no global sort of the
+    * corpus, no rand() partition-layout dependence.
+    */
+  def fixedSizeSample(df: DataFrame, keyCol: String, n: Int,
+                      salt: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.orderBy(sampleBucket(col(keyCol), salt), col(keyCol)).limit(n)
+  }
+
+  /** Per-group cap — "at most `cap` docs per domain/source", the standard
+    * guard against one crawl domain dominating a training mixture. Rows
+    * within a group are ranked by the deterministic sample bucket (ties →
+    * key), so WHICH rows survive is a pure function of (key, salt): the
+    * kept set is a uniform-at-random-looking, reproducible draw rather
+    * than "whatever arrived first", and re-runs/retries/other engines
+    * agree row for row.
+    *
+    * Scale shape: one shuffle on the group key; the rank-≤-cap filter is
+    * Spark's WindowGroupLimit rewrite (per-partition bounded heap before
+    * any full sort), so a group with 10 M rows costs its partition a
+    * cap-sized heap, not a 10 M-row sort.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, cap: Int,
+                  salt: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(sampleBucket(col(keyCol), salt), col(keyCol))
+    df.withColumn("_cap_rk", row_number().over(w))
+      .filter(col("_cap_rk") <= cap)
+      .drop("_cap_rk")
+  }
+
   /** Weighted corpus mixture: each part is hash-sampled at its rate under
     * a part-specific salt and tagged `mix_source`. One scan per part, no
     * shuffle — the mixture is a pure filter + union.

@@ -36,6 +36,31 @@ object Sharding {
       .drop("_bounds")
   }
 
+  /** [[rangeShards]] with sampled boundaries: `approx_percentile`
+    * (KLL/GK-style mergeable sketch, `accuracy` controls rank error
+    * ε ≈ 1/accuracy) instead of the exact sort-based `percentile`. This is
+    * the 100 TB form — the boundary pass becomes a single-scan mergeable
+    * aggregation with bounded memory, the same estimate
+    * `repartitionByRange` samples for — at the cost of shard counts
+    * balanced to ±ε·N instead of exactly. Assignment is unchanged: a pure
+    * broadcast of n-1 boundary doubles, no shuffle. The sketch boundary is
+    * engine-specific, so this variant is spec-checked for balance
+    * tolerance (ShardingSpec), not DuckDB-hash-checked like the exact one.
+    */
+  def rangeShardsApprox(df: DataFrame, keyCol: String, nShards: Int,
+                        accuracy: Int = 10000): DataFrame = {
+    require(nShards > 1, "need at least 2 shards")
+    val probs = (1 until nShards).map(_.toDouble / nShards)
+    val bounds = df.agg(
+      expr(s"approx_percentile($keyCol, array(${probs.mkString(", ")}), $accuracy)")
+        .as("_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("shard_id",
+        aggregate(col("_bounds"), lit(0),
+          (acc, b) => acc + when(col(keyCol) > b, 1).otherwise(0)))
+      .drop("_bounds")
+  }
+
   /** Per-shard balance report: row count and key range per shard. */
   def shardSummary(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
     rangeShards(df, keyCol, nShards)

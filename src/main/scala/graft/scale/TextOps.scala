@@ -152,6 +152,62 @@ object TextOps {
         + (lit(1.0) - digitRatio(text)) * 0.2,
       6)
 
+  /** Canonical text normalization: lowercase, collapse all whitespace runs
+    * to single spaces, trim. The cleanup pass that runs BEFORE hashing /
+    * dedup / shingling so that formatting variants ("Foo  bar\n" vs
+    * "foo bar") collapse to one canonical form. Pure per-row Catalyst
+    * expressions — vectorized regex, no shuffle, no UDF — and restricted
+    * to constructs with identical Java-regex/RE2 semantics so the DuckDB
+    * oracle replays the transform byte-for-byte (same discipline as
+    * redactPii).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003,
+    * the MOSS algorithm): positional word `k`-gram hashes, then the
+    * minimum hash of every `w`-long sliding window, deduplicated. The
+    * guarantee: any match of length >= w+k-1 tokens between two documents
+    * shares at least one fingerprint, while the fingerprint density stays
+    * ~2/(w+1) regardless of document length — a local, length-bounded
+    * signature set that catches partial overlap (plagiarized paragraphs,
+    * quoted passages) where whole-document MinHash dilutes away.
+    * Positional (non-distinct) k-grams, unlike [[shingles]]: winnowing's
+    * window guarantee needs every occurrence.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val nGrams = greatest(size(toks) - (k - 1), lit(1))
+    val hs = transform(sequence(lit(1), nGrams),
+      i => polyHash(concat_ws(" ", slice(toks, i, lit(k)))))
+    val nWins = greatest(size(hs) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWins),
+      j => array_min(slice(hs, j, lit(w)))))
+  }
+
+  /** Percentile-gated selection: drop the bottom `dropFrac` of rows by
+    * `scoreCol` — "keep the best 70% by quality", the distribution-relative
+    * form of a quality filter (a fixed cutoff goes stale as the corpus
+    * shifts; the percentile tracks it). One exact-percentile aggregation
+    * produces a single threshold row, broadcast to a scalar compare per
+    * row — the corpus is scanned once and never shuffled. At 100 TB swap
+    * `percentile` for `approx_percentile` (same single-scan mergeable
+    * sketch trade as Sharding.rangeShardsApprox; the oracle can't replay
+    * the sampled estimate, so that variant is spec-checked).
+    *
+    * Rows EQUAL to the threshold are kept: when the percentile lands on a
+    * tied data value both engines compute it exactly (v + f·0), and when
+    * it interpolates strictly between two 6-dp-rounded scores no data row
+    * can sit within float error of it — either way the kept set is
+    * engine-stable.
+    */
+  def keepAbovePercentile(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+                          dropFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(dropFrac > 0 && dropFrac < 1, "dropFrac must be in (0, 1)")
+    val thr = df.agg(expr(s"percentile($scoreCol, $dropFrac)").as("_thr"))
+    df.crossJoin(broadcast(thr)).filter(col(scoreCol) >= col("_thr")).drop("_thr")
+  }
+
   /** BPE-ish token count: word pieces of <=4 chars via regex matching —
     * a deterministic proxy for subword token counts.
     */

@@ -137,6 +137,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("vocab top-k is TakeOrderedAndProject, never a full-vocabulary sort") {
+    // The heavy-hitter tail: ranking the aggregated vocabulary through one
+    // unpartitioned window sorts (and single-partitions) the whole key
+    // space. orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // bounded heaps, driver merges k·nPartitions rows — so the vocabulary
+    // is never globally sorted; only the 50 survivors see a window.
+    graft.functions.Hashing.register(spark)
+    val plan = SparkEntry.registry("txt_vocab_topk").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("domain cap rides WindowGroupLimit; fixed-n sample is TakeOrdered") {
+    graft.functions.Hashing.register(spark)
+    val capPlan = SparkEntry.registry("sample_domain_cap").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(capPlan.contains("WindowGroupLimit"), capPlan.take(3000))
+    val fixPlan = SparkEntry.registry("sample_fixed_n").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(fixPlan.contains("TakeOrderedAndProject"), fixPlan.take(3000))
+  }
+
   test("no cached frames survive a stage-persisted query + Caches.release") {
     Caches.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -284,6 +284,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Similarity.bitsFor(0L, dim = 64) == Similarity.DefaultBits)
   }
 
+  test("band plan: S-curve math and budget factorization pick sane (b, r)") {
+    import graft.scale.NearDup
+    // the S-curve at the repo's default plan (4 bands x 2 rows): threshold
+    // (1/4)^(1/2) = 0.5 exactly
+    assert(NearDup.BandPlan(NearDup.Bands, NearDup.BandRows).threshold == 0.5)
+    // recall is monotone in similarity and brackets the threshold
+    val p = NearDup.BandPlan(4, 2)
+    val probs = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(p.recallAt)
+    assert(probs == probs.sorted)
+    assert(p.recallAt(0.9) > 0.95 && p.recallAt(0.1) < 0.2)
+    // factorization: k=8, target 0.5 -> the (4, 2) plan itself
+    assert(NearDup.bandPlan(8, 0.5) == NearDup.BandPlan(4, 2))
+    // a high-precision target picks more rows per band, fewer bands
+    val strict = NearDup.bandPlan(16, 0.9)
+    assert(strict.rows > NearDup.bandPlan(16, 0.3).rows)
+    assert(strict.threshold > 0.7)
+    // degenerate budgets still produce a legal plan
+    val one = NearDup.bandPlan(1, 0.5)
+    assert(one.bands * one.rows == 1)
+  }
+
   test("multimodal decode stub: typed mapPartitions yields deterministic meta") {
     import spark.implicits._
     val docs = Seq((6L, "hello world", "en", "s", 11L))

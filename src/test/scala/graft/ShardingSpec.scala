@@ -38,6 +38,24 @@ class ShardingSpec extends SparkSpec {
     assert(chars.sameElements(chars.sorted), "keys not globally ordered")
   }
 
+  test("approx boundaries: contiguous, complete, balanced within tolerance") {
+    val n = docs.count()
+    val tagged = Sharding.rangeShardsApprox(docs, "n_chars", nShards = 4)
+    assert(tagged.count() == n)
+    val s = tagged.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_chars")).as("min_key"), max(col("n_chars")).as("max_key"))
+      .orderBy("shard_id").collect()
+    assert(s.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    s.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2))
+    }
+    // sketch accuracy 10000 → rank error ~1e-4·N; allow the same 2x-ideal
+    // slack as the exact form plus the epsilon
+    s.foreach(r => assert(r.getLong(1) <= 2 * n / 4 + n / 1000 + 1,
+      s"shard ${r.getInt(0)} holds ${r.getLong(1)} of $n rows"))
+  }
+
   test("every row lands in exactly one shard; ids cover [0, n)") {
     val tagged = Sharding.rangeShards(docs, "n_chars", nShards = 8)
     assert(tagged.count() == docs.count())
