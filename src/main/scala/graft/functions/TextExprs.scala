@@ -159,6 +159,57 @@ object TextKernels {
     res
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003) in one fused pass:
+    * positional word k-gram poly-hashes, then the min of each w-long
+    * window, deduplicated in first-occurrence order. Values identical to
+    * the HOF composition (positional transform + windowed array_min +
+    * array_distinct — kept spec-cross-checked in TextOps
+    * .winnowFingerprintsHof) and to the DuckDB oracle generated from the
+    * same constants. The HOF form re-slices the token and hash arrays per
+    * element (O(n·k + n·w) array allocations, interpreted); this is one
+    * allocation-free scan per document.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int, mod: Long): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val nGrams = math.max(toks.length - (k - 1), 1)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      hs(i) = polyHashString(sb.toString, mod)
+      i += 1
+    }
+    val nWins = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j2 = 0
+    while (j2 < nWins) {
+      val end = math.min(j2 + w, nGrams)
+      var m = hs(j2)
+      var t = j2 + 1
+      while (t < end) {
+        if (hs(t) < m) m = hs(t)
+        t += 1
+      }
+      seen.add(m)
+      j2 += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var z = 0
+    while (it.hasNext) {
+      out(z) = it.next()
+      z += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document n-gram repetition statistic: [total n-grams (multiset),
     * top n-gram count] in one pass. Counting is by exact gram string (a
     * per-doc hash map), so the values match a string-keyed explode +
@@ -246,6 +297,25 @@ final case class NgramRepExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_ngram_rep"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_winnow(text, k, w, mod)`: winnowing fingerprints — distinct
+  * windowed minima of positional k-gram hashes, one fused pass.
+  */
+final case class WinnowExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, k: Any, w: Any, m: Any): Any =
+    TextKernels.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int],
+      w.asInstanceOf[Int], m.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, w, m) => s"graft.functions.TextKernels.winnow($t, $k, $w, $m)")
+  override def prettyName: String = "graft_winnow"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** `graft_simhash32(text, mod)`: 32-bit SimHash of a string's tokens. */

@@ -174,8 +174,20 @@ object TextOps {
     * quoted passages) where whole-document MinHash dilutes away.
     * Positional (non-distinct) k-grams, unlike [[shingles]]: winnowing's
     * window guarantee needs every occurrence.
+    *
+    * One fused native pass (`graft_winnow`) — the HOF composition
+    * ([[winnowFingerprintsHof]], kept spec-cross-checked) re-slices the
+    * token and hash arrays per element and measured 350 s for the sf0.1
+    * corpus vs sub-second native.
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    call_function("graft_winnow", text, lit(k), lit(w), lit(P))
+
+  /** Pure higher-order-function form of [[winnowFingerprints]] (identical
+    * values; interpreted, quadratically allocation-heavy — cross-check
+    * only).
+    */
+  def winnowFingerprintsHof(text: Column, k: Int = 3, w: Int = 4): Column = {
     val toks = tokens(text)
     val nGrams = greatest(size(toks) - (k - 1), lit(1))
     val hs = transform(sequence(lit(1), nGrams),

@@ -63,6 +63,11 @@ class ScaleOpsSpec extends SparkSpec {
       .groupBy("doc_id").agg(sum("count").as("t"), max("count").as("m"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(natRep == explRep)
+    // winnowing: fused kernel vs positional-transform + windowed-min HOF
+    val win = d.select(
+      TextOps.winnowFingerprints(col("text")).as("native"),
+      TextOps.winnowFingerprintsHof(col("text")).as("hof"))
+    assert(win.filter(col("native") =!= col("hof")).count() == 0)
   }
 
   test("minhash signatures: near-identical docs collide on most components") {
