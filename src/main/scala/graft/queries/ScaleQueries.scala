@@ -1369,6 +1369,52 @@ object ScaleQueries {
            |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "32-bit SimHash signatures (explode + bit-vote aggregation)"),
 
+    // Partial-overlap detection (NearDup.winnowPairs): composites planted
+    // by concatenating two source docs share a passage with each — the
+    // case whole-doc MinHash dilutes below threshold but winnowing's
+    // window guarantee catches. Bounded group-and-pair on fingerprint
+    // buckets (df-capped), same skew posture as dedup_jaccard_capped.
+    "dedup_winnow" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val comp = d.as("a").filter(col("a.doc_id") % 25 === 0)
+          .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + 400000).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val corpus = d.select("doc_id", "text").unionByName(comp)
+        NearDup.winnowPairs(corpus, "doc_id").orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT a.doc_id + 400000, a.text || ' ' || b.text
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id % 25 = 0),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+           |g AS (
+           |  SELECT doc_id,
+           |    list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+           |      i -> ${sqlPolyHash("array_to_string(list_slice(toks, i, i + 2), ' ')", P)}) AS hs
+           |  FROM t),
+           |w AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+           |      j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+           |  FROM g),
+           |e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+           |keep AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 8),
+           |ee AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_shared FROM p
+           |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Winnowing shared-fingerprint pairs: partial-overlap near-dup detection"),
+
     // ---------------- similarity search ----------------
 
     "emb_cosine_topk" -> QueryDef(

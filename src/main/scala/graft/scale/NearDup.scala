@@ -210,6 +210,37 @@ object NearDup {
         coalesce(col("sig_matches"), lit(0)).as("sig_matches"))
   }
 
+  /** Partial-overlap near-dup pairs via winnowing fingerprints: documents
+    * sharing >= `minShared` fingerprints ([[TextOps.winnowFingerprints]] —
+    * windowed minima of positional k-gram hashes). Because winnowing
+    * guarantees a shared fingerprint for ANY >= w+k-1-token overlap, this
+    * catches documents that share a passage (quoted paragraph, templated
+    * boilerplate, concatenated sources) that whole-document MinHash
+    * dilutes below threshold. Same bounded group-and-pair shape as
+    * [[jaccardPairsCapped]]: one aggregation groups docs per fingerprint,
+    * the df cap (`maxDf`) bounds every fingerprint's fan-out at maxDf²
+    * pairs, and pair generation runs in-place over each kept group's
+    * sorted doc list — worst-case candidates O(fingerprints · maxDf²)
+    * regardless of boilerplate skew.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, minShared: Int = 3,
+                  maxDf: Int = 8): DataFrame = {
+    val groups = graft.Caches.persist(
+      docs.select(col(idCol).as("doc"),
+          explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
+        .groupBy("fp").agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")) <= maxDf)
+        .withColumn("ds", sort_array(col("ds"))))
+    groups
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b", "n_shared")
+  }
+
   /** Probability a pair with Jaccard similarity `s` becomes an LSH
     * candidate under `b` bands of `r` rows: 1 - (1 - s^r)^b — the banding
     * S-curve (Broder/LSH analysis, standard in the MMDS literature). The

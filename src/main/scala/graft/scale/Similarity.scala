@@ -234,9 +234,13 @@ object Similarity {
                             threshold: Double, bands: Int = 4,
                             bitsPerBand: Int = 4): DataFrame = {
     Hashing.register(corpus.sparkSession)
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("n"),
-      signBands(col(vecCol), bands, bitsPerBand).as("bands"))
+    // Persisted: referenced three times (bucket explode + both pair sides);
+    // without the barrier CollapseProject recomputes norm + all band
+    // quantizations per reference — same trap as NearDup.withSignatures.
+    val b = graft.Caches.persist(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"),
+        signBands(col(vecCol), bands, bitsPerBand).as("bands")))
     val buckets = b.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "bucket")))
     val cands = buckets.as("l").join(buckets.as("r"),
