@@ -289,6 +289,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Similarity.bitsFor(0L, dim = 64) == Similarity.DefaultBits)
   }
 
+  test("token chunking: short docs, exact boundaries, tail always covered") {
+    import spark.implicits._
+    import graft.scale.Packing
+    def chunksOf(text: String, maxT: Int, stride: Int): Seq[(Int, Int, String)] =
+      Packing.chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", maxT, stride)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // shorter than the window: one chunk, verbatim
+    assert(chunksOf("a b c", 5, 2) == Seq((0, 3, "a b c")))
+    // exactly the window: still one chunk
+    assert(chunksOf("a b c d e", 5, 2) == Seq((0, 5, "a b c d e")))
+    // one token over: second chunk starts at the stride and covers the tail
+    assert(chunksOf("a b c d e f", 5, 2) ==
+      Seq((0, 5, "a b c d e"), (1, 4, "c d e f")))
+    // long doc: every chunk but the last is full-width; windows overlap by
+    // maxT - stride; the final token appears in the last chunk
+    val toks = (1 to 11).map("t" + _)
+    val cs = chunksOf(toks.mkString(" "), 4, 3)
+    assert(cs.map(_._1) == (0 to 3))
+    assert(cs.dropRight(1).forall(_._2 == 4))
+    assert(cs.last._3.endsWith("t11"))
+    // stride == maxTokens: disjoint tiling, total tokens preserved
+    val tiled = chunksOf(toks.mkString(" "), 4, 4)
+    assert(tiled.map(_._2).sum == 11)
+  }
+
   test("band plan: S-curve math and budget factorization pick sane (b, r)") {
     import graft.scale.NearDup
     // the S-curve at the repo's default plan (4 bands x 2 rows): threshold
