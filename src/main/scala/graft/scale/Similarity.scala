@@ -184,16 +184,23 @@ object Similarity {
         round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
     val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
     val ranked = cscored.withColumn("crank", row_number().over(cw))
+    // Persisted: the ranked assignment feeds the membership side AND (for
+    // nProbe > 1) the probe side, and probeTopK references membership
+    // again — without the barrier the corpus x codebook scoring pass
+    // recomputes per reference. Persisted rows are corpus x nProbe, the
+    // same assignment table a production IVF materializes as its index.
+    val top = graft.Caches.persist(
+      ranked.filter(col("crank") <= math.max(nProbe, 1))
+        .select(col("id"), col("v"), col("n"), col("cent_id"), col("crank")))
     // corpus membership: exactly one list per vector
-    val assigned = ranked.filter(col("crank") === 1)
+    val assigned = top.filter(col("crank") === 1)
       .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id"))
     // multi-probe: each query fans out to its nProbe nearest lists — the
     // standard IVF recall knob (candidates scale linearly with nProbe,
     // never quadratically)
     val probes =
       if (nProbe <= 1) selfProbes(assigned)
-      else ranked.filter(col("crank") <= nProbe)
-        .select(col("id").as("query_id"), col("v").as("qv"),
+      else top.select(col("id").as("query_id"), col("v").as("qv"),
           col("n").as("qn"), col("cent_id").as("list_id"))
     probeTopK(probes, assigned, k)
   }

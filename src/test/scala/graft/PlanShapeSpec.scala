@@ -78,16 +78,22 @@ class PlanShapeSpec extends SparkSpec {
       val seeded = graft.scale.Similarity
         .ivfSeededTopK(embs, "vec_id", "embedding", k = 3, nLists = 8)
       val plan = seeded.queryExecution.executedPlan.toString
-      val nBroadcast = plan.sliding("BroadcastExchange".length)
-        .count(_ == "BroadcastExchange")
-      assert(nBroadcast == 1,
-        s"expected exactly the codebook broadcast, got $nBroadcast:\n${plan.take(3000)}")
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        plan.take(3000))
+      // The probe self-join on list_id must be a shuffle join: the corpus
+      // side may never build a broadcast relation. (The codebook crossJoin
+      // is a BroadcastNestedLoopJoin of nLists rows — legitimate, and
+      // printed once per reference to the cached assignment frame, so the
+      // join TYPE on list_id is the stable thing to pin, not a broadcast
+      // count over the whole plan string.)
+      assert(plan.contains("SortMergeJoin [list_id") ||
+        plan.contains("ShuffledHashJoin [list_id"), plan.take(3000))
+      assert(!plan.contains("BroadcastHashJoin [list_id"),
+        s"corpus-side broadcast on the probe join:\n${plan.take(3000)}")
       val kmeans = graft.scale.Similarity
         .ivfTopK(embs, "vec_id", "embedding", k = 3, nLists = 4)
       val kplan = kmeans.queryExecution.executedPlan.toString
-      assert(!kplan.contains("BroadcastExchange"), kplan.take(3000))
+      assert(!kplan.contains("BroadcastHashJoin [list_id"), kplan.take(3000))
+      assert(kplan.contains("SortMergeJoin [list_id") ||
+        kplan.contains("ShuffledHashJoin [list_id"), kplan.take(3000))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
