@@ -49,8 +49,9 @@ object Contamination {
   def overlapBloomPruned(train: DataFrame, eval: DataFrame, idCol: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
                          fpp: Double = 0.01): DataFrame = {
-    val evalGrams = eval.select(
-      explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s"))
+    // persisted: the gram set is scanned twice (sizing count + bloom build)
+    val evalGrams = graft.Caches.persist(eval.select(
+      explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s")))
     val expected = math.max(1L, evalGrams.count())
     val bloom = evalGrams.stat.bloomFilter("s", expected, fpp)
     val bytes = {
