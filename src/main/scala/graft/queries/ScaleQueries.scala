@@ -308,6 +308,33 @@ object ScaleQueries {
            |GROUP BY k.source ORDER BY k.source""".stripMargin),
       doc = "Per-domain document cap (deterministic hash-ranked keep set)"),
 
+    // Leakage-proof holdout assignment (Sampling.assignSplits): 80/10/10
+    // train/val/test carved from the hash-bucket grid — a doc's split is a
+    // pure function of (doc_id, salt), so assignments survive re-runs,
+    // retries, engine changes, and corpus growth. Zero shuffles.
+    "sample_splits" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Sampling.assignSplits(docs(s, dir), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("split")
+      },
+      oracle = Some(
+        s"""WITH assigned AS (
+           |  SELECT doc_id, n_chars,
+           |    CASE WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split1")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split1")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
+      doc = "Deterministic 80/10/10 train/val/test split (hash-bucket ranges)"),
+
     // Exactly-n deterministic sample (Sampling.fixedSizeSample): the
     // reproducible eval-subset draw. orderBy+limit plans as
     // TakeOrderedAndProject — per-partition n-row heaps, no global sort

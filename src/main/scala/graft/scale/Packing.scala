@@ -47,10 +47,10 @@ object Packing {
     * (id, chunk_idx, n_tokens, chunk_text).
     */
   def chunkByTokens(docs: DataFrame, idCol: String, maxTokens: Int,
-                    stride: Int): DataFrame = {
+                    stride: Int, textCol: String = "text"): DataFrame = {
     require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
       "need 0 < stride <= maxTokens")
-    val toks = TextOps.tokens(col("text"))
+    val toks = TextOps.tokens(col(textCol))
     val n = size(toks)
     val nChunks = when(n <= maxTokens, lit(1)).otherwise(
       lit(1) + ceil((n - maxTokens).cast("double") / stride).cast("int"))

@@ -120,6 +120,32 @@ object Sampling {
       .drop("_cap_rk")
   }
 
+  /** Deterministic train/val/test assignment: the bucket grid is carved
+    * into contiguous ranges sized by `splits` (name -> fraction, summing to
+    * ~1), and each row's split is a pure function of (key, salt) — the
+    * leakage-proof form of a holdout: a document can never migrate between
+    * splits across runs, retries, engines, or corpus growth (new docs land
+    * in their own bucket; existing assignments never move). Zero shuffles —
+    * one hash + one comparison chain per row.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions sum to $total, not 1")
+    val b = sampleBucket(col(keyCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // ordered when-chain over cumulative bounds; the last split absorbs the
+    // rounding tail of the grid
+    val assigned = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = b < lit(math.round(c * 10000).toInt)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn("split", assigned)
+  }
+
   /** Weighted corpus mixture: each part is hash-sampled at its rate under
     * a part-specific salt and tagged `mix_source`. One scan per part, no
     * shuffle — the mixture is a pure filter + union.
