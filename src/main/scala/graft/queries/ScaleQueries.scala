@@ -565,6 +565,71 @@ object ScaleQueries {
            |GROUP BY source ORDER BY source""".stripMargin),
       doc = "End-to-end corpus prep: quality gate, exact dedup, deterministic per-source token budget"),
 
+    // Second capstone, over the selection operators: normalize ->
+    // distribution-relative quality gate -> digest dedup (on the
+    // normalized text, so formatting variants collapse) -> per-domain cap
+    // -> leakage-proof holdout split. Pins that the newer stages compose
+    // deterministically too; every stage is individually oracle-proven
+    // above.
+    "corpus_prepare_v2" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val norm = docs(s, dir).select(col("doc_id"), col("source"),
+          TextOps.normalize(col("text")).as("text"))
+        val scored = norm.withColumn("quality", TextOps.qualityScore(col("text")))
+        val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+        val ded = gated
+          .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val capped = Sampling.capPerGroup(ded, "doc_id", "source", cap = 18,
+          salt = "prep2")
+        Sampling.assignSplits(capped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split2")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("split")
+      },
+      oracle = Some(
+        s"""WITH norm AS (
+           |  SELECT doc_id, source,
+           |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, source, text,
+           |    ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+           |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |      + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |               / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality
+           |  FROM norm),
+           |thr AS (SELECT quantile_cont(quality, 0.3) AS t FROM scored),
+           |gated AS (SELECT s.doc_id, s.source, s.text FROM scored s, thr WHERE s.quality >= thr.t),
+           |ded AS (
+           |  SELECT doc_id, source FROM (
+           |    SELECT doc_id, source,
+           |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           |    FROM gated) x WHERE rn = 1),
+           |capped AS (
+           |  SELECT doc_id, source FROM (
+           |    SELECT doc_id, source,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "prep2")}, doc_id) AS rk
+           |    FROM ded) y WHERE rk <= 18),
+           |assigned AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split2")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split2")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM capped)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
+      doc = "Capstone v2: normalize -> percentile gate -> dedup -> domain cap -> holdout split"),
+
     // ---------------- text analysis ----------------
 
     "txt_stats" -> QueryDef(
