@@ -149,7 +149,8 @@ final case class Murmur2PartitionExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(key: Any, n: Any): Any =
-    Hashing.murmur2Partition(key.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    Hashing.murmur2Partition(key.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (k, n) => s"graft.functions.Hashing.murmur2Partition($k, $n)")
   override def prettyName: String = "murmur2_partition"
@@ -165,7 +166,8 @@ final case class PolyHashExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullSafeEval(s: Any, mod: Any): Any =
-    Hashing.polyHash(s.asInstanceOf[UTF8String], mod.asInstanceOf[Long])
+    Hashing.polyHash(s.asInstanceOf[UTF8String],
+      mod.asInstanceOf[Number].longValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, m) => s"graft.functions.Hashing.polyHash($s, $m)")
   override def prettyName: String = "graft_poly_hash"
@@ -178,7 +180,8 @@ final case class JavaHashPartitionExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(key: Any, n: Any): Any =
-    Hashing.javaHashPartition(key.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    Hashing.javaHashPartition(key.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (k, n) => s"graft.functions.Hashing.javaHashPartition($k, $n)")
   override def prettyName: String = "java_hash_partition"

@@ -246,7 +246,8 @@ final case class ShingleHashesExpr(first: Expression, second: Expression, third:
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any, m: Any): Any =
     TextKernels.shingleHashes(
-      t.asInstanceOf[UTF8String], n.asInstanceOf[Int], m.asInstanceOf[Long])
+      t.asInstanceOf[UTF8String], n.asInstanceOf[Number].intValue,
+      m.asInstanceOf[Number].longValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (t, n, m) => s"graft.functions.TextKernels.shingleHashes($t, $n, $m)")
@@ -262,7 +263,8 @@ final case class ShinglesExpr(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any): Any =
-    TextKernels.shingleStrings(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    TextKernels.shingleStrings(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (t, n) => s"graft.functions.TextKernels.shingleStrings($t, $n)")
@@ -291,7 +293,8 @@ final case class NgramRepExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any): Any =
-    TextKernels.ngramRep(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+    TextKernels.ngramRep(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Number].intValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextKernels.ngramRep($t, $n)")
   override def prettyName: String = "graft_ngram_rep"
@@ -307,8 +310,9 @@ final case class WinnowExpr(first: Expression, second: Expression,
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, k: Any, w: Any, m: Any): Any =
-    TextKernels.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int],
-      w.asInstanceOf[Int], m.asInstanceOf[Long])
+    TextKernels.winnow(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Number].intValue, w.asInstanceOf[Number].intValue,
+      m.asInstanceOf[Number].longValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (t, k, w, m) => s"graft.functions.TextKernels.winnow($t, $k, $w, $m)")
@@ -323,7 +327,8 @@ final case class SimHash32Expr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(t: Any, m: Any): Any =
-    TextKernels.simhash32(t.asInstanceOf[UTF8String], m.asInstanceOf[Long])
+    TextKernels.simhash32(t.asInstanceOf[UTF8String],
+      m.asInstanceOf[Number].longValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, m) => s"graft.functions.TextKernels.simhash32($t, $m)")
   override def prettyName: String = "graft_simhash32"

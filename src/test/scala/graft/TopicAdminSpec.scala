@@ -64,6 +64,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) >= 0 && r.getInt(1) < 6)
   }
 
+  test("every entry in the native-function table resolves after register") {
+    // the extensions route and Hashing.register share this table; a kernel
+    // added to functions/ but left out of it would be Column-API-only and
+    // silently absent from SQL/extension sessions (the round-1 graft_dot_f
+    // gap). Resolve each name through the registry.
+    graft.functions.Hashing.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    graft.functions.Hashing.nativeFunctions.foreach { case (name, _) =>
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name missing from the function registry")
+    }
+    // and the newest kernel actually evaluates from SQL text
+    val fp = spark.sql(
+      s"SELECT graft_winnow('a b c d e f g h', 3, 4, ${graft.scale.TextOps.P}) AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(fp.nonEmpty)
+  }
+
   test("GraftExtensions applies its injections cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)   // must not throw
