@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Partition-placement hash functions (SURVEY §4.2.1, §7.4.3).
@@ -119,7 +119,9 @@ object Hashing {
     "graft_proto_string_list" -> (exprs => ProtoStringListExpr(exprs(0), exprs(1))),
     "graft_proto_string_map" -> (exprs => ProtoStringMapExpr(exprs(0), exprs(1))),
     "graft_proto_bytes" -> (exprs => ProtoBytesExpr(exprs(0), exprs(1))),
-    "graft_proto_json_value_map" -> (exprs => ProtoJsonValueMapExpr(exprs(0), exprs(1))))
+    "graft_proto_json_value_map" -> (exprs => ProtoJsonValueMapExpr(exprs(0), exprs(1))),
+    "graft_proto_long_map" -> (exprs => ProtoLongMapExpr(exprs(0), exprs(1))),
+    "graft_proto_struct" -> (exprs => ProtoEventMetadataExpr(exprs(0))))
 
   /** Installs the native functions into the session's function registry
     * (idempotent). Column and SQL surfaces both resolve through the
@@ -144,9 +146,16 @@ object Hashing {
     }
 }
 
-/** Native expression: Kafka-placement partition of a string key. */
+/** Native expression: Kafka-placement partition of a string key.
+  * `inputTypes` + ImplicitCastInputTypes: Catalyst inserts the casts
+  * once, so a BIGINT `n` from the SQL surface stays correct on BOTH the
+  * interpreted path and codegen (defineCodeGen splices the child's raw
+  * Java type — without the declared input types a long argument would
+  * generate non-compiling Java and silently fall back per query).
+  */
 final case class Murmur2PartitionExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(key: Any, n: Any): Any =
     Hashing.murmur2Partition(key.asInstanceOf[UTF8String],
@@ -163,8 +172,9 @@ final case class Murmur2PartitionExpr(left: Expression, right: Expression)
   * MinHash shingle hashing and SimHash token hashing (scale/TextOps).
   */
 final case class PolyHashExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
+  override def dataType: DataType = LongType
   override def nullSafeEval(s: Any, mod: Any): Any =
     Hashing.polyHash(s.asInstanceOf[UTF8String],
       mod.asInstanceOf[Number].longValue)
@@ -177,7 +187,8 @@ final case class PolyHashExpr(left: Expression, right: Expression)
 
 /** Native expression: the reference's Java-hashCode partition placement. */
 final case class JavaHashPartitionExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(key: Any, n: Any): Any =
     Hashing.javaHashPartition(key.asInstanceOf[UTF8String],

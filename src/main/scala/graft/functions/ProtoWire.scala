@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Minimal proto3 wire-format reader — the real decode path for the
@@ -72,6 +72,12 @@ object ProtoWire {
   /** One `map<string,string>` entry: a repeated `{1: key, 2: value}`. */
   def mapEntryField(fieldNo: Int, k: String, v: String): Array[Byte] =
     lenField(fieldNo, stringField(1, k) ++ stringField(2, v))
+
+  /** One `map<string,int64>` entry: a repeated `{1: key, 2: varint}`
+    * (the usage-breakdown shape, reference `commands.proto:149`).
+    */
+  def longMapEntryField(fieldNo: Int, k: String, v: Long): Array[Byte] =
+    lenField(fieldNo, stringField(1, k) ++ varintField(2, v))
 
   def message(fields: Array[Byte]*): Array[Byte] =
     fields.foldLeft(Array.emptyByteArray)(_ ++ _)
@@ -445,11 +451,166 @@ object ProtoWire {
     }
     org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
   }
+
+  /** `map<string,int64>` at `path` (repeated `{1: key, 2: varint}`
+    * entries) → Spark map (empty when absent; last entry per key wins,
+    * the proto3 map-merge rule). Closes the §1.2 type surface: the
+    * usage-breakdown map, reference `commands.proto:149`.
+    */
+  def longMapAtPath(bytes: Array[Byte], path: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val pb = parentBounds(bytes, path)
+    val entries = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    if (pb != null) {
+      val hits = scanAll(bytes, pb._1, pb._2, pb._3)
+      val out = new Array[Long](3)
+      var i = 0
+      while (i < hits.size()) {
+        val h = hits.get(i)
+        require(h(0) == 2, "map entry is not a message")
+        val k = if (scan(bytes, h(1).toInt, h(2).toInt, 1, out) && out(0) == 2)
+          UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+        else UTF8String.EMPTY_UTF8
+        val v: java.lang.Long = if (scan(bytes, h(1).toInt, h(2).toInt, 2, out) && out(0) == 0)
+          out(1) else 0L
+        entries.put(k, v)
+        i += 1
+      }
+    }
+    val ks = new Array[Any](entries.size())
+    val vs = new Array[Any](entries.size())
+    val it = entries.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue.longValue; i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
+
+  // ---- one-pass EventMetadata struct decode ----
+
+  /** Spark schema of the EventMetadata envelope (`common.proto:38-49`) —
+    * field order matches [[eventMetadataStruct]]'s row layout and the
+    * legacy per-field composition in `KafkaIO.decodeEventMetadata`.
+    */
+  val eventMetadataSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("correlation_id", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("source_service", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("timestamp", TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("headers",
+        org.apache.spark.sql.types.MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("tenant_id", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("user_id", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("priority", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("retry_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  private val priorityNames: Array[UTF8String] =
+    graft.operators.Envelope.priorities.map(UTF8String.fromString).toArray
+
+  /** Decodes the full EventMetadata envelope (field 1 of every reference
+    * event) in ONE forward scan of the value bytes — the decode-once model
+    * of the reference's `DynamicMessage` path
+    * (`service/BaseEventConsumer.java:115-131`). The per-field
+    * `graft_proto_*` composition re-parses the message once per projected
+    * field (~10× the necessary work at scale); this emits the whole struct
+    * from a single pass: one top-level scan to locate the metadata
+    * message, one scan of its body collecting all 10 fields (last-wins
+    * for scalars, accumulated entries for the headers map), plus one
+    * bounded sub-scan of the tiny Timestamp message.
+    *
+    * Absent fields get proto3 defaults ("" / 0 / epoch / empty map);
+    * an out-of-range priority enum falls back to index 0
+    * (PRIORITY_UNSPECIFIED), matching the legacy composition.
+    */
+  def eventMetadataStruct(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val top = new Array[Long](3)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(10)
+    // proto3 defaults
+    row.update(0, UTF8String.EMPTY_UTF8)
+    row.update(1, UTF8String.EMPTY_UTF8)
+    row.update(2, UTF8String.EMPTY_UTF8)
+    row.setLong(3, 0L)
+    row.setInt(4, 0)
+    row.update(5, org.apache.spark.sql.catalyst.util.ArrayBasedMapData(Array.empty[Any], Array.empty[Any]))
+    row.update(6, UTF8String.EMPTY_UTF8)
+    row.update(7, UTF8String.EMPTY_UTF8)
+    row.update(8, priorityNames(0))
+    row.setInt(9, 0)
+    if (!scan(bytes, 0, bytes.length, 1, top) || top(0) != 2) return row
+    val from = top(1).toInt
+    val end = top(2).toInt
+    var tsFrom = -1; var tsEnd = -1
+    val headerKs = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+    val out = new Array[Long](3)
+    val pos = new Array[Int](1)
+    var p = from
+    while (p < end) {
+      val tag = readVarint(bytes, p, end, pos); p = pos(0)
+      val f = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      wt match {
+        case 0 =>
+          val v = readVarint(bytes, p, end, pos); p = pos(0)
+          f match {
+            case 5  => row.setInt(4, v.toInt)
+            case 9  =>
+              val i = v.toInt
+              row.update(8, if (i >= 0 && i < priorityNames.length) priorityNames(i)
+                            else priorityNames(0))
+            case 10 => row.setInt(9, v.toInt)
+            case _  =>
+          }
+        case 1 => p += 8
+        case 2 =>
+          val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          f match {
+            case 1 => row.update(0, UTF8String.fromBytes(bytes, p, len))
+            case 2 => row.update(1, UTF8String.fromBytes(bytes, p, len))
+            case 3 => row.update(2, UTF8String.fromBytes(bytes, p, len))
+            case 4 => tsFrom = p; tsEnd = p + len
+            case 6 =>
+              val k = if (scan(bytes, p, p + len, 1, out) && out(0) == 2)
+                UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+              else UTF8String.EMPTY_UTF8
+              val v = if (scan(bytes, p, p + len, 2, out) && out(0) == 2)
+                UTF8String.fromBytes(bytes, out(1).toInt, (out(2) - out(1)).toInt)
+              else UTF8String.EMPTY_UTF8
+              headerKs.put(k, v)
+            case 7 => row.update(6, UTF8String.fromBytes(bytes, p, len))
+            case 8 => row.update(7, UTF8String.fromBytes(bytes, p, len))
+            case _ =>
+          }
+          p += len
+        case 5 => p += 4
+        case other =>
+          throw new IllegalArgumentException(s"unsupported wire type $other")
+      }
+    }
+    if (tsFrom >= 0) {
+      val secs = if (scan(bytes, tsFrom, tsEnd, 1, out) && out(0) == 0) out(1) else 0L
+      val nanos = if (scan(bytes, tsFrom, tsEnd, 2, out) && out(0) == 0) out(1) else 0L
+      row.setLong(3, secs * 1000000L + nanos / 1000L)
+    }
+    if (!headerKs.isEmpty) {
+      val ks = new Array[Any](headerKs.size())
+      val vs = new Array[Any](headerKs.size())
+      val it = headerKs.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue; i += 1
+      }
+      row.update(5, org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs))
+    }
+    row
+  }
 }
 
 /** `graft_proto_string(value, '1.2')`: UTF-8 string field at a wire path. */
 final case class ProtoStringExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(b: Any, p: Any): Any =
     ProtoWire.stringAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
@@ -462,7 +623,8 @@ final case class ProtoStringExpr(left: Expression, right: Expression)
 
 /** `graft_proto_long(value, '1.5')`: varint field (int/bool/enum) at a wire path. */
 final case class ProtoLongExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(b: Any, p: Any): Any =
     ProtoWire.longAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
@@ -475,7 +637,8 @@ final case class ProtoLongExpr(left: Expression, right: Expression)
 
 /** `graft_proto_double(value, '2.7')`: fixed64 IEEE double at a wire path. */
 final case class ProtoDoubleExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullSafeEval(b: Any, p: Any): Any =
     ProtoWire.doubleAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
@@ -488,7 +651,8 @@ final case class ProtoDoubleExpr(left: Expression, right: Expression)
 
 /** `graft_proto_string_list(value, '2.12')`: repeated string at a wire path. */
 final case class ProtoStringListExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override def nullSafeEval(b: Any, p: Any): Any =
@@ -502,7 +666,8 @@ final case class ProtoStringListExpr(left: Expression, right: Expression)
 
 /** `graft_proto_string_map(value, '1.6')`: map<string,string> at a wire path. */
 final case class ProtoStringMapExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.MapType(StringType, StringType, valueContainsNull = false)
   override def nullSafeEval(b: Any, p: Any): Any =
@@ -518,7 +683,8 @@ final case class ProtoStringMapExpr(left: Expression, right: Expression)
   * (bytes / google.protobuf.Any.value) at a wire path, null when absent.
   */
 final case class ProtoBytesExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullSafeEval(b: Any, p: Any): Any =
     ProtoWire.bytesAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
@@ -533,7 +699,8 @@ final case class ProtoBytesExpr(left: Expression, right: Expression)
   * google.protobuf.Value> at a wire path, values rendered as JSON text.
   */
 final case class ProtoJsonValueMapExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.MapType(StringType, StringType, valueContainsNull = false)
   override def nullSafeEval(b: Any, p: Any): Any =
@@ -545,11 +712,48 @@ final case class ProtoJsonValueMapExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_proto_long_map(value, '2.3')`: map<string,int64> at a wire path
+  * (varint-valued map entries — the §1.2 usage-breakdown shape).
+  */
+final case class ProtoLongMapExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ProtoWire.longMapAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.ProtoWire.longMapAtPath($b, $p)")
+  override def prettyName: String = "graft_proto_long_map"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_struct(value)`: the WHOLE EventMetadata envelope decoded
+  * in one pass over the value bytes (vs one re-parse per projected field
+  * in the `graft_proto_*` composition) — the decode-once model of the
+  * reference's `DynamicMessage` path (`service/BaseEventConsumer.java:115-131`).
+  */
+final case class ProtoEventMetadataExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ProtoWire.eventMetadataSchema
+  override def nullSafeEval(b: Any): Any =
+    ProtoWire.eventMetadataStruct(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.ProtoWire.eventMetadataStruct($b)")
+  override def prettyName: String = "graft_proto_struct"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_proto_timestamp(value, '1.4')`: google.protobuf.Timestamp at a
   * wire path, as a Spark TIMESTAMP (micros).
   */
 final case class ProtoTimestampExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = TimestampType
   override def nullSafeEval(b: Any, p: Any): Any =
     ProtoWire.timestampMicrosAtPath(b.asInstanceOf[Array[Byte]], p.asInstanceOf[UTF8String])

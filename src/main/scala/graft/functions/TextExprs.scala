@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text kernels for the dedup/fingerprint family (scale/TextOps,
@@ -242,7 +242,8 @@ object TextKernels {
   * poly-hashes of a string.
   */
 final case class ShingleHashesExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any, m: Any): Any =
     TextKernels.shingleHashes(
@@ -259,7 +260,8 @@ final case class ShingleHashesExpr(first: Expression, second: Expression, third:
 
 /** `graft_shingles(text, n)`: distinct word n-gram shingles of a string. */
 final case class ShinglesExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any): Any =
@@ -274,7 +276,9 @@ final case class ShinglesExpr(left: Expression, right: Expression)
 }
 
 /** `graft_minhash_sig(shingle_hashes)`: the K-wide MinHash signature. */
-final case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+final case class MinHashSigExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(hashes: Any): Any =
     TextKernels.minhashSig(hashes.asInstanceOf[ArrayData])
@@ -290,7 +294,8 @@ final case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   * stat needs no gram explode/shuffle at any scale).
   */
 final case class NgramRepExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any): Any =
     TextKernels.ngramRep(t.asInstanceOf[UTF8String],
@@ -307,7 +312,9 @@ final case class NgramRepExpr(left: Expression, right: Expression)
   */
 final case class WinnowExpr(first: Expression, second: Expression,
                             third: Expression, fourth: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, k: Any, w: Any, m: Any): Any =
     TextKernels.winnow(t.asInstanceOf[UTF8String],
@@ -324,7 +331,8 @@ final case class WinnowExpr(first: Expression, second: Expression,
 
 /** `graft_simhash32(text, mod)`: 32-bit SimHash of a string's tokens. */
 final case class SimHash32Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(t: Any, m: Any): Any =
     TextKernels.simhash32(t.asInstanceOf[UTF8String],

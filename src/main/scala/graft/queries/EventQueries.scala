@@ -175,7 +175,7 @@ object EventQueries {
           .orderBy("key")
       },
       oracle = None,
-      doc = "P2/P3 placement across java/murmur2/spark hash families"),
+      doc = "ROWS-ONLY by design: murmur2/spark families have no DuckDB-reproducible oracle; murmur2 pinned by Kafka known-answer vectors in PartitionKeysSpec"),
 
     // D1 dedup: inject duplicates, keep first per event_id in event time.
     "d1_dedup" -> QueryDef(

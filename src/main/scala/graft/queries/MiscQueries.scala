@@ -74,6 +74,79 @@ object MiscQueries {
       },
       doc = "Protobuf wire encode->decode round-trip, oracle-pinned scalars"),
 
+    // F12: one-pass struct decode, oracle-validated over the FULL
+    // EventMetadata surface (all 10 fields incl. two headers-map entries)
+    // plus the map<string,int64> usage-breakdown reader — the decode-once
+    // model of the reference's DynamicMessage path
+    // (service/BaseEventConsumer.java:115-131). Same wire-encode fixture
+    // discipline as f11; the DuckDB oracle recomputes every scalar from
+    // the events table, so a misparse anywhere in the single scan breaks
+    // the hash.
+    "f12_proto_struct" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        import s.implicits._
+        import graft.functions.ProtoWire._
+        val src = Tables.events(s, dir).select(
+            col("event_id"), unix_micros(col("ts")).as("micros"), col("user_id"))
+          .as[(Long, Long, Long)]
+        val wire = src.mapPartitions { it =>
+          it.map { case (id, micros, user) =>
+            (id, message(
+              lenField(1, message(
+                stringField(1, id.toString),
+                stringField(2, s"corr-${id % 97}"),
+                stringField(3, s"svc-${id % 7}"),
+                timestampField(4, Math.floorDiv(micros, 1000000L),
+                  (Math.floorMod(micros, 1000000L) * 1000L).toInt),
+                varintField(5, id % 3 + 1),
+                mapEntryField(6, "h1", s"v${id % 11}"),
+                mapEntryField(6, "h2", user.toString),
+                stringField(7, s"tenant-${user % 50}"),
+                stringField(8, user.toString),
+                varintField(9, id % 5),
+                varintField(10, id % 5))),
+              longMapEntryField(3, "ingest", id % 1000),
+              longMapEntryField(3, "emit", user % 1000)))
+          }
+        }.toDF("event_id", "value")
+        wire.select(col("event_id"),
+            call_function("graft_proto_struct", col("value")).as("m"),
+            call_function("graft_proto_long_map", col("value"), lit("3")).as("usage"))
+          .select(col("event_id"),
+            col("m.event_id").as("event_id_s"),
+            col("m.correlation_id"),
+            col("m.source_service"),
+            col("m.timestamp").as("ts"),
+            col("m.version"),
+            element_at(col("m.headers"), "h1").as("h1"),
+            element_at(col("m.headers"), "h2").as("h2"),
+            col("m.tenant_id"), col("m.user_id").as("user_id_s"),
+            col("m.priority"), col("m.retry_count"),
+            element_at(col("usage"), "ingest").as("usage_ingest"),
+            element_at(col("usage"), "emit").as("usage_emit"))
+          .orderBy("event_id")
+      },
+      oracle = Some {
+        val prio = Envelope.priorities.zipWithIndex
+          .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+        s"""SELECT event_id, CAST(event_id AS VARCHAR) AS event_id_s,
+           |  'corr-' || CAST(event_id % 97 AS VARCHAR) AS correlation_id,
+           |  'svc-' || CAST(event_id % 7 AS VARCHAR) AS source_service,
+           |  CAST(ts AS TIMESTAMP) AS ts,
+           |  CAST(event_id % 3 + 1 AS INT) AS version,
+           |  'v' || CAST(event_id % 11 AS VARCHAR) AS h1,
+           |  CAST(user_id AS VARCHAR) AS h2,
+           |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS tenant_id,
+           |  CAST(user_id AS VARCHAR) AS user_id_s,
+           |  CASE event_id % 5 $prio END AS priority,
+           |  CAST(event_id % 5 AS INT) AS retry_count,
+           |  event_id % 1000 AS usage_ingest,
+           |  user_id % 1000 AS usage_emit
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+      doc = "One-pass graft_proto_struct decode + map<string,int64> reader, oracle-pinned"),
+
     // F10: JSON <-> columns bridge (controller JsonFormat parse/print ≙
     // from_json/get_json_object over the props payload).
     "f10_json_bridge" -> QueryDef(
@@ -209,8 +282,11 @@ object MiscQueries {
            |FROM env GROUP BY tenant_id ORDER BY tenant_id""".stripMargin),
       doc = "Salted two-stage aggregation == direct groupBy (skew path)"),
 
-    // A8 scale path: approx_percentile sketch vs exact — rows-only (the
-    // sketch is engine-specific), realized error surfaced as a column.
+    // A8 scale path — SKETCH, rows-only BY DESIGN (no oracle: the
+    // approx_percentile sketch is engine-specific and not reproducible in
+    // DuckDB). The EXACT percentiles are hash-green separately in
+    // a8_latency_percentiles; here the exact arm is computed only to
+    // surface the sketch's realized error as data, not re-emitted.
     "a8_latency_approx" -> QueryDef(
       build = (s, dir) =>
         env(s, dir).groupBy("event_type")
@@ -228,13 +304,10 @@ object MiscQueries {
             col("approx").getItem(0).cast("double").as("p50_approx"),
             col("approx").getItem(1).cast("double").as("p95_approx"),
             col("approx").getItem(2).cast("double").as("p99_approx"),
-            round(col("exact").getItem(0), 6).as("p50_exact"),
-            round(col("exact").getItem(1), 6).as("p95_exact"),
-            round(col("exact").getItem(2), 6).as("p99_exact"),
             col("max_rel_err"))
           .orderBy("event_type"),
       oracle = None,
-      doc = "A8 approx_percentile sketch vs exact with realized error"),
+      doc = "SKETCH rows-only: approx_percentile + realized error (exact arm is hash-green in a8_latency_percentiles)"),
 
     // As-of enrichment: each event picks up the most recent "config update"
     // (a sampled event stream) at or before its timestamp, per tenant —
@@ -345,6 +418,6 @@ object MiscQueries {
               .cast("double") / col("n_tenants_exact"), 4))
           .orderBy("event_type"),
       oracle = None,
-      doc = "approx_count_distinct sketch vs exact, with realized error")
+      doc = "SKETCH rows-only: HLL++ vs exact with realized error (exact arm is hash-green in distinct_tenants)")
   )
 }

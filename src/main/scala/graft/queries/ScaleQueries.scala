@@ -904,7 +904,7 @@ object ScaleQueries {
       build = (s, dir) => Sketches.cmsVocabCheck(docs(s, dir))
         .orderBy("rank"),
       oracle = None,
-      doc = "Count-min-sketch token counts vs exact (bounded-memory heavy hitters)"),
+      doc = "SKETCH rows-only: CMS counts vs exact with eps-bound check (sketch not DuckDB-reproducible; bounds in SketchesSpec)"),
 
     // Unigram corpus-LM scoring: avg log P(token) per doc under the
     // corpus's own unigram distribution — the cheap perplexity proxy for

@@ -120,6 +120,41 @@ class ProtoWireSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[String]](4).isEmpty)
   }
 
+  test("map<string,int64> decodes varint-valued entries (usage breakdown shape)") {
+    // commands.proto:149 — usage counts keyed by event type
+    val bytes = message(
+      lenField(1, stringField(1, "ev-u")),
+      longMapEntryField(3, "ingest", 300L),           // multi-byte varint
+      longMapEntryField(3, "emit", 0L),
+      longMapEntryField(3, "ingest", Long.MaxValue))  // map merge: last wins
+    val row = Seq(Tuple1(bytes)).toDF("value").select(
+        call_function("graft_proto_long_map", col("value"), lit("3")).as("usage"),
+        call_function("graft_proto_long_map", col("value"), lit("9")).as("absent"))
+      .head()
+    assert(row.getAs[Map[String, Long]](0) ==
+      Map("ingest" -> Long.MaxValue, "emit" -> 0L))
+    assert(row.getAs[Map[String, Long]](1).isEmpty)
+  }
+
+  test("one-pass graft_proto_struct == the per-field composition, field by field") {
+    // the decode-once path must be indistinguishable from 10 independent
+    // path reads on every envelope shape: full, sparse, duplicated, noisy
+    val shapes = Seq(
+      tenantCreated("ev-a"),
+      message(lenField(1, stringField(1, "only-id"))),
+      message(lenField(1, metadataBytes("ev-b", "t-1", "u-1", 0, 0, 0L, 0)),
+        lenField(1, metadataBytes("ev-c", "t-2", "u-2", 4, 9, 2000000000L, 999999999))),
+      message(varintField(99, 7),
+        lenField(1, metadataBytes("ev-d", "t-3", "u-3", 7, 1, 5L, 1000)),  // enum out of range
+        lenField(50, "junk".getBytes("UTF-8"))))
+    val df = shapes.map(Tuple1(_)).toDF("value")
+    val rows = df.select(
+        KafkaIO.decodeEventMetadata(col("value")).as("one_pass"),
+        KafkaIO.decodeEventMetadataPerField(col("value")).as("per_field"))
+      .collect()
+    rows.foreach { r => assert(r.getStruct(0) == r.getStruct(1)) }
+  }
+
   test("varint encode/decode round-trips multi-byte values") {
     val big = message(varintField(3, 300L), varintField(4, Long.MaxValue))
     val df = Seq(Tuple1(big)).toDF("value")
