@@ -77,4 +77,91 @@ object AsofJoin {
       .filter(col("__is_left") === 1)
       .drop("__is_left", "__p")
   }
+
+  /** Hot-key escape hatch: [[latestAtOrBefore]] with the running-last
+    * split into a two-pass prefix scan, so a pathologically hot key no
+    * longer serializes its sort in one partition.
+    *
+    * Pass 1 range-partitions each key's timeline into `buckets` uniform
+    * time slices ("__b", a monotone function of ts — equal timestamps land
+    * in the same slice, preserving the right-before-left tie order) and
+    * runs the running `last(payload)` window per (key, slice): the hot
+    * key's sort spreads across `buckets` partitions. Pass 2 computes each
+    * slice's carry-in — the latest right payload of any EARLIER slice —
+    * on a frame of at most (keys × buckets) rows (per-slice `max_by`
+    * aggregate + running-last over slice numbers), broadcast back. A left
+    * row's fill is then `coalesce(within-slice last, carry-in)`.
+    *
+    * Same contract as [[latestAtOrBefore]] (left join, inclusive ties,
+    * right unique per (key, ts), `toleranceMicros` staleness bound);
+    * result equality is spec-pinned on a synthetic hot key
+    * (AsofJoinSpec). Cost: one extra tiny aggregate + broadcast join over
+    * the one-shuffle composition.
+    */
+  def latestAtOrBeforeRanged(left: DataFrame, right: DataFrame,
+                             key: String, ts: String, buckets: Int = 32,
+                             toleranceMicros: Long = -1L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val payload = right.columns.filter(c => c != key && c != ts).toSeq
+    val leftCols = left.columns.filter(c => c != key && c != ts).toSeq
+    require(leftCols.intersect(payload).isEmpty,
+      s"left/right column collision: ${leftCols.intersect(payload).mkString(",")}")
+
+    val ordered = (Seq(key, ts, "__is_left") ++ leftCols ++ payload).map(col)
+    val l = payload.foldLeft(left.withColumn("__is_left", lit(1))) {
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }.select(ordered: _*)
+    val r = leftCols.foldLeft(right.withColumn("__is_left", lit(0))) {
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(ordered: _*)
+
+    val tsType = right.schema(ts).dataType
+    def micros(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
+    val u0 = l.unionByName(r)
+      .withColumn("__p",
+        when(col("__is_left") === 0,
+          struct(payload.map(col) :+ col(ts).as("__rts"): _*)))
+    // uniform time slicing over the observed range: a broadcast scalar,
+    // computed once (one cheap extra scan of the union)
+    val span = u0.agg(min(micros(col(ts))).as("__tmin"),
+                      max(micros(col(ts))).as("__tmax"))
+    val u = u0.crossJoin(broadcast(span))
+      .withColumn("__b",
+        least(floor((micros(col(ts)) - col("__tmin")) * buckets /
+          greatest(col("__tmax") - col("__tmin") + 1, lit(1L))), lit(buckets - 1L))
+          .cast("int"))
+      .drop("__tmin", "__tmax")
+
+    val w1 = Window.partitionBy(key, "__b")
+      .orderBy(col(ts).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w1))
+
+    // pass 2: per-slice boundary summaries -> carry-in per (key, slice);
+    // at most keys x buckets rows, so the join back is a broadcast
+    val slices = u.select(key, "__b").distinct()
+    val bounds = u.filter(col("__is_left") === 0)
+      .groupBy(key, "__b").agg(max_by(col("__p"), micros(col(ts))).as("__blast"))
+    val wCarry = Window.partitionBy(key).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = slices.join(bounds, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__b"), col("__carry"))
+
+    val packed = within.join(broadcast(carry), Seq(key, "__b"), "left")
+      .withColumn("__p", coalesce(col("__p"), col("__carry")))
+    val fresh =
+      if (toleranceMicros < 0) col("__p").isNotNull
+      else col("__p").isNotNull &&
+        micros(col(ts)) - micros(col("__p").getField("__rts")) <= toleranceMicros
+    payload.foldLeft(packed) { (d, c) =>
+      d.withColumn(c, when(fresh, col("__p").getField(c)))
+    }
+      .filter(col("__is_left") === 1)
+      .drop("__is_left", "__p", "__b", "__carry")
+  }
 }

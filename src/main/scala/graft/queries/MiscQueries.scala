@@ -371,6 +371,36 @@ object MiscQueries {
            |ORDER BY l.event_id""".stripMargin),
       doc = "Native Catalyst as-of join (custom plan + strategy + exec)"),
 
+    // Hot-key two-pass variant: same contract, but each key's timeline is
+    // range-partitioned into slices with broadcast carry-in, so one hot
+    // key can't serialize its sort (SCALE.md "as-of enrichment"). Same
+    // DuckDB ASOF oracle == the other two routes: all three plans, one
+    // pinned semantics.
+    "asof_enrich_ranged" -> QueryDef(
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val cfg = e.filter(col("event_id") % 50 === 0)
+          .groupBy("tenant_id", "ts").agg(max("value").as("cfg_value"))
+          .withColumn("cfg_ts", col("ts"))
+          .select("tenant_id", "ts", "cfg_ts", "cfg_value")
+        val lhs = e.filter(col("event_id") % 7 === 0)
+          .select("event_id", "tenant_id", "ts")
+        AsofJoin.latestAtOrBeforeRanged(lhs, cfg, key = "tenant_id", ts = "ts", buckets = 16)
+          .select("event_id", "tenant_id", "cfg_ts", "cfg_value")
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        s"""$cte,
+           |cfg AS (
+           |  SELECT tenant_id, ts, ts AS cfg_ts, MAX(value) AS cfg_value
+           |  FROM env WHERE event_id % 50 = 0 GROUP BY tenant_id, ts),
+           |lhs AS (SELECT event_id, tenant_id, ts FROM env WHERE event_id % 7 = 0)
+           |SELECT l.event_id, l.tenant_id, c.cfg_ts, c.cfg_value
+           |FROM lhs l ASOF LEFT JOIN cfg c
+           |  ON l.tenant_id = c.tenant_id AND l.ts >= c.ts
+           |ORDER BY l.event_id""".stripMargin),
+      doc = "As-of join, hot-key two-pass variant (time-sliced window + broadcast carry)"),
+
     // Bounded-staleness variant: a config older than 1 hour no longer
     // applies ("latest at or before, if fresh enough"). Same native
     // operator with toleranceMicros; DuckDB oracle = ASOF LEFT JOIN with a

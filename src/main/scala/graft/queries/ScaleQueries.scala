@@ -576,7 +576,11 @@ object ScaleQueries {
         graft.functions.Hashing.register(s)
         val norm = docs(s, dir).select(col("doc_id"), col("source"),
           TextOps.normalize(col("text")).as("text"))
-        val scored = norm.withColumn("quality", TextOps.qualityScore(col("text")))
+        // persisted: keepAbovePercentile scans its input twice (threshold
+        // + filter); without the barrier the normalize+score regex work
+        // recomputes on the second pass
+        val scored = graft.Caches.persist(
+          norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
         val ded = gated
           .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
@@ -595,7 +599,7 @@ object ScaleQueries {
       oracle = Some(
         s"""WITH norm AS (
            |  SELECT doc_id, source,
-           |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+           |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, source, text,
@@ -783,8 +787,8 @@ object ScaleQueries {
       },
       oracle = Some(
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
-          |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_after,
-          |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+          |  CAST(length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS BIGINT) AS n_after,
+          |  sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_hash
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Canonical text normalization (lowercase, whitespace collapse)"),
 
@@ -1686,6 +1690,53 @@ object ScaleQueries {
            |SELECT query_id, list_id, neighbor_id, score, rank FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
       doc = "Multi-probe IVF (nProbe=2): linear-candidate recall knob, hash-checked"),
+
+    // ANN recall-as-data, ROWS-ONLY by design: the recall@10 knobs
+    // SCALE.md reasons about (nProbe for IVF), measured against the exact
+    // bruteForceTopK baseline on a 10% query sample and surfaced as
+    // scalar rows — the emb_quant_topk measured-trade design applied to
+    // the ANN family. No oracle: the metric compares two engine plans;
+    // lower bounds live in ScaleOpsSpec instead.
+    "emb_ivf_recall" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val sample = col("query_id") % 10 === 0
+        val exact = graft.Caches.persist(
+          Similarity.bruteForceTopK(e.filter(col("vec_id") % 10 === 0), e,
+            "vec_id", "embedding", k = 10))
+        val arms = Seq(1, 2).map { np =>
+          Similarity.recallAtK(
+            Similarity.ivfSeededTopK(e, "vec_id", "embedding",
+              k = 10, nLists = 8, nProbe = np).filter(sample),
+            exact, k = 10)
+            .withColumn("nprobe", lit(np))
+        }
+        arms.reduce(_ unionByName _)
+          .select("nprobe", "n_queries", "recall_at_10")
+          .orderBy("nprobe")
+      },
+      oracle = None,
+      doc = "ROWS-ONLY recall metric: IVF recall@10 vs exact at nProbe 1/2 (bounds in ScaleOpsSpec)"),
+
+    "emb_banded_recall" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val queries = e.filter(col("vec_id") % 10 === 0)
+        val exact = graft.Caches.persist(
+          Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 10))
+        val arms = Seq(2, 4).map { bands =>
+          Similarity.recallAtK(
+            Similarity.bandedTopK(queries, e, "vec_id", "embedding",
+              k = 10, bands = bands, bitsPerBand = 4),
+            exact, k = 10)
+            .withColumn("bands", lit(bands))
+        }
+        arms.reduce(_ unionByName _)
+          .select("bands", "n_queries", "recall_at_10")
+          .orderBy("bands")
+      },
+      oracle = None,
+      doc = "ROWS-ONLY recall metric: banded SRP recall@10 vs exact at 2/4 bands (bounds in ScaleOpsSpec)"),
 
     // ---------------- multimodal plumbing ----------------
 

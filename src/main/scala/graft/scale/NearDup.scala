@@ -275,6 +275,53 @@ object NearDup {
     plans.minBy(p => (math.abs(p.threshold - targetThreshold), -p.bands))
   }
 
+  /** Chooses the signature budget ITSELF — the step [[bandPlan]] leaves to
+    * the caller. Given the corpus size and the dup definition, find the
+    * SMALLEST k (index cost: k longs per doc) with a factorization b·r = k
+    * whose S-curve satisfies both error-rate targets:
+    *
+    *  - false negatives: recall at `dupSimilarity` (the "these are dups"
+    *    Jaccard level) ≥ `minRecall`;
+    *  - false positives: expected spurious candidates per doc — corpus
+    *    size × candidate probability at `backgroundSimilarity` (the
+    *    typical non-dup pair level) — ≤ `maxFalseCandidatesPerDoc`, which
+    *    is what keeps total candidate volume LINEAR in the corpus (the
+    *    100 TB constraint; a fixed per-pair FP rate would grow candidates
+    *    quadratically).
+    *
+    * Among feasible factorizations of that k, the highest recall at
+    * `dupSimilarity` wins. Pure arithmetic (the same S-curve as
+    * [[candidateProbability]]), no data scan. Throws when no k ≤ `maxK`
+    * is feasible — loosen a target rather than silently overshooting the
+    * index budget.
+    */
+  def bandPlanAuto(corpusSize: Long, dupSimilarity: Double,
+                   backgroundSimilarity: Double, minRecall: Double = 0.95,
+                   maxFalseCandidatesPerDoc: Double = 1.0,
+                   maxK: Int = 512): BandPlan = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(dupSimilarity > backgroundSimilarity,
+      "dup similarity must exceed the background level")
+    require(minRecall > 0 && minRecall < 1)
+    def feasible(p: BandPlan): Boolean =
+      p.recallAt(dupSimilarity) >= minRecall &&
+        corpusSize * candidateProbability(backgroundSimilarity, p.bands, p.rows) <=
+          maxFalseCandidatesPerDoc
+    (1 to maxK).iterator
+      .map { k =>
+        (1 to k).filter(k % _ == 0)
+          .map(r => BandPlan(bands = k / r, rows = r))
+          .filter(feasible)
+      }
+      .collectFirst { case ps if ps.nonEmpty =>
+        ps.maxBy(_.recallAt(dupSimilarity))
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no (b, r) with b*r <= $maxK meets recall >= $minRecall at " +
+          s"s=$dupSimilarity and <= $maxFalseCandidatesPerDoc false " +
+          s"candidates/doc at s=$backgroundSimilarity for n=$corpusSize"))
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
     * the (+1/-1) vote sum across tokens at that bit is positive. One native
     * codegen'd pass per document (`graft_simhash32`) — a pure map with no

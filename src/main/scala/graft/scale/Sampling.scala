@@ -112,12 +112,17 @@ object Sampling {
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, cap: Int,
                   salt: String): DataFrame = {
     require(cap > 0, "cap must be positive")
+    // collision-safe internal name: withColumn silently REPLACES an
+    // existing column, which on a generic utility surface would corrupt
+    // caller data that happened to share the temp name
+    val rk = Iterator.from(0).map(i => s"_cap_rk$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(sampleBucket(col(keyCol), salt), col(keyCol))
-    df.withColumn("_cap_rk", row_number().over(w))
-      .filter(col("_cap_rk") <= cap)
-      .drop("_cap_rk")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= cap)
+      .drop(rk)
   }
 
   /** Deterministic train/val/test assignment: the bucket grid is carved

@@ -228,6 +228,61 @@ object Similarity {
       .select("query_id", "bucket", "neighbor_id", "score", "rank")
   }
 
+  /** Banded multi-probe SRP top-k: candidates are corpus vectors sharing
+    * ANY sign band with the query (the [[srpBandedNearDupPairs]] candidate
+    * structure pointed at a bounded query set), then exact-cosine ranked.
+    * Recall is the OR over bands — the knob [[bucketedTopK]]'s monolithic
+    * bucket lacks; candidates stay linear in corpus size per query.
+    */
+  def bandedTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), signBands(col(vecCol), bands, bitsPerBand).as("qb"))
+    val c = graft.Caches.persist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"), signBands(col(vecCol), bands, bitsPerBand).as("cb")))
+    val qx = q.select(col("query_id"), col("qv"), col("qn"),
+      posexplode(col("qb")).as(Seq("band_idx", "bucket")))
+    val cx = c.select(col("neighbor_id"),
+      posexplode(col("cb")).as(Seq("band_idx", "bucket")))
+    // query side is bounded -> broadcast; a (query, neighbor) pair may
+    // collide in several bands, so dedup before the exact scoring join
+    val cands = broadcast(qx).join(cx, Seq("band_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(q.select("query_id", "qv", "qn")), "query_id")
+      .join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+      .withColumn("score", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** recall@k of an ANN result against the exact baseline: mean over
+    * queries of |ann top-k ∩ exact top-k| / k. Inputs are any two frames
+    * with (query_id, neighbor_id, rank). Queries the ANN arm missed
+    * entirely count as recall 0, so a bucketing that drops a query can't
+    * inflate the average. One scalar row out — the SCALE.md recall knobs
+    * surfaced as driver-visible data.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val a = ann.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).cast("int").as("n_queries"),
+        round(avg(coalesce(col("__hits"), lit(0L)).cast("double") / k), 4)
+          .as(s"recall_at_$k"))
+  }
+
   /** Banded multi-probe SRP near-dup pairs: candidates are pairs whose sign
     * quantization collides in ANY of `bands` bands (each `bitsPerBand` wide),
     * deduplicated, then verified by exact cosine. Same candidate-generation

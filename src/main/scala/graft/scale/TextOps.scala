@@ -159,10 +159,20 @@ object TextOps {
     * expressions — vectorized regex, no shuffle, no UDF — and restricted
     * to constructs with identical Java-regex/RE2 semantics so the DuckDB
     * oracle replays the transform byte-for-byte (same discipline as
-    * redactPii).
+    * redactPii). The whitespace run is an EXPLICIT class, not `\s`:
+    * Java's `\s` includes U+000B (vertical tab) while RE2/DuckDB's does
+    * not — [[WhitespaceClass]] spells out Java's set so both engines
+    * agree on every input, \x0B included (the oracle SQL mirrors it).
     */
+
+  /** Java `\s` spelled out: [ \t\n\x0B\f\r] — mirrored literally in the
+    * DuckDB oracle SQL (RE2 reads the same class; its own `\s` lacks
+    * \x0B).
+    */
+  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]"
+
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), WhitespaceClass + "+", " "))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003,
     * the MOSS algorithm): positional word `k`-gram hashes, then the
@@ -202,7 +212,12 @@ object TextOps {
     * form of a quality filter (a fixed cutoff goes stale as the corpus
     * shifts; the percentile tracks it). One exact-percentile aggregation
     * produces a single threshold row, broadcast to a scalar compare per
-    * row — the corpus is scanned once and never shuffled. At 100 TB swap
+    * row — TWO passes over the input (threshold, then filter), no corpus
+    * shuffle in either. The upstream lineage recomputes on the second
+    * pass; that is the right default at 100 TB, where caching the corpus
+    * costs more than re-scanning it — callers sitting on an expensive
+    * derived frame should `Caches.persist` it before calling (as
+    * corpus_prepare_v2 does for its scored frame). At 100 TB swap
     * `percentile` for `approx_percentile` (same single-scan mergeable
     * sketch trade as Sharding.rangeShardsApprox; the oracle can't replay
     * the sampled estimate, so that variant is spec-checked).

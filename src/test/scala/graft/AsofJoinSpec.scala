@@ -118,6 +118,70 @@ class AsofJoinSpec extends SparkSpec {
       .sameElements(canon(AsofJoin.latestAtOrBefore(l2, r2, "k", "ts", 40L))))
   }
 
+  // ---- hot-key two-pass variant (range-partition the timeline) ----
+
+  test("ranged == single-pass on a synthetic hot key (>=50% of rows on one key)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // ~60% of rows land on the hot key; the rest spread over 9 cold keys
+    val base = Seq.tabulate(1200) { i =>
+      val k = if (rnd.nextInt(10) < 6) "hot" else s"cold${rnd.nextInt(9)}"
+      (i.toLong, k, rnd.nextInt(400).toLong, rnd.nextDouble())
+    }.toDF("event_id", "k", "ts", "v")
+    val right = base.filter($"event_id" % 7 === 0)
+      .groupBy("k", "ts").agg(max("v").as("cfg"))
+    val left = base.filter($"event_id" % 2 === 0).select("event_id", "k", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "k", "ts", "cfg").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2))
+    for (buckets <- Seq(1, 4, 32)) {
+      val ranged = canon(AsofJoin.latestAtOrBeforeRanged(left, right, "k", "ts", buckets))
+      val single = canon(AsofJoin.latestAtOrBefore(left, right, "k", "ts"))
+      assert(ranged.length == single.length)
+      assert(ranged.sameElements(single), s"mismatch at buckets=$buckets")
+    }
+    // with the staleness bound
+    val rT = canon(AsofJoin.latestAtOrBeforeRanged(left, right, "k", "ts", 8, toleranceMicros = 60L))
+    val sT = canon(AsofJoin.latestAtOrBefore(left, right, "k", "ts", toleranceMicros = 60L))
+    assert(rT.sameElements(sT))
+  }
+
+  test("ranged edge semantics: ties, missing keys, carry across empty slices") {
+    import spark.implicits._
+    // ts=0 and ts=399 pin the span ends; slice 2 has no right rows, so the
+    // left row at ts=250 must fill from the slice-0 boundary carry
+    val left = Seq(("k1", 0L, "tie"), ("k1", 250L, "carried"), ("k1", 399L, "late"),
+        ("k2", 100L, "nokey"))
+      .toDF("k", "ts", "ev")
+    val right = Seq(("k1", 0L, "cfg0"), ("k1", 390L, "cfg390"))
+      .toDF("k", "ts", "cfg")
+    val got = AsofJoin.latestAtOrBeforeRanged(left, right, "k", "ts", buckets = 4)
+      .select("ev", "cfg").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("tie").contains("cfg0"))       // inclusive tie at slice start
+    assert(got("carried").contains("cfg0"))   // carry-in across an empty slice
+    assert(got("late").contains("cfg390"))    // within-slice last wins over carry
+    assert(got("nokey").isEmpty)
+    assert(got.size == 4)
+  }
+
+  test("ranged plan: the big window partitions on (key, slice), carry join broadcasts") {
+    import spark.implicits._
+    val left = Seq(("k1", 10L, "e")).toDF("k", "ts", "ev")
+    val right = Seq(("k1", 5L, "c")).toDF("k", "ts", "cfg")
+    val plan = AsofJoin.latestAtOrBeforeRanged(left, right, "k", "ts", 16)
+      .queryExecution.executedPlan.toString
+    // the hot-key sort is spread: the running-last window keys on __b too
+    assert("hashpartitioning\\(k[#\\d]*, __b".r.findFirstIn(plan).isDefined,
+      s"running-last window must partition on (key, slice):\n${plan.take(2000)}")
+    // the carry-in attaches as a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"carry join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffled join allowed on the carry path:\n${plan.take(2000)}")
+  }
+
   test("native plan: AsofJoinExec with exactly one co-partitioning shuffle per side") {
     import spark.implicits._
     val left = Seq(("k1", 10L, "e")).toDF("k", "ts", "ev")

@@ -282,6 +282,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dupPairs.subsetOf(banded), s"missing dups: ${dupPairs.diff(banded).take(5)}")
   }
 
+  test("recallAtK: exact self-recall is 1.0; a dropped query counts as zero") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val q = e.filter(col("vec_id") < 10)
+    val exact = graft.Caches.persist(
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val self = Similarity.recallAtK(exact, exact, 5).head()
+    assert(self.getAs[Double](s"recall_at_5") == 1.0)
+    assert(self.getAs[Int]("n_queries") == 10)
+    // drop one query from the ANN arm entirely: mean must fall by 1/10
+    val dropped = Similarity.recallAtK(
+      exact.filter(col("query_id") =!= 0L), exact, 5).head()
+    assert(math.abs(dropped.getAs[Double]("recall_at_5") - 0.9) < 1e-9)
+    graft.Caches.release()
+  }
+
+  test("ANN recall@10 lower bounds: IVF and banded SRP (the driver-visible knobs)") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val exact = graft.Caches.persist(
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10))
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ann, exact, 10).head().getAs[Double]("recall_at_10")
+    val ivf1 = recall(Similarity.ivfSeededTopK(e, "vec_id", "embedding",
+      10, nLists = 8, nProbe = 1).filter(col("query_id") % 10 === 0))
+    val ivf2 = recall(Similarity.ivfSeededTopK(e, "vec_id", "embedding",
+      10, nLists = 8, nProbe = 2).filter(col("query_id") % 10 === 0))
+    assert(ivf2 >= ivf1, s"nProbe=2 recall $ivf2 below nProbe=1 $ivf1")
+    assert(ivf2 >= 0.3, s"IVF nProbe=2 recall@10 $ivf2 under floor")
+    val b2 = recall(Similarity.bandedTopK(q, e, "vec_id", "embedding",
+      10, bands = 2, bitsPerBand = 4))
+    val b4 = recall(Similarity.bandedTopK(q, e, "vec_id", "embedding",
+      10, bands = 4, bitsPerBand = 4))
+    assert(b4 >= b2, s"4-band recall $b4 below 2-band $b2")
+    assert(b4 >= 0.3, s"banded(4x4) recall@10 $b4 under floor")
+    graft.Caches.release()
+  }
+
   test("bitsFor scales bucket width with corpus size and caps at the dimension") {
     assert(Similarity.bitsFor(1000L, dim = 64) == Similarity.DefaultBits)
     assert(Similarity.bitsFor(1L << 30, dim = 64) == 20) // 2^30/1024 lists
@@ -335,6 +372,41 @@ class ScaleOpsSpec extends SparkSpec {
     // degenerate budgets still produce a legal plan
     val one = NearDup.bandPlan(1, 0.5)
     assert(one.bands * one.rows == 1)
+  }
+
+  test("bandPlanAuto: smallest budget meeting both error-rate targets") {
+    import graft.scale.NearDup
+    val n = 1000000L
+    val plan = NearDup.bandPlanAuto(corpusSize = n, dupSimilarity = 0.9,
+      backgroundSimilarity = 0.2, minRecall = 0.95,
+      maxFalseCandidatesPerDoc = 1.0)
+    val k = plan.bands * plan.rows
+    // the chosen plan satisfies both targets
+    assert(plan.recallAt(0.9) >= 0.95)
+    assert(n * NearDup.candidateProbability(0.2, plan.bands, plan.rows) <= 1.0)
+    // ...and no smaller budget has ANY feasible factorization (k minimal)
+    for (k2 <- 1 until k; r <- 1 to k2 if k2 % r == 0) {
+      val p2 = NearDup.BandPlan(k2 / r, r)
+      assert(!(p2.recallAt(0.9) >= 0.95 &&
+        n * NearDup.candidateProbability(0.2, p2.bands, p2.rows) <= 1.0),
+        s"smaller feasible plan exists: $p2")
+    }
+    // a 100x larger corpus needs at least as large a budget (FP target is
+    // per-doc, so per-pair probability must shrink with n)
+    val big = NearDup.bandPlanAuto(100000000L, 0.9, 0.2)
+    assert(big.bands * big.rows >= k)
+    // recall floor dominates: demanding 0.999 recall raises the budget
+    val strict = NearDup.bandPlanAuto(n, 0.9, 0.2, minRecall = 0.999)
+    assert(strict.recallAt(0.9) >= 0.999)
+    assert(strict.bands * strict.rows >= k)
+    // infeasible targets throw instead of overshooting the budget
+    intercept[IllegalArgumentException] {
+      NearDup.bandPlanAuto(n, dupSimilarity = 0.21,
+        backgroundSimilarity = 0.2, minRecall = 0.999, maxK = 16)
+    }
+    intercept[IllegalArgumentException] {
+      NearDup.bandPlanAuto(n, 0.2, 0.2) // dup must exceed background
+    }
   }
 
   test("multimodal decode stub: typed mapPartitions yields deterministic meta") {
