@@ -1700,9 +1700,11 @@ object ScaleQueries {
     "emb_ivf_recall" -> QueryDef(
       build = (s, dir) => {
         val e = embs(s, dir)
-        val sample = col("query_id") % 10 === 0
+        // 5% query sample: recall estimate quality is per-query variance /
+        // sqrt(n); 250 queries at sf0.1 bounds the exact baseline's cost
+        val sample = col("query_id") % 20 === 0
         val exact = graft.Caches.persist(
-          Similarity.bruteForceTopK(e.filter(col("vec_id") % 10 === 0), e,
+          Similarity.bruteForceTopK(e.filter(col("vec_id") % 20 === 0), e,
             "vec_id", "embedding", k = 10))
         val arms = Seq(1, 2).map { np =>
           Similarity.recallAtK(
@@ -1721,7 +1723,7 @@ object ScaleQueries {
     "emb_banded_recall" -> QueryDef(
       build = (s, dir) => {
         val e = embs(s, dir)
-        val queries = e.filter(col("vec_id") % 10 === 0)
+        val queries = e.filter(col("vec_id") % 20 === 0)
         val exact = graft.Caches.persist(
           Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 10))
         val arms = Seq(2, 4).map { bands =>
