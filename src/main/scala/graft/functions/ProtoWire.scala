@@ -87,7 +87,7 @@ object ProtoWire {
   /** Reads a varint at `p`; returns the value and writes the next position
     * into `posOut(0)`.
     */
-  private def readVarint(b: Array[Byte], p0: Int, end: Int, posOut: Array[Int]): Long = {
+  private[functions] def readVarint(b: Array[Byte], p0: Int, end: Int, posOut: Array[Int]): Long = {
     var v = 0L
     var shift = 0
     var p = p0
@@ -107,7 +107,7 @@ object ProtoWire {
     * length-delimited (a = start, b = end). Last occurrence wins
     * (proto3 merge). Returns false when absent.
     */
-  private def scan(bytes: Array[Byte], from: Int, end: Int, fieldNo: Int,
+  private[functions] def scan(bytes: Array[Byte], from: Int, end: Int, fieldNo: Int,
                    out: Array[Long]): Boolean = {
     val pos = new Array[Int](1)
     var p = from
@@ -236,7 +236,7 @@ object ProtoWire {
   /** Collects the spans of EVERY occurrence of the last path step (the
     * repeated-field read the scalar scan's last-wins rule hides).
     */
-  private def scanAll(bytes: Array[Byte], from: Int, end: Int,
+  private[functions] def scanAll(bytes: Array[Byte], from: Int, end: Int,
                       fieldNo: Int): java.util.ArrayList[Array[Long]] = {
     val hits = new java.util.ArrayList[Array[Long]]()
     val pos = new Array[Int](1)
@@ -301,7 +301,7 @@ object ProtoWire {
     * list_value(6), recursing through Struct.fields entries and
     * ListValue.values.
     */
-  private def valueToJson(bytes: Array[Byte], from: Int, end: Int): String = {
+  private[functions] def valueToJson(bytes: Array[Byte], from: Int, end: Int): String = {
     val out = new Array[Long](3)
     // later-set kind wins (proto3 oneof merge): take the LAST present tag
     var kind = -1

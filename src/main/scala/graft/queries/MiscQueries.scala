@@ -147,6 +147,109 @@ object MiscQueries {
       },
       doc = "One-pass graft_proto_struct decode + map<string,int64> reader, oracle-pinned"),
 
+    // F13: schema-driven GENERIC one-pass decode (graft_proto_decode +
+    // ProtoSchemas descriptors — the DynamicMessage-equivalent surface):
+    // a full TenantCreatedEvent is wire-encoded from the events fixture
+    // (nested tenant payload, three enum families, contact->address
+    // nesting, settings map, repeated features), decoded via the
+    // tenant.created registry subject's descriptor in ONE scan, and every
+    // projected scalar is recomputed by the DuckDB oracle.
+    "f13_proto_subject" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        import s.implicits._
+        import graft.functions.ProtoWire._
+        val src = Tables.events(s, dir).select(
+            col("event_id"), unix_micros(col("ts")).as("micros"), col("user_id"))
+          .as[(Long, Long, Long)]
+        val wire = src.mapPartitions { it =>
+          it.map { case (id, micros, user) =>
+            val addr = message(
+              stringField(2, s"city-${user % 37}"),
+              doubleField(6, (id % 90).toDouble))
+            val contact = message(
+              stringField(1, s"u$user@example.test"), lenField(5, addr))
+            val tenant = message(
+              stringField(1, s"t-${user % 50}"),
+              stringField(2, s"org-${id % 97}"),
+              varintField(4, id % 10),       // organization_type
+              varintField(5, id % 6),        // subscription_tier
+              varintField(6, user % 6),      // isolation_strategy
+              varintField(8, id % 2),        // is_active
+              timestampField(9, Math.floorDiv(micros, 1000000L),
+                (Math.floorMod(micros, 1000000L) * 1000L).toInt),
+              lenField(10, contact),
+              mapEntryField(11, "k1", s"v${id % 7}"),
+              lenField(12, s"f${id % 3}".getBytes("UTF-8")),
+              lenField(12, s"g${user % 5}".getBytes("UTF-8")))
+            (id, message(
+              lenField(1, message(
+                stringField(1, id.toString),
+                varintField(9, id % 5),
+                varintField(10, id % 5))),
+              lenField(2, tenant)))
+          }
+        }.toDF("event_id", "value")
+        wire.select(col("event_id"),
+            graft.schema.ProtoSchemas.decodeSubject(col("value"),
+              "nnipa.events.tenant.created-value").as("e"))
+          .select(col("event_id"),
+            col("e.metadata.event_id").as("event_id_s"),
+            col("e.metadata.priority"),
+            col("e.metadata.retry_count"),
+            col("e.tenant.tenant_id"),
+            col("e.tenant.name"),
+            col("e.tenant.organization_type"),
+            col("e.tenant.subscription_tier"),
+            col("e.tenant.isolation_strategy"),
+            col("e.tenant.is_active"),
+            col("e.tenant.created_at"),
+            col("e.tenant.contact_info.email"),
+            col("e.tenant.contact_info.address.city"),
+            col("e.tenant.contact_info.address.latitude"),
+            element_at(col("e.tenant.settings"), "k1").as("k1"),
+            col("e.tenant.enabled_features").getItem(0).as("feat0"),
+            col("e.tenant.enabled_features").getItem(1).as("feat1"))
+          .orderBy("event_id")
+      },
+      oracle = Some {
+        def caseOf(col: String, names: Seq[String]): String =
+          s"CASE $col " + names.zipWithIndex
+            .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ") + " END"
+        val prio = caseOf("event_id % 5", Envelope.priorities)
+        val org = caseOf("event_id % 10", Seq(
+          "ORGANIZATION_TYPE_UNSPECIFIED", "ORGANIZATION_TYPE_GOVERNMENT_AGENCY",
+          "ORGANIZATION_TYPE_CORPORATION", "ORGANIZATION_TYPE_ACADEMIC_INSTITUTION",
+          "ORGANIZATION_TYPE_HEALTHCARE", "ORGANIZATION_TYPE_FINANCIAL_INSTITUTION",
+          "ORGANIZATION_TYPE_NON_PROFIT", "ORGANIZATION_TYPE_STARTUP",
+          "ORGANIZATION_TYPE_RESEARCH", "ORGANIZATION_TYPE_INDIVIDUAL"))
+        val tier = caseOf("event_id % 6", Seq(
+          "TIER_UNSPECIFIED", "TIER_FREE", "TIER_BASIC", "TIER_PROFESSIONAL",
+          "TIER_ENTERPRISE", "TIER_GOVERNMENT"))
+        val iso = caseOf("user_id % 6", Seq(
+          "ISOLATION_UNSPECIFIED", "ISOLATION_SHARED_DATABASE",
+          "ISOLATION_SCHEMA_ISOLATION", "ISOLATION_DATABASE_ISOLATION",
+          "ISOLATION_HYBRID", "ISOLATION_PHYSICAL_ISOLATION"))
+        s"""SELECT event_id, CAST(event_id AS VARCHAR) AS event_id_s,
+           |  $prio AS priority,
+           |  CAST(event_id % 5 AS INT) AS retry_count,
+           |  't-' || CAST(user_id % 50 AS VARCHAR) AS tenant_id,
+           |  'org-' || CAST(event_id % 97 AS VARCHAR) AS name,
+           |  $org AS organization_type,
+           |  $tier AS subscription_tier,
+           |  $iso AS isolation_strategy,
+           |  (event_id % 2 = 1) AS is_active,
+           |  CAST(ts AS TIMESTAMP) AS created_at,
+           |  'u' || CAST(user_id AS VARCHAR) || '@example.test' AS email,
+           |  'city-' || CAST(user_id % 37 AS VARCHAR) AS city,
+           |  CAST(event_id % 90 AS DOUBLE) AS latitude,
+           |  'v' || CAST(event_id % 7 AS VARCHAR) AS k1,
+           |  'f' || CAST(event_id % 3 AS VARCHAR) AS feat0,
+           |  'g' || CAST(user_id % 5 AS VARCHAR) AS feat1
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+      doc = "Generic schema-driven one-pass decode (registry subject descriptor), oracle-pinned"),
+
     // F10: JSON <-> columns bridge (controller JsonFormat parse/print ≙
     // from_json/get_json_object over the props payload).
     "f10_json_bridge" -> QueryDef(

@@ -1,0 +1,190 @@
+package graft
+
+import graft.functions.{ProtoStruct, ProtoWire}
+import graft.schema.{EventSchemas, ProtoSchemas}
+import org.apache.spark.sql.functions._
+
+/** Schema-driven one-pass decode (functions/ProtoStruct +
+  * schema/ProtoSchemas): descriptor-derived StructTypes must equal the
+  * declared §1.2 schema system, the spec DSL must round-trip, and a full
+  * TenantCreatedEvent / AuditLogCommand wire round-trip must decode every
+  * construct (nested msg, enums, maps, repeated, timestamps, Any) in one
+  * scan.
+  */
+class ProtoSchemasSpec extends SparkSpec {
+
+  import spark.implicits._
+  import ProtoWire._
+
+  test("descriptor-derived StructType == EventSchemas for all 10 subjects") {
+    val declared = EventSchemas.wellKnownSubjects.toMap
+    assert(ProtoSchemas.wellKnownDescriptors.map(_._1) ==
+      EventSchemas.wellKnownSubjects.map(_._1))
+    for ((subject, desc) <- ProtoSchemas.wellKnownDescriptors) {
+      assert(ProtoStruct.structOf(desc) == declared(subject),
+        s"schema drift on $subject")
+    }
+  }
+
+  test("spec DSL round-trips every descriptor (render -> parse == identity)") {
+    for ((subject, desc) <- ProtoSchemas.wellKnownDescriptors) {
+      assert(ProtoStruct.parse(ProtoStruct.render(desc)) == desc,
+        s"DSL round-trip failed for $subject")
+    }
+  }
+
+  /** Hand-encoded full TenantCreatedEvent: every construct exercised. */
+  private def tenantCreatedBytes: Array[Byte] = {
+    val addr = message(
+      stringField(1, "1 Main St"), stringField(2, "Accra"),
+      stringField(5, "GH"), doubleField(6, 5.6), doubleField(7, -0.2))
+    val contact = message(
+      stringField(1, "ops@acme.example"), stringField(2, "+233"),
+      lenField(5, addr))
+    val tenant = message(
+      stringField(1, "t-42"), stringField(2, "Acme"),
+      stringField(3, "acme.example"),
+      varintField(4, 2),  // ORGANIZATION_TYPE_CORPORATION
+      varintField(5, 4),  // TIER_ENTERPRISE
+      varintField(6, 3),  // ISOLATION_DATABASE_ISOLATION
+      varintField(8, 1),  // is_active
+      timestampField(9, 1704103200L, 250000000),
+      lenField(10, contact),
+      mapEntryField(11, "k1", "a"), mapEntryField(11, "k2", "b"),
+      lenField(12, "feat-a".getBytes("UTF-8")),
+      lenField(12, "feat-b".getBytes("UTF-8")))
+    message(
+      lenField(1, message(
+        stringField(1, "ev-1"), stringField(7, "t-42"),
+        varintField(9, 3), varintField(10, 1))),
+      lenField(2, tenant))
+  }
+
+  test("full TenantCreatedEvent decodes in one pass: nested, enums, maps, repeated") {
+    graft.functions.Hashing.register(spark)
+    val df = Seq(Tuple1(tenantCreatedBytes)).toDF("value")
+    val row = df.select(
+        ProtoSchemas.decodeSubject(col("value"), "nnipa.events.tenant.created-value").as("e"))
+      .select("e.metadata.event_id", "e.metadata.priority",
+        "e.metadata.retry_count", "e.tenant.name",
+        "e.tenant.organization_type", "e.tenant.subscription_tier",
+        "e.tenant.isolation_strategy", "e.tenant.is_active",
+        "e.tenant.created_at", "e.tenant.contact_info.address.city",
+        "e.tenant.contact_info.address.latitude", "e.tenant.settings",
+        "e.tenant.enabled_features", "e.tenant.parent_tenant_id")
+      .head()
+    assert(row.getString(0) == "ev-1")
+    assert(row.getString(1) == "PRIORITY_HIGH")
+    assert(row.getInt(2) == 1)
+    assert(row.getString(3) == "Acme")
+    assert(row.getString(4) == "ORGANIZATION_TYPE_CORPORATION")
+    assert(row.getString(5) == "TIER_ENTERPRISE")
+    assert(row.getString(6) == "ISOLATION_DATABASE_ISOLATION")
+    assert(row.getBoolean(7))
+    assert(row.getAs[java.sql.Timestamp](8).getTime == 1704103200250L)
+    assert(row.getString(9) == "Accra")
+    assert(row.getDouble(10) == 5.6)
+    assert(row.getAs[Map[String, String]](11) == Map("k1" -> "a", "k2" -> "b"))
+    assert(row.getAs[scala.collection.Seq[String]](12).toSeq == Seq("feat-a", "feat-b"))
+    assert(row.getString(13) == "")  // absent no-presence scalar -> proto3 default
+  }
+
+  test("presence semantics: absent message/timestamp/Any null, scalars default") {
+    graft.functions.Hashing.register(spark)
+    // bare metadata only — no tenant payload at all
+    val sparse = message(lenField(1, stringField(1, "only-id")))
+    val row = Seq(Tuple1(sparse)).toDF("value")
+      .select(ProtoSchemas.decodeSubject(col("value"),
+        "nnipa.events.tenant.created-value").as("e"))
+      .select(col("e.metadata.event_id"), col("e.metadata.timestamp"),
+        col("e.metadata.version"), col("e.metadata.priority"),
+        col("e.metadata.headers"), col("e.tenant"))
+      .head()
+    assert(row.getString(0) == "only-id")
+    assert(row.isNullAt(1), "absent Timestamp must be null (presence)")
+    assert(row.getInt(2) == 0)
+    assert(row.getString(3) == "PRIORITY_UNSPECIFIED")
+    assert(row.getAs[Map[String, String]](4).isEmpty)
+    assert(row.isNullAt(5), "absent nested message must be null (presence)")
+  }
+
+  test("AuditLogCommand: google.protobuf.Any decodes as (type_url, value)") {
+    graft.functions.Hashing.register(spark)
+    val payload = message(varintField(1, 99L))
+    val anyMsg = message(
+      stringField(1, "type.googleapis.com/com.nnipa.proto.common.ErrorDetail"),
+      lenField(2, payload))
+    val entry = message(
+      stringField(1, "t-1"), stringField(3, "UPDATE"),
+      lenField(6, anyMsg), stringField(8, "SUCCESS"),
+      mapEntryField(11, "ip", "10.0.0.1"))
+    val bytes = message(
+      lenField(1, message(stringField(1, "ev-a"))),
+      lenField(2, entry))
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(ProtoSchemas.decodeSubject(col("value"),
+        "nnipa.commands.audit.log-value").as("e"))
+      .select(col("e.entry.action"), col("e.entry.old_value.type_url"),
+        col("e.entry.old_value.value"), col("e.entry.new_value"),
+        col("e.entry.context"))
+      .head()
+    assert(row.getString(0) == "UPDATE")
+    assert(row.getString(1).endsWith("ErrorDetail"))
+    assert(row.getAs[Array[Byte]](2).sameElements(payload))
+    assert(row.isNullAt(3), "absent Any must be null")
+    assert(row.getAs[Map[String, String]](4) == Map("ip" -> "10.0.0.1"))
+  }
+
+  test("generic decoder == the dedicated EventMetadata one-pass on the envelope") {
+    graft.functions.Hashing.register(spark)
+    val shapes = Seq(
+      tenantCreatedBytes,
+      message(lenField(1, stringField(1, "only-id"))),
+      message(lenField(1, message(
+        stringField(1, "ev-z"), stringField(2, "corr"), stringField(3, "svc"),
+        timestampField(4, 77L, 1000), varintField(5, 2),
+        mapEntryField(6, "h", "v"), stringField(7, "t"), stringField(8, "u"),
+        varintField(9, 4), varintField(10, 2)))))
+    val df = shapes.map(Tuple1(_)).toDF("value")
+    val rows = df.select(
+        ProtoSchemas.decode(col("value"), ProtoSchemas.tenantCreated.take(1))
+          .getField("metadata").as("generic"),
+        graft.io.KafkaIO.decodeEventMetadata(col("value")).as("dedicated"))
+      .collect()
+    rows.foreach { r =>
+      val (g, d) = (r.getStruct(0), r.getStruct(1))
+      if (g == null) {
+        // dedicated decoder has no presence concept: absent metadata ->
+        // all-default struct; the generic decoder reports null. Check the
+        // defaults line up instead.
+        assert(d.getAs[String]("event_id") == "")
+      } else {
+        // same field order by construction — compare field by field. One
+        // deliberate difference: the generic decoder follows proto3
+        // presence (absent Timestamp -> null); the dedicated envelope
+        // decoder emits the epoch default. Where generic is null,
+        // dedicated must hold exactly that default.
+        ProtoWire.eventMetadataSchema.fieldNames.zipWithIndex.foreach {
+          case (name, i) =>
+            val gv = g.get(g.fieldIndex(name))
+            if (name == "timestamp" && gv == null)
+              assert(d.getAs[java.sql.Timestamp](i).getTime == 0L,
+                s"dedicated decoder must default an absent timestamp to epoch")
+            else
+              assert(gv == d.get(i),
+                s"field $name diverged: $gv vs ${d.get(i)}")
+        }
+      }
+    }
+  }
+
+  test("SQL surface: graft_proto_decode with a literal spec string") {
+    graft.functions.Hashing.register(spark)
+    Seq(Tuple1(tenantCreatedBytes)).toDF("value").createOrReplaceTempView("wire")
+    val got = spark.sql(
+      """SELECT graft_proto_decode(value,
+        |  '1:msg{1:str:event_id;9:enum(P0|P1|P2|P3|P4):prio}:meta').meta.prio AS p
+        |FROM wire""".stripMargin).head().getString(0)
+    assert(got == "P3")
+  }
+}
