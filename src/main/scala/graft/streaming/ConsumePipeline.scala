@@ -60,6 +60,40 @@ object ConsumePipeline {
     Routed(ok, dlqAll, retryBranch.drop("failed"))
   }
 
+  /** Kafka-shaped (topic, value BINARY) records → the flat envelope frame
+    * the pipeline operators key on, via the ONE-PASS wire decode
+    * (`graft_proto_struct`): event_id_s/ts/tenant/user/priority/
+    * retry_count from the EventMetadata envelope, headers surfaced as the
+    * JSON `props` payload. This is the §3.2 consume path from RAW bytes
+    * up, matching the reference's deserialize-then-validate order
+    * (`service/BaseEventConsumer.java:53-105`). Compose with
+    * `KafkaIO.stripConfluentProtobufPrefix` upstream for registry-framed
+    * values.
+    */
+  def fromWire(kafka: DataFrame): DataFrame = {
+    graft.functions.Hashing.register(kafka.sparkSession)
+    kafka
+      .withColumn("m", graft.io.KafkaIO.decodeEventMetadata(org.apache.spark.sql.functions.col("value")))
+      .withColumn("event_id_s", col("m.event_id"))
+      .withColumn("ts", col("m.timestamp"))
+      .withColumn("correlation_id", col("m.correlation_id"))
+      .withColumn("source_service", col("m.source_service"))
+      .withColumn("tenant_id", col("m.tenant_id"))
+      .withColumn("user_s", col("m.user_id"))
+      .withColumn("priority", col("m.priority"))
+      .withColumn("retry_count", col("m.retry_count"))
+      .withColumn("props", to_json(col("m.headers")))
+      .drop("m")
+  }
+
+  /** [[start]] from raw wire bytes: decode-once, then the standard
+    * watermarked-dedup + route pipeline.
+    */
+  def startFromWire(kafka: DataFrame, outDir: String, cfg: Config = Config(),
+                    failurePredicate: org.apache.spark.sql.Column = lit(false),
+                    availableNow: Boolean = true): StreamingQuery =
+    start(fromWire(kafka), outDir, cfg, failurePredicate, availableNow)
+
   /** Streaming form: watermarked dedup then per-micro-batch routing; each
     * branch lands as parquet under `outDir/{processed,dlq,retry}`.
     *

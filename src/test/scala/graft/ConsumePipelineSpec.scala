@@ -50,6 +50,49 @@ class ConsumePipelineSpec extends SparkSpec {
     assert(ids == batchKept)
   }
 
+  test("startFromWire: raw bytes -> decode-once -> dedup -> route, across batches") {
+    import spark.implicits._
+    import graft.functions.ProtoWire._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("consume-wire").toString
+
+    def wire(id: Long, minute: Int, retry: Long): Array[Byte] =
+      message(lenField(1, message(
+        stringField(1, if (id % 20 == 0) "" else id.toString),
+        timestampField(4, 1704103200L + minute * 60L, 0),
+        mapEntryField(6, "k", s"v$id"),
+        stringField(7, s"t-${id % 5}"),
+        varintField(10, retry))))
+
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = ConsumePipeline.startFromWire(
+      input.toDF().toDF("topic", "value"), out,
+      ConsumePipeline.Config(dedupTtl = "2 hours"), availableNow = false)
+    try {
+      // batch 1: 3 ok events + 1 invalid (empty event_id on the wire)
+      input.addData(Seq(1L, 2L, 3L).map(i => ("nnipa.events.click.recorded", wire(i, i.toInt, 0))) :+
+        (("nnipa.events.click.recorded", wire(20L, 4, 0))): _*)
+      q.processAllAvailable()
+      // batch 2: event 2 redelivered (decodes to the same event_id -> deduped) + fresh 5
+      input.addData(
+        ("nnipa.events.click.recorded", wire(2L, 30, 0)),
+        ("nnipa.events.click.recorded", wire(5L, 31, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val processed = spark.read.parquet(s"$out/processed")
+    assert(processed.select("event_id_s").as[String].collect().sorted.toSeq ==
+      Seq("1", "2", "3", "5"), "decoded ids, deduped across wire batches")
+    // decoded envelope fields survived: headers-as-props JSON + tenant
+    val r = processed.filter(col("event_id_s") === "3")
+      .select("props", "tenant_id", "ts").head()
+    assert(r.getString(0) == """{"k":"v3"}""")
+    assert(r.getString(1) == "t-3")
+    assert(r.getAs[java.sql.Timestamp](2).getTime == (1704103200L + 180L) * 1000L)
+    assert(spark.read.parquet(s"$out/dlq")
+      .select("error_message").as[String].collect().toSeq == Seq("Invalid event"))
+  }
+
   test("invalid events route to DLQ, failures honor retry-vs-DLQ split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
