@@ -111,13 +111,19 @@ object Bench {
 
     val jvmsAfter = foreignJvms()
     val foreign = math.max(jvmsBefore, jvmsAfter)
+    // 1-minute load average: catches non-JVM host contention the process
+    // guard can't see (shared-host noise) — stamped, not judged
+    val load1 = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""decode_struct_sec":${decode._1},"decode_perfield_sec":${decode._2},""" +
       s""""decode_floor_sec":${decode._3},""" +
-      s""""foreign_jvms":$foreign,"clean":${foreign == 0}}""")
+      s""""foreign_jvms":$foreign,"load1":$load1,"clean":${foreign == 0}}""")
     if (foreign > 0)
       System.err.println(s"[bench] WARNING: $foreign concurrent java process(es) " +
         "detected — timings may be contention-inflated; rerun on an idle host")

@@ -275,23 +275,34 @@ object MiscQueries {
     // grand-total rows (grouping-sets surface).
     "rollup_revenue" -> QueryDef(
       build = (s, dir) => {
-        // via the engine's SQL surface: the rollup text is dialect-shared
-        // with the oracle (grouping() + ROLLUP are ANSI), and Catalyst
-        // plans the same broadcast star join as the DataFrame form.
+        // via the engine's SQL surface (grouping() + ROLLUP are ANSI).
+        // Two-level form: aggregate to the 25 (region, nation) groups
+        // FIRST, then rollup over that tiny frame — Expand (x3 for 3
+        // grouping sets) multiplies 25 pre-aggregated rows instead of
+        // every lineitem (at 100 TB, rollup over the full fact table
+        // triples the rows entering the partial aggregate). SUM/COUNT
+        // are decomposable and decimal sums are exact, so the result is
+        // identical to the single-level ROLLUP the oracle runs.
         Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
         Tables.supplier(s, dir).createOrReplaceTempView("supplier")
         Tables.nation(s, dir).createOrReplaceTempView("nation")
         Tables.region(s, dir).createOrReplaceTempView("region")
         s.sql(
-          """SELECT r_name, n_name,
-            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-            |  COUNT(*) AS n_items,
+          """WITH base AS (
+            |  SELECT r_name, n_name,
+            |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev,
+            |    COUNT(*) AS cnt
+            |  FROM lineitem
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  JOIN region ON n_regionkey = r_regionkey
+            |  GROUP BY r_name, n_name)
+            |SELECT r_name, n_name,
+            |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+            |  SUM(cnt) AS n_items,
             |  CAST(GROUPING(r_name) AS TINYINT) AS g_r,
             |  CAST(GROUPING(n_name) AS TINYINT) AS g_n
-            |FROM lineitem
-            |JOIN supplier ON l_suppkey = s_suppkey
-            |JOIN nation ON s_nationkey = n_nationkey
-            |JOIN region ON n_regionkey = r_regionkey
+            |FROM base
             |GROUP BY ROLLUP(r_name, n_name)
             |ORDER BY g_r, g_n, r_name, n_name""".stripMargin)
       },
