@@ -48,6 +48,54 @@ object Quant {
       .withColumn(nAs, sqrt(intDot(col(qAs), col(qAs)).cast("double")))
   }
 
+  /** IVF lists × int8 scoring — the production ANN composition
+    * (IVF-flat with scalar quantization): centroid ASSIGNMENT uses exact
+    * float cosine against the tiny deterministic codebook (the lowest
+    * `nLists` ids, as in `Similarity.ivfSeededTopK` — assignment quality
+    * is what recall hangs on, and the codebook side is nLists rows), but
+    * all O(corpus × probes) within-list SCORING is the integer dot over
+    * quantized vectors: 4x less data through the probe shuffle — at
+    * 100 TB the corpus-side bytes are the whole cost — and exact integer
+    * arithmetic, so the DuckDB oracle replays every score bit for bit.
+    * Multi-probe (`nProbe`) is the same linear-candidate recall knob.
+    */
+  def ivfQuantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nLists: Int, nProbe: Int = 1): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val scale = qscale(col(vecCol))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("n"),
+        quantizeVec(col(vecCol), scale).as("q"))
+      .withColumn("qn", sqrt(intDot(col("q"), col("q")).cast("double")))
+    val cents = c.filter(col("id") < nLists)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
+    // persisted: the assignment feeds membership AND (nProbe > 1) probes —
+    // and the float vectors are DROPPED here, so everything downstream
+    // moves quantized bytes only
+    val top = graft.Caches.persist(
+      c.crossJoin(broadcast(cents))
+        .withColumn("cscore",
+          round(Similarity.dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+        .withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= math.max(nProbe, 1))
+        .select(col("id"), col("q"), col("qn"), col("cent_id"), col("crank")))
+    val assigned = top.filter(col("crank") === 1)
+      .select(col("id"), col("q"), col("qn"), col("cent_id").as("list_id"))
+    val probes = top.select(col("id").as("query_id"), col("q").as("qq"),
+      col("qn").as("pqn"), col("cent_id").as("list_id"))
+    val scored = probes.join(assigned, "list_id")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("qscore",
+        round(intDot(col("qq"), col("q")).cast("double") / (col("pqn") * col("qn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("list_id"), col("id").as("neighbor_id"),
+        col("qscore"), col("rank"))
+  }
+
   /** Top-k cosine over int8-quantized vectors — same plan shape as the
     * exact [[Similarity.bruteForceTopK]] (queries broadcast, corpus
     * distributed), but every pairwise score is an integer dot: 4x less

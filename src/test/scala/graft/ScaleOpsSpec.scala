@@ -319,6 +319,20 @@ class ScaleOpsSpec extends SparkSpec {
     graft.Caches.release()
   }
 
+  test("IVF x int8: quantized within-list ranking tracks the float IVF ranking") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flt = pairs(Similarity.ivfSeededTopK(e, "vec_id", "embedding", 3, 8, nProbe = 2))
+    val qnt = pairs(graft.scale.Quant.ivfQuantizedTopK(e, "vec_id", "embedding", 3, 8, nProbe = 2))
+    // same lists, int8 vs float scoring: ~1% cosine error at 64 dims must
+    // keep the vast majority of top-3 memberships identical
+    val overlap = flt.intersect(qnt).size.toDouble / flt.size
+    assert(overlap >= 0.8, s"quantized IVF overlap with float IVF: $overlap")
+    graft.Caches.release()
+  }
+
   test("bitsFor scales bucket width with corpus size and caps at the dimension") {
     assert(Similarity.bitsFor(1000L, dim = 64) == Similarity.DefaultBits)
     assert(Similarity.bitsFor(1L << 30, dim = 64) == 20) // 2^30/1024 lists
