@@ -634,6 +634,108 @@ object ScaleQueries {
            |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
       doc = "Capstone v2: normalize -> percentile gate -> dedup -> domain cap -> holdout split"),
 
+    // Capstone v3 = v2 + the NEAR-dedup stage: the complete training-data
+    // prep dataflow. Input corpus carries injected near-duplicate mutants
+    // (the dedup_minhash_lsh fixture recipe) so the stage has real work:
+    // normalize -> percentile quality gate -> exact (digest) dedup ->
+    // MinHash-LSH near-dedup (agreeing pair at >= 6/8 signature
+    // components -> larger doc_id dies, the admission rule) -> per-source
+    // cap -> leakage-proof holdout split -> per-split summary. Every
+    // stage replayed by the DuckDB oracle as one SQL dataflow.
+    "corpus_prepare_v3" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir))
+        val norm = corpus.select(col("doc_id"), col("source"),
+          TextOps.normalize(col("text")).as("text"))
+        // persisted: keepAbovePercentile scans twice (threshold + filter)
+        val scored = graft.Caches.persist(
+          norm.withColumn("quality", TextOps.qualityScore(col("text"))))
+        val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+        val ded = gated
+          .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "source", "text")
+        val sigs = NearDup.withSignatures(ded)
+        val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
+        val dropped = NearDup.lshCandidates(sigs, "doc_id")
+          .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
+          .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
+          .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+          .filter(col("m") >= 6)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val near = ded.join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+        val capped = Sampling.capPerGroup(near, "doc_id", "source", cap = 18,
+          salt = "prep3")
+        Sampling.assignSplits(capped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split3")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("split")
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |norm AS (
+           |  SELECT doc_id, source,
+           |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+           |  FROM docs2),
+           |scored AS (
+           |  SELECT doc_id, source, text,
+           |    ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           |      + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($sqlStopwords))) AS DOUBLE)
+           |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |      + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |               / CAST(length(text) AS DOUBLE)) * 0.2, 6) AS quality
+           |  FROM norm),
+           |thr AS (SELECT quantile_cont(quality, 0.3) AS t FROM scored),
+           |gated AS (SELECT s.doc_id, s.source, s.text FROM scored s, thr WHERE s.quality >= thr.t),
+           |ded AS (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text,
+           |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           |    FROM gated) x WHERE rn = 1),
+           |sh AS (SELECT doc_id, $sqlShingles AS sh FROM ded),
+           |hashed AS (SELECT doc_id,
+           |  list_transform(sh, s -> ${sqlPolyHash("s", P)}) AS shh FROM sh),
+           |sigs AS (SELECT doc_id, $sqlMinhashSig AS sig FROM hashed),
+           |bands AS (
+           |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dropped AS (
+           |  SELECT DISTINCT doc_b AS doc_id
+           |  FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+           |            JOIN sigs sb ON cand.doc_b = sb.doc_id
+           |  WHERE CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
+           |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) >= 6),
+           |near AS (
+           |  SELECT doc_id, source FROM ded
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+           |capped AS (
+           |  SELECT doc_id, source FROM (
+           |    SELECT doc_id, source,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "prep3")}, doc_id) AS rk
+           |    FROM near) y WHERE rk <= 18),
+           |assigned AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split3")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split3")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM capped)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
+      doc = "Capstone v3: normalize -> gate -> exact dedup -> NEAR dedup (LSH) -> cap -> split"),
+
     // ---------------- text analysis ----------------
 
     "txt_stats" -> QueryDef(
