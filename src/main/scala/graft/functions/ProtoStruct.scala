@@ -226,6 +226,7 @@ object ProtoStruct {
             case _ => // type mismatch on the wire: skip (unknown-field rule)
           }
         case 1 =>
+          require(p + 8 <= end, "truncated fixed64")
           if (idx >= 0 && fields(idx).kind == KF64) {
             var bits = 0L
             var j = 0
@@ -235,6 +236,7 @@ object ProtoStruct {
           p += 8
         case 2 =>
           val len = ProtoWire.readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          require(len >= 0 && p + len <= end, "truncated length-delimited field")
           if (idx >= 0) fields(idx).kind match {
             case KStr => row.update(idx, UTF8String.fromBytes(bytes, p, len))
             case KBytes =>
@@ -278,7 +280,9 @@ object ProtoStruct {
             case _ => // wire/declared mismatch: skip
           }
           p += len
-        case 5 => p += 4
+        case 5 =>
+          require(p + 4 <= end, "truncated fixed32")
+          p += 4
         case other =>
           throw new IllegalArgumentException(s"unsupported wire type $other")
       }
@@ -311,6 +315,13 @@ object ProtoStruct {
   /** Entry point referenced by both eval paths. */
   def decode(bytes: Array[Byte], fields: IndexedSeq[PField]): InternalRow =
     decodeMessage(bytes, 0, bytes.length, fields)
+
+  /** Poison-pill-tolerant [[decode]]: corrupt bytes → NULL, not an
+    * exception (E7 / ErrorHandlingDeserializer contract).
+    */
+  def decodeSafe(bytes: Array[Byte], fields: IndexedSeq[PField]): InternalRow =
+    try decode(bytes, fields)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
 }
 
 /** `graft_proto_decode(value, '<spec>')`: schema-driven one-pass decode of
@@ -340,6 +351,39 @@ final case class ProtoDecodeExpr(left: Expression, right: Expression)
   }
 
   override def prettyName: String = "graft_proto_decode"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_decode_safe(value, '<spec>')`: [[ProtoDecodeExpr]] with
+  * the E7 poison-pill contract — corrupt bytes yield NULL.
+  */
+final case class ProtoDecodeSafeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+
+  @transient private lazy val fields: IndexedSeq[ProtoStruct.PField] = {
+    require(right.foldable, "graft_proto_decode_safe spec must be a literal")
+    ProtoStruct.parse(right.eval().asInstanceOf[UTF8String].toString)
+  }
+
+  override def dataType: DataType = ProtoStruct.structOf(fields)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(b: Any, _spec: Any): Any =
+    ProtoStruct.decodeSafe(b.asInstanceOf[Array[Byte]], fields)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoFields", fields,
+      "scala.collection.immutable.IndexedSeq")
+    // nullSafeCodeGen: the call may return null on corrupt bytes
+    nullSafeCodeGen(ctx, ev, (b, _) => s"""
+      ${ev.value} = graft.functions.ProtoStruct.decodeSafe($b, $ref);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override def prettyName: String = "graft_proto_decode_safe"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -121,13 +121,16 @@ object ProtoWire {
           val v = readVarint(bytes, p, end, pos); p = pos(0)
           if (f == fieldNo) { out(0) = 0; out(1) = v; found = true }
         case 1 =>
+          require(p + 8 <= end, "truncated fixed64")
           if (f == fieldNo) { out(0) = 1; out(1) = p.toLong; out(2) = (p + 8).toLong; found = true }
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          require(len >= 0 && p + len <= end, "truncated length-delimited field")
           if (f == fieldNo) { out(0) = 2; out(1) = p.toLong; out(2) = (p + len).toLong; found = true }
           p += len
         case 5 =>
+          require(p + 4 <= end, "truncated fixed32")
           if (f == fieldNo) { out(0) = 5; out(1) = p.toLong; out(2) = (p + 4).toLong; found = true }
           p += 4
         case other =>
@@ -250,13 +253,16 @@ object ProtoWire {
           val v = readVarint(bytes, p, end, pos); p = pos(0)
           if (f == fieldNo) hits.add(Array(0L, v, 0L))
         case 1 =>
+          require(p + 8 <= end, "truncated fixed64")
           if (f == fieldNo) hits.add(Array(1L, p.toLong, (p + 8).toLong))
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          require(len >= 0 && p + len <= end, "truncated length-delimited field")
           if (f == fieldNo) hits.add(Array(2L, p.toLong, (p + len).toLong))
           p += len
         case 5 =>
+          require(p + 4 <= end, "truncated fixed32")
           if (f == fieldNo) hits.add(Array(5L, p.toLong, (p + 4).toLong))
           p += 4
         case other =>
@@ -317,13 +323,17 @@ object ProtoWire {
           val v = readVarint(bytes, p, end, pos); p = pos(0)
           if (f == 1 || f == 4) { kind = f; a = v }
         case 1 =>
+          require(p + 8 <= end, "truncated fixed64")
           if (f == 2) { kind = 2; a = p.toLong }
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          require(len >= 0 && p + len <= end, "truncated length-delimited field")
           if (f == 3 || f == 5 || f == 6) { kind = f; a = p.toLong; b = (p + len).toLong }
           p += len
-        case 5 => p += 4
+        case 5 =>
+          require(p + 4 <= end, "truncated fixed32")
+          p += 4
         case other => throw new IllegalArgumentException(s"wire type $other in Value")
       }
     }
@@ -562,9 +572,12 @@ object ProtoWire {
             case 10 => row.setInt(9, v.toInt)
             case _  =>
           }
-        case 1 => p += 8
+        case 1 =>
+          require(p + 8 <= end, "truncated fixed64")
+          p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
+          require(len >= 0 && p + len <= end, "truncated length-delimited field")
           f match {
             case 1 => row.update(0, UTF8String.fromBytes(bytes, p, len))
             case 2 => row.update(1, UTF8String.fromBytes(bytes, p, len))
@@ -583,7 +596,9 @@ object ProtoWire {
             case _ =>
           }
           p += len
-        case 5 => p += 4
+        case 5 =>
+          require(p + 4 <= end, "truncated fixed32")
+          p += 4
         case other =>
           throw new IllegalArgumentException(s"unsupported wire type $other")
       }
@@ -605,6 +620,17 @@ object ProtoWire {
     }
     row
   }
+
+  /** Poison-pill-tolerant [[eventMetadataStruct]]: corrupt wire bytes
+    * (truncated varint, bad length, unknown wire type) decode to NULL
+    * instead of killing the job — the reference's
+    * ErrorHandlingDeserializer contract (E7): one bad record routes to
+    * the DLQ, the pipeline survives. The strict form stays the default
+    * for trusted storage, where an exception IS the right answer.
+    */
+  def eventMetadataStructSafe(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    try eventMetadataStruct(bytes)
+    catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
 }
 
 /** `graft_proto_string(value, '1.2')`: UTF-8 string field at a wire path. */
@@ -744,6 +770,30 @@ final case class ProtoEventMetadataExpr(child: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.functions.ProtoWire.eventMetadataStruct($b)")
   override def prettyName: String = "graft_proto_struct"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_proto_struct_safe(value)`: [[ProtoEventMetadataExpr]] with the
+  * E7 poison-pill contract — corrupt bytes yield NULL (route to DLQ)
+  * instead of an exception.
+  */
+final case class ProtoEventMetadataSafeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ProtoWire.eventMetadataSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    ProtoWire.eventMetadataStructSafe(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // nullSafeCodeGen (not defineCodeGen): the call itself may return
+    // null on corrupt bytes, so isNull must be re-derived from the result
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.functions.ProtoWire.eventMetadataStructSafe($b);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override def prettyName: String = "graft_proto_struct_safe"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -382,6 +382,42 @@ object MiscQueries {
       // JSON raises even behind a json_valid guard (bit at sf0.1).
       doc = "E7 poison-pill decode tolerance (corrupt payload -> null -> DLQ branch)"),
 
+    // E7, proto arm: poison-pill tolerance on the WIRE decode path —
+    // every 50th value is truncated mid-message; graft_proto_struct_safe
+    // decodes it to NULL (DLQ-routable) instead of killing the job,
+    // mirroring e7_decode_tolerance's JSON arm and the reference's
+    // ErrorHandlingDeserializer.
+    "e7_proto_tolerance" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        import s.implicits._
+        import graft.functions.ProtoWire._
+        val src = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+          .as[(Long, Long)]
+        val wire = src.mapPartitions { it =>
+          it.map { case (id, user) =>
+            val good = message(lenField(1, message(
+              stringField(1, id.toString),
+              stringField(7, s"tenant-${user % 50}"))))
+            // corrupt: cut inside the length-delimited payload
+            (id, if (id % 50 == 0) good.take(good.length - 3) else good)
+          }
+        }.toDF("event_id", "value")
+        wire.select(col("event_id"),
+            call_function("graft_proto_struct_safe", col("value")).as("m"))
+          .withColumn("decode", when(col("m").isNull, "corrupt").otherwise("ok"))
+          .groupBy("decode").agg(count(lit(1)).as("n"),
+            max(when(col("decode") === "ok", col("m.tenant_id"))).as("max_tenant"))
+          .orderBy("decode")
+      },
+      oracle = Some(
+        """SELECT CASE WHEN event_id % 50 = 0 THEN 'corrupt' ELSE 'ok' END AS decode,
+          |  COUNT(*) AS n,
+          |  MAX(CASE WHEN event_id % 50 <> 0
+          |      THEN 'tenant-' || CAST(user_id % 50 AS VARCHAR) END) AS max_tenant
+          |FROM events GROUP BY 1 ORDER BY decode""".stripMargin),
+      doc = "E7 proto arm: corrupt wire bytes decode to NULL via graft_proto_struct_safe"),
+
     // Skew mitigation: salted two-stage aggregation — result identical to
     // the direct groupBy (the oracle), shuffle shape bounded per salt.
     "skew_salted_counts" -> QueryDef(

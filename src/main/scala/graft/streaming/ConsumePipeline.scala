@@ -72,8 +72,12 @@ object ConsumePipeline {
     */
   def fromWire(kafka: DataFrame): DataFrame = {
     graft.functions.Hashing.register(kafka.sparkSession)
+    // the SAFE decode: corrupt bytes -> null struct -> null event_id /
+    // props -> the invalid branch (DLQ) — one poison pill cannot kill the
+    // stream (E7, the reference's ErrorHandlingDeserializer contract)
     kafka
-      .withColumn("m", graft.io.KafkaIO.decodeEventMetadata(org.apache.spark.sql.functions.col("value")))
+      .withColumn("m", org.apache.spark.sql.functions.call_function(
+        "graft_proto_struct_safe", org.apache.spark.sql.functions.col("value")))
       .withColumn("event_id_s", col("m.event_id"))
       .withColumn("ts", col("m.timestamp"))
       .withColumn("correlation_id", col("m.correlation_id"))

@@ -73,10 +73,14 @@ class ConsumePipelineSpec extends SparkSpec {
       input.addData(Seq(1L, 2L, 3L).map(i => ("nnipa.events.click.recorded", wire(i, i.toInt, 0))) :+
         (("nnipa.events.click.recorded", wire(20L, 4, 0))): _*)
       q.processAllAvailable()
-      // batch 2: event 2 redelivered (decodes to the same event_id -> deduped) + fresh 5
+      // batch 2: event 2 redelivered (decodes to the same event_id -> deduped),
+      // fresh 5, and a POISON PILL (truncated wire bytes) — the safe decode
+      // turns it into the invalid branch instead of killing the stream
+      val pill = wire(6L, 32, 0).dropRight(4)
       input.addData(
         ("nnipa.events.click.recorded", wire(2L, 30, 0)),
-        ("nnipa.events.click.recorded", wire(5L, 31, 0)))
+        ("nnipa.events.click.recorded", wire(5L, 31, 0)),
+        ("nnipa.events.click.recorded", pill))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -89,8 +93,10 @@ class ConsumePipelineSpec extends SparkSpec {
     assert(r.getString(0) == """{"k":"v3"}""")
     assert(r.getString(1) == "t-3")
     assert(r.getAs[java.sql.Timestamp](2).getTime == (1704103200L + 180L) * 1000L)
-    assert(spark.read.parquet(s"$out/dlq")
-      .select("error_message").as[String].collect().toSeq == Seq("Invalid event"))
+    // DLQ holds BOTH the empty-id event and the poison pill (2 rows)
+    val dlq = spark.read.parquet(s"$out/dlq")
+    assert(dlq.count() == 2)
+    assert(dlq.select("error_message").as[String].collect().toSet == Set("Invalid event"))
   }
 
   test("invalid events route to DLQ, failures honor retry-vs-DLQ split") {

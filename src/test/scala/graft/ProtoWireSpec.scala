@@ -155,6 +155,28 @@ class ProtoWireSpec extends SparkSpec {
     rows.foreach { r => assert(r.getStruct(0) == r.getStruct(1)) }
   }
 
+  test("poison pills: corrupt bytes throw on the strict path, NULL on the safe path") {
+    val good = tenantCreated("ev-ok")
+    val corrupt = Seq(
+      good.take(good.length - 3),                  // truncated mid-payload
+      good.take(2),                                // truncated varint/length
+      Array[Byte](0x0f, 0x01),                     // unknown wire type 7
+      message(lenField(1, stringField(1, "x"))).dropRight(1))
+    // strict decoder: every corruption is an exception, never garbage
+    corrupt.foreach { bad =>
+      intercept[Exception](ProtoWire.eventMetadataStruct(bad))
+    }
+    // safe decoder: NULL (DLQ-routable), pipeline survives; good bytes
+    // decode identically to the strict path
+    val df = (corrupt :+ good).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("i", "value")
+    val rows = df.select(col("i"),
+        call_function("graft_proto_struct_safe", col("value")).as("m"))
+      .orderBy("i").collect()
+    assert(rows.take(corrupt.length).forall(_.isNullAt(1)))
+    assert(rows.last.getStruct(1).getAs[String]("event_id") == "ev-ok")
+  }
+
   test("varint encode/decode round-trips multi-byte values") {
     val big = message(varintField(3, 300L), varintField(4, Long.MaxValue))
     val df = Seq(Tuple1(big)).toDF("value")
