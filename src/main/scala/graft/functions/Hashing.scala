@@ -124,7 +124,8 @@ object Hashing {
     "graft_proto_struct" -> (exprs => ProtoEventMetadataExpr(exprs(0))),
     "graft_proto_struct_safe" -> (exprs => ProtoEventMetadataSafeExpr(exprs(0))),
     "graft_proto_decode" -> (exprs => ProtoDecodeExpr(exprs(0), exprs(1))),
-    "graft_proto_decode_safe" -> (exprs => ProtoDecodeSafeExpr(exprs(0), exprs(1))))
+    "graft_proto_decode_safe" -> (exprs => ProtoDecodeSafeExpr(exprs(0), exprs(1))),
+    "graft_proto_encode" -> (exprs => ProtoEncodeExpr(exprs(0), exprs(1))))
 
   /** Installs the native functions into the session's function registry
     * (idempotent). Column and SQL surfaces both resolve through the

@@ -322,6 +322,121 @@ object ProtoStruct {
   def decodeSafe(bytes: Array[Byte], fields: IndexedSeq[PField]): InternalRow =
     try decode(bytes, fields)
     catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => null }
+
+  // ---- the descriptor-driven encoder (the publish side) ----
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    var continue = true
+    while (continue) {
+      val b = (v & 0x7fL).toInt
+      v = v >>> 7
+      if (v == 0) { out.write(b); continue = false }
+      else out.write(b | 0x80)
+    }
+  }
+
+  private def writeTag(out: java.io.ByteArrayOutputStream, no: Int, wt: Int): Unit =
+    writeVarint(out, (no.toLong << 3) | wt)
+
+  private def writeLen(out: java.io.ByteArrayOutputStream, no: Int,
+                       payload: Array[Byte]): Unit = {
+    writeTag(out, no, 2)
+    writeVarint(out, payload.length.toLong)
+    out.write(payload)
+  }
+
+  private def writeString(out: java.io.ByteArrayOutputStream, no: Int,
+                          s: UTF8String): Unit =
+    writeLen(out, no, s.getBytes)
+
+  private def tsPayload(micros: Long): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream(16)
+    writeTag(b, 1, 0); writeVarint(b, Math.floorDiv(micros, 1000000L))
+    writeTag(b, 2, 0); writeVarint(b, Math.floorMod(micros, 1000000L) * 1000L)
+    b.toByteArray
+  }
+
+  /** Serialize a Spark struct (fields in descriptor order) to proto3 wire
+    * bytes — the inverse of [[decode]], matching protobuf-java's emission
+    * rules: no-presence scalars at their default ("" / 0 / false / 0.0 /
+    * enum[0]) are SKIPPED; null presence fields (message, Timestamp, Any,
+    * bytes) are skipped; maps/repeated emit one entry per element in
+    * row order. Round-trip `decode(encode(row)) == row` is spec-pinned
+    * (defaults are unobservable on the decode side by construction).
+    * Unknown enum names throw — silent index-0 coercion would corrupt
+    * data on the PUBLISH side.
+    */
+  def encodeMessage(row: InternalRow, fields: IndexedSeq[PField]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (!row.isNullAt(i)) f.kind match {
+        case KStr =>
+          val s = row.getUTF8String(i)
+          if (s.numBytes() > 0) writeString(out, f.no, s)
+        case KI64 =>
+          val v = row.getLong(i)
+          if (v != 0L) { writeTag(out, f.no, 0); writeVarint(out, v) }
+        case KI32 =>
+          val v = row.getInt(i)
+          if (v != 0) { writeTag(out, f.no, 0); writeVarint(out, v.toLong) }
+        case KBool =>
+          if (row.getBoolean(i)) { writeTag(out, f.no, 0); writeVarint(out, 1L) }
+        case KF64 =>
+          val v = row.getDouble(i)
+          if (v != 0.0d) {
+            writeTag(out, f.no, 1)
+            val bits = java.lang.Double.doubleToLongBits(v)
+            var j = 0
+            while (j < 8) { out.write(((bits >>> (8 * j)) & 0xff).toInt); j += 1 }
+          }
+        case KEnum(vs) =>
+          val name = row.getUTF8String(i).toString
+          val idx = vs.indexOf(name)
+          require(idx >= 0, s"unknown enum name '$name' for field ${f.name}")
+          if (idx != 0) { writeTag(out, f.no, 0); writeVarint(out, idx.toLong) }
+        case KTs =>
+          writeLen(out, f.no, tsPayload(row.getLong(i)))
+        case KMsg(sub) =>
+          writeLen(out, f.no, encodeMessage(row.getStruct(i, sub.length), sub))
+        case KBytes =>
+          writeLen(out, f.no, row.getBinary(i))
+        case KAny =>
+          val any = row.getStruct(i, 2)
+          val b = new java.io.ByteArrayOutputStream(32)
+          if (!any.isNullAt(0) && any.getUTF8String(0).numBytes() > 0)
+            writeString(b, 1, any.getUTF8String(0))
+          if (!any.isNullAt(1)) writeLen(b, 2, any.getBinary(1))
+          writeLen(out, f.no, b.toByteArray)
+        case KRStr =>
+          val arr = row.getArray(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            writeString(out, f.no, arr.getUTF8String(j)); j += 1
+          }
+        case KSMap | KLMap =>
+          val m = row.getMap(i)
+          val ks = m.keyArray()
+          val vs = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            val entry = new java.io.ByteArrayOutputStream(32)
+            writeString(entry, 1, ks.getUTF8String(j))
+            if (f.kind == KSMap) writeString(entry, 2, vs.getUTF8String(j))
+            else { writeTag(entry, 2, 0); writeVarint(entry, vs.getLong(j)) }
+            writeLen(out, f.no, entry.toByteArray)
+            j += 1
+          }
+        case KVMap =>
+          throw new UnsupportedOperationException(
+            "map<string, Value> encode is not supported (JSON text is a lossy projection)")
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
 }
 
 /** `graft_proto_decode(value, '<spec>')`: schema-driven one-pass decode of
@@ -351,6 +466,43 @@ final case class ProtoDecodeExpr(left: Expression, right: Expression)
   }
 
   override def prettyName: String = "graft_proto_decode"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_proto_encode(struct, '<spec>')`: serialize a Spark struct to
+  * proto3 wire bytes under a message descriptor — the publish-side
+  * inverse of `graft_proto_decode` (default-skipping emission, the
+  * protobuf-java rule).
+  */
+final case class ProtoEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  @transient private lazy val fields: IndexedSeq[ProtoStruct.PField] = {
+    require(right.foldable, "graft_proto_encode spec must be a literal")
+    ProtoStruct.parse(right.eval().asInstanceOf[UTF8String].toString)
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ProtoStruct.structOf(fields)
+    if (org.apache.spark.sql.types.DataType.equalsIgnoreNullability(left.dataType, want))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_proto_encode input must be ${want.simpleString}, got ${left.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(row: Any, _spec: Any): Any =
+    ProtoStruct.encodeMessage(row.asInstanceOf[InternalRow], fields)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoFields", fields,
+      "scala.collection.immutable.IndexedSeq")
+    defineCodeGen(ctx, ev, (r, _) => s"graft.functions.ProtoStruct.encodeMessage($r, $ref)")
+  }
+
+  override def prettyName: String = "graft_proto_encode"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

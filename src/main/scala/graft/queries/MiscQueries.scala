@@ -382,6 +382,65 @@ object MiscQueries {
       // JSON raises even behind a json_valid guard (bit at sf0.1).
       doc = "E7 poison-pill decode tolerance (corrupt payload -> null -> DLQ branch)"),
 
+    // F14: the DECLARATIVE publish path — the event envelope is built as
+    // a typed struct column, serialized to proto3 wire bytes by
+    // graft_proto_encode (default-skipping emission, the protobuf-java
+    // rule), then decoded back through the one-pass consumer path. No
+    // mapPartitions anywhere: encode and decode are both codegen'd
+    // expressions, which is what the S1 publish path runs at scale. The
+    // DuckDB oracle recomputes every scalar from the fixture, pinning
+    // encode∘decode = identity.
+    "f14_proto_publish" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = Tables.events(s, dir)
+        val prio = Envelope.priorities.zipWithIndex
+          .foldLeft(lit(Envelope.priorities.head)) { case (acc, (name, i)) =>
+            when(col("event_id") % 5 === i, lit(name)).otherwise(acc)
+          }
+        val meta = struct(
+          col("event_id").cast("string").as("event_id"),
+          concat(lit("corr-"), (col("event_id") % 97).cast("string")).as("correlation_id"),
+          lit("svc-pub").as("source_service"),
+          col("ts").as("timestamp"),
+          (col("event_id") % 3 + 1).cast("int").as("version"),
+          map(lit("h1"),
+            concat(lit("v"), (col("event_id") % 11).cast("string"))).as("headers"),
+          concat(lit("tenant-"), (col("user_id") % 50).cast("string")).as("tenant_id"),
+          col("user_id").cast("string").as("user_id"),
+          prio.as("priority"),
+          (col("event_id") % 5).cast("int").as("retry_count"))
+        val wire = graft.schema.ProtoSchemas.encode(
+          struct(meta.as("metadata")),
+          graft.schema.ProtoSchemas.tenantCreated.take(1))
+        e.select(col("event_id"),
+            graft.io.KafkaIO.decodeEventMetadata(wire).as("m"))
+          .select(col("event_id"),
+            col("m.event_id").as("event_id_s"),
+            col("m.correlation_id"),
+            col("m.timestamp").as("ts"),
+            col("m.version"),
+            element_at(col("m.headers"), "h1").as("h1"),
+            col("m.tenant_id"), col("m.user_id").as("user_id_s"),
+            col("m.priority"), col("m.retry_count"))
+          .orderBy("event_id")
+      },
+      oracle = Some {
+        val prio = Envelope.priorities.zipWithIndex
+          .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+        s"""SELECT event_id, CAST(event_id AS VARCHAR) AS event_id_s,
+           |  'corr-' || CAST(event_id % 97 AS VARCHAR) AS correlation_id,
+           |  CAST(ts AS TIMESTAMP) AS ts,
+           |  CAST(event_id % 3 + 1 AS INT) AS version,
+           |  'v' || CAST(event_id % 11 AS VARCHAR) AS h1,
+           |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS tenant_id,
+           |  CAST(user_id AS VARCHAR) AS user_id_s,
+           |  CASE event_id % 5 $prio END AS priority,
+           |  CAST(event_id % 5 AS INT) AS retry_count
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+      doc = "Declarative publish path: typed struct -> graft_proto_encode -> one-pass decode, oracle-pinned"),
+
     // E7, proto arm: poison-pill tolerance on the WIRE decode path —
     // every 50th value is truncated mid-message; graft_proto_struct_safe
     // decodes it to NULL (DLQ-routable) instead of killing the job,

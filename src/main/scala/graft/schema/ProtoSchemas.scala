@@ -169,4 +169,10 @@ object ProtoSchemas {
   /** One-pass decode by registry subject name. */
   def decodeSubject(value: Column, subject: String): Column =
     decode(value, wellKnownDescriptors.toMap.apply(subject))
+
+  /** Publish-side inverse: serialize a struct column (fields in
+    * descriptor order) to proto3 wire bytes.
+    */
+  def encode(struct: Column, descriptor: Seq[PField]): Column =
+    call_function("graft_proto_encode", struct, lit(render(descriptor)))
 }

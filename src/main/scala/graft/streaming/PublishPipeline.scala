@@ -57,7 +57,7 @@ object PublishPipeline {
       .withColumn("retry_count", lit(0))
 
   /** S1: project to the Kafka record shape (key, value, topic, headers) —
-    * value as JSON here; `to_protobuf` slots in where descriptors exist.
+    * value as JSON here; [[toKafkaRecordsProto]] is the wire-format form.
     */
   def toKafkaRecords(enveloped: DataFrame, strategy: Strategy = TenantBased): DataFrame =
     enveloped
@@ -70,4 +70,37 @@ object PublishPipeline {
         encode(to_json(struct(Envelope.metadataStruct.as("metadata"),
           col("event_type"), col("value"), col("props"))), "UTF-8").as("value"),
         col("topic"), col("headers"))
+
+  /** S1, PROTO wire form: the value is the proto3-encoded event envelope
+    * (`graft_proto_encode` over the metadata struct — the reference's
+    * actual value format, `config/KafkaConfig.java:73-75`), everything
+    * else as [[toKafkaRecords]]. The round trip through the consumer's
+    * one-pass decode is oracle-pinned (q:f14_proto_publish); compose with
+    * `KafkaIO.toConfluentProtobufWireFormat` for registry framing.
+    */
+  def toKafkaRecordsProto(enveloped: DataFrame,
+                          strategy: Strategy = TenantBased): DataFrame = {
+    graft.functions.Hashing.register(enveloped.sparkSession)
+    enveloped
+      .withColumn("key", keyFor(strategy))
+      .withColumn("headers", Headers.fromMetadata(
+        col("event_id_s"), col("correlation_id"), col("source_service"),
+        col("tenant_id"), col("user_s"), col("priority"), col("version")))
+      .select(
+        col("key"),
+        graft.schema.ProtoSchemas.encode(
+          struct(struct(
+            col("event_id_s").as("event_id"),
+            col("correlation_id"),
+            col("source_service"),
+            col("ts").cast("timestamp").as("timestamp"),
+            col("version").cast("int").as("version"),
+            map().cast("map<string,string>").as("headers"),
+            col("tenant_id"),
+            col("user_s").as("user_id"),
+            col("priority"),
+            col("retry_count").cast("int").as("retry_count")).as("metadata")),
+          graft.schema.ProtoSchemas.tenantCreated.take(1)).as("value"),
+        col("topic"), col("headers"))
+  }
 }

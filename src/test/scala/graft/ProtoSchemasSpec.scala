@@ -178,6 +178,33 @@ class ProtoSchemasSpec extends SparkSpec {
     }
   }
 
+  test("encode is decode's inverse: decode(encode(decode(b))) == decode(b)") {
+    graft.functions.Hashing.register(spark)
+    val subject = "nnipa.events.tenant.created-value"
+    val spec = ProtoStruct.render(ProtoSchemas.tenantCreated)
+    val shapes = Seq(
+      tenantCreatedBytes,
+      message(lenField(1, stringField(1, "only-id"))),
+      message(lenField(1, message(stringField(1, "ev-d"), varintField(9, 4),
+        mapEntryField(6, "k", "v")))))
+    val df = shapes.map(Tuple1(_)).toDF("value")
+      .select(ProtoSchemas.decodeSubject(col("value"), subject).as("d1"))
+      .select(col("d1"),
+        ProtoSchemas.decodeSubject(
+          ProtoSchemas.encode(col("d1"), ProtoSchemas.tenantCreated),
+          subject).as("d2"))
+    df.collect().foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1), "round-trip diverged")
+    }
+    // unknown enum name on the publish side must THROW, not coerce to 0
+    val bad = spark.sql("SELECT named_struct('event_id', 'x') AS m")
+    intercept[Exception] {
+      bad.select(call_function("graft_proto_encode",
+        expr("named_struct('priority', 'NOT_A_PRIORITY')"),
+        lit("9:enum(A|B):priority"))).collect()
+    }
+  }
+
   test("SQL surface: graft_proto_decode with a literal spec string") {
     graft.functions.Hashing.register(spark)
     Seq(Tuple1(tenantCreatedBytes)).toDF("value").createOrReplaceTempView("wire")

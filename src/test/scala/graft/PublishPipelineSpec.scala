@@ -30,6 +30,26 @@ class PublishPipelineSpec extends SparkSpec {
     assert(json.contains(""""event_id":"ev-1"""") && json.contains(""""event_type":"click""""))
   }
 
+  test("S1 proto wire form: publish -> consume round-trips the envelope") {
+    import spark.implicits._
+    val base = Seq((9L, "click", 2.0, """{"k":1}""", 7L))
+      .toDF("event_id", "event_type", "value", "props", "user_id")
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val rec = PublishPipeline.toKafkaRecordsProto(
+      Envelope.withEnvelope(base), PublishPipeline.TenantBased)
+    // the consumer's wire entry point decodes the published value back
+    val got = graft.streaming.ConsumePipeline.fromWire(
+        rec.select("topic", "value"))
+      .select("event_id_s", "ts", "tenant_id", "user_s", "priority", "retry_count")
+      .collect()(0)
+    assert(got.getString(0) == "9")
+    assert(got.getAs[Timestamp](1) == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(got.getString(2) == "tenant-7")
+    assert(got.getString(3) == "user-7")
+    assert(got.getString(4) == "PRIORITY_CRITICAL")  // 9 % 5 = 4
+    assert(got.getInt(5) == 4)
+  }
+
   test("P1h custom strategy dispatches by event-class pattern") {
     import spark.implicits._
     val base = Seq(
