@@ -22,7 +22,9 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
                 else Seq("q1_pricing", "q3_revenue", "q5_region_revenue",
                          "a4_event_stats", "d1_dedup", "w_tumbling_hourly",
-                         "emb_cosine_topk")
+                         "emb_cosine_topk", "rollup_revenue", "emb_ivf_quant",
+                         "asof_enrich_ranged", "f13_proto_subject",
+                         "corpus_prepare_v3")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.registry(name).build(spark, sfDir).explain("formatted")

@@ -178,6 +178,44 @@ class ProtoSchemasSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution at the WIRE level: old/new descriptors interoperate") {
+    graft.functions.Hashing.register(spark)
+    import ProtoStruct._
+    // v2 adds a string and a usage long-map — the proto3-compatible
+    // evolution shape (new field numbers, all optional)
+    val v1 = ProtoSchemas.eventMetadata
+    val v2 = v1 ++ Vector(PField(11, "region", KStr), PField(12, "usage", KLMap))
+    // the catalog's FULL_TRANSITIVE gate accepts the same evolution the
+    // wire level supports — schema system and decoder agree on what
+    // "compatible" means
+    val cat = new graft.schema.SchemaCatalog
+    cat.register("evo-value", ProtoStruct.structOf(v1))
+    cat.register("evo-value", ProtoStruct.structOf(v2))
+    assert(cat.latestVersion("evo-value").contains(2))
+
+    val oldBytes = message(stringField(1, "ev-old"), varintField(10, 2))
+    val newBytes = message(stringField(1, "ev-new"), stringField(11, "eu-west"),
+      longMapEntryField(12, "ingest", 44L))
+    val df = Seq((1L, oldBytes), (2L, newBytes)).toDF("i", "value")
+      .select(col("i"),
+        ProtoSchemas.decode(col("value"), v1).as("as_v1"),
+        ProtoSchemas.decode(col("value"), v2).as("as_v2"))
+      .orderBy("i").collect()
+    // old writer, new reader: added fields read as defaults
+    val oldAsV2 = df(0).getStruct(2)
+    assert(oldAsV2.getAs[String]("event_id") == "ev-old")
+    assert(oldAsV2.getAs[String]("region") == "")
+    assert(oldAsV2.getAs[Map[String, Long]]("usage").isEmpty)
+    // new writer, old reader: unknown fields skipped, knowns intact
+    val newAsV1 = df(1).getStruct(1)
+    assert(newAsV1.getAs[String]("event_id") == "ev-new")
+    assert(newAsV1.length == v1.length)
+    // new writer, new reader: full surface
+    val newAsV2 = df(1).getStruct(2)
+    assert(newAsV2.getAs[String]("region") == "eu-west")
+    assert(newAsV2.getAs[Map[String, Long]]("usage") == Map("ingest" -> 44L))
+  }
+
   test("encode is decode's inverse: decode(encode(decode(b))) == decode(b)") {
     graft.functions.Hashing.register(spark)
     val subject = "nnipa.events.tenant.created-value"
