@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StreamingVectorAdmission
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class Vec(vec_id: Long, embedding: Array[Float])
+
+/** Streaming vector admission: cross-batch near-dup rejection through the
+  * persisted banded index only, intra-batch dedup via band collision +
+  * cosine verify, replay idempotency via per-batch partition overwrite —
+  * the embedding twin of StreamingAdmissionSpec.
+  */
+class StreamingVectorAdmissionSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("d").toString
+
+  // 16-dim so 4 bands x 4 bits quantize real components; near-dups are
+  // small perturbations (cosine ~0.999), distinct vectors differ in sign
+  // pattern AND direction (cosine << threshold even on band collisions)
+  private def base(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+  }
+  private def perturb(v: Array[Float]): Array[Float] =
+    v.map(x => x + 0.01f * math.signum(x))
+
+  test("cross/intra-batch vector near-dups rejected; replay idempotent") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("vadm-index")
+    val admittedDir = tmp("vadm-out")
+
+    val a = base(1); val b = base(2); val c = base(3); val d = base(4)
+    val input = MemoryStream[Vec]
+    val q = StreamingVectorAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("vadm-ckpt"), threshold = 0.95)
+    try {
+      // batch 0: two distinct vectors
+      input.addData(Vec(1L, a), Vec(2L, b))
+      q.processAllAvailable()
+      // batch 1: near-dup of vector 1 (cross-batch), a fresh vector, and
+      // an intra-batch near-dup pair (5, 6) — smaller id survives
+      input.addData(Vec(4L, perturb(a)), Vec(3L, c),
+        Vec(5L, d), Vec(6L, perturb(d)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted.contains(1L) && admitted.contains(2L))
+    assert(!admitted.contains(4L), "cross-batch near-dup must be rejected via the index")
+    assert(admitted.contains(3L))
+    assert(admitted.contains(5L) && !admitted.contains(6L),
+      "intra-batch pair: smaller id survives")
+
+    // replay batch 1 under the same id: partition overwritten, no dups
+    import spark.implicits._
+    val before = spark.read.parquet(indexDir).count()
+    StreamingVectorAdmission.admitBatch(
+      Seq(Vec(4L, perturb(a)), Vec(3L, c), Vec(5L, d), Vec(6L, perturb(d)))
+        .toDF(), 1L, indexDir, admittedDir, threshold = 0.95)
+    assert(spark.read.parquet(indexDir).count() == before)
+    assert(spark.read.parquet(admittedDir)
+      .filter(col("vec_id") === 3L).count() == 1)
+
+    // the index carries one row per (admitted id x band)
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("id").distinct().count() == admitted.size.toLong)
+    assert(idx.groupBy("id").count().select(max("count")).head().getLong(0) == 4L)
+  }
+}
