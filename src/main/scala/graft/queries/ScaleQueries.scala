@@ -1730,6 +1730,61 @@ object ScaleQueries {
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "Banded multi-probe SRP near-dup pairs (any-band collision + cosine verify)"),
 
+    // Incremental VECTOR admission (the embedding analog of
+    // dedup_incremental, and the batch form of StreamingVectorAdmission):
+    // a batch probes the persisted banded index on (band, bucket), exact
+    // cosine verifies, best match per probe decides the verdict — the
+    // corpus is never re-read. Mutants are double-scaled copies of
+    // indexed vectors (cosine ~1 by construction, float-cast discipline
+    // shared with the oracle so both engines see identical vectors).
+    "dedup_vector_incremental" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val idxSrc = e.filter(col("vec_id") % 4 =!= 0)
+        val mutants = e.filter(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select("vec_id", "embedding").unionByName(mutants)
+        val index = Similarity.vectorIndex(idxSrc, "vec_id", "embedding")
+        Similarity.admitAgainstVectors(index, batch, "vec_id", "embedding",
+            threshold = 0.99)
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH idxsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+           |batch AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 10 = 1),
+           |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           |ib AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, j,
+           |    (${sqlSignBands("embedding", 4, 4)})[j + 1] AS bucket
+           |  FROM idxsrc, js),
+           |bb AS (
+           |  SELECT vec_id AS b_id, embedding AS bv, j,
+           |    (${sqlSignBands("embedding", 4, 4)})[j + 1] AS bucket
+           |  FROM batch, js),
+           |scored AS (
+           |  SELECT DISTINCT b_id, c_id, ${sqlCosine("bv", "cv")} AS score
+           |  FROM bb JOIN ib ON bb.j = ib.j AND bb.bucket = ib.bucket),
+           |best AS (
+           |  SELECT b_id, c_id AS matched_id, score FROM (
+           |    SELECT b_id, c_id, score,
+           |      row_number() OVER (PARTITION BY b_id ORDER BY score DESC, c_id) AS rk
+           |    FROM scored) t WHERE rk = 1)
+           |SELECT batch.vec_id,
+           |  COALESCE(best.score >= 0.99, FALSE) AS is_dup,
+           |  best.matched_id,
+           |  COALESCE(best.score, 0.0) AS score
+           |FROM batch LEFT JOIN best ON batch.vec_id = best.b_id
+           |ORDER BY batch.vec_id""".stripMargin),
+      doc = "Incremental vector admission: banded-index probe + cosine verify verdicts"),
+
     // IVF ANN with a deterministic codebook (the nLists lowest-id vectors):
     // assignment, probe and rank all replay in SQL -> hash-checked. The
     // KMeans-centroid variant (Similarity.ivfTopK) keeps the same probe

@@ -263,6 +263,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Persistable banded vector index: one row per (id × band) carrying
+    * the vector and its norm — the embedding analog of
+    * `NearDup.signatureIndex`, and the at-rest shape
+    * `streaming/StreamingVectorAdmission` appends per micro-batch.
+    */
+  def vectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"),
+        signBands(col(vecCol), bands, bitsPerBand).as("bands"))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+  }
+
+  /** Incremental vector admission: verdicts for a batch probed against an
+    * existing [[vectorIndex]] WITHOUT re-reading the corpus — the
+    * embedding analog of `NearDup.admitAgainst`. A batch vector is a dup
+    * when some indexed vector shares ANY sign band and scores ≥
+    * `threshold` cosine; one row per batch vector:
+    * (id, is_dup, matched_id, score) with the best-scoring indexed match
+    * (ties → smallest id; nulls when no band collision at all).
+    * Per-batch cost is O(batch + band-bucket collisions), never
+    * O(corpus).
+    */
+  def admitAgainstVectors(index: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    Hashing.register(batch.sparkSession)
+    val probe = vectorIndex(batch, idCol, vecCol, bands, bitsPerBand)
+      .select(col("id").as("b_id"), col("v").as("bv"), col("n").as("bn"),
+        col("band_idx"), col("bucket"))
+    val idx = index.select(col("id").as("c_id"), col("v").as("cv"),
+      col("n").as("cn"), col("band_idx"), col("bucket"))
+    val scored = probe.join(idx, Seq("band_idx", "bucket"))
+      .select(col("b_id"), col("c_id"),
+        round(dot(col("bv"), col("cv")) / (col("bn") * col("cn")), 6).as("score"))
+      .distinct()
+    val w = Window.partitionBy("b_id")
+      .orderBy(col("score").desc, col("c_id"))
+    val best = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("b_id"), col("c_id").as("matched_id"), col("score"))
+    batch.select(col(idCol).as("b_id"))
+      .join(best, Seq("b_id"), "left")
+      .select(col("b_id").as(idCol),
+        coalesce(col("score") >= threshold, lit(false)).as("is_dup"),
+        col("matched_id"),
+        coalesce(col("score"), lit(0.0d)).as("score"))
+  }
+
   /** recall@k of an ANN result against the exact baseline: mean over
     * queries of |ann top-k ∩ exact top-k| / k. Inputs are any two frames
     * with (query_id, neighbor_id, rank). Queries the ANN arm missed

@@ -46,7 +46,8 @@ object TwsAsof {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  final class Processor extends StatefulProcessor[String, AsofEvent, AsofFilled] {
+  final class Processor(toleranceMicros: Long)
+      extends StatefulProcessor[String, AsofEvent, AsofFilled] {
     @transient private var rights: ListState[(Long, String)] = _
     @transient private var pending: ListState[(Long, java.sql.Timestamp, String)] = _
 
@@ -96,6 +97,10 @@ object TwsAsof {
         while (i < timeline.length && timeline(i)._1 <= ts) {
           fill = timeline(i); i += 1
         }
+        // staleness bound, batch parity: a right older than the
+        // tolerance no longer fills
+        if (fill != null && toleranceMicros >= 0 &&
+            ts - fill._1 > toleranceMicros) fill = null
         if (fill == null) AsofFilled(key, tsRaw, payload, null, null)
         else {
           // micros-exact reconstruction of the right timestamp
@@ -111,11 +116,12 @@ object TwsAsof {
     * applies `.withWatermark("ts", delay)`; the delay is the lateness
     * bound for both sides).
     */
-  def enrich(events: Dataset[AsofEvent]): Dataset[AsofFilled] = {
+  def enrich(events: Dataset[AsofEvent],
+             toleranceMicros: Long = -1L): Dataset[AsofFilled] = {
     val sp = events.sparkSession
     import sp.implicits._
     events.groupByKey(_.key)
-      .transformWithState(new Processor,
+      .transformWithState(new Processor(toleranceMicros),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -98,4 +98,40 @@ class TwsAsofSpec extends SparkSpec {
       assert(got == batch, s"stream=$got\nbatch=$batch")
     }
   }
+
+  test("staleness bound: a too-old fill nulls out, matching the batch tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val out = tmp("tws-asof-ttl")
+      val input = MemoryStream[AsofEvent]
+      // 5-minute tolerance in micros
+      val q = TwsAsof.enrich(input.toDS().withWatermark("ts", "2 minutes"),
+          toleranceMicros = 5L * 60 * 1000000)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[AsofFilled], _: Long) =>
+          batch.write.mode("append").parquet(s"$out/rows")
+          ()
+        }
+        .start()
+      try {
+        input.addData(
+          AsofEvent("k1", t(0), isLeft = false, "cfgA"),
+          AsofEvent("k1", t(4), isLeft = true, "fresh"),   // age 4 min <= 5
+          AsofEvent("k1", t(9), isLeft = true, "stale"))   // age 9 min > 5
+        q.processAllAvailable()
+        input.addData(AsofEvent("k1", t(59), isLeft = false, "push"))
+        q.processAllAvailable()
+        pollUntil(out, 2)
+      } finally q.stop()
+      val got = results(out)
+      assert(got == Set(
+        ("k1", t(4), "fresh", Some("cfgA"), Some(t(0))),
+        ("k1", t(9), "stale", None, None)))
+    }
+  }
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("d").toString
 }
