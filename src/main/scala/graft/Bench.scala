@@ -9,7 +9,7 @@ object Bench {
     * count is stamped into the output JSON so a polluted run can never
     * ship as an unlabeled number.
     */
-  def foreignJvms(): Int = {
+  def foreignJvms(): Int = try {
     val self = ProcessHandle.current()
     var lineage = Set(self.pid)
     var cur = self
@@ -26,6 +26,9 @@ object Bench {
             c.endsWith("/java") || c == "java").orElse(false)
       }
       .count().toInt
+  } catch {
+    // restricted /proc must degrade to "unknown" (-1), never kill the bench
+    case _: Throwable => -1
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,6 +127,8 @@ object Bench {
       s""""decode_struct_sec":${decode._1},"decode_perfield_sec":${decode._2},""" +
       s""""decode_floor_sec":${decode._3},""" +
       s""""foreign_jvms":$foreign,"load1":$load1,"clean":${foreign == 0}}""")
+    // (foreign == -1 reads as not-clean: an unverifiable environment is
+    // flagged rather than assumed idle)
     if (foreign > 0)
       System.err.println(s"[bench] WARNING: $foreign concurrent java process(es) " +
         "detected — timings may be contention-inflated; rerun on an idle host")
