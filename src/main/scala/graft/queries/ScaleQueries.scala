@@ -1730,6 +1730,46 @@ object ScaleQueries {
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "Banded multi-probe SRP near-dup pairs (any-band collision + cosine verify)"),
 
+    // Z-order clustering (Morton layout): shard orders by the interleaved
+    // (custkey, order-day) key and report per-shard ranges of BOTH
+    // dimensions — the multi-dim pruning layout (a one-column sort prunes
+    // one dim perfectly and the other not at all; the z-key bounds both,
+    // which is what makes two-column min/max footer pruning work on data
+    // at rest). 8 shards = the top 3 interleaved bits, so each shard
+    // fixes 2 high bits of the custkey coordinate and 1 of the day
+    // coordinate.
+    "shard_zorder" -> QueryDef(
+      build = (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val a = col("o_custkey")
+        val b = datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date"))
+        o.select(
+            pmod(a.cast("long"), lit(256L)).as("ca"),
+            pmod(b.cast("long"), lit(256L)).as("db"),
+            Sharding.zOrderKey(a, b, bits = 8).as("zkey"))
+          .withColumn("shard", expr("zkey div 8192").cast("int"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"),
+            min("ca").as("min_ca"), max("ca").as("max_ca"),
+            min("db").as("min_db"), max("db").as("max_db"))
+          .orderBy("shard")
+      },
+      oracle = Some {
+        val bExpr = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+        val z = Sharding.zOrderKeySql("o_custkey", bExpr, bits = 8)
+        s"""WITH z AS (
+           |  SELECT (CAST(o_custkey AS BIGINT) % 256 + 256) % 256 AS ca,
+           |    (CAST($bExpr AS BIGINT) % 256 + 256) % 256 AS db,
+           |    $z AS zkey
+           |  FROM orders)
+           |SELECT CAST(zkey // 8192 AS INT) AS shard, COUNT(*) AS n,
+           |  MIN(ca) AS min_ca, MAX(ca) AS max_ca,
+           |  MIN(db) AS min_db, MAX(db) AS max_db
+           |FROM z GROUP BY 1 ORDER BY shard""".stripMargin
+      },
+      doc = "Z-order (Morton) sharding: per-shard ranges bounded in BOTH dimensions"),
+
     // Incremental VECTOR admission (the embedding analog of
     // dedup_incremental, and the batch form of StreamingVectorAdmission):
     // a batch probes the persisted banded index on (band, bucket), exact

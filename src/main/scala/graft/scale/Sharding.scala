@@ -36,6 +36,42 @@ object Sharding {
       .drop("_bounds")
   }
 
+  /** Z-order (Morton) key over two non-negative integer dimensions: bit i
+    * of `a` lands at position 2i+1, bit i of `b` at 2i, for `bits` bits
+    * each — the multi-dimensional clustering key. Sorting/range-sharding
+    * by the z-key gives every shard a BOUNDED RANGE IN BOTH dimensions at
+    * once, which is what makes min/max (parquet footer) pruning work for
+    * two-column predicates on data at rest: a one-column sort prunes one
+    * dimension perfectly and the other not at all; z-order splits the
+    * pruning power across both (the classic lakehouse OPTIMIZE ZORDER
+    * layout, from the public Morton-code construction).
+    *
+    * Pure bit arithmetic on longs — the disjoint bit positions sum, so
+    * the same expression replays in the DuckDB oracle; inputs are taken
+    * mod 2^bits so callers can feed raw keys.
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val am = pmod(a.cast("long"), lit(1L << bits))
+    val bm = pmod(b.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        + shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i)): org.apache.spark.sql.Column
+    }.reduce(_ + _)
+  }
+
+  /** The DuckDB-dialect mirror of [[zOrderKey]], generated from the same
+    * bit positions so the two sides cannot drift.
+    */
+  def zOrderKeySql(a: String, b: String, bits: Int = 16): String = {
+    val m = 1L << bits
+    (0 until bits).map { i =>
+      s"((((CAST($a AS BIGINT) % $m + $m) % $m >> $i) & 1) << ${2 * i + 1})" +
+        s" + ((((CAST($b AS BIGINT) % $m + $m) % $m >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+  }
+
   /** [[rangeShards]] with sampled boundaries: `approx_percentile`
     * (KLL/GK-style mergeable sketch, `accuracy` controls rank error
     * ε ≈ 1/accuracy) instead of the exact sort-based `percentile`. This is

@@ -62,4 +62,40 @@ class ShardingSpec extends SparkSpec {
     val ids = tagged.select("shard_id").distinct().as[Int].collect().sorted
     assert(ids.head >= 0 && ids.last < 8)
   }
+
+  test("zOrderKey: Morton known-answer vectors and dual-dim shard locality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // known answers: bit i of a -> 2i+1, bit i of b -> 2i
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 2L), (0L, 1L, 1L),
+      (3L, 5L, 27L), (7L, 7L, 63L), (255L + 256L, 1L, 0xAAAAL + 1L))
+    // (a=511 wraps to 255 at bits=8 -> a-bits at all odd positions = 0xAAAA)
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.scale.Sharding.zOrderKey(col("a"), col("b"), bits = 3).as("z3"),
+        graft.scale.Sharding.zOrderKey(col("a"), col("b"), bits = 8).as("z8"))
+      .collect()
+    assert(got(3).getLong(0) == 27L && got(4).getLong(0) == 63L)
+    assert(got(0).getLong(0) == 0L && got(1).getLong(0) == 2L && got(2).getLong(0) == 1L)
+    assert(got(5).getLong(1) == 0xAAAAL + 1L) // 255 interleaved odd + b=1 at bit 0
+
+    // locality: on a full 64x64 grid, 16 z-shards (top 4 interleaved
+    // bits = 2 high bits of EACH dim) partition the grid into 16x16
+    // cells: both spans <= 15, every cell exactly 64*64/16 points
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val spans = grid
+      .select(col("a"), col("b"),
+        graft.scale.Sharding.zOrderKey(col("a"), col("b"), bits = 6).as("z"))
+      .withColumn("shard", expr("z div 256"))
+      .groupBy("shard")
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(spans.length == 16)
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 15, s"a-span ${r.getLong(1)} exceeds the cell bound")
+      assert(r.getLong(2) <= 15, s"b-span ${r.getLong(2)} exceeds the cell bound")
+      assert(r.getLong(3) == 256L) // equal-size cells: 64*64/16
+    }
+  }
 }
