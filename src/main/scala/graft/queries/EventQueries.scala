@@ -177,6 +177,36 @@ object EventQueries {
       oracle = None,
       doc = "ROWS-ONLY by design: murmur2/spark families have no DuckDB-reproducible oracle; murmur2 pinned by Kafka known-answer vectors in PartitionKeysSpec"),
 
+    // A12: keyset pagination — the list-endpoint surface done the way it
+    // must be done at scale: the cursor is the last (ts, event_id) of the
+    // previous page and the page is a pushed-down range filter + top-N,
+    // so page depth costs O(page) regardless of position (OFFSET-based
+    // pagination scans and discards everything before the offset — at
+    // 100 TB page 10000 would read the whole table). Plan shape:
+    // TakeOrderedAndProject (bounded heap, no global sort); on a
+    // natively-typed table the ts range also reaches the parquet footer
+    // (this fixture's ts is derived by the ns->us normalization, which
+    // blocks pushdown — a fixture artifact, not an operator property).
+    "a12_events_page" -> QueryDef(
+      build = (s, dir) => {
+        val cts = lit("2024-01-15 00:00:00").cast("timestamp")
+        val cid = lit(4987L)
+        env(s, dir)
+          .filter(col("ts") > cts ||
+            (col("ts") === cts && col("event_id") > cid))
+          .orderBy(col("ts"), col("event_id"))
+          .limit(50)
+          .select("event_id", "ts", "event_type", "tenant_id", "value")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT event_id, ts, event_type, tenant_id, value
+           |FROM env
+           |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+           |   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 4987)
+           |ORDER BY ts, event_id LIMIT 50""".stripMargin),
+      doc = "Keyset pagination: cursor range filter + top-N (O(page) at any depth)"),
+
     // D1 dedup: inject duplicates, keep first per event_id in event time.
     "d1_dedup" -> QueryDef(
       build = (s, dir) => {
