@@ -236,7 +236,7 @@ object ProtoStruct {
           p += 8
         case 2 =>
           val len = ProtoWire.readVarint(bytes, p, end, pos).toInt; p = pos(0)
-          require(len >= 0 && p + len <= end, "truncated length-delimited field")
+          require(len >= 0 && len <= end - p, "truncated length-delimited field")
           if (idx >= 0) fields(idx).kind match {
             case KStr => row.update(idx, UTF8String.fromBytes(bytes, p, len))
             case KBytes =>
@@ -386,7 +386,9 @@ object ProtoStruct {
           if (row.getBoolean(i)) { writeTag(out, f.no, 0); writeVarint(out, 1L) }
         case KF64 =>
           val v = row.getDouble(i)
-          if (v != 0.0d) {
+          // bit-pattern gate, not `v != 0.0d`: -0.0 == 0.0 numerically but
+          // protobuf-java serializes -0.0 (doubleToRawLongBits != 0)
+          if (java.lang.Double.doubleToRawLongBits(v) != 0L) {
             writeTag(out, f.no, 1)
             val bits = java.lang.Double.doubleToLongBits(v)
             var j = 0

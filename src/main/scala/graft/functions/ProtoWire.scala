@@ -126,7 +126,7 @@ object ProtoWire {
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
-          require(len >= 0 && p + len <= end, "truncated length-delimited field")
+          require(len >= 0 && len <= end - p, "truncated length-delimited field")
           if (f == fieldNo) { out(0) = 2; out(1) = p.toLong; out(2) = (p + len).toLong; found = true }
           p += len
         case 5 =>
@@ -258,7 +258,7 @@ object ProtoWire {
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
-          require(len >= 0 && p + len <= end, "truncated length-delimited field")
+          require(len >= 0 && len <= end - p, "truncated length-delimited field")
           if (f == fieldNo) hits.add(Array(2L, p.toLong, (p + len).toLong))
           p += len
         case 5 =>
@@ -328,7 +328,7 @@ object ProtoWire {
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
-          require(len >= 0 && p + len <= end, "truncated length-delimited field")
+          require(len >= 0 && len <= end - p, "truncated length-delimited field")
           if (f == 3 || f == 5 || f == 6) { kind = f; a = p.toLong; b = (p + len).toLong }
           p += len
         case 5 =>
@@ -577,7 +577,7 @@ object ProtoWire {
           p += 8
         case 2 =>
           val len = readVarint(bytes, p, end, pos).toInt; p = pos(0)
-          require(len >= 0 && p + len <= end, "truncated length-delimited field")
+          require(len >= 0 && len <= end - p, "truncated length-delimited field")
           f match {
             case 1 => row.update(0, UTF8String.fromBytes(bytes, p, len))
             case 2 => row.update(1, UTF8String.fromBytes(bytes, p, len))

@@ -842,8 +842,10 @@ object ScaleQueries {
     // corpus; approx_percentile is the drop-in at 100 TB.
     "txt_quality_filter" -> QueryDef(
       build = (s, dir) => {
-        val scored = docs(s, dir).select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"))
+        // persisted: the stopword HOF in qualityScore doesn't codegen and
+        // keepAbovePercentile scans its input twice (threshold + filter)
+        val scored = graft.Caches.persist(docs(s, dir).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality")))
         TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
           .orderBy("doc_id")
       },
@@ -1933,7 +1935,7 @@ object ScaleQueries {
 
     // ANN recall-as-data, ROWS-ONLY by design: the recall@10 knobs
     // SCALE.md reasons about (nProbe for IVF), measured against the exact
-    // bruteForceTopK baseline on a 10% query sample and surfaced as
+    // bruteForceTopK baseline on a 5% query sample and surfaced as
     // scalar rows — the emb_quant_topk measured-trade design applied to
     // the ANN family. No oracle: the metric compares two engine plans;
     // lower bounds live in ScaleOpsSpec instead.

@@ -74,8 +74,13 @@ object PublishPipeline {
   /** S1, PROTO wire form: the value is the proto3-encoded event envelope
     * (`graft_proto_encode` over the metadata struct — the reference's
     * actual value format, `config/KafkaConfig.java:73-75`), everything
-    * else as [[toKafkaRecords]]. The round trip through the consumer's
-    * one-pass decode is oracle-pinned (q:f14_proto_publish); compose with
+    * else as [[toKafkaRecords]]. The event BODY (event_type, value, props)
+    * rides in the envelope's wire headers map as `event.type` /
+    * `event.value` / `event.props`, so the full record survives the
+    * `ConsumePipeline.fromWire` round trip (which surfaces that map as the
+    * JSON `props` payload) — the envelope alone would drop the body. The
+    * round trip through the consumer's one-pass decode is oracle-pinned
+    * (q:f14_proto_publish); compose with
     * `KafkaIO.toConfluentProtobufWireFormat` for registry framing.
     */
   def toKafkaRecordsProto(enveloped: DataFrame,
@@ -95,7 +100,10 @@ object PublishPipeline {
             col("source_service"),
             col("ts").cast("timestamp").as("timestamp"),
             col("version").cast("int").as("version"),
-            map().cast("map<string,string>").as("headers"),
+            map(
+              lit("event.type"), col("event_type"),
+              lit("event.value"), col("value").cast("string"),
+              lit("event.props"), coalesce(col("props"), lit(""))).as("headers"),
             col("tenant_id"),
             col("user_s").as("user_id"),
             col("priority"),

@@ -48,7 +48,7 @@ object StreamingAdmission {
     // run and reproduces the same verdicts. Batch ids must be
     // monotonically increasing — Structured Streaming guarantees it.
     val index =
-      if (new java.io.File(indexDir).exists())
+      if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else NearDup.signatureIndex(batch.limit(0), "doc_id")
     val verdicts = NearDup.admitAgainst(index, intraSurvivors, "doc_id",

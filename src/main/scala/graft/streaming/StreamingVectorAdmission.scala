@@ -58,7 +58,7 @@ object StreamingVectorAdmission {
     // (a replayed batch filters out its own and later partitions, so it
     // reproduces its first run's verdicts)
     val index =
-      if (new java.io.File(indexDir).exists())
+      if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else buckets(withBands(batch.limit(0), bands, bitsPerBand))
         .withColumn("batch_id", lit(0L))

@@ -46,7 +46,7 @@ class ProtoCodecFuzzSpec extends AnyFunSuite {
     case KI64 => Gen.oneOf(0L, 1L, 300L, Long.MaxValue)
     case KI32 => Gen.oneOf(0, 1, -0 + 7, Int.MaxValue)
     case KBool => Gen.oneOf(true, false)
-    case KF64 => Gen.oneOf(0.0d, -1.5d, 3.25e10d)
+    case KF64 => Gen.oneOf(0.0d, -0.0d, -1.5d, 3.25e10d)
     case KTs => Gen.oneOf(Gen.const(null),
       Gen.chooseNum(0L, 4102444800L).map(_ * 1000000L + 250000L))
     case KEnum(vs) => Gen.chooseNum(0, vs.length - 1).map(i => UTF8String.fromString(vs(i)))

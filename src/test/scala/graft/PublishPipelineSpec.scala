@@ -40,7 +40,8 @@ class PublishPipelineSpec extends SparkSpec {
     // the consumer's wire entry point decodes the published value back
     val got = graft.streaming.ConsumePipeline.fromWire(
         rec.select("topic", "value"))
-      .select("event_id_s", "ts", "tenant_id", "user_s", "priority", "retry_count")
+      .select("event_id_s", "ts", "tenant_id", "user_s", "priority", "retry_count",
+        "props")
       .collect()(0)
     assert(got.getString(0) == "9")
     assert(got.getAs[Timestamp](1) == Timestamp.valueOf("2024-01-01 00:00:00"))
@@ -48,6 +49,11 @@ class PublishPipelineSpec extends SparkSpec {
     assert(got.getString(3) == "user-7")
     assert(got.getString(4) == "PRIORITY_CRITICAL")  // 9 % 5 = 4
     assert(got.getInt(5) == 4)
+    // the event BODY survives the proto round trip via the wire headers map
+    val props = got.getString(6)
+    assert(props.contains(""""event.type":"click""""))
+    assert(props.contains(""""event.value":"2.0""""))
+    assert(props.contains("""{\"k\":1}"""))
   }
 
   test("P1h custom strategy dispatches by event-class pattern") {
