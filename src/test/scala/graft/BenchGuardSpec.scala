@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench hygiene guard primitives (VERDICT r3 #1): the shipped artifact
+  * must be able to PROVE the run was quiet, so the /proc samplers behind
+  * the `clean` stamp are pinned here on the live host.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("load1 reads a plausible 1-minute load average (or degrades to -1)") {
+    val l = Bench.load1()
+    assert(l == -1.0 || (l >= 0.0 && l < 10000.0))
+  }
+
+  test("cpuSample isolates this process's jiffies from host-wide busy") {
+    val (busy1, self1) = Bench.cpuSample()
+    assume(busy1 >= 0, "/proc restricted on this host")
+    // burn ~0.4 s of CPU in-process so the self counter must advance
+    val stop = System.nanoTime() + 400000000L
+    var x = 0L
+    while (System.nanoTime() < stop) { x += 1 }
+    assert(x > 0)
+    val (busy2, self2) = Bench.cpuSample()
+    val dSelf = self2 - self1
+    val dBusy = busy2 - busy1
+    assert(dSelf > 0, "self jiffies did not advance during a busy loop")
+    // host-wide busy includes us: foreign = busy - self stays bounded by
+    // the machine (jiffy rounding may make it slightly negative)
+    val foreign = dBusy - dSelf
+    val cores = Runtime.getRuntime.availableProcessors()
+    assert(foreign >= -2 && foreign <= 41L * cores)
+  }
+
+  test("foreignJvms counts other JVMs, excluding our own lineage") {
+    val n = Bench.foreignJvms()
+    // this test runs inside sbt's forked JVM tree: lineage must be excluded
+    assert(n >= -1)
+  }
+}
