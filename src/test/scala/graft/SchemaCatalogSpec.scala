@@ -130,4 +130,100 @@ class SchemaCatalogSpec extends AnyFunSuite {
     })
     assert(!cat.testCompatibility(subject, broken))
   }
+
+  test("deleteSubject drops every version and returns them (registry semantics)") {
+    val cat = new SchemaCatalog
+    cat.register("del-value", v1)
+    cat.register("del-value", v2AddOptional)
+    cat.setCompatibility("del-value", "NONE")
+    assert(cat.deleteSubject("del-value") == Seq(1, 2))
+    assert(cat.subjects.isEmpty && cat.latest("del-value").isEmpty)
+    // policy override died with the subject -> back to the global default
+    assert(cat.getCompatibility("del-value") == "FULL_TRANSITIVE")
+    assert(cat.deleteSubject("never-registered") == Seq.empty)
+  }
+
+  test("deleteVersion refuses the last remaining version unless forced; numbers never reused") {
+    val cat = new SchemaCatalog
+    cat.register("dv-value", v1)
+    cat.register("dv-value", v2AddOptional)
+    cat.deleteVersion("dv-value", 1)
+    assert(cat.versions("dv-value") == Seq(2))
+    assert(cat.get("dv-value", 1).isEmpty)
+    assertThrows[IllegalArgumentException](cat.deleteVersion("dv-value", 2))
+    assertThrows[IllegalArgumentException](cat.deleteVersion("dv-value", 99, force = true))
+    // a new registration continues the version sequence past the deletes
+    assert(cat.register("dv-value", v1) == 3)
+    cat.deleteVersion("dv-value", 3)
+    cat.deleteVersion("dv-value", 2, force = true)
+    assert(cat.latestVersion("dv-value").isEmpty)
+  }
+
+  test("per-subject compatibility overrides the FULL_TRANSITIVE default") {
+    val cat = new SchemaCatalog
+    cat.register("c-value", v1)
+    assert(cat.getCompatibility("c-value") == "FULL_TRANSITIVE")
+    // BACKWARD allows removing a required field (old readers are the
+    // FORWARD concern), still refuses adding one or changing a type
+    cat.setCompatibility("c-value", "BACKWARD")
+    assert(cat.getCompatibility("c-value") == "BACKWARD")
+    val removedRequired = StructType(v1.fields.filter(_.name != "event_id"))
+    assert(cat.testCompatibility("c-value", removedRequired))
+    assert(!cat.testCompatibility("c-value", v2AddRequired))
+    assert(!cat.testCompatibility("c-value", v2TypeChange))
+    // FORWARD is the mirror: required add ok, required remove refused
+    cat.setCompatibility("c-value", "FORWARD")
+    assert(cat.testCompatibility("c-value", v2AddRequired))
+    assert(!cat.testCompatibility("c-value", removedRequired))
+    // NONE waives everything, including type changes
+    cat.setCompatibility("c-value", "NONE")
+    assert(cat.register("c-value", v2TypeChange) == 2)
+    // non-transitive FULL checks only the LATEST version (v2TypeChange),
+    // so v1's event_id type no longer constrains candidates
+    cat.setCompatibility("c-value", "FULL")
+    assert(cat.testCompatibility("c-value",
+      v2TypeChange.add(StructField("extra", StringType, nullable = true))))
+    assert(!cat.testCompatibility("c-value", v1)) // vs latest: type change
+    assertThrows[IllegalArgumentException](cat.setCompatibility("c-value", "SIDEWAYS"))
+  }
+
+  test("getSchemaById resolves catalog-global ids; schemasForTopic keys value/key") {
+    val cat = new SchemaCatalog
+    cat.register("t1-value", v1)
+    cat.register("t1-value", v2AddOptional)
+    cat.register("t1-key", v1)
+    val id2 = cat.schemaId("t1-value", 2).get
+    assert(cat.getById(id2).contains(("t1-value", 2, v2AddOptional)))
+    assert(cat.getById(9999).isEmpty)
+    val forTopic = cat.schemasForTopic("t1")
+    assert(forTopic("value") == v2AddOptional) // latest version wins
+    assert(forTopic("key") == v1)
+    assert(cat.schemasForTopic("no-such-topic").isEmpty)
+  }
+
+  test("save/load round-trips ids, version holes, and per-subject policies") {
+    val cat = new SchemaCatalog
+    cat.register("rt-value", v1)
+    cat.register("rt-value", v2AddOptional)
+    cat.deleteVersion("rt-value", 1)          // leaves a version hole
+    cat.setCompatibility("rt-value", "BACKWARD")
+    cat.register("rt-key", v1)
+    val idV2 = cat.schemaId("rt-value", 2).get
+    val dir = java.nio.file.Files.createTempDirectory("schemacat-meta").toString
+    cat.save(dir)
+    val loaded = SchemaCatalog.load(dir)
+    assert(loaded.versions("rt-value") == Seq(2))
+    assert(loaded.schemaId("rt-value", 2).contains(idV2))
+    assert(loaded.getById(idV2).contains(("rt-value", 2, v2AddOptional)))
+    assert(loaded.getCompatibility("rt-value") == "BACKWARD")
+    assert(loaded.getCompatibility("rt-key") == "FULL_TRANSITIVE")
+    // id allocation continues past the loaded ids, no collisions
+    loaded.register("rt-key", v2AddOptional)
+    val newId = loaded.schemaId("rt-key", 2).get
+    assert(loaded.getById(newId).contains(("rt-key", 2, v2AddOptional)))
+    assert(newId != idV2 && newId != loaded.schemaId("rt-key", 1).get)
+    // version numbering also continues past the hole after a reload
+    assert(loaded.register("rt-value", v2AddOptional.add(
+      StructField("opt2", StringType, nullable = true))) == 3)
+  }
 }
