@@ -25,6 +25,50 @@ object Routing {
     projected.withColumn("topic", lit(rule.targetTopic))
   }
 
+  /** Consumer-group tuning knobs carried by a subscription
+    * (`model/ConsumerGroupConfig.java:15-24`) — data for the consumer
+    * launcher, not evaluated by the engine.
+    */
+  final case class ConsumerGroupConfig(groupId: String, topic: String,
+                                       consumerCount: Int = 1,
+                                       autoCommit: Boolean = false,
+                                       offsetReset: String = "earliest",
+                                       maxPollRecords: Int = 500,
+                                       sessionTimeoutMs: Long = 30000L,
+                                       heartbeatIntervalMs: Long = 10000L)
+
+  /** Executable EventSubscription (`model/EventSubscription.java:15-24`):
+    * the reference declares the model with no engine behind it; here
+    * applying one yields the subscriber's filtered view. `eventType`
+    * `"*"` subscribes to every type; `filter` is a SQL predicate over the
+    * event columns.
+    */
+  final case class Subscription(subscriptionId: String, subscriberService: String,
+                                topic: String, eventType: String,
+                                filter: String = "true", active: Boolean = true,
+                                consumerConfig: Option[ConsumerGroupConfig] = None) {
+    def groupId: String =
+      consumerConfig.map(_.groupId).getOrElse(s"$subscriberService-group")
+  }
+
+  /** Apply one subscription: topic + event-type + predicate filter, the
+    * subscription identity and consumer group stamped per row (what a
+    * consumer launcher needs to run it). An INACTIVE subscription matches
+    * nothing — same plan shape, empty view.
+    */
+  def applySubscription(df: DataFrame, sub: Subscription): DataFrame = {
+    val typed =
+      if (sub.eventType == "*") df.filter(col("topic") === sub.topic)
+      else df.filter(col("topic") === sub.topic)
+             .filter(col("event_type") === sub.eventType)
+    val matched =
+      (if (sub.active) typed.filter(expr(sub.filter)) else typed.filter(lit(false)))
+    matched
+      .withColumn("subscription_id", lit(sub.subscriptionId))
+      .withColumn("subscriber_service", lit(sub.subscriberService))
+      .withColumn("group_id", lit(sub.groupId))
+  }
+
   /** F8: drop Kafka-internal topics (leading underscore), sort names
     * (`service/TopicManagementService.java:135-150`).
     */

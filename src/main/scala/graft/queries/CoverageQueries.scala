@@ -71,6 +71,68 @@ object CoverageQueries {
            |ORDER BY event_id""".stripMargin),
       doc = "P4 routing rules: condition + projection + topic retarget fan-out"),
 
+    // P7: executable EventSubscription (model/EventSubscription.java:15-24)
+    // — the last declared reference model with no engine analog. Four
+    // subscriptions (typed filter, wildcard type, INACTIVE, custom
+    // consumer group) applied to the envelope; the inactive one must
+    // surface with zero matches, so the static subscription frame is the
+    // left side of the join.
+    "p7_subscriptions" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = env(s, dir)
+        val subs = Seq(
+          Routing.Subscription("sub-1", "svc-billing",
+            "nnipa.events.purchase.recorded", "purchase", "value >= 50.0"),
+          Routing.Subscription("sub-2", "svc-analytics",
+            "nnipa.events.click.recorded", "*"),
+          Routing.Subscription("sub-3", "svc-legacy",
+            "nnipa.events.view.recorded", "view", active = false),
+          Routing.Subscription("sub-4", "svc-alerts",
+            "nnipa.events.error.recorded", "error", "retry_count >= 3",
+            consumerConfig = Some(Routing.ConsumerGroupConfig(
+              "alerts-cg", "nnipa.events.error.recorded"))))
+        val matched = subs.map(sub =>
+            Routing.applySubscription(e, sub)
+              .select(col("subscription_id"), col("event_id"), col("value")))
+          .reduce(_ unionByName _)
+        val counts = matched.groupBy("subscription_id")
+          .agg(count(lit(1)).as("n_matched"),
+               round(sum("value"), 2).as("matched_value"))
+        val subsDf = subs.map(x =>
+            (x.subscriptionId, x.subscriberService, x.groupId, x.active))
+          .toDF("subscription_id", "subscriber_service", "group_id", "active")
+        subsDf.join(counts, Seq("subscription_id"), "left")
+          .select(col("subscription_id"), col("subscriber_service"),
+            col("group_id"), col("active"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            coalesce(col("matched_value"), lit(0.0)).as("matched_value"))
+          .orderBy("subscription_id")
+      },
+      oracle = Some(
+        s"""$cte, m AS (
+           |  SELECT 'sub-1' AS subscription_id, event_id, value FROM env
+           |  WHERE topic = 'nnipa.events.purchase.recorded'
+           |    AND event_type = 'purchase' AND value >= 50.0
+           |  UNION ALL
+           |  SELECT 'sub-2', event_id, value FROM env
+           |  WHERE topic = 'nnipa.events.click.recorded'
+           |  UNION ALL
+           |  SELECT 'sub-4', event_id, value FROM env
+           |  WHERE topic = 'nnipa.events.error.recorded'
+           |    AND event_type = 'error' AND retry_count >= 3),
+           |subs(subscription_id, subscriber_service, group_id, active) AS (
+           |  VALUES ('sub-1', 'svc-billing', 'svc-billing-group', TRUE),
+           |         ('sub-2', 'svc-analytics', 'svc-analytics-group', TRUE),
+           |         ('sub-3', 'svc-legacy', 'svc-legacy-group', FALSE),
+           |         ('sub-4', 'svc-alerts', 'alerts-cg', TRUE))
+           |SELECT s.subscription_id, s.subscriber_service, s.group_id, s.active,
+           |  COUNT(m.event_id) AS n_matched,
+           |  COALESCE(ROUND(SUM(m.value), 2), 0.0) AS matched_value
+           |FROM subs s LEFT JOIN m ON s.subscription_id = m.subscription_id
+           |GROUP BY 1, 2, 3, 4 ORDER BY s.subscription_id""".stripMargin),
+      doc = "P7 executable subscriptions: filtered views per subscriber, inactive = zero"),
+
     // E4: retryable-exception classification driving the retry-vs-DLQ fork
     // (ErrorHandlingConfig.java:73-84) — error class synthesized
     // deterministically from the envelope.

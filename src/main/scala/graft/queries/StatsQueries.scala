@@ -256,6 +256,38 @@ object StatsQueries {
            |FROM env, c GROUP BY 1, 2 ORDER BY topic, part""".stripMargin),
       doc = "A11 offset-reset targets: earliest/latest/to-timestamp per partition"),
 
+    // A13: per-topic message rates (TopicManagementService.java:657-718's
+    // messagesPerSecond rollup — which the reference stubs to 0 pending a
+    // JMX reporter; here the rate is computed from the data itself):
+    // hourly tumbling count per topic ÷ window seconds, rolled up to
+    // avg / peak rate. One shuffle to the (topic, hour) grain, then a
+    // near-free re-agg to topic.
+    "a13_topic_rates" -> QueryDef(
+      build = (s, dir) =>
+        env(s, dir)
+          .filter(!col("topic").startsWith("_"))
+          .groupBy(col("topic"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("topic")
+          .agg(
+            round(avg(col("n") / 3600.0), 6).as("avg_msgs_per_sec"),
+            round(max(col("n") / 3600.0), 6).as("peak_msgs_per_sec"),
+            sum("n").as("n_messages"),
+            countDistinct("hour").as("n_windows"))
+          .orderBy("topic"),
+      oracle = Some(
+        s"""$cte, w AS (
+           |  SELECT topic, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+           |  FROM env WHERE topic NOT LIKE '\\_%' ESCAPE '\\'
+           |  GROUP BY 1, 2)
+           |SELECT topic,
+           |  ROUND(AVG(n / 3600.0), 6) AS avg_msgs_per_sec,
+           |  ROUND(MAX(n / 3600.0), 6) AS peak_msgs_per_sec,
+           |  CAST(SUM(n) AS BIGINT) AS n_messages,
+           |  COUNT(DISTINCT hour) AS n_windows
+           |FROM w GROUP BY topic ORDER BY topic""".stripMargin),
+      doc = "A13 per-topic message rates: hourly windows rolled up to avg/peak msgs/sec"),
+
     // F1/F9 round-trip: metadata -> 7 kafka headers -> map -> extracted back.
     "f9_header_roundtrip" -> QueryDef(
       build = (s, dir) => {
