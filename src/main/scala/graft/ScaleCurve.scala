@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (VERDICT r3 #8): synthesizes m-times-larger
+  * fixture dirs by self-union with id remapping and times the most
+  * expensive registry queries at each multiplier, so the "linear at
+  * 100 TB" claims in SCALE.md rest on a measured curve instead of the
+  * sf0.1 fixture floor. Bench-only — no oracle runs at synthesized
+  * scale (the id remap preserves residue-derived distributions, not
+  * DuckDB hashes).
+  *
+  * Id remapping: copy i adds `i * B` to each table's id column, with B a
+  * multiple of L = 2^3 * 3^2 * 5^2 * 7 * 11 * 13 * 17 * 97 — the lcm of
+  * every modulus the envelope/fixture derivations take (% 5, % 11, % 13,
+  * % 17, % 20, % 40, % 50, % 97, % 100, ...). Every copy therefore
+  * replays the SAME residue patterns: priorities, tenants, samples, and
+  * join fan-outs keep their per-copy distribution, and the workload
+  * scales in volume only. Orders/lineitem share one B so the join keys
+  * stay aligned.
+  *
+  * Usage: ScaleCurve [srcSfDir] [workDir] [multipliers csv]
+  * Prints one JSON line per multiplier.
+  */
+object ScaleCurve {
+
+  /** lcm of the fixture's id-derivation moduli (see Scaladoc). */
+  val L: Long = 8L * 9L * 25L * 7L * 11L * 13L * 17L * 97L
+
+  def base(maxId: Long): Long = (maxId / L + 1L) * L
+
+  /** m stacked copies, id columns shifted by i*B per copy. */
+  def amplify(df: DataFrame, idCols: Seq[String], m: Int, b: Long): DataFrame =
+    (0 until m).map { i =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * b)))
+    }.reduce(_ unionByName _)
+
+  private val curveQueries = Seq(
+    "q18_large_orders", "dedup_clusters", "hll_distinct_tenants",
+    "emb_ivf_recall", "emb_banded_recall", "dedup_jaccard_capped")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scalecurve"
+    val mults = (if (args.length > 2) args(2).split(",").toSeq.map(_.trim)
+                 else Seq("1", "2", "5", "10")).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Tables
+
+    def write(df: DataFrame, dir: String, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+    def synthesize(m: Int): String = {
+      val dir = s"$work/x$m"
+      // shared order-key base keeps the orders<->lineitem join aligned
+      val orders = Tables.orders(spark, src)
+      val lineitem = Tables.lineitem(spark, src)
+      val bOrd = base(orders.agg(max("o_orderkey")).head.getLong(0))
+      write(amplify(Tables.events(spark, src), Seq("event_id"), m,
+        base(100000000L)), dir, "events")
+      write(amplify(Tables.documents(spark, src), Seq("doc_id"), m,
+        base(10000000L)), dir, "documents")
+      write(amplify(Tables.embeddings(spark, src), Seq("vec_id"), m,
+        base(10000000L)), dir, "embeddings")
+      write(amplify(orders, Seq("o_orderkey"), m, bOrd), dir, "orders")
+      write(amplify(lineitem, Seq("l_orderkey"), m, bOrd), dir, "lineitem")
+      // dimension tables pass through at 1x (same customers, same dims)
+      Seq("customer", "supplier", "part", "nation", "region")
+        .foreach(t => write(Tables.table(spark, src, t), dir, t))
+      dir
+    }
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[curve] $name: $e") }
+      finally Caches.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm-up
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    mults.foreach { m =>
+      val dir = synthesize(m)
+      val times = curveQueries.map { q =>
+        q -> math.min(runOnce(q, dir), runOnce(q, dir))
+      }
+      val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      println(s"""{"curve_mult":$m,"src":"$src","queries":$qs}""")
+    }
+    spark.stop()
+  }
+}
