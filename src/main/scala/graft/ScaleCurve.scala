@@ -30,11 +30,29 @@ object ScaleCurve {
 
   def base(maxId: Long): Long = (maxId / L + 1L) * L
 
-  /** m stacked copies, id columns shifted by i*B per copy. */
-  def amplify(df: DataFrame, idCols: Seq[String], m: Int, b: Long): DataFrame =
+  /** m stacked copies, id columns shifted by i*B per copy; `mutate` lets
+    * a table perturb content per copy.
+    */
+  def amplify(df: DataFrame, idCols: Seq[String], m: Int, b: Long,
+              mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
     (0 until m).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * b)))
+      idCols.foldLeft(mutate(df, i))((d, c) => d.withColumn(c, col(c) + lit(i.toLong * b)))
     }.reduce(_ unionByName _)
+
+  /** Per-copy character rotation over 10 frequent letters: every token of
+    * every copy mutates differently, so copies are NOT near-duplicates of
+    * each other. Exact-copy amplification would instead hand the near-dup
+    * operators a quadratic edge blowup (every doc x its m-1 clones) and
+    * the curve would measure that pathology, not volume scaling — the
+    * first run did: dedup_clusters went 2.5 s -> 117 s at x10 on exact
+    * copies, linear after this perturbation.
+    */
+  private val RotAlpha = "aeiousnrtl"
+  def perturbText(d: DataFrame, i: Int): DataFrame = {
+    val k = i % RotAlpha.length
+    val to = RotAlpha.drop(k) + RotAlpha.take(k)
+    d.withColumn("text", translate(col("text"), RotAlpha, to))
+  }
 
   private val curveQueries = Seq(
     "q18_large_orders", "dedup_clusters", "hll_distinct_tenants",
@@ -68,7 +86,7 @@ object ScaleCurve {
       write(amplify(Tables.events(spark, src), Seq("event_id"), m,
         base(100000000L)), dir, "events")
       write(amplify(Tables.documents(spark, src), Seq("doc_id"), m,
-        base(10000000L)), dir, "documents")
+        base(10000000L), perturbText), dir, "documents")
       write(amplify(Tables.embeddings(spark, src), Seq("vec_id"), m,
         base(10000000L)), dir, "embeddings")
       write(amplify(orders, Seq("o_orderkey"), m, bOrd), dir, "orders")
