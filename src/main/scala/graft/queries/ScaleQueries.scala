@@ -276,6 +276,52 @@ object ScaleQueries {
       },
       doc = "Rebalance corpus to a target mixture (computed rates + hash gate)"),
 
+    // Temperature (alpha) sampling: target shares computed from the data
+    // itself as N_g^alpha / sum N^alpha — the standard multilingual
+    // flattening rule — then applied with the deterministic hash gate.
+    // alpha=0.5 keeps the smallest language in full and downsamples the
+    // head; every arithmetic step mirrors in the oracle, so the realized
+    // mixture is hash-pinned, not just spec-bounded.
+    "sample_temperature" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val kept = Sampling.temperatureSample(d, "doc_id", "lang",
+          alpha = 0.5, "temp1")
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+          .join(d.groupBy("lang").agg(count(lit(1)).as("n_total")), "lang")
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("total_kept"))))
+          .withColumn("realized_share",
+            round(col("n_kept").cast("double") / col("total_kept"), 4))
+          .select("lang", "n_total", "n_kept", "sum_kept_ids",
+            "total_kept", "realized_share")
+          .orderBy("lang")
+      },
+      oracle = Some(
+        s"""WITH counts AS (
+           |  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+           |z AS (SELECT SUM(pow(n_g, 0.5)) AS z FROM counts),
+           |shares AS (
+           |  SELECT lang, n_g, pow(n_g, 0.5) / z.z AS share FROM counts, z),
+           |b AS (SELECT MIN(CAST(n_g AS DOUBLE) / share) AS scale_c FROM shares),
+           |rates AS (
+           |  SELECT lang, least(1.0, b.scale_c * share / CAST(n_g AS DOUBLE)) AS rate
+           |  FROM shares, b),
+           |kept AS (
+           |  SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+           |  WHERE ${sqlBucket("CAST(doc_id AS VARCHAR)", "temp1")} < ROUND(r.rate * 10000)),
+           |tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+           |tk AS (SELECT COUNT(*) AS total_kept FROM kept)
+           |SELECT k.lang, CAST(MAX(tot.n_total) AS BIGINT) AS n_total,
+           |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(k.doc_id) AS BIGINT) AS sum_kept_ids,
+           |  CAST(MAX(tk.total_kept) AS BIGINT) AS total_kept,
+           |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tk.total_kept), 4) AS realized_share
+           |FROM kept k JOIN tot ON k.lang = tot.lang, tk
+           |GROUP BY k.lang ORDER BY k.lang""".stripMargin),
+      doc = "Temperature (alpha=0.5) mixture flattening: computed shares + hash gate"),
+
     // Per-domain cap (scale/Sampling.capPerGroup): at most 15 docs per
     // source, the keep set chosen by deterministic hash rank, not arrival
     // order — the anti-domination guard of a crawl mixture. The rank<=cap
@@ -1692,6 +1738,47 @@ object ScaleQueries {
            |SELECT vec_a, vec_b, score FROM pairs
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "Embedding-cosine near-dup pairs (sign-bucket blocking + threshold)"),
+
+    // SemDeDup-style semantic dedup: nearest-seeded-centroid clusters are
+    // the blocking key (density-following, unlike the arbitrary SRP
+    // hyperplanes above), exact cosine verifies within each cluster. Same
+    // planted dups as dedup_embedding; the whole argmax assignment chain
+    // replays in DuckDB, so cluster membership AND pair scores are
+    // hash-pinned.
+    "dedup_semantic" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        Similarity.semanticNearDupPairs(withDups, "vec_id", "embedding",
+            threshold = 0.35, nLists = 8)
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some(
+        s"""WITH embs2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS cv FROM embs2 WHERE vec_id < 8),
+           |cscored AS (
+           |  SELECT e.vec_id, e.embedding, cents.cent_id,
+           |    ${sqlCosine("e.embedding", "cents.cv")} AS cscore
+           |  FROM embs2 e CROSS JOIN cents),
+           |assigned AS (
+           |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crank
+           |    FROM cscored) WHERE crank = 1),
+           |pairs AS (
+           |  SELECT l.list_id, l.vec_id AS vec_a, r.vec_id AS vec_b,
+           |    ${sqlCosine("l.embedding", "r.embedding")} AS score
+           |  FROM assigned l JOIN assigned r
+           |    ON l.list_id = r.list_id AND l.vec_id < r.vec_id)
+           |SELECT list_id, vec_a, vec_b, score FROM pairs
+           |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "SemDeDup-style semantic near-dup pairs (centroid-cluster blocking)"),
 
     // Banded multi-probe SRP near-dup: the NearDup.lshCandidates structure
     // in vector space — candidates share ANY 4-bit sign band (4 bands over

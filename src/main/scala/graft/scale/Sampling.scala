@@ -83,6 +83,34 @@ object Sampling {
       .filter(sampleBucket(col(keyCol), salt) < round(col("rate") * 10000))
   }
 
+  /** Temperature-flattened mixture (the multilingual "alpha sampling"
+    * rule): target shares are COMPUTED from the observed stratum counts as
+    * share_g ∝ N_g^alpha — alpha = 1 keeps the natural distribution,
+    * alpha → 0 approaches uniform — then applied as per-stratum keep-rates
+    * through the same deterministic hash gate as [[rebalanceToTarget]].
+    * With alpha < 1 the SMALLEST stratum minimizes N_g/share_g, so the
+    * tail is kept in full and only the head downsamples (flattening
+    * without upsampling: rate_g = scale·share_g/N_g, scale =
+    * min_g N_g/share_g). Same scale shape as rebalanceToTarget: two
+    * aggregations + a broadcast-sized rate join; the corpus is scanned
+    * once and every keep decision is a pure function of (key, salt).
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        alpha: Double, salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_g"))
+    val z = counts.agg(sum(pow(col("n_g"), alpha)).as("z"))
+    val shares = counts.crossJoin(broadcast(z))
+      .withColumn("share", pow(col("n_g"), alpha) / col("z"))
+    val budget = shares.agg(
+      min(col("n_g").cast("double") / col("share")).as("scale_c"))
+    val rates = shares.crossJoin(broadcast(budget))
+      .withColumn("rate", least(lit(1.0),
+        col("scale_c") * col("share") / col("n_g").cast("double")))
+    df.join(rates.select(col(stratumCol), col("rate")), Seq(stratumCol))
+      .filter(sampleBucket(col(keyCol), salt) < round(col("rate") * 10000))
+  }
+
   /** Exactly-`n` deterministic global sample: every row ranked by its hash
     * bucket (ties → key), first n kept — "give me a reproducible 10k-doc
     * eval subset" without a full shuffle or a driver-side reservoir. Plans

@@ -121,6 +121,43 @@ object Similarity {
       .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"), col("score"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: every vector is assigned to
+    * its nearest centroid from the deterministic seeded codebook (same
+    * argmax-cosine assignment as [[ivfSeededTopK]], rounded to 6 with ties
+    * to the lower centroid id, so the whole pipeline replays in the DuckDB
+    * oracle), then exact cosine verifies only WITHIN each cluster — the
+    * cluster is the blocking key. vs sign-bucket blocking
+    * ([[cosineNearDupPairs]]): clusters follow the corpus's own density
+    * structure, so near-dups in a dense region can't be split across an
+    * arbitrary hyperplane; the trade is one broadcast codebook pass for
+    * assignment. Candidates are Σ_c n_c² — at scale, pick nLists ∝ corpus
+    * size so expected cluster size (and with it per-cluster pair work)
+    * stays constant, the same knob SemDeDup's k-means k turns.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nLists: Int): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val c = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+    val cents = c.filter(col("id") < nLists)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val cscored = c.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+    val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
+    // persisted: the assignment feeds both sides of the self-join
+    val assigned = graft.Caches.persist(
+      cscored.withColumn("crank", row_number().over(cw))
+        .filter(col("crank") === 1)
+        .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id")))
+    assigned.as("l").join(assigned.as("r"),
+        col("l.list_id") === col("r.list_id") && col("l.id") < col("r.id"))
+      .withColumn("score",
+        round(dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("l.list_id").as("list_id"),
+        col("l.id").as("vec_a"), col("r.id").as("vec_b"), col("score"))
+  }
+
   /** IVF probe + rank: join query probes against a corpus carrying
     * `list_id` (a plain shuffle join — the corpus is NEVER broadcast; at
     * 100 TB the "queries" side here is the corpus itself, and a broadcast

@@ -423,6 +423,48 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling: alpha=1 keeps everything, alpha<1 flattens toward uniform") {
+    import graft.scale.Sampling
+    val d = graft.sources.Tables.documents(spark, sf())
+    val natural = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = natural.minBy(_._2)._1
+    val largest = natural.maxBy(_._2)._1
+    // alpha = 1: share_g = N_g/N -> every rate is exactly 1, nothing drops
+    assert(Sampling.temperatureSample(d, "doc_id", "lang", 1.0, "t1").count()
+      == d.count())
+    // alpha = 0.5: the smallest stratum survives in full; the head thins
+    val flat = Sampling.temperatureSample(d, "doc_id", "lang", 0.5, "t1")
+    val kept = flat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(smallest) == natural(smallest))
+    assert(kept(largest) < natural(largest))
+    // and the kept mixture is flatter: head/tail ratio strictly shrinks
+    val before = natural(largest).toDouble / natural(smallest)
+    val after = kept(largest).toDouble / kept(smallest)
+    assert(after < before, s"head/tail $before -> $after")
+  }
+
+  test("semantic near-dup pairs: planted dup found in-cluster at cosine 1") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding")
+    val withDup = e.unionByName(
+      e.filter(col("vec_id") === 3).withColumn("vec_id", col("vec_id") + 900000))
+    val pairs = Similarity.semanticNearDupPairs(withDup, "vec_id", "embedding",
+      threshold = 0.35, nLists = 8).cache()
+    try {
+      val planted = pairs.filter(col("vec_a") === 3 && col("vec_b") === 900003L)
+        .select("score").collect()
+      assert(planted.length == 1 && planted(0).getDouble(0) == 1.0)
+      // every reported pair clears the threshold (exact verify, no
+      // bucket-collision false positives leak through)
+      assert(pairs.filter(col("score") < 0.35).count() == 0)
+      // blocking really is the cluster: both members of the planted pair
+      // share a list with their own centroid assignment
+      assert(pairs.select(countDistinct("list_id")).head.getLong(0) >= 1)
+    } finally pairs.unpersist()
+  }
+
   test("multimodal decode stub: typed mapPartitions yields deterministic meta") {
     import spark.implicits._
     val docs = Seq((6L, "hello world", "en", "s", 11L))
