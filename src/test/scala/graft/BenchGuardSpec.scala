@@ -32,6 +32,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(foreign >= -2 && foreign <= 41L * cores)
   }
 
+  test("a foreign CPU burner shows up in the busy-minus-self delta") {
+    val (busy1, self1) = Bench.cpuSample()
+    assume(busy1 >= 0, "/proc restricted on this host")
+    // burn CPU in a CHILD process (killed below): its jiffies land in
+    // host busy but not in /proc/self/stat — what the clean gate must see
+    val burner = new ProcessBuilder("sh", "-c", "while :; do :; done").start()
+    try {
+      Thread.sleep(1500)
+      val (busy2, self2) = Bench.cpuSample()
+      val foreignJiffies = (busy2 - busy1) - (self2 - self1)
+      // one busy-looping shell for 1.5 s ~ 150 jiffies; kernel noise alone
+      // stays far below 50 on an idle host
+      assert(foreignJiffies > 50,
+        s"burner invisible: foreign delta $foreignJiffies jiffies")
+    } finally burner.destroyForcibly()
+  }
+
   test("foreignJvms counts other JVMs, excluding our own lineage") {
     val n = Bench.foreignJvms()
     // this test runs inside sbt's forked JVM tree: lineage must be excluded
