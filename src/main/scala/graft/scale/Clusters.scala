@@ -37,8 +37,14 @@ object Clusters {
                           reliable: Boolean = false): DataFrame = {
     val cut: DataFrame => DataFrame =
       if (reliable) graft.Caches.reliableCheckpoint else graft.Caches.localCheckpoint
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // cut + distinct here, on the PAIR list: the input is typically an
+    // expensive similarity join that everything below (nodes, edges,
+    // labels) re-references — materialize it once; distinct at this level
+    // (LSH candidates repeat a pair once per colliding band) makes the
+    // 3-way edge union distinct by construction — reversal can't collide
+    // with a<b pairs, self-loops come from the distinct node set
+    val half = cut(pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).distinct())
     // Checkpoints (not persists) throughout: the loop self-joins its own
     // output, so a nested plan doubles per round — lineage must be cut to
     // the materialized rows each iteration, or analysis alone blows up
@@ -50,13 +56,17 @@ object Clusters {
     // rewrite in analysis).
     val nodes = half.select(col("src"))
       .union(half.select(col("dst").as("src"))).distinct()
+    // no distinct() over the edge union: min() is idempotent under
+    // duplicate edges, and deduping the corpus-sized edge list would be
+    // the loop's single largest shuffle bought for nothing (an input pair
+    // listed twice at worst doubles that edge's join rows)
     val edges = cut(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-        .union(nodes.select(col("src"), col("src").as("dst")))
-        .distinct())
-    var labels = cut(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+        .union(nodes.select(col("src"), col("src").as("dst"))))
+    // nodes is already the distinct node set — labels reuse it instead of
+    // re-distincting the 3-way edge union
+    var labels = cut(nodes.select(col("src").as("node"))
+      .withColumn("label", col("node")))
     // Labels only ever decrease pointwise, so the label sum is a strictly
     // decreasing convergence witness: one scalar action per round instead
     // of a change-detection join.
