@@ -100,6 +100,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic near-dup verify join is corpus-distributed (cluster id shuffle, no broadcast)") {
+    // Same 100 TB rule as the IVF probe: the within-cluster self-join must
+    // shuffle on list_id — broadcasting the assigned corpus would pin the
+    // whole table on every executor. The only legitimate broadcast is the
+    // nLists-row codebook crossJoin.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = graft.scale.Similarity.semanticNearDupPairs(
+        Tables.embeddings(spark, sf()), "vec_id", "embedding",
+        threshold = 0.35, nLists = 8)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin [list_id") ||
+        plan.contains("ShuffledHashJoin [list_id"), plan.take(3000))
+      assert(!plan.contains("BroadcastHashJoin [list_id"),
+        s"corpus-side broadcast on the cluster verify join:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.Caches.release()
+    }
+  }
+
   test("per-doc repetition stat is a pure map: no exchange before the sort") {
     // The native kernel keeps the statistic per-row; the only exchange in
     // the whole plan is the final presentation orderBy's range partition.
