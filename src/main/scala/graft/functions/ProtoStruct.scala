@@ -432,8 +432,20 @@ object ProtoStruct {
             j += 1
           }
         case KVMap =>
-          throw new UnsupportedOperationException(
-            "map<string, Value> encode is not supported (JSON text is a lossy projection)")
+          // values arrive as the JSON text the decode side produces; each
+          // is parsed back into google.protobuf.Value wire bytes
+          // (ProtoWire.jsonToValue — strict, malformed JSON throws)
+          val m = row.getMap(i)
+          val ks = m.keyArray()
+          val vs = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            writeLen(out, f.no, ProtoWire.message(
+              ProtoWire.stringField(1, ks.getUTF8String(j).toString),
+              ProtoWire.lenField(2,
+                ProtoWire.jsonToValue(vs.getUTF8String(j).toString))))
+            j += 1
+          }
       }
       i += 1
     }

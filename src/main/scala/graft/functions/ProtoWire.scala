@@ -307,6 +307,11 @@ object ProtoWire {
     * list_value(6), recursing through Struct.fields entries and
     * ListValue.values.
     */
+  /** [[valueToJson]] over a whole Value message — the public round-trip
+    * counterpart of [[jsonToValue]].
+    */
+  def valueToJson(bytes: Array[Byte]): String = valueToJson(bytes, 0, bytes.length)
+
   private[functions] def valueToJson(bytes: Array[Byte], from: Int, end: Int): String = {
     val out = new Array[Long](3)
     // later-set kind wins (proto3 oneof merge): take the LAST present tag
@@ -375,6 +380,136 @@ object ProtoWire {
         }
         sb.append(']').toString
     }
+  }
+
+  /** Inverse of [[valueToJson]]: parse one JSON document into
+    * `google.protobuf.Value` wire bytes (struct.proto oneof — null_value=1
+    * varint, number_value=2 fixed64 double, string_value=3, bool_value=4
+    * varint, struct_value=5 Struct{map entries}, list_value=6
+    * ListValue{repeated Value}). The oneof field is always emitted (oneof
+    * presence), so `false`/`null`/`0` survive the round trip. Strict:
+    * malformed JSON or trailing characters throw IllegalArgumentException
+    * — on the PUBLISH side silent coercion would corrupt data (the same
+    * rule as unknown enum names in encodeMessage).
+    */
+  def jsonToValue(s: String): Array[Byte] = {
+    val pos = new Array[Int](1)
+    val v = parseJsonValue(s, pos)
+    skipWs(s, pos)
+    require(pos(0) == s.length, s"trailing characters at offset ${pos(0)}")
+    v
+  }
+
+  private def skipWs(s: String, pos: Array[Int]): Unit = {
+    var i = pos(0)
+    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+      s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    pos(0) = i
+  }
+
+  private def expectWord(s: String, pos: Array[Int], w: String): Unit = {
+    require(s.regionMatches(pos(0), w, 0, w.length), s"malformed JSON at ${pos(0)}")
+    pos(0) += w.length
+  }
+
+  private def parseJsonValue(s: String, pos: Array[Int]): Array[Byte] = {
+    skipWs(s, pos)
+    require(pos(0) < s.length, "unexpected end of JSON")
+    s.charAt(pos(0)) match {
+      case '"' => stringField(3, parseJsonString(s, pos))
+      case 't' => expectWord(s, pos, "true"); varintField(4, 1L)
+      case 'f' => expectWord(s, pos, "false"); varintField(4, 0L)
+      case 'n' => expectWord(s, pos, "null"); varintField(1, 0L)
+      case '{' =>
+        pos(0) += 1
+        val parts = new java.util.ArrayList[Array[Byte]]()
+        skipWs(s, pos)
+        if (pos(0) < s.length && s.charAt(pos(0)) == '}') pos(0) += 1
+        else {
+          var more = true
+          while (more) {
+            skipWs(s, pos)
+            require(pos(0) < s.length && s.charAt(pos(0)) == '"', "expected object key")
+            val k = parseJsonString(s, pos)
+            skipWs(s, pos)
+            require(pos(0) < s.length && s.charAt(pos(0)) == ':', "expected ':'")
+            pos(0) += 1
+            val v = parseJsonValue(s, pos)
+            parts.add(lenField(1, message(stringField(1, k), lenField(2, v))))
+            skipWs(s, pos)
+            require(pos(0) < s.length, "unterminated object")
+            s.charAt(pos(0)) match {
+              case ',' => pos(0) += 1
+              case '}' => pos(0) += 1; more = false
+              case c => throw new IllegalArgumentException(s"unexpected '$c' in object")
+            }
+          }
+        }
+        lenField(5, message(parts.toArray(Array.empty[Array[Byte]]): _*))
+      case '[' =>
+        pos(0) += 1
+        val parts = new java.util.ArrayList[Array[Byte]]()
+        skipWs(s, pos)
+        if (pos(0) < s.length && s.charAt(pos(0)) == ']') pos(0) += 1
+        else {
+          var more = true
+          while (more) {
+            parts.add(lenField(1, parseJsonValue(s, pos)))
+            skipWs(s, pos)
+            require(pos(0) < s.length, "unterminated array")
+            s.charAt(pos(0)) match {
+              case ',' => pos(0) += 1
+              case ']' => pos(0) += 1; more = false
+              case c => throw new IllegalArgumentException(s"unexpected '$c' in array")
+            }
+          }
+        }
+        lenField(6, message(parts.toArray(Array.empty[Array[Byte]]): _*))
+      case _ =>
+        val start = pos(0)
+        var i = pos(0)
+        if (i < s.length && s.charAt(i) == '-') i += 1
+        while (i < s.length && {
+          val c = s.charAt(i)
+          (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
+        }) i += 1
+        require(i > start && i > pos(0), s"malformed JSON at ${pos(0)}")
+        pos(0) = i
+        doubleField(2, java.lang.Double.parseDouble(s.substring(start, i)))
+    }
+  }
+
+  private def parseJsonString(s: String, pos: Array[Int]): String = {
+    require(s.charAt(pos(0)) == '"', "expected string")
+    val sb = new java.lang.StringBuilder()
+    var i = pos(0) + 1
+    var closed = false
+    while (!closed) {
+      require(i < s.length, "unterminated string")
+      s.charAt(i) match {
+        case '"' => closed = true; i += 1
+        case '\\' =>
+          require(i + 1 < s.length, "unterminated escape")
+          s.charAt(i + 1) match {
+            case '"'  => sb.append('"');  i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/'  => sb.append('/');  i += 2
+            case 'n'  => sb.append('\n'); i += 2
+            case 'r'  => sb.append('\r'); i += 2
+            case 't'  => sb.append('\t'); i += 2
+            case 'b'  => sb.append('\b'); i += 2
+            case 'f'  => sb.append('\f'); i += 2
+            case 'u'  =>
+              require(i + 6 <= s.length, "truncated \\u escape")
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => throw new IllegalArgumentException(s"bad escape '\\$c'")
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    pos(0) = i
+    sb.toString
   }
 
   private def jsonQuote(s: String): String = {

@@ -73,7 +73,29 @@ class ProtoCodecFuzzSpec extends AnyFunSuite {
         ks.map(k => k.length.toLong * 100L).toArray[Any])
     }
     case KMsg(sub) => Gen.oneOf(Gen.const(null), genRow(sub))
-    case KVMap => Gen.const(null) // encode unsupported by design
+    case KVMap =>
+      // JSON values in valueToJson's CANONICAL print form (compact, longs
+      // for integral numbers, jsonQuote escapes), so
+      // decode(encode(row)) == row holds exactly
+      val leaf = Gen.oneOf(
+        Gen.const("null"), Gen.const("true"), Gen.const("false"),
+        Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+        Gen.oneOf("1.5", "-2.25", "0.001"),
+        Gen.oneOf("\"\"", "\"x\"", "\"a\\nb\"", "\"q\\\"w\"", "\"Ωδ\""))
+      val nested = Gen.oneOf(
+        leaf,
+        Gen.listOfN(2, leaf).map(_.mkString("[", ",", "]")),
+        Gen.listOfN(2, leaf).map(vs =>
+          vs.zipWithIndex.map { case (v, i) => s""""k$i":$v""" }
+            .mkString("{", ",", "}")))
+      Gen.someOf(Seq("p1", "p2", "p3")).flatMap { ks =>
+        Gen.sequence[Vector[String], String](ks.toVector.map(_ => nested))
+          .map { vs =>
+            ArrayBasedMapData(
+              ks.map(UTF8String.fromString).toArray[Any],
+              vs.map(UTF8String.fromString).toArray[Any])
+          }
+      }
   }
 
   private def genRow(fields: IndexedSeq[PField]): Gen[GenericInternalRow] =

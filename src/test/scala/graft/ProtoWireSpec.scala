@@ -185,4 +185,23 @@ class ProtoWireSpec extends SparkSpec {
       call_function("graft_proto_long", col("value"), lit("4"))).head()
     assert(row.getLong(0) == 300L && row.getLong(1) == Long.MaxValue)
   }
+
+  test("jsonToValue is the exact inverse of valueToJson on canonical JSON") {
+    def rt(j: String): String = ProtoWire.valueToJson(ProtoWire.jsonToValue(j))
+    val docs = Seq(
+      "null", "true", "false", "0", "-7", "123456", "1.5", "-2.25", "0.001",
+      "\"\"", "\"hello\"", "\"a\\nb\"", "\"q\\\"w\\\\e\"", "\"Ωδü\"",
+      "[]", "[1,2,3]", "[true,null,\"x\"]",
+      "{}", "{\"a\":1}", "{\"a\":{\"b\":[1,\"two\",{\"c\":null}]},\"d\":false}")
+    docs.foreach(j => assert(rt(j) == j, s"round trip broke for $j"))
+    // whitespace-tolerant parse, canonical compact print
+    assert(rt(" { \"a\" : [ 1 , true ] } ") == "{\"a\":[1,true]}")
+    // \u escapes and solidus unescape to the canonical form
+    assert(rt("\"\\u0041\\/\"") == "\"A/\"")
+    // oneof presence: false/null/0 all survive (not skipped as defaults)
+    assert(rt("{\"f\":false,\"n\":null,\"z\":0}") == "{\"f\":false,\"n\":null,\"z\":0}")
+    // strict: malformed input throws, never coerces
+    Seq("tru", "{\"a\":}", "[1,]", "\"unterminated", "1.5x", "{}extra", "")
+      .foreach(bad => intercept[IllegalArgumentException](ProtoWire.jsonToValue(bad)))
+  }
 }
