@@ -441,6 +441,56 @@ object MiscQueries {
       },
       doc = "Declarative publish path: typed struct -> graft_proto_encode -> one-pass decode, oracle-pinned"),
 
+    // F15: the Value-map round trip, oracle-visible — changed_fields
+    // (map<string, google.protobuf.Value>, the tenant.updated payload) is
+    // built as canonical JSON text, encoded to real Value wire bytes
+    // (graft_proto_encode -> ProtoWire.jsonToValue), decoded back through
+    // the one-pass reader (valueToJson), and the surfaced JSON is
+    // recomputed textually by DuckDB — pinning the codec pair, not just
+    // the spec property.
+    "f15_proto_value_map" -> QueryDef(
+      build = (s, dir) => {
+        import graft.functions.ProtoStruct.{PField, KStr, KVMap, KTs}
+        graft.functions.Hashing.register(s)
+        val upd = Vector(
+          PField(1, "tenant_id", KStr), PField(2, "changed_fields", KVMap),
+          PField(3, "updated_by", KStr), PField(4, "updated_at", KTs))
+        val e = Tables.events(s, dir)
+        val changed = map(
+          lit("plan"), concat(lit("\"tier-"), (col("event_id") % 4).cast("string"), lit("\"")),
+          lit("seats"), (col("event_id") % 50).cast("string"),
+          lit("flags"), concat(lit("{\"beta\":"),
+            when(col("event_id") % 2 === 0, "true").otherwise("false"),
+            lit(",\"limit\":"), (col("event_id") % 9).cast("string"), lit("}")))
+        val wire = graft.schema.ProtoSchemas.encode(
+          struct(
+            concat(lit("tenant-"), (col("user_id") % 50).cast("string")).as("tenant_id"),
+            changed.as("changed_fields"),
+            lit("svc-admin").as("updated_by"),
+            col("ts").as("updated_at")),
+          upd)
+        e.select(col("event_id"),
+            graft.schema.ProtoSchemas.decode(wire, upd).as("u"))
+          .select(col("event_id"),
+            col("u.tenant_id"),
+            element_at(col("u.changed_fields"), "plan").as("v_plan"),
+            element_at(col("u.changed_fields"), "seats").as("v_seats"),
+            element_at(col("u.changed_fields"), "flags").as("v_flags"),
+            col("u.updated_by"), col("u.updated_at"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS tenant_id,
+          |  '"tier-' || CAST(event_id % 4 AS VARCHAR) || '"' AS v_plan,
+          |  CAST(event_id % 50 AS VARCHAR) AS v_seats,
+          |  '{"beta":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+          |    || ',"limit":' || CAST(event_id % 9 AS VARCHAR) || '}' AS v_flags,
+          |  'svc-admin' AS updated_by,
+          |  CAST(ts AS TIMESTAMP) AS updated_at
+          |FROM events ORDER BY event_id""".stripMargin),
+      doc = "F15 Value-map round trip: JSON -> Value wire -> JSON, oracle-recomputed"),
+
     // E7, proto arm: poison-pill tolerance on the WIRE decode path —
     // every 50th value is truncated mid-message; graft_proto_struct_safe
     // decodes it to NULL (DLQ-routable) instead of killing the job,
