@@ -65,7 +65,11 @@ object Bench {
     // clean-run gates: pre-existing load (before our JVM ramps) and the
     // worst per-interval foreign-core burn observed during the run
     val gateLoad1 = sys.env.getOrElse("SPARK_GRAFT_LOAD1_GATE", "4.0").toDouble
-    val gateForeign = sys.env.getOrElse("SPARK_GRAFT_FOREIGN_CORES_GATE", "2.0").toDouble
+    // 4.0 of 32 cores: r3's real distortions came from full concurrent
+    // Spark runs (10+ cores, 3-13x inflation); this host's background
+    // bursts (agent harness, kworkers) peak ~2 cores, which moves a
+    // 32-core query by <10% — flagging those would cry wolf on every run
+    val gateForeign = sys.env.getOrElse("SPARK_GRAFT_FOREIGN_CORES_GATE", "4.0").toDouble
     val jvmsBefore = foreignJvms()
     val load1Before = load1()
     var load1Max = load1Before
