@@ -67,6 +67,24 @@ final class TopicAdmin {
 
   def exists(name: String): Boolean = topics.contains(name)
 
+  /** Startup bootstrap (`TopicManagementService.createDefaultTopics`,
+    * `:571-651`): the reference's default topic set — 6-partition 7-day
+    * event/command topics (audit at 28 d), and the 3-partition 14-day DLQ.
+    * Existing topics are left untouched (create is idempotent-skip, the
+    * reference's catch-and-warn). Returns the names actually created.
+    */
+  def createDefaultTopics(): Seq[String] = {
+    val defaults = Seq(
+      eventTopic("tenant", "created") -> defaultConfigFor(eventTopic("tenant", "created")),
+      eventTopic("tenant", "updated") -> defaultConfigFor(eventTopic("tenant", "updated")),
+      eventTopic("auth", "login") -> defaultConfigFor(eventTopic("auth", "login")),
+      eventTopic("auth", "logout") -> defaultConfigFor(eventTopic("auth", "logout")),
+      commandTopic("notification", "send") -> defaultConfigFor(commandTopic("notification", "send")),
+      commandTopic("audit", "log") -> defaultConfigFor(commandTopic("audit", "log")),
+      dlqTopic("events") -> defaultConfigFor(dlqTopic("events")).copy(partitions = 3))
+    defaults.collect { case (n, c) if create(n, Some(c)) => n }
+  }
+
   // ---- consumer-group verbs (TopicManagementService.java:258-412) ----
 
   private val groupOffsets = mutable.LinkedHashMap

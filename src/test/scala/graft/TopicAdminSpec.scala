@@ -46,6 +46,24 @@ class TopicAdminSpec extends AnyFunSuite {
     assert(!admin.exists("_internal.metrics"))
   }
 
+  test("createDefaultTopics bootstraps the reference topic set, idempotently") {
+    val admin = new TopicAdmin
+    val created = admin.createDefaultTopics()
+    assert(created.size == 7)
+    assert(admin.exists("nnipa.events.tenant.created"))
+    assert(admin.exists("nnipa.commands.audit.log"))
+    // per-family shapes: DLQ is 3 partitions / 14 d, audit 28 d, events 7 d
+    assert(admin.describe("nnipa.dlq.events").get.partitions == 3)
+    assert(admin.describe("nnipa.dlq.events").get.retentionMs == TopicAdmin.DlqRetentionMs)
+    assert(admin.describe("nnipa.commands.audit.log").get.retentionMs == TopicAdmin.AuditRetentionMs)
+    assert(admin.describe("nnipa.events.auth.login").get.retentionMs == 7L * 24 * 3600 * 1000)
+    // idempotent: existing topics skipped, not clobbered
+    admin.alter("nnipa.dlq.events",
+      admin.describe("nnipa.dlq.events").get.copy(partitions = 12))
+    assert(admin.createDefaultTopics().isEmpty)
+    assert(admin.describe("nnipa.dlq.events").get.partitions == 12)
+  }
+
 }
 
 /** Native functions resolve from SQL text; the extensions class installs
