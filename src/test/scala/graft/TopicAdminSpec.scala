@@ -64,6 +64,20 @@ class TopicAdminSpec extends AnyFunSuite {
     assert(admin.describe("nnipa.dlq.events").get.partitions == 12)
   }
 
+  test("Bootstrap.initialize: topics + schemas + health, never-fail-startup") {
+    val status = graft.admin.Bootstrap.initialize()
+    assert(status.topicsInitialized && status.topicCount == 7)
+    assert(status.schemasInitialized && status.subjectCount == 10)
+    assert(status.healthy && status.errors.isEmpty)
+    // a blowing-up probe is RECORDED, not thrown (InitializationService
+    // catches everything so the app still starts)
+    val degraded = graft.admin.Bootstrap.initialize(
+      healthProbe = () => throw new IllegalStateException("broker down"))
+    assert(degraded.topicsInitialized && degraded.schemasInitialized)
+    assert(!degraded.healthy)
+    assert(degraded.errors.exists(_.contains("broker down")))
+  }
+
 }
 
 /** Native functions resolve from SQL text; the extensions class installs
