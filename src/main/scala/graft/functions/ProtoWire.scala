@@ -312,7 +312,11 @@ object ProtoWire {
     */
   def valueToJson(bytes: Array[Byte]): String = valueToJson(bytes, 0, bytes.length)
 
-  private[functions] def valueToJson(bytes: Array[Byte], from: Int, end: Int): String = {
+  private[functions] def valueToJson(bytes: Array[Byte], from: Int, end: Int): String =
+    valueToJson(bytes, from, end, 0)
+
+  private def valueToJson(bytes: Array[Byte], from: Int, end: Int, depth: Int): String = {
+    require(depth <= MaxValueDepth, s"Value nesting deeper than $MaxValueDepth")
     val out = new Array[Long](3)
     // later-set kind wins (proto3 oneof merge): take the LAST present tag
     var kind = -1
@@ -362,7 +366,7 @@ object ProtoWire {
           val k = if (scan(bytes, h(1).toInt, h(2).toInt, 1, out) && out(0) == 2)
             new String(bytes, out(1).toInt, (out(2) - out(1)).toInt, "UTF-8") else ""
           val v = if (scan(bytes, h(1).toInt, h(2).toInt, 2, out) && out(0) == 2)
-            valueToJson(bytes, out(1).toInt, out(2).toInt) else "null"
+            valueToJson(bytes, out(1).toInt, out(2).toInt, depth + 1) else "null"
           if (i > 0) sb.append(',')
           sb.append(jsonQuote(k)).append(':').append(v)
           i += 1
@@ -375,7 +379,7 @@ object ProtoWire {
         while (i < vals.size()) {
           val h = vals.get(i)
           if (i > 0) sb.append(',')
-          sb.append(valueToJson(bytes, h(1).toInt, h(2).toInt))
+          sb.append(valueToJson(bytes, h(1).toInt, h(2).toInt, depth + 1))
           i += 1
         }
         sb.append(']').toString
@@ -394,11 +398,19 @@ object ProtoWire {
     */
   def jsonToValue(s: String): Array[Byte] = {
     val pos = new Array[Int](1)
-    val v = parseJsonValue(s, pos)
+    val v = parseJsonValue(s, pos, 0)
     skipWs(s, pos)
     require(pos(0) == s.length, s"trailing characters at offset ${pos(0)}")
     v
   }
+
+  /** Both Value recursions (parse and print) stop here: a crafted
+    * deeply-nested input must throw the documented
+    * IllegalArgumentException (DLQ-routable through the _safe decoders),
+    * never StackOverflowError — an Error escapes every poison-pill catch
+    * and kills the executor thread. protobuf-java's own default is 100.
+    */
+  private val MaxValueDepth = 64
 
   private def skipWs(s: String, pos: Array[Int]): Unit = {
     var i = pos(0)
@@ -412,7 +424,8 @@ object ProtoWire {
     pos(0) += w.length
   }
 
-  private def parseJsonValue(s: String, pos: Array[Int]): Array[Byte] = {
+  private def parseJsonValue(s: String, pos: Array[Int], depth: Int): Array[Byte] = {
+    require(depth <= MaxValueDepth, s"JSON nesting deeper than $MaxValueDepth")
     skipWs(s, pos)
     require(pos(0) < s.length, "unexpected end of JSON")
     s.charAt(pos(0)) match {
@@ -434,7 +447,7 @@ object ProtoWire {
             skipWs(s, pos)
             require(pos(0) < s.length && s.charAt(pos(0)) == ':', "expected ':'")
             pos(0) += 1
-            val v = parseJsonValue(s, pos)
+            val v = parseJsonValue(s, pos, depth + 1)
             parts.add(lenField(1, message(stringField(1, k), lenField(2, v))))
             skipWs(s, pos)
             require(pos(0) < s.length, "unterminated object")
@@ -454,7 +467,7 @@ object ProtoWire {
         else {
           var more = true
           while (more) {
-            parts.add(lenField(1, parseJsonValue(s, pos)))
+            parts.add(lenField(1, parseJsonValue(s, pos, depth + 1)))
             skipWs(s, pos)
             require(pos(0) < s.length, "unterminated array")
             s.charAt(pos(0)) match {
