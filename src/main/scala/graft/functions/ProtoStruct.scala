@@ -440,10 +440,15 @@ object ProtoStruct {
           val vs = m.valueArray()
           var j = 0
           while (j < m.numElements()) {
+            // a null map VALUE (legal in Spark MapType) is JSON null, i.e.
+            // Value{null_value: NULL_VALUE} — not an NPE (DLQ routing
+            // catches the codec's IllegalArgumentException, never NPE)
+            val valueBytes =
+              if (vs.isNullAt(j)) ProtoWire.varintField(1, 0L)
+              else ProtoWire.jsonToValue(vs.getUTF8String(j).toString)
             writeLen(out, f.no, ProtoWire.message(
               ProtoWire.stringField(1, ks.getUTF8String(j).toString),
-              ProtoWire.lenField(2,
-                ProtoWire.jsonToValue(vs.getUTF8String(j).toString))))
+              ProtoWire.lenField(2, valueBytes)))
             j += 1
           }
       }

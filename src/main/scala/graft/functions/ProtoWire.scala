@@ -419,6 +419,10 @@ object ProtoWire {
     pos(0) = i
   }
 
+  // RFC 8259 number grammar: int frac? exp?
+  private val JsonNumber =
+    java.util.regex.Pattern.compile("-?(?:0|[1-9][0-9]*)(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
+
   private def expectWord(s: String, pos: Array[Int], w: String): Unit = {
     require(s.regionMatches(pos(0), w, 0, w.length), s"malformed JSON at ${pos(0)}")
     pos(0) += w.length
@@ -487,8 +491,13 @@ object ProtoWire {
           (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
         }) i += 1
         require(i > start && i > pos(0), s"malformed JSON at ${pos(0)}")
+        val tok = s.substring(start, i)
+        // strict JSON number grammar — Double.parseDouble alone tolerates
+        // non-JSON forms (".5", "5.", "+5", hex), which would let
+        // non-canonical text silently encode instead of throwing
+        require(JsonNumber.matcher(tok).matches(), s"malformed JSON number '$tok'")
         pos(0) = i
-        doubleField(2, java.lang.Double.parseDouble(s.substring(start, i)))
+        doubleField(2, java.lang.Double.parseDouble(tok))
     }
   }
 
@@ -518,6 +527,11 @@ object ProtoWire {
               i += 6
             case c => throw new IllegalArgumentException(s"bad escape '\\$c'")
           }
+        case c if c < 0x20 =>
+          // raw control characters are illegal inside a JSON string
+          // (RFC 8259 §7) — they must arrive escaped
+          throw new IllegalArgumentException(
+            f"raw control character U+${c.toInt}%04X in JSON string")
         case c => sb.append(c); i += 1
       }
     }

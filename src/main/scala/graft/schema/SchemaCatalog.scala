@@ -190,11 +190,23 @@ final class SchemaCatalog {
       val f = d.resolve(java.net.URLEncoder.encode(subject, "UTF-8") + ".jsonl")
       Files.write(f, entries.map(_.schema.json).asJava)
     }
-    val meta = store.map { case (subject, entries) =>
+    // one meta line per subject the catalog KNOWS about, not just per
+    // subject with surviving versions: a compat override on a versionless
+    // subject (valid registry state) and the never-reuse version watermark
+    // of a subject whose latest version was deleted both live outside
+    // `store`, and dropping them made save/load disagree with in-memory
+    // behavior (post-reload registration could reuse a deleted version
+    // number, or silently lose a policy)
+    val subjectsKnown = (store.keys ++ compatOverride.keys ++ highestVersion.keys)
+      .toSeq.distinct
+    val meta = subjectsKnown.map { subject =>
+      val entries = store.getOrElse(subject, Vector.empty)
       val vs = entries.map(e => s"""{"version":${e.version},"id":${e.id}}""").mkString("[", ",", "]")
       val compat = compatOverride.get(subject)
         .map(c => s""","compat":"$c"""").getOrElse("")
-      s"""{"subject":${quote(subject)},"entries":$vs$compat}"""
+      val highest = highestVersion.get(subject)
+        .map(h => s""","highest":$h""").getOrElse("")
+      s"""{"subject":${quote(subject)},"entries":$vs$highest$compat}"""
     }
     Files.write(d.resolve("_catalog_meta.json"),
       (meta.toSeq :+ s"""{"next_id":$nextId}""").asJava)
@@ -278,6 +290,13 @@ object SchemaCatalog {
               }
               cat.highestVersion(subject) = pairs.map(_._1).max
               maxId = math.max(maxId, pairs.map(_._2).max + 1)
+            }
+            // the persisted watermark wins over max-of-surviving-entries:
+            // it carries the versions that were deleted before save(), so
+            // the never-reuse invariant holds across a reload
+            """"highest":(\d+)""".r.findFirstMatchIn(line).foreach { h =>
+              cat.highestVersion(subject) =
+                math.max(cat.highestVersion.getOrElse(subject, 0), h.group(1).toInt)
             }
           }
           """"next_id":(\d+)""".r.findFirstMatchIn(line)

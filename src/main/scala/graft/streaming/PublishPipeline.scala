@@ -100,10 +100,17 @@ object PublishPipeline {
             col("source_service"),
             col("ts").cast("timestamp").as("timestamp"),
             col("version").cast("int").as("version"),
-            map(
-              lit("event.type"), col("event_type"),
-              lit("event.value"), col("value").cast("string"),
-              lit("event.props"), coalesce(col("props"), lit(""))).as("headers"),
+            // NULL props => the event.props entry is OMITTED (a wire map
+            // can't carry null values; encoding "" would conflate null and
+            // empty across the round trip — the consumer's element_at on a
+            // missing key restores NULL)
+            when(col("props").isNotNull, map(
+                lit("event.type"), col("event_type"),
+                lit("event.value"), col("value").cast("string"),
+                lit("event.props"), col("props")))
+              .otherwise(map(
+                lit("event.type"), col("event_type"),
+                lit("event.value"), col("value").cast("string"))).as("headers"),
             col("tenant_id"),
             col("user_s").as("user_id"),
             col("priority"),

@@ -106,6 +106,16 @@ class ProtoCodecFuzzSpec extends AnyFunSuite {
         r
       }
 
+  test("KVMap: a null map value encodes as the JSON-null Value, never NPE") {
+    val fields = Vector(PField(1, "m", KVMap))
+    val row = new GenericInternalRow(1)
+    row.update(0, ArrayBasedMapData(
+      Array[Any](UTF8String.fromString("k")), Array[Any](null)))
+    val bytes = ProtoStruct.encodeMessage(row, fields)
+    val back = ProtoStruct.decode(bytes, fields)
+    assert(back.getMap(0).valueArray().getUTF8String(0).toString == "null")
+  }
+
   test("encode . decode . encode == encode over 300 random descriptors x rows") {
     val p = Gen.Parameters.default
     var checked = 0

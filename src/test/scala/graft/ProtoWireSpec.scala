@@ -203,5 +203,15 @@ class ProtoWireSpec extends SparkSpec {
     // strict: malformed input throws, never coerces
     Seq("tru", "{\"a\":}", "[1,]", "\"unterminated", "1.5x", "{}extra", "")
       .foreach(bad => intercept[IllegalArgumentException](ProtoWire.jsonToValue(bad)))
+    // strict NUMBER grammar (RFC 8259): forms Double.parseDouble would
+    // tolerate are rejected — non-canonical text must throw, not encode
+    Seq(".5", "5.", "+5", "01", "-", "1e", "1.e3", "--1")
+      .foreach(bad => intercept[IllegalArgumentException](ProtoWire.jsonToValue(bad)))
+    // valid exponent/sign forms still parse
+    Seq("1.5e3", "1.5E-3", "2e+10", "-0.25", "0").foreach(ok =>
+      ProtoWire.jsonToValue(ok): Unit)
+    // raw control characters inside strings are illegal (must be escaped)
+    intercept[IllegalArgumentException](ProtoWire.jsonToValue("\"a\u0001b\""))
+    assert(rt("\"a\\u0001b\"") == "\"a\\u0001b\"")
   }
 }

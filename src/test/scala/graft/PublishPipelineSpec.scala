@@ -56,6 +56,25 @@ class PublishPipelineSpec extends SparkSpec {
     assert(props.contains("""{\"k\":1}"""))
   }
 
+  test("S1 proto wire form: NULL props is omitted, not conflated with empty string") {
+    import spark.implicits._
+    val base = Seq((9L, "click", 2.0, null.asInstanceOf[String], 7L),
+                   (10L, "click", 2.0, "", 7L))
+      .toDF("event_id", "event_type", "value", "props", "user_id")
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val rec = PublishPipeline.toKafkaRecordsProto(
+      Envelope.withEnvelope(base), PublishPipeline.TenantBased)
+    val got = graft.streaming.ConsumePipeline.fromWire(rec.select("topic", "value"))
+      .withColumn("m", call_function("graft_proto_struct_safe", col("value")))
+      .select(col("event_id_s"), element_at(col("m.headers"), "event.props").as("p"))
+      .orderBy("event_id_s")
+      .collect()
+    // NULL props -> the wire map has NO event.props entry -> element_at
+    // restores NULL; empty-string props round-trips as "" — distinct states
+    assert(got(0).getString(0) == "10" && got(0).getString(1) == "")
+    assert(got(1).getString(0) == "9" && got(1).isNullAt(1))
+  }
+
   test("P1h custom strategy dispatches by event-class pattern") {
     import spark.implicits._
     val base = Seq(

@@ -67,6 +67,40 @@ class SchemaCatalogSpec extends AnyFunSuite {
     assert(loaded.get("nnipa.events.tenant.created-value", 2).contains(v2AddOptional))
   }
 
+  test("save/load preserves the never-reuse watermark and versionless overrides") {
+    val cat = new SchemaCatalog
+    cat.register("t-value", v1)
+    cat.register("t-value", v2AddOptional)
+    cat.deleteVersion("t-value", 2)              // latest deleted BEFORE save
+    cat.setCompatibility("empty-value", "NONE")  // override, zero versions
+    val dir = java.nio.file.Files.createTempDirectory("schemacat").toString
+    cat.save(dir)
+    val loaded = SchemaCatalog.load(dir)
+    // the watermark survives the round trip: a post-reload registration may
+    // not reuse the deleted version number
+    assert(loaded.forceRegister("t-value", v2AddOptional) == 3)
+    // a compat override on a subject with no registered versions (valid
+    // registry state) is not silently dropped
+    assert(loaded.getCompatibility("empty-value") == "NONE")
+  }
+
+  test("f16 evolution pair: added-optional passes the gate, a type change is refused") {
+    // the SAME v1/v2 descriptors the f16_proto_evolution wire query
+    // decodes with — the structural gate and the wire behavior must agree
+    import graft.functions.ProtoStruct.{PField, KStr, KI64, KI32, KTs, structOf}
+    val v1d = Vector(PField(1, "tenant_id", KStr), PField(2, "name", KStr),
+      PField(3, "seats", KI64), PField(4, "created_at", KTs))
+    val v2d = v1d ++ Vector(PField(5, "region", KStr), PField(6, "tier", KI32))
+    val cat = new SchemaCatalog
+    assert(cat.register("evo-value", structOf(v1d)) == 1)
+    assert(cat.testCompatibility("evo-value", structOf(v2d)))
+    assert(cat.register("evo-value", structOf(v2d)) == 2)
+    // the incompatible change: seats int64 -> string must be refused
+    val broken = v2d.map(f => if (f.name == "seats") f.copy(kind = KStr) else f)
+    assert(!cat.testCompatibility("evo-value", structOf(broken)))
+    intercept[IllegalArgumentException](cat.register("evo-value", structOf(broken)))
+  }
+
   test("subject naming follows the <topic>-value/-key convention") {
     val cat = new SchemaCatalog
     assert(cat.subjectForTopic("nnipa.events.auth.login") == "nnipa.events.auth.login-value")
