@@ -491,6 +491,59 @@ object MiscQueries {
           |FROM events ORDER BY event_id""".stripMargin),
       doc = "F15 Value-map round trip: JSON -> Value wire -> JSON, oracle-recomputed"),
 
+    // F16: WIRE-LEVEL schema evolution — the decode behavior the
+    // registry's FULL_TRANSITIVE gate (SchemaCatalog.testCompatibility ≙
+    // service/SchemaRegistryService.java:221-247) exists to guarantee,
+    // pinned on bytes: (a) v1 bytes read with the EVOLVED v2 descriptor —
+    // the added fields surface as proto3 defaults (''/0), and (b) v2 bytes
+    // read with the OLD v1 descriptor — the unknown field numbers are
+    // skipped by the scanner and every shared field survives. The negative
+    // (an incompatible type change is refused by the gate) is asserted in
+    // SchemaCatalogSpec over the same descriptor pair.
+    "f16_proto_evolution" -> QueryDef(
+      build = (s, dir) => {
+        import graft.functions.ProtoStruct.{PField, KStr, KI64, KI32, KTs}
+        graft.functions.Hashing.register(s)
+        val v1 = Vector(PField(1, "tenant_id", KStr), PField(2, "name", KStr),
+          PField(3, "seats", KI64), PField(4, "created_at", KTs))
+        val v2 = v1 ++ Vector(PField(5, "region", KStr), PField(6, "tier", KI32))
+        val e = Tables.events(s, dir)
+        val tenantId = concat(lit("tenant-"), (col("user_id") % 50).cast("string"))
+        val name = concat(lit("org-"), (col("event_id") % 97).cast("string"))
+        val seats = (col("event_id") % 50).cast("long")
+        val wireV1 = graft.schema.ProtoSchemas.encode(
+          struct(tenantId.as("tenant_id"), name.as("name"), seats.as("seats"),
+            col("ts").as("created_at")), v1)
+        val wireV2 = graft.schema.ProtoSchemas.encode(
+          struct(tenantId.as("tenant_id"), name.as("name"), seats.as("seats"),
+            col("ts").as("created_at"),
+            concat(lit("r-"), (col("event_id") % 5).cast("string")).as("region"),
+            (col("event_id") % 6).cast("int").as("tier")), v2)
+        e.select(col("event_id"),
+            graft.schema.ProtoSchemas.decode(wireV1, v2).as("a"), // old bytes, NEW reader
+            graft.schema.ProtoSchemas.decode(wireV2, v1).as("b")) // new bytes, OLD reader
+          .select(col("event_id"),
+            col("a.tenant_id").as("a_tenant_id"), col("a.name").as("a_name"),
+            col("a.seats").as("a_seats"), col("a.created_at").as("a_created_at"),
+            col("a.region").as("a_region"), col("a.tier").as("a_tier"),
+            col("b.tenant_id").as("b_tenant_id"), col("b.name").as("b_name"),
+            col("b.seats").as("b_seats"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS a_tenant_id,
+          |  'org-' || CAST(event_id % 97 AS VARCHAR) AS a_name,
+          |  event_id % 50 AS a_seats,
+          |  CAST(ts AS TIMESTAMP) AS a_created_at,
+          |  '' AS a_region,
+          |  CAST(0 AS INT) AS a_tier,
+          |  'tenant-' || CAST(user_id % 50 AS VARCHAR) AS b_tenant_id,
+          |  'org-' || CAST(event_id % 97 AS VARCHAR) AS b_name,
+          |  event_id % 50 AS b_seats
+          |FROM events ORDER BY event_id""".stripMargin),
+      doc = "F16 wire-level schema evolution: v1 bytes + v2 reader (added field -> default), v2 bytes + v1 reader (unknown skipped), oracle-pinned"),
+
     // E7, proto arm: poison-pill tolerance on the WIRE decode path —
     // every 50th value is truncated mid-message; graft_proto_struct_safe
     // decodes it to NULL (DLQ-routable) instead of killing the job,
