@@ -288,6 +288,67 @@ object StatsQueries {
            |FROM w GROUP BY topic ORDER BY topic""".stripMargin),
       doc = "A13 per-topic message rates: hourly windows rolled up to avg/peak msgs/sec"),
 
+    // A14: lag TREND — the reference's "is the consumer keeping up" health
+    // question (health/EventStreamingHealthIndicator.java:140-146 surfaces
+    // lag totals; TopicManagementService's HealthStatus carries
+    // lagByTopic) answered by joining the A2 lag frame with the A13 rate
+    // frame: per topic, the backlog (total lag), the average arrival rate,
+    // and the consumer's DEMONSTRATED peak service rate (best hourly
+    // consumed count — the committed-offset subset). Headroom = peak
+    // service - avg arrival: positive means the consumer can drain the
+    // backlog (DRAINING, with an ETA), negative means it falls further
+    // behind (GROWING). One extra near-free re-agg over the two frames
+    // both already computed at the (topic, hour) / (topic, part) grain.
+    "a14_lag_trend" -> QueryDef(
+      build = (s, dir) => {
+        val w = env(s, dir)
+          .filter(!col("topic").startsWith("_"))
+          .groupBy(col("topic"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_in"),
+            sum(when(col("event_id") % 3 =!= 0, 1L).otherwise(0L)).as("n_out"))
+        val rates = w.groupBy("topic").agg(
+          round(avg(col("n_in") / 3600.0), 6).as("in_per_sec"),
+          round(max(col("n_out") / 3600.0), 6).as("peak_out_per_sec"))
+        val lag = lagFrame(s, dir).groupBy("topic")
+          .agg(sum(col("end_offset") - col("committed")).as("total_lag"))
+        lag.join(rates, "topic")
+          .withColumn("headroom_per_sec",
+            round(col("peak_out_per_sec") - col("in_per_sec"), 6))
+          .withColumn("trend",
+            when(col("headroom_per_sec") > 0, "DRAINING")
+              .when(col("headroom_per_sec") < 0, "GROWING")
+              .otherwise("STABLE"))
+          .withColumn("drain_eta_sec",
+            when(col("headroom_per_sec") > 0,
+              round(col("total_lag") / col("headroom_per_sec"), 2)))
+          .orderBy("topic")
+      },
+      oracle = Some(
+        s"""$lagCte, w AS (
+           |  SELECT topic, date_trunc('hour', ts) AS hour, COUNT(*) AS n_in,
+           |    SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_out
+           |  FROM env WHERE topic NOT LIKE '\\_%' ESCAPE '\\'
+           |  GROUP BY 1, 2),
+           |rates AS (
+           |  SELECT topic, ROUND(AVG(n_in / 3600.0), 6) AS in_per_sec,
+           |    ROUND(MAX(n_out / 3600.0), 6) AS peak_out_per_sec
+           |  FROM w GROUP BY topic),
+           |lagt AS (
+           |  SELECT topic, CAST(SUM(end_offset - committed) AS BIGINT) AS total_lag
+           |  FROM lagf GROUP BY topic),
+           |joined AS (
+           |  SELECT l.topic, l.total_lag, r.in_per_sec, r.peak_out_per_sec,
+           |    ROUND(r.peak_out_per_sec - r.in_per_sec, 6) AS headroom_per_sec
+           |  FROM lagt l JOIN rates r ON l.topic = r.topic)
+           |SELECT topic, total_lag, in_per_sec, peak_out_per_sec, headroom_per_sec,
+           |  CASE WHEN headroom_per_sec > 0 THEN 'DRAINING'
+           |       WHEN headroom_per_sec < 0 THEN 'GROWING'
+           |       ELSE 'STABLE' END AS trend,
+           |  CASE WHEN headroom_per_sec > 0
+           |       THEN ROUND(total_lag / headroom_per_sec, 2) END AS drain_eta_sec
+           |FROM joined ORDER BY topic""".stripMargin),
+      doc = "A14 lag trend: backlog joined with arrival vs demonstrated service rate -> DRAINING/GROWING + drain ETA"),
+
     // F1/F9 round-trip: metadata -> 7 kafka headers -> map -> extracted back.
     "f9_header_roundtrip" -> QueryDef(
       build = (s, dir) => {
