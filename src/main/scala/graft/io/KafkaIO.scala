@@ -51,17 +51,48 @@ object KafkaIO {
       .option("endingOffsets", s"""{"$topic":{"$partition":${toOffset + 1}}}""")
       .load()
 
-  /** S1/S4 sink posture: acks=all + idempotence + snappy batching
-    * (`config/KafkaConfig.java:69-88`). Batch write: `.save()`; streaming:
-    * swap `write` for `writeStream`.
+  /** S1/S4 sink posture: the reference's full producer configuration
+    * (`config/KafkaConfig.java:69-88`), option for option — acks=all,
+    * idempotence, 3 retries, snappy, 16 KiB batches, 10 ms linger, 5
+    * in-flight (serializer classes stay Spark-side: the value column
+    * carries the already-encoded wire bytes). Batch write: `.save()`;
+    * streaming: swap `write` for `writeStream`. KafkaWireSpec pins this
+    * map exactly, so a drifted option is a test failure, not a silent
+    * posture change.
     */
   def sinkOptions(bootstrap: String): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> bootstrap,
     "kafka.acks" -> "all",
+    "kafka.retries" -> "3",
     "kafka.enable.idempotence" -> "true",
     "kafka.compression.type" -> "snappy",
     "kafka.batch.size" -> "16384",
-    "kafka.linger.ms" -> "10")
+    "kafka.linger.ms" -> "10",
+    "kafka.max.in.flight.requests.per.connection" -> "5")
+
+  /** S4 batch publish (`service/EventPublisher.java:149-158`,
+    * `publishBatch(topic, Map<String, Message>)`): pre-keyed records to
+    * ONE topic through the native batched sink. The reference loops keyed
+    * sends through KafkaTemplate; Spark's kafka sink IS that loop, with
+    * the producer batching per executor under [[sinkOptions]]'
+    * batch.size/linger.ms. This is the offline-testable projection: the
+    * sink's required (key BINARY, value BINARY, topic) record shape from
+    * any keyed frame. [[publishBatch]] composes it with the sink posture.
+    */
+  def toBatchRecords(events: DataFrame, topic: String,
+                     keyCol: String = "key", valueCol: String = "value"): DataFrame =
+    events.select(
+      col(keyCol).cast("string").cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"),
+      lit(topic).as("topic"))
+
+  /** S4 live form: project + apply the sink posture + save. Broker-gated
+    * like every live path in this file (needs `spark-sql-kafka-0-10`).
+    */
+  def publishBatch(events: DataFrame, bootstrap: String, topic: String): Unit =
+    toBatchRecords(events, topic).write.format("kafka")
+      .options(sinkOptions(bootstrap))
+      .save()
 
   /** S10 replay re-publish projection: stamp replay.* headers and the
     * target topic (`service/EventReplayService.java:245-261`). Works on any

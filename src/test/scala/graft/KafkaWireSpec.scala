@@ -37,6 +37,40 @@ class KafkaWireSpec extends SparkSpec {
     assert(got.exists(_.sameElements(payload)))
   }
 
+  test("S4 sink posture is option-for-option the reference producer config") {
+    // config/KafkaConfig.java:69-88 — a drifted option must fail here,
+    // not silently change the producer posture on a live cluster
+    assert(KafkaIO.sinkOptions("broker:9092") == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "kafka.acks" -> "all",
+      "kafka.retries" -> "3",
+      "kafka.enable.idempotence" -> "true",
+      "kafka.compression.type" -> "snappy",
+      "kafka.batch.size" -> "16384",
+      "kafka.linger.ms" -> "10",
+      "kafka.max.in.flight.requests.per.connection" -> "5"))
+  }
+
+  test("S4 batch records: keyed entries project to the sink's record shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    // the publishBatch(topic, Map<String, Message>) analog: keyed wire
+    // payloads, one constant topic
+    val events = Seq(("k1", "v-one"), ("k2", "v-two")).toDF("key", "value")
+    val rec = KafkaIO.toBatchRecords(events, "nnipa.events.tenant.created")
+    assert(rec.schema.fieldNames.toSeq == Seq("key", "value", "topic"))
+    assert(rec.schema("key").dataType == BinaryType)
+    assert(rec.schema("value").dataType == BinaryType)
+    assert(rec.schema("topic").dataType == StringType)
+    val rows = rec.collect().map(r => (
+      new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
+      r.getAs[String]("topic"))).toSet
+    assert(rows == Set(
+      ("k1", "v-one", "nnipa.events.tenant.created"),
+      ("k2", "v-two", "nnipa.events.tenant.created")))
+  }
+
   test("serialize mirrors: wire bytes round-trip through the strip helpers") {
     import spark.implicits._
     val df = Seq((1, payload), (131071, payload)).toDF("schema_id", "p")
