@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-admission scaling harness (VERDICT r4 #4): measures the
+  * per-micro-batch cost of `streaming/StreamingAdmission` (text MinHash
+  * index) and `streaming/StreamingVectorAdmission` (embedding SRP index)
+  * as the persisted index grows ×1/×5/×10, so the "O(batch + collisions)
+  * per micro-batch, index growth only in object storage" claim rests on a
+  * measured curve (SCALE.md publishes it).
+  *
+  * Method: for each multiplier m, an index directory is built by admitting
+  * m DISJOINT copies of the corpus (ScaleCurve's id shift; text copies get
+  * the per-copy character rotation, vector copies a per-copy component
+  * rotation — so copies are not near-dups of each other and the index
+  * genuinely grows m×). Then ONE fixed probe batch is timed against the
+  * m-batch index: the probe is an id-shifted EXACT copy of batch 0, so its
+  * true near-dup work (every doc collides with its batch-0 twin and is
+  * rejected) is IDENTICAL at every m — index size is the only variable.
+  * The probe runs at a fixed batch id, which makes repeat timings replays:
+  * the admission paths filter `batch_id < probeId`, so a re-run sees the
+  * same index state and reproduces the same verdicts (the same
+  * idempotency that makes checkpoint replay safe makes min-of-2 timing
+  * honest).
+  *
+  * Usage: StreamingCurve [srcSfDir] [workDir] [multipliers csv]
+  * Prints one JSON line per multiplier.
+  */
+object StreamingCurve {
+
+  /** Per-copy component rotation: rotations of a generic vector are
+    * mutually near-orthogonal, so copies land in different SRP buckets
+    * and the vector index grows m× (exact-copy amplification would be
+    * rejected as duplicates and the index would never grow past ×1).
+    */
+  def rotateVec(d: DataFrame, i: Int): DataFrame =
+    if (i == 0) d
+    else d.withColumn("embedding",
+      expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+        s"slice(embedding, 1, $i))"))
+
+  /** Build an m-batch text index under `work/text_x$m` and time the fixed
+    * probe batch against it. Returns (probe seconds, index row count).
+    */
+  def textProbe(spark: SparkSession, docs: DataFrame, work: String,
+                m: Int): (Double, Long) = {
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/text_x$m/index"
+    val admittedDir = s"$work/text_x$m/admitted"
+    (0 until m).foreach { i =>
+      val copy = ScaleCurve.perturbText(docs, i)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * b))
+      streaming.StreamingAdmission.admitBatch(copy, i.toLong, indexDir, admittedDir)
+    }
+    // probe: EXACT dups of batch 0, shifted to a fresh id range
+    val probe = ScaleCurve.perturbText(docs, 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000L * b))
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingAdmission.admitBatch(probe, m.toLong, indexDir, admittedDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = math.min(once(), once()) // replay-idempotent (same batch id)
+    (sec, spark.read.parquet(indexDir).count())
+  }
+
+  /** Vector-side twin of [[textProbe]] under `work/vec_x$m`. */
+  def vecProbe(spark: SparkSession, vecs: DataFrame, work: String,
+               m: Int): (Double, Long) = {
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/vec_x$m/index"
+    val admittedDir = s"$work/vec_x$m/admitted"
+    (0 until m).foreach { i =>
+      val copy = rotateVec(vecs, i)
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * b))
+      streaming.StreamingVectorAdmission.admitBatch(copy, i.toLong, indexDir, admittedDir)
+    }
+    val probe = vecs.withColumn("vec_id", col("vec_id") + lit(1000L * b))
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingVectorAdmission.admitBatch(probe, m.toLong, indexDir, admittedDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = math.min(once(), once())
+    (sec, spark.read.parquet(indexDir).count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_streamcurve"
+    val mults = (if (args.length > 2) args(2).split(",").toSeq.map(_.trim)
+                 else Seq("1", "5", "10")).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Hashing.register(spark)
+    val docs = graft.sources.Tables.documents(spark, src)
+      .select("doc_id", "text", "source")
+    val vecs = graft.sources.Tables.embeddings(spark, src)
+      .select("vec_id", "embedding")
+    // warm-up: one throwaway text+vector admission so the first measured
+    // multiplier is not charged for codegen/JIT
+    textProbe(spark, docs, s"$work/warm", 1)
+    vecProbe(spark, vecs, s"$work/warm", 1)
+    mults.foreach { m =>
+      val (tSec, tRows) = textProbe(spark, docs, work, m)
+      val (vSec, vRows) = vecProbe(spark, vecs, work, m)
+      println(s"""{"stream_mult":$m,"src":"$src",""" +
+        s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
+        s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows}""")
+    }
+    spark.stop()
+  }
+}
