@@ -24,7 +24,8 @@ object Plans {
                          "a4_event_stats", "d1_dedup", "w_tumbling_hourly",
                          "emb_cosine_topk", "rollup_revenue", "emb_ivf_quant",
                          "asof_enrich_ranged", "f13_proto_subject",
-                         "corpus_prepare_v3")
+                         "corpus_prepare_v4", "a14_lag_trend",
+                         "f16_proto_evolution")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.registry(name).build(spark, sfDir).explain("formatted")
