@@ -150,7 +150,12 @@ object Bench {
     // the min — r4's judge rerun couldn't distinguish "genuinely ~3 s" from
     // "1.8 s with one unlucky run" for a flagged query that shipped one number
     var allRuns = Map.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional query-name args restrict the run (single-query iteration —
+    // same convention as Verify's subset arg); no args = full registry
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = runOnce(fn, name); tick()
       val b = runOnce(fn, name); tick()
       val runs =

@@ -63,11 +63,14 @@ object ScaleQueries {
       }.mkString("(", " + ", ")")
     }.mkString("[", ", ", "]")
 
-  /** word 3-gram shingles of `text` (= TextOps.shingles). */
-  private val sqlShingles =
+  /** word n-gram shingles of `text` (= TextOps.shingles). */
+  private def sqlShinglesN(n: Int): String =
     "list_distinct(list_transform(" +
-      "generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), " +
-      "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+      s"generate_series(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${n - 1}), ' ')))"
+
+  /** word 3-gram shingles (the near-dup / contamination default). */
+  private val sqlShingles = sqlShinglesN(3)
 
   /** The near-dup corpus: originals plus a mutated copy of every 20th doc
     * (id + 200000, text suffixed) — guarantees true near-duplicate pairs.
@@ -783,9 +786,13 @@ object ScaleQueries {
       doc = "Capstone v3: normalize -> gate -> exact dedup -> NEAR dedup (LSH) -> cap -> split"),
 
     // Capstone v4 = v3 + the two remaining production stages: a
-    // CONTAMINATION gate (docs whose n-grams largely exist in the held-out
+    // CONTAMINATION gate (docs whose 5-grams largely exist in the held-out
     // benchmark suite are leaked eval content — dropped before training,
-    // scale/Contamination) and SEMANTIC dedup over the survivors'
+    // scale/Contamination; 5-gram shingles, not the near-dup default 3 —
+    // decontamination wants long n-grams so topical vocabulary overlap
+    // doesn't count as leakage, only verbatim spans: with 3-grams this
+    // synthetic small-vocabulary corpus lost 95% of its docs to
+    // accidental overlap) and SEMANTIC dedup over the survivors'
     // embeddings (SemDeDup-style centroid-blocked cosine pairs, larger
     // doc_id dies — scale/Similarity.semanticNearDupPairs; near-dup clones
     // share their original's vector via vec_id = doc_id % 200000). This is
@@ -793,6 +800,9 @@ object ScaleQueries {
     // quality gate -> exact dedup -> MinHash-LSH near-dedup ->
     // decontaminate -> semantic dedup -> per-source cap -> holdout split.
     // Every stage, including both new ones, replays in the DuckDB oracle.
+    // nLists = 32 (vs dedup_semantic's 8): expected cluster size — and
+    // with it the Σ n_c² within-cluster verify work — stays small at this
+    // corpus size; nLists ∝ corpus is the SemDeDup knob.
     "corpus_prepare_v4" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
@@ -818,22 +828,32 @@ object ScaleQueries {
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
           .filter(col("m") >= 6)
           .select(col("doc_b").as("doc_id")).distinct()
-        val near = ded.join(lshDropped, Seq("doc_id"), "left_anti")
+        // persisted (lazily — measured: eager counts serialized the
+        // pipeline into extra materialization jobs and cost ~3.5 s): the
+        // contamination stage references `near` three times and the
+        // semantic stage references `clean` twice — without barriers every
+        // reference replays the whole normalize -> gate -> dedup -> LSH
+        // chain per branch (the r4 dedup_clusters lesson; unpersisted this
+        // query benched 19.5 s at sf0.1, ~4 s with the barriers)
+        val near = graft.Caches.persist(
+          ded.join(lshDropped, Seq("doc_id"), "left_anti"))
         // contamination gate: the benchmark suite is the held-out
         // doc_id % 10 == 7 docs (normalized identically); a corpus doc
         // whose distinct 3-gram overlap vs the benchmark index >= 0.5 is
         // leaked eval content and cannot be trained on
         val bench = docs(s, dir).filter(col("doc_id") % 10 === 7)
           .select(col("doc_id"), TextOps.normalize(col("text")).as("text"))
-        val contaminated = Contamination.overlap(bench, near, "doc_id")
+        val contaminated = Contamination.overlap(bench, near, "doc_id",
+            shingleN = 5)
           .filter(col("contaminated")).select("doc_id")
-        val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
+        val clean = graft.Caches.persist(
+          near.join(contaminated, Seq("doc_id"), "left_anti"))
         val withVec = clean
           .select(col("doc_id"), (col("doc_id") % 200000).as("vec_id"))
           .join(embs(s, dir).select("vec_id", "embedding"), "vec_id")
           .select(col("doc_id"), col("embedding"))
         val semDropped = Similarity.semanticNearDupPairs(withVec, "doc_id",
-            "embedding", threshold = 0.35, nLists = 8)
+            "embedding", threshold = 0.35, nLists = 32)
           .select(col("vec_b").as("doc_id")).distinct()
         val sem = clean.join(semDropped, Seq("doc_id"), "left_anti")
           .select("doc_id", "source")
@@ -890,10 +910,10 @@ object ScaleQueries {
            |  SELECT doc_id,
            |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
            |  FROM documents WHERE doc_id % 10 = 7),
-           |tg AS (SELECT DISTINCT unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
+           |tg AS (SELECT DISTINCT unnest(list_transform(${sqlShinglesN(5)}, s -> ${sqlPolyHash("s", P)})) AS s
            |  FROM bench),
            |eh AS (SELECT doc_id,
-           |    list_distinct(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS hs
+           |    list_distinct(list_transform(${sqlShinglesN(5)}, s -> ${sqlPolyHash("s", P)})) AS hs
            |  FROM near),
            |eg AS (SELECT doc_id, unnest(hs) AS s FROM eh),
            |hits AS (SELECT eg.doc_id, COUNT(*) AS n_overlap
@@ -908,7 +928,7 @@ object ScaleQueries {
            |  SELECT c.doc_id, e.embedding FROM clean c
            |  JOIN embeddings e ON c.doc_id % 200000 = e.vec_id),
            |cents AS (
-           |  SELECT doc_id AS cent_id, embedding AS cv FROM withvec WHERE doc_id < 8),
+           |  SELECT doc_id AS cent_id, embedding AS cv FROM withvec WHERE doc_id < 32),
            |cscored AS (
            |  SELECT w.doc_id, w.embedding, cents.cent_id,
            |    ${sqlCosine("w.embedding", "cents.cv")} AS cscore

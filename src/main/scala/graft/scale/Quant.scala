@@ -80,12 +80,6 @@ object Quant {
         .withColumn("crank", row_number().over(cw))
         .filter(col("crank") <= math.max(nProbe, 1))
         .select(col("id"), col("q"), col("qn"), col("cent_id"), col("crank")))
-    // pre-touch (O(1) result): the self-join below demands `top` from BOTH
-    // sides of one job, so a lazy persist races its own materialization —
-    // tasks that miss the cache recompute the crossJoin partition, and the
-    // wall time depends on scheduling luck (the r4 bench dispersion on this
-    // query). One count() materializes the assignment in its own stage.
-    top.count()
     val assigned = top.filter(col("crank") === 1)
       .select(col("id"), col("q"), col("qn"), col("cent_id").as("list_id"))
     val probes = top.select(col("id").as("query_id"), col("q").as("qq"),
