@@ -56,7 +56,8 @@ object ScaleCurve {
 
   private val curveQueries = Seq(
     "q18_large_orders", "dedup_clusters", "hll_distinct_tenants",
-    "emb_ivf_recall", "emb_banded_recall", "dedup_jaccard_capped")
+    "emb_ivf_recall", "emb_banded_recall", "dedup_jaccard_capped",
+    "corpus_prepare_v4")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
