@@ -38,6 +38,36 @@ object Caches {
     out
   }
 
+  /** Lazy localCheckpoint: truncates lineage like [[localCheckpoint]] but
+    * defers materialization into the first action that touches the frame —
+    * no extra serialized job, unlike the eager form (measured: eager
+    * barriers in corpus_prepare_v4 cost ~3.5 s of additional
+    * materialization jobs at sf0.1).
+    *
+    * This is the cure for combinatorial ANALYZED-plan growth, a distinct
+    * failure mode from recompute: a multi-stage pipeline whose stages each
+    * reference their upstream frame 2–3× (self-joins, anti-joins, LSH
+    * candidate joins) builds a logical tree that duplicates the upstream
+    * subtree at every reference, so the tree grows exponentially with
+    * stage count. persist() dedupes EXECUTION but not ANALYSIS — every
+    * downstream action still pays Catalyst analysis + cache-lookup
+    * canonicalization over the full tree, which reached 10,120
+    * InMemoryTableScan nodes and ~4.5 s of driver time PER ACTION (fully
+    * cached!) at corpus_prepare_v4's semantic stage. A lazy local
+    * checkpoint replaces the subtree with one LogicalRDD leaf: same
+    * blocks, same single computation, milliseconds of planning. (At
+    * cluster scale with preemptible executors, [[reliableCheckpoint]] is
+    * the durable sibling; executor-local blocks are the right trade for
+    * single-app batch queries.)
+    */
+  def lazyBarrier(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = false)
+    liveRddIds ++= sc.getPersistentRDDs.keySet.diff(before).map(sc -> _)
+    out
+  }
+
   /** Eager reliable checkpoint() — lineage cut to files under
     * `sc.setCheckpointDir`, surviving executor loss. The durable sibling of
     * [[localCheckpoint]] for iterative operators on unreliable executors:

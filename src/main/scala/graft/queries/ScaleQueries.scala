@@ -625,10 +625,10 @@ object ScaleQueries {
         graft.functions.Hashing.register(s)
         val norm = docs(s, dir).select(col("doc_id"), col("source"),
           TextOps.normalize(col("text")).as("text"))
-        // persisted: keepAbovePercentile scans its input twice (threshold
-        // + filter); without the barrier the normalize+score regex work
-        // recomputes on the second pass
-        val scored = graft.Caches.persist(
+        // lazy lineage barrier: keepAbovePercentile scans its input twice
+        // (threshold + filter), and downstream stages would re-embed the
+        // normalize+score subtree in every analyzed plan (Caches.lazyBarrier)
+        val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
         val ded = gated
@@ -697,8 +697,10 @@ object ScaleQueries {
         val corpus = nearDupDocs(docs(s, dir))
         val norm = corpus.select(col("doc_id"), col("source"),
           TextOps.normalize(col("text")).as("text"))
-        // persisted: keepAbovePercentile scans twice (threshold + filter)
-        val scored = graft.Caches.persist(
+        // lazy lineage barrier: keepAbovePercentile scans its input twice
+        // (threshold + filter), and downstream stages would re-embed the
+        // normalize+score subtree in every analyzed plan (Caches.lazyBarrier)
+        val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
         val ded = gated
@@ -809,8 +811,10 @@ object ScaleQueries {
         val corpus = nearDupDocs(docs(s, dir))
         val norm = corpus.select(col("doc_id"), col("source"),
           TextOps.normalize(col("text")).as("text"))
-        // persisted: keepAbovePercentile scans twice (threshold + filter)
-        val scored = graft.Caches.persist(
+        // lazy lineage barrier: keepAbovePercentile scans twice AND the
+        // scored subtree would otherwise be embedded at every downstream
+        // reference (see Caches.lazyBarrier — analyzed-plan growth)
+        val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
         val ded = gated
@@ -828,14 +832,17 @@ object ScaleQueries {
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
           .filter(col("m") >= 6)
           .select(col("doc_b").as("doc_id")).distinct()
-        // persisted (lazily — measured: eager counts serialized the
-        // pipeline into extra materialization jobs and cost ~3.5 s): the
-        // contamination stage references `near` three times and the
-        // semantic stage references `clean` twice — without barriers every
-        // reference replays the whole normalize -> gate -> dedup -> LSH
-        // chain per branch (the r4 dedup_clusters lesson; unpersisted this
-        // query benched 19.5 s at sf0.1, ~4 s with the barriers)
-        val near = graft.Caches.persist(
+        // lazy lineage barriers (Caches.lazyBarrier): the contamination
+        // stage references `near` three times and the semantic stage
+        // references `clean` twice — without barriers every reference
+        // replays the whole normalize -> gate -> dedup -> LSH chain per
+        // branch (unpersisted this query benched 19.5 s at sf0.1). And
+        // plain persist() is not enough: it dedupes execution but leaves
+        // the exponentially duplicated analyzed tree in place, and by the
+        // semantic stage every action paid ~4.5 s of driver-side analysis
+        // over a 10,000-node plan (fully cached). Truncating lineage at
+        // each barrier took the query 6.5 s -> ~1.5 s warm at sf0.1.
+        val near = graft.Caches.lazyBarrier(
           ded.join(lshDropped, Seq("doc_id"), "left_anti"))
         // contamination gate: the benchmark suite is the held-out
         // doc_id % 10 == 7 docs (normalized identically); a corpus doc
@@ -846,7 +853,7 @@ object ScaleQueries {
         val contaminated = Contamination.overlap(bench, near, "doc_id",
             shingleN = 5)
           .filter(col("contaminated")).select("doc_id")
-        val clean = graft.Caches.persist(
+        val clean = graft.Caches.lazyBarrier(
           near.join(contaminated, Seq("doc_id"), "left_anti"))
         val withVec = clean
           .select(col("doc_id"), (col("doc_id") % 200000).as("vec_id"))

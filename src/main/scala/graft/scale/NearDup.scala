@@ -68,7 +68,11 @@ object NearDup {
     * downstream joins (candidates + both verification sides).
     */
   def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sigs = graft.Caches.persist(docs
+    // lazy lineage barrier (not plain persist): every LSH caller
+    // references this frame three times (bucket join + both signature
+    // re-joins), so the signature subtree would otherwise be re-embedded
+    // per reference in each downstream analyzed plan (Caches.lazyBarrier)
+    val sigs = graft.Caches.lazyBarrier(docs
       .withColumn("shingle_hashes", TextOps.shingleHashes(col("text"), shingleN))
       .withColumn("minhash_sig", minhashSignature(col("shingle_hashes"))))
     sigs.withColumn("bands", bandHashes(col("minhash_sig")))

@@ -144,8 +144,10 @@ object Similarity {
       .withColumn("cscore",
         round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
     val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
-    // persisted: the assignment feeds both sides of the self-join
-    val assigned = graft.Caches.persist(
+    // lazy lineage barrier: the assignment feeds both sides of the
+    // self-join, and a plain persist would leave the assignment subtree
+    // duplicated in every downstream analyzed plan (Caches.lazyBarrier)
+    val assigned = graft.Caches.lazyBarrier(
       cscored.withColumn("crank", row_number().over(cw))
         .filter(col("crank") === 1)
         .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id")))
