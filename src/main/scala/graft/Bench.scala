@@ -173,7 +173,13 @@ object Bench {
     // bytes (fixture encode excluded from both arms), full-struct output
     // through the noop sink. Surfaces the decode-once win as data.
     graft.functions.Hashing.register(spark)
-    val decode = {
+    // Armored: a failure here must never zero the whole artifact — the
+    // per-query timings above are already measured, and one broken
+    // micro-bench stage (r5: an uncaught AnalysisException on a changed
+    // fixture encoding) should degrade to a stamped error, not rc=1 with
+    // no JSON line.
+    var decodeError: Option[String] = None
+    val decode = try {
       import spark.implicits._
       import graft.functions.ProtoWire._
       val wire = graft.sources.Tables.events(spark, sfDir)
@@ -217,6 +223,10 @@ object Bench {
       val scanFloor = math.min(floorOnce(), floorOnce())
       wire.unpersist()
       (onePass, perField, scanFloor)
+    } catch {
+      case t: Throwable =>
+        decodeError = Some(t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300))
+        (-1.0, -1.0, -1.0)
     }
 
     tick()
@@ -253,6 +263,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""decode_struct_sec":${decode._1},"decode_perfield_sec":${decode._2},""" +
       s""""decode_floor_sec":${decode._3},""" +
+      decodeError.map(e => s""""decode_error":"$e",""").getOrElse("") +
       s""""foreign_jvms":$foreign,"load1":$load1After,""" +
       s""""load1_before":$load1Before,"load1_max":$load1Max,""" +
       s""""foreign_cores_max":${f"$foreignCoresMax%.3f"},""" +

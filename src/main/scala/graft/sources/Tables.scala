@@ -6,27 +6,40 @@ import org.apache.spark.sql.functions._
 /** Fixture-table loaders over the driver-generated parquet at
   * `/root/testdata/sf*` (see TESTDATA.md / FIXTURES.md).
   *
-  * The `events` table is written with nanosecond parquet timestamps, which
-  * Spark refuses by default (`PARQUET_TYPE_ILLEGAL`). We read them as raw
-  * nanos (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microseconds — the exact semantics DuckDB applies when it coerces
-  * TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons agree.
+  * The `events` table's `ts` encoding has varied across fixture
+  * generations and must be normalized to a session-timezone TIMESTAMP at
+  * the single ingestion point here:
   *
-  * Integer division (`div`) is mandatory: the nano values (~1.7e18) exceed
-  * 2^53, so a double-typed `/ 1000` would silently lose precision.
+  *   - nanosecond INT64 (TIMESTAMP_NS): Spark refuses it by default
+  *     (`PARQUET_TYPE_ILLEGAL`); we read raw nanos
+  *     (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  *     microseconds — the exact semantics DuckDB applies coercing
+  *     TIMESTAMP_NS to its microsecond TIMESTAMP, so oracles agree.
+  *     Integer division (`div`) is mandatory: nano values (~1.7e18)
+  *     exceed 2^53, so a double-typed `/ 1000` would lose precision.
+  *   - TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark 4 infers
+  *     TIMESTAMP_NTZ; we cast to TimestampType. The harness pins the
+  *     session timezone to UTC, so the cast is value-preserving and
+  *     matches DuckDB's naive-TIMESTAMP comparison semantics.
+  *   - TIMESTAMP_MICROS adjusted to UTC: already TimestampType,
+  *     passthrough.
   */
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Normalizes a raw-nanos `ts` LONG column (nanosAsLong read) to a
-    * microsecond TIMESTAMP; passthrough when already a timestamp.
+  /** Normalizes the `ts` column to a microsecond TIMESTAMP regardless of
+    * fixture encoding: raw-nanos LONG (nanosAsLong read) is truncated to
+    * micros; TIMESTAMP_NTZ is cast (value-preserving under the pinned UTC
+    * session timezone); TIMESTAMP passes through.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -15,15 +15,25 @@ class EnvelopeSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("ts normalization is microsecond truncation of the raw nanos") {
+  test("ts normalization preserves microseconds under any fixture encoding") {
+    import org.apache.spark.sql.types._
+    // Expected micros from the RAW read, branched on whatever encoding the
+    // fixture generation actually used: nanos-as-LONG truncates (div 1000),
+    // NTZ casts value-preserving under the pinned UTC session timezone,
+    // TIMESTAMP passes through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"${sf()}/events.parquet")
-      .select("event_id", "ts").limit(5).collect()
+    val rawDf = spark.read.parquet(s"${sf()}/events.parquet")
+    val expectedCol = rawDf.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
+    }
+    val raw = rawDf.select(col("event_id"), expectedCol.as("us")).limit(5).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cooked = Tables.events(spark, sf())
       .select(col("event_id"), unix_micros(col("ts")).as("us")).limit(5).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    cooked.foreach { case (id, us) => assert(us == raw(id) / 1000) }
+    cooked.foreach { case (id, us) => assert(us == raw(id)) }
   }
 
   test("F3: exactly the id%20==0 rows are invalid; metadata struct carries them") {
