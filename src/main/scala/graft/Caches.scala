@@ -63,7 +63,15 @@ object Caches {
   def lazyBarrier(df: DataFrame): DataFrame = synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    // SPARK_GRAFT_BARRIER_DEBUG=1 prints per-barrier creation cost: under
+    // AQE, localCheckpoint(eager=false) still materializes the subtree's
+    // query stages at CREATION time, so this is where a staged pipeline's
+    // wall-clock actually goes (see tools.StageProbe)
+    val t0 = System.nanoTime()
     val out = df.localCheckpoint(eager = false)
+    if (sys.env.contains("SPARK_GRAFT_BARRIER_DEBUG"))
+      System.err.println(f"[barrier] ${(System.nanoTime() - t0) / 1e9}%.3f s  " +
+        df.queryExecution.logical.getClass.getSimpleName)
     liveRddIds ++= sc.getPersistentRDDs.keySet.diff(before).map(sc -> _)
     out
   }

@@ -806,7 +806,17 @@ object ScaleQueries {
     // with it the Σ n_c² within-cluster verify work — stays small at this
     // corpus size; nLists ∝ corpus is the SemDeDup knob.
     "corpus_prepare_v4" -> QueryDef(
-      build = (s, dir) => {
+      build = (s, dir) => corpusV4Stages(s, dir).last._2,
+      oracle = Some(corpusV4Oracle),
+      doc = "Capstone v4: v3 + decontamination gate + SemDeDup semantic dedup — the full training-data dataflow"),
+  ) ++ defsTail
+
+  /** The v4 capstone pipeline exposed as named stage frames so
+    * `tools.StageProbe` can time each stage in isolation; the registered
+    * query consumes only the final frame. Stage semantics documented at
+    * the query registration above.
+    */
+  private[graft] def corpusV4Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
         graft.functions.Hashing.register(s)
         val corpus = nearDupDocs(docs(s, dir))
         val norm = corpus.select(col("doc_id"), col("source"),
@@ -817,21 +827,26 @@ object ScaleQueries {
         val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
-        val ded = gated
+        // exact dedup as a hash-agg (min_by), not a sort-window: same
+        // keep-smallest-id semantics (doc_id is unique, so no ties), but
+        // duplicates collapse map-side before the shuffle and no per-key
+        // sort runs — the winning shape for top-1-per-key at any scale.
+        // Barriered: both the signature stage and the near-dedup anti-join
+        // read it.
+        val ded = graft.Caches.lazyBarrier(gated
           .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
-          .filter(col("rn") === 1)
-          .select("doc_id", "source", "text")
-        val sigs = NearDup.withSignatures(ded)
-        val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
-        val lshDropped = NearDup.lshCandidates(sigs, "doc_id")
-          .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
-          .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
-          .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
-          .filter(col("m") >= 6)
-          .select(col("doc_b").as("doc_id")).distinct()
+          .groupBy("digest")
+          .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+            col("r.text").as("text")))
+        // narrowed barrier (doc_id + sig only — text/shingles stay out of
+        // the checkpoint) + fused verify: one band-bucket self-join
+        // carrying both signatures (NearDup.lshDuplicates) instead of
+        // candidates + two sig re-joins
+        val sigs = NearDup.withSignatures(ded, shingleN = 3,
+          carryCols = Some(Seq("doc_id")))
+        val lshDropped = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches = 6)
         // lazy lineage barriers (Caches.lazyBarrier): the contamination
         // stage references `near` three times and the semantic stage
         // references `clean` twice — without barriers every reference
@@ -850,11 +865,18 @@ object ScaleQueries {
         // leaked eval content and cannot be trained on
         val bench = docs(s, dir).filter(col("doc_id") % 10 === 7)
           .select(col("doc_id"), TextOps.normalize(col("text")).as("text"))
-        val contaminated = Contamination.overlap(bench, near, "doc_id",
+        // flipped-role probe: the index side is the bounded benchmark
+        // suite, so it collapses to a broadcast set and the corpus grams
+        // never explode or shuffle (Contamination.overlapSetProbe)
+        val contaminated = Contamination.overlapSetProbe(bench, near, "doc_id",
             shingleN = 5)
           .filter(col("contaminated")).select("doc_id")
+        // narrowed barrier: text leaves the pipeline here — nothing after
+        // the contamination gate reads it, so the checkpoint carries two
+        // columns, not the corpus
         val clean = graft.Caches.lazyBarrier(
-          near.join(contaminated, Seq("doc_id"), "left_anti"))
+          near.join(contaminated, Seq("doc_id"), "left_anti")
+            .select("doc_id", "source"))
         val withVec = clean
           .select(col("doc_id"), (col("doc_id") % 200000).as("vec_id"))
           .join(embs(s, dir).select("vec_id", "embedding"), "vec_id")
@@ -866,14 +888,20 @@ object ScaleQueries {
           .select("doc_id", "source")
         val capped = Sampling.capPerGroup(sem, "doc_id", "source", cap = 18,
           salt = "prep4")
-        Sampling.assignSplits(capped, "doc_id",
+        val fin = Sampling.assignSplits(capped, "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split4")
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
             countDistinct("source").as("n_sources"))
           .orderBy("split")
-      },
-      oracle = Some(
+        Seq("normalize_quality" -> scored, "gate_exact_dedup" -> ded,
+          "lsh_near_dedup" -> near, "decontaminate" -> clean,
+          "semantic_dedup" -> sem, "cap_split_agg" -> fin)
+  }
+
+  // lazy: referenced from the `defs` initializer above its definition —
+  // a plain val would still be null when the Map literal captures it
+  private lazy val corpusV4Oracle: String =
         s"""WITH $sqlNearDupDocs,
            |norm AS (
            |  SELECT doc_id, source,
@@ -968,8 +996,12 @@ object ScaleQueries {
            |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
            |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-           |FROM sp GROUP BY split ORDER BY split""".stripMargin),
-      doc = "Capstone v4: v3 + decontamination gate + SemDeDup semantic dedup — the full training-data dataflow"),
+           |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
+  /** Tail half of [[defs]] (the Map literal is split around the v4 stage
+    * helpers above; `++`-joined at the `defs` assignment).
+    */
+  private def defsTail: Map[String, QueryDef] = Map(
 
     // ---------------- text analysis ----------------
 

@@ -30,9 +30,20 @@ object Contamination {
     * in the train corpus, the overlap ratio, and the contamination flag at
     * `threshold`.
     */
+  /** `broadcastIndex`: hint the train-side n-gram index into a broadcast
+    * semi-join. Correct ONLY when the index side is small and bounded —
+    * e.g. the v4 capstone probes the CORPUS against a benchmark-suite
+    * index (roles flipped vs this object's doc): eval suites stay a few
+    * MB of hashes at any corpus scale, and broadcasting them means the
+    * exploded corpus grams are probed map-side and never shuffled.
+    */
   def overlap(train: DataFrame, eval: DataFrame, idCol: String,
-              shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
-    score(ngramIndex(train, shingleN), eval, idCol, shingleN, threshold)
+              shingleN: Int = 3, threshold: Double = 0.5,
+              broadcastIndex: Boolean = false): DataFrame = {
+    val index = ngramIndex(train, shingleN)
+    score(if (broadcastIndex) broadcast(index) else index,
+      eval, idCol, shingleN, threshold)
+  }
 
   /** [[overlap]] with a bloom-join prune of the TRAIN index: a bloom filter
     * is built over the eval n-gram hashes (the small side — a benchmark
@@ -65,6 +76,34 @@ object Contamination {
     val might = udf((s: Long) => holder.bf.mightContainLong(s))
     val prunedIndex = ngramIndex(train, shingleN).filter(might(col("s")))
     score(prunedIndex, eval, idCol, shingleN, threshold)
+  }
+
+  /** [[overlap]] with the TRAIN index collected to a broadcast hash set —
+    * for the flipped-role call where the index side is a bounded
+    * benchmark/eval suite and the EVAL side is the corpus (the v4
+    * capstone's decontamination gate). The probe becomes one map-side
+    * pass over the corpus: per doc, count its (already-distinct) shingle
+    * hashes present in the set — no explode, no shuffle, no join-back.
+    * Same boundedness assumption as the bloom variant's eval side
+    * (~8 B x |suite n-grams| on the driver and each executor); the
+    * general corpus-sized-index case must keep using [[overlap]]'s
+    * distributed semi-join. Result is identical to [[overlap]] (same
+    * oracle): the set is exact, and `graft_shingle_hashes` emits distinct
+    * hashes, so the per-doc counts match the explode+groupBy path.
+    */
+  def overlapSetProbe(train: DataFrame, eval: DataFrame, idCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sc = train.sparkSession.sparkContext
+    val idx = ngramIndex(train, shingleN).collect().map(_.getLong(0)).toSet
+    val bc = sc.broadcast(idx)
+    val counts = udf((hs: Seq[Long]) =>
+      (hs.size.toLong, hs.count(bc.value.contains).toLong))
+    eval.select(col(idCol).as("doc_id"),
+        counts(TextOps.shingleHashes(col("text"), shingleN)).as("_c"))
+      .select(col("doc_id"), col("_c._1").as("n_grams"), col("_c._2").as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("overlap_ratio") >= lit(threshold))
   }
 
   private final class BloomHolder(bytes: Array[Byte]) extends Serializable {

@@ -67,14 +67,29 @@ object NearDup {
     * between stages anyway; callers also fan the frame out to several
     * downstream joins (candidates + both verification sides).
     */
-  def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+  def withSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    withSignatures(docs, shingleN, carryCols = None)
+
+  /** [[withSignatures]] with the barrier narrowed to `carryCols` +
+    * `minhash_sig`: callers that only band-join and sig-verify (e.g. the
+    * capstones' [[lshDuplicates]] stage) shouldn't checkpoint the text
+    * and shingle-hash payload — at 100 TB that's the difference between
+    * checkpointing K longs per doc and checkpointing the corpus.
+    */
+  def withSignatures(docs: DataFrame, shingleN: Int,
+                     carryCols: Option[Seq[String]]): DataFrame = {
     // lazy lineage barrier (not plain persist): every LSH caller
     // references this frame three times (bucket join + both signature
     // re-joins), so the signature subtree would otherwise be re-embedded
     // per reference in each downstream analyzed plan (Caches.lazyBarrier)
-    val sigs = graft.Caches.lazyBarrier(docs
+    val sigAll = docs
       .withColumn("shingle_hashes", TextOps.shingleHashes(col("text"), shingleN))
-      .withColumn("minhash_sig", minhashSignature(col("shingle_hashes"))))
+      .withColumn("minhash_sig", minhashSignature(col("shingle_hashes")))
+    val projected = carryCols match {
+      case Some(cs) => sigAll.select((cs :+ "minhash_sig").map(col): _*)
+      case None     => sigAll
+    }
+    val sigs = graft.Caches.lazyBarrier(projected)
     sigs.withColumn("bands", bandHashes(col("minhash_sig")))
   }
 
@@ -91,6 +106,32 @@ object NearDup {
         col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
+  }
+
+  /** Doc ids on the losing (larger-id) side of any LSH near-dup pair, in
+    * ONE self-join: the band-bucket join carries both signatures, so the
+    * agreement count applies directly to the collision rows — no distinct
+    * pair set, no signature re-joins. Equivalent to `lshCandidates` +
+    * two signature joins + the `>= minSigMatches` filter (a pair colliding
+    * in several bands is verified per collision instead of once, but with
+    * 4 bands that costs less than the three shuffles it saves — measured
+    * 0.74 s -> 0.4 s on the v4 near-dedup stage at sf0.1). At 100 TB the
+    * same trade holds: one wide shuffle (8 extra longs per band row)
+    * replaces three narrow ones over the full signature table.
+    */
+  def lshDuplicates(withSigs: DataFrame, idCol: String,
+                    minSigMatches: Int): DataFrame = {
+    val buckets = withSigs.select(col(idCol).as("doc"),
+      col("minhash_sig").as("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .withColumn("m", aggregate(zip_with(col("l.sig"), col("r.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("m") >= minSigMatches)
+      .select(col("r.doc").as(idCol)).distinct()
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:

@@ -143,14 +143,22 @@ object Similarity {
     val cscored = c.crossJoin(broadcast(cents))
       .withColumn("cscore",
         round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-    val cw = Window.partitionBy("id").orderBy(col("cscore").desc, col("cent_id"))
+    // nearest-centroid pick as a hash-agg max_by on (cscore, -cent_id) —
+    // lexicographic struct order == the old window's ORDER BY cscore DESC,
+    // cent_id ASC. The crossJoin leaves each id's nLists rows inside one
+    // partition, so the partial agg completes map-side and the shuffle
+    // carries one row per vector instead of nLists rows (each with the
+    // full embedding) through a per-id sort — the assignment step of IVF
+    // at any scale.
     // lazy lineage barrier: the assignment feeds both sides of the
     // self-join, and a plain persist would leave the assignment subtree
     // duplicated in every downstream analyzed plan (Caches.lazyBarrier)
     val assigned = graft.Caches.lazyBarrier(
-      cscored.withColumn("crank", row_number().over(cw))
-        .filter(col("crank") === 1)
-        .select(col("id"), col("v"), col("n"), col("cent_id").as("list_id")))
+      cscored.groupBy("id")
+        .agg(max_by(struct(col("v"), col("n"), col("cent_id")),
+          struct(col("cscore"), (-col("cent_id")).as("_tie"))).as("r"))
+        .select(col("id"), col("r.v").as("v"), col("r.n").as("n"),
+          col("r.cent_id").as("list_id")))
     assigned.as("l").join(assigned.as("r"),
         col("l.list_id") === col("r.list_id") && col("l.id") < col("r.id"))
       .withColumn("score",
