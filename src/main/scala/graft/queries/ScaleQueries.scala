@@ -567,11 +567,15 @@ object ScaleQueries {
         graft.functions.Hashing.register(s)
         val d = docs(s, dir)
         val q = d.filter(TextOps.qualityScore(col("text")) >= 0.55)
+        // exact dedup as a hash-agg (min_by) — keep-smallest-id per
+        // digest, duplicates collapse map-side (see corpus_prepare_v4)
         val ded = q
           .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
-          .filter(col("rn") === 1)
+          .groupBy("digest")
+          .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+            col("r.text").as("text"))
         val sel = ded
           .withColumn("toks", TextOps.bpeishTokenCount(col("text")))
           .withColumn("prio", Sampling.sampleBucket(col("doc_id"), "prep1"))
@@ -631,11 +635,14 @@ object ScaleQueries {
         val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+        // exact dedup as a hash-agg (min_by), not a sort-window: same
+        // keep-smallest-id result (doc_id unique), duplicates collapse
+        // map-side before the shuffle (see corpus_prepare_v4)
         val ded = gated
           .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
-          .filter(col("rn") === 1)
+          .groupBy("digest")
+          .agg(min_by(struct(col("doc_id"), col("source")), col("doc_id")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"))
         val capped = Sampling.capPerGroup(ded, "doc_id", "source", cap = 18,
           salt = "prep2")
         Sampling.assignSplits(capped, "doc_id",
@@ -703,21 +710,19 @@ object ScaleQueries {
         val scored = graft.Caches.lazyBarrier(
           norm.withColumn("quality", TextOps.qualityScore(col("text"))))
         val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
-        val ded = gated
+        // exact dedup as a hash-agg + barrier, LSH verify fused into the
+        // band-bucket self-join with a narrowed signature barrier — the
+        // same restructure as corpus_prepare_v4 (identical results)
+        val ded = graft.Caches.lazyBarrier(gated
           .withColumn("digest", sha2(encode(col("text"), "UTF-8"), 256))
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
-          .filter(col("rn") === 1)
-          .select("doc_id", "source", "text")
-        val sigs = NearDup.withSignatures(ded)
-        val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
-        val dropped = NearDup.lshCandidates(sigs, "doc_id")
-          .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
-          .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
-          .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
-          .filter(col("m") >= 6)
-          .select(col("doc_b").as("doc_id")).distinct()
+          .groupBy("digest")
+          .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+            col("r.text").as("text")))
+        val sigs = NearDup.withSignatures(ded, shingleN = 3,
+          carryCols = Some(Seq("doc_id")))
+        val dropped = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches = 6)
         val near = ded.join(dropped, Seq("doc_id"), "left_anti")
           .select("doc_id", "source")
         val capped = Sampling.capPerGroup(near, "doc_id", "source", cap = 18,

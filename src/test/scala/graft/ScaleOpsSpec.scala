@@ -146,6 +146,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fused lshDuplicates equals the candidates + signature-verify composition") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, when, lit}
+    // real corpus slice with injected near-dups: same fixture recipe the
+    // capstones use
+    val d = graft.sources.Tables.documents(spark, sf()).select("doc_id", "text", "source")
+    val withDups = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat_ws(" ", col("text"), lit("trailing mutant token"))))
+    val sigs = NearDup.withSignatures(withDups)
+    val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
+    val legacy = NearDup.lshCandidates(sigs, "doc_id")
+      .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
+      .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
+      .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("m") >= 6)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val fused = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches = 6)
+    assert(legacy.exceptAll(fused).isEmpty && fused.exceptAll(legacy).isEmpty)
+    assert(fused.count() > 0, "fixture must actually produce near-dups")
+  }
+
   test("native graft_dot_f matches the HOF dot over the real embeddings") {
     graft.functions.Hashing.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf()).limit(100)
