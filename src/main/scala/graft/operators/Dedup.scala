@@ -22,15 +22,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** D1 batch form: keep the first row per `keyCols` ordered by `orderCols`.
-    * Implemented as a window rank rather than `dropDuplicates` so the
-    * kept-row choice is deterministic (dropDuplicates keeps an arbitrary
-    * row, which would break oracle hashing).
+    * Implemented as a min_by hash-aggregate rather than `dropDuplicates`
+    * (which keeps an arbitrary row — breaks oracle hashing) or a window
+    * rank (which shuffles every duplicate and sorts per key): the struct
+    * comparison is lexicographic over `orderCols`, duplicates collapse in
+    * the map-side partial aggregate, and only one survivor per key crosses
+    * the wire — the keep-first shape that holds at any duplicate ratio.
+    * Deterministic for the same reason the window form was: the caller
+    * supplies a total order.
     */
   def keepFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val all = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(all.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__r"))
+      .select(all.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** D3: idempotency scope is (consumer, event_id) — the reference namespaces

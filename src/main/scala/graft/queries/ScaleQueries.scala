@@ -1135,6 +1135,22 @@ object ScaleQueries {
            |WHERE quality >= t ORDER BY doc_id""".stripMargin),
       doc = "Percentile-gated quality filter: keep the top 70% by score"),
 
+    // The 100 TB form of the same gate: approx_percentile's mergeable
+    // quantile sketch replaces the single-reducer exact sort. Rows-only
+    // because a sketch threshold is not DuckDB-reproducible; the
+    // agreement bound vs the exact gate is spec-pinned (ScaleOpsSpec).
+    "txt_quality_gate_approx" -> QueryDef(
+      build = (s, dir) => {
+        val scored = graft.Caches.persist(docs(s, dir).select(col("doc_id"),
+          col("source"), TextOps.qualityScore(col("text")).as("quality")))
+        TextOps.keepAbovePercentileApprox(scored, "quality", dropFrac = 0.3)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), round(avg("quality"), 6).as("avg_q"))
+          .orderBy("source")
+      },
+      oracle = None,
+      doc = "ROWS-ONLY sketch arm: approx-percentile quality gate (mergeable threshold; exact-agreement floor in ScaleOpsSpec)"),
+
     "txt_fingerprint" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)

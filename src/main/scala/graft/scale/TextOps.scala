@@ -235,6 +235,24 @@ object TextOps {
     df.crossJoin(broadcast(thr)).filter(col(scoreCol) >= col("_thr")).drop("_thr")
   }
 
+  /** [[keepAbovePercentile]] with a mergeable approximate threshold — the
+    * 100 TB form. Exact `percentile` is a sort-based aggregate that must
+    * hold EVERY score on one reducer; `approx_percentile` is a
+    * bounded-memory quantile sketch whose partials merge, so the
+    * threshold pass scales like any other aggregation. The kept set is
+    * within the sketch's rank-error band of the exact gate (spec-pinned
+    * at `accuracy` = 1/eps); not oracle-hashable by design — the oracle
+    * path keeps the exact form, production corpora use this one.
+    */
+  def keepAbovePercentileApprox(df: org.apache.spark.sql.DataFrame,
+                                scoreCol: String, dropFrac: Double,
+                                accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(dropFrac > 0 && dropFrac < 1, "dropFrac must be in (0, 1)")
+    val thr = df.agg(
+      expr(s"approx_percentile($scoreCol, $dropFrac, $accuracy)").as("_thr"))
+    df.crossJoin(broadcast(thr)).filter(col(scoreCol) >= col("_thr")).drop("_thr")
+  }
+
   /** BPE-ish token count: word pieces of <=4 chars via regex matching —
     * a deterministic proxy for subword token counts.
     */

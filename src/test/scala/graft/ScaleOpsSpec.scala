@@ -169,6 +169,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fused.count() > 0, "fixture must actually produce near-dups")
   }
 
+  test("approx percentile gate agrees with the exact gate within the sketch band") {
+    import graft.scale.TextOps
+    val scored = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    val exact = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+      .select("doc_id")
+    val approx = TextOps.keepAbovePercentileApprox(scored, "quality", dropFrac = 0.3)
+      .select("doc_id")
+    val n = scored.count().toDouble
+    val disagree = exact.exceptAll(approx).count() + approx.exceptAll(exact).count()
+    // accuracy=10000 -> rank error <= 1e-4; allow score-tie slack on top
+    assert(disagree / n <= 0.02, s"gates disagree on $disagree of $n docs")
+    // partition layout must not change the approx draw materially either
+    val repart = TextOps.keepAbovePercentileApprox(
+      scored.repartition(13), "quality", dropFrac = 0.3).select("doc_id")
+    val drift = approx.exceptAll(repart).count() + repart.exceptAll(approx).count()
+    assert(drift / n <= 0.02, s"approx gate drifted $drift of $n under repartition")
+  }
+
   test("native graft_dot_f matches the HOF dot over the real embeddings") {
     graft.functions.Hashing.register(spark)
     val e = graft.sources.Tables.embeddings(spark, sf()).limit(100)
