@@ -92,10 +92,22 @@ object Contamination {
     * hashes, so the per-doc counts match the explode+groupBy path.
     */
   def overlapSetProbe(train: DataFrame, eval: DataFrame, idCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    scoreAgainstSet(gramSet(train, shingleN), eval, idCol, shingleN, threshold)
+
+  /** The bounded suite's distinct n-gram hash set, collected — build ONCE
+    * and reuse across probes (the streaming gate holds it for the life of
+    * the query; rebuilding per micro-batch would re-scan the suite).
+    */
+  def gramSet(train: DataFrame, shingleN: Int = 3): Set[Long] =
+    ngramIndex(train, shingleN).collect().map(_.getLong(0)).toSet
+
+  /** Map-side overlap scoring against a pre-collected suite gram set —
+    * the probe half of [[overlapSetProbe]], reusable per micro-batch.
+    */
+  def scoreAgainstSet(suite: Set[Long], eval: DataFrame, idCol: String,
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sc = train.sparkSession.sparkContext
-    val idx = ngramIndex(train, shingleN).collect().map(_.getLong(0)).toSet
-    val bc = sc.broadcast(idx)
+    val bc = eval.sparkSession.sparkContext.broadcast(suite)
     val counts = udf((hs: Seq[Long]) =>
       (hs.size.toLong, hs.count(bc.value.contains).toLong))
     eval.select(col(idCol).as("doc_id"),

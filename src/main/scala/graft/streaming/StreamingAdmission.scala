@@ -23,24 +23,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingAdmission {
 
+  /** Optional decontamination gate for the admission stream: docs whose
+    * `shingleN`-gram overlap vs the (bounded, pre-collected) benchmark
+    * suite reaches `threshold` are leaked eval content and are dropped
+    * BEFORE dedup/admission — the streaming form of the v4 capstone's
+    * gate. Build once via [[forSuite]] and share across every micro-batch;
+    * the probe is one map-side pass per batch
+    * (`Contamination.scoreAgainstSet`), no per-batch suite re-scan.
+    */
+  final case class DecontaminationGate(suite: Set[Long], shingleN: Int = 5,
+                                       threshold: Double = 0.5)
+      extends Serializable
+  object DecontaminationGate {
+    def forSuite(bench: DataFrame, shingleN: Int = 5,
+                 threshold: Double = 0.5): DecontaminationGate =
+      DecontaminationGate(
+        graft.scale.Contamination.gramSet(bench, shingleN), shingleN, threshold)
+  }
+
   /** Admit one (batch, id) pair — also directly usable for backfill. */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                 admittedDir: String, minSigMatches: Int = 6): Unit = {
+                 admittedDir: String, minSigMatches: Int = 6,
+                 gate: Option[DecontaminationGate] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val sigs = NearDup.withSignatures(batch)
+
+    // (0) decontamination gate, when configured: contaminated docs never
+    // reach dedup, the index, or the corpus
+    val cleanBatch = gate.fold(batch) { g =>
+      val contaminated = graft.scale.Contamination
+        .scoreAgainstSet(g.suite, batch, "doc_id", g.shingleN, g.threshold)
+        .filter(col("contaminated")).select("doc_id")
+      batch.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    if (cleanBatch.isEmpty) return
+    val sigs = NearDup.withSignatures(cleanBatch)
 
     // (1) intra-batch near-dups: of any agreeing pair, the smaller id wins
-    val cands = NearDup.lshCandidates(sigs, "doc_id")
-    val sigOf = sigs.select(col("doc_id"), col("minhash_sig"))
-    val intraDropped = cands
-      .join(sigOf.select(col("doc_id").as("doc_a"), col("minhash_sig").as("sig_a")), "doc_a")
-      .join(sigOf.select(col("doc_id").as("doc_b"), col("minhash_sig").as("sig_b")), "doc_b")
-      .withColumn("m", aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
-      .filter(col("m") >= minSigMatches)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val intraSurvivors = batch.join(intraDropped, Seq("doc_id"), "left_anti")
+    // (fused band-bucket verify — NearDup.lshDuplicates, equivalence
+    // spec-pinned against the candidates + signature-join composition)
+    val intraDropped = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches)
+    val intraSurvivors = cleanBatch.join(intraDropped, Seq("doc_id"), "left_anti")
 
     // (2) cross-shard admission against the persisted index AS OF before
     // this batch: a replayed micro-batch filters out its own (and any
@@ -73,11 +96,12 @@ object StreamingAdmission {
 
   /** Start the continuous admission stream over a `(doc_id, text)` source. */
   def start(docs: DataFrame, indexDir: String, admittedDir: String,
-            checkpoint: String, minSigMatches: Int = 6): StreamingQuery =
+            checkpoint: String, minSigMatches: Int = 6,
+            gate: Option[DecontaminationGate] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, minSigMatches)
+        admitBatch(batch, id, indexDir, admittedDir, minSigMatches, gate)
       }
       .start()
 }

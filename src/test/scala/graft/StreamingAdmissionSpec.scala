@@ -53,4 +53,33 @@ class StreamingAdmissionSpec extends SparkSpec {
     assert(spark.read.parquet(admittedDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() == 1)
   }
+
+  test("decontamination gate drops leaked eval content before dedup and the index") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("gate-index")
+    val admittedDir = tmp("gate-out")
+
+    val leaked = "held out benchmark question about the capital of france and its rivers"
+    val bench = Seq(Doc(900L, leaked)).toDF()
+    val gate = StreamingAdmission.DecontaminationGate.forSuite(bench)
+
+    val input = MemoryStream[Doc]
+    val q = StreamingAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("gate-ckpt"), gate = Some(gate))
+    try {
+      input.addData(
+        Doc(1L, leaked), // verbatim suite doc: contaminated, dropped
+        Doc(2L, "entirely novel sentence about glaciers carving fjords in ancient valleys"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L), s"expected only the clean doc, got $admitted")
+    // the contaminated doc must not have seeded the signature index either
+    val indexed = spark.read.parquet(indexDir)
+      .select("doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(2L), s"index must not contain dropped docs, got $indexed")
+  }
 }
