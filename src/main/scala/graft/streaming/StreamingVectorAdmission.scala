@@ -24,6 +24,45 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingVectorAdmission {
 
+  /** Embedding-space decontamination gate — the vector twin of
+    * [[StreamingAdmission.DecontaminationGate]]: an incoming vector whose
+    * cosine vs ANY held-out suite embedding reaches `threshold` is
+    * semantically leaked eval content and is dropped before dedup and the
+    * index. The suite is bounded at any corpus scale, so it collects once
+    * per query ([[SemanticGate.forSuite]]) and broadcasts; each
+    * micro-batch pays one map-side pass of O(|suite| x dim) per vector —
+    * band the suite first if an eval set ever outgrows that.
+    */
+  final case class SemanticGate(suite: Array[(Seq[Float], Double)],
+                                threshold: Double = 0.95) extends Serializable {
+    def contaminated(v: Seq[Float]): Boolean = {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
+      nv = math.sqrt(nv)
+      nv > 0 && suite.exists { case (s, ns) =>
+        if (ns == 0) false
+        else {
+          var dot = 0.0
+          var j = 0
+          val m = math.min(s.length, v.length)
+          while (j < m) { dot += s(j).toDouble * v(j).toDouble; j += 1 }
+          dot / (nv * ns) >= threshold
+        }
+      }
+    }
+  }
+  object SemanticGate {
+    def forSuite(bench: DataFrame, vecCol: String = "embedding",
+                 threshold: Double = 0.95): SemanticGate = {
+      val rows = bench.select(col(vecCol)).collect().map { r =>
+        val v = r.getSeq[Float](0)
+        (v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      }
+      SemanticGate(rows, threshold)
+    }
+  }
+
   private def withBands(df: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
     graft.Caches.persist(df
       .select(col("vec_id").as("id"), col("embedding").as("v"),
@@ -37,11 +76,20 @@ object StreamingVectorAdmission {
   /** Admit one (batch, id) pair — also directly usable for backfill. */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, threshold: Double = 0.92,
-                 bands: Int = 4, bitsPerBand: Int = 4): Unit = {
+                 bands: Int = 4, bitsPerBand: Int = 4,
+                 gate: Option[SemanticGate] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     graft.functions.Hashing.register(spark)
-    val b = withBands(batch, bands, bitsPerBand)
+    // (0) semantic decontamination, when configured: leaked-eval vectors
+    // never reach dedup, the index, or the corpus
+    val screened = gate.fold(batch) { g =>
+      val bc = spark.sparkContext.broadcast(g)
+      val isLeak = udf((v: Seq[Float]) => bc.value.contaminated(v))
+      batch.filter(!isLeak(col("embedding")))
+    }
+    if (screened.isEmpty) return
+    val b = withBands(screened, bands, bitsPerBand)
     val bx = buckets(b)
 
     // (1) intra-batch: any-band collision -> exact cosine -> larger id dies
@@ -88,11 +136,13 @@ object StreamingVectorAdmission {
     */
   def start(vectors: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, threshold: Double = 0.92,
-            bands: Int = 4, bitsPerBand: Int = 4): StreamingQuery =
+            bands: Int = 4, bitsPerBand: Int = 4,
+            gate: Option[SemanticGate] = None): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, threshold, bands, bitsPerBand)
+        admitBatch(batch, id, indexDir, admittedDir, threshold, bands,
+          bitsPerBand, gate)
       }
       .start()
 }

@@ -70,4 +70,35 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
     assert(idx.select("id").distinct().count() == admitted.size.toLong)
     assert(idx.groupBy("id").count().select(max("count")).head().getLong(0) == 4L)
   }
+
+  test("semantic gate drops vectors near the held-out suite before dedup and the index") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("vgate-index")
+    val admittedDir = tmp("vgate-out")
+
+    val evalVec = base(42); val fresh = base(7)
+    val bench = Seq(Vec(900L, evalVec)).toDF()
+    val gate = StreamingVectorAdmission.SemanticGate.forSuite(bench)
+    assert(gate.contaminated(perturb(evalVec).toSeq))
+    assert(!gate.contaminated(fresh.toSeq))
+
+    val input = MemoryStream[Vec]
+    val q = StreamingVectorAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("vgate-ckpt"),
+      threshold = 0.95, gate = Some(gate))
+    try {
+      input.addData(
+        Vec(1L, perturb(evalVec)), // semantically the eval vector: dropped
+        Vec(2L, fresh))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(2L), s"expected only the clean vector, got $admitted")
+    val indexed = spark.read.parquet(indexDir)
+      .select("id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(2L), s"index must not contain gated vectors, got $indexed")
+  }
 }
