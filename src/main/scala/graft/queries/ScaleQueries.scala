@@ -1784,6 +1784,78 @@ object ScaleQueries {
            |ORDER BY doc_id""".stripMargin),
       doc = "Near-dup pair graph resolved to connected components (canonical keep/drop)"),
 
+    // Cluster-aware holdout split: the per-doc hash split can leak — a
+    // doc and its near-duplicate hash to independent buckets, so
+    // ~frac_train x frac_test of near-dup PAIRS straddle train/test and
+    // test content effectively appears in training. Resolve the pair
+    // graph to components first and draw every member's split from the
+    // cluster representative: no near-dup pair can cross a split by
+    // construction (spec-asserted; the oracle replays clusters + split
+    // assignment in one SQL).
+    "sample_splits_clustered" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val corpus = d.select("doc_id", "text", "source")
+          .unionByName(d.filter(col("doc_id") % 20 === 0).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+            col("source")))
+          .unionByName(d.filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"),
+              lit(" near duplicate suffix marker second mutation tail")).as("text"),
+            col("source")))
+        val pairs = NearDup.jaccardPairs(corpus, "doc_id", "source",
+          shingleN = 3, threshold = 0.2)
+        val clusters = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc"), col("cluster_id").as("rep"))
+        Sampling.assignSplitsByCluster(corpus.select("doc_id"), "doc_id",
+            clusters, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "csplit")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+          .orderBy("split")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE clusterdocs AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000, text || ' near duplicate suffix marker', source
+           |  FROM documents WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 400000,
+           |    text || ' near duplicate suffix marker second mutation tail', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM clusterdocs),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.2
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.2),
+           |reach(n, r) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+           |cc AS (SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n),
+           |keyed AS (
+           |  SELECT cd.doc_id, COALESCE(cc.rep, cd.doc_id) AS split_key
+           |  FROM clusterdocs cd LEFT JOIN cc ON cd.doc_id = cc.doc_id),
+           |assigned AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ${sqlBucket("CAST(split_key AS VARCHAR)", "csplit")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(split_key AS VARCHAR)", "csplit")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM keyed)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+           |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
+      doc = "Cluster-aware holdout: splits drawn from the near-dup cluster representative, so no near-dup pair straddles train/test"),
+
     // Incremental admission — the shape a 100 TB training pipeline actually
     // runs: the corpus exists only as its persisted signature index
     // (fixed-width rows, no text), and each incoming shard signatures

@@ -179,6 +179,27 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** [[assignSplits]] keyed by near-dup CLUSTER, not document: every
+    * member of a cluster draws its split from the cluster
+    * representative's bucket, so a near-dup pair can never straddle
+    * train/test — the leakage the per-doc form cannot see (a doc and its
+    * near-duplicate hash to independent buckets; ~frac_a x frac_b of
+    * pairs would cross splits and leak test content into training).
+    * `clusters` = (doc, rep) from
+    * [[graft.scale.Clusters.connectedComponents]] (its `node`/
+    * `cluster_id` columns, renamed by the caller); docs in no cluster are
+    * their own representative. One broadcast-size join (clusters table ~
+    * the duplicate docs only) + the same zero-shuffle hash chain.
+    */
+  def assignSplitsByCluster(df: DataFrame, keyCol: String, clusters: DataFrame,
+                            splits: Seq[(String, Double)], salt: String): DataFrame = {
+    val rep = clusters.select(col("doc").as(keyCol), col("rep").as("_rep"))
+    val withRep = df.join(rep, Seq(keyCol), "left")
+      .withColumn("_split_key", coalesce(col("_rep"), col(keyCol)))
+      .drop("_rep")
+    assignSplits(withRep, "_split_key", splits, salt).drop("_split_key")
+  }
+
   /** Weighted corpus mixture: each part is hash-sampled at its rate under
     * a part-specific salt and tagged `mix_source`. One scan per part, no
     * shuffle — the mixture is a pure filter + union.

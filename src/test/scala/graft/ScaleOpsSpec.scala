@@ -169,6 +169,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fused.count() > 0, "fixture must actually produce near-dups")
   }
 
+  test("cluster-aware splits: no near-dup pair straddles a split; per-doc splits do leak") {
+    import graft.scale.{Clusters, Sampling}
+    val d = graft.sources.Tables.documents(spark, sf())
+    val corpus = d.select("doc_id", "text", "source")
+      .unionByName(d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+        col("source")))
+    val pairs = NearDup.jaccardPairs(corpus, "doc_id", "source",
+      shingleN = 3, threshold = 0.2)
+    val clusters = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc"), col("cluster_id").as("rep"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val clustered = Sampling.assignSplitsByCluster(
+      corpus.select("doc_id"), "doc_id", clusters, splits, "csplit-spec")
+    // every pair must land in ONE split under the clustered assignment
+    val straddling = pairs
+      .join(clustered.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(clustered.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L, s"$straddling near-dup pairs straddle splits")
+    // all docs assigned, none duplicated
+    assert(clustered.count() == corpus.count())
+    // control: the per-doc split DOES leak on this fixture — the defect
+    // this operator exists to close
+    val perDoc = Sampling.assignSplits(
+      corpus.select("doc_id"), "doc_id", splits, "csplit-spec")
+    val leaked = pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked > 0L, "fixture must demonstrate the per-doc leakage")
+  }
+
   test("approx percentile gate agrees with the exact gate within the sketch band") {
     import graft.scale.TextOps
     val scored = graft.sources.Tables.documents(spark, sf())
