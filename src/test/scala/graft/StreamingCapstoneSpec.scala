@@ -62,9 +62,16 @@ class StreamingCapstoneSpec extends SparkSpec {
   private val b2 = Seq(
     ev(2, 10, 102L, B), ev(7, 11, 105L, A + " today"),
     ev(8, 12, 106L, D), ev(9, 13, 107L, E))
-  // batch 3: cross-batch near-dup of doc 106, two fresh docs
+  // held-out benchmark text: an event carrying it verbatim is valid and
+  // processes, but its document is leaked eval content — the
+  // decontamination gate must drop it before admission
+  private val H = "held out benchmark question about the capital of france and its rivers"
+
+  // batch 3: cross-batch near-dup of doc 106, two fresh docs, and the
+  // leaked benchmark doc
   private val b3 = Seq(
-    ev(11, 20, 108L, D + " today"), ev(12, 21, 109L, F), ev(13, 22, 110L, G))
+    ev(11, 20, 108L, D + " today"), ev(12, 21, 109L, F), ev(13, 22, 110L, G),
+    ev(14, 23, 111L, H))
 
   private val failed = col("event_type") === "error"
   private val cfg = ConsumePipeline.Config(dedupTtl = "2 hours")
@@ -74,6 +81,8 @@ class StreamingCapstoneSpec extends SparkSpec {
     val out = tmp("capstone-out")
     val indexDir = tmp("capstone-index")
     val admittedDir = tmp("capstone-admitted")
+    val gate = StreamingAdmission.DecontaminationGate.forSuite(
+      Seq((900L, H)).toDF("doc_id", "text"))
 
     // ---- the composed streaming pipeline ----
     val input = MemoryStream[DocEv]
@@ -87,7 +96,8 @@ class StreamingCapstoneSpec extends SparkSpec {
         routed.processed.write.mode("append").parquet(s"$out/processed")
         routed.dlq.write.mode("append").parquet(s"$out/dlq")
         StreamingAdmission.admitBatch(
-          routed.processed.select("doc_id", "text"), id, indexDir, admittedDir)
+          routed.processed.select("doc_id", "text"), id, indexDir, admittedDir,
+          gate = Some(gate))
         ()
       }
       .start()
@@ -119,15 +129,22 @@ class StreamingCapstoneSpec extends SparkSpec {
       val replayed = ConsumePipeline.route(
         Envelope.withEnvelope(b2.toDF()), cfg, failed).processed
       StreamingAdmission.admitBatch(
-        replayed.select("doc_id", "text"), b2BatchId, indexDir, admittedDir)
+        replayed.select("doc_id", "text"), b2BatchId, indexDir, admittedDir,
+        gate = Some(gate))
     } finally { q.stop(); stats.stop() }
 
     // ---- the batch dataflow over the union of all three batches ----
     val batchAll = Envelope.withEnvelope((b1 ++ b2 ++ b3).toDF())
     val batchRouted = ConsumePipeline.route(
       Dedup.keepFirst(batchAll, Seq("event_id"), Seq("ts")), cfg, failed)
+    // same decontamination gate as the stream: leaked docs out before dedup
+    val batchContaminated = graft.scale.Contamination.scoreAgainstSet(
+        gate.suite, batchRouted.processed.select("doc_id", "text"), "doc_id",
+        gate.shingleN, gate.threshold)
+      .filter(col("contaminated")).select("doc_id")
     val batchDocs = graft.Caches.persist(
-      batchRouted.processed.select("doc_id", "text"))
+      batchRouted.processed.select("doc_id", "text")
+        .join(batchContaminated, Seq("doc_id"), "left_anti"))
     // near-dup keep-smallest over the whole processed corpus (the fixture
     // has only pairs, so batch keep-smallest == sequential admission)
     val sigs = NearDup.withSignatures(batchDocs)
@@ -149,12 +166,14 @@ class StreamingCapstoneSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(processedIds == batchProcessedIds,
       s"processed branch diverged: stream=$processedIds batch=$batchProcessedIds")
-    assert(processedIds == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L, 11L, 12L, 13L))
+    assert(processedIds == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L, 11L, 12L, 13L, 14L))
 
     val admitted = spark.read.parquet(admittedDir)
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == batchAdmitted,
       s"admitted corpus diverged: stream=$admitted batch=$batchAdmitted")
+    // 111 (the leaked benchmark doc) processed as an EVENT but was gated
+    // out of the corpus on both paths
     assert(admitted == Set(101L, 102L, 104L, 106L, 107L, 109L, 110L))
     // replay idempotency: doc 106 admitted exactly once despite the rerun
     assert(spark.read.parquet(admittedDir)
