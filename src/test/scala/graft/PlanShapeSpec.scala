@@ -143,6 +143,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(3000))
   }
 
+  test("flipped-role set-probe decontamination is a pure map: zero exchanges") {
+    // the suite gram set collects at build; the corpus-side probe itself
+    // must plan as scan -> project -> filter with NO shuffle and NO join —
+    // the exact claim that lets the corpus never move at 100 TB
+    graft.functions.Hashing.register(spark)
+    val d = graft.sources.Tables.documents(spark, sf())
+    val bench = d.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+    val plan = graft.scale.Contamination
+      .overlapSetProbe(bench, d, "doc_id", shingleN = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe must not shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"probe must not join:\n${plan.take(3000)}")
+  }
+
+  test("keepFirst dedup aggregates map-side (partial min_by), no sort-window") {
+    val e = graft.sources.Tables.events(spark, sf())
+    val plan = graft.operators.Dedup
+      .keepFirst(e, Seq("event_id"), Seq("ts"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by") || plan.contains("partial_minby") ||
+      (plan.contains("HashAggregate") && plan.contains("min_by")),
+      s"expected a partial-aggregating min_by plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no window expected:\n${plan.take(3000)}")
+  }
+
   test("range sharding broadcasts only the boundary row; data side unshuffled") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
