@@ -336,6 +336,40 @@ object EventQueries {
         s"""$cte
            |SELECT topic, event_type, COUNT(*) AS n
            |FROM env GROUP BY topic, event_type ORDER BY topic, event_type""".stripMargin),
-      doc = "A4 eventsByType breakdown")
+      doc = "A4 eventsByType breakdown"),
+
+    // Ordered-sequence (funnel) conversion over the raw event stream:
+    // greedy earliest-occurrence per user (operators/Funnel — t_i = the
+    // earliest step-i event strictly after t_{i-1}; greedy is optimal for
+    // reachability). k-1 co-partitioned re-aggregations on the user key,
+    // no per-user event collection, no row explosion under repeats.
+    "funnel_conversion" -> QueryDef(
+      build = (s, dir) => Funnel.report(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      oracle = Some(
+        """WITH t1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |t2 AS (
+          |  SELECT t1.user_id, t1.t1, min(e.ts) AS t2
+          |  FROM t1 LEFT JOIN events e
+          |    ON e.user_id = t1.user_id AND e.event_type = 'click' AND e.ts > t1.t1
+          |  GROUP BY t1.user_id, t1.t1),
+          |t3 AS (
+          |  SELECT t2.user_id, t2.t2, min(e.ts) AS t3
+          |  FROM t2 LEFT JOIN events e
+          |    ON e.user_id = t2.user_id AND e.event_type = 'purchase' AND e.ts > t2.t2
+          |  GROUP BY t2.user_id, t2.t2)
+          |SELECT step, n_users, sum_uids FROM (
+          |  SELECT '01_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users,
+          |    CAST(SUM(user_id) AS BIGINT) AS sum_uids FROM t1
+          |  UNION ALL
+          |  SELECT '02_click', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(user_id) AS BIGINT) FROM t2 WHERE t2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT '03_purchase', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(user_id) AS BIGINT) FROM t3 WHERE t3 IS NOT NULL)
+          |ORDER BY step""".stripMargin),
+      doc = "Greedy earliest-occurrence funnel: view -> click -> purchase conversion depths")
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+
+/** Greedy earliest-occurrence funnel semantics on a constructed stream:
+  * order violations break the funnel, repeats don't explode rows, and the
+  * earliest step-1 pick (not any later repeat) is what downstream steps
+  * measure against.
+  */
+class FunnelSpec extends SparkSpec {
+
+  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("funnel depths: completion, order violation, greedy earliest start") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // user 2: click BEFORE the first view — funnel stops after view
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      // user 3: purchase before the click — stops after click
+      (3L, "view", t(1)), (3L, "purchase", t(2)), (3L, "click", t(3)),
+      // user 4: repeated views; greedy must anchor on the EARLIEST view
+      // or the click at t(3) (< the later view t(5)) would be missed
+      (4L, "view", t(5)), (4L, "view", t(1)), (4L, "click", t(3)),
+      // user 5: never views — not in the funnel at all
+      (5L, "purchase", t(1)))
+      .toDF("user_id", "event_type", "ts")
+
+    val times = Funnel.funnelTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))))
+      .toMap
+    assert(times.keySet == Set(1L, 2L, 3L, 4L))
+    assert(times(1L) == ((t(1), t(2), t(3))))
+    assert(times(2L) == ((t(2), null, null))) // their only click precedes the view
+    assert(times(3L) == ((t(1), t(3), null)))
+    assert(times(4L) == ((t(1), t(3), null)))
+
+    val report = Funnel.report(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("01_view" -> 4L, "02_click" -> 3L, "03_purchase" -> 1L))
+  }
+}
