@@ -370,6 +370,24 @@ object EventQueries {
           |  SELECT '03_purchase', CAST(COUNT(*) AS BIGINT),
           |    CAST(SUM(user_id) AS BIGINT) FROM t3 WHERE t3 IS NOT NULL)
           |ORDER BY step""".stripMargin),
-      doc = "Greedy earliest-occurrence funnel: view -> click -> purchase conversion depths")
+      doc = "Greedy earliest-occurrence funnel: view -> click -> purchase conversion depths"),
+
+    // Cohorted retention: distinct-collapse (user, day) activity first,
+    // derive each user's cohort day, then one co-partitioned join +
+    // aggregation — output bounded by days x days (operators/Retention).
+    "retention_cohorts" -> QueryDef(
+      build = (s, dir) => Retention.dailyCohorts(
+        Tables.events(s, dir), "user_id", "ts"),
+      oracle = Some(
+        """WITH activity AS (
+          |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+          |cohorts AS (SELECT u, min(d) AS cohort_day FROM activity GROUP BY u)
+          |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+          |  (a.d - c.cohort_day) AS offset_days,
+          |  CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_active
+          |FROM activity a JOIN cohorts c ON a.u = c.u
+          |GROUP BY c.cohort_day, a.d - c.cohort_day
+          |ORDER BY cohort_day, offset_days""".stripMargin),
+      doc = "Daily retention cohorts: first-activity day x day-offset active-user grid")
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.Funnel
+import graft.operators.{Funnel, Retention}
 import org.apache.spark.sql.functions._
 
 /** Greedy earliest-occurrence funnel semantics on a constructed stream:
@@ -44,5 +44,29 @@ class FunnelSpec extends SparkSpec {
       Seq("view", "click", "purchase")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report == Map("01_view" -> 4L, "02_click" -> 3L, "03_purchase" -> 1L))
+  }
+
+  test("retention cohorts: first-day anchoring, distinct daily activity, offset grid") {
+    import spark.implicits._
+    def d(day: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1: cohort day 1, returns day 2 and day 4 (two events on day 2
+      // count once)
+      (1L, d(1)), (1L, d(2, 9)), (1L, d(2, 18)), (1L, d(4)),
+      // user 2: cohort day 1, never returns
+      (2L, d(1)),
+      // user 3: cohort day 2, returns day 4
+      (3L, d(2)), (3L, d(4)))
+      .toDF("user_id", "ts").withColumn("event_type", lit("click"))
+
+    val grid = Retention.dailyCohorts(events, "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(grid == Map(
+      ("2024-01-01", 0) -> 2L, // users 1, 2
+      ("2024-01-01", 1) -> 1L, // user 1 on day 2
+      ("2024-01-01", 3) -> 1L, // user 1 on day 4
+      ("2024-01-02", 0) -> 1L, // user 3
+      ("2024-01-02", 2) -> 1L  // user 3 on day 4
+    ))
   }
 }
