@@ -98,9 +98,13 @@ object Contamination {
   /** The bounded suite's distinct n-gram hash set, collected — build ONCE
     * and reuse across probes (the streaming gate holds it for the life of
     * the query; rebuilding per micro-batch would re-scan the suite).
+    * Collects the per-doc hash arrays and dedups on the driver: for a
+    * bounded suite the explode + distinct SHUFFLE the [[ngramIndex]] path
+    * pays is pure overhead — one map-only job, driver-side set union.
     */
   def gramSet(train: DataFrame, shingleN: Int = 3): Set[Long] =
-    ngramIndex(train, shingleN).collect().map(_.getLong(0)).toSet
+    train.select(TextOps.shingleHashes(col("text"), shingleN).as("hs"))
+      .collect().iterator.flatMap(_.getSeq[Long](0)).toSet
 
   /** Map-side overlap scoring against a pre-collected suite gram set —
     * the probe half of [[overlapSetProbe]], reusable per micro-batch.
