@@ -388,6 +388,36 @@ object EventQueries {
           |FROM activity a JOIN cohorts c ON a.u = c.u
           |GROUP BY c.cohort_day, a.d - c.cohort_day
           |ORDER BY cohort_day, offset_days""".stripMargin),
-      doc = "Daily retention cohorts: first-activity day x day-offset active-user grid")
+      doc = "Daily retention cohorts: first-activity day x day-offset active-user grid"),
+
+    // Row-level sessionization (operators/Sessionize): the per-event
+    // session label the session_window AGGREGATE (w_session_30m) can't
+    // give you; summarized per (user, session) so the oracle hashes the
+    // full labeling without shipping one row per event.
+    "sessionize_ids" -> QueryDef(
+      build = (s, dir) => Sessionize.withSessionIds(
+          Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy("user_id", "session_id"),
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM d)
+          |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          |FROM g GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin),
+      doc = "Gap-based row-level session labels (30 min), summarized per session")
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.{Funnel, Retention}
+import graft.operators.{Funnel, Retention, Sessionize}
 import org.apache.spark.sql.functions._
 
 /** Greedy earliest-occurrence funnel semantics on a constructed stream:
@@ -68,5 +68,30 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-02", 0) -> 1L, // user 3
       ("2024-01-02", 2) -> 1L  // user 3 on day 4
     ))
+  }
+
+  test("sessionize: gap boundary is inclusive-new, ties deterministic, per-user ordinals") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: events at 0s, 10min, exactly-30min-after-the-second (new
+      // session at >= gap), then 1min later (same session)
+      (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(40)), (1L, 4L, t(41)),
+      // user 2: single event; equal-ts pair for user 3 orders by event_id
+      (2L, 5L, t(0)), (3L, 7L, t(0)), (3L, 6L, t(0)))
+      .toDF("user_id", "event_id", "ts")
+    val labeled = Sessionize.withSessionIds(events, "user_id", "ts",
+      "event_id", gapSeconds = 1800L)
+    val byEvent = labeled.collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap // event_id -> session_id
+    assert(byEvent(1L) == 1L && byEvent(2L) == 1L,
+      "within-gap events share the session")
+    assert(byEvent(3L) == 2L, "a gap of exactly gapSeconds opens a new session")
+    assert(byEvent(4L) == 2L)
+    assert(byEvent(5L) == 1L)
+    assert(byEvent(6L) == 1L && byEvent(7L) == 1L,
+      "equal-ts events stay in one session regardless of tie order")
+    // session count agrees with the session_window aggregate semantics
+    val nSessions = labeled.select("user_id", "session_id").distinct().count()
+    assert(nSessions == 4L)
   }
 }
