@@ -418,6 +418,59 @@ object EventQueries {
           |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
           |FROM g GROUP BY user_id, session_id
           |ORDER BY user_id, session_id""".stripMargin),
-      doc = "Gap-based row-level session labels (30 min), summarized per session")
+      doc = "Gap-based row-level session labels (30 min), summarized per session"),
+
+    // Within-session funnel: Sessionize x Funnel composed — the funnel
+    // key is (user, session), so a view in one session and a click in the
+    // next do NOT convert. The composite key rides through Funnel as a
+    // single synthetic column (user_id * 10000 + session_id: session
+    // ordinals are gap-bounded far below 10000 per user at any horizon).
+    "funnel_in_session" -> QueryDef(
+      build = (s, dir) => {
+        val labeled = Sessionize.withSessionIds(
+          Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)
+          .withColumn("sess_key", col("user_id") * 10000L + col("session_id"))
+        Funnel.report(labeled, "sess_key", "event_type", "ts",
+            Seq("view", "click", "purchase"))
+          .withColumnRenamed("n_users", "n_sessions")
+          .withColumnRenamed("sum_uids", "sum_keys")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id * 10000 + SUM(new_s) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS sess_key,
+          |    event_type, ts
+          |  FROM d),
+          |t1 AS (SELECT sess_key, min(ts) AS t1 FROM g
+          |  WHERE event_type = 'view' GROUP BY sess_key),
+          |t2 AS (
+          |  SELECT t1.sess_key, t1.t1, min(e.ts) AS t2
+          |  FROM t1 LEFT JOIN g e
+          |    ON e.sess_key = t1.sess_key AND e.event_type = 'click' AND e.ts > t1.t1
+          |  GROUP BY t1.sess_key, t1.t1),
+          |t3 AS (
+          |  SELECT t2.sess_key, t2.t2, min(e.ts) AS t3
+          |  FROM t2 LEFT JOIN g e
+          |    ON e.sess_key = t2.sess_key AND e.event_type = 'purchase' AND e.ts > t2.t2
+          |  GROUP BY t2.sess_key, t2.t2)
+          |SELECT step, n_sessions, sum_keys FROM (
+          |  SELECT '01_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          |    CAST(SUM(sess_key) AS BIGINT) AS sum_keys FROM t1
+          |  UNION ALL
+          |  SELECT '02_click', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(sess_key) AS BIGINT) FROM t2 WHERE t2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT '03_purchase', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(sess_key) AS BIGINT) FROM t3 WHERE t3 IS NOT NULL)
+          |ORDER BY step""".stripMargin),
+      doc = "Within-session funnel: Sessionize x Funnel on the (user, session) key")
   )
 }

@@ -94,4 +94,26 @@ class FunnelSpec extends SparkSpec {
     val nSessions = labeled.select("user_id", "session_id").distinct().count()
     assert(nSessions == 4L)
   }
+
+  test("within-session funnel: a step crossing a session boundary does not convert") {
+    import spark.implicits._
+    // view at 10:00, click at 10:40 — beyond the 30 min gap, so the click
+    // opens session 2; the LIFETIME funnel converts, the session funnel
+    // must not
+    val events = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(40)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val lifetime = Funnel.funnelTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click")).collect()
+    assert(lifetime.length == 1 && !lifetime(0).isNullAt(2), "lifetime converts")
+    val labeled = Sessionize.withSessionIds(events, "user_id", "ts",
+        "event_id", gapSeconds = 1800L)
+      .withColumn("sess_key", col("user_id") * 10000L + col("session_id"))
+    val inSession = Funnel.funnelTimes(labeled, "sess_key", "event_type", "ts",
+      Seq("view", "click")).collect()
+    // only session 1 enters the funnel (session 2 has no view), and its
+    // click slot stays empty
+    assert(inSession.length == 1 && inSession(0).isNullAt(2),
+      "session funnel must not convert across the boundary")
+  }
 }
