@@ -95,6 +95,47 @@ class FunnelSpec extends SparkSpec {
     assert(nSessions == 4L)
   }
 
+  test("sessionize invariants on random streams: gaps, contiguity, boundaries") {
+    import spark.implicits._
+    // deterministic pseudo-random event times: 40 users x up to 30 events
+    // with gaps drawn around the session threshold so both cases are dense
+    val rnd = new scala.util.Random(4242L)
+    val gapS = 600L
+    val events = (1L to 40L).flatMap { u =>
+      var cur = 0L
+      val n = 1 + rnd.nextInt(30)
+      (1 to n).map { i =>
+        cur += (rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(300).toLong          // well inside the gap
+          case 1 => gapS + rnd.nextInt(300).toLong    // clearly beyond
+          case _ => gapS - 150 + rnd.nextInt(300).toLong // straddling
+        })
+        (u, u * 1000 + i, new Timestamp(1700000000000L + cur * 1000L))
+      }
+    }.toDF("user_id", "event_id", "ts")
+    val labeled = Sessionize.withSessionIds(events, "user_id", "ts",
+        "event_id", gapS).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+      .groupBy(_._1)
+    labeled.foreach { case (u, rows) =>
+      val byTs = rows.sortBy(r => (r._2.getTime, r._1)).toSeq
+      // labels are non-decreasing in time order, start at 1, step by <= 1
+      val ids = byTs.map(_._3)
+      assert(ids.head == 1L, s"user $u first label ${ids.head}")
+      ids.sliding(2).foreach { case Seq(a, b) =>
+        assert(b == a || b == a + 1, s"user $u labels jump $a -> $b")
+      case _ => }
+      // same session => gap < gapS; new session => gap >= gapS
+      byTs.sliding(2).foreach {
+        case Seq((_, t1, s1), (_, t2, s2)) =>
+          val gap = (t2.getTime - t1.getTime) / 1000L
+          if (s1 == s2) assert(gap < gapS, s"user $u in-session gap $gap")
+          else assert(gap >= gapS, s"user $u boundary gap $gap")
+        case _ =>
+      }
+    }
+  }
+
   test("within-session funnel: a step crossing a session boundary does not convert") {
     import spark.implicits._
     // view at 10:00, click at 10:40 — beyond the 30 min gap, so the click
