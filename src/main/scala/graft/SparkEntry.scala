@@ -21,7 +21,8 @@ object SparkEntry {
     MiscQueries.defs,
     CoverageQueries.defs,
     ScalarQueries.defs,
-    SubqueryQueries.defs))
+    SubqueryQueries.defs,
+    BehaviorQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

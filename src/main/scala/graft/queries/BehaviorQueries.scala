@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Behavior
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics queries over the event stream (operators/Behavior):
+  * transition matrix, session path mining, rate anomaly, RFM segmentation.
+  * Follows the EventQueries determinism conventions — decimal money sums,
+  * explicit tie-breaks, total ORDER BY, rounded ratio columns.
+  */
+object BehaviorQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Where do users go next: event-type Markov transition matrix.
+    "evt_transitions" -> QueryDef(
+      build = (s, dir) => Behavior.transitionMatrix(
+          Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy("prev_type", "next_type"),
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |  FROM events)
+          |SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+          |  ROUND(CAST(COUNT(*) AS DOUBLE)
+          |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+          |FROM seq WHERE prev_type IS NOT NULL
+          |GROUP BY prev_type, event_type
+          |ORDER BY prev_type, next_type""".stripMargin),
+      doc = "Markov transition matrix over consecutive per-user event types"),
+
+    // What whole sessions look like: top-20 session paths (1-day gap so the
+    // fixture's sparse per-user stream forms multi-event sessions).
+    "evt_session_paths" -> QueryDef(
+      build = (s, dir) => Behavior.sessionPaths(
+          Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
+          gapSeconds = 86400L, maxSteps = 5)
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20),
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              >= INTERVAL 1 DAY
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM d),
+          |r AS (
+          |  SELECT user_id, session_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id, session_id
+          |                       ORDER BY ts, event_id) AS rn
+          |  FROM g),
+          |paths AS (
+          |  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+          |SELECT path, COUNT(*) AS n_sessions
+          |FROM paths GROUP BY path
+          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+      doc = "Top-20 per-session event-type paths (first 5 steps, 1-day gap sessions)"),
+
+    // Daily per-type event-rate anomaly: z-score vs the trailing 7-day
+    // window (sum/sum-of-squares form — exact integer partials, so the
+    // double arithmetic is the identical expression tree in both engines).
+    "evt_rate_anomaly" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+        val zRaw = (col("n").cast("double") - col("s1").cast("double") / col("cnt")) /
+          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt"))
+            / (col("cnt") - 1))
+        daily
+          .withColumn("s1", sum("n").over(w))
+          .withColumn("s2", sum(col("n") * col("n")).over(w))
+          .withColumn("cnt", count("n").over(w))
+          .filter(col("cnt") >= 3)
+          .withColumn("var_ok",
+            col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt") > 0)
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n"),
+            when(col("var_ok"), round(zRaw, 4)).as("z"),
+            (col("var_ok") && abs(zRaw) > 2.0).as("anomaly"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |win AS (
+          |  SELECT event_type, d, n,
+          |    CAST(SUM(n) OVER w AS BIGINT) AS s1,
+          |    CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+          |    CAST(COUNT(n) OVER w AS BIGINT) AS cnt
+          |  FROM daily
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+          |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          |SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n,
+          |  CASE WHEN CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt > 0
+          |    THEN ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+          |      / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)), 4)
+          |  END AS z,
+          |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt > 0
+          |   AND abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+          |     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1))) > 2.0) AS anomaly
+          |FROM win WHERE cnt >= 3
+          |ORDER BY event_type, day""".stripMargin),
+      doc = "Daily event-rate z-score vs trailing 7-day window, anomaly flag at |z|>2"),
+
+    // Who is worth keeping: RFM quartile segmentation on purchase events.
+    "evt_rfm" -> QueryDef(
+      build = (s, dir) => Behavior.rfm(
+          Tables.events(s, dir), "user_id", "event_type", "ts", "value", "purchase")
+        .orderBy("user_id"),
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS frequency,
+          |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary,
+          |    CAST(max(ts) AS DATE) AS last_day
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |mx AS (SELECT CAST(max(ts) AS DATE) AS global_last FROM events)
+          |SELECT user_id,
+          |  CAST(date_diff('day', last_day, global_last) AS INT) AS recency_days,
+          |  frequency, monetary,
+          |  CAST(ntile(4) OVER (ORDER BY date_diff('day', last_day, global_last), user_id) AS INT) AS r_q,
+          |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+          |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+          |FROM p, mx ORDER BY user_id""".stripMargin),
+      doc = "RFM segmentation: per-user recency/frequency/monetary + exact quartiles"),
+
+    // DAU / trailing-28-day MAU stickiness. The MAU side avoids a range
+    // join (BNLJ at scale): each (user, day) activity row is exploded to
+    // the 28 days it contributes to — a bounded 28x expansion of the
+    // already-distinct-collapsed activity set, then one exact distinct
+    // aggregation shuffled on the day key.
+    "evt_stickiness" -> QueryDef(
+      build = (s, dir) => {
+        val activity = Tables.events(s, dir)
+          .select(col("user_id").as("u"), to_date(col("ts")).as("d")).distinct()
+        val dau = activity.groupBy(col("d").as("day"))
+          .agg(countDistinct("u").as("dau"))
+        val mau = activity
+          .select(col("u"), explode(sequence(col("d"), date_add(col("d"), 27))).as("day"))
+          .groupBy("day").agg(countDistinct("u").as("mau"))
+        dau.join(mau, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("mau"),
+            round(col("dau").cast("double") / col("mau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      oracle = Some(
+        """WITH activity AS (
+          |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+          |dau AS (SELECT d AS day, COUNT(DISTINCT u) AS dau FROM activity GROUP BY d),
+          |mau AS (
+          |  SELECT dau.day, COUNT(DISTINCT a.u) AS mau
+          |  FROM dau JOIN activity a ON a.d BETWEEN dau.day - 27 AND dau.day
+          |  GROUP BY dau.day)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
+          |  ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+          |FROM dau JOIN mau ON dau.day = mau.day
+          |ORDER BY day""".stripMargin),
+      doc = "DAU / trailing-28d MAU stickiness (shuffle-friendly explode, no range join)"),
+
+    // Cohort lifetime value: cumulative purchase revenue per first-activity
+    // cohort by day offset — the revenue complement of retention_cohorts.
+    // All money stays DECIMAL through the cumulative window; the cast to
+    // double happens on the exact running totals.
+    "evt_cohort_ltv" -> QueryDef(
+      build = (s, dir) => {
+        val events = Tables.events(s, dir)
+        val firstDay = events.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("cohort_day"))
+        val purch = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("v"))
+        val w = Window.partitionBy("cohort_day").orderBy("offset_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purch.join(firstDay, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("d"), col("cohort_day")).as("offset_days"))
+          .agg(sum("v").as("rev_dec"))
+          .withColumn("cum_dec", sum("rev_dec").over(w))
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            col("offset_days"),
+            col("rev_dec").cast("double").as("revenue"),
+            col("cum_dec").cast("double").as("cum_revenue"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      oracle = Some(
+        """WITH firstday AS (
+          |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          |  FROM events GROUP BY user_id),
+          |purch AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(value AS DECIMAL(12,2)) AS v
+          |  FROM events WHERE event_type = 'purchase'),
+          |per AS (
+          |  SELECT cohort_day, (d - cohort_day) AS offset_days, SUM(v) AS rev
+          |  FROM purch JOIN firstday USING (user_id)
+          |  GROUP BY cohort_day, d - cohort_day)
+          |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, offset_days,
+          |  CAST(rev AS DOUBLE) AS revenue,
+          |  CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY offset_days
+          |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+          |FROM per ORDER BY cohort_day, offset_days""".stripMargin),
+      doc = "Cohort LTV: cumulative purchase revenue per cohort x day offset")
+  )
+}

@@ -1289,6 +1289,39 @@ object ScaleQueries {
           |WHERE rank <= 50 ORDER BY rank""".stripMargin),
       doc = "Vocabulary heavy hitters: top-50 tokens by occurrence + doc frequency"),
 
+    // One BPE merge-candidate round at corpus scale: adjacent token-pair
+    // frequencies (the statistic each BPE iteration maximizes — Sennrich
+    // et al. 2016). The pair stream is built with zip_with over the
+    // existing tokenizer (no self-join, no window): a doc's pairs never
+    // leave its row until the final count shuffle on the pair key.
+    "txt_bpe_merges" -> QueryDef(
+      build = (s, dir) => {
+        val ts = TextOps.tokens(col("text"))
+        val pairs = docs(s, dir).select(explode(
+          zip_with(
+            slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("pair"))
+        pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(30)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("pair"))).cast("int"))
+          .select("rank", "pair", "n")
+          .orderBy("rank")
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT string_split(text, ' ') AS ts FROM documents),
+          |pairs AS (
+          |  SELECT ts[i] || ' ' || ts[i + 1] AS pair
+          |  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
+          |ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS INT) AS rank,
+          |    pair, COUNT(*) AS n
+          |  FROM pairs GROUP BY pair)
+          |SELECT rank, pair, n FROM ranked WHERE rank <= 30 ORDER BY rank""".stripMargin),
+      doc = "BPE merge candidates: top-30 adjacent token pairs (one merge round)"),
+
     // The sketch arm of the heavy-hitter story (scale/Sketches): count-min
     // estimates next to the exact counts for the top-20 tokens, realized
     // error surfaced as `within_bound`. Rows-only by declared discipline

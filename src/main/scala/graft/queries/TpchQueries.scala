@@ -125,6 +125,256 @@ object TpchQueries {
           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           |GROUP BY r_name, n_name
           |ORDER BY r_name, n_name""".stripMargin),
-      doc = "Q5 star join: broadcast dims, single fact shuffle")
+      doc = "Q5 star join: broadcast dims, single fact shuffle"),
+
+    // Q7-style bilateral volume shipping: supplier-nation x customer-nation
+    // revenue by ship year for one nation pair. The nation dims are
+    // filtered to the two target nations BEFORE the join, so the inner
+    // joins themselves carry the selectivity down to the fact scan.
+    "q7_nation_volume" -> QueryDef(
+      build = (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  CAST(year(l_shipdate) AS INT) AS l_year,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      doc = "Q7 bilateral nation trade volume by year"),
+
+    // Q8-style market share: one nation's share of supply volume into a
+    // region's customers, per order year. Share is a ratio of two exact
+    // decimal sums, so partial-aggregation order cannot move it.
+    "q8_market_share" -> QueryDef(
+      build = (s, dir) => {
+        val custNat = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val suppNat = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(custNat), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_2", vol)).cast("double")
+              / sum(vol).cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      oracle = Some(
+        """WITH vol AS (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+          |    n2.n_name AS supp_nation
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN region ON n1.n_regionkey = r_regionkey
+          |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |  JOIN part ON l_partkey = p_partkey
+          |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+          |SELECT o_year,
+          |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE)
+          |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+          |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin),
+      doc = "Q8 national market share of a region's supply volume by year"),
+
+    // Q9-style product profit by supplier nation and year. The fixture has
+    // no partsupp, so supply cost is modeled as 10% of the part's retail
+    // price per unit — all arithmetic stays in exact DECIMAL.
+    "q9_product_profit" -> QueryDef(
+      build = (s, dir) => {
+        val cost = dec(col("p_retailprice")) * dec(col("l_quantity")) *
+          lit(0.1).cast(DecimalType(4, 2))
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) - cost)
+            .cast("double").as("profit"))
+          .orderBy("nation", "o_year")
+      },
+      oracle = Some(
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%red%'
+          |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin),
+      doc = "Q9 profit by supplier nation x year (retail-price cost model)"),
+
+    // Q10-style returned-item losers: top-20 customers by returned revenue
+    // in one quarter. TakeOrderedAndProject keeps the top-k a bounded heap.
+    "q10_returned_items" -> QueryDef(
+      build = (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                    col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      oracle = Some(
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      doc = "Q10 top-20 customers by returned-item revenue in a quarter"),
+
+    // Q14-style promo share: one scalar, ratio of two exact decimal sums
+    // over a single month of shipments.
+    "q14_promo_revenue" -> QueryDef(
+      build = (s, dir) => {
+        val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+          .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol)).cast("double")
+              / sum(vol).cast("double"), 6).as("promo_share"))
+      },
+      oracle = Some(
+        """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+          |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_share
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin),
+      doc = "Q14 promo revenue share over one ship month"),
+
+    // Q15-style top supplier: max quarterly revenue via a broadcast scalar
+    // (the classic view + scalar-subquery decorrelated to one tiny join);
+    // equality on the exact DECIMAL revenue, never on a double.
+    "q15_top_supplier" -> QueryDef(
+      build = (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("total_rev"))
+        val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.crossJoin(broadcast(maxRev))
+          .filter(col("total_rev") === col("max_rev"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+          |FROM supplier JOIN rev ON s_suppkey = supplier_no
+          |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin),
+      doc = "Q15 supplier(s) with maximum quarterly revenue"),
+
+    // Q22-style churned high-balance customers: above-average balance in a
+    // nation set, no order in the final two years. The average comparison
+    // is decorrelated as bal * cnt > sum (exact decimal both sides — a
+    // double AVG threshold could flip rows between engines); the recency
+    // check is a shuffled anti-join on the customer key.
+    "q22_idle_customers" -> QueryDef(
+      build = (s, dir) => {
+        val sel = Tables.customer(s, dir)
+          .filter(col("c_nationkey").isin(1, 2, 3, 10, 17, 21))
+          .select(col("c_custkey"), col("c_nationkey"),
+            dec(col("c_acctbal")).as("bal"))
+        val pos = sel.filter(col("bal") > 0)
+          .agg(sum(col("bal")).as("s"), count(lit(1)).as("cnt"))
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+          .select("o_custkey")
+        sel.crossJoin(broadcast(pos))
+          .filter(col("bal") * col("cnt") > col("s"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      oracle = Some(
+        """WITH sel AS (
+          |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          |  FROM customer WHERE c_nationkey IN (1, 2, 3, 10, 17, 21)),
+          |pos AS (
+          |  SELECT SUM(bal) AS s, COUNT(*) AS cnt FROM sel WHERE bal > 0),
+          |recent AS (
+          |  SELECT DISTINCT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+          |SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+          |FROM sel, pos
+          |WHERE bal * cnt > s
+          |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      doc = "Q22 churned high-balance customers by nation (exact-decimal avg threshold)")
   )
 }
