@@ -22,7 +22,8 @@ object SparkEntry {
     CoverageQueries.defs,
     ScalarQueries.defs,
     SubqueryQueries.defs,
-    BehaviorQueries.defs))
+    BehaviorQueries.defs,
+    AnalyticsQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

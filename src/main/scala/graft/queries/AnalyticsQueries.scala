@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.scale.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 widening of the analytic SQL surface: window-frame functions,
+  * CUBE grouping sets, pivot, time-series gap-fill/LOCF and EWMA, and two
+  * more text-pipeline ops (bigram-LM perplexity, chunk-level sub-document
+  * dedup).
+  *
+  * Conventions as everywhere else: decimal-exact money, total ORDER BY,
+  * rounded doubles, and float expressions written as the *same* operation
+  * tree on both engines so the only doubles compared are bit-identical.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Window-frame function coverage: first/last/nth over explicit
+    // unbounded frames plus percent_rank/cume_dist, per-customer order
+    // history. One shuffle on the partition key; the 1997 filter is pushed
+    // to the scan.
+    "w_frame_funcs" -> QueryDef(
+      build = (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        val wOrd = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ord.select(
+            col("o_custkey"), col("o_orderkey"),
+            dec(col("o_totalprice")).cast("double").as("price"),
+            row_number().over(wOrd).as("rn"),
+            round(percent_rank().over(wOrd), 6).as("pct_rank"),
+            round(cume_dist().over(wOrd), 6).as("cume"),
+            dec(first_value(col("o_totalprice")).over(wFull)).cast("double").as("first_price"),
+            dec(last_value(col("o_totalprice")).over(wFull)).cast("double").as("last_price"),
+            dec(nth_value(col("o_totalprice"), 2).over(wFull)).cast("double").as("second_price"))
+          .orderBy("o_custkey", "rn")
+      },
+      oracle = Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+          |  ROUND(cume_dist() OVER w, 6) AS cume,
+          |  CAST(CAST(first_value(o_totalprice) OVER wf AS DECIMAL(12,2)) AS DOUBLE) AS first_price,
+          |  CAST(CAST(last_value(o_totalprice) OVER wf AS DECIMAL(12,2)) AS DOUBLE) AS last_price,
+          |  CAST(CAST(nth_value(o_totalprice, 2) OVER wf AS DECIMAL(12,2)) AS DOUBLE) AS second_price
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |WINDOW
+          |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_custkey, rn""".stripMargin),
+      doc = "Window-frame functions: first/last/nth value, percent_rank, cume_dist"),
+
+    // CUBE over (status, priority) with GROUPING ids. Same two-level
+    // discipline as rollup_revenue: aggregate to the 15 base groups first,
+    // then Expand multiplies 15 pre-aggregated rows (x4 grouping sets)
+    // instead of every order — at 100 TB the cube costs one ordinary
+    // aggregation plus epsilon.
+    "cube_order_mix" -> QueryDef(
+      build = (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(
+          """WITH base AS (
+            |  SELECT o_orderstatus, o_orderpriority,
+            |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev, COUNT(*) AS cnt
+            |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+            |SELECT o_orderstatus, o_orderpriority,
+            |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+            |  SUM(cnt) AS n_orders,
+            |  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_s,
+            |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_p
+            |FROM base
+            |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_orders,
+          |  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_s,
+          |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_p
+          |FROM orders
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin),
+      doc = "CUBE grouping sets over order status x priority with GROUPING ids"),
+
+    // Pivot: order counts per status with priorities fanned out to
+    // columns. The Spark relational pivot and the oracle's conditional
+    // aggregation are the same plan shape (one grouped aggregate, the
+    // pivot values are a CASE fan-out inside it — no extra shuffle).
+    "pivot_priority" -> QueryDef(
+      build = (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus"),
+            col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+            col("`3-MEDIUM`").as("p_medium"),
+            col("`4-NOT SPECIFIED`").as("p_notspec"), col("`5-LOW`").as("p_low"))
+          .orderBy("o_orderstatus"),
+      oracle = Some(
+        """SELECT o_orderstatus,
+          |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
+          |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
+          |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
+          |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
+          |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      doc = "Pivot: priority classes fanned out to columns per order status"),
+
+    // Time-series gap fill: the full (type x hour) grid via sequence()
+    // explode, missing hours carried forward (LOCF). The grid is
+    // |types| x |hours| — it scales with time span and cardinality of the
+    // key, NOT with event volume, so the explode is safe at 100 TB; the
+    // LOCF is one window over the grid.
+    "ts_gap_fill" -> QueryDef(
+      build = (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = hourly.agg(min("h").as("lo"), max("h").as("hi"))
+        val grid = hourly.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+            col("n"),
+            last(col("n"), ignoreNulls = true).over(w).as("filled"),
+            col("n").isNull.as("is_gap"))
+          .orderBy("event_type", "hour")
+      },
+      oracle = Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+          |grid AS (
+          |  SELECT t.event_type, g.h
+          |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+          |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g)
+          |SELECT grid.event_type, strftime(grid.h, '%Y-%m-%d %H:00') AS hour, d.n,
+          |  last_value(d.n IGNORE NULLS) OVER (PARTITION BY grid.event_type
+          |    ORDER BY grid.h ROWS UNBOUNDED PRECEDING) AS filled,
+          |  d.n IS NULL AS is_gap
+          |FROM grid LEFT JOIN hourly d
+          |  ON d.event_type = grid.event_type AND d.h = grid.h
+          |ORDER BY grid.event_type, hour""".stripMargin),
+      doc = "Hourly gap fill over the type x hour grid, missing counts carried forward"),
+
+    // EWMA (alpha=0.2) over the daily per-type count series, 30-row
+    // trailing frame. Computed as a LEFT FOLD over the frame's list on
+    // BOTH engines (Spark aggregate(), DuckDB list_reduce() — which seeds
+    // the fold with the first element, mirrored via slice+element_at), so
+    // the double operations happen in the identical order and the rounded
+    // results are bit-equal. The frame bounds the list at 30 elements —
+    // state is O(frame), not O(history).
+    "ts_ewma" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-29, 0)
+        daily
+          .withColumn("xs", collect_list("n").over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            expr("""round(aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+                          element_at(xs, 1),
+                          (acc, x) -> 0.2d * x + 0.8d * acc), 4)""").as("ewma"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  ROUND(list_reduce(list(n) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+          |    (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma
+          |FROM daily ORDER BY event_type, day""".stripMargin),
+      doc = "EWMA(0.2) of daily event rates via identical left-fold on both engines"),
+
+    // Bigram corpus LM with add-1 smoothing: per-doc average
+    // log P(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) and the perplexity.
+    // Adjacent pairs come from a zip_with over the token array (no
+    // self-join); the count tables shuffle on token keys only.
+    "txt_bigram_lm" -> QueryDef(
+      build = (s, dir) => {
+        val ts = TextOps.tokens(col("text"))
+        val bi = Tables.documents(s, dir).select(col("doc_id"),
+          explode(zip_with(
+            slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val biC = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val uniC = Tables.documents(s, dir)
+          .select(explode(ts).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = uniC.agg(count(lit(1)).as("v"))
+        bi.join(biC, Seq("w1", "w2")).join(uniC, "w1")
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            log((col("c2").cast("double") + 1.0d) /
+              (col("c1").cast("double") + col("v").cast("double"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg("lp"), 6).as("avg_logprob"),
+            round(exp(-avg("lp")), 4).as("ppl"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |bi AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
+          |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2),
+          |unic AS (
+          |  SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          |  GROUP BY t),
+          |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unic)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  ROUND(AVG(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v))), 6) AS avg_logprob,
+          |  ROUND(exp(-AVG(ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)))), 4) AS ppl
+          |FROM bi JOIN bic USING (w1, w2) JOIN unic USING (w1), voc
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Bigram LM with add-1 smoothing: per-doc avg log-prob + perplexity"),
+
+    // Sub-document (chunk-level) dedup: split every doc into fixed
+    // 32-token chunks, keep only the globally-FIRST occurrence of each
+    // exact chunk (order = doc_id, chunk idx), reassemble the survivors.
+    // The dedup key is the chunk sha256 — raw chunk text never enters the
+    // shuffle; one window over the hash key decides keep/drop.
+    "dedup_chunks" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("nc", ceil(size(col("toks")) / lit(32.0)).cast("int"))
+        val ch = d.select(col("doc_id"), expr(
+            """explode(transform(sequence(0, nc - 1),
+              |  i -> struct(i AS idx, array_join(slice(toks, i * 32 + 1, 32), ' ') AS chunk)))
+              |""".stripMargin).as("c"))
+          .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+          .withColumn("h", sha2(encode(col("chunk"), "UTF-8"), 256))
+        val wFirst = Window.partitionBy("h").orderBy("doc_id", "idx")
+        ch.withColumn("keep", row_number().over(wFirst) === 1)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("int").as("n_chunks"),
+            sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+            sha2(encode(array_join(expr(
+              "transform(array_sort(filter(collect_list(struct(idx, keep, chunk)), s -> s.keep)), s -> s.chunk)"),
+              " "), "UTF-8"), 256).as("dedup_hash"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / 32.0) AS INT) AS nc FROM t),
+          |ch AS (
+          |  SELECT doc_id, CAST(i AS INT) AS idx,
+          |    array_to_string(list_slice(toks, i * 32 + 1, LEAST(i * 32 + 32, len(toks))), ' ') AS chunk
+          |  FROM c, UNNEST(range(0, nc)) AS g(i)),
+          |k AS (
+          |  SELECT doc_id, idx, chunk,
+          |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS keep
+          |  FROM ch)
+          |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+          |  sha256(COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep), '')) AS dedup_hash
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Chunk-level sub-document dedup: keep globally-first 32-token chunks, reassemble")
+  )
+}

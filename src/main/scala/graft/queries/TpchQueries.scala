@@ -133,7 +133,11 @@ object TpchQueries {
     // joins themselves carry the selectivity down to the fact scan.
     "q7_nation_volume" -> QueryDef(
       build = (s, dir) => {
-        val pair = Seq("NATION_1", "NATION_2")
+        // A 4-nation set rather than TPC-H's single pair: the synthetic
+        // fixture's trade matrix is sparse at sf0.001 and one exact pair
+        // can be empty there; any cross-pair within the set is the same
+        // bilateral-volume semantics.
+        val pair = Seq("NATION_1", "NATION_2", "NATION_11", "NATION_12")
         val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
         val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
@@ -163,8 +167,9 @@ object TpchQueries {
           |JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-          |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_11', 'NATION_12')
+          |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_11', 'NATION_12')
+          |  AND n1.n_name <> n2.n_name
           |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
           |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
@@ -375,6 +380,225 @@ object TpchQueries {
           |WHERE bal * cnt > s
           |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
-      doc = "Q22 churned high-balance customers by nation (exact-decimal avg threshold)")
+      doc = "Q22 churned high-balance customers by nation (exact-decimal avg threshold)"),
+
+    // Q4-style order-priority checking. The fixture has no
+    // l_commitdate/l_receiptdate, so "late" is adapted to a line shipped
+    // more than 60 days after the order date — same shape: quarter filter
+    // + EXISTS semi-join on a condition spanning both tables.
+    "q4_priority_count" -> QueryDef(
+      build = (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin),
+      doc = "Q4 order-priority counts over late-shipped orders (EXISTS semi-join)"),
+
+    // Q12-style shipping-mode analysis. No l_shipmode in the fixture, so
+    // the grouping key is l_returnflag and "late" is ship > order + 30 d;
+    // the CASE-sum high/low priority split is the Q12 signature.
+    "q12_late_lines" -> QueryDef(
+      build = (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+              .as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+          |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin),
+      doc = "Q12 high/low-priority late-line counts by return flag (CASE-sum split)"),
+
+    // Q13-style customer order-count distribution: LEFT join with an
+    // ON-clause filter (priority stands in for the comment pattern), then
+    // a distribution over the per-customer counts.
+    "q13_custdist" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir).select("c_custkey")
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select("o_custkey", "o_orderkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some(
+        """WITH c_orders AS (
+          |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY c_custkey)
+          |SELECT c_count, COUNT(*) AS custdist
+          |FROM c_orders GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      doc = "Q13 customer order-count distribution (filtered LEFT join, double grouping)"),
+
+    // Q16-style supplier counts per part attribute. No partsupp table, so
+    // the part-supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    // projection of lineitem; negative-balance suppliers stand in for the
+    // "complaints" NOT IN exclusion.
+    "q16_supplier_cnt" -> QueryDef(
+      build = (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_suppkey").distinct()
+        val badSup = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val p = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+        ps.join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      oracle = Some(
+        """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          |JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#5'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      doc = "Q16 distinct-supplier counts per part attribute (lineitem-derived partsupp)"),
+
+    // Q17-style small-quantity revenue. The correlated 0.2*avg(qty)
+    // threshold is decorrelated to exact-decimal form (5*qty*cnt < sum)
+    // so no double-precision avg can flip a row between engines.
+    "q17_small_qty" -> QueryDef(
+      build = (s, dir) => {
+        val p = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val li = Tables.lineitem(s, dir)
+        val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+          .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+        li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .join(perPart, col("pp_key") === col("l_partkey"))
+          .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sum_qty"))
+          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 4)
+            .as("avg_yearly"))
+      },
+      oracle = Some(
+        """WITH perpart AS (
+          |  SELECT l_partkey AS pp_key,
+          |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+          |    COUNT(*) AS cnt
+          |  FROM lineitem GROUP BY l_partkey)
+          |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+          |FROM lineitem
+          |JOIN part ON p_partkey = l_partkey
+          |JOIN perpart ON pp_key = l_partkey
+          |WHERE p_brand = 'Brand#23'
+          |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty""".stripMargin),
+      doc = "Q17 small-quantity-order revenue (decorrelated exact-decimal avg threshold)"),
+
+    // Q19-style disjunctive-predicate revenue: three OR'd brand/size/
+    // quantity bands over the part join — the classic pushdown stressor.
+    "q19_disjunctive" -> QueryDef(
+      build = (s, dir) => {
+        val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+        val li = Tables.lineitem(s, dir)
+        val bands =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .filter(bands)
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+      },
+      oracle = Some(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      doc = "Q19 disjunctive brand/size/quantity-band revenue"),
+
+    // Q21-style suppliers-who-kept-orders-waiting. Adapted to shipdate
+    // lateness (no receipt/commit dates): in a finished multi-supplier
+    // order, this supplier's line is late while no other supplier's is —
+    // the EXISTS + NOT EXISTS double-correlation shape.
+    "q21_waiting" -> QueryDef(
+      build = (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+        val li = Tables.lineitem(s, dir)
+        val l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+        val l3 = li.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+          col("l_shipdate").as("ld3"))
+        val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+        l1.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .join(l2, col("lo2") === col("l_orderkey") && col("ls2") =!= col("l_suppkey"),
+            "left_semi")
+          .join(l3, col("lo3") === col("l_orderkey") && col("ls3") =!= col("l_suppkey") &&
+            col("ld3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      oracle = Some(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM supplier, lineitem l1, orders
+          |WHERE s_suppkey = l1.l_suppkey
+          |  AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 20""".stripMargin),
+      doc = "Q21 sole-late supplier per finished multi-supplier order (EXISTS/NOT EXISTS)")
   )
 }
