@@ -117,6 +117,14 @@ object ScaleQueries {
     s"((($h) * ($h)) % $P % 10000)"
   }
 
+  /** = Curriculum.orderKey: same mid-square mix at full modulus (a total
+    * order key rather than a 1e4 bucket).
+    */
+  private def sqlOrderKey(keyExpr: String, salt: String): String = {
+    val h = sqlPolyHash(s"'$salt:' || $keyExpr", P)
+    s"((($h) * ($h)) % $P)"
+  }
+
   /** Train/eval fixture split shared by the two contamination queries:
     * 90% train, 10% eval, plus planted eval copies of train docs (suffixed
     * so they are near- not exact dups at the text level but share n-grams).
@@ -2468,6 +2476,76 @@ object ScaleQueries {
         """SELECT doc_id, sha256(text) AS content_sha256,
           |  CAST(length(text) AS INT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "Binary content hashing for payload-level exact dedup")
+      doc = "Binary content hashing for payload-level exact dedup"),
+
+    // ---------------- training-order scheduling (scale/Curriculum) ------
+
+    // Deterministic seeded global shuffle into 8 training shards: the
+    // "random" order is a salted mid-square hash, reproducible from
+    // (salt, doc_id) with no stored permutation. One shuffle on the shard
+    // key; a writer feeds partitionBy(shard) directly.
+    "corpus_shuffle_shards" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Curriculum.shuffleShards(docs(s, dir).select("doc_id"), "doc_id",
+            salt = "shuffle1", nShards = 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      oracle = Some {
+        val ord = sqlOrderKey("CAST(doc_id AS VARCHAR)", "shuffle1")
+        s"""WITH h AS (SELECT doc_id, $ord AS ord FROM documents)
+           |SELECT doc_id, CAST(ord % 8 AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY ord % 8 ORDER BY ord, doc_id) AS BIGINT) AS pos
+           |FROM h ORDER BY shard, pos""".stripMargin
+      },
+      doc = "Seeded deterministic corpus shuffle into 8 training shards"),
+
+    // Weight-based epoch repetition: short docs (the scarcer, often
+    // higher-quality tail) are repeated up to 3x; the expansion is an
+    // explode of a per-row sequence — bounded by max weight, no join.
+    "corpus_epochs" -> QueryDef(
+      build = (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+          .withColumn("weight",
+            when(col("n_chars") < 200, 3)
+              .when(col("n_chars") < 400, 2).otherwise(1))
+        Curriculum.epochRepeat(d, "weight")
+          .select(col("doc_id"), col("weight"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some(
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n_chars < 200 THEN 3 WHEN n_chars < 400 THEN 2 ELSE 1 END AS weight
+          |  FROM documents)
+          |SELECT doc_id, CAST(weight AS INT) AS weight, CAST(e AS INT) AS epoch
+          |FROM w, UNNEST(generate_series(1, weight)) AS g(e)
+          |ORDER BY doc_id, epoch""".stripMargin),
+      doc = "Weight-based epoch repetition (up-sample short docs up to 3x)"),
+
+    // Curriculum ordering: easy->hard by length quartile, deterministic
+    // within-stage shuffle. Exact ntile is the small-SF baseline of the
+    // approx-percentile stage boundary (same discipline as evt_rfm).
+    "corpus_curriculum" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Curriculum.curriculumOrder(docs(s, dir).select("doc_id", "n_chars"),
+            "doc_id", "n_chars", salt = "curr1")
+          .select(col("doc_id"), col("stage"), col("pos"))
+          .orderBy("stage", "pos")
+      },
+      oracle = Some {
+        val ord = sqlOrderKey("CAST(doc_id AS VARCHAR)", "curr1")
+        s"""WITH st AS (
+           |  SELECT doc_id,
+           |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS stage,
+           |    $ord AS ord
+           |  FROM documents)
+           |SELECT doc_id, stage,
+           |  CAST(row_number() OVER (PARTITION BY stage ORDER BY ord, doc_id) AS BIGINT) AS pos
+           |FROM st ORDER BY stage, pos""".stripMargin
+      },
+      doc = "Curriculum (easy->hard) training order with in-stage seeded shuffle")
   )
 }
