@@ -109,6 +109,41 @@ object ScalarQueries {
            |SELECT tenant_id, 'purchase_only' AS op
            |FROM (SELECT tenant_id FROM purchasers EXCEPT SELECT tenant_id FROM erroring)
            |ORDER BY op, tenant_id""".stripMargin),
-      doc = "Set operations: INTERSECT / EXCEPT over derived tenant sets")
+      doc = "Set operations: INTERSECT / EXCEPT over derived tenant sets"),
+
+    // Array / higher-order-function surface: build a per-order sorted
+    // quantity array, then exercise aggregate (fold), filter, transform,
+    // slice, zip_with and reverse — all over exact integers, so the two
+    // engines' results are identical by construction. The collect_list
+    // is bounded by lines-per-order (~7), not data volume.
+    "scalar_array_funcs" -> QueryDef(
+      build = (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 100 === 0)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+          .select(col("l_orderkey"),
+            size(col("arr")).as("n"),
+            expr("aggregate(arr, 0L, (a, x) -> a + x)").as("total"),
+            expr("size(filter(arr, x -> x > 25))").as("n_big"),
+            expr("array_max(transform(arr, x -> x * 2))").as("doubled_max"),
+            expr("aggregate(slice(arr, 1, 3), 0L, (a, x) -> a + x)").as("low3_sum"),
+            expr("""aggregate(zip_with(arr, reverse(arr),
+                   (a, b) -> cast(a AS bigint) * b), 0L, (acc, x) -> acc + x)""")
+              .as("pal_dot"))
+          .orderBy("l_orderkey"),
+      oracle = Some(
+        """WITH arrs AS (
+          |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS arr
+          |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey)
+          |SELECT l_orderkey, CAST(len(arr) AS INT) AS n,
+          |  CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total,
+          |  CAST(len(list_filter(arr, x -> x > 25)) AS INT) AS n_big,
+          |  CAST(list_max(list_transform(arr, x -> x * 2)) AS INT) AS doubled_max,
+          |  CAST(list_aggregate(list_slice(arr, 1, 3), 'sum') AS BIGINT) AS low3_sum,
+          |  CAST(list_aggregate(list_transform(list_zip(arr, list_reverse(arr)),
+          |    s -> s[1] * s[2]), 'sum') AS BIGINT) AS pal_dot
+          |FROM arrs ORDER BY l_orderkey""".stripMargin),
+      doc = "Array + higher-order functions: fold/filter/transform/zip_with on exact ints")
   )
 }

@@ -2546,6 +2546,38 @@ object ScaleQueries {
            |  CAST(row_number() OVER (PARTITION BY stage ORDER BY ord, doc_id) AS BIGINT) AS pos
            |FROM st ORDER BY stage, pos""".stripMargin
       },
-      doc = "Curriculum (easy->hard) training order with in-stage seeded shuffle")
+      doc = "Curriculum (easy->hard) training order with in-stage seeded shuffle"),
+
+    // Cross-doc n-gram novelty: the fraction of a doc's distinct 3-grams
+    // whose FIRST corpus occurrence (doc_id order) is this doc — high
+    // novelty = fresh content, low = recombination of earlier text. One
+    // shuffle on the gram key to find first owners, one back-join, one
+    // per-doc aggregate; raw text never shuffles (grams do, like every
+    // n-gram index here).
+    "txt_novelty" -> QueryDef(
+      build = (s, dir) => {
+        val grams = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("g"))
+        val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        grams.join(firstOwner, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH g AS (
+           |  SELECT doc_id, unnest($sqlShingles) AS g FROM documents),
+           |fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+           |FROM g JOIN fo USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Cross-doc 3-gram novelty score: fraction of grams first seen in this doc")
   )
 }
