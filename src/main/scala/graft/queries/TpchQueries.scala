@@ -599,6 +599,128 @@ object TpchQueries {
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name
           |LIMIT 20""".stripMargin),
-      doc = "Q21 sole-late supplier per finished multi-supplier order (EXISTS/NOT EXISTS)")
+      doc = "Q21 sole-late supplier per finished multi-supplier order (EXISTS/NOT EXISTS)"),
+
+    // Q2-style minimum-cost supplier. No partsupp, so "supply cost" is the
+    // minimum extended price ever quoted by that supplier for that part
+    // (lineitem-derived); the correlated min subquery and the 4-table
+    // dimension chain are the Q2 signature. Decimal cost equality — no
+    // double can split the min.
+    "q2_min_cost" -> QueryDef(
+      build = (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("cost"))
+        val eu = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+        val pc = ps.join(broadcast(eu), col("s_suppkey") === col("l_suppkey"))
+        val mp = pc.groupBy(col("l_partkey").as("mp_key"))
+          .agg(min("cost").as("mincost"))
+        val p = Tables.part(s, dir)
+          .filter(col("p_size").isin(15, 25, 35)).select("p_partkey")
+        pc.join(mp, col("mp_key") === col("l_partkey") && col("cost") === col("mincost"))
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .select(dec(col("s_acctbal")).cast("double").as("acctbal"),
+            col("s_name"), col("n_name"), col("p_partkey"))
+          .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      oracle = Some(
+        """WITH ps AS (
+          |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+          |  FROM lineitem GROUP BY 1, 2),
+          |eu AS (
+          |  SELECT s_suppkey, s_acctbal, s_name, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+          |pc AS (SELECT ps.*, eu.s_acctbal, eu.s_name, eu.n_name
+          |       FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey),
+          |mp AS (SELECT l_partkey, MIN(cost) AS mincost FROM pc GROUP BY 1)
+          |SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+          |  s_name, n_name, p_partkey
+          |FROM pc JOIN mp ON pc.l_partkey = mp.l_partkey AND pc.cost = mp.mincost
+          |JOIN part ON p_partkey = pc.l_partkey
+          |WHERE p_size IN (15, 25, 35)
+          |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+      doc = "Q2 min-cost supplier per sized part (lineitem-derived costs, correlated min)"),
+
+    // Q11-style important stock. Share threshold is RELATIVE (a part
+    // holding > 3x the average share), so the predicate is SF-invariant —
+    // TPC-H's fixed fraction divided by SF is exactly this normalization.
+    // value*np and 3*t are exact decimals; no double threshold.
+    "q11_important_parts" -> QueryDef(
+      build = (s, dir) => {
+        val natSup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+              .filter(col("n_name").isin("NATION_3", "NATION_7"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val vals = Tables.lineitem(s, dir)
+          .join(broadcast(natSup), col("s_suppkey") === col("l_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(dec(col("l_extendedprice"))).as("value"))
+        val tot = vals.agg(sum("value").as("t"), count(lit(1)).as("np"))
+        vals.crossJoin(broadcast(tot))
+          .filter(col("value") * col("np") > col("t") * 3)
+          .select(col("l_partkey").as("p_partkey"),
+            col("value").cast("double").as("value"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      oracle = Some(
+        """WITH val AS (
+          |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+          |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name IN ('NATION_3', 'NATION_7') GROUP BY 1),
+          |tot AS (SELECT SUM(value) AS t, COUNT(*) AS np FROM val)
+          |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+          |FROM val, tot WHERE value * np > 3 * t
+          |ORDER BY value DESC, p_partkey""".stripMargin),
+      doc = "Q11 important parts: nation-supplied value above 3x the average share"),
+
+    // Q20-style excess suppliers: a supplier holding > 10% of a 'small'
+    // part's total shipped quantity, restricted to two regions — the
+    // nested-aggregate threshold + semi-join chain of Q20 (availqty
+    // stands in as shipped quantity; no partsupp in the fixture).
+    "q20_excess_suppliers" -> QueryDef(
+      build = (s, dir) => {
+        val smallParts = Tables.part(s, dir)
+          .filter(col("p_name").like("small%")).select("p_partkey")
+        val sp = Tables.lineitem(s, dir)
+          .join(broadcast(smallParts), col("p_partkey") === col("l_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+        val pt = sp.groupBy(col("l_partkey").as("pt_key"))
+          .agg(sum("qty").as("total"))
+        val regSup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name").isin("AFRICA", "EUROPE"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name")
+        sp.join(pt, col("pt_key") === col("l_partkey"))
+          .filter(col("qty") * 10 > col("total"))
+          .join(broadcast(regSup), col("s_suppkey") === col("l_suppkey"))
+          .select("s_name").distinct()
+          .orderBy("s_name")
+      },
+      oracle = Some(
+        """WITH sp AS (
+          |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE p_name LIKE 'small%' GROUP BY 1, 2),
+          |pt AS (SELECT l_partkey, SUM(qty) AS total FROM sp GROUP BY 1)
+          |SELECT DISTINCT s_name FROM sp JOIN pt USING (l_partkey)
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE qty * 10 > total AND r_name IN ('AFRICA', 'EUROPE')
+          |ORDER BY s_name""".stripMargin),
+      doc = "Q20 excess suppliers: >10% of a small part's shipped quantity, two regions")
   )
 }
