@@ -200,6 +200,42 @@ object AnalyticsQueries {
           |FROM daily ORDER BY event_type, day""".stripMargin),
       doc = "EWMA(0.2) of daily event rates via identical left-fold on both engines"),
 
+    // Exact rolling median (lower median) over a trailing 15-row frame:
+    // sort the frame's list, index the middle — exact integers end to end,
+    // and the frame bounds the sort at 15 elements per row. (The
+    // streaming-scale arm of quantiles is a8's approx sketch; this is the
+    // windowed exact form.)
+    "ts_rolling_median" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-14, 0)
+        daily
+          .withColumn("xs", collect_list("n").over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            expr("element_at(array_sort(xs), cast((size(xs) + 1) div 2 AS INT))")
+              .as("roll_median_lo"),
+            size(col("xs")).as("win_n"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |framed AS (
+          |  SELECT event_type, day, n,
+          |    list(n) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS xs
+          |  FROM daily)
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  list_sort(xs)[CAST((len(xs) + 1) // 2 AS INT)] AS roll_median_lo,
+          |  CAST(len(xs) AS INT) AS win_n
+          |FROM framed ORDER BY event_type, day""".stripMargin),
+      doc = "Exact rolling lower-median of daily rates over a trailing 15-day frame"),
+
     // Bigram corpus LM with add-1 smoothing: per-doc average
     // log P(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) and the perplexity.
     // Adjacent pairs come from a zip_with over the token array (no

@@ -2578,6 +2578,73 @@ object ScaleQueries {
            |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
            |FROM g JOIN fo USING (g)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "Cross-doc 3-gram novelty score: fraction of grams first seen in this doc")
+      doc = "Cross-doc 3-gram novelty score: fraction of grams first seen in this doc"),
+
+    // Directional containment: near-1 containment at modest Jaccard means
+    // an excerpt/subset — the asymmetric duplication that resemblance
+    // dilutes. Same df-capped index as dedup_jaccard_capped.
+    "dedup_containment" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        NearDup.containmentPairs(nearDupDocs(docs(s, dir)), "doc_id", "source",
+            shingleN = 3, threshold = 0.8, maxDf = 4)
+          .orderBy("contained", "container")
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source,
+           |    unnest(list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)})) AS s
+           |  FROM docs2),
+           |dfreq AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s),
+           |kept AS (
+           |  SELECT sh.doc_id, sh.source, sh.s
+           |  FROM sh JOIN dfreq ON sh.source = dfreq.source AND sh.s = dfreq.s
+           |  WHERE dfreq.df <= 4),
+           |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+           |co AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           |  FROM kept a JOIN kept b
+           |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b,
+           |    ROUND(CAST(common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS c_a,
+           |    ROUND(CAST(common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE), 6) AS c_b
+           |  FROM co JOIN nsh na ON co.doc_a = na.doc_id
+           |          JOIN nsh nb ON co.doc_b = nb.doc_id)
+           |SELECT contained, container, containment FROM (
+           |  SELECT doc_a AS contained, doc_b AS container, c_a AS containment
+           |  FROM pairs WHERE c_a >= 0.8
+           |  UNION ALL
+           |  SELECT doc_b AS contained, doc_a AS container, c_b AS containment
+           |  FROM pairs WHERE c_b >= 0.8)
+           |ORDER BY contained, container""".stripMargin),
+      doc = "Directional n-gram containment pairs (excerpt detection, df-capped index)"),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // rank by u^(1/w) with u a deterministic hash draw — the top-100 are a
+    // weight-proportional sample, reproducible from (salt, doc_id). The
+    // pow keys are the identical double expression on both engines.
+    "sample_weighted" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Sampling.weightedSample(docs(s, dir).select("doc_id", "n_chars"),
+            "doc_id", "n_chars", n = 100, salt = "aes1")
+          .select(col("doc_id"), col("n_chars").as("weight"),
+            round(col("aes_key"), 6).as("aes_key"))
+          .orderBy(col("aes_key").desc, col("doc_id"))
+      },
+      oracle = Some {
+        val ord = sqlOrderKey("CAST(doc_id AS VARCHAR)", "aes1")
+        s"""WITH keyed AS (
+           |  SELECT doc_id, n_chars,
+           |    pow((CAST($ord AS DOUBLE) + 1.0) / (CAST($P AS DOUBLE) + 1.0),
+           |        1.0 / CAST(n_chars AS DOUBLE)) AS raw
+           |  FROM documents),
+           |top AS (SELECT * FROM keyed ORDER BY raw DESC, doc_id LIMIT 100)
+           |SELECT doc_id, n_chars AS weight, ROUND(raw, 6) AS aes_key
+           |FROM top ORDER BY aes_key DESC, doc_id""".stripMargin
+      },
+      doc = "A-ES weighted sampling without replacement via deterministic hash draws")
   )
 }

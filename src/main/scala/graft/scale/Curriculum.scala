@@ -20,13 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Curriculum {
 
-  /** Salted deterministic order key: mid-square mixed poly-hash (full
-    * modulus, not bucketed — ties broken by the key column downstream).
+  /** Salted deterministic order key (= [[Sampling.orderHash]]: mid-square
+    * mixed poly-hash at full modulus; ties broken by the key downstream).
     */
-  private def orderKey(key: org.apache.spark.sql.Column, salt: String) = {
-    val h = TextOps.polyHash(concat(lit(salt + ":"), key.cast("string")))
-    (h * h) % TextOps.P
-  }
+  private def orderKey(key: org.apache.spark.sql.Column, salt: String) =
+    Sampling.orderHash(key, salt)
 
   /** Deterministic seeded global shuffle into `nShards` training shards:
     * shard = hash % n, pos = rank of the hash within the shard.

@@ -206,6 +206,45 @@ object NearDup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Directional containment pairs: C(A→B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)|. Near-1 containment with modest Jaccard means A is an
+    * excerpt/subset of B — the asymmetric duplication resemblance dilutes
+    * (a paragraph lifted into a much longer doc halves no Jaccard
+    * threshold but is still leaked text). Same df-capped group-and-pair
+    * index as [[jaccardPairsCapped]] (bounded pair fan-out, hashed grams
+    * through the shuffle), with each surviving pair emitted in whichever
+    * direction(s) clear the threshold.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, blockCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 4): DataFrame = {
+    val groups = graft.Caches.persist(
+      docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+          explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
+        .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")) <= maxDf)
+        .withColumn("ds", sort_array(col("ds"))))
+    val nsh = groups.select(explode(col("ds")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val co = groups
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val scored = co
+      .join(nsh.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("c_a", round(col("common").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("c_b", round(col("common").cast("double") / col("n_b").cast("double"), 6))
+    scored.filter(col("c_a") >= threshold)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        col("c_a").as("containment"))
+      .unionByName(scored.filter(col("c_b") >= threshold)
+        .select(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("c_b").as("containment")))
+  }
+
   /** Persistable signature index of a corpus: one row per (doc, band_idx,
     * band_hash), carrying the doc's MinHash signature. This is the artifact
     * an incremental pipeline checkpoints — fixed-width rows (K+2 longs + id)

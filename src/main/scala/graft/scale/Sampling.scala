@@ -35,6 +35,37 @@ object Sampling {
     ((h * h) % TextOps.P) % 10000
   }
 
+  /** Full-modulus form of [[sampleBucket]] (same salt-prefix + mid-square
+    * mixing, no 1e4 bucketing): a total-order key in [0, P) for seeded
+    * shuffles and weighted draws.
+    */
+  def orderHash(key: Column, salt: String): Column = {
+    val h = TextOps.polyHash(concat(lit(salt + ":"), key.cast("string")))
+    (h * h) % TextOps.P
+  }
+
+  /** Uniform draw in (0, 1] derived from [[orderHash]] — the deterministic
+    * stand-in for `rand()` every sampler here uses.
+    */
+  def uniformDraw(key: Column, salt: String): Column =
+    (orderHash(key, salt).cast("double") + 1.0d) / (TextOps.P.toDouble + 1.0d)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * every row draws u = uniform(0,1] from its hash and ranks by
+    * u^(1/weight); the top n ARE a weight-proportional sample without
+    * replacement. One hash + one pow per row, then a top-n
+    * (TakeOrderedAndProject — per-partition heaps, no global sort), so the
+    * draw costs one scan at any corpus size and is reproducible from
+    * (salt, key) alone.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, salt: String): DataFrame =
+    df.withColumn("aes_key",
+        pow(uniformDraw(col(keyCol), salt),
+          lit(1.0d) / col(weightCol).cast("double")))
+      .orderBy(col("aes_key").desc, col(keyCol))
+      .limit(n)
+
   /** Keep ~`rate` of rows, decided purely by hash(key, salt). */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
                  salt: String): DataFrame =
