@@ -1,0 +1,66 @@
+package graft
+
+import graft.scale.{NearDup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 additions around asymmetric dedup and
+  * weighted draws: containment is directional and catches planted
+  * excerpts at ~1.0 where Jaccard sits far below threshold, A-ES
+  * sampling is reproducible/weight-monotone, and the rolling median
+  * matches a direct computation.
+  */
+class ContainmentWeightedSpec extends SparkSpec {
+
+  test("containmentPairs: a planted excerpt is contained at ~1.0, not symmetric") {
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    // doc 2 = an exact 12-token excerpt of doc 1 (tokens 5..16); doc 3 unrelated
+    val big = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (5 to 16).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big, "s"), (2L, excerpt, "s"), (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = NearDup.containmentPairs(docs, "doc_id", "source",
+        shingleN = 3, threshold = 0.8, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0)),
+      s"only the excerpt is contained (got ${pairs.toSeq}): direction 2->1, " +
+        "containment 1.0; the big doc is NOT contained in the excerpt")
+  }
+
+  test("weightedSample: reproducible, weight-monotone, and scale-invariant in weights") {
+    graft.functions.Hashing.register(spark)
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, if (i <= 40) 1000.0 else 1.0)).toDF("id", "w")
+    def draw(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.weightedSample(df, "id", "w", n = 50, salt = salt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = draw(rows, "s1")
+    assert(a == draw(rows, "s1"), "same salt draws the same sample")
+    assert(a != draw(rows, "s2"), "different salt draws a different sample")
+    // u^(1/w) is invariant under w -> c*w only in rank terms per row set
+    // with the same u draws: scaling all weights by 100 keeps the sample
+    val scaled = rows.withColumn("w", col("w") * 100)
+    assert(draw(scaled, "s1") == a, "uniform weight scaling keeps the sample")
+    // the 10% of rows carrying 1000x weight should dominate the top-50
+    val heavyShare = a.count(_ <= 40)
+    assert(heavyShare >= 35,
+      s"heavy-weight rows must dominate the draw (got $heavyShare/40 of them)")
+  }
+
+  test("ts_rolling_median matches a direct frame median on the fixture") {
+    val rows = graft.queries.AnalyticsQueries.defs("ts_rolling_median")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, series) =>
+      val s = series.sortBy(_.getString(1))
+      val ns = s.map(_.getLong(2))
+      s.zipWithIndex.foreach { case (r, i) =>
+        val frame = ns.slice(math.max(0, i - 14), i + 1).sorted
+        assert(r.getLong(3) == frame((frame.length + 1) / 2 - 1),
+          s"lower median at ${r.getString(1)}")
+        assert(r.getInt(4) == frame.length, "win_n is the frame size")
+      }
+    }
+  }
+}
