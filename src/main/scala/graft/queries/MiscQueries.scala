@@ -753,7 +753,7 @@ object MiscQueries {
     "hll_distinct_tenants" -> QueryDef(
       build = (s, dir) =>
         env(s, dir).groupBy("event_type")
-          .agg(approx_count_distinct(col("tenant_id"), rsd = 0.01).as("n_tenants_approx"),
+          .agg(approx_count_distinct(col("tenant_id"), rsd = 0.02).as("n_tenants_approx"),
                countDistinct("tenant_id").as("n_tenants_exact"))
           .withColumn("rel_err",
             round(abs(col("n_tenants_approx") - col("n_tenants_exact"))
