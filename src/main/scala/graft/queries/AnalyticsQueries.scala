@@ -236,6 +236,96 @@ object AnalyticsQueries {
           |FROM framed ORDER BY event_type, day""".stripMargin),
       doc = "Exact rolling lower-median of daily rates over a trailing 15-day frame"),
 
+    // Day-of-week seasonality profile: per (type, dow) day-count, total
+    // and mean, plus the dow's rank within the type. dow computed as
+    // days-since-epoch mod 7 on BOTH engines — never a locale-/engine-
+    // sensitive dayofweek().
+    "ts_dow_profile" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("total").desc, col("dow"))
+        daily
+          .withColumn("dow",
+            pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("int"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("total"))
+          .withColumn("avg_n",
+            round(col("total").cast("double") / col("n_days").cast("double"), 4))
+          .withColumn("dow_rank", dense_rank().over(w).cast("int"))
+          .orderBy("event_type", "dow")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |prof AS (
+          |  SELECT event_type,
+          |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+          |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(n) AS BIGINT) AS total
+          |  FROM daily GROUP BY 1, 2)
+          |SELECT event_type, dow, n_days, total,
+          |  ROUND(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS avg_n,
+          |  CAST(dense_rank() OVER (PARTITION BY event_type
+          |    ORDER BY total DESC, dow) AS INT) AS dow_rank
+          |FROM prof ORDER BY event_type, dow""".stripMargin),
+      doc = "Day-of-week seasonality profile with engine-neutral dow arithmetic"),
+
+    // Boilerplate detection (C4-style, alignment-free): a 5-gram present
+    // in > 30% of a source's docs is boilerplate (deterministic per-source
+    // footers are injected first — the fixture corpus has none; natural
+    // grams top out at 8% df). The df threshold is exact-integer
+    // (df*10 > nd*3); gram keys shuffle, text does not.
+    "txt_boilerplate" -> QueryDef(
+      build = (s, dir) => {
+        val footed = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          concat_ws(" ", col("text"), lit("standard footer for"), col("source"),
+            lit("all rights reserved today")).as("text"))
+        val grams = footed.select(col("doc_id"), col("source"),
+          explode(TextOps.shingles(col("text"), 5)).as("g"))
+        val dfreq = grams.groupBy("source", "g").agg(count(lit(1)).as("df"))
+        val srcn = footed.groupBy("source").agg(count(lit(1)).as("nd"))
+        val boiler = dfreq.join(broadcast(srcn), "source")
+          .filter(col("df") * 10 > col("nd") * 3).select("source", "g")
+        val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val boiled = grams.join(boiler, Seq("source", "g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        perDoc.join(boiled, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("boiler_ratio",
+            round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH footed AS (
+          |  SELECT doc_id, source,
+          |    text || ' ' || 'standard footer for' || ' ' || source || ' ' ||
+          |    'all rights reserved today' AS text
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+          |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
+          |  FROM footed),
+          |dfreq AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1, 2),
+          |srcn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM footed GROUP BY 1),
+          |boiler AS (
+          |  SELECT source, g FROM dfreq JOIN srcn USING (source)
+          |  WHERE df * 10 > nd * 3),
+          |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+          |boiled AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+          |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.g = boiler.g
+          |  GROUP BY 1)
+          |SELECT doc_id, n_grams, COALESCE(n_boiler, 0) AS n_boiler,
+          |  ROUND(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_ratio
+          |FROM perdoc LEFT JOIN boiled USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      doc = "Alignment-free boilerplate detection: high-df 5-grams per source flagged"),
+
     // Bigram corpus LM with add-1 smoothing: per-doc average
     // log P(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) and the perplexity.
     // Adjacent pairs come from a zip_with over the token array (no
