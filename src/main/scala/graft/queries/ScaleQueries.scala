@@ -2645,6 +2645,99 @@ object ScaleQueries {
            |SELECT doc_id, n_chars AS weight, ROUND(raw, 6) AS aes_key
            |FROM top ORDER BY aes_key DESC, doc_id""".stripMargin
       },
-      doc = "A-ES weighted sampling without replacement via deterministic hash draws")
+      doc = "A-ES weighted sampling without replacement via deterministic hash draws"),
+
+    // Hybrid retrieval fusion (RRF, k=60): the lexical BM25 top-50 (same
+    // scoring as txt_bm25_rank) fused with the semantic cosine top-50
+    // around the query embedding (vec_id 0 stands in for the encoded
+    // query — the same deterministic-stub discipline as the multimodal
+    // decode). A list a doc is absent from contributes 0; final order by
+    // the fused score. Both rankings already shuffle-bounded (top-n
+    // heaps); the fusion is a full outer join of two 50-row frames.
+    "rrf_hybrid" -> QueryDef(
+      build = (s, dir) => {
+        val q = Seq("vector", "merge", "filter")
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val perdoc = toks.groupBy("doc_id").agg(
+          count(lit(1)).as("dl"),
+          sum(when(col("t") === q(0), 1L).otherwise(0L)).as("tf0"),
+          sum(when(col("t") === q(1), 1L).otherwise(0L)).as("tf1"),
+          sum(when(col("t") === q(2), 1L).otherwise(0L)).as("tf2"))
+        val stats = perdoc.agg(
+          count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+          sum((col("tf0") > 0).cast("long")).as("df0"),
+          sum((col("tf1") > 0).cast("long")).as("df1"),
+          sum((col("tf2") > 0).cast("long")).as("df2"))
+        def w(i: Int) =
+          when(col(s"tf$i") > 0,
+            TextOps.bm25Term(col(s"tf$i"), col(s"df$i"), col("n_docs"),
+              col("dl"), col("avgdl"))).otherwise(lit(0.0))
+        val lex = perdoc.crossJoin(broadcast(stats))
+          .withColumn("score", w(0) + w(1) + w(2))
+          .filter(col("tf0") > 0 || col("tf1") > 0 || col("tf2") > 0)
+          .withColumn("rank_lex", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank_lex") <= 50)
+          .select("doc_id", "rank_lex")
+        val e = embs(s, dir)
+        val sem = Similarity.bruteForceTopK(
+            e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").cast("long").as("doc_id"),
+            col("rank").as("rank_sem"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0d) / (lit(60.0d) + col("rank_lex")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(60.0d) + col("rank_sem")), lit(0.0d)), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 20)
+          .select("rank", "doc_id", "rank_lex", "rank_sem", "rrf")
+          .orderBy("rank")
+      },
+      oracle = Some {
+        def bw(tf: String, df: String): String =
+          s"ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))" +
+            s" * (CAST($tf AS DOUBLE) * CAST(${1.2 + 1} AS DOUBLE))" +
+            s" / (CAST($tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(${1.0 - 0.75} AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+        def cw(i: Int): String =
+          s"CASE WHEN tf$i > 0 THEN ${bw(s"tf$i", s"df$i")} ELSE CAST(0.0 AS DOUBLE) END"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+           |    CAST(SUM(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+           |    CAST(SUM(CASE WHEN t = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+           |    CAST(SUM(CASE WHEN t = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+           |  FROM toks GROUP BY doc_id),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           |  FROM perdoc),
+           |lex AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY (${cw(0)} + ${cw(1)} + ${cw(2)}) DESC, doc_id) AS INT) AS rank_lex
+           |  FROM perdoc, stats WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  QUALIFY rank_lex <= 50),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |sem AS (
+           |  SELECT CAST(c.vec_id AS BIGINT) AS doc_id,
+           |    CAST(row_number() OVER (ORDER BY ${sqlCosine("qv", "c.embedding")} DESC, c.vec_id) AS INT) AS rank_sem
+           |  FROM q, embeddings c WHERE c.vec_id <> 0
+           |  QUALIFY rank_sem <= 50),
+           |fused AS (
+           |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+           |    ROUND(COALESCE(1.0 / (60.0 + rank_lex), 0.0)
+           |        + COALESCE(1.0 / (60.0 + rank_sem), 0.0), 6) AS rrf
+           |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+           |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+           |  doc_id, rank_lex, rank_sem, rrf
+           |FROM fused QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+      },
+      doc = "Hybrid retrieval: BM25 top-50 x cosine top-50 fused by reciprocal rank (k=60)")
   )
 }
