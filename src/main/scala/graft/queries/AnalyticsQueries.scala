@@ -373,6 +373,43 @@ object AnalyticsQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Bigram LM with add-1 smoothing: per-doc avg log-prob + perplexity"),
 
+    // Vocabulary coverage curve: what fraction of all token occurrences
+    // the top-k vocabulary covers, at k = 5/10/20/30 (the fixture vocab is 31 tokens) — the statistic
+    // that sizes a tokenizer vocab. The global rank runs over the VOCAB
+    // (|V| << corpus; the heavy explode+count shuffles on token keys and
+    // map-side combines), so the single-partition window is bounded.
+    "txt_vocab_coverage" -> QueryDef(
+      build = (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("t"))
+        val total = vocab.agg(sum("c").as("total"))
+        vocab
+          .withColumn("r", row_number().over(w).cast("int"))
+          .withColumn("cum", sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("r").isin(5, 10, 20, 30))
+          .crossJoin(broadcast(total))
+          .select(col("r").as("k"), col("cum").as("covered_tokens"),
+            round(col("cum").cast("double") / col("total").cast("double"), 6)
+              .as("coverage"))
+          .orderBy("k")
+      },
+      oracle = Some(
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          |vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+          |ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t) AS INT) AS r,
+          |    CAST(SUM(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |  FROM vocab)
+          |SELECT r AS k, cum AS covered_tokens,
+          |  ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+          |FROM ranked, tot WHERE r IN (5, 10, 20, 30)
+          |ORDER BY k""".stripMargin),
+      doc = "Top-k vocabulary coverage curve (tokenizer-sizing statistic)"),
+
     // Sub-document (chunk-level) dedup: split every doc into fixed
     // 32-token chunks, keep only the globally-FIRST occurrence of each
     // exact chunk (order = doc_id, chunk idx), reassemble the survivors.
