@@ -373,6 +373,31 @@ object AnalyticsQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Bigram LM with add-1 smoothing: per-doc avg log-prob + perplexity"),
 
+    // Exact (interpolated) quantiles per event type: Spark's sort-based
+    // `percentile` against DuckDB's `quantile_cont` — both implement the
+    // same linear interpolation (1-g)*a[k] + g*a[k+1] over the sorted
+    // values, so the rounded doubles agree. The exact arm beside a8's
+    // approx sketch; Spark's implementation spills per group, but at
+    // true corpus scale the approx arm is the one that ships.
+    "scalar_quantiles_exact" -> QueryDef(
+      build = (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(cast(value as double), 0.25)"), 6).as("p25"),
+            round(expr("percentile(cast(value as double), 0.5)"), 6).as("p50"),
+            round(expr("percentile(cast(value as double), 0.9)"), 6).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      oracle = Some(
+        """SELECT event_type,
+          |  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+          |  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+          |  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Exact interpolated quantiles per type (percentile vs quantile_cont parity)"),
+
     // Vocabulary coverage curve: what fraction of all token occurrences
     // the top-k vocabulary covers, at k = 5/10/20/30 (the fixture vocab is 31 tokens) — the statistic
     // that sizes a tokenizer vocab. The global rank runs over the VOCAB
