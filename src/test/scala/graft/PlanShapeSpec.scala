@@ -215,6 +215,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(fixPlan.contains("TakeOrderedAndProject"), fixPlan.take(3000))
   }
 
+  test("A-ES weighted draw is a TakeOrdered heap; shard shuffle never single-partitions") {
+    graft.functions.Hashing.register(spark)
+    // the weighted sample's "one scan + top-n" claim: the pow-keyed draw
+    // must plan as per-partition heaps, not a global sort
+    val aes = SparkEntry.registry("sample_weighted").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(aes.contains("TakeOrderedAndProject"), aes.take(3000))
+    // the training-shard shuffle claims per-shard ranks only — no global
+    // single-partition exchange anywhere in the plan
+    val sh = SparkEntry.registry("corpus_shuffle_shards").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!sh.contains("Exchange SinglePartition"),
+      s"shard shuffle must not single-partition:\n${sh.take(3000)}")
+  }
+
   test("no cached frames survive a stage-persisted query + Caches.release") {
     Caches.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
