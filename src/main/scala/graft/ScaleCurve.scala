@@ -57,7 +57,10 @@ object ScaleCurve {
   private val curveQueries = Seq(
     "q18_large_orders", "dedup_clusters", "hll_distinct_tenants",
     "emb_ivf_recall", "emb_banded_recall", "dedup_jaccard_capped",
-    "corpus_prepare_v4")
+    "corpus_prepare_v4",
+    // round-6 additions: gram-/chunk-key shuffle ops and the fusion query
+    "txt_novelty", "dedup_chunks", "txt_bigram_lm", "dedup_containment",
+    "txt_boilerplate", "rrf_hybrid")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

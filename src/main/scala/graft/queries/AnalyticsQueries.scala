@@ -273,58 +273,6 @@ object AnalyticsQueries {
           |FROM prof ORDER BY event_type, dow""".stripMargin),
       doc = "Day-of-week seasonality profile with engine-neutral dow arithmetic"),
 
-    // Boilerplate detection (C4-style, alignment-free): a 5-gram present
-    // in > 30% of a source's docs is boilerplate (deterministic per-source
-    // footers are injected first — the fixture corpus has none; natural
-    // grams top out at 8% df). The df threshold is exact-integer
-    // (df*10 > nd*3); gram keys shuffle, text does not.
-    "txt_boilerplate" -> QueryDef(
-      build = (s, dir) => {
-        val footed = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-          concat_ws(" ", col("text"), lit("standard footer for"), col("source"),
-            lit("all rights reserved today")).as("text"))
-        val grams = footed.select(col("doc_id"), col("source"),
-          explode(TextOps.shingles(col("text"), 5)).as("g"))
-        val dfreq = grams.groupBy("source", "g").agg(count(lit(1)).as("df"))
-        val srcn = footed.groupBy("source").agg(count(lit(1)).as("nd"))
-        val boiler = dfreq.join(broadcast(srcn), "source")
-          .filter(col("df") * 10 > col("nd") * 3).select("source", "g")
-        val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val boiled = grams.join(boiler, Seq("source", "g"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-        perDoc.join(boiled, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
-          .withColumn("boiler_ratio",
-            round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
-          .orderBy("doc_id")
-      },
-      oracle = Some(
-        """WITH footed AS (
-          |  SELECT doc_id, source,
-          |    text || ' ' || 'standard footer for' || ' ' || source || ' ' ||
-          |    'all rights reserved today' AS text
-          |  FROM documents),
-          |g AS (
-          |  SELECT doc_id, source, unnest(list_distinct(list_transform(
-          |    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
-          |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
-          |  FROM footed),
-          |dfreq AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1, 2),
-          |srcn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM footed GROUP BY 1),
-          |boiler AS (
-          |  SELECT source, g FROM dfreq JOIN srcn USING (source)
-          |  WHERE df * 10 > nd * 3),
-          |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
-          |boiled AS (
-          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
-          |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.g = boiler.g
-          |  GROUP BY 1)
-          |SELECT doc_id, n_grams, COALESCE(n_boiler, 0) AS n_boiler,
-          |  ROUND(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_ratio
-          |FROM perdoc LEFT JOIN boiled USING (doc_id)
-          |ORDER BY doc_id""".stripMargin),
-      doc = "Alignment-free boilerplate detection: high-df 5-grams per source flagged"),
 
     // Bigram corpus LM with add-1 smoothing: per-doc average
     // log P(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) and the perplexity.
@@ -333,12 +281,14 @@ object AnalyticsQueries {
     "txt_bigram_lm" -> QueryDef(
       build = (s, dir) => {
         val ts = TextOps.tokens(col("text"))
-        val bi = Tables.documents(s, dir).select(col("doc_id"),
+        // barrier: the pair frame feeds both the bigram counts and the
+        // scoring join — unbarriered, the zip_with explode runs twice
+        val bi = graft.Caches.lazyBarrier(Tables.documents(s, dir).select(col("doc_id"),
           explode(zip_with(
             slice(ts, lit(1), size(ts) - 1),
             slice(ts, lit(2), size(ts) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
         val biC = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val uniC = Tables.documents(s, dir)
           .select(explode(ts).as("w1"))

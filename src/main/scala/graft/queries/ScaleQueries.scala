@@ -2556,8 +2556,10 @@ object ScaleQueries {
     // n-gram index here).
     "txt_novelty" -> QueryDef(
       build = (s, dir) => {
-        val grams = docs(s, dir).select(col("doc_id"),
-          explode(TextOps.shingles(col("text"), 3)).as("g"))
+        // barrier: referenced by both the first-owner aggregate and the
+        // back-join — without it the shingle explode runs twice
+        val grams = graft.Caches.lazyBarrier(docs(s, dir).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("g")))
         val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
         grams.join(firstOwner, "g")
           .groupBy("doc_id")
@@ -2738,6 +2740,69 @@ object ScaleQueries {
            |  doc_id, rank_lex, rank_sem, rrf
            |FROM fused QUALIFY rank <= 20 ORDER BY rank""".stripMargin
       },
-      doc = "Hybrid retrieval: BM25 top-50 x cosine top-50 fused by reciprocal rank (k=60)")
+      doc = "Hybrid retrieval: BM25 top-50 x cosine top-50 fused by reciprocal rank (k=60)"),
+
+    // Boilerplate detection (C4-style, alignment-free): a 5-gram present
+    // in > 30% of a source's docs is boilerplate (deterministic per-source
+    // footers are injected first — the fixture corpus has none; natural
+    // grams top out at 8% df). The df threshold is exact-integer
+    // (df*10 > nd*3); gram keys shuffle, text does not.
+    "txt_boilerplate" -> QueryDef(
+      build = (s, dir) => {
+        val footed = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          concat_ws(" ", col("text"), lit("standard footer for"), col("source"),
+            lit("all rights reserved today")).as("text"))
+        // barrier: the gram frame feeds the df index, the per-doc totals
+        // AND the boiler semi-join — unbarriered, the 5-gram explode
+        // would run three times. Grams travel as fused-kernel poly-hashes
+        // (fixed-width longs), never strings — the oracle replays the
+        // same mod-P hash, so a collision merges identically on both
+        // engines (the dedup-family convention).
+        graft.functions.Hashing.register(s)
+        val grams = graft.Caches.lazyBarrier(footed.select(col("doc_id"), col("source"),
+          explode(TextOps.shingleHashes(col("text"), 5)).as("g")))
+        val dfreq = grams.groupBy("source", "g").agg(count(lit(1)).as("df"))
+        val srcn = footed.groupBy("source").agg(count(lit(1)).as("nd"))
+        val boiler = dfreq.join(broadcast(srcn), "source")
+          .filter(col("df") * 10 > col("nd") * 3).select("source", "g")
+        val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val boiled = grams.join(boiler, Seq("source", "g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        perDoc.join(boiled, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("boiler_ratio",
+            round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        s"""WITH footed AS (
+          |  SELECT doc_id, source,
+          |    text || ' ' || 'standard footer for' || ' ' || source || ' ' ||
+          |    'all rights reserved today' AS text
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, source, unnest(list_transform(
+          |    list_distinct(list_transform(
+          |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+          |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))),
+          |    s -> ${sqlPolyHash("s", P)})) AS g
+          |  FROM footed),
+          |dfreq AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1, 2),
+          |srcn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM footed GROUP BY 1),
+          |boiler AS (
+          |  SELECT source, g FROM dfreq JOIN srcn USING (source)
+          |  WHERE df * 10 > nd * 3),
+          |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+          |boiled AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+          |  FROM g SEMI JOIN boiler ON g.source = boiler.source AND g.g = boiler.g
+          |  GROUP BY 1)
+          |SELECT doc_id, n_grams, COALESCE(n_boiler, 0) AS n_boiler,
+          |  ROUND(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_ratio
+          |FROM perdoc LEFT JOIN boiled USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+      },
+      doc = "Alignment-free boilerplate detection: high-df 5-grams per source flagged"),
   )
 }
