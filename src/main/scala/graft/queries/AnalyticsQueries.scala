@@ -323,6 +323,60 @@ object AnalyticsQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Bigram LM with add-1 smoothing: per-doc avg log-prob + perplexity"),
 
+    // STL-lite decomposition: value = trend + seasonal + residual. Trend
+    // is a centered 7-day rolling mean (exact-integer window sums divided
+    // once), seasonal is the day-of-week mean of the detrended series
+    // (rounded before the residual so the subtraction chain is pinned),
+    // residual is what's left. One window + one small grouped aggregate.
+    "ts_decompose" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wT = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+        val d3 = daily
+          .withColumn("tsum", sum("n").over(wT))
+          .withColumn("tcnt", count("n").over(wT))
+          .withColumn("trend", col("tsum").cast("double") / col("tcnt"))
+          .withColumn("dow",
+            pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("int"))
+          .withColumn("detr", col("n").cast("double") - col("trend"))
+        val seas = d3.groupBy("event_type", "dow")
+          .agg(round(avg("detr"), 4).as("seasonal"))
+        d3.join(seas, Seq("event_type", "dow"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), round(col("trend"), 4).as("trend"), col("seasonal"),
+            round(col("n").cast("double") - col("trend") - col("seasonal"), 4)
+              .as("resid"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |d2 AS (
+          |  SELECT event_type, day, n,
+          |    CAST(SUM(n) OVER w AS BIGINT) AS tsum,
+          |    CAST(COUNT(n) OVER w AS BIGINT) AS tcnt,
+          |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+          |  FROM daily
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |d3 AS (
+          |  SELECT *, CAST(tsum AS DOUBLE) / tcnt AS trend,
+          |    n - CAST(tsum AS DOUBLE) / tcnt AS detr
+          |  FROM d2),
+          |seas AS (
+          |  SELECT event_type, dow, ROUND(AVG(detr), 4) AS seasonal
+          |  FROM d3 GROUP BY 1, 2)
+          |SELECT d3.event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  ROUND(trend, 4) AS trend, seasonal,
+          |  ROUND(n - trend - seasonal, 4) AS resid
+          |FROM d3 JOIN seas ON d3.event_type = seas.event_type AND d3.dow = seas.dow
+          |ORDER BY d3.event_type, day""".stripMargin),
+      doc = "STL-lite: centered-mean trend + dow seasonal + residual per type/day"),
+
     // Exact (interpolated) quantiles per event type: Spark's sort-based
     // `percentile` against DuckDB's `quantile_cont` — both implement the
     // same linear interpolation (1-g)*a[k] + g*a[k+1] over the sorted

@@ -215,6 +215,46 @@ object BehaviorQueries {
           |  CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY offset_days
           |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
           |FROM per ORDER BY cohort_day, offset_days""".stripMargin),
-      doc = "Cohort LTV: cumulative purchase revenue per cohort x day offset")
+      doc = "Cohort LTV: cumulative purchase revenue per cohort x day offset"),
+
+    // Pareto concentration: what share of all events the top 1% / 10% /
+    // 50% most-active users generate (Lorenz-curve points). Exact-integer
+    // cumulative sums; the rank window runs over USERS (bounded by
+    // |users|, not event volume — events pre-aggregate per user first).
+    "evt_pareto" -> QueryDef(
+      build = (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("user_id"))
+        val tot = perUser.agg(sum("n").as("total"), count(lit(1)).as("n_users"))
+        perUser
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .filter(col("r") === ceil(col("n_users") * 0.01).cast("long") ||
+            col("r") === ceil(col("n_users") * 0.1).cast("long") ||
+            col("r") === ceil(col("n_users") * 0.5).cast("long"))
+          .select(col("r").as("top_users"), col("cum").as("covered_events"),
+            round(col("cum").cast("double") / col("total").cast("double"), 6)
+              .as("share"))
+          .orderBy("top_users")
+      },
+      oracle = Some(
+        """WITH peruser AS (
+          |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_users FROM peruser),
+          |ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS r,
+          |    CAST(SUM(n) OVER (ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |  FROM peruser)
+          |SELECT r AS top_users, cum AS covered_events,
+          |  ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+          |FROM ranked, tot
+          |WHERE r = CAST(CEIL(n_users * 0.01) AS BIGINT)
+          |   OR r = CAST(CEIL(n_users * 0.1) AS BIGINT)
+          |   OR r = CAST(CEIL(n_users * 0.5) AS BIGINT)
+          |ORDER BY top_users""".stripMargin),
+      doc = "Pareto/Lorenz points: event share of the top 1/10/50% most-active users")
   )
 }
