@@ -1686,6 +1686,57 @@ object ScaleQueries {
            |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "N-gram Jaccard near-dup pairs (inverted shingle index, within-source blocking)"),
 
+    // PageRank over the near-dup pair graph (10 iterations, d=0.85): the
+    // centrality companion to dedup_clusters — the hub of a star-shaped
+    // dup cluster. The oracle unrolls the 10 iterations as generated
+    // CTEs from the SAME constants (including the full-precision print of
+    // 1-d, so both engines fold the identical doubles); the Spark side is
+    // one join + one node-key aggregate per round with a lineage barrier.
+    "graph_pagerank" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val edges = NearDup.jaccardPairs(nearDupDocs(docs(s, dir)), "doc_id",
+            "source", shingleN = 3, threshold = 0.2)
+          .select("doc_a", "doc_b")
+        Clusters.pageRank(edges, "doc_a", "doc_b", iterations = 10, damping = 0.85)
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("rank").desc, col("node"))).cast("int"))
+          .select(col("node").as("doc_id"), round(col("rank"), 4).as("rank"),
+            col("pos"))
+          .orderBy("pos")
+      },
+      oracle = Some {
+        val d = 0.85
+        val iterCtes = (1 to 10).map { i =>
+          s"""pr$i AS (
+             |  SELECT n.node, ${1.0 - d} + $d * COALESCE(c.s, 0.0) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
+             |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src
+             |    JOIN deg d ON d.node = e.src
+             |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.2
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.2),
+           |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT node FROM deg),
+           |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+           |$iterCtes
+           |SELECT node AS doc_id, ROUND(rank, 4) AS rank,
+           |  CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT) AS pos
+           |FROM pr10 ORDER BY pos""".stripMargin
+      },
+      doc = "PageRank centrality over the near-dup pair graph (10 unrolled-CTE-checked rounds)"),
+
     // Doc-frequency-capped variant: shingles shared by more than maxDf docs
     // are dropped before the co-occurrence join — the hot-key guard a 100 TB
     // inverted index needs (one boilerplate shingle in k docs fans out k²

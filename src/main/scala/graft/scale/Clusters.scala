@@ -112,4 +112,37 @@ object Clusters {
       .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("node") === col("cluster_id")).as("is_canonical"))
   }
+
+  /** PageRank over the undirected pair graph (`rank = (1-d) + d·Σ
+    * rank(nbr)/deg(nbr)`, fixed iteration count): the centrality
+    * companion to [[connectedComponents]] — inside a dup cluster the
+    * highest-rank node is the hub the others orbit, a better canonical-
+    * representative choice than min-id when clusters are star-shaped.
+    *
+    * Each iteration is one co-partitioned join + one aggregate on the
+    * node key; a lazy lineage barrier per iteration keeps the analyzed
+    * tree linear in rounds (the [[connectedComponents]] lesson). State
+    * per round is one double per node.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = graft.Caches.lazyBarrier(
+      sym.groupBy("src").agg(count(lit(1)).as("deg")))
+    val withDeg = graft.Caches.lazyBarrier(sym.join(deg, "src"))
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("rank", lit(1.0d))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = graft.Caches.lazyBarrier(
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(1.0d - damping) + lit(damping) * coalesce(col("s"), lit(0.0d)))
+              .as("rank")))
+    }
+    ranks
+  }
 }

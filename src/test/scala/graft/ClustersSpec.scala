@@ -101,4 +101,21 @@ class ClustersSpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
     assert(cc(edges) == want)
   }
+
+  test("pageRank: mass conservation and the star hub ranks first") {
+    import spark.implicits._
+    // star: 1 is the hub of {2,3,4,5}; {10,11} an isolated pair
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val pr = graft.scale.Clusters.pageRank(pairs, "doc_a", "doc_b",
+        iterations = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the (1-d) + d*sum form preserves total mass exactly: sum == |nodes|
+    assert(math.abs(pr.values.sum - pr.size) < 1e-9,
+      s"rank mass ${pr.values.sum} must equal node count ${pr.size}")
+    assert(pr(1L) > pr(2L) && pr(1L) > pr(5L), "the star hub ranks highest")
+    assert(math.abs(pr(10L) - pr(11L)) < 1e-12, "symmetric pair ranks equal")
+    assert(Seq(2L, 3L, 4L, 5L).map(pr).distinct.size == 1,
+      "symmetric leaves rank equal")
+  }
 }
