@@ -111,6 +111,40 @@ object ScalarQueries {
            |ORDER BY op, tenant_id""".stripMargin),
       doc = "Set operations: INTERSECT / EXCEPT over derived tenant sets"),
 
+    // Bag-semantics set operations: Spark's native intersectAll/exceptAll
+    // against SQL INTERSECT ALL / EXCEPT ALL — multiplicities matter
+    // (min(m,n) copies intersect; m-n copies survive the except). Run over
+    // per-user daily event-type bags so duplicates genuinely occur.
+    "set_ops_bag" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir)
+        def bag(t: String) = e.filter(col("event_type") === t &&
+            to_date(col("ts")) < lit("2024-01-16"))
+          .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+        val clicks = bag("click")
+        val views = bag("view")
+        clicks.intersectAll(views).withColumn("op", lit("both"))
+          .unionByName(clicks.exceptAll(views).withColumn("op", lit("click_surplus")))
+          .groupBy("op", "user_id")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("op", "user_id")
+      },
+      oracle = Some(
+        """WITH clicks AS (
+          |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+          |  WHERE event_type = 'click' AND CAST(ts AS DATE) < DATE '2024-01-16'),
+          |views AS (
+          |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+          |  WHERE event_type = 'view' AND CAST(ts AS DATE) < DATE '2024-01-16'),
+          |both_rows AS (SELECT * FROM clicks INTERSECT ALL SELECT * FROM views),
+          |surplus AS (SELECT * FROM clicks EXCEPT ALL SELECT * FROM views)
+          |SELECT op, user_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          |  SELECT user_id, 'both' AS op FROM both_rows
+          |  UNION ALL
+          |  SELECT user_id, 'click_surplus' AS op FROM surplus)
+          |GROUP BY op, user_id ORDER BY op, user_id""".stripMargin),
+      doc = "Bag-semantics INTERSECT ALL / EXCEPT ALL with multiplicity counts"),
+
     // Array / higher-order-function surface: build a per-order sorted
     // quantity array, then exercise aggregate (fold), filter, transform,
     // slice, zip_with and reverse — all over exact integers, so the two
