@@ -45,6 +45,15 @@ object ScaleQueries {
   private def sqlCosine(a: String, b: String): String =
     s"ROUND(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
 
+  /** Squared L2 over index range [from, from+len-1] — the strict-order
+    * left fold matching Quant.l2sq.
+    */
+  private def sqlL2sq(a: String, b: String, from: Int, len: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series($from, ${from + len - 1}), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(x, y) -> x + y)"
+
   /** Sign bucket over the first `bits` dims (= Similarity.signBucket —
     * generated from the same bit weights so the two sides cannot drift).
     */
@@ -1685,6 +1694,66 @@ object ScaleQueries {
            |SELECT doc_a, doc_b, jaccard FROM pairs
            |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "N-gram Jaccard near-dup pairs (inverted shingle index, within-source blocking)"),
+
+    // Product quantization top-k: the third compression member of the ANN
+    // family (SRP buckets, IVF, int8 SQ, now PQ) — 4 subspaces x 16
+    // seeded codes, corpus compressed to 4 bytes/vector. Ranking runs on
+    // the reconstructed vectors (== the classic ADC table sum, computed
+    // as ONE strict-order fold so both engines agree bitwise).
+    "emb_pq_topk" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir)
+        Quant.pqTopK(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+            k = 10, m = 4, subDim = 16, nCodes = 16)
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        val dcols = (0 until 4).map { j =>
+          s"${sqlL2sq("v", "cv", j * 16 + 1, 16)} AS d$j"
+        }.mkString(",\n           |    ")
+        val picks = (0 until 4).map { j =>
+          s"""e$j AS (
+             |  SELECT id, code_id AS c$j FROM (
+             |    SELECT id, code_id,
+             |      row_number() OVER (PARTITION BY id ORDER BY d$j, code_id) AS rn
+             |    FROM sc) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val joins = (0 until 4).map { j =>
+          s"JOIN cb cb$j ON cb$j.code_id = enc.c$j"
+        }.mkString(" ")
+        val parts = (0 until 4).map { j =>
+          s"list_slice(cb$j.cv, ${j * 16 + 1}, ${j * 16 + 16})"
+        }.mkString(" || ")
+        s"""WITH cb AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS code_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |sc AS (
+           |  SELECT id, code_id,
+           |    $dcols
+           |  FROM (SELECT e.vec_id AS id, e.embedding AS v, cb.code_id, cb.cv
+           |        FROM embeddings e, cb) base),
+           |$picks,
+           |enc AS (
+           |  SELECT e0.id, c0, c1, c2, c3
+           |  FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)),
+           |recon AS (
+           |  SELECT enc.id, $parts AS recon
+           |  FROM enc $joins),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+           |adc AS (
+           |  SELECT q.query_id, recon.id AS neighbor_id,
+           |    ROUND(${sqlL2sq("qv", "recon", 1, 64)}, 6) AS approx_l2sq
+           |  FROM q, recon WHERE q.query_id <> recon.id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, approx_l2sq,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY approx_l2sq, neighbor_id) AS INT) AS rank
+           |  FROM adc)
+           |SELECT query_id, neighbor_id, approx_l2sq, rank
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "PQ ANN top-10: 4x16-dim seeded codebooks, ADC-equivalent reconstructed-L2 rank"),
 
     // PageRank over the near-dup pair graph (10 iterations, d=0.85): the
     // centrality companion to dedup_clusters — the hub of a star-shaped

@@ -116,4 +116,65 @@ object Quant {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "qscore", "rank")
   }
+
+  /** Squared-L2 distance restricted to index range [from, from+len):
+    * a left fold in strict index order, double per element — the exact
+    * expression the DuckDB oracle replays.
+    */
+  private def l2sq(a: Column, b: Column, from: Int, len: Int): Column =
+    aggregate(
+      transform(sequence(lit(from), lit(from + len - 1)),
+        i => (element_at(a, i).cast("double") - element_at(b, i).cast("double")) *
+          (element_at(a, i).cast("double") - element_at(b, i).cast("double"))),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Product quantization top-k (PQ, the IVF/SQ family's third member):
+    * the D-dim space splits into `m` subspaces; each subspace has
+    * `nCodes` centroids (the deterministic seeded codebook: subvectors of
+    * the first nCodes corpus vectors, same discipline as ivfSeededTopK);
+    * a corpus vector encodes to m code ids (argmin subspace L2, smallest
+    * code on ties). Queries rank candidates by the L2 of the
+    * RECONSTRUCTED vector (mathematically identical to the classic ADC
+    * table sum; computed as one strict-order fold so both engines agree
+    * bitwise).
+    *
+    * 100 TB rationale: the corpus compresses from D floats to m bytes per
+    * vector (64x here) — the index that keeps a trillion vectors in
+    * memory. Encoding is corpus x (nCodes·m) subspace distances, one
+    * broadcast of the tiny codebook; search shuffles nothing but the
+    * m-byte codes.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, subDim: Int = 16,
+             nCodes: Int = 16): DataFrame = {
+    val cb = corpus.filter(col(idCol) < nCodes)
+      .select(col(idCol).cast("long").as("code_id"), col(vecCol).as("cv"))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cb))
+    val aggs = (0 until m).map { j =>
+      min_by(col("code_id"),
+        struct(l2sq(col("v"), col("cv"), j * subDim + 1, subDim), col("code_id")))
+        .as(s"c$j")
+    }
+    val enc = scored.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // reconstruct: one broadcast self-join per subspace stitches the
+    // code centroids back into a full vector
+    val recon0 = (0 until m).foldLeft(enc) { (df, j) =>
+      df.join(broadcast(cb.select(col("code_id").as(s"cb${j}_id"),
+          slice(col("cv"), j * subDim + 1, subDim).as(s"part$j"))),
+        col(s"c$j") === col(s"cb${j}_id"))
+    }
+    val recon = recon0.select(col("id"),
+      concat((0 until m).map(j => col(s"part$j")): _*).as("recon"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adc = broadcast(q).crossJoin(recon)
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("approx_l2sq", round(l2sq(col("qv"), col("recon"), 1, m * subDim), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_l2sq"), col("id"))
+    adc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("approx_l2sq"), col("rank"))
+  }
 }
