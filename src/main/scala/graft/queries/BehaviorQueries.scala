@@ -255,6 +255,86 @@ object BehaviorQueries {
           |   OR r = CAST(CEIL(n_users * 0.1) AS BIGINT)
           |   OR r = CAST(CEIL(n_users * 0.5) AS BIGINT)
           |ORDER BY top_users""".stripMargin),
-      doc = "Pareto/Lorenz points: event share of the top 1/10/50% most-active users")
+      doc = "Pareto/Lorenz points: event share of the top 1/10/50% most-active users"),
+
+    // Feature-engineering capstone: the per-user ML feature table a churn
+    // model trains on, composing the behavioral operators — RFM base,
+    // session counts (1-day-gap Sessionize), activity span/diversity,
+    // error rate, and a recent-vs-prior momentum ratio. One pass of
+    // conditional aggregates on the user key plus the sessionizer's
+    // single window; every numeric either exact-integer, exact-decimal,
+    // or a rounded ratio of those.
+    "evt_user_features" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val gmax = ev.agg(max(to_date(col("ts"))).as("gmax"))
+        val sess = graft.operators.Sessionize.withSessionIds(
+            ev, "user_id", "ts", "event_id", gapSeconds = 86400L)
+          .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+        val base = ev.crossJoin(broadcast(gmax))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct("event_type").as("n_types"),
+            countDistinct(to_date(col("ts"))).as("active_days"),
+            datediff(max(col("gmax")), max(to_date(col("ts")))).cast("int")
+              .as("recency_days"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            sum(when(col("event_type") === "purchase",
+              col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+              .cast("double").as("monetary"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+            sum(when(to_date(col("ts")) > date_sub(col("gmax"), 7), 1L)
+              .otherwise(0L)).as("last7"),
+            sum(when(to_date(col("ts")) <= date_sub(col("gmax"), 7) &&
+              to_date(col("ts")) > date_sub(col("gmax"), 14), 1L)
+              .otherwise(0L)).as("prev7"))
+        base.join(sess, "user_id")
+          .withColumn("err_rate",
+            round(col("n_errors").cast("double") / col("n_events").cast("double"), 6))
+          .withColumn("momentum",
+            when(col("prev7") > 0,
+              round(col("last7").cast("double") / col("prev7").cast("double"), 6)))
+          .select("user_id", "n_events", "n_types", "active_days", "recency_days",
+            "n_sessions", "n_purchases", "monetary", "n_errors", "err_rate",
+            "last7", "prev7", "momentum")
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH gmax AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events),
+          |d AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              >= INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |sess AS (
+          |  SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+          |  FROM d GROUP BY user_id),
+          |base AS (
+          |  SELECT user_id,
+          |    CAST(COUNT(*) AS BIGINT) AS n_events,
+          |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+          |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+          |    CAST(date_diff('day', MAX(CAST(ts AS DATE)), MAX(gmax)) AS INT) AS recency_days,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase'
+          |      THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS monetary,
+          |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+          |    CAST(SUM(CASE WHEN CAST(ts AS DATE) > gmax - 7 THEN 1 ELSE 0 END) AS BIGINT) AS last7,
+          |    CAST(SUM(CASE WHEN CAST(ts AS DATE) <= gmax - 7
+          |      AND CAST(ts AS DATE) > gmax - 14 THEN 1 ELSE 0 END) AS BIGINT) AS prev7
+          |  FROM events, gmax GROUP BY user_id)
+          |SELECT base.user_id, n_events, n_types, active_days, recency_days,
+          |  n_sessions, n_purchases, monetary, n_errors,
+          |  ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS err_rate,
+          |  last7, prev7,
+          |  CASE WHEN prev7 > 0
+          |    THEN ROUND(CAST(last7 AS DOUBLE) / CAST(prev7 AS DOUBLE), 6) END AS momentum
+          |FROM base JOIN sess ON base.user_id = sess.user_id
+          |ORDER BY base.user_id""".stripMargin),
+      doc = "Per-user ML feature table: RFM + sessions + diversity + error rate + momentum")
   )
 }
