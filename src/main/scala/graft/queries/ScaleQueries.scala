@@ -1695,6 +1695,65 @@ object ScaleQueries {
            |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "N-gram Jaccard near-dup pairs (inverted shingle index, within-source blocking)"),
 
+    // Fuzzy entity matching (scale/FuzzyMatch): typo'd probe records
+    // (every 25th customer, one digit deleted or substituted —
+    // deterministic dirty-data injection, the PII-redaction discipline)
+    // matched against the clean master within edit distance 1 via
+    // deletion-neighborhood blocking + exact levenshtein verify. No cross
+    // join anywhere — the candidate index is |name|+1 variants per record.
+    "fuzzy_name_match" -> QueryDef(
+      build = (s, dir) => {
+        val master = Tables.customer(s, dir).select("c_custkey", "c_name")
+        val probes = master.filter(col("c_custkey") % 25 === 0)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            when(col("c_custkey") % 50 === 0,
+              // substitution typo: last char -> 'X'
+              concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("X")))
+              .otherwise({
+                // deletion typo at a digit position (10..18)
+                val pos = (col("c_custkey") % 9 + 10).cast("int")
+                concat(col("c_name").substr(lit(1), pos - 1),
+                  col("c_name").substr(pos + 1, length(col("c_name"))))
+              }).as("c_name"))
+        FuzzyMatch.matchWithin1(probes, master, "c_custkey", "c_name")
+          .select(col("probe_id"), col("master_id"), col("probe_name"),
+            col("master_name"), col("distance"))
+          .orderBy("probe_id", "master_id")
+      },
+      oracle = Some(
+        """WITH master AS (SELECT c_custkey, c_name FROM customer),
+          |probes AS (
+          |  SELECT c_custkey + 100000 AS c_custkey,
+          |    CASE WHEN c_custkey % 50 = 0
+          |      THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+          |      ELSE substr(c_name, 1, CAST(c_custkey % 9 + 10 AS INT) - 1)
+          |        || substr(c_name, CAST(c_custkey % 9 + 10 AS INT) + 1, length(c_name))
+          |    END AS c_name
+          |  FROM master WHERE c_custkey % 25 = 0),
+          |pv AS (
+          |  SELECT c_custkey AS probe_id, c_name AS probe_name,
+          |    unnest(list_distinct(list_transform(
+          |      generate_series(1, length(c_name) + 1),
+          |      i -> CASE WHEN i = length(c_name) + 1 THEN c_name
+          |           ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)) END))) AS variant
+          |  FROM probes),
+          |mv AS (
+          |  SELECT c_custkey AS master_id, c_name AS master_name,
+          |    unnest(list_distinct(list_transform(
+          |      generate_series(1, length(c_name) + 1),
+          |      i -> CASE WHEN i = length(c_name) + 1 THEN c_name
+          |           ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)) END))) AS variant
+          |  FROM master),
+          |cand AS (
+          |  SELECT DISTINCT probe_id, master_id, probe_name, master_name
+          |  FROM pv JOIN mv USING (variant))
+          |SELECT probe_id, master_id, probe_name, master_name,
+          |  CAST(levenshtein(probe_name, master_name) AS INT) AS distance
+          |FROM cand
+          |WHERE levenshtein(probe_name, master_name) <= 1
+          |ORDER BY probe_id, master_id""".stripMargin),
+      doc = "Fuzzy entity match (edit<=1) via deletion-neighborhood blocking, no cross join"),
+
     // Product quantization top-k: the third compression member of the ANN
     // family (SRP buckets, IVF, int8 SQ, now PQ) — 4 subspaces x 16
     // seeded codes, corpus compressed to 4 bytes/vector. Ranking runs on
