@@ -123,6 +123,44 @@ object AnalyticsQueries {
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       doc = "Pivot: priority classes fanned out to columns per order status"),
 
+    // RANGE-interval frame: trailing-7-DAY sums keyed by the time VALUE,
+    // not row position — over sparse series ROWS frames silently widen
+    // their span across gaps; RANGE frames stay correct. Both engines run
+    // the identical RANGE INTERVAL spec via the SQL surface.
+    "w_range_frame" -> QueryDef(
+      build = (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_rf")
+        s.sql(
+          """WITH daily AS (
+            |  SELECT event_type, CAST(ts AS DATE) AS day,
+            |    COUNT(*) AS n,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS rev
+            |  FROM events_rf GROUP BY event_type, CAST(ts AS DATE))
+            |SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day, n,
+            |  SUM(n) OVER w AS n_7d,
+            |  CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+            |  COUNT(*) OVER w AS days_in_frame
+            |FROM daily
+            |WINDOW w AS (PARTITION BY event_type ORDER BY day
+            |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+            |ORDER BY event_type, day""".stripMargin)
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS rev
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+          |  CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+          |  CAST(COUNT(*) OVER w AS BIGINT) AS days_in_frame
+          |FROM daily
+          |WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day""".stripMargin),
+      doc = "RANGE INTERVAL window frame: value-keyed trailing-7-day sums (gap-correct)"),
+
     // Time-series gap fill: the full (type x hour) grid via sequence()
     // explode, missing hours carried forward (LOCF). The grid is
     // |types| x |hours| — it scales with time span and cardinality of the
