@@ -1814,6 +1814,86 @@ object ScaleQueries {
       },
       doc = "PQ ANN top-10: 4x16-dim seeded codebooks, ADC-equivalent reconstructed-L2 rank"),
 
+    // PQ recall AS DATA, fully oracle-checked (both arms deterministic):
+    // per-query overlap of the PQ top-10 with the exact-L2 top-10. The
+    // honest number for SEEDED (untrained) 4x16 codebooks on this corpus
+    // is modest (~0.33 mean) — the classic trained-k-means refinement is
+    // deliberately out of scope because elementwise float means are not
+    // bit-replayable across engines; the floor is spec-pinned well above
+    // the 10/499 random baseline.
+    "emb_pq_recall" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir)
+        val q3 = e.filter(col("vec_id") < 3)
+        val pq = Quant.pqTopK(q3, e, "vec_id", "embedding",
+            k = 10, m = 4, subDim = 16, nCodes = 16)
+          .select("query_id", "neighbor_id")
+        val exact = Quant.l2TopK(q3, e, "vec_id", "embedding", k = 10, dim = 64)
+          .select("query_id", "neighbor_id")
+        val hits = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        exact.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 2)
+              .as("recall_at_10"))
+          .orderBy("query_id")
+      },
+      oracle = Some {
+        val dcols = (0 until 4).map { j =>
+          s"${sqlL2sq("v", "cv", j * 16 + 1, 16)} AS d$j"
+        }.mkString(",\n           |    ")
+        val picks = (0 until 4).map { j =>
+          s"""e$j AS (
+             |  SELECT id, code_id AS c$j FROM (
+             |    SELECT id, code_id,
+             |      row_number() OVER (PARTITION BY id ORDER BY d$j, code_id) AS rn
+             |    FROM sc) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val joins = (0 until 4).map(j => s"JOIN cb cb$j ON cb$j.code_id = enc.c$j").mkString(" ")
+        val parts = (0 until 4).map(j => s"list_slice(cb$j.cv, ${j * 16 + 1}, ${j * 16 + 16})").mkString(" || ")
+        s"""WITH cb AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS code_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |sc AS (
+           |  SELECT id, code_id,
+           |    $dcols
+           |  FROM (SELECT e.vec_id AS id, e.embedding AS v, cb.code_id, cb.cv
+           |        FROM embeddings e, cb) base),
+           |$picks,
+           |enc AS (
+           |  SELECT e0.id, c0, c1, c2, c3
+           |  FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)),
+           |recon AS (
+           |  SELECT enc.id, $parts AS recon
+           |  FROM enc $joins),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+           |pq AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, recon.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ROUND(${sqlL2sq("qv", "recon", 1, 64)}, 6), recon.id) AS rank
+           |    FROM q, recon WHERE q.query_id <> recon.id) t WHERE rank <= 10),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${sqlL2sq("qv", "c.embedding", 1, 64)}, c.vec_id) AS rank
+           |    FROM q, embeddings c WHERE q.query_id <> c.vec_id) t WHERE rank <= 10),
+           |hits AS (
+           |  SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM ex SEMI JOIN pq ON ex.query_id = pq.query_id AND ex.neighbor_id = pq.neighbor_id
+           |  GROUP BY ex.query_id)
+           |SELECT q.query_id, COALESCE(hits, 0) AS hits,
+           |  ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0, 2) AS recall_at_10
+           |FROM (SELECT DISTINCT query_id FROM ex) q
+           |LEFT JOIN hits ON q.query_id = hits.query_id
+           |ORDER BY q.query_id""".stripMargin
+      },
+      doc = "PQ recall@10 vs exact-L2, fully oracle-checked (honest seeded-codebook number)"),
+
     // PageRank over the near-dup pair graph (10 iterations, d=0.85): the
     // centrality companion to dedup_clusters — the hub of a star-shaped
     // dup cluster. The oracle unrolls the 10 iterations as generated

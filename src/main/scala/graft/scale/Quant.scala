@@ -121,7 +121,7 @@ object Quant {
     * a left fold in strict index order, double per element — the exact
     * expression the DuckDB oracle replays.
     */
-  private def l2sq(a: Column, b: Column, from: Int, len: Int): Column =
+  private[scale] def l2sq(a: Column, b: Column, from: Int, len: Int): Column =
     aggregate(
       transform(sequence(lit(from), lit(from + len - 1)),
         i => (element_at(a, i).cast("double") - element_at(b, i).cast("double")) *
@@ -176,5 +176,22 @@ object Quant {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("approx_l2sq"), col("rank"))
+  }
+
+  /** Exact squared-L2 top-k (the baseline arm PQ recall is measured
+    * against — PQ ranks in L2 space, so the cosine baseline would
+    * conflate metric mismatch with quantization loss).
+    */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2sq", l2sq(col("qv"), col("cv"), 1, dim))
+    val w = Window.partitionBy("query_id").orderBy(col("l2sq"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 }
