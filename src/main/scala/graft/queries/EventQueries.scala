@@ -372,6 +372,58 @@ object EventQueries {
           |ORDER BY step""".stripMargin),
       doc = "Greedy earliest-occurrence funnel: view -> click -> purchase conversion depths"),
 
+    // Time-to-convert distribution per funnel transition: exact-integer
+    // microsecond durations, interpolated exact quantiles (the
+    // percentile==quantile_cont parity proven by scalar_quantiles_exact),
+    // and a mean from the exact sum. Composes Funnel.funnelTimes.
+    "funnel_latency" -> QueryDef(
+      build = (s, dir) => {
+        val ft = graft.operators.Funnel.funnelTimes(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        def leg(label: String, a: String, b: String) =
+          ft.filter(col(b).isNotNull)
+            .select(lit(label).as("step"),
+              (unix_micros(col(b)) - unix_micros(col(a))).as("dur_us"))
+        leg("1_view_to_click", "t1", "t2")
+          .unionByName(leg("2_click_to_purchase", "t2", "t3"))
+          .groupBy("step")
+          .agg(
+            count(lit(1)).as("n_converted"),
+            round(expr("percentile(dur_us, 0.5)") / 1e6, 4).as("p50_s"),
+            round(expr("percentile(dur_us, 0.9)") / 1e6, 4).as("p90_s"),
+            round((sum("dur_us").cast("double") / count(lit(1))) / 1e6, 4)
+              .as("mean_s"))
+          .orderBy("step")
+      },
+      oracle = Some(
+        """WITH t1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |t2 AS (
+          |  SELECT t1.user_id, t1.t1, min(e.ts) AS t2
+          |  FROM t1 LEFT JOIN events e
+          |    ON e.user_id = t1.user_id AND e.event_type = 'click' AND e.ts > t1.t1
+          |  GROUP BY t1.user_id, t1.t1),
+          |t3 AS (
+          |  SELECT t2.user_id, t2.t1, t2.t2, min(e.ts) AS t3
+          |  FROM t2 LEFT JOIN events e
+          |    ON e.user_id = t2.user_id AND e.event_type = 'purchase' AND e.ts > t2.t2
+          |  GROUP BY t2.user_id, t2.t1, t2.t2),
+          |legs AS (
+          |  SELECT '1_view_to_click' AS step,
+          |    date_diff('microseconds', t1, t2) AS dur_us
+          |  FROM t2 WHERE t2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT '2_click_to_purchase',
+          |    date_diff('microseconds', t2, t3)
+          |  FROM t3 WHERE t3 IS NOT NULL)
+          |SELECT step, CAST(COUNT(*) AS BIGINT) AS n_converted,
+          |  ROUND(quantile_cont(dur_us, 0.5) / 1e6, 4) AS p50_s,
+          |  ROUND(quantile_cont(dur_us, 0.9) / 1e6, 4) AS p90_s,
+          |  ROUND((CAST(SUM(dur_us) AS DOUBLE) / COUNT(*)) / 1e6, 4) AS mean_s
+          |FROM legs GROUP BY step ORDER BY step""".stripMargin),
+      doc = "Funnel time-to-convert: exact-microsecond p50/p90/mean per transition"),
+
     // Cohorted retention: distinct-collapse (user, day) activity first,
     // derive each user's cohort day, then one co-partitioned join +
     // aggregation — output bounded by days x days (operators/Retention).
