@@ -440,6 +440,34 @@ object AnalyticsQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       doc = "Exact interpolated quantiles per type (percentile vs quantile_cont parity)"),
 
+    // Positional phrase search: exact token-adjacency match ("value
+    // table") with occurrence counts and first position — the inverted-
+    // index-with-positions verb. One per-doc higher-order pass, no
+    // explode: positions stay inside the row's array until the tiny
+    // result projection.
+    "txt_phrase_search" -> QueryDef(
+      build = (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(
+            """filter(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+              |  i -> element_at(split(text, ' '), i) = 'value'
+              |   AND element_at(split(text, ' '), i + 1) = 'table')""".stripMargin)
+            .as("pos"))
+          .filter(size(col("pos")) > 0)
+          .select(col("doc_id"), size(col("pos")).as("n_occ"),
+            element_at(col("pos"), 1).cast("int").as("first_pos"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |h AS (
+          |  SELECT doc_id, list_filter(generate_series(1, greatest(len(ts) - 1, 1)),
+          |    i -> ts[i] = 'value' AND ts[i + 1] = 'table') AS pos
+          |  FROM t)
+          |SELECT doc_id, CAST(len(pos) AS INT) AS n_occ,
+          |  CAST(pos[1] AS INT) AS first_pos
+          |FROM h WHERE len(pos) > 0 ORDER BY doc_id""".stripMargin),
+      doc = "Exact positional phrase search with occurrence counts and first position"),
+
     // Vocabulary coverage curve: what fraction of all token occurrences
     // the top-k vocabulary covers, at k = 5/10/20/30 (the fixture vocab is 31 tokens) — the statistic
     // that sizes a tokenizer vocab. The global rank runs over the VOCAB
