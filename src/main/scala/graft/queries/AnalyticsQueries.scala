@@ -440,6 +440,50 @@ object AnalyticsQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       doc = "Exact interpolated quantiles per type (percentile vs quantile_cont parity)"),
 
+    // Zipf-law fit: least-squares slope of ln(freq) over ln(rank) across
+    // the vocabulary (natural corpora sit near -1; a synthetic flat vocab
+    // sits near 0 — a corpus-health diagnostic). The closed-form slope
+    // runs over |V| pairs — vocab-sized, not corpus-sized.
+    "txt_zipf_fit" -> QueryDef(
+      build = (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val xy = vocab
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("c").desc, col("t"))))
+          .select(log(col("r").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y"))
+        xy.agg(count(lit(1)).cast("long").as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+            round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
+              .as("intercept"))
+      },
+      oracle = Some(
+        """WITH vocab AS (
+          |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          |  GROUP BY t),
+          |xy AS (
+          |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE)) AS x,
+          |    ln(CAST(c AS DOUBLE)) AS y
+          |  FROM vocab),
+          |s AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          |  FROM xy)
+          |SELECT n AS n_terms,
+          |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+          |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+          |FROM s""".stripMargin),
+      doc = "Zipf-law least-squares fit over the vocabulary (corpus-health diagnostic)"),
+
     // Positional phrase search: exact token-adjacency match ("value
     // table") with occurrence counts and first position — the inverted-
     // index-with-positions verb. One per-doc higher-order pass, no
