@@ -312,6 +312,39 @@ object AnalyticsQueries {
       doc = "Day-of-week seasonality profile with engine-neutral dow arithmetic"),
 
 
+    // Running EWMA from series start — the batch twin of the STREAMING
+    // TwsEwma fold (same recursion, unbounded instead of the 30-frame
+    // ts_ewma): EwmaSurfaceSpec pins that TwsEwma over the same daily
+    // series emits exactly these rows, closing the loop between the
+    // oracle-checked batch surface and the stateful streaming one.
+    "ts_ewma_run" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("xs", collect_list("n").over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            expr("""round(aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+                          element_at(xs, 1),
+                          (acc, x) -> 0.2d * x + 0.8d * acc), 6)""").as("ewma"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  ROUND(list_reduce(list(n) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING),
+          |    (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+          |FROM daily ORDER BY event_type, day""".stripMargin),
+      doc = "Running EWMA from series start (the batch twin of streaming TwsEwma)"),
+
     // Bigram corpus LM with add-1 smoothing: per-doc average
     // log P(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)) and the perplexity.
     // Adjacent pairs come from a zip_with over the token array (no
