@@ -133,15 +133,21 @@ object Clusters {
     val withDeg = graft.Caches.lazyBarrier(sym.join(deg, "src"))
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("rank", lit(1.0d))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = graft.Caches.lazyBarrier(
-        nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(1.0d - damping) + lit(damping) * coalesce(col("s"), lit(0.0d)))
-              .as("rank")))
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0d - damping) + lit(damping) * coalesce(col("s"), lit(0.0d)))
+            .as("rank"))
+      // barrier every SECOND round: each barrier costs a serialized
+      // stage-job materialization (the corpus_prepare_v4 scheduling-floor
+      // lesson), while two rounds of join lineage stay well under the
+      // analyzed-tree blowup threshold — halving the floor halves the
+      // query's wall-clock at small SF without touching semantics.
+      ranks = if (i % 2 == 0 || i == iterations) graft.Caches.lazyBarrier(next)
+              else next
     }
     ranks
   }
