@@ -525,10 +525,14 @@ object AnalyticsQueries {
     "txt_phrase_search" -> QueryDef(
       build = (s, dir) =>
         Tables.documents(s, dir)
+          // tokenize ONCE into a column rather than splitting inside the
+          // filter lambda (the position scan itself — ~1M interpreted
+          // lambda evaluations at sf0.1 — is the remaining cost)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .select(col("doc_id"), expr(
-            """filter(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-              |  i -> element_at(split(text, ' '), i) = 'value'
-              |   AND element_at(split(text, ' '), i + 1) = 'table')""".stripMargin)
+            """filter(sequence(1, greatest(size(toks) - 1, 1)),
+              |  i -> element_at(toks, i) = 'value'
+              |   AND element_at(toks, i + 1) = 'table')""".stripMargin)
             .as("pos"))
           .filter(size(col("pos")) > 0)
           .select(col("doc_id"), size(col("pos")).as("n_occ"),
