@@ -107,6 +107,7 @@ object Hashing {
     "graft_poly_hash" -> (exprs => PolyHashExpr(exprs(0), exprs(1))),
     "graft_dot_f" -> (exprs => FloatDotExpr(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), exprs(1))),
+    "graft_phrase_positions" -> (exprs => PhrasePositionsExpr(exprs(0), exprs(1))),
     "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0), exprs(1), exprs(2))),
     "graft_minhash_sig" -> (exprs => MinHashSigExpr(exprs(0))),
     "graft_simhash32" -> (exprs => SimHash32Expr(exprs(0), exprs(1))),

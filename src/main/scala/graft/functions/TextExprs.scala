@@ -79,6 +79,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** 1-based token positions where `phrase`'s tokens match consecutively
+    * in `text` (whitespace tokenization, exact token equality — the
+    * positional-index phrase-search kernel; overlapping matches all
+    * reported). One linear pass, no per-position array re-indexing.
+    */
+  def phrasePositions(text: UTF8String, phrase: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val p = phrase.toString.split(" ", -1)
+    val out = new java.util.ArrayList[AnyRef]()
+    if (p.nonEmpty && p.length <= toks.length) {
+      var i = 0
+      val last = toks.length - p.length
+      while (i <= last) {
+        var j = 0
+        var ok = true
+        while (ok && j < p.length) {
+          if (toks(i + j) != p(j)) ok = false
+          j += 1
+        }
+        if (ok) out.add(java.lang.Integer.valueOf(i + 1))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** The distinct shingle STRINGS themselves (same tokenization/distinct
     * rules as [[shingleHashes]]) — for the exact string-keyed Jaccard
     * baseline, where the downstream oracle intersects strings.
@@ -256,6 +282,23 @@ final case class ShingleHashesExpr(first: Expression, second: Expression, third:
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_phrase_positions(text, phrase)`: 1-based token positions of
+  * consecutive exact phrase matches.
+  */
+final case class PhrasePositionsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(t: Any, p: Any): Any =
+    TextKernels.phrasePositions(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, p) => s"graft.functions.TextKernels.phrasePositions($t, $p)")
+  override def prettyName: String = "graft_phrase_positions"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `graft_shingles(text, n)`: distinct word n-gram shingles of a string. */

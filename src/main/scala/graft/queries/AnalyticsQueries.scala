@@ -523,21 +523,22 @@ object AnalyticsQueries {
     // explode: positions stay inside the row's array until the tiny
     // result projection.
     "txt_phrase_search" -> QueryDef(
-      build = (s, dir) =>
+      build = (s, dir) => {
+        // fused native kernel (graft_phrase_positions): one linear token
+        // pass per doc inside codegen — the interpreted HOF form
+        // (filter over a position sequence with per-index element_at)
+        // measured ~2.4 s at sf0.1 vs sub-second for the kernel;
+        // kernel == HOF equivalence is spec-pinned (AnalyticsSpec)
+        graft.functions.Hashing.register(s)
         Tables.documents(s, dir)
-          // tokenize ONCE into a column rather than splitting inside the
-          // filter lambda (the position scan itself — ~1M interpreted
-          // lambda evaluations at sf0.1 — is the remaining cost)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), expr(
-            """filter(sequence(1, greatest(size(toks) - 1, 1)),
-              |  i -> element_at(toks, i) = 'value'
-              |   AND element_at(toks, i + 1) = 'table')""".stripMargin)
-            .as("pos"))
+          .select(col("doc_id"),
+            call_function("graft_phrase_positions", col("text"),
+              lit("value table")).as("pos"))
           .filter(size(col("pos")) > 0)
           .select(col("doc_id"), size(col("pos")).as("n_occ"),
             element_at(col("pos"), 1).cast("int").as("first_pos"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       oracle = Some(
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
           |h AS (

@@ -95,6 +95,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graft_phrase_positions kernel equals the HOF position filter") {
+    graft.functions.Hashing.register(spark)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val kernel = docs.select(col("doc_id"),
+        call_function("graft_phrase_positions", col("text"), lit("value table")).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val hof = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .selectExpr("doc_id",
+        """filter(sequence(1, greatest(size(toks) - 1, 1)),
+          |  i -> element_at(toks, i) = 'value'
+          |   AND element_at(toks, i + 1) = 'table') AS pos""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(kernel == hof, "native kernel and HOF form must agree on every doc")
+    assert(kernel.values.exists(_.nonEmpty), "the fixture phrase must occur")
+    // overlapping matches: 'a a a' searching 'a a' -> positions 1 and 2
+    import spark.implicits._
+    val tri = Seq((1L, "a a a")).toDF("doc_id", "text")
+      .select(call_function("graft_phrase_positions", col("text"), lit("a a")))
+      .collect()(0).getSeq[Int](0).toList
+    assert(tri == List(1, 2), "overlapping matches are all reported")
+  }
+
   test("txt_bigram_lm: perplexity is exp(-avg_logprob) and bigram counts line up") {
     val rows = run("txt_bigram_lm").collect()
     rows.foreach { r =>
