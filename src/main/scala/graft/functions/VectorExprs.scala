@@ -27,6 +27,48 @@ object Vectors {
   }
 }
 
+object VectorsL2 {
+  /** Left-fold squared-L2 over 1-based index range [from, from+len) of
+    * two float arrays — strict index order, double per element, the exact
+    * fold the PQ oracle replays with `list_reduce`.
+    */
+  def l2sqRange(a: ArrayData, b: ArrayData, from: Int, len: Int): Double = {
+    val hi = math.min(from - 1 + len, math.min(a.numElements(), b.numElements()))
+    var acc = 0.0d
+    var i = from - 1
+    while (i < hi) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_l2sq_range(a, b, from, len)`: squared L2 distance of two
+  * ARRAY<FLOAT> columns over a 1-based index range (the PQ subspace /
+  * full-vector kernel).
+  */
+final case class L2SqRangeExpr(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType),
+    ArrayType(FloatType), org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, f: Any, l: Any): Any =
+    VectorsL2.l2sqRange(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      f.asInstanceOf[Number].intValue, l.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, f, l) =>
+      s"graft.functions.VectorsL2.l2sqRange($a, $b, $f, $l)")
+  override def prettyName: String = "graft_l2sq_range"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** `graft_dot_f(a, b)`: dot product of two ARRAY<FLOAT> columns. */
 final case class FloatDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -118,10 +118,20 @@ object Quant {
   }
 
   /** Squared-L2 distance restricted to index range [from, from+len):
-    * a left fold in strict index order, double per element — the exact
-    * expression the DuckDB oracle replays.
+    * the fused native kernel (`graft_l2sq_range`) — a strict-index-order
+    * left fold, double per element, bit-identical to the interpreted HOF
+    * form ([[l2sqHof]], spec-cross-checked) and to the DuckDB
+    * `list_reduce` the oracle replays.
     */
-  private[scale] def l2sq(a: Column, b: Column, from: Int, len: Int): Column =
+  def l2sq(a: Column, b: Column, from: Int, len: Int): Column = {
+    org.apache.spark.sql.functions.call_function("graft_l2sq_range",
+      a, b, lit(from), lit(len))
+  }
+
+  /** The pure higher-order-function form of [[l2sq]] (identical values;
+    * interpreted — kept for the kernel cross-check spec).
+    */
+  def l2sqHof(a: Column, b: Column, from: Int, len: Int): Column =
     aggregate(
       transform(sequence(lit(from), lit(from + len - 1)),
         i => (element_at(a, i).cast("double") - element_at(b, i).cast("double")) *

@@ -48,6 +48,24 @@ class ContainmentWeightedSpec extends SparkSpec {
       s"heavy-weight rows must dominate the draw (got $heavyShare/40 of them)")
   }
 
+  test("graft_l2sq_range kernel is bit-identical to the HOF fold on fixture vectors") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.limit(20)
+      .crossJoin(e.limit(20).select(col("vec_id").as("id2"), col("embedding").as("emb2")))
+    val checked = pairs.select(
+        graft.scale.Quant.l2sq(col("embedding"), col("emb2"), 1, 64).as("k"),
+        graft.scale.Quant.l2sqHof(col("embedding"), col("emb2"), 1, 64).as("h"),
+        graft.scale.Quant.l2sq(col("embedding"), col("emb2"), 17, 16).as("ks"),
+        graft.scale.Quant.l2sqHof(col("embedding"), col("emb2"), 17, 16).as("hs"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "full-range kernel == HOF, bitwise")
+      assert(r.getDouble(2) == r.getDouble(3), "subrange kernel == HOF, bitwise")
+    }
+  }
+
   test("ts_rolling_median matches a direct frame median on the fixture") {
     val rows = graft.queries.AnalyticsQueries.defs("ts_rolling_median")
       .build(spark, "/root/testdata/sf0.001").collect()
