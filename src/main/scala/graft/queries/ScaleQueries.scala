@@ -2908,6 +2908,40 @@ object ScaleQueries {
       },
       doc = "A-ES weighted sampling without replacement via deterministic hash draws"),
 
+    // Per-source weighted cap: within every source keep the 15 highest
+    // A-ES keys (longer docs likelier) — the weight-aware form of
+    // sample_domain_cap; each source's kept set is a weight-proportional
+    // without-replacement draw.
+    "sample_domain_cap_weighted" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        Sampling.capPerGroupWeighted(
+            docs(s, dir).select("doc_id", "source", "n_chars"),
+            "doc_id", "source", "n_chars", cap = 15, salt = "wcap1")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val ord = sqlOrderKey("CAST(doc_id AS VARCHAR)", "wcap1")
+        s"""WITH keyed AS (
+           |  SELECT doc_id, source, n_chars,
+           |    pow((CAST($ord AS DOUBLE) + 1.0) / (CAST($P AS DOUBLE) + 1.0),
+           |        1.0 / CAST(n_chars AS DOUBLE)) AS k
+           |  FROM documents),
+           |kept AS (
+           |  SELECT doc_id, source, n_chars FROM (
+           |    SELECT doc_id, source, n_chars,
+           |      row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+           |    FROM keyed) t WHERE rk <= 15)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin
+      },
+      doc = "Weight-aware per-source cap: top-15 A-ES keys per source"),
+
     // Hybrid retrieval fusion (RRF, k=60): the lexical BM25 top-50 (same
     // scoring as txt_bm25_rank) fused with the semantic cosine top-50
     // around the query embedding (vec_id 0 stands in for the encoded

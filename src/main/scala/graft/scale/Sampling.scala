@@ -66,6 +66,23 @@ object Sampling {
       .orderBy(col("aes_key").desc, col(keyCol))
       .limit(n)
 
+  /** Per-group weighted cap: within every `groupCol` keep the `cap`
+    * highest A-ES keys — [[capPerGroup]]'s weight-aware form (each kept
+    * set is a weight-proportional without-replacement draw from its
+    * group). Same WindowGroupLimit-friendly rank-and-filter shape.
+    */
+  def capPerGroupWeighted(df: DataFrame, keyCol: String, groupCol: String,
+                          weightCol: String, cap: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col("aes_key").desc, col(keyCol))
+    df.withColumn("aes_key",
+        pow(uniformDraw(col(keyCol), salt),
+          lit(1.0d) / col(weightCol).cast("double")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk", "aes_key")
+  }
+
   /** Keep ~`rate` of rows, decided purely by hash(key, salt). */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
                  salt: String): DataFrame =
