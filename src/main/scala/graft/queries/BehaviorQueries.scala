@@ -335,6 +335,47 @@ object BehaviorQueries {
           |    THEN ROUND(CAST(last7 AS DOUBLE) / CAST(prev7 AS DOUBLE), 6) END AS momentum
           |FROM base JOIN sess ON base.user_id = sess.user_id
           |ORDER BY base.user_id""".stripMargin),
-      doc = "Per-user ML feature table: RFM + sessions + diversity + error rate + momentum")
+      doc = "Per-user ML feature table: RFM + sessions + diversity + error rate + momentum"),
+
+    // Session-level stats: one row per (user, session) — event count,
+    // exact-microsecond duration, distinct types, conversion flag. The
+    // session-scoped aggregation the row-level labels exist to enable
+    // (a session_window aggregate could not also give the labels back).
+    "evt_session_stats" -> QueryDef(
+      build = (s, dir) => {
+        val labeled = graft.operators.Sessionize.withSessionIds(
+          Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 86400L)
+        labeled.groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .cast("double") / 1e6).as("duration_s"),
+            countDistinct("event_type").as("n_types"),
+            max((col("event_type") === "purchase").cast("int")).cast("boolean")
+              .as("converted"))
+          .withColumn("duration_s", round(col("duration_s"), 6))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              >= INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM d)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  ROUND(CAST(date_diff('microseconds', MIN(ts), MAX(ts)) AS DOUBLE) / 1e6, 6)
+          |    AS duration_s,
+          |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+          |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
+          |FROM g GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin),
+      doc = "Per-session stats: events, exact duration, type diversity, conversion flag")
   )
 }
