@@ -41,6 +41,53 @@ class TwsSessionizeSpec extends SparkSpec {
     }
   }
 
+  test("fixture-scale parity: 1000 streamed events label exactly as batch Sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select("user_id", "ts", "event_id").collect()
+        .map(r => SessEvent(r.getAs[Number](0).toString, r.getTimestamp(1),
+          r.getAs[Number](2).longValue))
+      // split by time so no batch-2 row is later than batch-1's watermark;
+      // scramble order inside each batch (the processor must re-sort)
+      val sorted = ev.sortBy(e => (e.ts.getTime, e.eventId))
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      val rnd = new scala.util.Random(7)
+      val horizon = SessEvent("horizon",
+        new Timestamp(sorted.last.ts.getTime + 86400000L * 30), -1L)
+
+      val out = java.nio.file.Files.createTempDirectory("tws-sess-fx").toString
+      val input = MemoryStream[SessEvent]
+      val q = TwsSessionize.sessionize(
+          input.toDS().withWatermark("ts", "2 minutes"), gapSeconds = 86400L)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SessLabeled], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .start()
+      try {
+        Seq(rnd.shuffle(b1.toSeq), rnd.shuffle(b2.toSeq), Seq(horizon)).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        pollUntil(out, ev.length)
+        val got = results(out)
+          .map(x => (x._1, x._2) -> x._4).toMap
+        val batch = Sessionize.withSessionIds(
+            graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+              .selectExpr("CAST(user_id AS STRING) AS user", "ts", "event_id"),
+            "user", "ts", "event_id", gapSeconds = 86400L)
+          .select("user", "event_id", "session_id").collect()
+          .map(r => (r.getString(0), r.getAs[Number](1).longValue) -> r.getLong(2)).toMap
+        assert(got == batch, {
+          val diff = (got.toSet diff batch.toSet).take(5)
+          s"stream and batch labels differ, e.g. $diff"
+        })
+      } finally q.stop()
+    }
+  }
+
   test("streaming labels equal batch Sessionize, sessions span micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
