@@ -23,7 +23,8 @@ object SparkEntry {
     ScalarQueries.defs,
     SubqueryQueries.defs,
     BehaviorQueries.defs,
-    AnalyticsQueries.defs))
+    AnalyticsQueries.defs,
+    SignalQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

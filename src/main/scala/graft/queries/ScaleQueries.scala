@@ -3097,5 +3097,62 @@ object ScaleQueries {
           |ORDER BY doc_id""".stripMargin
       },
       doc = "Alignment-free boilerplate detection: high-df 5-grams per source flagged"),
+
+    // Triangle participation per node over the near-dup pair graph — the
+    // cohesion statistic next to PageRank (a node in many triangles sits
+    // inside a dense duplicate clique, not on a chance edge). The corpus
+    // adds a SECOND mutated variant of every 40th doc so genuine
+    // duplicate 3-cliques exist at every fixture scale. With edges held
+    // in canonical a<b orientation the classic three-way join enumerates
+    // each triangle exactly once as a<b<c; the join keys are node ids, so
+    // at cluster scale this is two shuffled hash joins over the (already
+    // banded/thresholded) edge list — never over the corpus.
+    "graph_triangles" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir)).unionByName(
+          docs(s, dir).filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" second variant suffix token")).as("text"),
+            col("source")))
+        val edges = NearDup.jaccardPairs(corpus, "doc_id",
+            "source", shingleN = 3, threshold = 0.2)
+          .select("doc_a", "doc_b")
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(edges.as("e3"),
+            col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+          .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+            col("e2.doc_b").as("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy(col("tri_cnt").desc, col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |docs3 AS (
+           |  SELECT * FROM docs2
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text || ' second variant suffix token', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs3),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.2),
+           |tris AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM p e1
+           |  JOIN p e2 ON e2.doc_a = e1.doc_b
+           |  JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+           |nodes AS (
+           |  SELECT a AS doc_id FROM tris
+           |  UNION ALL SELECT b FROM tris
+           |  UNION ALL SELECT c FROM tris)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+           |FROM nodes GROUP BY 1 ORDER BY tri_cnt DESC, doc_id""".stripMargin),
+      doc = "Per-node triangle participation on the near-dup graph (a<b<c canonical join)"),
   )
 }

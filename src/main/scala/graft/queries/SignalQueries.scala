@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 continuation: signal-analysis and catalog-statistics operators.
+  *
+  *  - `ts_acf` / `ts_cusum`: autocorrelation and change-point scoring of
+  *    the per-type daily event-rate series — the monitoring math behind
+  *    the reference's statistics endpoints (rate seasonality, regime
+  *    shifts), computed from exact integer sums so both engines round the
+  *    same doubles.
+  *  - `stats_histogram` / `stats_histogram_depth`: equi-width and
+  *    equi-depth value histograms — optimizer/catalog statistics. The
+  *    equi-depth form deliberately avoids a global sort (no single-task
+  *    ntile): exact interpolated decile edges from one `percentile`
+  *    aggregation, broadcast back, bucket assignment by comparison — the
+  *    only shape that survives 100 TB.
+  *  - `scd2_intervals`: slowly-changing-dimension type-2 build over the
+  *    per-user event-type change feed (validity intervals via lag/lead).
+  *  - `emb_dim_stats`: per-dimension corpus statistics of the embedding
+  *    column on a 1e-6 quantized grid — integer-exact across engines.
+  *  - `unpivot_metrics`: relational melt (Spark `unpivot` ⇄ UNION ALL).
+  *
+  * Conventions as everywhere else: integer sums wherever exactness is
+  * cheap, doubles derived by the *same* operation tree on both engines,
+  * total ORDER BY, explicit casts so schemas hash-match.
+  */
+object SignalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** Daily event counts per type — the shared series for ts_acf/ts_cusum. */
+  private def dailyCounts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  private val sqlDaily =
+    """daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Autocorrelation of the daily event-rate series at lags 1..7, per
+    // event type. Pearson r is assembled from integer sums (counts are
+    // exact BIGINTs; np·sxy etc. stay well under 2^63), so the only double
+    // math is the final identical expression tree on both engines. The
+    // lag pairing is a broadcast-free self-join on (type, row_number−k):
+    // the daily series is pre-aggregated (tiny at any corpus scale), so
+    // the join cost is nil while the scan+count underneath is the one
+    // full-data pass.
+    "ts_acf" -> QueryDef(
+      build = (s, dir) => {
+        val rn = dailyCounts(s, dir).withColumn("rn",
+          row_number().over(Window.partitionBy("event_type").orderBy("day")))
+        val withLag = rn
+          .withColumn("lag", explode(array((1 to 7).map(lit): _*)))
+          .select(col("event_type"), col("rn"), col("lag"), col("n").as("x"))
+        val pairs = withLag.as("a").join(rn.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.rn") === col("a.rn") - col("a.lag"))
+          .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+            col("a.x").as("x"), col("b.n").as("y"))
+        pairs.groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("np"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("lag").cast("int").as("lag"),
+            col("np").cast("long").as("n_pairs"),
+            round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("np") * col("syy") - col("sy") * col("sy")).cast("double")),
+              6).as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |rn AS (
+           |  SELECT event_type, n,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM daily),
+           |lagged AS (
+           |  SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+           |  FROM rn a
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+           |  JOIN rn b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag),
+           |agg AS (
+           |  SELECT event_type, lag, COUNT(*) AS np,
+           |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+           |  FROM lagged GROUP BY 1, 2)
+           |SELECT event_type, CAST(lag AS INT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           |  ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+           |        / SQRT(CAST(np * sxx - sx * sx AS DOUBLE)
+           |               * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS acf
+           |FROM agg ORDER BY event_type, lag""".stripMargin),
+      doc = "Autocorrelation (lags 1-7) of daily event rates from exact integer sums"),
+
+    // CUSUM change-point estimate per event type: s_t = Σ_{i≤t}(x_i − x̄)
+    // peaks at the regime shift. Scaled by n_days it is integer-exact
+    // (n·cum_t − t·sx), so the argmax — and therefore the reported
+    // change-point day — is deterministic; only the final reported
+    // magnitude is a double. One aggregation + two windows over the tiny
+    // daily series.
+    "ts_cusum" -> QueryDef(
+      build = (s, dir) => {
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val wAll = Window.partitionBy("event_type")
+        val scored = dailyCounts(s, dir)
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .withColumn("cum", sum(col("n")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nd", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("sx", sum(col("n")).over(wAll))
+          .withColumn("score", col("nd") * col("cum") - col("t") * col("sx"))
+        scored
+          .withColumn("pick", row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("score")).desc, col("day"))))
+          .filter(col("pick") === 1)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+            col("nd").as("n_days"),
+            round(abs(col("score")).cast("double") / col("nd").cast("double"), 6)
+              .as("cusum_max"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |scored AS (
+           |  SELECT event_type, day,
+           |    CAST(COUNT(*) OVER w AS BIGINT) AS nd,
+           |    CAST(COUNT(*) OVER w AS BIGINT)
+           |      * SUM(n) OVER (PARTITION BY event_type ORDER BY day
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+           |      * SUM(n) OVER w AS score
+           |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+           |picked AS (
+           |  SELECT *, row_number() OVER (
+           |      PARTITION BY event_type ORDER BY ABS(score) DESC, day) AS pick
+           |  FROM scored)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day, nd AS n_days,
+           |  ROUND(CAST(ABS(score) AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS cusum_max
+           |FROM picked WHERE pick = 1 ORDER BY event_type""".stripMargin),
+      doc = "CUSUM change-point day + peak magnitude per event type, integer-exact argmax"),
+
+    // Equi-width histogram of order value: 12 × $50k buckets over integer
+    // cents. One scan, map-side combine into ≤12 groups — the catalog
+    // statistic that costs an ordinary aggregation at any scale.
+    "stats_histogram" -> QueryDef(
+      build = (s, dir) =>
+        Tables.orders(s, dir)
+          .select(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+            col("o_totalprice"))
+          .withColumn("bucket", least(expr("cents div 5000000"), lit(11L)).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            min(dec(col("o_totalprice"))).cast("double").as("min_price"),
+            max(dec(col("o_totalprice"))).cast("double").as("max_price"),
+            dec(sum(dec(col("o_totalprice")))).cast("double").as("rev"))
+          .withColumn("lo_dollars", (col("bucket") * 50000L).cast("long"))
+          .select("bucket", "lo_dollars", "cnt", "min_price", "max_price", "rev")
+          .orderBy("bucket"),
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT CAST(LEAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 5000000,
+          |              11) AS INT) AS bucket, o_totalprice
+          |  FROM orders)
+          |SELECT bucket,
+          |  CAST(bucket * 50000 AS BIGINT) AS lo_dollars,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+          |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS rev
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Equi-width order-value histogram (12 x $50k) over integer cents"),
+
+    // Equi-depth histogram WITHOUT a global sort: exact interpolated
+    // decile edges from one `percentile` aggregation (== DuckDB
+    // quantile_cont, the parity scalar_quantiles_exact pins), broadcast as
+    // a single row, bucket = |{edges < value}|. ntile() would funnel every
+    // row through one ordered partition; this shape is scan + tiny
+    // broadcast + 10-group aggregation at any corpus size.
+    "stats_histogram_depth" -> QueryDef(
+      build = (s, dir) => {
+        val c = Tables.orders(s, dir)
+          .select(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        val edges = c.agg(expr(
+          "percentile(cents, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("edges"))
+        c.crossJoin(broadcast(edges))
+          .select(col("cents"),
+            expr("CAST(size(filter(edges, e -> CAST(cents AS DOUBLE) > e)) AS INT)")
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+          |e AS (
+          |  SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+          |  FROM c)
+          |SELECT
+          |  CAST(len(list_filter(e.edges, x -> CAST(c.cents AS DOUBLE) > x)) AS INT) AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  MIN(c.cents) AS min_cents, MAX(c.cents) AS max_cents
+          |FROM c, e GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Equi-depth histogram via broadcast decile edges - no global sort"),
+
+    // SCD type-2 build: per-user event_type treated as a changing
+    // dimension attribute; collapse the event feed to change rows, then
+    // lag/lead gives [valid_from, valid_to) validity intervals and the
+    // current-row flag. Two windows over the same (user, ts) partitioning
+    // — one shuffle; the change filter drops same-value repeats before the
+    // interval window touches them.
+    "scd2_intervals" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val changes = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        changes
+          .withColumn("version", row_number().over(w2))
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(w2))
+          .select(col("user_id"),
+            col("version"),
+            col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+              lit("9999-12-31 00:00:00.000000")).as("valid_to"),
+            col("valid_to_ts").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      oracle = Some(
+        """WITH changes AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events
+          |  QUALIFY prev IS NULL OR prev <> event_type),
+          |iv AS (
+          |  SELECT user_id, event_type, ts,
+          |    CAST(row_number() OVER w AS INT) AS version,
+          |    lead(ts) OVER w AS valid_to_ts
+          |  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, version, event_type,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+          |  COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f'),
+          |           '9999-12-31 00:00:00.000000') AS valid_to,
+          |  valid_to_ts IS NULL AS is_current
+          |FROM iv ORDER BY user_id, version""".stripMargin),
+      doc = "SCD type-2 validity intervals from the per-user event-type change feed"),
+
+    // Per-dimension corpus statistics of the embedding column on a 1e-6
+    // quantized grid: floor(v·1e6) is computed identically by both engines
+    // (float→double cast is exact, one rounded multiply, floor), so every
+    // sum is an exact BIGINT and mean/variance are bit-identical derived
+    // doubles. The whitening / feature-selection precursor: posexplode →
+    // 64-group aggregation, map-side combined.
+    "emb_dim_stats" -> QueryDef(
+      build = (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+          .select(col("dim"),
+            expr("CAST(FLOOR(CAST(vf AS DOUBLE) * 1000000D) AS BIGINT)").as("vq"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum(col("vq")).as("sx"),
+            sum(col("vq") * col("vq")).as("sxx"),
+            min(col("vq")).as("min_q"), max(col("vq")).as("max_q"))
+          .select(col("dim"), col("n"),
+            round(col("sx").cast("double") / col("n").cast("double") / 1e6, 6)
+              .as("mean"),
+            round((col("sxx").cast("double") / col("n").cast("double") -
+              (col("sx").cast("double") / col("n").cast("double")) *
+                (col("sx").cast("double") / col("n").cast("double"))) / 1e12, 6)
+              .as("variance"),
+            round(col("min_q").cast("double") / 1e6, 6).as("min_v"),
+            round(col("max_q").cast("double") / 1e6, 6).as("max_v"))
+          .orderBy("dim"),
+      oracle = Some(
+        """WITH dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+          |ex AS (
+          |  SELECT CAST(i - 1 AS INT) AS dim,
+          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+          |  FROM embeddings, dims WHERE i <= len(embedding)),
+          |agg AS (
+          |  SELECT dim, COUNT(*) AS n, SUM(vq) AS sx, SUM(vq * vq) AS sxx,
+          |    MIN(vq) AS min_q, MAX(vq) AS max_q
+          |  FROM ex GROUP BY dim)
+          |SELECT dim, CAST(n AS BIGINT) AS n,
+          |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+          |  ROUND((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+          |         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12, 6) AS variance,
+          |  ROUND(CAST(min_q AS DOUBLE) / 1e6, 6) AS min_v,
+          |  ROUND(CAST(max_q AS DOUBLE) / 1e6, 6) AS max_v
+          |FROM agg ORDER BY dim""".stripMargin),
+      doc = "Per-dimension embedding mean/variance/range, integer-exact on a 1e-6 grid"),
+
+    // Relational melt: the wide per-type metrics row unpivoted to
+    // (event_type, metric, value) via Spark's native Unpivot node (Expand
+    // — no shuffle beyond the source aggregation). Oracle replays as
+    // UNION ALL, the portable spelling of the same op.
+    "unpivot_metrics" -> QueryDef(
+      build = (s, dir) => {
+        val wide = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n_events"),
+            countDistinct(col("user_id")).cast("double").as("n_users"),
+            round(dec(sum(dec(col("value")))).cast("double"), 2).as("total_value"))
+        wide.unpivot(Array(col("event_type")),
+            Array(col("n_events"), col("n_users"), col("total_value")),
+            "metric", "value")
+          .orderBy("event_type", "metric")
+      },
+      oracle = Some(
+        """WITH wide AS (
+          |  SELECT event_type,
+          |    CAST(COUNT(*) AS DOUBLE) AS n_events,
+          |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+          |    ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2))
+          |          AS DOUBLE), 2) AS total_value
+          |  FROM events GROUP BY 1)
+          |SELECT event_type, metric, value FROM (
+          |  SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+          |  UNION ALL
+          |  SELECT event_type, 'n_users', n_users FROM wide
+          |  UNION ALL
+          |  SELECT event_type, 'total_value', total_value FROM wide)
+          |ORDER BY event_type, metric""".stripMargin),
+      doc = "Wide-to-long melt via Spark unpivot, UNION ALL oracle"),
+  )
+}
