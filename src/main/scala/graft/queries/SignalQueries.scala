@@ -310,6 +310,24 @@ object SignalQueries {
           |FROM agg ORDER BY dim""".stripMargin),
       doc = "Per-dimension embedding mean/variance/range, integer-exact on a 1e-6 grid"),
 
+    // Deterministic Lloyd k-means (k=8, 3 rounds, k-lowest-id seeds) —
+    // fully oracle-checked clustering, the property the mllib fit can't
+    // give (its recall arm is rows-only). Integer-exact centroid state +
+    // per-row in-order distance folds make every round bit-reproducible;
+    // the oracle replays all 3 rounds as generated CTE pairs. See
+    // scale/KMeansLloyd for the exactness scheme and the broadcast-
+    // centroid scale shape.
+    "emb_kmeans" -> QueryDef(
+      build = (s, dir) =>
+        graft.scale.KMeansLloyd.assign(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 8, iterations = 3)
+          .select(col("vec_id"), col("cid"),
+            round(col("dist") / 1e12, 6).as("dist"))
+          .orderBy("vec_id"),
+      oracle = Some(graft.scale.KMeansLloyd.oracleSql(k = 8, iterations = 3,
+        "SELECT vec_id, cid, ROUND(dist / 1e12, 6) AS dist FROM a3 ORDER BY vec_id")),
+      doc = "Lloyd k-means assignments after 3 bit-reproducible rounds, unrolled-CTE oracle"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as

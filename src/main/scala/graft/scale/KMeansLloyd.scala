@@ -1,0 +1,128 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over embeddings, built so every iteration is
+  * bit-reproducible across engines — the property the mllib fit (used by
+  * `Similarity.ivfTopK`) cannot give, which is why its recall arm is
+  * rows-only while this operator is fully DuckDB-oracle-checked.
+  *
+  * Exactness scheme:
+  *   - vectors quantized once to a 1e-6 integer grid (`floor(v·1e6)`:
+  *     float→double cast is exact, one rounded multiply, floor — identical
+  *     on any IEEE-754 engine);
+  *   - centroids carried as (per-dim BIGINT sums, member count) — the
+  *     UPDATE step is pure integer addition, order-independent, so shuffle
+  *     nondeterminism cannot perturb it;
+  *   - the ASSIGN step derives each centroid mean `sx/cnt` and the squared
+  *     distance as doubles, but per-row as a LEFT FOLD in dimension order
+  *     (`aggregate(zip_with(...))` ⇄ `list_reduce(list_transform(...))`),
+  *     never a cross-row double aggregation — both engines see the same
+  *     operation tree over the same exact integers, so the argmin (ties to
+  *     the lower centroid id) is deterministic.
+  *
+  * Scale shape: the centroid table is k rows and broadcast; ASSIGN is one
+  * scan with a per-row fold (no shuffle); UPDATE is one integer
+  * aggregation keyed by (cid, dim). Lineage is barriered per round
+  * (the pageRank scheduling-floor lesson). Seeds are the k lowest-id
+  * vectors — deterministic and oracle-replayable; k-means++ would need a
+  * random stream the oracle could not follow.
+  */
+object KMeansLloyd {
+
+  /** (vec_id, vqs: array<bigint>) — the 1e-6-quantized corpus. */
+  def quantized(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))")
+        .as("vqs"))
+
+  /** Final assignment after `iterations` Lloyd rounds from the k lowest-id
+    * seeds: (vec_id, cid, dist) with dist the squared grid-space distance
+    * scaled back to vector units.
+    */
+  def assign(embs: DataFrame, idCol: String, vecCol: String,
+             k: Int, iterations: Int): DataFrame = {
+    val ev = graft.Caches.lazyBarrier(quantized(embs, idCol, vecCol))
+
+    // c0: the k lowest-id vectors, cid = 1..k in id order, cnt = 1. The
+    // orderBy+limit is a distributed TakeOrdered (never a one-task global
+    // window); the row_number window then runs over k rows only.
+    var cent: DataFrame = ev.orderBy("vec_id").limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")))
+      .select(col("cid"), col("vqs").as("sxs"), lit(1L).as("cnt"))
+
+    var assigned: DataFrame = null
+    for (i <- 1 to iterations) {
+      // ASSIGN: broadcast the k-row centroid table; per-row in-order fold
+      // of (v − sx/cnt)² over dims; argmin with ties to the lower cid.
+      assigned = ev.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(vqs, sxs,
+            |  (v, sx) -> pow(CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE), 2D)),
+            |  0D, (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"))
+
+      // UPDATE: exact integer per-dim sums, rebuilt into dim-ordered arrays.
+      if (i < iterations) {
+        val sums = assigned.join(ev, "vec_id")
+          .select(col("cid"), posexplode(col("vqs")).as(Seq("dim", "vq")))
+          .groupBy("cid", "dim").agg(sum(col("vq")).as("sx"),
+            count(lit(1)).as("cnt"))
+        cent = graft.Caches.lazyBarrier(sums
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, sx))), p -> p.sx)")
+            .as("sxs"),
+            max(col("cnt")).as("cnt")))
+      }
+    }
+    assigned
+  }
+
+  /** The unrolled DuckDB oracle for `assign` over the `embeddings` table:
+    * same seeds, same fold order, same tie-break, `iterations` generated
+    * CTE pairs (assignment a_i, centroids c_i).
+    */
+  def oracleSql(k: Int, iterations: Int, outputSql: String): String = {
+    def assignCte(i: Int) =
+      s"""a$i AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      list_reduce(list_transform(generate_series(1, len(e.vqs)),
+         |          j -> pow(CAST(e.vqs[j] AS DOUBLE)
+         |                   - CAST(c.sxs[j] AS DOUBLE) / CAST(c.cnt AS DOUBLE), 2)),
+         |        (x, y) -> x + y) AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_reduce(list_transform(generate_series(1, len(e.vqs)),
+         |            j -> pow(CAST(e.vqs[j] AS DOUBLE)
+         |                     - CAST(c.sxs[j] AS DOUBLE) / CAST(c.cnt AS DOUBLE), 2)),
+         |          (x, y) -> x + y) ASC, c.cid ASC) AS rn
+         |    FROM ev e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int) =
+      s"""c$i AS (
+         |  SELECT cid, list(sx ORDER BY dim) AS sxs, MAX(cnt) AS cnt FROM (
+         |    SELECT a.cid, d.dim, SUM(e.vqs[d.dim]) AS sx, COUNT(*) AS cnt
+         |    FROM a${i} a JOIN ev e USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(generate_series(1,
+         |        (SELECT MAX(len(vqs)) FROM ev))) AS dim) d
+         |    GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      if (i < iterations) assignCte(i) + ",\n" + updateCte(i) else assignCte(i)
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vqs
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
+       |    vqs AS sxs, CAST(1 AS BIGINT) AS cnt
+       |  FROM ev ORDER BY vec_id LIMIT $k),
+       |$iters
+       |$outputSql""".stripMargin
+  }
+}
