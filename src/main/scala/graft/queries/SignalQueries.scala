@@ -310,6 +310,57 @@ object SignalQueries {
           |FROM agg ORDER BY dim""".stripMargin),
       doc = "Per-dimension embedding mean/variance/range, integer-exact on a 1e-6 grid"),
 
+    // Holt's linear-trend (double exponential) smoothing of the daily
+    // series, α=0.3 β=0.1, init (l₁=x₁, b₁=0). Two-component state rules
+    // out the scalar `list_reduce` EWMA trick, so the engines diverge in
+    // spelling while computing the identical tree: Spark folds a
+    // named_struct accumulator over the ordered prefix (deterministic
+    // in-order per-row fold); DuckDB replays the recursion as a
+    // recursive CTE. The level expression is deliberately recomputed
+    // inside the trend update on BOTH engines so every intermediate
+    // double is bit-identical.
+    "ts_holt" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dailyCounts(s, dir)
+          .withColumn("xs", collect_list(col("n").cast("double")).over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+            expr("""aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+                  named_struct('l', CAST(element_at(xs, 1) AS DOUBLE), 'b', 0D),
+                  (acc, x) -> named_struct(
+                    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
+                    'b', 0.1D * ((0.3D * x + 0.7D * (acc.l + acc.b)) - acc.l)
+                         + 0.9D * acc.b))""").as("st"))
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("st.l"), 6).as("level"),
+            round(col("st.b"), 6).as("trend"),
+            round(col("st.l") + col("st.b"), 6).as("forecast"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |rn AS (
+          |  SELECT event_type, day, n, CAST(n AS DOUBLE) AS x,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM daily),
+          |holt AS (
+          |  SELECT event_type, rn, day, n, x, x AS l, CAST(0 AS DOUBLE) AS b
+          |  FROM rn WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.event_type, r.rn, r.day, r.n, r.x,
+          |    0.3 * r.x + 0.7 * (h.l + h.b) AS l,
+          |    0.1 * ((0.3 * r.x + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b AS b
+          |  FROM holt h JOIN rn r ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+          |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+          |  ROUND(l + b, 6) AS forecast
+          |FROM holt ORDER BY event_type, day""".stripMargin),
+      doc = "Holt linear-trend smoothing: struct-fold vs recursive-CTE, bit-identical state"),
+
     // Deterministic Lloyd k-means (k=8, 3 rounds, k-lowest-id seeds) —
     // fully oracle-checked clustering, the property the mllib fit can't
     // give (its recall arm is rows-only). Integer-exact centroid state +
