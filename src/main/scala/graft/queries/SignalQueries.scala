@@ -379,6 +379,113 @@ object SignalQueries {
         "SELECT vec_id, cid, ROUND(dist / 1e12, 6) AS dist FROM a3 ORDER BY vec_id")),
       doc = "Lloyd k-means assignments after 3 bit-reproducible rounds, unrolled-CTE oracle"),
 
+    // Full covariance/correlation matrix of the embedding dimensions
+    // (upper triangle incl. diagonal, 64·65/2 = 2080 entries) — the PCA /
+    // whitening precursor. All pair products are generated PER ROW by a
+    // nested-transform HOF (one scan, no self-join, no pre-aggregation
+    // shuffle); every sum is an exact BIGINT on the 1e-6 grid, and
+    // cov/corr are identical double trees over those integers. The
+    // oracle replays via a dims×dims self-join — same sums, different
+    // spelling.
+    "emb_dim_cov" -> QueryDef(
+      build = (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(expr(
+            """explode(flatten(transform(
+              |  transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT)),
+              |  (vi, i) -> transform(
+              |    slice(transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT)),
+              |          i + 1, size(embedding) - i),
+              |    (vj, jo) -> struct(i AS i, i + jo AS j, vi AS vi, vj AS vj)))))"""
+              .stripMargin).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.vi").as("vi"), col("p.vj").as("vj"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"),
+            sum(col("vi")).as("sx"), sum(col("vj")).as("sy"),
+            sum(col("vi") * col("vj")).as("sxy"),
+            sum(col("vi") * col("vi")).as("sxx"),
+            sum(col("vj") * col("vj")).as("syy"))
+          .select(col("i"), col("j"), col("n"),
+            round((col("sxy").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) *
+                (col("sy").cast("double") / col("n"))) / 1e12, 6).as("cov"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+              6).as("corr"))
+          .orderBy("i", "j"),
+      oracle = Some(
+        """WITH dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+          |ex AS (
+          |  SELECT vec_id, CAST(i - 1 AS INT) AS d,
+          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+          |  FROM embeddings, dims WHERE i <= len(embedding)),
+          |agg AS (
+          |  SELECT a.d AS i, b.d AS j, COUNT(*) AS n,
+          |    SUM(a.vq) AS sx, SUM(b.vq) AS sy, SUM(a.vq * b.vq) AS sxy,
+          |    SUM(a.vq * a.vq) AS sxx, SUM(b.vq * b.vq) AS syy
+          |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d <= b.d
+          |  GROUP BY 1, 2)
+          |SELECT i, j, CAST(n AS BIGINT) AS n,
+          |  ROUND((CAST(sxy AS DOUBLE) / n
+          |         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 1e12,
+          |        6) AS cov,
+          |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          |        / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+          |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+          |FROM agg ORDER BY i, j""".stripMargin),
+      doc = "Embedding covariance/correlation matrix (upper triangle), integer-exact"),
+
+    // Per-priority 2-D Pareto front of orders (maximize price, minimize
+    // date): a row is dominated iff some strictly-higher-priced order in
+    // the same priority is strictly earlier. The dominance test is ONE
+    // numeric-RANGE window (min date over price_cents ≥ current+1) — no
+    // quadratic dominance self-join; the window is partitioned by
+    // priority, and the distributive skyline-merge property (skyline of a
+    // union ⊆ union of skylines) gives the partition-then-merge path if a
+    // single group ever outgrows one task.
+    "skyline_orders" -> QueryDef(
+      build = (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("dd"),
+          col("o_orderdate"), col("o_totalprice"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+          .rangeBetween(1, Window.unboundedFollowing)
+        o.withColumn("min_dd_higher", min(col("dd")).over(w))
+          .filter(col("min_dd_higher").isNull || col("min_dd_higher") >= col("dd"))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            dec(col("o_totalprice")).cast("double").as("price"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .withColumn("pos", row_number().over(Window
+            .partitionBy("o_orderpriority")
+            .orderBy(col("price").desc, col("o_orderkey"))).cast("int"))
+          .orderBy("o_orderpriority", "pos")
+      },
+      oracle = Some(
+        """WITH o AS (
+          |  SELECT o_orderpriority, o_orderkey,
+          |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+          |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd,
+          |    o_orderdate, o_totalprice
+          |  FROM orders),
+          |sk AS (
+          |  SELECT *, MIN(dd) OVER (PARTITION BY o_orderpriority ORDER BY cents
+          |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS min_dd_higher
+          |  FROM o
+          |  QUALIFY min_dd_higher IS NULL OR min_dd_higher >= dd)
+          |SELECT o_orderpriority, o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) DESC,
+          |               o_orderkey) AS INT) AS pos
+          |FROM sk ORDER BY o_orderpriority, pos""".stripMargin),
+      doc = "Per-priority Pareto front (max price, min date) via one RANGE window"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as
