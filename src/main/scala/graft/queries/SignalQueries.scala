@@ -453,9 +453,21 @@ object SignalQueries {
           expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("dd"),
           col("o_orderdate"), col("o_totalprice"))
-        val w = Window.partitionBy("o_orderpriority").orderBy("cents")
-          .rangeBetween(1, Window.unboundedFollowing)
-        o.withColumn("min_dd_higher", min(col("dd")).over(w))
+        // Spark's shrinking RANGE-frame (k FOLLOWING → UNBOUNDED FOLLOWING)
+        // recomputes the aggregate per row — O(n²), measured 97 s at
+        // sf0.1. Same semantics in O(n): collapse ties to one row per
+        // price, take the RUNNING min over strictly-higher prices (rows
+        // ABOVE in DESC order — a growing frame Spark maintains
+        // incrementally), join back on the price key. The oracle keeps
+        // the declarative RANGE spelling.
+        val perPrice = o.groupBy("o_orderpriority", "cents")
+          .agg(min(col("dd")).as("dd_at"))
+        val wDesc = Window.partitionBy("o_orderpriority")
+          .orderBy(col("cents").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bound = perPrice.withColumn("min_dd_higher", min(col("dd_at")).over(wDesc))
+          .select("o_orderpriority", "cents", "min_dd_higher")
+        o.join(bound, Seq("o_orderpriority", "cents"))
           .filter(col("min_dd_higher").isNull || col("min_dd_higher") >= col("dd"))
           .select(col("o_orderpriority"), col("o_orderkey"),
             dec(col("o_totalprice")).cast("double").as("price"),
@@ -485,6 +497,183 @@ object SignalQueries {
           |               o_orderkey) AS INT) AS pos
           |FROM sk ORDER BY o_orderpriority, pos""".stripMargin),
       doc = "Per-priority Pareto front (max price, min date) via one RANGE window"),
+
+    // OLS trend line per event type: slope/intercept/r² of daily count vs
+    // day index, assembled from exact integer sums (same discipline as
+    // ts_acf) — the drift detector next to ts_cusum's level-shift
+    // detector. One tiny aggregation over the pre-aggregated series.
+    "ts_linfit" -> QueryDef(
+      build = (s, dir) => {
+        val rn = dailyCounts(s, dir).withColumn("t",
+          row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("long"))
+        rn.groupBy("event_type")
+          .agg(count(lit(1)).as("np"),
+            sum(col("t")).as("st"), sum(col("n")).as("sy"),
+            sum(col("t") * col("n")).as("sty"),
+            sum(col("t") * col("t")).as("stt"),
+            sum(col("n") * col("n")).as("syy"))
+          .select(col("event_type"), col("np").cast("long").as("n_days"),
+            round((col("np") * col("sty") - col("st") * col("sy")).cast("double") /
+              (col("np") * col("stt") - col("st") * col("st")).cast("double"), 6)
+              .as("slope"),
+            round((col("sy").cast("double") -
+              (col("np") * col("sty") - col("st") * col("sy")).cast("double") /
+                (col("np") * col("stt") - col("st") * col("st")).cast("double") *
+                col("st").cast("double")) / col("np").cast("double"), 6)
+              .as("intercept"),
+            round(pow((col("np") * col("sty") - col("st") * col("sy")).cast("double"), 2) /
+              ((col("np") * col("stt") - col("st") * col("st")).cast("double") *
+                (col("np") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+              .as("r2"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |rn AS (
+           |  SELECT event_type, n,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+           |  FROM daily),
+           |agg AS (
+           |  SELECT event_type, COUNT(*) AS np, SUM(t) AS st, SUM(n) AS sy,
+           |    SUM(t * n) AS sty, SUM(t * t) AS stt, SUM(n * n) AS syy
+           |  FROM rn GROUP BY 1)
+           |SELECT event_type, CAST(np AS BIGINT) AS n_days,
+           |  ROUND(CAST(np * sty - st * sy AS DOUBLE)
+           |        / CAST(np * stt - st * st AS DOUBLE), 6) AS slope,
+           |  ROUND((CAST(sy AS DOUBLE)
+           |         - CAST(np * sty - st * sy AS DOUBLE)
+           |           / CAST(np * stt - st * st AS DOUBLE) * CAST(st AS DOUBLE))
+           |        / CAST(np AS DOUBLE), 6) AS intercept,
+           |  ROUND(POW(CAST(np * sty - st * sy AS DOUBLE), 2)
+           |        / (CAST(np * stt - st * st AS DOUBLE)
+           |           * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS r2
+           |FROM agg ORDER BY event_type""".stripMargin),
+      doc = "OLS slope/intercept/r-squared of daily rates from exact integer sums"),
+
+    // Bitwise scalar + aggregate surface: bit_and/bit_or/bit_xor
+    // aggregates and masked/shifted sums over event ids — the checksum /
+    // id-space-diagnostic family. All-integer end to end.
+    "scalar_bitwise_funcs" -> QueryDef(
+      build = (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql(
+          """SELECT event_type,
+            |  bit_and(event_id) AS all_and, bit_or(event_id) AS all_or,
+            |  bit_xor(event_id) AS all_xor,
+            |  SUM(event_id & 255) AS sum_low8,
+            |  SUM(shiftright(event_id, 8)) AS sum_hi,
+            |  COUNT(*) AS n
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT event_type,
+          |  bit_and(event_id) AS all_and, bit_or(event_id) AS all_or,
+          |  bit_xor(event_id) AS all_xor,
+          |  CAST(SUM(event_id & 255) AS BIGINT) AS sum_low8,
+          |  CAST(SUM(event_id >> 8) AS BIGINT) AS sum_hi,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Bitwise aggregate/scalar coverage: bit_and/or/xor, masked and shifted sums"),
+
+    // Top principal direction of the embedding cloud: 3 power-iteration
+    // rounds v←Cv from the e₁ seed over the exact-integer covariance
+    // matrix (the emb_dim_cov machinery), normalized at the end. Every
+    // matrix·vector product is a PER-ROW in-order fold over one centroid
+    // row (aggregate/zip_with ⇄ list_reduce/list_transform) — never a
+    // cross-row double sum — so all 3 rounds are bit-reproducible. The
+    // C build is one scan + integer aggregation; each round then touches
+    // only the 64-row matrix table.
+    "emb_pca_power" -> QueryDef(
+      build = (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val ndims = embs.select(size(col("embedding"))).head.getInt(0)
+        // Exact product sums over the UPPER TRIANGLE only (i≤j, pos
+        // = i·ndims+j — one int + one long per pair instead of a 4-field
+        // struct over the full square: 2× fewer rows, ~3× narrower), then
+        // mirror: IEEE multiplication commutes bit-exactly, so c_ji built
+        // from the same (sp, sx, sy, n) equals the oracle's full-square
+        // c_ji. Per-dim sums come from a separate 64-group aggregation.
+        val quant =
+          "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))"
+        val sp = embs.select(expr(
+          s"""explode(flatten(transform($quant,
+             |  (vi, i) -> transform(slice($quant, i + 1, $ndims - i),
+             |    (vj, jo) -> struct(i * $ndims + i + jo AS pos, vi * vj AS p)))))"""
+            .stripMargin).as("e"))
+          .select(col("e.pos").as("pos"), col("e.p").as("p"))
+          .groupBy("pos").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+          .select(expr(s"CAST(pos div $ndims AS INT)").as("i"),
+            expr(s"CAST(pos % $ndims AS INT)").as("j"), col("sp"), col("n"))
+        val dimSums = embs
+          .select(posexplode(expr(quant)).as(Seq("d", "vq")))
+          .groupBy("d").agg(sum(col("vq")).as("sx"))
+        val upper = sp
+          .join(broadcast(dimSums.select(col("d").as("i"), col("sx").as("sxi"))), "i")
+          .join(broadcast(dimSums.select(col("d").as("j"), col("sx").as("sxj"))), "j")
+        val covUpper = upper.select(col("i"), col("j"),
+          ((col("sp").cast("double") / col("n") -
+            (col("sxi").cast("double") / col("n")) *
+              (col("sxj").cast("double") / col("n"))) / 1e12).as("c"))
+        val cov = covUpper.unionByName(
+          covUpper.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("c")))
+        val crows = graft.Caches.lazyBarrier(cov.groupBy("i")
+          .agg(expr("transform(array_sort(collect_list(struct(j, c))), p -> p.c)")
+            .as("carr")))
+        var v = crows.sparkSession.range(1).select(expr(
+          s"transform(sequence(0, ${ndims - 1}), j -> CASE WHEN j = 0 THEN 1.0D ELSE 0.0D END)")
+          .as("v"))
+        for (_ <- 1 to 3) {
+          v = crows.crossJoin(broadcast(v))
+            .select(col("i"), expr(
+              "aggregate(zip_with(carr, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+              .as("val"))
+            .groupBy()
+            .agg(expr("transform(array_sort(collect_list(struct(i, val))), p -> p.val)")
+              .as("v"))
+        }
+        v.select(expr(
+            "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))")
+            .as("nv"), col("v"))
+          .select(col("nv"), posexplode(col("v")).as(Seq("dim", "comp")))
+          .select(col("dim"), round(col("comp") / col("nv"), 6).as("component"))
+          .orderBy("dim")
+      },
+      oracle = Some {
+        def iterCte(t: Int) =
+          s"""v$t AS (
+             |  SELECT list(val ORDER BY i) AS v FROM (
+             |    SELECT c.i AS i,
+             |      list_reduce(list_transform(generate_series(1, len(c.carr)),
+             |          j -> c.carr[j] * p.v[j]), (x, y) -> x + y) AS val
+             |    FROM crows c CROSS JOIN v${t - 1} p))""".stripMargin
+        s"""WITH dims AS (SELECT unnest(generate_series(1,
+           |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+           |ex AS (
+           |  SELECT vec_id, CAST(i AS INT) AS d,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+           |  FROM embeddings, dims WHERE i <= len(embedding)),
+           |cov AS (
+           |  SELECT a.d AS i, b.d AS j,
+           |    (CAST(SUM(a.vq * b.vq) AS DOUBLE) / COUNT(*)
+           |     - (CAST(SUM(a.vq) AS DOUBLE) / COUNT(*))
+           |       * (CAST(SUM(b.vq) AS DOUBLE) / COUNT(*))) / 1e12 AS c
+           |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+           |  GROUP BY 1, 2),
+           |crows AS (SELECT i, list(c ORDER BY j) AS carr FROM cov GROUP BY i),
+           |v0 AS (SELECT list_transform(generate_series(1,
+           |    (SELECT MAX(len(embedding)) FROM embeddings)),
+           |    j -> CASE WHEN j = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v),
+           |${iterCte(1)},
+           |${iterCte(2)},
+           |${iterCte(3)},
+           |nrm AS (SELECT SQRT(list_reduce(list_transform(v, x -> x * x),
+           |    (x, y) -> x + y)) AS nv, v FROM v3)
+           |SELECT CAST(d.i - 1 AS INT) AS dim, ROUND(n.v[d.i] / n.nv, 6) AS component
+           |FROM nrm n CROSS JOIN dims d ORDER BY dim""".stripMargin
+      },
+      doc = "Top principal direction: 3 bit-reproducible power-iteration rounds over exact-int covariance"),
 
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
