@@ -60,7 +60,12 @@ object ScaleCurve {
     "corpus_prepare_v4",
     // round-6 additions: gram-/chunk-key shuffle ops and the fusion query
     "txt_novelty", "dedup_chunks", "txt_bigram_lm", "dedup_containment",
-    "txt_boilerplate", "rrf_hybrid")
+    "txt_boilerplate", "rrf_hybrid",
+    // round-6 continuation: the new O(d²)-per-row embedding statistics,
+    // iterative kernels (k-means, power iteration, triangles) and the
+    // window-shape ops whose whole point is staying O(n) at scale
+    "emb_dim_cov", "emb_pca_power", "emb_kmeans", "graph_triangles",
+    "skyline_orders", "scd2_intervals")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
