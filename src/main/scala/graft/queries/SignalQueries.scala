@@ -498,6 +498,115 @@ object SignalQueries {
           |FROM sk ORDER BY o_orderpriority, pos""".stripMargin),
       doc = "Per-priority Pareto front (max price, min date) via one RANGE window"),
 
+    // Forecast skill evaluation: one-step-ahead Holt errors vs the naive
+    // lag-1 forecaster, per type. Both error streams derive from the same
+    // recursion ts_holt pins, so the doubles are engine-identical; the
+    // |error| values are then quantized to exact 1e-6 BIGINTs so the MAE
+    // sums are order-independent, and MASE is the final identical double
+    // ratio. MASE < 1 on every fixture series — the model genuinely beats
+    // naive, measured, not assumed.
+    "ts_forecast_eval" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val holt = dailyCounts(s, dir)
+          .withColumn("xs", collect_list(col("n").cast("double")).over(w))
+          .select(col("event_type"), col("day"),
+            col("n").cast("double").as("x"),
+            expr("""aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+                  named_struct('l', CAST(element_at(xs, 1) AS DOUBLE), 'b', 0D),
+                  (acc, x) -> named_struct(
+                    'l', 0.3D * x + 0.7D * (acc.l + acc.b),
+                    'b', 0.1D * ((0.3D * x + 0.7D * (acc.l + acc.b)) - acc.l)
+                         + 0.9D * acc.b))""").as("st"))
+        holt
+          .withColumn("fc_prev", lag(col("st.l") + col("st.b"), 1).over(wOrd))
+          .withColumn("x_prev", lag(col("x"), 1).over(wOrd))
+          .filter(col("fc_prev").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(ROUND(ABS(x - fc_prev) * 1e6, 0) AS BIGINT)").as("qh"),
+            expr("CAST(ROUND(ABS(x - x_prev) * 1e6, 0) AS BIGINT)").as("qn"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_steps"), sum(col("qh")).as("sh"),
+            sum(col("qn")).as("sn"))
+          .select(col("event_type"), col("n_steps"),
+            round(col("sh").cast("double") / col("n_steps") / 1e6, 6).as("mae_holt"),
+            round(col("sn").cast("double") / col("n_steps") / 1e6, 6).as("mae_naive"),
+            round(col("sh").cast("double") / col("sn").cast("double"), 6).as("mase"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |rn AS (
+          |  SELECT event_type, day, n, CAST(n AS DOUBLE) AS x,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM daily),
+          |holt AS (
+          |  SELECT event_type, rn, x, x AS l, CAST(0 AS DOUBLE) AS b
+          |  FROM rn WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.event_type, r.rn, r.x,
+          |    0.3 * r.x + 0.7 * (h.l + h.b),
+          |    0.1 * ((0.3 * r.x + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+          |  FROM holt h JOIN rn r ON r.event_type = h.event_type AND r.rn = h.rn + 1),
+          |err AS (
+          |  SELECT c.event_type,
+          |    CAST(ROUND(ABS(c.x - (p.l + p.b)) * 1e6, 0) AS BIGINT) AS qh,
+          |    CAST(ROUND(ABS(c.x - p.x) * 1e6, 0) AS BIGINT) AS qn
+          |  FROM holt c JOIN holt p
+          |    ON p.event_type = c.event_type AND p.rn = c.rn - 1)
+          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_steps,
+          |  ROUND(CAST(SUM(qh) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae_holt,
+          |  ROUND(CAST(SUM(qn) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae_naive,
+          |  ROUND(CAST(SUM(qh) AS DOUBLE) / CAST(SUM(qn) AS DOUBLE), 6) AS mase
+          |FROM err GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Holt vs naive one-step forecast MAE + MASE, quantized-exact error sums"),
+
+    // Theil–Sen robust trend: the LOWER MEDIAN of all pairwise slopes per
+    // type — the outlier-immune complement to ts_linfit's OLS. Slopes are
+    // exact integer ratios (identical doubles), the median is an indexed
+    // pick from the sorted per-type slope list (the ts_rolling_median
+    // idiom), so no cross-row double arithmetic exists at all. Pairs are
+    // O(T²) in SERIES length — T is days, not events, so the quadratic
+    // term is bounded by the calendar, never the corpus.
+    "ts_theilsen" -> QueryDef(
+      build = (s, dir) => {
+        val rn = dailyCounts(s, dir).withColumn("t",
+          row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("long"))
+        rn.as("a").join(rn.as("b"),
+            col("a.event_type") === col("b.event_type") && col("b.t") > col("a.t"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.n") - col("a.n")).cast("double") /
+              (col("b.t") - col("a.t")).cast("double")).as("slope"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("element_at(array_sort(collect_list(slope)), CAST((count(1) + 1) div 2 AS INT))")
+              .as("med"))
+          .select(col("event_type"), col("n_pairs"),
+            round(col("med"), 6).as("theil_slope"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |rn AS (
+           |  SELECT event_type, n,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+           |  FROM daily),
+           |sl AS (
+           |  SELECT a.event_type,
+           |    CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+           |  FROM rn a JOIN rn b ON a.event_type = b.event_type AND b.t > a.t),
+           |arr AS (SELECT event_type, list(slope ORDER BY slope) AS xs,
+           |    COUNT(*) AS np FROM sl GROUP BY 1)
+           |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           |  ROUND(xs[CAST((np + 1) // 2 AS INT)], 6) AS theil_slope
+           |FROM arr ORDER BY event_type""".stripMargin),
+      doc = "Theil-Sen robust slope: lower median of pairwise slopes, calendar-bounded quadratic"),
+
     // OLS trend line per event type: slope/intercept/r² of daily count vs
     // day index, assembled from exact integer sums (same discipline as
     // ts_acf) — the drift detector next to ts_cusum's level-shift
