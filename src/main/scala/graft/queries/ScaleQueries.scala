@@ -3154,5 +3154,72 @@ object ScaleQueries {
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tri_cnt
            |FROM nodes GROUP BY 1 ORDER BY tri_cnt DESC, doc_id""".stripMargin),
       doc = "Per-node triangle participation on the near-dup graph (a<b<c canonical join)"),
+
+    // 2-core of the same planted-clique graph by 4 peeling rounds: each
+    // round recomputes degrees and drops nodes with deg < 2 plus their
+    // edges — the graph-cleanup primitive that separates genuine dup
+    // cliques from chance single edges (every pairs-only dup dies, every
+    // planted 3-clique survives). Each round is one degree aggregation +
+    // two semi-joins on node keys over the (already thresholded) edge
+    // list; rounds are a fixed constant, so the whole op is O(rounds · E)
+    // at any scale. Output: surviving nodes with their residual degree.
+    "graph_kcore" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir)).unionByName(
+          docs(s, dir).filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" second variant suffix token")).as("text"),
+            col("source")))
+        var edges = NearDup.jaccardPairs(corpus, "doc_id",
+            "source", shingleN = 3, threshold = 0.2)
+          .select("doc_a", "doc_b")
+        for (_ <- 1 to 4) {
+          val deg = edges.select(col("doc_a").as("node"))
+            .unionByName(edges.select(col("doc_b").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+          val keep = deg.filter(col("deg") >= 2).select("node")
+          edges = graft.Caches.lazyBarrier(edges
+            .join(keep.withColumnRenamed("node", "doc_a"), Seq("doc_a"), "semi")
+            .join(keep.withColumnRenamed("node", "doc_b"), Seq("doc_b"), "semi")
+            .select("doc_a", "doc_b"))
+        }
+        edges.select(col("doc_a").as("doc_id"))
+          .unionByName(edges.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+          .orderBy(col("core_deg").desc, col("doc_id"))
+      },
+      oracle = Some {
+        val peels = (1 to 4).map { r =>
+          val prev = s"e${r - 1}"
+          s"""deg$r AS (SELECT node, COUNT(*) AS deg FROM (
+             |  SELECT doc_a AS node FROM $prev
+             |  UNION ALL SELECT doc_b FROM $prev) GROUP BY 1),
+             |keep$r AS (SELECT node FROM deg$r WHERE deg >= 2),
+             |e$r AS (
+             |  SELECT e.doc_a, e.doc_b FROM $prev e
+             |  JOIN keep$r ka ON ka.node = e.doc_a
+             |  JOIN keep$r kb ON kb.node = e.doc_b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlNearDupDocs,
+           |docs3 AS (
+           |  SELECT * FROM docs2
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text || ' second variant suffix token', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs3),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |e0 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.2),
+           |$peels
+           |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+           |  SELECT doc_a AS node FROM e4
+           |  UNION ALL SELECT doc_b FROM e4) GROUP BY 1
+           |ORDER BY core_deg DESC, doc_id""".stripMargin
+      },
+      doc = "2-core after 4 unrolled peeling rounds: dup cliques survive, chance edges die"),
   )
 }
