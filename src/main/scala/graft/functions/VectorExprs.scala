@@ -82,3 +82,56 @@ final case class FloatDotExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+object VectorsTri {
+  /** Upper-triangle (i ≤ j, row-major k order) pairwise products of the
+    * 1e-6-quantized elements of a float array: vq = floor(v·1e6) exactly
+    * as the SQL spelling `CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS
+    * BIGINT)` (float→double cast exact, one rounded multiply, floor —
+    * identical on any IEEE-754 engine), then p[k] = vq_i · vq_j with
+    * k = i·n − i(i+1)/2 + j. One fused loop, one primitive long array —
+    * the HOF form (nested transform + slice + struct explode) spends its
+    * time in per-element interpreted eval and struct allocation.
+    */
+  def triProducts(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(a.getFloat(i).toDouble * 1000000d).toLong
+      i += 1
+    }
+    val out = new Array[Long](n * (n + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      val qi = q(i)
+      while (j < n) {
+        out(k) = qi * q(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** `graft_tri_products(vec)`: upper-triangle quantized pairwise products
+  * of an ARRAY<FLOAT>, in row-major k = i·n−i(i+1)/2+j order (the
+  * covariance / PCA product generator).
+  */
+final case class TriProductsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override protected def nullSafeEval(a: Any): Any =
+    VectorsTri.triProducts(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorsTri.triProducts($a)")
+  override def prettyName: String = "graft_tri_products"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -44,6 +44,29 @@ object SignalQueries {
       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Exact upper-triangle product sums of the 1e-6-quantized embedding
+    * dimensions: (i, j, sp = Σ vqᵢ·vqⱼ, n), i ≤ j — the shared input of
+    * emb_dim_cov and emb_pca_power. The per-row product generation is the
+    * fused native `graft_tri_products` kernel (one loop, primitive longs;
+    * the nested-transform HOF form it replaced was interpreted per
+    * element); k-order maps back to (i, j) through a broadcast 2080-row
+    * position table.
+    */
+  private def triPairSums(s: org.apache.spark.sql.SparkSession,
+                          embs: org.apache.spark.sql.DataFrame,
+                          ndims: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.Hashing.register(s)
+    val pm = s.range(ndims).select(col("id").cast("int").as("i"))
+      .crossJoin(broadcast(s.range(ndims).select(col("id").cast("int").as("j"))))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        expr(s"CAST(i * $ndims - (i * (i + 1)) div 2 + j AS INT)").as("pos"))
+    embs.select(posexplode(expr("graft_tri_products(embedding)")).as(Seq("pos", "p")))
+      .groupBy("pos").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+      .join(broadcast(pm), "pos")
+      .select("i", "j", "sp", "n")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Autocorrelation of the daily event-rate series at lags 1..7, per
@@ -388,33 +411,35 @@ object SignalQueries {
     // oracle replays via a dims×dims self-join — same sums, different
     // spelling.
     "emb_dim_cov" -> QueryDef(
-      build = (s, dir) =>
-        Tables.embeddings(s, dir)
-          .select(expr(
-            """explode(flatten(transform(
-              |  transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT)),
-              |  (vi, i) -> transform(
-              |    slice(transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT)),
-              |          i + 1, size(embedding) - i),
-              |    (vj, jo) -> struct(i AS i, i + jo AS j, vi AS vi, vj AS vj)))))"""
-              .stripMargin).as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"),
-            col("p.vi").as("vi"), col("p.vj").as("vj"))
-          .groupBy("i", "j")
-          .agg(count(lit(1)).as("n"),
-            sum(col("vi")).as("sx"), sum(col("vj")).as("sy"),
-            sum(col("vi") * col("vj")).as("sxy"),
-            sum(col("vi") * col("vi")).as("sxx"),
-            sum(col("vj") * col("vj")).as("syy"))
+      build = (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val ndims = embs.select(size(col("embedding"))).head.getInt(0)
+        val sp = triPairSums(s, embs, ndims)
+        // per-dim sums; the squared sums (sxxᵢ) are the DIAGONAL of sp —
+        // the oracle's SUM(a.vq*a.vq) over pair rows is the same integer
+        val dimSums = embs
+          .select(posexplode(expr(
+            "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))"))
+            .as(Seq("d", "vq")))
+          .groupBy("d").agg(sum(col("vq")).as("sx"))
+        val diag = sp.filter(col("i") === col("j"))
+          .select(col("i").as("d"), col("sp").as("sqsum"))
+        val withSums = sp
+          .join(broadcast(dimSums.select(col("d").as("i"), col("sx").as("sx"))), "i")
+          .join(broadcast(dimSums.select(col("d").as("j"), col("sx").as("sy"))), "j")
+          .join(broadcast(diag.select(col("d").as("i"), col("sqsum").as("sxx"))), "i")
+          .join(broadcast(diag.select(col("d").as("j"), col("sqsum").as("syy"))), "j")
+        withSums
           .select(col("i"), col("j"), col("n"),
-            round((col("sxy").cast("double") / col("n") -
+            round((col("sp").cast("double") / col("n") -
               (col("sx").cast("double") / col("n")) *
                 (col("sy").cast("double") / col("n"))) / 1e12, 6).as("cov"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            round((col("n") * col("sp") - col("sx") * col("sy")).cast("double") /
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
               6).as("corr"))
-          .orderBy("i", "j"),
+          .orderBy("i", "j")
+      },
       oracle = Some(
         """WITH dims AS (SELECT unnest(generate_series(1,
           |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
@@ -697,23 +722,14 @@ object SignalQueries {
       build = (s, dir) => {
         val embs = Tables.embeddings(s, dir)
         val ndims = embs.select(size(col("embedding"))).head.getInt(0)
-        // Exact product sums over the UPPER TRIANGLE only (i≤j, pos
-        // = i·ndims+j — one int + one long per pair instead of a 4-field
-        // struct over the full square: 2× fewer rows, ~3× narrower), then
-        // mirror: IEEE multiplication commutes bit-exactly, so c_ji built
-        // from the same (sp, sx, sy, n) equals the oracle's full-square
-        // c_ji. Per-dim sums come from a separate 64-group aggregation.
+        // Exact product sums over the UPPER TRIANGLE only via the fused
+        // graft_tri_products kernel, then mirror: IEEE multiplication
+        // commutes bit-exactly, so c_ji built from the same (sp, sx, sy,
+        // n) equals the oracle's full-square c_ji. Per-dim sums come from
+        // a separate 64-group aggregation.
         val quant =
           "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))"
-        val sp = embs.select(expr(
-          s"""explode(flatten(transform($quant,
-             |  (vi, i) -> transform(slice($quant, i + 1, $ndims - i),
-             |    (vj, jo) -> struct(i * $ndims + i + jo AS pos, vi * vj AS p)))))"""
-            .stripMargin).as("e"))
-          .select(col("e.pos").as("pos"), col("e.p").as("p"))
-          .groupBy("pos").agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
-          .select(expr(s"CAST(pos div $ndims AS INT)").as("i"),
-            expr(s"CAST(pos % $ndims AS INT)").as("j"), col("sp"), col("n"))
+        val sp = triPairSums(s, embs, ndims)
         val dimSums = embs
           .select(posexplode(expr(quant)).as(Seq("d", "vq")))
           .groupBy("d").agg(sum(col("vq")).as("sx"))

@@ -86,4 +86,27 @@ class KernelPropertySpec extends SparkSpec {
       cs.dropRight(1).foreach { case (_, _, n, _) => assert(n == maxT) }
     }
   }
+
+  test("tri-products kernel == HOF composition, bitwise, incl. degenerate arrays") {
+    graft.functions.Hashing.register(spark)
+    val fixture = graft.sources.Tables.embeddings(spark, sf())
+      .select(col("embedding"))
+    // degenerate shapes the fixture never produces
+    val edge = Seq(
+      Array.empty[Float], Array(0.0f), Array(-1.5f, 2.25f),
+      Array.fill(7)(0.9999999f), Array(1e-7f, -1e-7f, 0.5f))
+      .map(Tuple1(_)).toDF("embedding")
+    val quant =
+      "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))"
+    val hof =
+      s"""flatten(transform($quant, (vi, i) ->
+         |  transform(slice($quant, i + 1, size(embedding) - i), (vj, jo) -> vi * vj)))"""
+        .stripMargin
+    Seq(fixture, edge).foreach { d =>
+      val diff = d.select(expr("graft_tri_products(embedding)").as("k"),
+          expr(hof).as("h"))
+        .filter(not(col("k") <=> col("h"))).count()
+      assert(diff == 0, "kernel and HOF tri-products must agree bitwise")
+    }
+  }
 }
