@@ -376,6 +376,48 @@ object BehaviorQueries {
           |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
           |FROM g GROUP BY user_id, session_id
           |ORDER BY user_id, session_id""".stripMargin),
-      doc = "Per-session stats: events, exact duration, type diversity, conversion flag")
+      doc = "Per-session stats: events, exact duration, type diversity, conversion flag"),
+
+    // Behavioral entropy per user: Shannon entropy of the event-type
+    // distribution (+ normalized by ln(k)) — the diversity feature next
+    // to evt_user_features' count ratios. The per-user term list is
+    // sorted ascending before an in-order fold (sort_array ⇄ list(ORDER
+    // BY)), so no cross-row double sum exists; equal counts are
+    // interchangeable in the fold. One (user, type) aggregation then a
+    // user-key aggregation — two shuffles on user-sized keys.
+    "evt_entropy" -> QueryDef(
+      build = (s, dir) => {
+        val pc = graft.sources.Tables.events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        pc.groupBy("user_id")
+          .agg(expr("sort_array(collect_list(CAST(c AS DOUBLE)))").as("xs"),
+            sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+          .filter(col("n_types") > 1)
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            expr("""round(-aggregate(transform(xs,
+                  x -> (x / CAST(n_events AS DOUBLE)) * ln(x / CAST(n_events AS DOUBLE))),
+                  0D, (a, b) -> a + b), 6)""").as("entropy"),
+            expr("""round(-aggregate(transform(xs,
+                  x -> (x / CAST(n_events AS DOUBLE)) * ln(x / CAST(n_events AS DOUBLE))),
+                  0D, (a, b) -> a + b) / ln(CAST(n_types AS DOUBLE)), 6)""")
+              .as("entropy_norm"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH pc AS (
+          |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+          |arr AS (
+          |  SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY c) AS xs,
+          |    CAST(SUM(c) AS BIGINT) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_types
+          |  FROM pc GROUP BY 1)
+          |SELECT user_id, n_events, n_types,
+          |  ROUND(-list_reduce(list_transform(xs,
+          |      x -> (x / CAST(n_events AS DOUBLE)) * ln(x / CAST(n_events AS DOUBLE))),
+          |    (a, b) -> a + b), 6) AS entropy,
+          |  ROUND(-list_reduce(list_transform(xs,
+          |      x -> (x / CAST(n_events AS DOUBLE)) * ln(x / CAST(n_events AS DOUBLE))),
+          |    (a, b) -> a + b) / ln(CAST(n_types AS DOUBLE)), 6) AS entropy_norm
+          |FROM arr WHERE n_types > 1 ORDER BY user_id""".stripMargin),
+      doc = "Per-user Shannon entropy of event types, sorted in-order fold - no cross-row double sum")
   )
 }

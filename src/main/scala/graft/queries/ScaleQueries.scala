@@ -3221,5 +3221,35 @@ object ScaleQueries {
            |ORDER BY core_deg DESC, doc_id""".stripMargin
       },
       doc = "2-core after 4 unrolled peeling rounds: dup cliques survive, chance edges die"),
+
+    // Feature hashing (the hashing trick): every token routed to one of
+    // 16 buckets by the shared polynomial hash — the fixed-width
+    // featurization that needs no vocabulary pass at any corpus size.
+    // Output is the bucket histogram with collision accounting (16
+    // buckets << vocab forces real collisions, the property the trick
+    // trades away). Token-key shuffle only; text never shuffles.
+    "txt_hashing_trick" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        toks.groupBy("t").agg(count(lit(1)).as("n_occ"))
+          .withColumn("bucket", expr(s"CAST(graft_poly_hash(t, ${P}L) % 16 AS INT)"))
+          .groupBy("bucket")
+          .agg(sum(col("n_occ")).as("n_occ"), count(lit(1)).as("n_tokens"),
+            (count(lit(1)) > 1).as("collision"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |h AS (
+           |  SELECT t, ${sqlPolyHash("t", P)} % 16 AS bucket, COUNT(*) AS n_occ
+           |  FROM toks GROUP BY 1)
+           |SELECT CAST(bucket AS INT) AS bucket, CAST(SUM(n_occ) AS BIGINT) AS n_occ,
+           |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  COUNT(*) > 1 AS collision
+           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Feature hashing into 16 buckets: vocabulary-free featurization + collision stats"),
   )
 }

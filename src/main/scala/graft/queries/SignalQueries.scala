@@ -800,6 +800,87 @@ object SignalQueries {
       },
       doc = "Top principal direction: 3 bit-reproducible power-iteration rounds over exact-int covariance"),
 
+    // Whitened cosine top-k: standardize every dimension ((v−μ)/σ from
+    // the exact-integer stats) then brute-force cosine top-5 for the 10
+    // lowest-id query vectors — the stats being USED: whitening removes
+    // per-dimension scale bias before similarity. μ/σ live in two
+    // broadcast one-row arrays; whitening is a per-row transform; every
+    // dot/norm is an in-order fold. The 10-row query side is broadcast
+    // (bruteForceTopK's shape) — the corpus is never broadcast.
+    "emb_whiten_topk" -> QueryDef(
+      build = (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val quant =
+          "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT))"
+        val st = embs.select(posexplode(expr(quant)).as(Seq("d", "vq")))
+          .groupBy("d").agg(sum(col("vq")).as("sx"),
+            sum(col("vq") * col("vq")).as("sxx"), count(lit(1)).as("n"))
+        val stats = st.groupBy()
+          .agg(
+            expr("""transform(array_sort(collect_list(struct(d,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS m))), p -> p.m)""")
+              .as("means"),
+            expr("""transform(array_sort(collect_list(struct(d,
+                  SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12) AS sd))),
+                  p -> p.sd)""").as("stds"))
+        val wv = embs.crossJoin(broadcast(stats))
+          .select(col("vec_id"), expr(
+            """transform(embedding, (v, j) ->
+              |  (CAST(FLOOR(CAST(v AS DOUBLE) * 1000000D) AS BIGINT) / 1e6
+              |   - element_at(means, j + 1)) / element_at(stds, j + 1))"""
+              .stripMargin).as("w"))
+        val q = wv.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("w").as("qw"))
+        wv.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            round(expr("aggregate(zip_with(qw, w, (a, b) -> a * b), 0D, (x, y) -> x + y)") /
+              (sqrt(expr("aggregate(transform(qw, x -> x * x), 0D, (x, y) -> x + y)")) *
+                sqrt(expr("aggregate(transform(w, x -> x * x), 0D, (x, y) -> x + y)"))),
+              6).as("cos"))
+          .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("cand_id"))).cast("int"))
+          .filter(col("rk") <= 5)
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(
+        """WITH dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+          |ex AS (
+          |  SELECT vec_id, CAST(i AS INT) AS d,
+          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+          |  FROM embeddings, dims WHERE i <= len(embedding)),
+          |st AS (
+          |  SELECT d, SUM(vq) AS sx, SUM(vq * vq) AS sxx, COUNT(*) AS n
+          |  FROM ex GROUP BY 1),
+          |stats AS (
+          |  SELECT list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 ORDER BY d) AS means,
+          |    list(SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+          |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12) ORDER BY d) AS stds
+          |  FROM st),
+          |wv AS (
+          |  SELECT e.vec_id,
+          |    list_transform(generate_series(1, len(e.embedding)),
+          |      j -> (CAST(FLOOR(CAST(e.embedding[j] AS DOUBLE) * 1000000) AS BIGINT) / 1e6
+          |            - s.means[j]) / s.stds[j]) AS w
+          |  FROM embeddings e CROSS JOIN stats s),
+          |pairs AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |    ROUND(list_reduce(list_transform(generate_series(1, len(q.w)),
+          |        j -> q.w[j] * c.w[j]), (x, y) -> x + y)
+          |      / (SQRT(list_reduce(list_transform(q.w, x -> x * x), (x, y) -> x + y))
+          |         * SQRT(list_reduce(list_transform(c.w, x -> x * x), (x, y) -> x + y))),
+          |      6) AS cos
+          |  FROM wv q JOIN wv c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |SELECT query_id, cand_id, cos, CAST(rk AS INT) AS rk FROM (
+          |  SELECT *, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+          |  FROM pairs) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+      doc = "Whitened brute-force cosine top-5: per-dim standardization from exact-int stats"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as
