@@ -831,6 +831,42 @@ object ScaleQueries {
       build = (s, dir) => corpusV4Stages(s, dir).last._2,
       oracle = Some(corpusV4Oracle),
       doc = "Capstone v4: v3 + decontamination gate + SemDeDup semantic dedup — the full training-data dataflow"),
+
+    // Capstone v5 = v4's survivor set + SEMANTIC BALANCE: the survivors'
+    // embeddings are clustered by the deterministic Lloyd k-means (k=8,
+    // 2 rounds, lowest-id seeds), the per-source cap is replaced by a
+    // per-CLUSTER cap (salted order, ≤30 each) so no semantic region
+    // dominates the training mix, then holdout splits as before. The
+    // report is per (split, cluster) — the balance being the deliverable.
+    // Every stage incl. all k-means rounds replays in ONE DuckDB SQL.
+    "corpus_prepare_v5" -> QueryDef(
+      build = (s, dir) => {
+        val sem = corpusV4Stages(s, dir)
+          .find(_._1 == "semantic_dedup").get._2
+        // barrier: both the k-means quantization and the cid join-back
+        // read this frame — without it each reference replays the whole
+        // v4 survivor chain (normalize → gate → dedup → LSH → decontam →
+        // SemDeDup) from its last checkpoint
+        val withVec = graft.Caches.lazyBarrier(sem
+          .select(col("doc_id"), col("source"), (col("doc_id") % 200000).as("vec_id"))
+          .join(embs(s, dir).select("vec_id", "embedding"), "vec_id")
+          .select(col("doc_id"), col("source"), col("embedding")))
+        val assigned = graft.scale.KMeansLloyd.assign(
+            withVec.select(col("doc_id").as("vec_id"), col("embedding")),
+            "vec_id", "embedding", k = 8, iterations = 2)
+          .select(col("vec_id").as("doc_id"), col("cid"))
+        val withCid = withVec.select("doc_id", "source").join(assigned, "doc_id")
+        val balanced = Sampling.capPerGroup(withCid, "doc_id", "cid",
+          cap = 30, salt = "bal5")
+        Sampling.assignSplits(balanced, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split5")
+          .groupBy("split", "cid")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("split", "cid")
+      },
+      oracle = Some(corpusV5Oracle),
+      doc = "Capstone v5: v4 survivors k-means-clustered, per-cluster balanced cap, per-(split,cluster) report"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so
@@ -922,9 +958,11 @@ object ScaleQueries {
   }
 
   // lazy: referenced from the `defs` initializer above its definition —
-  // a plain val would still be null when the Map literal captures it
-  private lazy val corpusV4Oracle: String =
-        s"""WITH $sqlNearDupDocs,
+  // a plain val would still be null when the Map literal captures it.
+  // The CTE chain through `sem` (the post-semantic-dedup survivor set) is
+  // shared by the v4 and v5 capstone oracles.
+  private lazy val corpusPipelineCtes: String =
+        s"""$sqlNearDupDocs,
            |norm AS (
            |  SELECT doc_id, source,
            |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
@@ -1002,7 +1040,10 @@ object ScaleQueries {
            |  WHERE ${sqlCosine("l.embedding", "r.embedding")} >= 0.35),
            |sem AS (
            |  SELECT doc_id, source FROM clean
-           |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_dropped)),
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_dropped))""".stripMargin
+
+  private lazy val corpusV4Oracle: String =
+        s"""WITH $corpusPipelineCtes,
            |capped AS (
            |  SELECT doc_id, source FROM (
            |    SELECT doc_id, source,
@@ -1019,6 +1060,33 @@ object ScaleQueries {
            |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
            |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
            |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
+  private lazy val corpusV5Oracle: String =
+        s"""WITH $corpusPipelineCtes,
+           |withvec5 AS (
+           |  SELECT s.doc_id AS vec_id, e.embedding
+           |  FROM sem s JOIN embeddings e ON s.doc_id % 200000 = e.vec_id),
+           |${graft.scale.KMeansLloyd.oracleCtes(k = 8, iterations = 2,
+             evBody = "SELECT vec_id, embedding FROM withvec5")},
+           |withcid AS (
+           |  SELECT s.doc_id, s.source, a.cid
+           |  FROM sem s JOIN a2 a ON a.vec_id = s.doc_id),
+           |bal AS (
+           |  SELECT doc_id, source, cid FROM (
+           |    SELECT doc_id, source, cid,
+           |      row_number() OVER (PARTITION BY cid
+           |        ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "bal5")}, doc_id) AS rk
+           |    FROM withcid) y WHERE rk <= 30),
+           |sp5 AS (
+           |  SELECT doc_id, source, cid,
+           |    CASE WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split5")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split5")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM bal)
+           |SELECT split, cid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM sp5 GROUP BY split, cid ORDER BY split, cid""".stripMargin
 
   /** Tail half of [[defs]] (the Map literal is split around the v4 stage
     * helpers above; `++`-joined at the `defs` assignment).

@@ -83,11 +83,14 @@ object KMeansLloyd {
     assigned
   }
 
-  /** The unrolled DuckDB oracle for `assign` over the `embeddings` table:
-    * same seeds, same fold order, same tie-break, `iterations` generated
-    * CTE pairs (assignment a_i, centroids c_i).
+  /** The unrolled CTE chain for `assign` (no WITH, no output) so callers
+    * can embed k-means inside a larger WITH pipeline: `ev` (quantized
+    * vectors from `evBody`), `c0` (seeds), then `iterations` generated
+    * CTE pairs (assignment a_i, centroids c_i). The final assignment CTE
+    * is `a<iterations>` with columns (vec_id, cid, dist).
     */
-  def oracleSql(k: Int, iterations: Int, outputSql: String): String = {
+  def oracleCtes(k: Int, iterations: Int,
+                 evBody: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assignCte(i: Int) =
       s"""a$i AS (
          |  SELECT vec_id, cid, dist FROM (
@@ -113,16 +116,21 @@ object KMeansLloyd {
     val iters = (1 to iterations).map { i =>
       if (i < iterations) assignCte(i) + ",\n" + updateCte(i) else assignCte(i)
     }.mkString(",\n")
-    s"""WITH ev AS (
+    s"""ev AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vqs
-       |  FROM embeddings),
+       |  FROM ($evBody)),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
        |    vqs AS sxs, CAST(1 AS BIGINT) AS cnt
        |  FROM ev ORDER BY vec_id LIMIT $k),
-       |$iters
-       |$outputSql""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** Standalone oracle: the CTE chain over the `embeddings` table plus a
+    * final projection (`outputSql` typically reads `a<iterations>`).
+    */
+  def oracleSql(k: Int, iterations: Int, outputSql: String): String =
+    s"WITH ${oracleCtes(k, iterations)}\n$outputSql"
 }
