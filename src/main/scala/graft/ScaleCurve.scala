@@ -65,7 +65,8 @@ object ScaleCurve {
     // iterative kernels (k-means, power iteration, triangles) and the
     // window-shape ops whose whole point is staying O(n) at scale
     "emb_dim_cov", "emb_pca_power", "emb_kmeans", "graph_triangles",
-    "skyline_orders", "scd2_intervals")
+    "skyline_orders", "scd2_intervals", "corpus_prepare_v5",
+    "evt_burst_windows", "graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

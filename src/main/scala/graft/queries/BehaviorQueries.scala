@@ -418,6 +418,46 @@ object BehaviorQueries {
           |      x -> (x / CAST(n_events AS DOUBLE)) * ln(x / CAST(n_events AS DOUBLE))),
           |    (a, b) -> a + b) / ln(CAST(n_types AS DOUBLE)), 6) AS entropy_norm
           |FROM arr WHERE n_types > 1 ORDER BY user_id""".stripMargin),
-      doc = "Per-user Shannon entropy of event types, sorted in-order fold - no cross-row double sum")
+      doc = "Per-user Shannon entropy of event types, sorted in-order fold - no cross-row double sum"),
+
+    // Peak burst rate per user: the max number of events in any sliding
+    // 1-hour window anchored at an event. The window join is EXPLICITLY
+    // bucketed — each anchor probes exactly its own and the next hour
+    // bucket (explode ×2), so Spark plans an equi-join on (user, hour)
+    // and the per-key fan-out is events-per-user-hour, never
+    // events-per-user² (the naive non-equi spelling would shuffle-join on
+    // user alone and go quadratic in per-user history).
+    "evt_burst_windows" -> QueryDef(
+      build = (s, dir) => {
+        val e = graft.sources.Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+        val aExp = e.withColumn("hb", explode(array(col("h"), col("h") + 1)))
+          .select(col("user_id"), col("event_id"), col("ts"), col("hb"))
+        val cnt = aExp.as("a").join(e.as("b"),
+            col("b.user_id") === col("a.user_id") && col("b.h") === col("a.hb") &&
+              col("b.ts") >= col("a.ts") &&
+              col("b.ts") < col("a.ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"))
+          .agg(count(lit(1)).as("cnt"))
+        cnt.groupBy("user_id").agg(max(col("cnt")).as("burst_max"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, ts,
+          |    epoch_us(ts) // 3600000000 AS h
+          |  FROM events),
+          |a_exp AS (
+          |  SELECT user_id, event_id, ts, unnest([h, h + 1]) AS hb FROM e),
+          |cnt AS (
+          |  SELECT a.user_id, a.event_id, COUNT(*) AS cnt
+          |  FROM a_exp a JOIN e b
+          |    ON b.user_id = a.user_id AND b.h = a.hb
+          |   AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+          |  GROUP BY 1, 2)
+          |SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS burst_max
+          |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Peak events in any sliding hour per user - hour-bucketed equi-join, never quadratic")
   )
 }

@@ -834,11 +834,13 @@ object ScaleQueries {
 
     // Capstone v5 = v4's survivor set + SEMANTIC BALANCE: the survivors'
     // embeddings are clustered by the deterministic Lloyd k-means (k=8,
-    // 2 rounds, lowest-id seeds), the per-source cap is replaced by a
+    // one refinement round over the lowest-id seeds — the balance, not
+    // convergence depth, is the capstone's point; emb_kmeans carries the
+    // 3-round demonstration), the per-source cap is replaced by a
     // per-CLUSTER cap (salted order, ≤30 each) so no semantic region
     // dominates the training mix, then holdout splits as before. The
     // report is per (split, cluster) — the balance being the deliverable.
-    // Every stage incl. all k-means rounds replays in ONE DuckDB SQL.
+    // Every stage incl. the k-means round replays in ONE DuckDB SQL.
     "corpus_prepare_v5" -> QueryDef(
       build = (s, dir) => {
         val sem = corpusV4Stages(s, dir)
@@ -853,7 +855,7 @@ object ScaleQueries {
           .select(col("doc_id"), col("source"), col("embedding")))
         val assigned = graft.scale.KMeansLloyd.assign(
             withVec.select(col("doc_id").as("vec_id"), col("embedding")),
-            "vec_id", "embedding", k = 8, iterations = 2)
+            "vec_id", "embedding", k = 8, iterations = 1)
           .select(col("vec_id").as("doc_id"), col("cid"))
         val withCid = withVec.select("doc_id", "source").join(assigned, "doc_id")
         val balanced = Sampling.capPerGroup(withCid, "doc_id", "cid",
@@ -1066,11 +1068,11 @@ object ScaleQueries {
            |withvec5 AS (
            |  SELECT s.doc_id AS vec_id, e.embedding
            |  FROM sem s JOIN embeddings e ON s.doc_id % 200000 = e.vec_id),
-           |${graft.scale.KMeansLloyd.oracleCtes(k = 8, iterations = 2,
+           |${graft.scale.KMeansLloyd.oracleCtes(k = 8, iterations = 1,
              evBody = "SELECT vec_id, embedding FROM withvec5")},
            |withcid AS (
            |  SELECT s.doc_id, s.source, a.cid
-           |  FROM sem s JOIN a2 a ON a.vec_id = s.doc_id),
+           |  FROM sem s JOIN a1 a ON a.vec_id = s.doc_id),
            |bal AS (
            |  SELECT doc_id, source, cid FROM (
            |    SELECT doc_id, source, cid,

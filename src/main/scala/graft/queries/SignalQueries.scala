@@ -632,6 +632,50 @@ object SignalQueries {
            |FROM arr ORDER BY event_type""".stripMargin),
       doc = "Theil-Sen robust slope: lower median of pairwise slopes, calendar-bounded quadratic"),
 
+    // MAD outlier days: |x − median| > 3·MAD per type — the robust-stats
+    // anomaly gate next to evt_rate_anomaly's z-score (a z-score's mean
+    // and stddev are themselves dragged by the outlier; medians aren't).
+    // Integer-exact end to end: both medians are indexed picks from
+    // sorted integer lists, deviations are integer |x − med|, and the
+    // 3·MAD comparison never leaves BIGINT.
+    "ts_mad_outliers" -> QueryDef(
+      build = (s, dir) => {
+        val daily = dailyCounts(s, dir)
+        val med = daily.groupBy("event_type")
+          .agg(expr("element_at(array_sort(collect_list(n)), CAST((count(1) + 1) div 2 AS INT))")
+            .as("med"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("n") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("element_at(array_sort(collect_list(ad)), CAST((count(1) + 1) div 2 AS INT))")
+            .as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(abs(col("n") - col("med")) > lit(3) * col("mad"))
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("med"), col("mad"),
+            (abs(col("n") - col("med")) > lit(3) * col("mad")).as("outlier"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |med AS (
+           |  SELECT event_type,
+           |    list(n ORDER BY n)[CAST((COUNT(*) + 1) // 2 AS INT)] AS med
+           |  FROM daily GROUP BY 1),
+           |dev AS (
+           |  SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS ad
+           |  FROM daily d JOIN med m USING (event_type)),
+           |mad AS (
+           |  SELECT event_type,
+           |    list(ad ORDER BY ad)[CAST((COUNT(*) + 1) // 2 AS INT)] AS mad
+           |  FROM dev GROUP BY 1)
+           |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n, d.med, m.mad,
+           |  ABS(d.n - d.med) > 3 * m.mad AS outlier
+           |FROM dev d JOIN mad m USING (event_type)
+           |WHERE ABS(d.n - d.med) > 3 * m.mad
+           |ORDER BY d.event_type, day""".stripMargin),
+      doc = "Median/MAD outlier days per type - robust anomaly gate, integer-exact"),
+
     // OLS trend line per event type: slope/intercept/r² of daily count vs
     // day index, assembled from exact integer sums (same discipline as
     // ts_acf) — the drift detector next to ts_cusum's level-shift

@@ -44,7 +44,12 @@ object KMeansLloyd {
     */
   def assign(embs: DataFrame, idCol: String, vecCol: String,
              k: Int, iterations: Int): DataFrame = {
-    val ev = graft.Caches.lazyBarrier(quantized(embs, idCol, vecCol))
+    // deliberately NOT barriered: every caller hands in either a raw
+    // parquet scan (recompute = cheap re-read) or an already-barriered
+    // frame (corpus_prepare_v5's withVec), and a lazy barrier here costs
+    // one serialized job per query — the round floor the capstone bench
+    // exposed
+    val ev = quantized(embs, idCol, vecCol)
 
     // c0: the k lowest-id vectors, cid = 1..k in id order, cnt = 1. The
     // orderBy+limit is a distributed TakeOrdered (never a one-task global
