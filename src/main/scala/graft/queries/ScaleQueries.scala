@@ -3185,9 +3185,14 @@ object ScaleQueries {
             (col("doc_id") + 400000).as("doc_id"),
             concat(col("text"), lit(" second variant suffix token")).as("text"),
             col("source")))
-        val edges = NearDup.jaccardPairs(corpus, "doc_id",
-            "source", shingleN = 3, threshold = 0.2)
-          .select("doc_a", "doc_b")
+        // barrier: the triangle join references the edge list three times
+        // (e1/e2/e3) and the peeling loop below in graph_kcore reads it
+        // per round - without a barrier each reference replays the whole
+        // shingle self-join (measured 2x at x10)
+        val edges = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id",
+              "source", shingleN = 3, threshold = 0.2)
+            .select("doc_a", "doc_b"))
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
           .join(edges.as("e3"),
@@ -3241,9 +3246,10 @@ object ScaleQueries {
             (col("doc_id") + 400000).as("doc_id"),
             concat(col("text"), lit(" second variant suffix token")).as("text"),
             col("source")))
-        var edges = NearDup.jaccardPairs(corpus, "doc_id",
-            "source", shingleN = 3, threshold = 0.2)
-          .select("doc_a", "doc_b")
+        var edges = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id",
+              "source", shingleN = 3, threshold = 0.2)
+            .select("doc_a", "doc_b"))
         for (_ <- 1 to 4) {
           val deg = edges.select(col("doc_a").as("node"))
             .unionByName(edges.select(col("doc_b").as("node")))
