@@ -458,6 +458,63 @@ object BehaviorQueries {
           |  GROUP BY 1, 2)
           |SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS burst_max
           |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "Peak events in any sliding hour per user - hour-bucketed equi-join, never quadratic")
+      doc = "Peak events in any sliding hour per user - hour-bucketed equi-join, never quadratic"),
+
+    // Linear multi-touch attribution: every click/view in the 24 h before
+    // a purchase shares that purchase's credit equally. The per-touch
+    // credit is floor(1e9 / n) — an exact BIGINT, so channel totals are
+    // order-independent integer sums scaled back once at the end (decimal
+    // division semantics differ across engines; integer micro-credits
+    // don't). Same day-bucketed equi-join shape as evt_burst_windows:
+    // each purchase probes its own and the previous day bucket.
+    "evt_attribution_linear" -> QueryDef(
+      build = (s, dir) => {
+        val e = graft.sources.Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"), col("d"))
+          .withColumn("db", explode(array(col("d") - 1, col("d"))))
+        val touch = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            col("ts").as("t_ts"), col("d").as("td"))
+        val pairs = purch.join(touch,
+            purch("user_id") === touch("user_id") && col("td") === col("db") &&
+              col("t_ts") < col("p_ts") &&
+              col("t_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+          .select(col("p_id"), col("channel"))
+        val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("n"))
+        pairs.join(nPer, "p_id")
+          .withColumn("cr", expr("1000000000L div n"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("cr")).cast("double") / 1e9, 6).as("credit"))
+          .orderBy("channel")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    epoch_us(ts) // 86400000000 AS d
+          |  FROM events),
+          |purch AS (SELECT user_id, event_id, ts, d FROM e
+          |          WHERE event_type = 'purchase'),
+          |touch AS (SELECT user_id, event_type, ts, d FROM e
+          |          WHERE event_type IN ('click', 'view')),
+          |p_exp AS (
+          |  SELECT user_id, event_id, ts, unnest([d - 1, d]) AS db FROM purch),
+          |pairs AS (
+          |  SELECT p.event_id AS p_id, t.event_type AS channel
+          |  FROM p_exp p JOIN touch t
+          |    ON t.user_id = p.user_id AND t.d = p.db
+          |   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 1 DAY),
+          |n_per AS (SELECT p_id, COUNT(*) AS n FROM pairs GROUP BY 1),
+          |credit AS (
+          |  SELECT pr.channel, (1000000000 // np.n) AS cr
+          |  FROM pairs pr JOIN n_per np USING (p_id))
+          |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+          |  ROUND(CAST(SUM(cr) AS DOUBLE) / 1e9, 6) AS credit
+          |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Linear multi-touch attribution: integer micro-credits, day-bucketed window join")
   )
 }
