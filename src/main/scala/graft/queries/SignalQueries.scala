@@ -676,6 +676,49 @@ object SignalQueries {
            |ORDER BY d.event_type, day""".stripMargin),
       doc = "Median/MAD outlier days per type - robust anomaly gate, integer-exact"),
 
+    // Spearman rank correlation of daily count vs time per type — the
+    // distribution-free monotone-trend test completing the trio with
+    // ts_linfit (parametric) and ts_theilsen (robust slope). Defined with
+    // MIN-rank ties (rank()), so both rank columns are exact BIGINTs and
+    // the whole statistic reduces to the same integer-sum Pearson tree
+    // ts_acf uses.
+    "ts_spearman" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("event_type")
+        val rk = dailyCounts(s, dir).select(col("event_type"),
+          row_number().over(w.orderBy("day")).cast("long").as("rt"),
+          rank().over(w.orderBy("n")).cast("long").as("rn"))
+        rk.groupBy("event_type")
+          .agg(count(lit(1)).as("np"),
+            sum(col("rt")).as("sx"), sum(col("rn")).as("sy"),
+            sum(col("rt") * col("rn")).as("sxy"),
+            sum(col("rt") * col("rt")).as("sxx"),
+            sum(col("rn") * col("rn")).as("syy"))
+          .select(col("event_type"), col("np").cast("long").as("n_days"),
+            round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("np") * col("syy") - col("sy") * col("sy")).cast("double")),
+              6).as("spearman"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |rk AS (
+           |  SELECT event_type,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rt,
+           |    CAST(rank() OVER (PARTITION BY event_type ORDER BY n) AS BIGINT) AS rn
+           |  FROM daily),
+           |agg AS (
+           |  SELECT event_type, COUNT(*) AS np, SUM(rt) AS sx, SUM(rn) AS sy,
+           |    SUM(rt * rn) AS sxy, SUM(rt * rt) AS sxx, SUM(rn * rn) AS syy
+           |  FROM rk GROUP BY 1)
+           |SELECT event_type, CAST(np AS BIGINT) AS n_days,
+           |  ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+           |        / SQRT(CAST(np * sxx - sx * sx AS DOUBLE)
+           |               * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS spearman
+           |FROM agg ORDER BY event_type""".stripMargin),
+      doc = "Spearman rank correlation (min-rank ties) - distribution-free trend test, integer-exact"),
+
     // OLS trend line per event type: slope/intercept/r² of daily count vs
     // day index, assembled from exact integer sums (same discipline as
     // ts_acf) — the drift detector next to ts_cusum's level-shift
