@@ -515,6 +515,46 @@ object BehaviorQueries {
           |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
           |  ROUND(CAST(SUM(cr) AS DOUBLE) / 1e9, 6) AS credit
           |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "Linear multi-touch attribution: integer micro-credits, day-bucketed window join")
+      doc = "Linear multi-touch attribution: integer micro-credits, day-bucketed window join"),
+
+    // Inter-event gap statistics per user: median / max / mean of the
+    // microsecond gaps between consecutive events — engagement-cadence
+    // features. Gaps are exact BIGINT micros; the median is an indexed
+    // pick from the sorted integer list and the mean is an exact integer
+    // sum, so the only doubles are the final scaled projections.
+    "evt_gap_stats" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("gap_us",
+            expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("element_at(array_sort(collect_list(gap_us)), CAST((count(1) + 1) div 2 AS INT))")
+              .as("med_us"),
+            max(col("gap_us")).as("max_us"), sum(col("gap_us")).as("sum_us"))
+          .select(col("user_id"), col("n_gaps"),
+            round(col("med_us").cast("double") / 1e6, 6).as("median_gap_s"),
+            round(col("max_us").cast("double") / 1e6, 6).as("max_gap_s"),
+            round(col("sum_us").cast("double") / col("n_gaps") / 1e6, 6)
+              .as("mean_gap_s"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT user_id,
+          |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events
+          |  QUALIFY gap_us IS NOT NULL)
+          |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          |  ROUND(CAST(list(gap_us ORDER BY gap_us)[CAST((COUNT(*) + 1) // 2 AS INT)]
+          |        AS DOUBLE) / 1e6, 6) AS median_gap_s,
+          |  ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s,
+          |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_gap_s
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Per-user inter-event gap median/max/mean - exact integer micros throughout")
   )
 }
