@@ -3327,5 +3327,50 @@ object ScaleQueries {
            |  COUNT(*) > 1 AS collision
            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Feature hashing into 16 buckets: vocabulary-free featurization + collision stats"),
+
+    // PMI collocation mining over the top-20 vocabulary: document-level
+    // co-occurrence lift ln(n_ab·N / (n_a·n_b)) — the association
+    // statistic behind phrase/collocation discovery. The pair join is
+    // bounded by construction: only the 20 broadcast top tokens survive
+    // into the per-doc self-join, so fan-out ≤ C(20,2) per doc no matter
+    // the corpus. All counts exact integers; PMI the identical ln tree.
+    "txt_pmi_pairs" -> QueryDef(
+      build = (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t")).distinct()
+        val top = toks.groupBy("t").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("t")).limit(20)
+        val pres = toks.join(broadcast(top), "t")
+        val pa = pres.select(col("doc_id"), col("t").as("ta"), col("n_docs").as("na"))
+        val pb = pres.select(col("doc_id"), col("t").as("tb"), col("n_docs").as("nb"))
+        val nDocs = docs(s, dir).select(countDistinct(col("doc_id"))).head.getLong(0)
+        pa.join(pb, Seq("doc_id")).filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb", "na", "nb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .select(col("ta"), col("tb"), col("n_ab"),
+            round(expr(s"LN(CAST(n_ab AS DOUBLE) * CAST(${nDocs}L AS DOUBLE)" +
+              " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("ta"), col("tb")).limit(40)
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+          |  FROM documents),
+          |top AS (
+          |  SELECT t, COUNT(*) AS n_docs FROM toks GROUP BY 1
+          |  ORDER BY n_docs DESC, t LIMIT 20),
+          |pres AS (SELECT doc_id, toks.t, n_docs FROM toks JOIN top ON toks.t = top.t),
+          |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+          |pairs AS (
+          |  SELECT a.t AS ta, b.t AS tb, a.n_docs AS na, b.n_docs AS nb,
+          |    COUNT(*) AS nab
+          |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.t < b.t
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT ta, tb, CAST(nab AS BIGINT) AS n_ab,
+          |  ROUND(LN(CAST(nab AS DOUBLE) * CAST(nn.n AS DOUBLE)
+          |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS pmi
+          |FROM pairs, nn WHERE nab >= 5
+          |ORDER BY pmi DESC, ta, tb LIMIT 40""".stripMargin),
+      doc = "PMI collocations over the broadcast top-20 vocabulary - bounded pair join"),
   )
 }
