@@ -676,6 +676,75 @@ object SignalQueries {
            |ORDER BY d.event_type, day""".stripMargin),
       doc = "Median/MAD outlier days per type - robust anomaly gate, integer-exact"),
 
+    // Seasonal-strength (Hyndman-style): 1 − Var(residual)/Var(detrended)
+    // per type, where trend = centered 7-day mean over full windows and
+    // seasonal = per-dow mean of the detrended series. Worked in units of
+    // 1/7 so the detrended values are exact ints (7x − s7); residuals are
+    // identical doubles quantized to a 1e-3 grid, so both variances come
+    // from exact integer sums (the 1e-3 grid keeps squared sums far from
+    // BIGINT range at any realistic daily magnitude).
+    "ts_season_strength" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+        val win = dailyCounts(s, dir)
+          .withColumn("s7", sum(col("n")).over(w))
+          .withColumn("c7", count(lit(1)).over(w))
+          .withColumn("dow", expr(
+            "CAST(datediff(to_date(day), DATE '1970-01-01') AS BIGINT) % 7"))
+          .filter(col("c7") === 7)
+          .withColumn("d7", lit(7) * col("n") - col("s7"))
+        val sea = win.groupBy("event_type", "dow")
+          .agg(sum(col("d7")).as("sd"), count(lit(1)).as("cnt"))
+        val resid = win.join(broadcast(sea), Seq("event_type", "dow"))
+          .select(col("event_type"), col("d7").cast("long").as("d7q"),
+            expr("""CAST(ROUND((CAST(d7 AS DOUBLE)
+                  - CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e3, 0) AS BIGINT)""")
+              .as("rq"))
+        resid.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("d7q")).as("sx"), sum(col("d7q") * col("d7q")).as("sxx"),
+            sum(col("rq")).as("rx"), sum(col("rq") * col("rq")).as("rxx"))
+          .select(col("event_type"), col("n").cast("long").as("n_days"),
+            round(greatest(lit(0.0),
+              lit(1.0) - ((col("n") * col("rxx") - col("rx") * col("rx"))
+                .cast("double") / 1e6) /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")),
+              4).as("seasonal_strength"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""WITH $sqlDaily,
+           |win AS (
+           |  SELECT event_type, day, n,
+           |    SUM(n) OVER w AS s7, COUNT(*) OVER w AS c7,
+           |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) % 7 AS dow
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+           |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |interior AS (
+           |  SELECT event_type, day, dow, 7 * n - s7 AS d7 FROM win WHERE c7 = 7),
+           |sea AS (
+           |  SELECT event_type, dow, SUM(d7) AS sd, COUNT(*) AS cnt
+           |  FROM interior GROUP BY 1, 2),
+           |resid AS (
+           |  SELECT i.event_type,
+           |    CAST(i.d7 AS BIGINT) AS d7q,
+           |    CAST(ROUND((CAST(i.d7 AS DOUBLE)
+           |          - CAST(s.sd AS DOUBLE) / CAST(s.cnt AS DOUBLE)) * 1e3, 0) AS BIGINT) AS rq
+           |  FROM interior i JOIN sea s
+           |    ON s.event_type = i.event_type AND s.dow = i.dow),
+           |agg AS (
+           |  SELECT event_type, COUNT(*) AS n,
+           |    SUM(d7q) AS sx, SUM(d7q * d7q) AS sxx,
+           |    SUM(rq) AS rx, SUM(rq * rq) AS rxx
+           |  FROM resid GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           |  ROUND(GREATEST(0.0, 1.0
+           |    - (CAST(n * rxx - rx * rx AS DOUBLE) / 1e6)
+           |      / CAST(n * sxx - sx * sx AS DOUBLE)), 4) AS seasonal_strength
+           |FROM agg ORDER BY event_type""".stripMargin),
+      doc = "Seasonal strength 1 - Var(resid)/Var(detrended), quantized-exact variances"),
+
     // Spearman rank correlation of daily count vs time per type — the
     // distribution-free monotone-trend test completing the trio with
     // ts_linfit (parametric) and ts_theilsen (robust slope). Defined with
