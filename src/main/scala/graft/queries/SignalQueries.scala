@@ -745,6 +745,54 @@ object SignalQueries {
            |FROM agg ORDER BY event_type""".stripMargin),
       doc = "Seasonal strength 1 - Var(resid)/Var(detrended), quantized-exact variances"),
 
+    // Chi-squared independence test: is event type independent of
+    // day-of-week? χ² = Σ (O·T − R·C)²/(R·C·T) over the contingency
+    // cells, every numerator/denominator an exact BIGINT product cast
+    // once — the classical categorical association test joining the
+    // correlation (ts_acf/spearman) and entropy (evt_entropy) families.
+    "evt_chi2_dow" -> QueryDef(
+      build = (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) % 7")
+              .as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rt = obs.groupBy("event_type").agg(sum(col("o")).as("r"))
+        val ct = obs.groupBy("dow").agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("t"))
+        val nR = rt.count; val nC = ct.count
+        obs.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+          .crossJoin(broadcast(tot))
+          .select(pow((col("o") * col("t") - col("r") * col("c")).cast("double"), 2)
+            ./(col("r").cast("double") * col("c").cast("double") *
+              col("t").cast("double")).as("term"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("term")), 6).as("chi2"))
+          .select(col("n_cells"),
+            lit((nR - 1) * (nC - 1)).cast("long").as("dof"), col("chi2"))
+      },
+      oracle = Some(
+        """WITH obs AS (
+          |  SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) % 7 AS dow,
+          |    COUNT(*) AS o
+          |  FROM events GROUP BY 1, 2),
+          |rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+          |ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+          |tot AS (SELECT SUM(o) AS t FROM obs),
+          |cells AS (
+          |  SELECT o.event_type, o.dow, o.o, rt.r, ct.c, tot.t,
+          |    POW(CAST(o.o * tot.t - rt.r * ct.c AS DOUBLE), 2)
+          |      / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+          |         * CAST(tot.t AS DOUBLE)) AS term
+          |  FROM obs o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+          |    * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+          |  ROUND(SUM(term), 6) AS chi2
+          |FROM cells""".stripMargin),
+      doc = "Chi-squared type x day-of-week independence test, exact integer cell products"),
+
     // Spearman rank correlation of daily count vs time per type — the
     // distribution-free monotone-trend test completing the trio with
     // ts_linfit (parametric) and ts_theilsen (robust slope). Defined with
