@@ -793,6 +793,93 @@ object SignalQueries {
           |FROM cells""".stripMargin),
       doc = "Chi-squared type x day-of-week independence test, exact integer cell products"),
 
+    // Two-proportion z-test: error rate between the user_id-parity
+    // cohorts (the A/B-experiment readout primitive). Counts are exact
+    // integers; the pooled-variance z is one identical double tree over
+    // them. One scan into a 2-row aggregate — margins broadcast-free.
+    "evt_ab_ztest" -> QueryDef(
+      build = (s, dir) => {
+        val agg = Tables.events(s, dir)
+          .groupBy((col("user_id") % 2).as("cohort"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+        val a = agg.filter(col("cohort") === 0)
+          .select(col("n").as("n0"), col("x").as("x0"))
+        val b = agg.filter(col("cohort") === 1)
+          .select(col("n").as("n1"), col("x").as("x1"))
+        a.crossJoin(broadcast(b))
+          .select(col("n0"), col("x0"), col("n1"), col("x1"),
+            round(col("x0").cast("double") / col("n0").cast("double"), 6).as("p0"),
+            round(col("x1").cast("double") / col("n1").cast("double"), 6).as("p1"),
+            round((col("x0").cast("double") / col("n0").cast("double") -
+              col("x1").cast("double") / col("n1").cast("double")) /
+              sqrt(((col("x0") + col("x1")).cast("double") /
+                (col("n0") + col("n1")).cast("double")) *
+                (lit(1.0) - (col("x0") + col("x1")).cast("double") /
+                  (col("n0") + col("n1")).cast("double")) *
+                (lit(1.0) / col("n0").cast("double") +
+                  lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+      },
+      oracle = Some(
+        """WITH agg AS (
+          |  SELECT user_id % 2 AS cohort, COUNT(*) AS n,
+          |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x
+          |  FROM events GROUP BY 1),
+          |w AS (
+          |  SELECT a.n AS n0, a.x AS x0, b.n AS n1, b.x AS x1
+          |  FROM agg a JOIN agg b ON a.cohort = 0 AND b.cohort = 1)
+          |SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+          |  CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+          |  ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+          |  ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+          |  ROUND((CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |         - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |    / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
+          |FROM w""".stripMargin),
+      doc = "Two-proportion z-test between id-parity cohorts - the A/B readout primitive"),
+
+    // Benford first-digit audit of order values: observed first-digit
+    // distribution vs log10(1 + 1/d) — the data-quality screen for
+    // fabricated/synthetic numeric columns (the uniform fixture prices
+    // fail it loudly, which is exactly the point). First digit taken
+    // from the integer's decimal string — no log10 on the data path.
+    "stats_benford" -> QueryDef(
+      build = (s, dir) => {
+        val obs = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 0)
+          .select(expr(
+            "CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("observed"))
+        val tot = obs.agg(sum(col("observed")).as("t"))
+        obs.crossJoin(broadcast(tot))
+          .select(col("digit"), col("observed"),
+            round(col("observed").cast("double") / col("t").cast("double"), 6)
+              .as("p_obs"),
+            round(expr("LN(1.0D + 1.0D / CAST(digit AS DOUBLE)) / LN(10.0D)"), 6)
+              .as("p_benford"),
+            round(col("observed").cast("double") / col("t").cast("double") -
+              expr("LN(1.0D + 1.0D / CAST(digit AS DOUBLE)) / LN(10.0D)"), 6)
+              .as("delta"))
+          .orderBy("digit")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+          |  WHERE o_totalprice > 0),
+          |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+          |obs AS (SELECT digit, COUNT(*) AS o FROM d GROUP BY 1),
+          |tot AS (SELECT SUM(o) AS t FROM obs)
+          |SELECT digit, CAST(o AS BIGINT) AS observed,
+          |  ROUND(CAST(o AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS p_obs,
+          |  ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS p_benford,
+          |  ROUND(CAST(o AS DOUBLE) / CAST(tot.t AS DOUBLE)
+          |    - LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS delta
+          |FROM obs CROSS JOIN tot ORDER BY digit""".stripMargin),
+      doc = "Benford first-digit audit via decimal-string digits - synthetic-data screen"),
+
     // Spearman rank correlation of daily count vs time per type — the
     // distribution-free monotone-trend test completing the trio with
     // ts_linfit (parametric) and ts_theilsen (robust slope). Defined with
