@@ -2807,6 +2807,45 @@ object ScaleQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Binary content hashing for payload-level exact dedup"),
 
+    // Byte-budgeted shard manifest for binary payloads: items ordered by
+    // content hash (deterministic, storage-layout-free shuffle) are
+    // packed per source into ~2 KiB shards by exclusive-cumulative-bytes
+    // division — the planning step a media corpus writer runs before
+    // `partitionBy(shard)`. Windows are per-source (parallel across
+    // sources); at real media sizes the budget is the only constant that
+    // changes.
+    "mm_shard_manifest" -> QueryDef(
+      build = (s, dir) => {
+        val m = docs(s, dir).select(col("doc_id"), col("source"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("h"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
+        val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        m.withColumn("prior", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .withColumn("shard", expr("CAST(prior div 2048 AS INT)"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_items"), sum(col("bytes")).as("shard_bytes"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("source", "shard")
+      },
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT doc_id, source, sha256(text) AS h,
+          |    CAST(length(text) AS BIGINT) AS bytes
+          |  FROM documents),
+          |cum AS (
+          |  SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+          |  FROM m),
+          |sh AS (SELECT source, doc_id, bytes,
+          |       CAST(prior // 2048 AS INT) AS shard FROM cum)
+          |SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_items,
+          |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+          |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+          |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Byte-budgeted media shard manifest: hash-ordered exclusive-cumsum packing"),
+
     // ---------------- training-order scheduling (scale/Curriculum) ------
 
     // Deterministic seeded global shuffle into 8 training shards: the
