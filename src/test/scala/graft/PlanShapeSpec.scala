@@ -241,4 +241,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
       "Caches.release must unpersist every tracked stage frame")
   }
+
+  test("skyline window is a growing frame, never the O(n^2) shrinking RANGE frame") {
+    // Spark executes (k FOLLOWING, UNBOUNDED FOLLOWING) frames by
+    // recomputing the aggregate per row — the 97 s regression this pin
+    // keeps dead. The O(n) rewrite uses only growing frames.
+    val plan =
+      try SparkEntry.registry("skyline_orders").build(spark, sf())
+        .queryExecution.executedPlan.toString
+      finally Caches.release()
+    assert(!plan.toLowerCase.contains("unboundedfollowing"), plan.take(3000))
+  }
+
+  test("covariance product generation runs through the native kernel") {
+    // emb_pca_power shares the same triPairSums path but hides it behind
+    // a lineage barrier (localCheckpoint truncates the visible plan), so
+    // the pin lives on the unbarriered emb_dim_cov.
+    graft.functions.Hashing.register(spark)
+    val plan =
+      try SparkEntry.registry("emb_dim_cov").build(spark, sf())
+        .queryExecution.executedPlan.toString
+      finally Caches.release()
+    assert(plan.contains("graft_tri_products"),
+      s"emb_dim_cov must use the fused kernel, not the interpreted HOF:\n${plan.take(2000)}")
+  }
+
+  test("burst/attribution window joins are bucketed equi-joins, never per-user crosses") {
+    Seq("evt_burst_windows", "evt_attribution_linear").foreach { q =>
+      val plan =
+        try SparkEntry.registry(q).build(spark, sf())
+          .queryExecution.executedPlan.toString
+        finally Caches.release()
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join on the bucket key:\n${plan.take(2000)}")
+    }
+  }
 }
