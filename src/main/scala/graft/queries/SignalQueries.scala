@@ -880,6 +880,103 @@ object SignalQueries {
           |FROM obs CROSS JOIN tot ORDER BY digit""".stripMargin),
       doc = "Benford first-digit audit via decimal-string digits - synthetic-data screen"),
 
+    // Two-sample Kolmogorov–Smirnov D between the id-parity cohorts'
+    // value distributions — the distribution-equality test next to the
+    // mean-difference z (evt_ab_ztest). Fully integer-exact argmax: at
+    // each distinct value |F0−F1| is compared as |cum0·n1 − cum1·n0|
+    // (exact BIGINT), so the D location is deterministic and only the
+    // final reported ratio is a double. The cumulative window runs over
+    // the PRE-AGGREGATED per-value frame (value-domain-sized, not
+    // event-count-sized — the same collapse skyline_orders uses).
+    "stats_ks_test" -> QueryDef(
+      build = (s, dir) => {
+        val v = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select((col("user_id") % 2).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val n = v.agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"))
+        val pts = v.groupBy("cents").agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"))
+        val wCum = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = pts
+          .withColumn("f0", sum(col("c0")).over(wCum))
+          .withColumn("f1", sum(col("c1")).over(wCum))
+        cum.crossJoin(broadcast(n))
+          .withColumn("dnum", abs(col("f0") * col("n1") - col("f1") * col("n0")))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("dnum").desc, col("cents"))))
+          .filter(col("rk") === 1)
+          .select(col("n0"), col("n1"), col("cents").as("d_at_cents"),
+            round(col("dnum").cast("double") /
+              (col("n0").cast("double") * col("n1").cast("double")), 6).as("ks_d"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id % 2 AS cohort,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |n AS (
+          |  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n0,
+          |    SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n1
+          |  FROM v),
+          |pts AS (
+          |  SELECT cents,
+          |    SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0,
+          |    SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS c1
+          |  FROM v GROUP BY 1),
+          |cum AS (
+          |  SELECT cents,
+          |    SUM(c0) OVER (ORDER BY cents) AS f0,
+          |    SUM(c1) OVER (ORDER BY cents) AS f1
+          |  FROM pts),
+          |d AS (
+          |  SELECT cents, ABS(f0 * n.n1 - f1 * n.n0) AS dnum, n.n0, n.n1
+          |  FROM cum CROSS JOIN n),
+          |pick AS (
+          |  SELECT *, row_number() OVER (ORDER BY dnum DESC, cents) AS rk FROM d)
+          |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+          |  CAST(cents AS BIGINT) AS d_at_cents,
+          |  ROUND(CAST(dnum AS DOUBLE)
+          |        / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks_d
+          |FROM pick WHERE rk = 1""".stripMargin),
+      doc = "Two-sample KS D between cohorts - integer-exact argmax over the value domain"),
+
+    // Hour-of-day activity profile per event type (peak-hour detection) —
+    // the finer-grained companion of ts_dow_profile; hour from epoch
+    // micros (never locale-dependent extraction), exact integer counts
+    // and shares rounded from them.
+    "ts_hod_profile" -> QueryDef(
+      build = (s, dir) => {
+        val hod = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("CAST((unix_micros(ts) div 3600000000) % 24 AS INT)").as("hod"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hod.groupBy("event_type").agg(sum(col("n")).as("t"))
+        hod.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("hod"), col("n"),
+            round(col("n").cast("double") / col("t").cast("double"), 6).as("share"))
+          .withColumn("peak_rank", row_number().over(Window
+            .partitionBy("event_type").orderBy(col("n").desc, col("hod"))).cast("int"))
+          .orderBy("event_type", "hod")
+      },
+      oracle = Some(
+        """WITH hod AS (
+          |  SELECT event_type,
+          |    CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+          |    COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (SELECT event_type, SUM(n) AS t FROM hod GROUP BY 1)
+          |SELECT h.event_type, h.hod, h.n,
+          |  ROUND(CAST(h.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share,
+          |  CAST(row_number() OVER (PARTITION BY h.event_type
+          |    ORDER BY h.n DESC, h.hod) AS INT) AS peak_rank
+          |FROM hod h JOIN tot USING (event_type)
+          |ORDER BY h.event_type, h.hod""".stripMargin),
+      doc = "Hour-of-day profile + peak rank per type - epoch-derived hours, never locale"),
+
     // Spearman rank correlation of daily count vs time per type — the
     // distribution-free monotone-trend test completing the trio with
     // ts_linfit (parametric) and ts_theilsen (robust slope). Defined with
