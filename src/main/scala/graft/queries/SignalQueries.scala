@@ -1269,6 +1269,24 @@ object SignalQueries {
           |  FROM pairs) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
       doc = "Whitened brute-force cosine top-5: per-dim standardization from exact-int stats"),
 
+    // Farthest-point coreset: 8 Gonzalez rounds — the diversity-
+    // maximizing selection complement to emb_kmeans' density clustering
+    // (coreset/data-pruning selection for training mixes). Radii shrink
+    // monotonically (the k-center covering property); every round's
+    // argmax is deterministic (identical distance doubles from exact
+    // integer differences, ties to the lower id). Oracle = 8 unrolled
+    // MATERIALIZED CTEs (inlined CTEs re-evaluate predecessors
+    // exponentially).
+    "emb_coreset_fps" -> QueryDef(
+      build = (s, dir) =>
+        graft.scale.FarthestPoint.select(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 8)
+          .select(col("rank"), col("vec_id"),
+            round(col("radius") / 1e12, 6).as("radius"))
+          .orderBy("rank"),
+      oracle = Some(graft.scale.FarthestPoint.oracleSql(k = 8)),
+      doc = "Farthest-point (k-center) coreset: 8 deterministic Gonzalez rounds"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as

@@ -139,3 +139,80 @@ object KMeansLloyd {
   def oracleSql(k: Int, iterations: Int, outputSql: String): String =
     s"WITH ${oracleCtes(k, iterations)}\n$outputSql"
 }
+
+/** Farthest-point (k-center greedy, Gonzalez) coreset selection — the
+  * diversity-maximizing complement to k-means: each round adds the point
+  * farthest from everything already chosen (ties to the lower id),
+  * yielding the classic 2-approximation of the k-center cover and a
+  * monotonically shrinking covering radius.
+  *
+  * Same exactness scheme as [[KMeansLloyd]]: 1e-6-quantized integers,
+  * per-row in-order distance folds over exact (a−b) BIGINTs, cross-row
+  * MIN only (comparison, not accumulation — order-safe). The chosen set
+  * is ≤ k rows, broadcast each round; rounds are lineage-barriered.
+  */
+object FarthestPoint {
+
+  def select(embs: org.apache.spark.sql.DataFrame, idCol: String,
+             vecCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = KMeansLloyd.quantized(embs, idCol, vecCol)
+    var chosen = graft.Caches.lazyBarrier(ev.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("vqs"), lit(1).as("rank"),
+        lit(0.0d).as("radius")))
+    for (r <- 2 to k) {
+      val m = ev
+        .join(chosen.select(col("vec_id").as("cid")),
+          col("vec_id") === col("cid"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("vqs").as("cvqs"))))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(vqs, cvqs,
+            |  (a, b) -> pow(CAST(a - b AS DOUBLE), 2D)),
+            |  0D, (x, y) -> x + y)""".stripMargin))
+        .groupBy("vec_id").agg(min(col("dist")).as("mind"))
+      val p = m.orderBy(col("mind").desc, col("vec_id")).limit(1)
+      chosen = graft.Caches.lazyBarrier(chosen.unionByName(
+        p.join(ev, "vec_id")
+          .select(col("vec_id"), col("vqs"), lit(r).as("rank"),
+            col("mind").as("radius"))))
+    }
+    chosen.select(col("rank").cast("int").as("rank"), col("vec_id"),
+      col("radius"))
+  }
+
+  /** Unrolled DuckDB oracle over `embeddings` (MATERIALIZED CTEs — the
+    * inlined form re-evaluates each round's predecessors exponentially).
+    */
+  def oracleSql(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"""list_reduce(list_transform(generate_series(1, len($e.vqs)),
+         |    j -> pow(CAST($e.vqs[j] - $c.vqs[j] AS DOUBLE), 2)),
+         |  (x, y) -> x + y)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT e.vec_id, MIN(${dist("e", "c")}) AS mind
+         |  FROM ev e CROSS JOIN c${r - 1} c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+         |  GROUP BY 1),
+         |p$r AS (
+         |  SELECT vec_id, mind FROM m$r
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT * FROM c${r - 1}
+         |  UNION ALL
+         |  SELECT e.vec_id, e.vqs, $r AS rank, p.mind AS radius
+         |  FROM p$r p JOIN ev e USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vqs
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, vqs, 1 AS rank, CAST(0 AS DOUBLE) AS radius
+       |  FROM ev ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, vec_id,
+       |  ROUND(radius / 1e12, 6) AS radius
+       |FROM c$k ORDER BY rank""".stripMargin
+  }
+}
