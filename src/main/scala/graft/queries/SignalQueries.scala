@@ -1287,6 +1287,64 @@ object SignalQueries {
       oracle = Some(graft.scale.FarthestPoint.oracleSql(k = 8)),
       doc = "Farthest-point (k-center) coreset: 8 deterministic Gonzalez rounds"),
 
+    // Coreset-diversity evidence: mean/min pairwise distance of the
+    // 8-point FPS coreset vs the naive lowest-id-8 baseline — the
+    // selection's value measured, not assumed (FPS must win both). All
+    // pairwise distances are the same quantized in-order folds; the
+    // C(8,2) aggregations are over 28 rounded terms.
+    "emb_coreset_diversity" -> QueryDef(
+      build = (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val ev = graft.scale.KMeansLloyd.quantized(embs, "vec_id", "embedding")
+        val fps = graft.scale.FarthestPoint.select(embs, "vec_id", "embedding", 8)
+          .select("vec_id").join(ev, "vec_id")
+        val base = ev.orderBy("vec_id").limit(8)
+        def pairDists(d: org.apache.spark.sql.DataFrame) = {
+          val a = d.select(col("vec_id").as("ida"), col("vqs").as("va"))
+          val b = d.select(col("vec_id").as("idb"), col("vqs").as("vb"))
+          a.crossJoin(broadcast(b)).filter(col("ida") < col("idb"))
+            .select(round(expr(
+              """aggregate(zip_with(va, vb, (a, b) -> pow(CAST(a - b AS DOUBLE), 2D)),
+                |  0D, (x, y) -> x + y)""".stripMargin) / 1e12, 6).as("d"))
+        }
+        def summary(d: org.apache.spark.sql.DataFrame, name: String) =
+          pairDists(d).agg(count(lit(1)).as("n_pairs"),
+              round(sum(col("d")) / count(lit(1)), 6).as("mean_pair_dist"),
+              round(min(col("d")), 6).as("min_pair_dist"))
+            .select(lit(name).as("method"), col("n_pairs"),
+              col("mean_pair_dist"), col("min_pair_dist"))
+        summary(fps, "fps").unionByName(summary(base, "lowest_id"))
+          .orderBy("method")
+      },
+      oracle = Some {
+        val d = (e: String, c: String) =>
+          s"""list_reduce(list_transform(generate_series(1, len($e.vqs)),
+             |    j -> pow(CAST($e.vqs[j] - $c.vqs[j] AS DOUBLE), 2)),
+             |  (x, y) -> x + y)""".stripMargin
+        val fpsCtes = graft.scale.FarthestPoint.oracleSql(8)
+        // reuse the FPS oracle's WITH chain, swap its final projection
+        val prefix = fpsCtes.substring(0, fpsCtes.lastIndexOf("SELECT CAST(rank"))
+        s"""${prefix.trim.stripSuffix(",")}
+           |, base AS MATERIALIZED (SELECT vec_id, vqs FROM ev ORDER BY vec_id LIMIT 8),
+           |fps_p AS (
+           |  SELECT ROUND(${d("a", "b")} / 1e12, 6) AS d
+           |  FROM c8 a JOIN c8 b ON a.vec_id < b.vec_id),
+           |base_p AS (
+           |  SELECT ROUND(${d("a", "b")} / 1e12, 6) AS d
+           |  FROM base a JOIN base b ON a.vec_id < b.vec_id),
+           |s AS (
+           |  SELECT 'fps' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    ROUND(SUM(d) / COUNT(*), 6) AS mean_pair_dist,
+           |    ROUND(MIN(d), 6) AS min_pair_dist
+           |  FROM fps_p
+           |  UNION ALL
+           |  SELECT 'lowest_id', CAST(COUNT(*) AS BIGINT),
+           |    ROUND(SUM(d) / COUNT(*), 6), ROUND(MIN(d), 6)
+           |  FROM base_p)
+           |SELECT * FROM s ORDER BY method""".stripMargin
+      },
+      doc = "FPS coreset vs lowest-id baseline: mean/min pairwise spread, FPS wins both"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as
