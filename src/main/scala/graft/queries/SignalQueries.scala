@@ -1345,6 +1345,104 @@ object SignalQueries {
       },
       doc = "FPS coreset vs lowest-id baseline: mean/min pairwise spread, FPS wins both"),
 
+    // Market-basket affinity: part pairs co-ordered in the same order,
+    // support ≥ 3, ranked by lift = n_ab·N/(n_a·n_b) — the association-
+    // rule primitive. The pair join fans out C(items-per-order, 2) per
+    // order (TPC-H ≈ 4 items ⇒ ~6 pairs), never parts² — the same
+    // bounded-blocking shape as PMI, keyed by the natural basket.
+    "basket_affinity" -> QueryDef(
+      build = (s, dir) => {
+        val i = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct()
+        val n = i.agg(countDistinct(col("l_orderkey")).as("t"))
+        val pf = i.groupBy("l_partkey").agg(count(lit(1)).as("np"))
+        val a = i.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = i.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("nab"))
+          .filter(col("nab") >= 3)
+          .join(broadcast(pf.select(col("l_partkey").as("pa"), col("np").as("na"))), "pa")
+          .join(broadcast(pf.select(col("l_partkey").as("pb"), col("np").as("nb"))), "pb")
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("nab").as("support"),
+            round(col("nab").cast("double") * col("t").cast("double") /
+              (col("na").cast("double") * col("nb").cast("double")), 6).as("lift"))
+          .orderBy(col("support").desc, col("lift").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      oracle = Some(
+        """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |n AS (SELECT COUNT(DISTINCT l_orderkey) AS t FROM i),
+          |pf AS (SELECT l_partkey, COUNT(*) AS np FROM i GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS nab
+          |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2),
+          |sup AS (
+          |  SELECT pa, pb, nab, fa.np AS na, fb.np AS nb
+          |  FROM pairs JOIN pf fa ON fa.l_partkey = pa
+          |             JOIN pf fb ON fb.l_partkey = pb
+          |  WHERE nab >= 3)
+          |SELECT pa, pb, CAST(nab AS BIGINT) AS support,
+          |  ROUND(CAST(nab AS DOUBLE) * CAST(n.t AS DOUBLE)
+          |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS lift
+          |FROM sup CROSS JOIN n
+          |ORDER BY support DESC, lift DESC, pa, pb LIMIT 50""".stripMargin),
+      doc = "Market-basket part affinity: support + lift, basket-bounded pair join"),
+
+    // Stationary distribution of the event-type Markov chain: π ← πP for
+    // 10 rounds from uniform, P the row-normalized transition counts
+    // evt_transitions exposes — "where does a user's attention settle".
+    // The chain is |types|² and tiny at any corpus scale (the heavy part
+    // is the one transition-count scan); rounds are lineage-barriered
+    // every second step, the pageRank cadence.
+    "evt_markov_stationary" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seq = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val tm = seq.groupBy(col("event_type").as("i"), col("nxt").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val rt = tm.groupBy("i").agg(sum(col("c")).as("r"))
+        val p = graft.Caches.lazyBarrier(tm.join(rt, "i")
+          .select(col("i"), col("j"),
+            (col("c").cast("double") / col("r").cast("double")).as("v")))
+        var pi = rt.select(col("i"), lit(0.2d).as("pv"))
+        for (t <- 1 to 10) {
+          val next = p.join(pi, "i")
+            .groupBy(col("j")).agg(sum(col("v") * col("pv")).as("pv"))
+            .select(col("j").as("i"), col("pv"))
+          pi = if (t % 2 == 0 || t == 10) graft.Caches.lazyBarrier(next) else next
+        }
+        pi.select(col("i").as("event_type"), round(col("pv"), 6).as("pi"))
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        val iters = (1 to 10).map { t =>
+          s"""pi$t AS MATERIALIZED (
+             |  SELECT p.j AS i, SUM(p.v * pr.pv) AS pv FROM (
+             |    SELECT tm.i, tm.j, CAST(tm.c AS DOUBLE) / CAST(rt.r AS DOUBLE) AS v
+             |    FROM tm JOIN rt USING (i)) p
+             |  JOIN pi${t - 1} pr ON pr.i = p.i
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |tm AS (
+           |  SELECT event_type AS i, nxt AS j, COUNT(*) AS c FROM seq
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |rt AS (SELECT i, SUM(c) AS r FROM tm GROUP BY 1),
+           |pi0 AS (SELECT i, CAST(0.2 AS DOUBLE) AS pv FROM rt),
+           |$iters
+           |SELECT i AS event_type, ROUND(pv, 6) AS pi FROM pi10 ORDER BY i""".stripMargin
+      },
+      doc = "Markov stationary distribution: 10 unrolled pi <- pi P rounds over the transition chain"),
+
     // Relational melt: the wide per-type metrics row unpivoted to
     // (event_type, metric, value) via Spark's native Unpivot node (Expand
     // — no shuffle beyond the source aggregation). Oracle replays as
