@@ -171,6 +171,9 @@ object FarthestPoint {
             |  0D, (x, y) -> x + y)""".stripMargin))
         .groupBy("vec_id").agg(min(col("dist")).as("mind"))
       val p = m.orderBy(col("mind").desc, col("vec_id")).limit(1)
+      // barriered EVERY round: chosen is referenced twice per round
+      // (anti-join + broadcast), so the pageRank every-second-round
+      // cadence re-doubles subtrees here and measured slower
       chosen = graft.Caches.lazyBarrier(chosen.unionByName(
         p.join(ev, "vec_id")
           .select(col("vec_id"), col("vqs"), lit(r).as("rank"),
