@@ -24,7 +24,8 @@ object SparkEntry {
     SubqueryQueries.defs,
     BehaviorQueries.defs,
     AnalyticsQueries.defs,
-    SignalQueries.defs))
+    SignalQueries.defs,
+    InferenceQueries.defs))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
