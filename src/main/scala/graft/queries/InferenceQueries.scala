@@ -29,6 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object InferenceQueries {
 
+  /** DuckDB replay of the native rolling hash (`graft_poly_hash`) — same
+    * fragment ScaleQueries uses for the sampling oracles.
+    */
+  private def sqlPolyHash(e: String, m: Long): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $m)"
+
+  private val P: Long = graft.scale.TextOps.P
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/k!), written as
+    * identical decimal literals on both engines; draws above the last
+    * threshold take weight 7.
+    */
+  private val poissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712")
+
   val defs: Map[String, QueryDef] = Map(
 
     // Mann–Whitney U between the id-parity cohorts' value distributions —
@@ -206,6 +225,338 @@ object InferenceQueries {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
           |    (a, b) -> a * b), 6) AS km
           |FROM fct ORDER BY t_days""".stripMargin),
-      doc = "Kaplan-Meier churn survival - exact at-risk counts, ordered product fold")
+      doc = "Kaplan-Meier churn survival - exact at-risk counts, ordered product fold"),
+
+    // Incremental snapshot delta — the op an incremental re-processing
+    // pipeline runs before touching anything: classify every doc as
+    // added / removed / changed / unchanged between two corpus snapshots
+    // by DIGEST comparison on the id key. The old snapshot is derived
+    // deterministically from the fixture (decade digit (doc_id/10)%10: 7 absent from old => added, 4 absent
+    // from new => removed, 3 text-mutated => changed - the decade digit
+    // varies WITHIN each source, so every source shows a status mix). Digests are projected BEFORE the join, so raw text never
+    // shuffles — the full-outer join carries (id, source, 64-char hash)
+    // only, and at 100 TB both sides partition on the id key.
+    "corpus_snapshot_diff" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val oldSnap = d.filter((col("doc_id") / 10).cast("long") % 10 =!= 7)
+          .select(col("doc_id"), col("source").as("osrc"),
+            sha2(encode(
+              when((col("doc_id") / 10).cast("long") % 10 === 3,
+                concat(col("text"), lit(" legacy-rev"))).otherwise(col("text")),
+              "UTF-8"), 256).as("old_digest"))
+        val newSnap = d.filter((col("doc_id") / 10).cast("long") % 10 =!= 4)
+          .select(col("doc_id"), col("source").as("nsrc"),
+            sha2(encode(col("text"), "UTF-8"), 256).as("new_digest"))
+        newSnap.join(oldSnap, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("nsrc"), col("osrc")).as("source"),
+            when(col("old_digest").isNull, "added")
+              .when(col("new_digest").isNull, "removed")
+              .when(col("new_digest") =!= col("old_digest"), "changed")
+              .otherwise("unchanged").as("status"),
+            col("doc_id"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "status")
+      },
+      oracle = Some(
+        """WITH oldsnap AS (
+          |  SELECT doc_id, source,
+          |    sha256(CASE WHEN (doc_id // 10) % 10 = 3 THEN text || ' legacy-rev'
+          |                ELSE text END) AS old_digest
+          |  FROM documents WHERE (doc_id // 10) % 10 <> 7),
+          |newsnap AS (
+          |  SELECT doc_id, source, sha256(text) AS new_digest
+          |  FROM documents WHERE (doc_id // 10) % 10 <> 4),
+          |j AS (
+          |  SELECT COALESCE(n.source, o.source) AS source,
+          |    CASE WHEN o.old_digest IS NULL THEN 'added'
+          |         WHEN n.new_digest IS NULL THEN 'removed'
+          |         WHEN n.new_digest <> o.old_digest THEN 'changed'
+          |         ELSE 'unchanged' END AS status,
+          |    COALESCE(n.doc_id, o.doc_id) AS doc_id
+          |  FROM newsnap n FULL OUTER JOIN oldsnap o ON n.doc_id = o.doc_id)
+          |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin),
+      doc = "Snapshot delta (added/removed/changed/unchanged) by digest - text never shuffles"),
+
+    // Jensen–Shannon divergence between per-language token distributions —
+    // the domain-shift / mixture-drift measure. No full-outer and no
+    // cross join: the overlap part is ONE token-key equi-join of the
+    // per-lang count table with itself (lang_a < lang_b fans each token
+    // out to ≤ C(L,2) pairs, L = language count — bounded by the catalog,
+    // not the corpus), and the disjoint-support mass contributes exactly
+    // ln2·(1−Σp + 1−Σq), recovered from the overlap sums. Every Σ over
+    // the vocabulary is a quantized-BIGINT sum (terms at 1e-12, masses at
+    // 1e-15), so the result is independent of reduction order.
+    "stats_jsd_langs" -> QueryDef(
+      build = (s, dir) => {
+        import graft.scale.TextOps
+        val cnt = Tables.documents(s, dir)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("lang").agg(sum(col("c")).as("t"))
+        val withP = cnt.join(broadcast(tot), "lang")
+        val a = withP.select(col("lang").as("la"), col("tok"),
+          col("c").as("ca"), col("t").as("ta"))
+        val b = withP.select(col("lang").as("lb"), col("tok"),
+          col("c").as("cb"), col("t").as("tb"))
+        a.join(b, Seq("tok")).filter(col("la") < col("lb"))
+          .withColumn("p", col("ca").cast("double") / col("ta").cast("double"))
+          .withColumn("q", col("cb").cast("double") / col("tb").cast("double"))
+          .withColumn("m", (col("p") + col("q")) / 2.0d)
+          .withColumn("qterm",
+            expr("CAST(ROUND((p * ln(p / m) + q * ln(q / m)) * 1e12, 0) AS BIGINT)"))
+          .withColumn("qp", expr("CAST(ROUND(p * 1e15, 0) AS BIGINT)"))
+          .withColumn("qq", expr("CAST(ROUND(q * 1e15, 0) AS BIGINT)"))
+          .groupBy("la", "lb")
+          .agg(count(lit(1)).as("n_overlap"), sum(col("qterm")).as("ts"),
+            sum(col("qp")).as("sp"), sum(col("qq")).as("sq"))
+          .select(col("la").as("lang_a"), col("lb").as("lang_b"), col("n_overlap"),
+            round((col("ts").cast("double") / 1e12 +
+              lit(0.6931471805599453d) *
+                ((lit(1.0d) - col("sp").cast("double") / 1e15) +
+                  (lit(1.0d) - col("sq").cast("double") / 1e15))) * 0.5d, 6).as("jsd"))
+          .orderBy("lang_a", "lang_b")
+      },
+      oracle = Some(
+        """WITH cnt AS (
+          |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |cc AS (SELECT lang, tok, COUNT(*) AS c FROM cnt GROUP BY 1, 2),
+          |tot AS (SELECT lang, SUM(c) AS t FROM cc GROUP BY 1),
+          |wp AS (SELECT cc.lang, cc.tok, cc.c, tot.t FROM cc JOIN tot USING (lang)),
+          |ov AS (
+          |  SELECT a.lang AS la, b.lang AS lb,
+          |    CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE) AS p,
+          |    CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE) AS q
+          |  FROM wp a JOIN wp b ON a.tok = b.tok AND a.lang < b.lang),
+          |terms AS (
+          |  SELECT la, lb,
+          |    CAST(ROUND((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+          |      * 1e12, 0) AS BIGINT) AS qterm,
+          |    CAST(ROUND(p * 1e15, 0) AS BIGINT) AS qp,
+          |    CAST(ROUND(q * 1e15, 0) AS BIGINT) AS qq
+          |  FROM ov)
+          |SELECT la AS lang_a, lb AS lang_b, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+          |  ROUND((CAST(SUM(qterm) AS DOUBLE) / 1e12 +
+          |    0.6931471805599453 *
+          |      ((CAST(1.0 AS DOUBLE) - CAST(SUM(qp) AS DOUBLE) / 1e15) +
+          |       (CAST(1.0 AS DOUBLE) - CAST(SUM(qq) AS DOUBLE) / 1e15))) * 0.5, 6)
+          |    AS jsd
+          |FROM terms GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin),
+      doc = "Jensen-Shannon divergence between language token distributions - quantized-exact sums"),
+
+    // Stupid-backoff bigram scoring against a HELD-OUT LM (train = even
+    // doc_ids, score = odd): S(w2|w1) = c(w1w2)/c(w1) if the bigram was
+    // seen, else 0.4·c(w2)/T, else the 0.4/T floor — the web-scale LM
+    // smoothing that needs no discount tuning (Brants et al. 2007). The
+    // count tables shuffle on token keys only; per-doc scores are
+    // quantized-BIGINT sums, so reduction order can't perturb the mean.
+    "txt_stupid_backoff" -> QueryDef(
+      build = (s, dir) => {
+        import graft.scale.TextOps
+        val ts = TextOps.tokens(col("text"))
+        val docs = Tables.documents(s, dir)
+        val train = docs.filter(col("doc_id") % 2 === 0)
+        val uni = train.select(explode(ts).as("w")).groupBy("w")
+          .agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum(col("cu")).as("tt"))
+        val bi = train.select(
+            explode(zip_with(
+              slice(ts, lit(1), size(ts) - 1),
+              slice(ts, lit(2), size(ts) - 1),
+              (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val pairs = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            explode(zip_with(
+              slice(ts, lit(1), size(ts) - 1),
+              slice(ts, lit(2), size(ts) - 1),
+              (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        pairs
+          .join(bi, Seq("w1", "w2"), "left")
+          .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("sc", expr(
+            """CASE WHEN cb IS NOT NULL
+              |       THEN ln(CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE))
+              |     WHEN cu2 IS NOT NULL
+              |       THEN ln(CAST(0.4 AS DOUBLE) * CAST(cu2 AS DOUBLE)
+              |               / CAST(tt AS DOUBLE))
+              |     ELSE ln(CAST(0.4 AS DOUBLE) / CAST(tt AS DOUBLE)) END""".stripMargin))
+          .withColumn("qs", expr("CAST(ROUND(sc * 1e9, 0) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("qs")).as("ss"))
+          .select(col("doc_id"), col("n_pairs"),
+            round(col("ss").cast("double") / 1e9 / col("n_pairs").cast("double"), 6)
+              .as("avg_backoff_lp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |uni AS (
+          |  SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0),
+          |unic AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1),
+          |tot AS (SELECT SUM(cu) AS tt FROM unic),
+          |bi AS (
+          |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+          |  WHERE doc_id % 2 = 0),
+          |bic AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+          |  WHERE doc_id % 2 = 1),
+          |sc AS (
+          |  SELECT p.doc_id,
+          |    CAST(ROUND(
+          |      CASE WHEN bic.cb IS NOT NULL
+          |             THEN ln(CAST(bic.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+          |           WHEN u2.cu IS NOT NULL
+          |             THEN ln(CAST(0.4 AS DOUBLE) * CAST(u2.cu AS DOUBLE)
+          |                     / CAST(tot.tt AS DOUBLE))
+          |           ELSE ln(CAST(0.4 AS DOUBLE) / CAST(tot.tt AS DOUBLE)) END
+          |      * 1e9, 0) AS BIGINT) AS qs
+          |  FROM pairs p
+          |  LEFT JOIN bic ON p.w1 = bic.w1 AND p.w2 = bic.w2
+          |  LEFT JOIN unic u1 ON p.w1 = u1.w
+          |  LEFT JOIN unic u2 ON p.w2 = u2.w
+          |  CROSS JOIN tot)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |  ROUND(CAST(SUM(qs) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE), 6)
+          |    AS avg_backoff_lp
+          |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "Stupid-backoff bigram LM vs held-out split - token-key joins, quantized sums"),
+
+    // Poisson bootstrap CI for the mean order value — THE bootstrap that
+    // works at 100 TB: instead of B full resamples, each row draws an
+    // independent Poisson(1) weight per replicate from the deterministic
+    // salted hash (inverse CDF on the uniform draw), so all B=32
+    // replicates run in ONE scan with map-side-combinable integer
+    // aggregates (Σw, Σw·cents are exact BIGINTs; the replicate mean is
+    // the only division). The CI is the indexed min/max pick from the
+    // sorted replicate means — reproducible from (salt, key) alone.
+    "stats_bootstrap_ci" -> QueryDef(
+      build = (s, dir) => {
+        import graft.scale.TextOps
+        graft.functions.Hashing.register(s)
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        val rep = o.withColumn("b", explode(array((0 until 32).map(lit): _*)))
+        val h = TextOps.polyHash(concat(lit("boot"), col("b").cast("string"),
+          lit(":"), col("o_orderkey").cast("string")))
+        val u = (((h * h) % P).cast("double") + lit(1.0d)) / lit(P.toDouble + 1.0d)
+        val w = poissonCdf.zipWithIndex.foldRight(lit(7L)) { case ((thr, k), els) =>
+          when(u < expr(s"CAST($thr AS DOUBLE)"), k.toLong).otherwise(els)
+        }
+        val means = rep.withColumn("w", w)
+          .groupBy("b")
+          .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+          .select(col("b"),
+            (col("swc").cast("double") / col("sw").cast("double")).as("mean_b"))
+        val point = o.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sc"))
+        means.agg(sort_array(collect_list(col("mean_b"))).as("ms"),
+            count(lit(1)).as("n_reps"))
+          .crossJoin(broadcast(point))
+          .select(col("n_orders"), col("n_reps"),
+            round(col("sc").cast("double") / col("n_orders").cast("double"), 4)
+              .as("point_mean_cents"),
+            round(element_at(col("ms"), 1), 4).as("ci_lo_cents"),
+            round(element_at(col("ms"), 32), 4).as("ci_hi_cents"))
+      },
+      oracle = Some {
+        val hh = sqlPolyHash(
+          "'boot' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", P)
+        val cases = poissonCdf.zipWithIndex
+          .map { case (thr, k) => s"WHEN u < CAST($thr AS DOUBLE) THEN $k" }
+          .mkString(" ")
+        s"""WITH o AS (
+           |  SELECT o_orderkey,
+           |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+           |  FROM orders),
+           |rep AS (
+           |  SELECT o_orderkey, cents, b,
+           |    (CAST((($hh) * ($hh)) % $P AS DOUBLE) + 1.0)
+           |      / ${P.toDouble + 1.0d} AS u
+           |  FROM o CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs),
+           |wtd AS (
+           |  SELECT b, cents, CASE $cases ELSE 7 END AS w FROM rep),
+           |means AS (
+           |  SELECT b, CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+           |    AS mean_b
+           |  FROM wtd GROUP BY 1),
+           |pt AS (SELECT COUNT(*) AS n_orders, SUM(cents) AS sc FROM o),
+           |ms AS (SELECT list_sort(list(mean_b)) AS ms, COUNT(*) AS n_reps FROM means)
+           |SELECT CAST(pt.n_orders AS BIGINT) AS n_orders,
+           |  CAST(ms.n_reps AS BIGINT) AS n_reps,
+           |  ROUND(CAST(pt.sc AS DOUBLE) / CAST(pt.n_orders AS DOUBLE), 4)
+           |    AS point_mean_cents,
+           |  ROUND(ms.ms[1], 4) AS ci_lo_cents,
+           |  ROUND(ms.ms[32], 4) AS ci_hi_cents
+           |FROM ms CROSS JOIN pt""".stripMargin
+      },
+      doc = "Poisson bootstrap CI of mean order value - one scan, exact integer replicates"),
+
+    // Two-proportion power analysis: the sample size per arm needed to
+    // detect the OBSERVED error-rate gap between the id-parity cohorts at
+    // α=0.05 (two-sided), power=0.80 — the "how long must this A/B run"
+    // companion of evt_ab_ztest. Counts exact; the classic formula
+    // n = (z_α·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₁−p₂)²
+    // with p̄ = (p₁+p₂)/2 is one shared double tree, z quantiles as
+    // shared literals.
+    "stats_power_twoprop" -> QueryDef(
+      build = (s, dir) => {
+        val za = "1.959963984540054"
+        val zb = "0.8416212335729143"
+        Tables.events(s, dir)
+          .agg(
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("user_id") % 2 === 0 && col("event_type") === "error", 1L)
+              .otherwise(0L)).as("k1"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("user_id") % 2 === 1 && col("event_type") === "error", 1L)
+              .otherwise(0L)).as("k2"))
+          .withColumn("p1", col("k1").cast("double") / col("n1").cast("double"))
+          .withColumn("p2", col("k2").cast("double") / col("n2").cast("double"))
+          .select(col("n1"), col("k1"), col("n2"), col("k2"),
+            round(col("p1"), 6).as("rate1"), round(col("p2"), 6).as("rate2"),
+            expr(
+              s"""CAST(CEIL(
+                 |  POWER($za * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+                 |        + $zb * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+                 |  / POWER(p1 - p2, 2.0)) AS BIGINT)""".stripMargin).as("n_per_arm"))
+      },
+      oracle = Some {
+        val za = "1.959963984540054"
+        val zb = "0.8416212335729143"
+        s"""WITH agg AS (
+           |  SELECT
+           |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+           |    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+           |             THEN 1 ELSE 0 END) AS k1,
+           |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n2,
+           |    SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+           |             THEN 1 ELSE 0 END) AS k2
+           |  FROM events),
+           |p AS (
+           |  SELECT n1, k1, n2, k2,
+           |    CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           |    CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+           |  FROM agg)
+           |SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+           |  CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+           |  ROUND(p1, 6) AS rate1, ROUND(p2, 6) AS rate2,
+           |  CAST(CEIL(
+           |    POWER($za * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+           |          + $zb * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+           |    / POWER(p1 - p2, 2.0)) AS BIGINT) AS n_per_arm
+           |FROM p""".stripMargin
+      },
+      doc = "Two-proportion power analysis - required n per arm for the observed gap")
   )
 }
