@@ -3337,6 +3337,74 @@ object ScaleQueries {
       },
       doc = "2-core after 4 unrolled peeling rounds: dup cliques survive, chance edges die"),
 
+    // Degree assortativity of the near-dup graph: Pearson r between the
+    // endpoint degrees over the symmetrized edge list — do high-degree
+    // dup hubs attach to other hubs (r>0, template families) or to
+    // satellites (r<0, star-shaped boilerplate)? Degrees are exact
+    // BIGINTs, the correlation is the same integer-sum Pearson tree
+    // ts_acf uses; cost is two node-key joins over the (already banded/
+    // thresholded) edge list, never over the corpus.
+    "graph_assortativity" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir)).unionByName(
+          docs(s, dir).filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" second variant suffix token")).as("text"),
+            col("source")))
+        val edges = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id",
+              "source", shingleN = 3, threshold = 0.2)
+            .select("doc_a", "doc_b"))
+        val und = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+          .unionByName(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
+        val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
+        und
+          .join(deg.select(col("x"), col("d").as("dx")), "x")
+          .join(deg.select(col("x").as("y"), col("d").as("dy")), "y")
+          .agg(count(lit(1)).as("m2"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(expr("m2 div 2").as("m_edges"),
+            round((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")),
+              6).as("assortativity"))
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |docs3 AS (
+           |  SELECT * FROM docs2
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text || ' second variant suffix token', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs3),
+           |prs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |e AS (SELECT doc_a, doc_b FROM prs WHERE jaccard >= 0.2),
+           |und AS (
+           |  SELECT doc_a AS x, doc_b AS y FROM e
+           |  UNION ALL SELECT doc_b, doc_a FROM e),
+           |deg AS (SELECT x, COUNT(*) AS d FROM und GROUP BY 1),
+           |j AS (
+           |  SELECT da.d AS dx, db.d AS dy
+           |  FROM und JOIN deg da ON und.x = da.x JOIN deg db ON und.y = db.x),
+           |agg AS (
+           |  SELECT COUNT(*) AS m2, SUM(dx) AS sx, SUM(dy) AS sy,
+           |    SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+           |  FROM j)
+           |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+           |  ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+           |    SQRT(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+           |         CAST(m2 * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+           |FROM agg""".stripMargin),
+      doc = "Degree assortativity of the near-dup graph - integer-sum Pearson over edges"),
+
     // Feature hashing (the hashing trick): every token routed to one of
     // 16 buckets by the shared polynomial hash — the fixed-width
     // featurization that needs no vocabulary pass at any corpus size.

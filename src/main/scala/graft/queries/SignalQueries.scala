@@ -1475,5 +1475,102 @@ object SignalQueries {
           |  SELECT event_type, 'total_value', total_value FROM wide)
           |ORDER BY event_type, metric""".stripMargin),
       doc = "Wide-to-long melt via Spark unpivot, UNION ALL oracle"),
+
+    // Time-weighted average value per user (TWAP): each observation is
+    // weighted by how long it "held" — the gap in whole seconds to the
+    // user's next event (last event carries no weight). The metric behind
+    // price/sensor averaging where plain means over-count bursts. Both
+    // Σ(cents·Δsec) and ΣΔsec are exact BIGINTs (seconds, not micros, so
+    // the product sum stays far under 2⁶³ at any per-user history), one
+    // lead window + one user-key aggregate.
+    "evt_twap" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+          .withColumn("nxt", lead(col("ts"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("dsec",
+            expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000"))
+        e.groupBy("user_id")
+          .agg(count(lit(1)).as("n_weighted"),
+            sum(col("cents") * col("dsec")).as("swc"),
+            sum(col("dsec")).as("sw"), sum(col("cents")).as("sc"))
+          .filter(col("sw") > 0)
+          .select(col("user_id"), col("n_weighted"),
+            round(col("swc").cast("double") / col("sw").cast("double"), 4)
+              .as("twap_cents"),
+            round(col("sc").cast("double") / col("n_weighted").cast("double"), 4)
+              .as("mean_cents"))
+          .orderBy("user_id")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          |  FROM events WHERE value IS NOT NULL),
+          |g AS (
+          |  SELECT user_id, cents,
+          |    (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dsec
+          |  FROM e WHERE nxt IS NOT NULL),
+          |agg AS (
+          |  SELECT user_id, COUNT(*) AS n_weighted,
+          |    SUM(cents * dsec) AS swc, SUM(dsec) AS sw, SUM(cents) AS sc
+          |  FROM g GROUP BY 1)
+          |SELECT user_id, CAST(n_weighted AS BIGINT) AS n_weighted,
+          |  ROUND(CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS twap_cents,
+          |  ROUND(CAST(sc AS DOUBLE) / CAST(n_weighted AS DOUBLE), 4) AS mean_cents
+          |FROM agg WHERE sw > 0 ORDER BY user_id""".stripMargin),
+      doc = "Time-weighted average value per user - exact integer second-weighted sums"),
+
+    // Per-day error rate with a Wilson 95% interval — the uncertainty
+    // band the health dashboard should draw instead of bare rates (Wilson
+    // stays inside [0,1] and behaves at small n, unlike the normal
+    // interval). Counts are exact; the interval is one identical double
+    // tree on both engines with z as a shared literal.
+    "evt_error_wilson" -> QueryDef(
+      build = (s, dir) => {
+        val z = "1.959963984540054"
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+        d.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("k"),
+            round(col("k").cast("double") / col("n").cast("double"), 6).as("rate"),
+            expr(
+              s"""round((k / CAST(n AS DOUBLE) + $z * $z / (2.0 * n)
+                 |  - $z * sqrt((k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                 |              + $z * $z / (4.0 * n * n)))
+                 | / (1.0 + $z * $z / n), 6)""".stripMargin).as("wilson_lo"),
+            expr(
+              s"""round((k / CAST(n AS DOUBLE) + $z * $z / (2.0 * n)
+                 |  + $z * sqrt((k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                 |              + $z * $z / (4.0 * n * n)))
+                 | / (1.0 + $z * $z / n), 6)""".stripMargin).as("wilson_hi"))
+          .orderBy("day")
+      },
+      oracle = Some {
+        val z = "1.959963984540054"
+        s"""WITH d AS (
+           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+           |  FROM events GROUP BY 1)
+           |SELECT strftime(day, '%Y-%m-%d') AS day,
+           |  CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           |  ROUND((k / CAST(n AS DOUBLE) + $z * $z / (2.0 * n)
+           |    - $z * SQRT((k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+           |                + $z * $z / (4.0 * n * n)))
+           |   / (1.0 + $z * $z / n), 6) AS wilson_lo,
+           |  ROUND((k / CAST(n AS DOUBLE) + $z * $z / (2.0 * n)
+           |    + $z * SQRT((k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+           |                + $z * $z / (4.0 * n * n)))
+           |   / (1.0 + $z * $z / n), 6) AS wilson_hi
+           |FROM d ORDER BY day""".stripMargin
+      },
+      doc = "Per-day error rate with Wilson 95% CI - exact counts, shared z literal"),
   )
 }
