@@ -557,6 +557,67 @@ object InferenceQueries {
            |    / POWER(p1 - p2, 2.0)) AS BIGINT) AS n_per_arm
            |FROM p""".stripMargin
       },
-      doc = "Two-proportion power analysis - required n per arm for the observed gap")
+      doc = "Two-proportion power analysis - required n per arm for the observed gap"),
+
+    // Welch's unequal-variance t-test on cohort order values — the
+    // mean-difference test that does NOT assume equal variances,
+    // completing the cohort suite (z for proportions, MWU for ranks, KS
+    // for shape, t for means). n, Σx, Σx² are exact BIGINTs (Σx² of
+    // cents stays well under 2⁶³); means/variances and the
+    // Welch–Satterthwaite df are one shared double tree — note Σx is
+    // squared only AFTER the double cast (its square would overflow
+    // BIGINT at corpus scale).
+    "stats_ttest_welch" -> QueryDef(
+      build = (s, dir) => {
+        val a = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select((col("user_id") % 2).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("v",
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) / (col("n") - 1).cast("double"))
+          .withColumn("vn", col("v") / col("n").cast("double"))
+        val w = a.filter(col("cohort") === 0)
+          .select(col("n").as("n1"), col("m").as("m1"), col("vn").as("vn1"))
+          .crossJoin(broadcast(a.filter(col("cohort") === 1)
+            .select(col("n").as("n2"), col("m").as("m2"), col("vn").as("vn2"))))
+        w.select(col("n1"), col("n2"),
+          round(col("m1"), 4).as("mean1_cents"), round(col("m2"), 4).as("mean2_cents"),
+          round((col("m1") - col("m2")) / sqrt(col("vn1") + col("vn2")), 6).as("t"),
+          round((col("vn1") + col("vn2")) * (col("vn1") + col("vn2")) /
+            (col("vn1") * col("vn1") / (col("n1") - 1).cast("double") +
+              col("vn2") * col("vn2") / (col("n2") - 1).cast("double")), 2).as("df"))
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT user_id % 2 AS cohort, COUNT(*) AS n,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sx,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+          |        * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxx
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |st AS (
+          |  SELECT cohort, n,
+          |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+          |    (CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS vn
+          |  FROM a),
+          |j AS (
+          |  SELECT a0.n AS n1, a0.m AS m1, a0.vn AS vn1,
+          |         a1.n AS n2, a1.m AS m2, a1.vn AS vn2
+          |  FROM (SELECT * FROM st WHERE cohort = 0) a0
+          |  CROSS JOIN (SELECT * FROM st WHERE cohort = 1) a1)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  ROUND(m1, 4) AS mean1_cents, ROUND(m2, 4) AS mean2_cents,
+          |  ROUND((m1 - m2) / SQRT(vn1 + vn2), 6) AS t,
+          |  ROUND((vn1 + vn2) * (vn1 + vn2) /
+          |    (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)
+          |     + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE)), 2) AS df
+          |FROM j""".stripMargin),
+      doc = "Welch t-test on cohort values - exact moment sums, Welch-Satterthwaite df")
   )
 }

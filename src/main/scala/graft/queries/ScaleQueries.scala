@@ -538,6 +538,75 @@ object ScaleQueries {
            |WHERE orank <= 10 ORDER BY label, orank""".stripMargin),
       doc = "Embedding outliers: lowest cosine-to-own-centroid per label"),
 
+    // Simplified (centroid-based) silhouette per label — the clustering
+    // quality measure next to emb_kmeans/emb_outliers: a = distance to
+    // own centroid, b = distance to the nearest OTHER centroid,
+    // s = (b−a)/max(a,b). Centroids live on the 1e-6 quantized grid
+    // (rounded from exact BIGINT dim sums), so every squared distance is
+    // an exact BIGINT and only √ and the final ratio are doubles; the
+    // per-label mean sums 1e-9-quantized scores. Cost: one broadcast of
+    // k×d centroid cells and one per-point pass — never a point-point
+    // join (the O(n²) silhouette this replaces at corpus scale).
+    "emb_silhouette" -> QueryDef(
+      build = (s, dir) => {
+        val ex = embs(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("vq",
+            expr("CAST(ROUND(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT)"))
+        val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(expr(
+            "CAST(ROUND(CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+            .as("mq"))
+        val d2 = ex.join(broadcast(cent), Seq("pos"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum((col("vq") - col("mq")) * (col("vq") - col("mq"))).as("d2"))
+        d2.groupBy("vec_id", "label")
+          .agg(sum(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+            min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+          .withColumn("sil",
+            (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double"))))
+          .withColumn("qs", expr("CAST(ROUND(sil * 1e9, 0) AS BIGINT)"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(col("qs")).cast("double") / 1e9 /
+              count(lit(1)).cast("double"), 6).as("mean_sil"))
+          .orderBy("label")
+      },
+      oracle = Some(
+        """WITH dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+          |ex AS (
+          |  SELECT vec_id, label, CAST(i - 1 AS INT) AS pos,
+          |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS vq
+          |  FROM embeddings, dims WHERE i <= len(embedding)),
+          |cent AS (
+          |  SELECT label AS clabel, pos,
+          |    CAST(ROUND(CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0)
+          |      AS BIGINT) AS mq
+          |  FROM ex GROUP BY 1, 2),
+          |d2 AS (
+          |  SELECT ex.vec_id, ex.label, cent.clabel,
+          |    SUM((ex.vq - cent.mq) * (ex.vq - cent.mq)) AS d2
+          |  FROM ex JOIN cent ON ex.pos = cent.pos
+          |  GROUP BY 1, 2, 3),
+          |ab AS (
+          |  SELECT vec_id, label,
+          |    SUM(CASE WHEN clabel = label THEN d2 END) AS a2,
+          |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+          |  FROM d2 GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT label,
+          |    CAST(ROUND((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+          |      / GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE)))
+          |      * 1e9, 0) AS BIGINT) AS qs
+          |  FROM ab)
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |  ROUND(CAST(SUM(qs) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE), 6)
+          |    AS mean_sil
+          |FROM sc GROUP BY 1 ORDER BY label""".stripMargin),
+      doc = "Centroid-based silhouette per label - exact integer distances, no point-point join"),
+
     // Int8-quantized cosine top-k: per-vector symmetric scales cancel in
     // cosine, so ranking is pure integer arithmetic — exact in any engine.
     // 4x less vector data through scan/shuffle at ~1% cosine error.

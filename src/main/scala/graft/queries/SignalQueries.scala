@@ -1572,5 +1572,44 @@ object SignalQueries {
            |FROM d ORDER BY day""".stripMargin
       },
       doc = "Per-day error rate with Wilson 95% CI - exact counts, shared z literal"),
+
+    // Flesch-style readability per document — a corpus quality signal
+    // built entirely from integer counts: words (tokens), sentences
+    // (1 + terminal punctuation), syllables proxied by vowel runs
+    // (regexp_count of [aeiou]+ — the standard cheap estimator). The
+    // score is one shared double tree; everything else is exact.
+    "txt_readability" -> QueryDef(
+      build = (s, dir) => {
+        import graft.scale.TextOps
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+            (size(expr("regexp_extract_all(text, '[.!?]', 0)")).cast("long") + 1L)
+              .as("n_sents"),
+            size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+              .as("n_syll"))
+          .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+            round(lit(206.835d)
+              - lit(1.015d) * col("n_words").cast("double") /
+                  col("n_sents").cast("double")
+              - lit(84.6d) * col("n_syll").cast("double") /
+                  col("n_words").cast("double"), 4).as("flesch"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |    CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT) AS n_sents,
+          |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syll
+          |  FROM documents)
+          |SELECT doc_id, n_words, n_sents, n_syll,
+          |  ROUND(CAST(206.835 AS DOUBLE)
+          |    - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+          |        / CAST(n_sents AS DOUBLE)
+          |    - CAST(84.6 AS DOUBLE) * CAST(n_syll AS DOUBLE)
+          |        / CAST(n_words AS DOUBLE), 4) AS flesch
+          |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "Flesch readability from integer counts - vowel-run syllable proxy"),
   )
 }

@@ -1,70 +1,100 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
-/** Continuous funnel tracking — the streaming form of
-  * [[graft.operators.Funnel]]: per-user state advances through the step
-  * list as matching events arrive, emitting one row per advance. State is
-  * (depth, ts-of-last-match) — two fixed-width fields per in-flight user,
-  * hash-partitioned by the user key; nothing about a user's event history
-  * is retained.
+/** One funnel-relevant event: `step` is the 1-based index of the event's
+  * type in the funnel definition (the caller maps types → indices).
+  */
+final case class FunnelEvent(user: String, ts: java.sql.Timestamp,
+                             eventId: Long, step: Int)
+
+/** A finalized funnel transition: the user reached `step` at `ts`. */
+final case class FunnelHit(user: String, step: Int, ts: java.sql.Timestamp)
+
+/** Streaming funnel matching (transformWithState): the continuous form of
+  * `operators/Funnel.funnelTimes` — greedy earliest-occurrence step
+  * times, each step emitted exactly once, the moment the watermark
+  * guarantees no earlier event can still arrive.
   *
-  * Ordering contract: within a micro-batch rows are sorted by event time
-  * before the state machine runs, so intra-batch disorder is free; ACROSS
-  * batches the machine is causal — a step-1 event arriving in a later
-  * batch than a step-2 event cannot retroactively re-anchor the funnel
-  * (batch [[graft.operators.Funnel.funnelTimes]] would). Stream == batch
-  * whenever cross-batch arrival respects event-time order, the same
-  * contract the watermarked pipelines already state; TwsFunnelSpec pins
-  * the equality on ordered batches with intra-batch shuffling.
+  * Mechanics: events buffer in keyed state with a timer at ts+1; when the
+  * watermark passes, the ready prefix is drained in (ts, eventId) order
+  * against the user's filled-step prefix: an event of step j+1 strictly
+  * after t_j (or any step-1 event when nothing is filled) extends the
+  * prefix and emits a [[FunnelHit]]. Because the drain is in event-time
+  * order, the first qualifying occurrence IS the greedy-earliest one, so
+  * stream ≡ batch on the same rows (spec-pinned, out-of-order arrivals
+  * included) — greedy is optimal for reachability, see the batch
+  * operator's doc.
+  *
+  * State per key: the pending buffer (bounded by the watermark horizon ×
+  * arrival rate, not by history) plus at most k longs — completed or
+  * broken funnels occupy k longs forever only if the funnel finished;
+  * users who never re-appear age out with the store's TTL policy if one
+  * is configured. At 100 TB the state is the in-flight horizon, never
+  * the event history.
   */
 object TwsFunnel {
 
-  final case class FunnelEvent(user_id: Long, event_type: String,
-                               ts: java.sql.Timestamp)
-  /** One row per funnel advance: `step` is 1-based depth just reached. */
-  final case class FunnelAdvance(user_id: Long, step: Int,
-                                 ts: java.sql.Timestamp)
-  final case class FunnelState(depth: Int, tsMicros: Long)
-
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  final class Processor(steps: Array[String])
-      extends StatefulProcessor[Long, FunnelEvent, FunnelAdvance] {
-    @transient private var state: ValueState[FunnelState] = _
+  final class Processor(k: Int)
+      extends StatefulProcessor[String, FunnelEvent, FunnelHit] {
+    @transient private var pending: ListState[(Long, Long, Int, java.sql.Timestamp)] = _
+    @transient private var times: ListState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long, Int, java.sql.Timestamp)](
+        "pending",
+        Encoders.product[(Long, Long, Int, java.sql.Timestamp)], TTLConfig.NONE)
+      times = getHandle.getListState[Long]("times",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
-    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
-                                 timerValues: TimerValues): Iterator[FunnelAdvance] = {
-      var st = if (state.exists()) state.get() else FunnelState(0, Long.MinValue)
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
-      rows.toArray.sortBy(e => micros(e.ts)).foreach { e =>
-        if (st.depth < steps.length && e.event_type == steps(st.depth) &&
-            (st.depth == 0 || micros(e.ts) > st.tsMicros)) {
-          st = FunnelState(st.depth + 1, micros(e.ts))
-          out += FunnelAdvance(key, st.depth, e.ts)
+    override def handleInputRows(key: String, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[FunnelHit] = {
+      val timers = scala.collection.mutable.Set.empty[Long]
+      rows.foreach { e =>
+        if (e.step >= 1 && e.step <= k) {
+          pending.appendValue((micros(e.ts), e.eventId, e.step, e.ts))
+          timers += e.ts.getTime + 1L
         }
       }
-      state.update(st)
-      out.iterator
+      timers.foreach(getHandle.registerTimer)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelHit] = {
+      val wm = timerValues.getCurrentWatermarkInMs * 1000L
+      val (ready, rest) = pending.get().toVector.partition(_._1 <= wm)
+      if (ready.isEmpty) return Iterator.empty
+      if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+
+      var filled = times.get().toVector
+      val before = filled.length
+      val hits = ready.sortBy(e => (e._1, e._2)).flatMap {
+        case (tsMic, _, step, tsRaw) =>
+          val j = filled.length
+          if (j < k && step == j + 1 && (j == 0 || tsMic > filled(j - 1))) {
+            filled = filled :+ tsMic
+            Some(FunnelHit(key, step, tsRaw))
+          } else None
+      }
+      if (filled.length > before) times.put(filled.toArray)
+      hits.iterator
     }
   }
 
-  /** Advance stream for `steps` over a stream of [[FunnelEvent]]. */
-  def advances(ds: Dataset[FunnelEvent], steps: Seq[String]): Dataset[FunnelAdvance] = {
+  /** Match `ds` (already watermarked on `ts`, steps pre-mapped to 1..k)
+    * against a k-step funnel; emits each reached step once, finalized.
+    */
+  def funnel(ds: Dataset[FunnelEvent], k: Int): Dataset[FunnelHit] = {
     val sp = ds.sparkSession
     import sp.implicits._
-    // TimeMode.None: the processor registers no timers, and the
-    // processing-time mode would keep scheduling (empty) micro-batches to
-    // give timers a chance to fire — under it, processAllAvailable never
-    // settles on an idle source
-    ds.groupByKey(_.user_id)
-      .transformWithState(new Processor(steps.toArray),
-        TimeMode.None(), OutputMode.Append())
+    ds.groupByKey(_.user)
+      .transformWithState(new Processor(k),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

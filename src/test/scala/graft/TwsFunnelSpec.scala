@@ -1,21 +1,36 @@
 package graft
 
-import java.sql.Timestamp
-
 import graft.operators.Funnel
-import graft.streaming.TwsFunnel
-import graft.streaming.TwsFunnel.{FunnelAdvance, FunnelEvent}
+import graft.streaming.{FunnelEvent, FunnelHit, TwsFunnel}
+import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.util.Try
 
-/** Streaming funnel == batch funnel on event-time-ordered batches (with
-  * intra-batch disorder), plus the causal-across-batches contract.
-  * RocksDB provider (transformWithState's store).
+/** Streaming funnel contract: watermark-gated greedy step times equal the
+  * batch `operators/Funnel.funnelTimes` over the same rows — including
+  * out-of-order arrivals across micro-batch boundaries — and each step is
+  * emitted exactly once.
   */
 class TwsFunnelSpec extends SparkSpec {
 
-  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
   private val steps = Seq("view", "click", "purchase")
+
+  private def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def results(out: String): Set[(String, Int, Timestamp)] = {
+    import spark.implicits._
+    Try(spark.read.parquet(s"$out/rows").as[FunnelHit].collect()
+      .map(h => (h.user, h.step, h.ts)).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  private def pollUntil(out: String, n: Int, ms: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (results(out).size < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(results(out).size == n, s"wanted $n rows, got ${results(out)}")
+  }
 
   private def withRocksDb(body: => Unit): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -28,81 +43,103 @@ class TwsFunnelSpec extends SparkSpec {
     }
   }
 
-  test("stream advances == batch funnel when batches respect event-time order") {
-    withRocksDb {
-      import spark.implicits._
-      implicit val sqlCtx = spark.sqlContext
-      val out = java.nio.file.Files.createTempDirectory("tws-funnel").toString
-      // intra-batch rows deliberately SHUFFLED; batch boundary preserves
-      // event-time order (b1 < b2). user 1 completes across batches;
-      // user 2's click precedes their view; user 3 repeats views.
-      val b1 = Seq(
-        FunnelEvent(1L, "click", t(2)), FunnelEvent(1L, "view", t(1)),
-        FunnelEvent(2L, "click", t(1)), FunnelEvent(2L, "view", t(3)),
-        FunnelEvent(3L, "view", t(4)), FunnelEvent(3L, "view", t(2)))
-      val b2 = Seq(
-        FunnelEvent(1L, "purchase", t(11)), FunnelEvent(2L, "purchase", t(12)),
-        FunnelEvent(3L, "click", t(10)))
+  /** Batch reference melted to (user, step, ts) for the reached steps. */
+  private def batchHits(df: org.apache.spark.sql.DataFrame): Set[(String, Int, Timestamp)] =
+    Funnel.funnelTimes(df, "user", "event_type", "ts", steps)
+      .collect().flatMap { r =>
+        steps.indices.flatMap { i =>
+          Option(r.getTimestamp(i + 1)).map(ts => (r.getString(0), i + 1, ts))
+        }
+      }.toSet
 
+  test("fixture-scale parity: streamed funnel steps equal batch funnelTimes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val raw = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(col("event_type").isin(steps: _*))
+        .select("user_id", "ts", "event_id", "event_type").collect()
+        .map(r => FunnelEvent(r.getAs[Number](0).toString, r.getTimestamp(1),
+          r.getAs[Number](2).longValue,
+          steps.indexOf(r.getString(3)) + 1))
+      // split by time so no batch-2 row predates batch-1's watermark;
+      // scramble inside each batch (the processor must re-sort)
+      val sorted = raw.sortBy(e => (e.ts.getTime, e.eventId))
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      val rnd = new scala.util.Random(11)
+      val horizon = FunnelEvent("horizon",
+        new Timestamp(sorted.last.ts.getTime + 86400000L * 30), -1L, 1)
+
+      val out = java.nio.file.Files.createTempDirectory("tws-funnel-fx").toString
       val input = MemoryStream[FunnelEvent]
-      val q = TwsFunnel.advances(input.toDS(), steps)
+      val q = TwsFunnel.funnel(
+          input.toDS().withWatermark("ts", "2 minutes"), steps.length)
         .writeStream
-        .option("checkpointLocation", s"$out/_cp")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelAdvance], _: Long) =>
-          b.write.mode("append").parquet(s"$out/adv"); ()
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
         }
         .start()
       try {
-        input.addData(b1: _*); q.processAllAvailable()
-        input.addData(b2: _*); q.processAllAvailable()
+        Seq(rnd.shuffle(b1.toSeq), rnd.shuffle(b2.toSeq), Seq(horizon)).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        val want = batchHits(
+          graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+            .selectExpr("CAST(user_id AS STRING) AS user", "ts", "event_id",
+              "event_type"))
+        pollUntil(out, want.size)
+        val got = results(out).filterNot(_._1 == "horizon")
+        assert(got == want, {
+          val diff = ((got diff want) ++ (want diff got)).take(5)
+          s"stream and batch funnel steps differ, e.g. $diff"
+        })
       } finally q.stop()
-
-      val streamDepth = spark.read.parquet(s"$out/adv")
-        .groupBy("user_id").agg(max("step").as("d")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      // batch reference over the union
-      val all = (b1 ++ b2).toDF()
-      val times = Funnel.funnelTimes(all, "user_id", "event_type", "ts", steps)
-      val batchDepth = times.collect().map { r =>
-        r.getLong(0) -> (1 to 3).takeWhile(i => !r.isNullAt(i)).size
-      }.toMap
-      assert(streamDepth == batchDepth,
-        s"stream=$streamDepth batch=$batchDepth")
-      assert(streamDepth == Map(1L -> 3, 2L -> 1, 3L -> 2))
-      // per-advance rows carry the matched event's own timestamp
-      val u1 = spark.read.parquet(s"$out/adv").filter(col("user_id") === 1L)
-        .orderBy("step").select("ts").collect().map(_.getTimestamp(0)).toSeq
-      assert(u1 == Seq(t(1), t(2), t(11)))
     }
   }
 
-  test("causal across batches: a late step-1 event cannot re-anchor the funnel") {
+  test("steps finalize across micro-batches; out-of-order step-1 still wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
-      import spark.implicits._
-      implicit val sqlCtx = spark.sqlContext
-      val out = java.nio.file.Files.createTempDirectory("tws-funnel-late").toString
+      val out = java.nio.file.Files.createTempDirectory("tws-funnel").toString
       val input = MemoryStream[FunnelEvent]
-      val q = TwsFunnel.advances(input.toDS(), steps)
+      val q = TwsFunnel.funnel(
+          input.toDS().withWatermark("ts", "5 minutes"), steps.length)
         .writeStream
-        .option("checkpointLocation", s"$out/_cp")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelAdvance], _: Long) =>
-          b.write.mode("append").parquet(s"$out/adv"); ()
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
         }
         .start()
+
+      // u1: click@10:02 arrives BEFORE its view@10:01 (cross-batch,
+      // out-of-order) — the drain must still order view first and count
+      // both. A second click@10:04 must NOT re-emit step 2. u2: purchase
+      // with no prior steps never emits.
+      val b1 = Seq(FunnelEvent("u1", t(10, 2), 2L, 2),
+        FunnelEvent("u2", t(10, 3), 10L, 3))
+      val b2 = Seq(FunnelEvent("u1", t(10, 1), 1L, 1),
+        FunnelEvent("u1", t(10, 4), 3L, 2))
+      val b3 = Seq(FunnelEvent("u1", t(10, 30), 4L, 3))
+      val b4 = Seq(FunnelEvent("u1", t(23, 59), 5L, 1)) // horizon push
       try {
-        // batch 1: view@5 anchors the funnel
-        input.addData(FunnelEvent(9L, "view", t(5))); q.processAllAvailable()
-        // batch 2: click@3 arrives late — BEFORE the anchor, so it cannot
-        // advance (batch greedy over the union would also reject it; the
-        // causal property under test is that view@1 arriving now cannot
-        // RE-anchor either)
-        input.addData(FunnelEvent(9L, "view", t(1)),
-          FunnelEvent(9L, "click", t(3))); q.processAllAvailable()
+        Seq(b1, b2, b3, b4).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        pollUntil(out, 3)
+        val got = results(out)
+        assert(got == Set(("u1", 1, t(10, 1)), ("u1", 2, t(10, 2)),
+          ("u1", 3, t(10, 30))), s"got $got")
+
+        // batch reference over the same delivered rows agrees
+        val delivered = Seq(
+          ("u1", t(10, 2), 2L, "click"), ("u2", t(10, 3), 10L, "purchase"),
+          ("u1", t(10, 1), 1L, "view"), ("u1", t(10, 4), 3L, "click"),
+          ("u1", t(10, 30), 4L, "purchase"))
+          .toDF("user", "ts", "event_id", "event_type")
+        assert(batchHits(delivered) == got)
       } finally q.stop()
-      val depth = spark.read.parquet(s"$out/adv")
-        .groupBy("user_id").agg(max("step")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      assert(depth == Map(9L -> 1), s"got $depth")
     }
   }
 }
