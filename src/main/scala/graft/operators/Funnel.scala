@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** One row per user who reached step 1: (user, t1, t2, ..., tk) with
-    * t_i null once the funnel broke.
+    * t_i null once the funnel broke. With `windowSeconds` set, each step
+    * must land within that many seconds of the previous one (the
+    * "conversion window" real funnels measure) — the greedy-optimality
+    * argument still holds per transition: the earliest qualifying
+    * occurrence maximizes the remaining window for later steps.
     */
   def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
-                  tsCol: String, steps: Seq[String]): DataFrame = {
+                  tsCol: String, steps: Seq[String],
+                  windowSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
@@ -38,10 +43,13 @@ object Funnel {
       val prev = s"t$i"
       val cur = s"t${i + 1}"
       val keys: Seq[Column] = col(userCol) +: (1 to i).map(j => col(s"t$j"))
+      val qualifies = windowSeconds.foldLeft(col("_ts") > col(prev)) { (c, w) =>
+        c && (unix_micros(col("_ts")) - unix_micros(col(prev)) <= w * 1000000L)
+      }
       acc.join(events.filter(col(typeCol) === s)
           .select(col(userCol), col(tsCol).as("_ts")), Seq(userCol), "left")
         .groupBy(keys: _*)
-        .agg(min(when(col("_ts") > col(prev), col("_ts"))).as(cur))
+        .agg(min(when(qualifies, col("_ts"))).as(cur))
     }
   }
 
@@ -49,8 +57,9 @@ object Funnel {
     * that step and their id-sum (a hash-strong checksum column).
     */
   def report(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
-    val times = funnelTimes(events, userCol, typeCol, tsCol, steps)
+             tsCol: String, steps: Seq[String],
+             windowSeconds: Option[Long] = None): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps, windowSeconds)
     steps.zipWithIndex.map { case (s, i) =>
       times.filter(col(s"t${i + 1}").isNotNull)
         .agg(count(lit(1)).as("n_users"), sum(col(userCol)).as("sum_uids"))

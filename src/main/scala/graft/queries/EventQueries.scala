@@ -372,6 +372,46 @@ object EventQueries {
           |ORDER BY step""".stripMargin),
       doc = "Greedy earliest-occurrence funnel: view -> click -> purchase conversion depths"),
 
+    // The same funnel under a 1-hour CONVERSION WINDOW: each step must
+    // land within an hour of the previous one — the form real funnel
+    // dashboards report ("converted within X"). Window arithmetic is
+    // exact integer micros on both engines; greedy stays optimal per
+    // transition (earliest qualifying occurrence maximizes the remaining
+    // window downstream).
+    "funnel_windowed" -> QueryDef(
+      build = (s, dir) => Funnel.report(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        windowSeconds = Some(3600L)),
+      oracle = Some(
+        """WITH t1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |t2 AS (
+          |  SELECT t1.user_id, t1.t1, min(e.ts) AS t2
+          |  FROM t1 LEFT JOIN events e
+          |    ON e.user_id = t1.user_id AND e.event_type = 'click'
+          |    AND e.ts > t1.t1
+          |    AND epoch_us(e.ts) - epoch_us(t1.t1) <= 3600000000
+          |  GROUP BY t1.user_id, t1.t1),
+          |t3 AS (
+          |  SELECT t2.user_id, t2.t2, min(e.ts) AS t3
+          |  FROM t2 LEFT JOIN events e
+          |    ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+          |    AND e.ts > t2.t2
+          |    AND epoch_us(e.ts) - epoch_us(t2.t2) <= 3600000000
+          |  GROUP BY t2.user_id, t2.t2)
+          |SELECT step, n_users, sum_uids FROM (
+          |  SELECT '01_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users,
+          |    CAST(SUM(user_id) AS BIGINT) AS sum_uids FROM t1
+          |  UNION ALL
+          |  SELECT '02_click', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(user_id) AS BIGINT) FROM t2 WHERE t2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT '03_purchase', CAST(COUNT(*) AS BIGINT),
+          |    CAST(SUM(user_id) AS BIGINT) FROM t3 WHERE t3 IS NOT NULL)
+          |ORDER BY step""".stripMargin),
+      doc = "Funnel with a 1-hour conversion window per transition - exact micros bounds"),
+
     // Time-to-convert distribution per funnel transition: exact-integer
     // microsecond durations, interpolated exact quantiles (the
     // percentile==quantile_cont parity proven by scalar_quantiles_exact),

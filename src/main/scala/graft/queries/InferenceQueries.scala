@@ -618,6 +618,252 @@ object InferenceQueries {
           |    (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)
           |     + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE)), 2) AS df
           |FROM j""".stripMargin),
-      doc = "Welch t-test on cohort values - exact moment sums, Welch-Satterthwaite df")
+      doc = "Welch t-test on cohort values - exact moment sums, Welch-Satterthwaite df"),
+
+    // Bayesian A/B on the cohort error rates via DETERMINISTIC Monte
+    // Carlo: P(θA > θB) estimated from 64 paired posterior draws, where
+    // each z comes from the Irwin–Hall 12-uniform sum (Σu − 6 ≈ N(0,1))
+    // and every uniform is the salted mid-square hash draw the samplers
+    // use — so the "random" simulation is a pure function both engines
+    // replay bit-for-bit (no erf / inverse-CDF needed, which neither
+    // engine exposes compatibly). Posterior ≈ Normal(p̂, p̂(1−p̂)/n), the
+    // large-n Beta approximation. The draw table is 64 rows joined to a
+    // 1-row aggregate — the heavy work stays the one counting scan.
+    "stats_bayes_ab" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        def uSum(arm: String): String = {
+          val key = s"concat('bayes:$arm:', CAST(d AS STRING), ':', CAST(j AS STRING))"
+          val h = s"graft_poly_hash($key, CAST($P AS BIGINT))"
+          s"""aggregate(sequence(1, 12), CAST(0 AS DOUBLE),
+             |  (acc, j) -> acc + ((CAST((($h) * ($h)) % $P AS DOUBLE)
+             |    + CAST(1 AS DOUBLE)) / CAST(${P + 1} AS DOUBLE)))""".stripMargin
+        }
+        val stats = Tables.events(s, dir).agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("user_id") % 2 === 0 && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("k1"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("user_id") % 2 === 1 && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("k2"))
+        val draws = s.range(64).select(col("id").as("d"))
+          .crossJoin(broadcast(stats))
+          .withColumn("pa", col("k1").cast("double") / col("n1").cast("double"))
+          .withColumn("pb", col("k2").cast("double") / col("n2").cast("double"))
+          .withColumn("sea",
+            sqrt(col("pa") * (lit(1.0d) - col("pa")) / col("n1").cast("double")))
+          .withColumn("seb",
+            sqrt(col("pb") * (lit(1.0d) - col("pb")) / col("n2").cast("double")))
+          .withColumn("ta",
+            col("pa") + (expr(uSum("a")) - lit(6.0d)) * col("sea"))
+          .withColumn("tb",
+            col("pb") + (expr(uSum("b")) - lit(6.0d)) * col("seb"))
+        draws
+          .agg(sum(when(col("ta") > col("tb"), 1L).otherwise(0L)).as("wins"),
+            count(lit(1)).as("nd"))
+          .crossJoin(broadcast(stats))
+          .select(col("n1"), col("k1"), col("n2"), col("k2"),
+            round(col("k1").cast("double") / col("n1").cast("double"), 6)
+              .as("rate_a"),
+            round(col("k2").cast("double") / col("n2").cast("double"), 6)
+              .as("rate_b"),
+            col("wins"),
+            round(col("wins").cast("double") / col("nd").cast("double"), 6)
+              .as("p_a_gt_b"))
+      },
+      oracle = Some {
+        def uSum(arm: String): String = {
+          val key = s"'bayes:$arm:' || CAST(d AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+          val h = sqlPolyHash(key, P)
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(generate_series(1, 12),
+             |    j -> ((CAST((($h) * ($h)) % $P AS DOUBLE)
+             |      + CAST(1 AS DOUBLE)) / CAST(${P + 1} AS DOUBLE)))),
+             |  (a, b) -> a + b)""".stripMargin
+        }
+        s"""WITH stats AS (
+           |  SELECT
+           |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+           |    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+           |             THEN 1 ELSE 0 END) AS k1,
+           |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n2,
+           |    SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+           |             THEN 1 ELSE 0 END) AS k2
+           |  FROM events),
+           |draws AS (
+           |  SELECT d,
+           |    CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pa,
+           |    CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS pb,
+           |    SQRT((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           |      * (CAST(1.0 AS DOUBLE) - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           |      / CAST(n1 AS DOUBLE)) AS sea,
+           |    SQRT((CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           |      * (CAST(1.0 AS DOUBLE) - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           |      / CAST(n2 AS DOUBLE)) AS seb,
+           |    ${uSum("a")} AS ua,
+           |    ${uSum("b")} AS ub
+           |  FROM (SELECT unnest(generate_series(0, 63)) AS d) ds
+           |  CROSS JOIN stats),
+           |sim AS (
+           |  SELECT d, pa + (ua - CAST(6.0 AS DOUBLE)) * sea AS ta,
+           |         pb + (ub - CAST(6.0 AS DOUBLE)) * seb AS tb
+           |  FROM draws),
+           |p AS (
+           |  SELECT SUM(CASE WHEN ta > tb THEN 1 ELSE 0 END) AS wins,
+           |    COUNT(*) AS nd
+           |  FROM sim)
+           |SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+           |  CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+           |  ROUND(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_a,
+           |  ROUND(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_b,
+           |  CAST(wins AS BIGINT) AS wins,
+           |  ROUND(CAST(wins AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS p_a_gt_b
+           |FROM p CROSS JOIN stats""".stripMargin
+      },
+      doc = "Bayesian A/B via deterministic Monte Carlo - Irwin-Hall hash draws, replayed"),
+
+    // Next-event prediction EVAL: score the Markov top-1 predictor
+    // (argmax transition count per previous type, ties to the lower
+    // type) against what actually happened — per-prev-type accuracy plus
+    // the majority-class baseline it must beat. The model and the eval
+    // run in the same two scans: transition counts, then a lead-window
+    // pass over the stream. Exact integer counts end to end.
+    "evt_next_pred_eval" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+        val seq = graft.Caches.lazyBarrier(seq0)
+        val cnt = seq.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+        val pred = cnt.withColumn("rn", row_number().over(
+            Window.partitionBy("prev_type").orderBy(col("n").desc, col("next_type"))))
+          .filter(col("rn") === 1)
+          .select(col("prev_type"), col("next_type").as("predicted"))
+        seq.join(broadcast(pred), Seq("prev_type"))
+          .groupBy("prev_type")
+          .agg(max(col("predicted")).as("predicted"),
+            count(lit(1)).as("n_transitions"),
+            sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("prev_type"), col("predicted"), col("n_transitions"),
+            col("n_correct"),
+            round(col("n_correct").cast("double") /
+              col("n_transitions").cast("double"), 6).as("accuracy"))
+          .orderBy("prev_type")
+      },
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT event_type AS prev_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS next_type
+          |  FROM events),
+          |sq AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+          |cnt AS (
+          |  SELECT prev_type, next_type, COUNT(*) AS n FROM sq GROUP BY 1, 2),
+          |pred AS (
+          |  SELECT prev_type, next_type AS predicted FROM (
+          |    SELECT prev_type, next_type,
+          |      row_number() OVER (PARTITION BY prev_type
+          |        ORDER BY n DESC, next_type) AS rn
+          |    FROM cnt) WHERE rn = 1)
+          |SELECT sq.prev_type, MAX(pred.predicted) AS predicted,
+          |  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+          |  CAST(SUM(CASE WHEN sq.next_type = pred.predicted THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_correct,
+          |  ROUND(CAST(SUM(CASE WHEN sq.next_type = pred.predicted
+          |                      THEN 1 ELSE 0 END) AS DOUBLE)
+          |        / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+          |FROM sq JOIN pred USING (prev_type)
+          |GROUP BY sq.prev_type ORDER BY sq.prev_type""".stripMargin),
+      doc = "Markov top-1 next-event predictor scored on the stream - exact counts"),
+
+    // Language-ID confusion matrix: the n-gram-marker predictor
+    // (txt_quality_lang's classifier) evaluated as a MODEL — per
+    // (true, predicted) cell counts and in-language share. The argmax
+    // fold and its CASE/greatest oracle mirror are generated from the
+    // same marker table, so classifier and eval cannot drift.
+    "txt_lang_confusion" -> QueryDef(
+      build = (s, dir) => {
+        import graft.scale.TextOps
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextOps.predictedLang(col("text")).as("predicted"))
+        val tot = d.groupBy("lang").agg(count(lit(1)).as("t"))
+        d.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .join(broadcast(tot), "lang")
+          .select(col("lang"), col("predicted"), col("n"),
+            round(col("n").cast("double") / col("t").cast("double"), 6)
+              .as("share_of_lang"))
+          .orderBy("lang", "predicted")
+      },
+      oracle = {
+        import graft.scale.TextOps
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val markers = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), t -> t IN ($markers))) AS s_$l"
+        }.mkString(",\n           |    ")
+        val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pred = "CASE " +
+          langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+        Some(
+          s"""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    $scoreCols
+             |  FROM documents),
+             |p AS (SELECT doc_id, lang, $pred AS predicted FROM scored),
+             |tot AS (SELECT lang, COUNT(*) AS t FROM p GROUP BY 1)
+             |SELECT p.lang, p.predicted, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.t) AS DOUBLE), 6)
+             |    AS share_of_lang
+             |FROM p JOIN tot USING (lang)
+             |GROUP BY p.lang, p.predicted ORDER BY p.lang, p.predicted""".stripMargin)
+      },
+      doc = "Lang-ID confusion matrix - classifier and eval generated from one marker table"),
+
+    // Capture–recapture population estimate (Lincoln–Petersen + the
+    // Chapman small-sample correction): treat the even/odd event-id
+    // streams as two independent sightings of the user population and
+    // estimate total distinct users from overlap — the estimator used
+    // when the full population can't be enumerated. Here the fixture CAN
+    // be enumerated, so the true count ships alongside as the honesty
+    // column. Exact integer counts; two semi-join-free conditional
+    // aggregates on the user key.
+    "stats_capture_recapture" -> QueryDef(
+      build = (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(max(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("in1"),
+            max(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("in2"))
+        u.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+            sum(col("in1") * col("in2")).as("m"),
+            count(lit(1)).as("true_n"))
+          .select(col("n1"), col("n2"), col("m"), col("true_n"),
+            round(col("n1").cast("double") * col("n2").cast("double") /
+              col("m").cast("double"), 4).as("lincoln_petersen"),
+            round((col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double") /
+              (col("m") + 1L).cast("double") - lit(1.0d), 4).as("chapman"))
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT user_id,
+          |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in1,
+          |    MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in2
+          |  FROM events GROUP BY 1),
+          |agg AS (
+          |  SELECT SUM(in1) AS n1, SUM(in2) AS n2, SUM(in1 * in2) AS m,
+          |    COUNT(*) AS true_n
+          |  FROM u)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(m AS BIGINT) AS m, CAST(true_n AS BIGINT) AS true_n,
+          |  ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE), 4)
+          |    AS lincoln_petersen,
+          |  ROUND(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+          |        / CAST(m + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE), 4) AS chapman
+          |FROM agg""".stripMargin),
+      doc = "Capture-recapture distinct-user estimate vs ground truth - exact overlap counts")
   )
 }

@@ -1287,6 +1287,20 @@ object SignalQueries {
       oracle = Some(graft.scale.FarthestPoint.oracleSql(k = 8)),
       doc = "Farthest-point (k-center) coreset: 8 deterministic Gonzalez rounds"),
 
+    // Maximal Marginal Relevance: 8 greedy rounds trading relevance to a
+    // query vector against diversity to the already-selected set
+    // (λ = 0.5) — FPS's relevance-aware sibling and the RAG-reranking
+    // staple. Same quantized-exact distance folds, ≤k-row broadcasts,
+    // vec_id tie-breaks; oracle = unrolled MATERIALIZED CTEs.
+    "emb_mmr_select" -> QueryDef(
+      build = (s, dir) =>
+        graft.scale.MmrSelect.select(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 8)
+          .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+          .orderBy("rank"),
+      oracle = Some(graft.scale.MmrSelect.oracleSql(k = 8)),
+      doc = "MMR selection: 8 rounds of relevance-vs-diversity greedy picks"),
+
     // Coreset-diversity evidence: mean/min pairwise distance of the
     // 8-point FPS coreset vs the naive lowest-id-8 baseline — the
     // selection's value measured, not assumed (FPS must win both). All

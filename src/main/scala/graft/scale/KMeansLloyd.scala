@@ -219,3 +219,100 @@ object FarthestPoint {
        |FROM c$k ORDER BY rank""".stripMargin
   }
 }
+
+/** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+  * the relevance-aware complement of [[FarthestPoint]]: greedily pick k
+  * items maximizing λ·Rel(e) − (1−λ)·max sim to the already-picked set,
+  * with similarity = −squared-L2 on the 1e-6 quantized grid and relevance
+  * anchored to the lowest-id vector as the query. λ = 0.5 ⇒
+  * score = 0.5·minDistToSelected − 0.5·distToQuery (both in vector
+  * units). Round 1 is pure relevance (nearest to the query); every later
+  * round trades relevance against diversity — the RAG-reranking /
+  * demo-selection staple.
+  *
+  * Scale shape per round: one anti-join + one ≤k-row broadcast + a
+  * per-row in-order fold — identical to FPS; distances come from exact
+  * BIGINT grid coordinates so both engines fold identical doubles, and
+  * ties break on vec_id. Oracle = unrolled MATERIALIZED CTEs.
+  */
+object MmrSelect {
+
+  private def distTo(other: String): String =
+    s"""aggregate(zip_with(vqs, $other,
+       |  (a, b) -> pow(CAST(a - b AS DOUBLE), 2D)),
+       |  0D, (x, y) -> x + y)""".stripMargin
+
+  def select(embs: org.apache.spark.sql.DataFrame, idCol: String,
+             vecCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev0 = KMeansLloyd.quantized(embs, idCol, vecCol)
+    val q = ev0.orderBy("vec_id").limit(1)
+    val ev = graft.Caches.lazyBarrier(ev0
+      .join(q.select(col("vec_id").as("qid")),
+        col("vec_id") === col("qid"), "left_anti")
+      .crossJoin(broadcast(q.select(col("vqs").as("qvqs"))))
+      .withColumn("dq", expr(distTo("qvqs")))
+      .select("vec_id", "vqs", "dq"))
+    var chosen = graft.Caches.lazyBarrier(
+      ev.orderBy(col("dq").asc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("vqs"), col("dq"), lit(1).as("rank"),
+          (lit(-0.5d) * (col("dq") / lit(1e12))).as("score")))
+    for (r <- 2 to k) {
+      val m = ev
+        .join(chosen.select(col("vec_id").as("cid")),
+          col("vec_id") === col("cid"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("vqs").as("cvqs"))))
+        .withColumn("ds", expr(distTo("cvqs")))
+        .groupBy("vec_id").agg(min(col("ds")).as("mind"))
+      val p = m.join(ev, "vec_id")
+        .withColumn("score",
+          lit(0.5d) * (col("mind") / lit(1e12)) -
+            lit(0.5d) * (col("dq") / lit(1e12)))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+      chosen = graft.Caches.lazyBarrier(chosen.unionByName(
+        p.select(col("vec_id"), col("vqs"), col("dq"),
+          lit(r).as("rank"), col("score"))))
+    }
+    chosen.select(col("rank").cast("int").as("rank"), col("vec_id"),
+      col("score"))
+  }
+
+  /** Unrolled DuckDB oracle (MATERIALIZED CTEs, FPS-style). */
+  def oracleSql(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, len($a)),
+         |    j -> pow(CAST($a[j] - $b[j] AS DOUBLE), 2)),
+         |  (x, y) -> x + y)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT e.vec_id, MIN(${dist("e.vqs", "c.vqs")}) AS mind
+         |  FROM ev e CROSS JOIN c${r - 1} c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+         |  GROUP BY 1),
+         |p$r AS (
+         |  SELECT e.vec_id, e.vqs, e.dq,
+         |    0.5 * (m.mind / 1e12) - 0.5 * (e.dq / 1e12) AS score
+         |  FROM m$r m JOIN ev e USING (vec_id)
+         |  ORDER BY score DESC, e.vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT * FROM c${r - 1}
+         |  UNION ALL
+         |  SELECT vec_id, vqs, dq, $r AS rank, score FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev0 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS vqs
+       |  FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, vqs AS qvqs FROM ev0 ORDER BY vec_id LIMIT 1),
+       |ev AS MATERIALIZED (
+       |  SELECT e.vec_id, e.vqs, ${dist("e.vqs", "q.qvqs")} AS dq
+       |  FROM ev0 e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, vqs, dq, 1 AS rank, -0.5 * (dq / 1e12) AS score
+       |  FROM ev ORDER BY dq ASC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, vec_id, ROUND(score, 6) AS score
+       |FROM c$k ORDER BY rank""".stripMargin
+  }
+}
