@@ -938,6 +938,144 @@ object ScaleQueries {
       },
       oracle = Some(corpusV5Oracle),
       doc = "Capstone v5: v4 survivors k-means-clustered, per-cluster balanced cap, per-(split,cluster) report"),
+
+    // Capstone v6 — the CCNet-style branch: normalize → quality gate →
+    // exact dedup (shared prefix), then a PERPLEXITY gate — a unigram LM
+    // trained on the surviving corpus itself scores every doc
+    // (quantized-BIGINT log-prob sums), and the worst quartile is dropped
+    // at an exact-percentile threshold — then per-source cap and holdout
+    // splits. This is the language-model filtering arm the v4/v5 chain
+    // doesn't exercise; per-split mean LM score ships in the report so
+    // the gate's effect is visible, not assumed.
+    "corpus_prepare_v6" -> QueryDef(
+      build = (s, dir) => {
+        val (_, ded) = corpusBaseFrames(s, dir)
+        val toks = ded.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).as("n_total"))
+        val lm = toks.join(vocab, "t").crossJoin(broadcast(total))
+          .withColumn("qlp", expr(
+            "CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9, 0) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg((sum(col("qlp")).cast("double") / lit(1e9) /
+            count(lit(1)).cast("double")).as("lm_score"))
+        // barrier: the percentile threshold pass and the gated survivor
+        // set both read the scored frame
+        val sdocs = graft.Caches.lazyBarrier(
+          ded.select("doc_id", "source").join(lm, "doc_id"))
+        val kept = TextOps.keepAbovePercentile(sdocs, "lm_score", dropFrac = 0.25)
+        val capped = Sampling.capPerGroup(kept, "doc_id", "source", cap = 18,
+          salt = "prep6")
+        Sampling.assignSplits(capped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split6")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+            countDistinct(col("source")).as("n_sources"),
+            round(sum(expr("CAST(ROUND(lm_score * 1e9, 0) AS BIGINT)"))
+              .cast("double") / lit(1e9) / count(lit(1)).cast("double"), 6)
+              .as("mean_lm"))
+          .orderBy("split")
+      },
+      oracle = Some(corpusV6Oracle),
+      doc = "Capstone v6 (CCNet arm): quality gate + exact dedup + unigram-LM perplexity gate + cap/splits"),
+
+    // Near-dup threshold sweep: pair and casualty counts at every policy
+    // threshold, from ONE banded candidate pass (the 0.2-floor pair set
+    // is computed once; each threshold is a filter over it) — the
+    // calibration curve a dedup policy decision actually needs. Same
+    // planted dups and blocking as dedup_embedding.
+    "dedup_threshold_sweep" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        val pairs = Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding",
+          threshold = 0.2)
+        pairs.select(col("score"), col("vec_b"),
+            explode(array(Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5)
+              .map(lit): _*)).as("thr"))
+          .filter(col("score") >= col("thr"))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("vec_b")).as("n_dropped"))
+          .orderBy("thr")
+      },
+      oracle = Some(
+        s"""WITH embs2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |b AS (
+           |  SELECT vec_id, embedding,
+           |    ${sqlSignBucket("embedding", Similarity.DefaultBits)} AS bucket
+           |  FROM embs2),
+           |pairs AS (
+           |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           |    ${sqlCosine("l.embedding", "r.embedding")} AS score
+           |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+           |p AS (SELECT vec_b, score FROM pairs WHERE score >= 0.2),
+           |sw AS (
+           |  SELECT CAST(t.thr AS DOUBLE) AS thr, p.vec_b
+           |  FROM p JOIN (SELECT unnest([0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5]) AS thr) t
+           |    ON p.score >= t.thr)
+           |SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(COUNT(DISTINCT vec_b) AS BIGINT) AS n_dropped
+           |FROM sw GROUP BY 1 ORDER BY thr""".stripMargin),
+      doc = "Dedup threshold calibration curve: pairs + casualties per threshold, one candidate pass"),
+
+    // Importance-sampling diagnostics for a mixture shift to the uniform
+    // language target: per-language weight w = target/source from exact
+    // counts, and the effective sample size (Σw)²/Σw² that says how much
+    // statistical power survives the reweighting (ESS ≈ N ⇒ benign shift;
+    // ESS ≪ N ⇒ the shift is fiction). Weights and their squares are
+    // quantized to BIGINTs before the cross-language sums, so no double
+    // reduction order leaks in.
+    "sample_importance_ess" -> QueryDef(
+      build = (s, dir) => {
+        val byLang = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = byLang.agg(sum(col("n")).as("nn"), count(lit(1)).as("nl"))
+        val w = byLang.crossJoin(broadcast(tot))
+          .withColumn("srcshare", col("n").cast("double") / col("nn").cast("double"))
+          .withColumn("wt",
+            (lit(1.0d) / col("nl").cast("double")) / col("srcshare"))
+          .withColumn("qw", expr("CAST(ROUND(wt * 1e9, 0) AS BIGINT)"))
+          .withColumn("qw2", expr("CAST(ROUND(wt * wt * 1e9, 0) AS BIGINT)"))
+        val ess = w.agg(
+          sum(col("n") * col("qw")).as("sw"),
+          sum(col("n") * col("qw2")).as("sw2"))
+          .select(round((col("sw").cast("double") / 1e9) *
+              (col("sw").cast("double") / 1e9) /
+              (col("sw2").cast("double") / 1e9), 2).as("ess"))
+        w.crossJoin(broadcast(ess))
+          .select(col("lang"), col("n").as("n_docs"),
+            round(col("srcshare"), 6).as("source_share"),
+            round(col("wt"), 6).as("weight"), col("ess"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        """WITH bylang AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+          |tot AS (SELECT SUM(n) AS nn, COUNT(*) AS nl FROM bylang),
+          |w AS (
+          |  SELECT lang, n,
+          |    CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS srcshare,
+          |    (CAST(1.0 AS DOUBLE) / CAST(nl AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wt
+          |  FROM bylang CROSS JOIN tot),
+          |q AS (
+          |  SELECT lang, n, srcshare, wt,
+          |    CAST(ROUND(wt * 1e9, 0) AS BIGINT) AS qw,
+          |    CAST(ROUND(wt * wt * 1e9, 0) AS BIGINT) AS qw2
+          |  FROM w),
+          |ess AS (
+          |  SELECT ROUND((CAST(SUM(n * qw) AS DOUBLE) / 1e9)
+          |    * (CAST(SUM(n * qw) AS DOUBLE) / 1e9)
+          |    / (CAST(SUM(n * qw2) AS DOUBLE) / 1e9), 2) AS ess
+          |  FROM q)
+          |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+          |  ROUND(srcshare, 6) AS source_share, ROUND(wt, 6) AS weight, ess.ess
+          |FROM q CROSS JOIN ess ORDER BY lang""".stripMargin),
+      doc = "Importance weights to the uniform-language target + effective sample size"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so
@@ -945,7 +1083,10 @@ object ScaleQueries {
     * query consumes only the final frame. Stage semantics documented at
     * the query registration above.
     */
-  private[graft] def corpusV4Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+  /** Shared capstone prefix frames (normalize → quality gate → exact
+    * dedup), both lineage-barriered; the Spark twin of `corpusBaseCtes`.
+    */
+  private def corpusBaseFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
         graft.functions.Hashing.register(s)
         val corpus = nearDupDocs(docs(s, dir))
         val norm = corpus.select(col("doc_id"), col("source"),
@@ -969,6 +1110,11 @@ object ScaleQueries {
             col("doc_id")).as("r"))
           .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
             col("r.text").as("text")))
+        (scored, ded)
+  }
+
+  private[graft] def corpusV4Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+        val (scored, ded) = corpusBaseFrames(s, dir)
         // narrowed barrier (doc_id + sig only — text/shingles stay out of
         // the checkpoint) + fused verify: one band-bucket self-join
         // carrying both signatures (NearDup.lshDuplicates) instead of
@@ -1032,7 +1178,11 @@ object ScaleQueries {
   // a plain val would still be null when the Map literal captures it.
   // The CTE chain through `sem` (the post-semantic-dedup survivor set) is
   // shared by the v4 and v5 capstone oracles.
-  private lazy val corpusPipelineCtes: String =
+  /** Shared capstone prefix: normalize → quality gate → exact dedup
+    * (`ded` = the digest-deduped survivor set with text). v4/v5 continue
+    * with LSH/decontamination/SemDeDup; v6 branches into the LM gate.
+    */
+  private lazy val corpusBaseCtes: String =
         s"""$sqlNearDupDocs,
            |norm AS (
            |  SELECT doc_id, source,
@@ -1052,7 +1202,10 @@ object ScaleQueries {
            |  SELECT doc_id, source, text FROM (
            |    SELECT doc_id, source, text,
            |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-           |    FROM gated) x WHERE rn = 1),
+           |    FROM gated) x WHERE rn = 1)""".stripMargin
+
+  private lazy val corpusPipelineCtes: String =
+        s"""$corpusBaseCtes,
            |sh AS (SELECT doc_id, $sqlShingles AS sh FROM ded),
            |hashed AS (SELECT doc_id,
            |  list_transform(sh, s -> ${sqlPolyHash("s", P)}) AS shh FROM sh),
@@ -1131,6 +1284,44 @@ object ScaleQueries {
            |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
            |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
            |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
+  private lazy val corpusV6Oracle: String =
+        s"""WITH $corpusBaseCtes,
+           |toks6 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM ded),
+           |vocab6 AS (SELECT t, COUNT(*) AS c FROM toks6 GROUP BY 1),
+           |total6 AS (SELECT SUM(c) AS n_total FROM vocab6),
+           |lm6 AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |      * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+           |      AS lm_score
+           |  FROM toks6 JOIN vocab6 USING (t) CROSS JOIN total6
+           |  GROUP BY doc_id),
+           |sdocs AS (
+           |  SELECT d.doc_id, d.source, lm6.lm_score
+           |  FROM ded d JOIN lm6 USING (doc_id)),
+           |lthr AS (SELECT quantile_cont(lm_score, 0.25) AS t FROM sdocs),
+           |kept AS (
+           |  SELECT s.doc_id, s.source, s.lm_score
+           |  FROM sdocs s, lthr WHERE s.lm_score >= lthr.t),
+           |capped6 AS (
+           |  SELECT doc_id, source, lm_score FROM (
+           |    SELECT doc_id, source, lm_score,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "prep6")}, doc_id) AS rk
+           |    FROM kept) y WHERE rk <= 18),
+           |sp6 AS (
+           |  SELECT doc_id, source, lm_score,
+           |    CASE WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split6")} < 8000 THEN 'train'
+           |         WHEN ${sqlBucket("CAST(doc_id AS VARCHAR)", "split6")} < 9000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM capped6)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           |  ROUND(CAST(SUM(CAST(ROUND(lm_score * 1e9, 0) AS BIGINT)) AS DOUBLE)
+           |        / 1e9 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_lm
+           |FROM sp6 GROUP BY split ORDER BY split""".stripMargin
 
   private lazy val corpusV5Oracle: String =
         s"""WITH $corpusPipelineCtes,
