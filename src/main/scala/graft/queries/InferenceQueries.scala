@@ -864,6 +864,98 @@ object InferenceQueries {
           |  ROUND(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
           |        / CAST(m + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE), 4) AS chapman
           |FROM agg""".stripMargin),
-      doc = "Capture-recapture distinct-user estimate vs ground truth - exact overlap counts")
+      doc = "Capture-recapture distinct-user estimate vs ground truth - exact overlap counts"),
+
+    // Sequential probability ratio test (Wald) over the daily cohort
+    // error streams: cumulative log-likelihood ratio of H1 (each arm at
+    // its own global rate) vs H0 (both at the pooled rate), with the
+    // α=β=0.05 decision bounds ±ln(19) — "when could this A/B have
+    // stopped". Per-day LLR increments are quantized to BIGINTs and the
+    // cumulative sum runs over the 30-row day domain; the ln() calls
+    // touch only the three global-rate scalars. (H1 uses the observed
+    // final rates, so this is the retrospective efficiency diagnostic,
+    // not a pre-registered test — stated on the tin.)
+    "stats_sprt" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).select(to_date(col("ts")).as("day"),
+          (col("user_id") % 2).as("arm"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+        val g = e.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("gn1"),
+          sum(when(col("arm") === 0, col("err")).otherwise(0L)).as("gk1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("gn2"),
+          sum(when(col("arm") === 1, col("err")).otherwise(0L)).as("gk2"))
+        val daily = e.groupBy("day").agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("err")).otherwise(0L)).as("k1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("err")).otherwise(0L)).as("k2"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.crossJoin(broadcast(g))
+          .withColumn("p1", col("gk1").cast("double") / col("gn1").cast("double"))
+          .withColumn("p2", col("gk2").cast("double") / col("gn2").cast("double"))
+          .withColumn("p0", (col("gk1") + col("gk2")).cast("double") /
+            (col("gn1") + col("gn2")).cast("double"))
+          .withColumn("qterm", expr(
+            """CAST(ROUND((
+              |    k1 * (ln(p1) - ln(p0))
+              |  + (n1 - k1) * (ln(CAST(1.0 AS DOUBLE) - p1) - ln(CAST(1.0 AS DOUBLE) - p0))
+              |  + k2 * (ln(p2) - ln(p0))
+              |  + (n2 - k2) * (ln(CAST(1.0 AS DOUBLE) - p2) - ln(CAST(1.0 AS DOUBLE) - p0))
+              |) * 1e9, 0) AS BIGINT)""".stripMargin))
+          .withColumn("qcum", sum(col("qterm")).over(wc))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("qcum").cast("double") / 1e9, 6).as("cum_llr"),
+            when(col("qcum") >= 2944438979L, "accept_h1")
+              .when(col("qcum") <= -2944438979L, "accept_h0")
+              .otherwise("continue").as("decision"))
+          .orderBy("day")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+          |  FROM events),
+          |g AS (
+          |  SELECT
+          |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS gn1,
+          |    SUM(CASE WHEN arm = 0 THEN err ELSE 0 END) AS gk1,
+          |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS gn2,
+          |    SUM(CASE WHEN arm = 1 THEN err ELSE 0 END) AS gk2
+          |  FROM e),
+          |daily AS (
+          |  SELECT day,
+          |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+          |    SUM(CASE WHEN arm = 0 THEN err ELSE 0 END) AS k1,
+          |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2,
+          |    SUM(CASE WHEN arm = 1 THEN err ELSE 0 END) AS k2
+          |  FROM e GROUP BY 1),
+          |t AS (
+          |  SELECT day, n1, k1, n2, k2,
+          |    CAST(gk1 AS DOUBLE) / CAST(gn1 AS DOUBLE) AS p1,
+          |    CAST(gk2 AS DOUBLE) / CAST(gn2 AS DOUBLE) AS p2,
+          |    CAST(gk1 + gk2 AS DOUBLE) / CAST(gn1 + gn2 AS DOUBLE) AS p0
+          |  FROM daily CROSS JOIN g),
+          |q AS (
+          |  SELECT day,
+          |    CAST(ROUND((
+          |        k1 * (ln(p1) - ln(p0))
+          |      + (n1 - k1) * (ln(CAST(1.0 AS DOUBLE) - p1) - ln(CAST(1.0 AS DOUBLE) - p0))
+          |      + k2 * (ln(p2) - ln(p0))
+          |      + (n2 - k2) * (ln(CAST(1.0 AS DOUBLE) - p2) - ln(CAST(1.0 AS DOUBLE) - p0))
+          |    ) * 1e9, 0) AS BIGINT) AS qterm
+          |  FROM t),
+          |c AS (
+          |  SELECT day, SUM(qterm) OVER (ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qcum
+          |  FROM q)
+          |SELECT strftime(day, '%Y-%m-%d') AS day,
+          |  ROUND(CAST(qcum AS DOUBLE) / 1e9, 6) AS cum_llr,
+          |  CASE WHEN qcum >= 2944438979 THEN 'accept_h1'
+          |       WHEN qcum <= -2944438979 THEN 'accept_h0'
+          |       ELSE 'continue' END AS decision
+          |FROM c ORDER BY day""".stripMargin),
+      doc = "Wald SPRT over daily cohort error streams - quantized LLR, ln(19) bounds")
   )
 }

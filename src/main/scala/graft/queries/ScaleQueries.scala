@@ -1076,6 +1076,75 @@ object ScaleQueries {
           |  ROUND(srcshare, 6) AS source_share, ROUND(wt, 6) AS weight, ess.ess
           |FROM q CROSS JOIN ess ORDER BY lang""".stripMargin),
       doc = "Importance weights to the uniform-language target + effective sample size"),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    // the maximal stopword-free token runs — segmentation is ONE
+    // cumulative-stopword-count window, no regex splitting — and a
+    // phrase scores the sum of its members' degree/frequency ratios
+    // (degree = Σ length of phrases containing the word). Word scores are
+    // quantized to BIGINTs before the per-phrase sum, so phrase ranking
+    // is reduction-order-proof; every join is token- or (doc, phrase)-
+    // keyed. Top 20 phrases with deterministic tie-breaks.
+    "txt_rake_keyphrases" -> QueryDef(
+      build = (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+        val wStop = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // barrier: members feed the word-score aggregate AND the phrase
+        // re-join — unbarriered, the explode+window replays twice
+        val members = graft.Caches.lazyBarrier(toks
+          .withColumn("stop",
+            when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L))
+          .withColumn("pk", sum(col("stop")).over(wStop))
+          .filter(col("stop") === 0)
+          .select("doc_id", "pk", "pos", "t"))
+        val plen = members.groupBy("doc_id", "pk").agg(count(lit(1)).as("plen"))
+        val mem = members.join(plen, Seq("doc_id", "pk"))
+        val ws = mem.groupBy("t").agg(expr(
+          "CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e9, 0) AS BIGINT)")
+          .as("qs"))
+        mem.join(ws, "t")
+          .groupBy("doc_id", "pk")
+          .agg(expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, t))), p -> p.t))")
+            .as("phrase"),
+            sum(col("qs")).as("qsum"))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"),
+            round(max(col("qsum")).cast("double") / 1e9, 6).as("score"))
+          .orderBy(col("score").desc, col("phrase"))
+          .limit(20)
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |tok AS (
+           |  SELECT doc_id, i AS pos, ts[i] AS t
+           |  FROM t, UNNEST(generate_series(1, len(ts))) AS g(i)),
+           |seg AS (
+           |  SELECT doc_id, pos, t,
+           |    CASE WHEN t IN ($sqlStopwords) THEN 1 ELSE 0 END AS stop,
+           |    SUM(CASE WHEN t IN ($sqlStopwords) THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS pk
+           |  FROM tok),
+           |m AS (SELECT doc_id, pk, pos, t FROM seg WHERE stop = 0),
+           |plen AS (SELECT doc_id, pk, COUNT(*) AS plen FROM m GROUP BY 1, 2),
+           |mem AS (SELECT m.doc_id, m.pk, m.pos, m.t, plen.plen
+           |  FROM m JOIN plen USING (doc_id, pk)),
+           |ws AS (
+           |  SELECT t, CAST(ROUND(CAST(SUM(plen) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) * 1e9, 0) AS BIGINT) AS qs
+           |  FROM mem GROUP BY 1),
+           |ps AS (
+           |  SELECT mem.doc_id, mem.pk,
+           |    string_agg(mem.t, ' ' ORDER BY mem.pos) AS phrase,
+           |    SUM(ws.qs) AS qsum
+           |  FROM mem JOIN ws USING (t) GROUP BY 1, 2)
+           |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           |  ROUND(CAST(MAX(qsum) AS DOUBLE) / 1e9, 6) AS score
+           |FROM ps GROUP BY 1 ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
+      doc = "RAKE keyphrases: stopword-run segmentation + degree/freq scores, quantized sums"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so

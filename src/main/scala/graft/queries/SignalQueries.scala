@@ -1625,5 +1625,62 @@ object SignalQueries {
           |        / CAST(n_words AS DOUBLE), 4) AS flesch
           |FROM c ORDER BY doc_id""".stripMargin),
       doc = "Flesch readability from integer counts - vowel-run syllable proxy"),
+
+    // Embedding distribution drift: split the corpus into id-parity
+    // halves and measure per-label centroid displacement — the embedding-
+    // space companion of stats_jsd_langs (token space). Centroids are
+    // rounded from exact BIGINT dim sums onto the 1e-6 grid, so the
+    // squared displacement is an exact BIGINT and only the final √ is a
+    // double. Tiny (labels × dims) aggregate after one corpus pass.
+    "emb_centroid_drift" -> QueryDef(
+      build = (s, dir) => {
+        val ex = Tables.embeddings(s, dir)
+          .select(col("label"), (col("vec_id") % 2).as("h"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("vq",
+            expr("CAST(ROUND(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT)"))
+        val cent = ex.groupBy("label", "h", "pos")
+          .agg(expr(
+            "CAST(ROUND(CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)")
+            .as("mq"),
+            count(lit(1)).as("n"))
+        cent.groupBy("label", "pos")
+          .agg(sum(when(col("h") === 0, col("mq"))).as("m0"),
+            sum(when(col("h") === 1, col("mq"))).as("m1"),
+            max(when(col("h") === 0, col("n"))).as("n0"),
+            max(when(col("h") === 1, col("n"))).as("n1"))
+          .groupBy("label")
+          .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+            sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("d2"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+            round(sqrt(col("d2").cast("double")) / 1e6, 6).as("centroid_drift"))
+          .orderBy("label")
+      },
+      oracle = Some(
+        """WITH dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+          |ex AS (
+          |  SELECT label, vec_id % 2 AS h, CAST(i - 1 AS INT) AS pos,
+          |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS vq
+          |  FROM embeddings, dims WHERE i <= len(embedding)),
+          |cent AS (
+          |  SELECT label, h, pos,
+          |    CAST(ROUND(CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0)
+          |      AS BIGINT) AS mq,
+          |    COUNT(*) AS n
+          |  FROM ex GROUP BY 1, 2, 3),
+          |w AS (
+          |  SELECT label, pos,
+          |    SUM(CASE WHEN h = 0 THEN mq END) AS m0,
+          |    SUM(CASE WHEN h = 1 THEN mq END) AS m1,
+          |    MAX(CASE WHEN h = 0 THEN n END) AS n0,
+          |    MAX(CASE WHEN h = 1 THEN n END) AS n1
+          |  FROM cent GROUP BY 1, 2)
+          |SELECT label, CAST(MAX(n0) AS BIGINT) AS n_even,
+          |  CAST(MAX(n1) AS BIGINT) AS n_odd,
+          |  ROUND(SQRT(CAST(SUM((m0 - m1) * (m0 - m1)) AS DOUBLE)) / 1e6, 6)
+          |    AS centroid_drift
+          |FROM w GROUP BY 1 ORDER BY label""".stripMargin),
+      doc = "Per-label centroid drift between id-parity halves - exact integer displacement"),
   )
 }
