@@ -956,6 +956,141 @@ object InferenceQueries {
           |       WHEN qcum <= -2944438979 THEN 'accept_h0'
           |       ELSE 'continue' END AS decision
           |FROM c ORDER BY day""".stripMargin),
-      doc = "Wald SPRT over daily cohort error streams - quantized LLR, ln(19) bounds")
+      doc = "Wald SPRT over daily cohort error streams - quantized LLR, ln(19) bounds"),
+
+    // One-way ANOVA across event types on order values — the k-group
+    // extension of the Welch pair test: F = (SSB/(k−1)) / (SSW/(N−k))
+    // from per-group moment sums. Per-group n/Σx/Σx² are exact BIGINTs;
+    // the (Σx)² terms must square AFTER the double cast (BIGINT overflow)
+    // and the k per-group doubles are quantized before the cross-group
+    // sum, so no reduction order leaks in.
+    "stats_anova" -> QueryDef(
+      build = (s, dir) => {
+        val g = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("qb", expr(
+            """CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              |  / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT)""".stripMargin))
+          .withColumn("qw", expr(
+            """CAST(ROUND((CAST(sxx AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              |  * 1e6, 0) AS BIGINT)""".stripMargin))
+        g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+            sum(col("sx")).as("gsx"), sum(col("qb")).as("sqb"),
+            sum(col("qw")).as("ssw_q"))
+          .select(col("k"), col("nn").as("n_total"),
+            round((col("sqb").cast("double") / 1e6 -
+              col("gsx").cast("double") * col("gsx").cast("double") /
+                col("nn").cast("double")) / 100.0, 2).as("ssb_dollars2"),
+            round(col("ssw_q").cast("double") / 1e6 / 100.0, 2).as("ssw_dollars2"),
+            round(((col("sqb").cast("double") / 1e6 -
+              col("gsx").cast("double") * col("gsx").cast("double") /
+                col("nn").cast("double")) / (col("k") - 1).cast("double")) /
+              ((col("ssw_q").cast("double") / 1e6) /
+                (col("nn") - col("k")).cast("double")), 6).as("f_stat"))
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT event_type, COUNT(*) AS n,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sx,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+          |        * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxx
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |q AS (
+          |  SELECT n, sx,
+          |    CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |      / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS qb,
+          |    CAST(ROUND((CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |      * 1e6, 0) AS BIGINT) AS qw
+          |  FROM g),
+          |agg AS (
+          |  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sx) AS gsx,
+          |    SUM(qb) AS sqb, SUM(qw) AS ssw_q
+          |  FROM q)
+          |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+          |  ROUND((CAST(sqb AS DOUBLE) / 1e6
+          |    - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / CAST(nn AS DOUBLE))
+          |    / 100.0, 2) AS ssb_dollars2,
+          |  ROUND(CAST(ssw_q AS DOUBLE) / 1e6 / 100.0, 2) AS ssw_dollars2,
+          |  ROUND(((CAST(sqb AS DOUBLE) / 1e6
+          |    - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / CAST(nn AS DOUBLE))
+          |    / CAST(k - 1 AS DOUBLE))
+          |    / ((CAST(ssw_q AS DOUBLE) / 1e6) / CAST(nn - k AS DOUBLE)), 6)
+          |    AS f_stat
+          |FROM agg""".stripMargin),
+      doc = "One-way ANOVA F across event types - quantized per-group moment terms"),
+
+    // Behavioral predictability: how much does knowing the PREVIOUS event
+    // type tell you about the next one? H(next), the conditional
+    // H(next|prev), and their difference (mutual information of the
+    // transition pair) — the scalar that says whether evt_transitions'
+    // matrix carries signal or is just the marginal repeated. Every
+    // entropy term comes from exact counts and is quantized before the
+    // cell sum (≤|types|² cells).
+    "evt_markov_infogain" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy("prev_type", "next_type").agg(count(lit(1)).as("nij"))
+        val cells = graft.Caches.lazyBarrier(pairs)
+        val rows = cells.groupBy("prev_type").agg(sum(col("nij")).as("ni"))
+        val cols_ = cells.groupBy("next_type").agg(sum(col("nij")).as("nj"))
+        val tot = cells.agg(sum(col("nij")).as("nn"))
+        val hcond = cells.join(broadcast(rows), "prev_type")
+          .crossJoin(broadcast(tot))
+          .withColumn("q", expr(
+            """CAST(ROUND(-(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+              |  * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) * 1e12, 0)
+              |  AS BIGINT)""".stripMargin))
+          .agg(sum(col("q")).as("qc"))
+        val hnext = cols_.crossJoin(broadcast(tot))
+          .withColumn("q", expr(
+            """CAST(ROUND(-(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+              |  * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e12, 0)
+              |  AS BIGINT)""".stripMargin))
+          .agg(sum(col("q")).as("qn"))
+        hcond.crossJoin(broadcast(hnext)).crossJoin(broadcast(tot))
+          .select(col("nn").as("n_transitions"),
+            round(col("qn").cast("double") / 1e12, 6).as("h_next"),
+            round(col("qc").cast("double") / 1e12, 6).as("h_next_given_prev"),
+            round((col("qn") - col("qc")).cast("double") / 1e12, 6).as("info_gain"))
+      },
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT event_type AS prev_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS next_type
+          |  FROM events),
+          |cells AS (
+          |  SELECT prev_type, next_type, COUNT(*) AS nij
+          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |rows_ AS (SELECT prev_type, SUM(nij) AS ni FROM cells GROUP BY 1),
+          |cols_ AS (SELECT next_type, SUM(nij) AS nj FROM cells GROUP BY 1),
+          |tot AS (SELECT SUM(nij) AS nn FROM cells),
+          |hcond AS (
+          |  SELECT SUM(CAST(ROUND(-(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+          |    * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) * 1e12, 0)
+          |    AS BIGINT)) AS qc
+          |  FROM cells JOIN rows_ USING (prev_type) CROSS JOIN tot),
+          |hnext AS (
+          |  SELECT SUM(CAST(ROUND(-(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+          |    * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e12, 0)
+          |    AS BIGINT)) AS qn
+          |  FROM cols_ CROSS JOIN tot)
+          |SELECT CAST(tot.nn AS BIGINT) AS n_transitions,
+          |  ROUND(CAST(qn AS DOUBLE) / 1e12, 6) AS h_next,
+          |  ROUND(CAST(qc AS DOUBLE) / 1e12, 6) AS h_next_given_prev,
+          |  ROUND(CAST(qn - qc AS DOUBLE) / 1e12, 6) AS info_gain
+          |FROM hcond CROSS JOIN hnext CROSS JOIN tot""".stripMargin),
+      doc = "Markov mutual information: H(next) - H(next|prev) from exact transition counts")
   )
 }

@@ -1682,5 +1682,58 @@ object SignalQueries {
           |    AS centroid_drift
           |FROM w GROUP BY 1 ORDER BY label""".stripMargin),
       doc = "Per-label centroid drift between id-parity halves - exact integer displacement"),
+
+    // ABC inventory classification: parts ranked by revenue, class A =
+    // the head covering 80% of cumulative revenue, B to 95%, C the tail —
+    // the classic catalog rollup. Revenue is exact integer cents; class
+    // boundaries are INTEGER comparisons (cum·5 ≤ total·4 etc.), so no
+    // double ever decides a class; the cumulative window runs over the
+    // pre-aggregated part domain.
+    "orders_abc_analysis" -> QueryDef(
+      build = (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .select(col("l_partkey"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+          .groupBy("l_partkey").agg(sum(col("cents")).as("rev"))
+        val tot = rev.agg(sum(col("rev")).as("t"))
+        val wc = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.withColumn("cum", sum(col("rev")).over(wc))
+          .crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("cum") * 5L <= col("t") * 4L, "A")
+              .when(col("cum") * 20L <= col("t") * 19L, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls"), col("n_parts"), col("revenue_cents"),
+            round(col("revenue_cents").cast("double") / col("t").cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy("cls")
+      },
+      oracle = Some(
+        """WITH rev AS (
+          |  SELECT l_partkey,
+          |    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS rev
+          |  FROM lineitem GROUP BY 1),
+          |tot AS (SELECT SUM(rev) AS t FROM rev),
+          |c AS (
+          |  SELECT l_partkey, rev,
+          |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM rev),
+          |cls AS (
+          |  SELECT CASE WHEN cum * 5 <= t * 4 THEN 'A'
+          |              WHEN cum * 20 <= t * 19 THEN 'B'
+          |              ELSE 'C' END AS cls, rev
+          |  FROM c CROSS JOIN tot)
+          |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+          |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+          |  ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot.t) AS DOUBLE), 6)
+          |    AS revenue_share
+          |FROM cls CROSS JOIN tot
+          |GROUP BY cls ORDER BY cls""".stripMargin),
+      doc = "ABC revenue classification - integer class boundaries, part-domain window"),
   )
 }
