@@ -1145,6 +1145,64 @@ object ScaleQueries {
            |  ROUND(CAST(MAX(qsum) AS DOUBLE) / 1e9, 6) AS score
            |FROM ps GROUP BY 1 ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
       doc = "RAKE keyphrases: stopword-run segmentation + degree/freq scores, quantized sums"),
+
+    // Triplet mining for contrastive training: for each anchor, the
+    // hardest positive (same label, highest cosine, self excluded) and
+    // the hardest negative (different label, highest cosine) plus the
+    // margin between them — the data-prep step behind triplet/InfoNCE
+    // losses. The anchor set is a bounded broadcast (8 rows), so the
+    // "pair" pass is one corpus scan per the FPS/IVF pattern; at real
+    // scale the anchor stream would batch through the same shape. Scores
+    // round to 6 before the argmax (ties to the lower candidate id) so
+    // both engines pick identical rows.
+    "emb_triplet_mining" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("aid"), col("label").as("albl"),
+            col("embedding").as("avec"))
+        val scored = e.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("aid"))
+          .withColumn("cos",
+            round(Similarity.cosine(col("embedding"), col("avec")), 6))
+        val wPos = Window.partitionBy("aid")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val pos = scored.filter(col("label") === col("albl"))
+          .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+          .select(col("aid"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+        val neg = scored.filter(col("label") =!= col("albl"))
+          .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+          .select(col("aid"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"))
+        pos.join(neg, "aid")
+          .select(col("aid").as("anchor_id"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), col("neg_cos"),
+            round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+          .orderBy("anchor_id")
+      },
+      oracle = Some(
+        s"""WITH a AS (
+           |  SELECT vec_id AS aid, label AS albl, embedding AS avec
+           |  FROM embeddings WHERE vec_id < 8),
+           |sc AS (
+           |  SELECT e.vec_id, e.label, a.aid, a.albl,
+           |    ${sqlCosine("e.embedding", "a.avec")} AS cos
+           |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+           |pos AS (
+           |  SELECT aid, vec_id AS pos_id, cos AS pos_cos FROM (
+           |    SELECT aid, vec_id, cos, row_number() OVER (PARTITION BY aid
+           |      ORDER BY cos DESC, vec_id) AS rn
+           |    FROM sc WHERE label = albl) WHERE rn = 1),
+           |neg AS (
+           |  SELECT aid, vec_id AS neg_id, cos AS neg_cos FROM (
+           |    SELECT aid, vec_id, cos, row_number() OVER (PARTITION BY aid
+           |      ORDER BY cos DESC, vec_id) AS rn
+           |    FROM sc WHERE label <> albl) WHERE rn = 1)
+           |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+           |  ROUND(pos_cos - neg_cos, 6) AS margin
+           |FROM pos JOIN neg ON pos.aid = neg.aid
+           |ORDER BY anchor_id""".stripMargin),
+      doc = "Triplet mining: hardest positive + hardest negative per anchor, margin reported"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so

@@ -1735,5 +1735,99 @@ object SignalQueries {
           |FROM cls CROSS JOIN tot
           |GROUP BY cls ORDER BY cls""".stripMargin),
       doc = "ABC revenue classification - integer class boundaries, part-domain window"),
+
+    // Point-in-time lookup against the SCD2 validity intervals: "which
+    // event type was current for each user at time T" for a bounded
+    // probe set (four weekly boundaries) — the temporal-table read path
+    // that makes scd2_intervals useful. The probe set broadcasts (4
+    // rows, the scalar-broadcast BNLJ class the plan audit allows); a
+    // large probe stream would route through operators/IntervalJoin
+    // instead. Interval containment is half-open [from, to).
+    "scd2_asof_lookup" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val changes = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        val probesDf = {
+          import s.implicits._
+          Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+            .toDF("probe_date")
+            .withColumn("p", to_timestamp(col("probe_date")))
+        }
+        changes.join(broadcast(probesDf),
+            col("ts") <= col("p") &&
+              (col("valid_to_ts").isNull || col("valid_to_ts") > col("p")))
+          .groupBy("probe_date", "event_type")
+          .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_uids"))
+          .orderBy("probe_date", "event_type")
+      },
+      oracle = Some(
+        """WITH ch AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev
+          |  FROM events
+          |  QUALIFY prev IS NULL OR prev <> event_type),
+          |changes AS (
+          |  SELECT user_id, event_type, ts,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS valid_to_ts
+          |  FROM ch),
+          |probes AS (
+          |  SELECT unnest(['2024-01-08', '2024-01-15', '2024-01-22',
+          |                 '2024-01-29']) AS probe_date)
+          |SELECT p.probe_date, c.event_type,
+          |  CAST(COUNT(*) AS BIGINT) AS n_users,
+          |  CAST(SUM(c.user_id) AS BIGINT) AS sum_uids
+          |FROM changes c JOIN probes p
+          |  ON c.ts <= CAST(p.probe_date || ' 00:00:00' AS TIMESTAMP)
+          | AND (c.valid_to_ts IS NULL
+          |      OR c.valid_to_ts > CAST(p.probe_date || ' 00:00:00' AS TIMESTAMP))
+          |GROUP BY 1, 2 ORDER BY probe_date, event_type""".stripMargin),
+      doc = "SCD2 point-in-time lookup at weekly probes - bounded broadcast, half-open intervals"),
+
+    // Rolling 7-day active users (WAU) per day + the DAU/WAU engagement
+    // ratio — the windowed form next to evt_stickiness's DAU/MAU.
+    // Distinct-count-over-window can't ride a frame, so the shape is the
+    // bounded grid join: distinct (user, day) activity × the day domain
+    // with a 0..6-day gap — fan-out ≤ 7 per activity row, keyed by day,
+    // never users². Exact integer counts.
+    "evt_wau_rolling" -> QueryDef(
+      build = (s, dir) => {
+        val act = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = act.select(col("day").as("d")).distinct()
+        act.join(days,
+            datediff(col("d"), col("day")) >= 0 &&
+              datediff(col("d"), col("day")) <= 6)
+          .groupBy("d")
+          .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+              .as("dau"),
+            countDistinct(col("user_id")).as("wau"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 6)
+              .as("dau_wau_ratio"))
+          .orderBy("day")
+      },
+      oracle = Some(
+        """WITH act AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |days AS (SELECT DISTINCT day AS d FROM act)
+          |SELECT strftime(d, '%Y-%m-%d') AS day,
+          |  CAST(COUNT(DISTINCT CASE WHEN act.day = d THEN user_id END)
+          |    AS BIGINT) AS dau,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+          |  ROUND(CAST(COUNT(DISTINCT CASE WHEN act.day = d THEN user_id END)
+          |      AS DOUBLE)
+          |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 6) AS dau_wau_ratio
+          |FROM act JOIN days
+          |  ON date_diff('day', act.day, d) >= 0
+          | AND date_diff('day', act.day, d) <= 6
+          |GROUP BY d ORDER BY day""".stripMargin),
+      doc = "Rolling 7-day WAU + DAU/WAU ratio - bounded day-grid join, exact counts"),
   )
 }
