@@ -1091,6 +1091,125 @@ object InferenceQueries {
           |  ROUND(CAST(qc AS DOUBLE) / 1e12, 6) AS h_next_given_prev,
           |  ROUND(CAST(qn - qc AS DOUBLE) / 1e12, 6) AS info_gain
           |FROM hcond CROSS JOIN hnext CROSS JOIN tot""".stripMargin),
-      doc = "Markov mutual information: H(next) - H(next|prev) from exact transition counts")
+      doc = "Markov mutual information: H(next) - H(next|prev) from exact transition counts"),
+
+    // Effect sizes — the MAGNITUDE layer the significance tests
+    // (z/t/U/χ²) deliberately don't report: Cohen's d on the value gap,
+    // rank-biserial r = 2U/(n0·n1) − 1 from the exact Mann–Whitney 2U,
+    // and Cramér's V from the type×cohort χ² (2 cohort levels ⇒
+    // V = √(χ²/N)). Same exact-integer machinery as the tests they
+    // accompany; all three on one output row.
+    "stats_effect_sizes" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // Cohen's d from cohort moment sums
+        val mo = ev.filter(col("value").isNotNull)
+          .select((col("user_id") % 2).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("x"))
+          .groupBy("cohort").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("v",
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) / (col("n") - 1).cast("double"))
+        val d = mo.filter(col("cohort") === 0)
+          .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+          .crossJoin(broadcast(mo.filter(col("cohort") === 1)
+            .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))))
+          .select(((col("m1") - col("m2")) /
+            sqrt(((col("n1") - 1).cast("double") * col("v1") +
+              (col("n2") - 1).cast("double") * col("v2")) /
+              (col("n1") + col("n2") - 2).cast("double"))).as("cohens_d"))
+        // rank-biserial from the exact 2U
+        val pts = ev.filter(col("value").isNotNull)
+          .select((col("user_id") % 2).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+          .groupBy("cents").agg(
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"))
+        val wB = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+        val rb = pts
+          .withColumn("cum1b", coalesce(sum(col("c1")).over(wB), lit(0L)))
+          .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+            sum(col("c0") * col("cum1b") * 2L + col("c0") * col("c1")).as("u2"))
+          .select((col("u2").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double")) - lit(1.0d))
+            .as("rank_biserial"))
+        // Cramér's V from the type×cohort chi-squared
+        val cells = ev.select(col("event_type"), (col("user_id") % 2).as("cohort"))
+          .groupBy("event_type", "cohort").agg(count(lit(1)).as("o"))
+        val rT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+        val cT = cells.groupBy("cohort").agg(sum(col("o")).as("c"))
+        val nT = cells.agg(sum(col("o")).as("nn"))
+        val chi = cells.join(broadcast(rT), "event_type")
+          .join(broadcast(cT), "cohort").crossJoin(broadcast(nT))
+          .withColumn("q", expr(
+            """CAST(ROUND(CAST((o * nn - r * c) AS DOUBLE)
+              |  * CAST((o * nn - r * c) AS DOUBLE)
+              |  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+              |  * 1e6, 0) AS BIGINT)""".stripMargin))
+          .agg(sum(col("q")).as("qchi"), max(col("nn")).as("nn"))
+          .select(sqrt((col("qchi").cast("double") / 1e6) /
+            col("nn").cast("double")).as("cramers_v"))
+        d.crossJoin(broadcast(rb)).crossJoin(broadcast(chi))
+          .select(round(col("cohens_d"), 6).as("cohens_d"),
+            round(col("rank_biserial"), 6).as("rank_biserial"),
+            round(col("cramers_v"), 6).as("cramers_v"))
+      },
+      oracle = Some(
+        """WITH mo AS (
+          |  SELECT user_id % 2 AS cohort, COUNT(*) AS n,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sx,
+          |    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+          |        * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxx
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |st AS (
+          |  SELECT cohort, n,
+          |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+          |    (CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |      / CAST(n - 1 AS DOUBLE) AS v
+          |  FROM mo),
+          |d AS (
+          |  SELECT (a0.m - a1.m) / SQRT(
+          |    (CAST(a0.n - 1 AS DOUBLE) * a0.v + CAST(a1.n - 1 AS DOUBLE) * a1.v)
+          |    / CAST(a0.n + a1.n - 2 AS DOUBLE)) AS cohens_d
+          |  FROM (SELECT * FROM st WHERE cohort = 0) a0
+          |  CROSS JOIN (SELECT * FROM st WHERE cohort = 1) a1),
+          |pts AS (
+          |  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+          |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+          |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |terms AS (
+          |  SELECT c0, c1,
+          |    COALESCE(SUM(c1) OVER (ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum1b
+          |  FROM pts),
+          |rb AS (
+          |  SELECT CAST(SUM(c0 * cum1b * 2 + c0 * c1) AS DOUBLE)
+          |    / (CAST(SUM(c0) AS DOUBLE) * CAST(SUM(c1) AS DOUBLE))
+          |    - CAST(1.0 AS DOUBLE) AS rank_biserial
+          |  FROM terms),
+          |cells AS (
+          |  SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS o
+          |  FROM events GROUP BY 1, 2),
+          |rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+          |ct AS (SELECT cohort, SUM(o) AS c FROM cells GROUP BY 1),
+          |nt AS (SELECT SUM(o) AS nn FROM cells),
+          |chi AS (
+          |  SELECT SQRT((CAST(SUM(CAST(ROUND(
+          |      CAST((o * nn - r * c) AS DOUBLE) * CAST((o * nn - r * c) AS DOUBLE)
+          |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+          |      * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6)
+          |    / CAST(MAX(nn) AS DOUBLE)) AS cramers_v
+          |  FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort)
+          |  CROSS JOIN nt)
+          |SELECT ROUND(cohens_d, 6) AS cohens_d,
+          |  ROUND(rank_biserial, 6) AS rank_biserial,
+          |  ROUND(cramers_v, 6) AS cramers_v
+          |FROM d CROSS JOIN rb CROSS JOIN chi""".stripMargin),
+      doc = "Effect sizes: Cohen's d, rank-biserial from exact 2U, Cramer's V - magnitude beside significance")
   )
 }

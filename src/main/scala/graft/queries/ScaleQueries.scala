@@ -1203,6 +1203,58 @@ object ScaleQueries {
            |FROM pos JOIN neg ON pos.aid = neg.aid
            |ORDER BY anchor_id""".stripMargin),
       doc = "Triplet mining: hardest positive + hardest negative per anchor, margin reported"),
+
+    // Corpus composition diversity along both catalog dimensions:
+    // richness, Shannon entropy (quantized cell terms), Simpson's 1−Σp²
+    // (Σn² and N² are exact BIGINTs — no quantization needed at all),
+    // and Pielou evenness H/ln(k). The mixture-health dashboard row: a
+    // collapsed source or language shows up as evenness, not just count.
+    "corpus_diversity" -> QueryDef(
+      build = (s, dir) => {
+        def dim(c: String) = {
+          val g = docs(s, dir).groupBy(col(c).as("grp")).agg(count(lit(1)).as("n"))
+          val t = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+            sum(col("n") * col("n")).as("sn2"))
+          g.crossJoin(broadcast(t))
+            .withColumn("q", expr(
+              """CAST(ROUND(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+                |  * ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e12, 0)
+                |  AS BIGINT)""".stripMargin))
+            .agg(max(col("k")).as("k"), max(col("nn")).as("nn"),
+              max(col("sn2")).as("sn2"), sum(col("q")).as("qh"))
+            .select(lit(c).as("dimension"), col("k").as("richness"),
+              round(col("qh").cast("double") / 1e12, 6).as("shannon_h"),
+              round(lit(1.0d) - col("sn2").cast("double") /
+                (col("nn").cast("double") * col("nn").cast("double")), 6)
+                .as("simpson"),
+              round((col("qh").cast("double") / 1e12) /
+                log(col("k").cast("double")), 6).as("evenness"))
+        }
+        dim("lang").unionByName(dim("source")).orderBy("dimension")
+      },
+      oracle = {
+        def dim(c: String) =
+          s"""SELECT '$c' AS dimension, CAST(MAX(k) AS BIGINT) AS richness,
+             |  ROUND(CAST(SUM(q) AS DOUBLE) / 1e12, 6) AS shannon_h,
+             |  ROUND(CAST(1.0 AS DOUBLE) - CAST(MAX(sn2) AS DOUBLE)
+             |    / (CAST(MAX(nn) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE)), 6)
+             |    AS simpson,
+             |  ROUND((CAST(SUM(q) AS DOUBLE) / 1e12)
+             |    / ln(CAST(MAX(k) AS DOUBLE)), 6) AS evenness
+             |FROM (
+             |  SELECT g.n, t.nn, t.k, t.sn2,
+             |    CAST(ROUND(-(CAST(g.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+             |      * ln(CAST(g.n AS DOUBLE) / CAST(t.nn AS DOUBLE)) * 1e12, 0)
+             |      AS BIGINT) AS q
+             |  FROM (SELECT $c AS grp, COUNT(*) AS n FROM documents GROUP BY 1) g
+             |  CROSS JOIN (
+             |    SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(n * n) AS sn2
+             |    FROM (SELECT $c AS grp, COUNT(*) AS n FROM documents GROUP BY 1))
+             |    t)""".stripMargin
+        Some(s"""SELECT * FROM (${dim("lang")} UNION ALL ${dim("source")})
+                |ORDER BY dimension""".stripMargin)
+      },
+      doc = "Corpus diversity: richness, Shannon, exact-integer Simpson, evenness per dimension"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so
@@ -3791,6 +3843,83 @@ object ScaleQueries {
            |         CAST(m2 * syy - sy * sy AS DOUBLE)), 6) AS assortativity
            |FROM agg""".stripMargin),
       doc = "Degree assortativity of the near-dup graph - integer-sum Pearson over edges"),
+
+    // Local clustering coefficient on the near-dup graph: per node,
+    // 2·triangles/(deg·(deg−1)) — template families score 1.0 (their
+    // variants all interlink), star-shaped boilerplate hubs score near 0.
+    // Reuses the triangle enumeration (canonical a<b<c three-way join)
+    // and degree aggregate over the same banded edge list; all counts
+    // exact, the coefficient one shared division. Top 30, deterministic
+    // ties.
+    "graph_clustering_coeff" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir)).unionByName(
+          docs(s, dir).filter(col("doc_id") % 40 === 0).select(
+            (col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" second variant suffix token")).as("text"),
+            col("source")))
+        val edges = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id",
+              "source", shingleN = 3, threshold = 0.2)
+            .select("doc_a", "doc_b"))
+        val deg = edges.select(col("doc_a").as("doc_id"))
+          .unionByName(edges.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(edges.as("e3"),
+            col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+          .select(explode(array(col("e1.doc_a"), col("e1.doc_b"),
+            col("e2.doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("tri"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("doc_id"), "left")
+          .withColumn("tri", coalesce(col("tri"), lit(0L)))
+          .select(col("doc_id"), col("deg"), col("tri"),
+            round(col("tri").cast("double") * 2.0d /
+              (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6)
+              .as("clustering"))
+          .orderBy(col("clustering").desc, col("doc_id"))
+          .limit(30)
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |docs3 AS (
+           |  SELECT * FROM docs2
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text || ' second variant suffix token', source
+           |  FROM documents WHERE doc_id % 40 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs3),
+           |prs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |e AS (SELECT doc_a, doc_b FROM prs WHERE jaccard >= 0.2),
+           |deg AS (
+           |  SELECT node AS doc_id, COUNT(*) AS deg FROM (
+           |    SELECT doc_a AS node FROM e
+           |    UNION ALL SELECT doc_b FROM e) GROUP BY 1),
+           |tris AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM e e1
+           |  JOIN e e2 ON e2.doc_a = e1.doc_b
+           |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+           |tcnt AS (
+           |  SELECT node AS doc_id, COUNT(*) AS tri FROM (
+           |    SELECT a AS node FROM tris
+           |    UNION ALL SELECT b FROM tris
+           |    UNION ALL SELECT c FROM tris) GROUP BY 1)
+           |SELECT d.doc_id, CAST(d.deg AS BIGINT) AS deg,
+           |  CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+           |  ROUND(CAST(COALESCE(t.tri, 0) AS DOUBLE) * 2.0
+           |    / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)), 6)
+           |    AS clustering
+           |FROM deg d LEFT JOIN tcnt t ON d.doc_id = t.doc_id
+           |WHERE d.deg >= 2
+           |ORDER BY clustering DESC, d.doc_id LIMIT 30""".stripMargin),
+      doc = "Local clustering coefficient on the near-dup graph - exact counts, shared division"),
 
     // Feature hashing (the hashing trick): every token routed to one of
     // 16 buckets by the shared polynomial hash — the fixed-width
