@@ -1829,5 +1829,91 @@ object SignalQueries {
           | AND date_diff('day', act.day, d) <= 6
           |GROUP BY d ORDER BY day""".stripMargin),
       doc = "Rolling 7-day WAU + DAU/WAU ratio - bounded day-grid join, exact counts"),
+
+    // Weekly growth accounting: every active (user, week) is NEW
+    // (first-ever week), RETAINED (also active the prior week) or
+    // RESURRECTED (returning after a gap); CHURNED counts arrive one
+    // week later (active at w−1, absent at w). The quick ratio
+    // (new+resurrected)/churned is the growth-health scalar. Weeks are
+    // epoch-week indices (days-since-epoch div 7 — never locale weeks);
+    // everything is distinct-set algebra on (user, week) keys, exact
+    // counts, and the week domain is calendar-sized.
+    "evt_lifecycle_weeks" -> QueryDef(
+      build = (s, dir) => {
+        val act = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("datediff(to_date(ts), DATE'1970-01-01') div 7").as("w"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min(col("w")).as("fw"))
+        val prev = act.select(col("user_id"), (col("w") + 1L).as("w"),
+          lit(1L).as("had_prev"))
+        val st = act.join(first, "user_id")
+          .join(prev, Seq("user_id", "w"), "left")
+          .withColumn("stage",
+            when(col("w") === col("fw"), "new")
+              .when(col("had_prev").isNotNull, "retained")
+              .otherwise("resurrected"))
+          .groupBy("w").agg(
+            sum(when(col("stage") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("stage") === "retained", 1L).otherwise(0L)).as("n_retained"),
+            sum(when(col("stage") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"))
+        val maxw = act.agg(max(col("w")).as("mw"))
+        val churn = act.select(col("user_id"), (col("w") + 1L).as("w"))
+          .join(act, Seq("user_id", "w"), "left_anti")
+          .crossJoin(broadcast(maxw)).filter(col("w") <= col("mw"))
+          .groupBy("w").agg(count(lit(1)).as("n_churned"))
+        st.join(churn, Seq("w"), "full_outer")
+          .select(
+            expr("date_format(date_add(DATE'1970-01-01', CAST(w * 7 AS INT)), 'yyyy-MM-dd')")
+              .as("week_start"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .withColumn("quick_ratio",
+            when(col("n_churned") > 0,
+              round((col("n_new") + col("n_resurrected")).cast("double") /
+                col("n_churned").cast("double"), 4)))
+          .orderBy("week_start")
+      },
+      oracle = Some(
+        """WITH act AS (
+          |  SELECT DISTINCT user_id,
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+          |  FROM events),
+          |fst AS (SELECT user_id, MIN(w) AS fw FROM act GROUP BY 1),
+          |st AS (
+          |  SELECT a.w,
+          |    SUM(CASE WHEN a.w = fst.fw THEN 1 ELSE 0 END) AS n_new,
+          |    SUM(CASE WHEN a.w <> fst.fw AND p.user_id IS NOT NULL
+          |             THEN 1 ELSE 0 END) AS n_retained,
+          |    SUM(CASE WHEN a.w <> fst.fw AND p.user_id IS NULL
+          |             THEN 1 ELSE 0 END) AS n_resurrected
+          |  FROM act a
+          |  JOIN fst ON a.user_id = fst.user_id
+          |  LEFT JOIN act p ON p.user_id = a.user_id AND p.w = a.w - 1
+          |  GROUP BY 1),
+          |mw AS (SELECT MAX(w) AS mw FROM act),
+          |churn AS (
+          |  SELECT a.w + 1 AS w, COUNT(*) AS n_churned
+          |  FROM act a CROSS JOIN mw
+          |  LEFT JOIN act n ON n.user_id = a.user_id AND n.w = a.w + 1
+          |  WHERE n.user_id IS NULL AND a.w + 1 <= mw.mw
+          |  GROUP BY 1)
+          |SELECT
+          |  strftime(DATE '1970-01-01' + INTERVAL (COALESCE(st.w, churn.w) * 7) DAY,
+          |    '%Y-%m-%d') AS week_start,
+          |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+          |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+          |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+          |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+          |  CASE WHEN COALESCE(n_churned, 0) > 0
+          |       THEN ROUND(CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)
+          |                       AS DOUBLE)
+          |                  / CAST(n_churned AS DOUBLE), 4) END AS quick_ratio
+          |FROM st FULL OUTER JOIN churn ON st.w = churn.w
+          |ORDER BY week_start""".stripMargin),
+      doc = "Weekly growth accounting: new/retained/resurrected/churned + quick ratio"),
   )
 }
