@@ -1210,6 +1210,78 @@ object InferenceQueries {
           |  ROUND(rank_biserial, 6) AS rank_biserial,
           |  ROUND(cramers_v, 6) AS cramers_v
           |FROM d CROSS JOIN rb CROSS JOIN chi""".stripMargin),
-      doc = "Effect sizes: Cohen's d, rank-biserial from exact 2U, Cramer's V - magnitude beside significance")
+      doc = "Effect sizes: Cohen's d, rank-biserial from exact 2U, Cramer's V - magnitude beside significance"),
+
+    // Wald–Wolfowitz runs test on the daily error-rate sequence: is the
+    // above/below-median pattern random, or does it trend/oscillate?
+    // The median is an indexed pick from the sorted 30-value day domain
+    // (both engines divide the same exact counts, so the rate doubles
+    // are identical); runs, n_above, n_below are exact integers and the
+    // z-statistic is one shared double tree. Ties at the median count as
+    // "below" (stated, deterministic).
+    "stats_runs_test" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+          .withColumn("rate", col("k").cast("double") / col("n").cast("double"))
+        val med = daily.agg(
+          expr("element_at(array_sort(collect_list(rate)), CAST((count(1) + 1) div 2 AS INT))")
+            .as("med"))
+        val wd = Window.orderBy("day")
+        val signs = daily.crossJoin(broadcast(med))
+          .withColumn("above", when(col("rate") > col("med"), 1L).otherwise(0L))
+          .withColumn("prev", lag(col("above"), 1).over(wd))
+        signs.agg(
+            count(lit(1)).as("n_days"),
+            sum(col("above")).as("n1"),
+            sum(lit(1L) - col("above")).as("n2"),
+            (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+              .otherwise(0L))).as("runs"))
+          .select(col("n_days"), col("n1"), col("n2"), col("runs"),
+            round((col("runs").cast("double") -
+              (lit(2.0d) * col("n1").cast("double") * col("n2").cast("double") /
+                (col("n1") + col("n2")).cast("double") + lit(1.0d))) /
+              sqrt(lit(2.0d) * col("n1").cast("double") * col("n2").cast("double") *
+                (lit(2.0d) * col("n1").cast("double") * col("n2").cast("double") -
+                  (col("n1") + col("n2")).cast("double")) /
+                ((col("n1") + col("n2")).cast("double") *
+                  (col("n1") + col("n2")).cast("double") *
+                  (col("n1") + col("n2") - 1).cast("double"))), 6).as("z"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+          |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+          |  FROM events GROUP BY 1),
+          |r AS (
+          |  SELECT day, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM daily),
+          |med AS (
+          |  SELECT list_sort(list(rate))[CAST((COUNT(*) + 1) // 2 AS INT)] AS med
+          |  FROM r),
+          |signs AS (
+          |  SELECT day,
+          |    CASE WHEN rate > med THEN 1 ELSE 0 END AS above,
+          |    lag(CASE WHEN rate > med THEN 1 ELSE 0 END)
+          |      OVER (ORDER BY day) AS prev
+          |  FROM r CROSS JOIN med),
+          |agg AS (
+          |  SELECT COUNT(*) AS n_days, SUM(above) AS n1, SUM(1 - above) AS n2,
+          |    SUM(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END)
+          |      AS runs
+          |  FROM signs)
+          |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(n1 AS BIGINT) AS n1,
+          |  CAST(n2 AS BIGINT) AS n2, CAST(runs AS BIGINT) AS runs,
+          |  ROUND((CAST(runs AS DOUBLE)
+          |    - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |       / CAST(n1 + n2 AS DOUBLE) + 1.0))
+          |   / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |        - CAST(n1 + n2 AS DOUBLE))
+          |     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+          |        * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z
+          |FROM agg""".stripMargin),
+      doc = "Wald-Wolfowitz runs test on daily error rates - indexed-pick median, exact runs")
   )
 }

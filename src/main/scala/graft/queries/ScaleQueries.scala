@@ -1255,6 +1255,74 @@ object ScaleQueries {
                 |ORDER BY dimension""".stripMargin)
       },
       doc = "Corpus diversity: richness, Shannon, exact-integer Simpson, evenness per dimension"),
+
+    // Heaps'-law vocabulary growth: cumulative (tokens seen, distinct
+    // types) at ten corpus-prefix boundaries plus the fitted ln V ~ ln N
+    // slope (Heaps β — tokenizer/vocab sizing input, the growth twin of
+    // txt_zipf_fit's frequency law). NO quadratic distinct-over-prefix:
+    // a type's first-occurrence doc (one token-key aggregate) makes
+    // V(prefix) a counting filter; prefix membership is the integer
+    // comparison doc_id·10 < (max+1)·b. The β fit is the integer-sum
+    // least-squares tree over ten 1e-6-quantized ln points.
+    "txt_heaps_curve" -> QueryDef(
+      build = (s, dir) => {
+        val d = docs(s, dir)
+        val maxid = d.agg(max(col("doc_id")).as("mx"))
+        val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        val firsts = toks.groupBy("t").agg(min(col("doc_id")).as("fd"))
+        val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val deciles = s.range(1, 11).select(col("id").cast("int").as("b"))
+        val nb = perDoc.crossJoin(broadcast(maxid)).crossJoin(broadcast(deciles))
+          .filter(col("doc_id") * 10L < (col("mx") + 1L) * col("b"))
+          .groupBy("b").agg(sum(col("nt")).as("n_tokens"))
+        val vb = firsts.crossJoin(broadcast(maxid)).crossJoin(broadcast(deciles))
+          .filter(col("fd") * 10L < (col("mx") + 1L) * col("b"))
+          .groupBy("b").agg(count(lit(1)).as("vocab"))
+        val curve = nb.join(vb, "b")
+          .withColumn("qx",
+            expr("CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+          .withColumn("qy",
+            expr("CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+        val slope = curve.agg(count(lit(1)).as("np"), sum(col("qx")).as("sx"),
+            sum(col("qy")).as("sy"), sum(col("qx") * col("qy")).as("sxy"),
+            sum(col("qx") * col("qx")).as("sxx"))
+          .select(((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("beta"))
+        curve.crossJoin(broadcast(slope))
+          .select(col("b").as("decile"), col("n_tokens"), col("vocab"),
+            round(col("beta"), 6).as("heaps_beta"))
+          .orderBy("decile")
+      },
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+          |firsts AS (SELECT t, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+          |perdoc AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+          |dec AS (SELECT unnest(generate_series(1, 10)) AS b),
+          |nb AS (
+          |  SELECT b, SUM(nt) AS n_tokens
+          |  FROM perdoc CROSS JOIN mx CROSS JOIN dec
+          |  WHERE doc_id * 10 < (mx + 1) * b GROUP BY 1),
+          |vb AS (
+          |  SELECT b, COUNT(*) AS vocab
+          |  FROM firsts CROSS JOIN mx CROSS JOIN dec
+          |  WHERE fd * 10 < (mx + 1) * b GROUP BY 1),
+          |curve AS (
+          |  SELECT b, n_tokens, vocab,
+          |    CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS qx,
+          |    CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS qy
+          |  FROM nb JOIN vb USING (b)),
+          |sl AS (
+          |  SELECT CAST(COUNT(*) * SUM(qx * qy) - SUM(qx) * SUM(qy) AS DOUBLE)
+          |    / CAST(COUNT(*) * SUM(qx * qx) - SUM(qx) * SUM(qx) AS DOUBLE)
+          |    AS beta
+          |  FROM curve)
+          |SELECT CAST(b AS INT) AS decile, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(vocab AS BIGINT) AS vocab, ROUND(beta, 6) AS heaps_beta
+          |FROM curve CROSS JOIN sl ORDER BY decile""".stripMargin),
+      doc = "Heaps-law vocabulary curve + fitted beta - first-occurrence trick, no quadratic prefix scan"),
   ) ++ defsTail
 
   /** The v4 capstone pipeline exposed as named stage frames so
