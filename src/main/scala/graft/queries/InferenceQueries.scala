@@ -1282,6 +1282,153 @@ object InferenceQueries {
           |     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
           |        * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z
           |FROM agg""".stripMargin),
-      doc = "Wald-Wolfowitz runs test on daily error rates - indexed-pick median, exact runs")
+      doc = "Wald-Wolfowitz runs test on daily error rates - indexed-pick median, exact runs"),
+
+    // Mann–Kendall trend test per event type: S = Σ_{i<j} sign(xⱼ−xᵢ)
+    // over the daily-count series with the tie-corrected variance and
+    // continuity-corrected z — the nonparametric trend TEST beside the
+    // Theil–Sen slope ESTIMATE (same O(days²) pair set, bounded by the
+    // calendar, never the corpus). S, the tie term and both counts are
+    // exact BIGINTs.
+    "stats_mann_kendall" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val a = daily.select(col("event_type"), col("day").as("di"), col("n").as("xi"))
+        val b = daily.select(col("event_type"), col("day").as("dj"), col("n").as("xj"))
+        val sS = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("xj") > col("xi"), 1L)
+              .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+        val ties = daily.groupBy("event_type", "n").agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).as("tt"),
+            sum(col("t")).as("nd"))
+        sS.join(ties, "event_type")
+          .withColumn("varS",
+            ((col("nd") * (col("nd") - 1L) * (col("nd") * 2L + 5L) - col("tt"))
+              .cast("double")) / lit(18.0d))
+          .select(col("event_type"), col("nd").as("n_days"), col("s"),
+            round(
+              when(col("s") > 0, (col("s") - 1L).cast("double") / sqrt(col("varS")))
+                .when(col("s") < 0, (col("s") + 1L).cast("double") / sqrt(col("varS")))
+                .otherwise(lit(0.0d)), 6).as("z"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |pr AS (
+          |  SELECT a.event_type,
+          |    SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END)
+          |      AS s,
+          |    COUNT(*) AS n_pairs
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day
+          |  GROUP BY 1),
+          |ties AS (
+          |  SELECT event_type,
+          |    SUM(t * (t - 1) * (t * 2 + 5)) AS tt, SUM(t) AS nd
+          |  FROM (SELECT event_type, n, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |j AS (
+          |  SELECT pr.event_type, nd, s,
+          |    CAST(nd * (nd - 1) * (nd * 2 + 5) - tt AS DOUBLE) / 18.0 AS varS
+          |  FROM pr JOIN ties USING (event_type))
+          |SELECT event_type, CAST(nd AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+          |  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(varS)
+          |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(varS)
+          |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS z
+          |FROM j ORDER BY event_type""".stripMargin),
+      doc = "Mann-Kendall trend test per type - exact S and tie term, calendar-bounded pairs"),
+
+    // Ljung–Box portmanteau test per event type: Q = n(n+2)·Σ r²ₖ/(n−k)
+    // over lags 1..7 of the daily-count series — "is there ANY
+    // autocorrelation left" (the residual-whiteness check behind
+    // ts_acf's per-lag view). Each rₖ is assembled from exact integer
+    // sums via the centered-sum identity (Σxₜxₜ₊ₖ, window-head/tail
+    // sums, global moments); the 7 per-lag terms are quantized before
+    // summing.
+    "ts_ljung_box" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val rn = daily.withColumn("rn",
+          row_number().over(Window.partitionBy("event_type").orderBy("day")))
+        val g = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        val withLag = rn
+          .withColumn("k", explode(array((1 to 7).map(lit): _*)))
+          .select(col("event_type"), col("rn"), col("k"), col("x").as("xt"))
+        val pairs = withLag.as("a").join(rn.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.rn") === col("a.rn") + col("a.k"))
+          .select(col("a.event_type").as("event_type"), col("a.k").as("k"),
+            col("a.xt").as("xt"), col("b.x").as("xk"))
+        val perLag = pairs.groupBy("event_type", "k")
+          .agg(count(lit(1)).as("npk"), sum(col("xt") * col("xk")).as("spk"),
+            sum(col("xt")).as("shd"), sum(col("xk")).as("stl"))
+        perLag.join(broadcast(g), "event_type")
+          .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("rk",
+            (col("spk").cast("double") - col("m") * (col("shd") + col("stl")).cast("double")
+              + col("npk").cast("double") * col("m") * col("m")) /
+              (col("sxx").cast("double") - col("sx").cast("double") * col("m")))
+          .withColumn("qt", expr(
+            "CAST(ROUND(rk * rk / CAST(n - k AS DOUBLE) * 1e9, 0) AS BIGINT)"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_days"), sum(col("qt")).as("qs"))
+          .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+            lit(7).as("df"),
+            round(col("n_days").cast("double") * (col("n_days") + 2L).cast("double") *
+              (col("qs").cast("double") / 1e9), 6).as("q_stat"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |rn AS (
+          |  SELECT event_type, x,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM daily),
+          |g AS (
+          |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+          |  FROM daily GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.event_type, l.k, a.x AS xt, b.x AS xk
+          |  FROM rn a
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) l
+          |  JOIN rn b ON b.event_type = a.event_type AND b.rn = a.rn + l.k),
+          |perlag AS (
+          |  SELECT event_type, k, COUNT(*) AS npk, SUM(xt * xk) AS spk,
+          |    SUM(xt) AS shd, SUM(xk) AS stl
+          |  FROM pairs GROUP BY 1, 2),
+          |rks AS (
+          |  SELECT p.event_type, g.n, p.k,
+          |    (CAST(spk AS DOUBLE)
+          |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * CAST(shd + stl AS DOUBLE)
+          |     + CAST(npk AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    / (CAST(sxx AS DOUBLE)
+          |       - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |      AS rk
+          |  FROM perlag p JOIN g USING (event_type)),
+          |terms AS (
+          |  SELECT event_type, n,
+          |    CAST(ROUND(rk * rk / CAST(n - k AS DOUBLE) * 1e9, 0) AS BIGINT) AS qt
+          |  FROM rks)
+          |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+          |  CAST(7 AS INT) AS df,
+          |  ROUND(CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
+          |        * (CAST(SUM(qt) AS DOUBLE) / 1e9), 6) AS q_stat
+          |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Ljung-Box Q per type over lags 1..7 - centered-sum r_k from exact sums")
   )
 }
