@@ -115,11 +115,11 @@ object AnalyticsQueries {
           .orderBy("o_orderstatus"),
       oracle = Some(
         """SELECT o_orderstatus,
-          |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
-          |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
-          |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
-          |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
-          |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+          |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+          |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+          |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+          |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+          |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       doc = "Pivot: priority classes fanned out to columns per order status"),
 
@@ -411,15 +411,21 @@ object AnalyticsQueries {
           .withColumn("trend", col("tsum").cast("double") / col("tcnt"))
           .withColumn("dow",
             pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("int"))
-          .withColumn("detr", col("n").cast("double") - col("trend"))
+          // detr = n - tsum/tcnt held EXACT as a BIGINT in units of
+          // 1/420: tcnt from a +-3-row frame is always in 1..7, and every
+          // value in 1..7 divides 420, so (n*tcnt - tsum) * (420 DIV tcnt)
+          // is integral — the seasonal mean below is then a single double
+          // division, order-independent across rows.
+          .withColumn("dnum", expr("(n * tcnt - tsum) * (420 DIV tcnt)"))
         val seas = d3.groupBy("event_type", "dow")
-          .agg(round(avg("detr"), 4).as("seasonal"))
+          .agg((round(sum("dnum").cast("double") / (lit(420.0) * count(lit(1))), 4)
+            + lit(0.0)).as("seasonal"))
         d3.join(seas, Seq("event_type", "dow"))
           .select(col("event_type"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
-            col("n"), round(col("trend"), 4).as("trend"), col("seasonal"),
-            round(col("n").cast("double") - col("trend") - col("seasonal"), 4)
-              .as("resid"))
+            col("n"), (round(col("trend"), 4) + lit(0.0)).as("trend"), col("seasonal"),
+            (round(col("n").cast("double") - col("trend") - col("seasonal"), 4)
+              + lit(0.0)).as("resid"))
           .orderBy("event_type", "day")
       },
       oracle = Some(
@@ -436,14 +442,15 @@ object AnalyticsQueries {
           |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
           |d3 AS (
           |  SELECT *, CAST(tsum AS DOUBLE) / tcnt AS trend,
-          |    n - CAST(tsum AS DOUBLE) / tcnt AS detr
+          |    (n * tcnt - tsum) * (420 // tcnt) AS dnum
           |  FROM d2),
           |seas AS (
-          |  SELECT event_type, dow, ROUND(AVG(detr), 4) AS seasonal
+          |  SELECT event_type, dow,
+          |    ROUND(CAST(SUM(dnum) AS DOUBLE) / (420.0 * COUNT(*)), 4) + 0.0 AS seasonal
           |  FROM d3 GROUP BY 1, 2)
           |SELECT d3.event_type, strftime(day, '%Y-%m-%d') AS day, n,
-          |  ROUND(trend, 4) AS trend, seasonal,
-          |  ROUND(n - trend - seasonal, 4) AS resid
+          |  ROUND(trend, 4) + 0.0 AS trend, seasonal,
+          |  ROUND(n - trend - seasonal, 4) + 0.0 AS resid
           |FROM d3 JOIN seas ON d3.event_type = seas.event_type AND d3.dow = seas.dow
           |ORDER BY d3.event_type, day""".stripMargin),
       doc = "STL-lite: centered-mean trend + dow seasonal + residual per type/day"),

@@ -503,8 +503,8 @@ object EventQueries {
           |  FROM events),
           |g AS (
           |  SELECT user_id, ts,
-          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |                     ROWS UNBOUNDED PRECEDING) AS session_id
+          |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           |  FROM d)
           |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
           |  MIN(ts) AS first_ts, MAX(ts) AS last_ts

@@ -3310,7 +3310,7 @@ object ScaleQueries {
           .orderBy("doc_id"),
       oracle = Some(
         """SELECT doc_id, sha256(text) AS content_sha256,
-          |  CAST(length(text) AS INT) AS byte_len
+          |  CAST(strlen(text) AS INT) AS byte_len
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Binary content hashing for payload-level exact dedup"),
 
@@ -3338,7 +3338,7 @@ object ScaleQueries {
       oracle = Some(
         """WITH m AS (
           |  SELECT doc_id, source, sha256(text) AS h,
-          |    CAST(length(text) AS BIGINT) AS bytes
+          |    CAST(strlen(text) AS BIGINT) AS bytes
           |  FROM documents),
           |cum AS (
           |  SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY h, doc_id

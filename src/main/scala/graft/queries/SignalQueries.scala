@@ -431,13 +431,14 @@ object SignalQueries {
           .join(broadcast(diag.select(col("d").as("j"), col("sqsum").as("syy"))), "j")
         withSums
           .select(col("i"), col("j"), col("n"),
-            round((col("sp").cast("double") / col("n") -
+            (round((col("sp").cast("double") / col("n") -
               (col("sx").cast("double") / col("n")) *
-                (col("sy").cast("double") / col("n"))) / 1e12, 6).as("cov"),
-            round((col("n") * col("sp") - col("sx") * col("sy")).cast("double") /
+                (col("sy").cast("double") / col("n"))) / 1e12, 6)
+              + lit(0.0)).as("cov"),
+            (round((col("n") * col("sp") - col("sx") * col("sy")).cast("double") /
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
-              6).as("corr"))
+              6) + lit(0.0)).as("corr"))
           .orderBy("i", "j")
       },
       oracle = Some(
@@ -456,10 +457,10 @@ object SignalQueries {
           |SELECT i, j, CAST(n AS BIGINT) AS n,
           |  ROUND((CAST(sxy AS DOUBLE) / n
           |         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 1e12,
-          |        6) AS cov,
+          |        6) + 0.0 AS cov,
           |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
           |        / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-          |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+          |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS corr
           |FROM agg ORDER BY i, j""".stripMargin),
       doc = "Embedding covariance/correlation matrix (upper triangle), integer-exact"),
 
@@ -1424,7 +1425,12 @@ object SignalQueries {
         val p = graft.Caches.lazyBarrier(tm.join(rt, "i")
           .select(col("i"), col("j"),
             (col("c").cast("double") / col("r").cast("double")).as("v")))
-        var pi = rt.select(col("i"), lit(0.2d).as("pv"))
+        // Uniform seed derived from the state count (1/|states|), not a
+        // literal — the initial vector is a distribution for ANY number
+        // of event types. One-row scalar broadcast, no extra shuffle.
+        val nStates = rt.agg(count(lit(1)).cast("double").as("ns"))
+        var pi = rt.crossJoin(broadcast(nStates))
+          .select(col("i"), (lit(1.0) / col("ns")).as("pv"))
         for (t <- 1 to 10) {
           val next = p.join(pi, "i")
             .groupBy(col("j")).agg(sum(col("v") * col("pv")).as("pv"))
@@ -1451,7 +1457,9 @@ object SignalQueries {
            |  SELECT event_type AS i, nxt AS j, COUNT(*) AS c FROM seq
            |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
            |rt AS (SELECT i, SUM(c) AS r FROM tm GROUP BY 1),
-           |pi0 AS (SELECT i, CAST(0.2 AS DOUBLE) AS pv FROM rt),
+           |pi0 AS (SELECT i,
+           |  CAST(1.0 AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM rt) AS pv
+           |  FROM rt),
            |$iters
            |SELECT i AS event_type, ROUND(pv, 6) AS pi FROM pi10 ORDER BY i""".stripMargin
       },

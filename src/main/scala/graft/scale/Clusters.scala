@@ -137,10 +137,14 @@ object Clusters {
       val contrib = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      val next = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(1.0d - damping) + lit(damping) * coalesce(col("s"), lit(0.0d)))
-            .as("rank"))
+      // The symmetrized graph gives every ranked node at least one
+      // incoming edge (it appears as some dst), so `contrib` already
+      // covers the full node set — the textbook `nodes LEFT JOIN contrib`
+      // re-attachment is a guaranteed full match and is elided: one join
+      // per round instead of two. (Dangling-node redistribution doesn't
+      // arise either: every node has out-degree by construction.)
+      val next = contrib.select(col("dst").as("node"),
+        (lit(1.0d - damping) + lit(damping) * col("s")).as("rank"))
       // barrier every SECOND round: each barrier costs a serialized
       // stage-job materialization (the corpus_prepare_v4 scheduling-floor
       // lesson), while two rounds of join lineage stay well under the

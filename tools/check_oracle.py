@@ -30,10 +30,37 @@ def cell_eq(a, b) -> bool:
         return True
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return a == b or (math.isnan(a) and math.isnan(b))
+            if math.isnan(a) and math.isnan(b):
+                return True
+            if a != b:
+                return False
+            # Driver parity: its hasher serializes the raw float bits, so
+            # IEEE -0.0 vs +0.0 diverge even though they compare ==.
+            if a == 0.0 and math.copysign(1.0, a) != math.copysign(1.0, b):
+                return False
+            return True
         except TypeError:
             return False
     return str(a) == str(b)
+
+
+def kind(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's hasher cares about.
+
+    DuckDB HUGEINT (uncast SUM over integers) reads back as float64 or
+    object, while Spark emits int64 — values can compare == yet hash apart.
+    int32 vs int64 is fine (same integer family), so compare kinds only.
+    """
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "time"
+    return "object"
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -63,6 +90,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        dbad = [(c, kind(got[c].dtype), kind(want[c].dtype)) for c in got.columns
+                if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dbad:
+            c, gk, wk = dbad[0]
+            print(f"FAIL {name}: dtype col {c}: spark={gk}({got[c].dtype}) "
+                  f"duckdb={wk}({want[c].dtype}) — uncast HUGEINT SUM in oracle?")
             n_fail += 1
             continue
         bad = None
