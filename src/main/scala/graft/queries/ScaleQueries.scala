@@ -1379,8 +1379,11 @@ object ScaleQueries {
         // semantic stage every action paid ~4.5 s of driver-side analysis
         // over a 10,000-node plan (fully cached). Truncating lineage at
         // each barrier took the query 6.5 s -> ~1.5 s warm at sf0.1.
-        val near = graft.Caches.lazyBarrier(
-          ded.join(lshDropped, Seq("doc_id"), "left_anti"))
+        // NOT barriered: the probe below is now its only reader (the
+        // decontamination filter is fused into the probe output), so the
+        // anti-join replays exactly once inside the `clean` barrier — one
+        // fewer serialized stage-job in the capstone's critical path
+        val near = ded.join(lshDropped, Seq("doc_id"), "left_anti")
         // contamination gate: the benchmark suite is the held-out
         // doc_id % 10 == 7 docs (normalized identically); a corpus doc
         // whose distinct 3-gram overlap vs the benchmark index >= 0.5 is
@@ -1389,15 +1392,15 @@ object ScaleQueries {
           .select(col("doc_id"), TextOps.normalize(col("text")).as("text"))
         // flipped-role probe: the index side is the bounded benchmark
         // suite, so it collapses to a broadcast set and the corpus grams
-        // never explode or shuffle (Contamination.overlapSetProbe)
-        val contaminated = Contamination.overlapSetProbe(bench, near, "doc_id",
-            shingleN = 5)
-          .filter(col("contaminated")).select("doc_id")
+        // never explode or shuffle (Contamination.overlapSetProbe). The
+        // probe carries `near`'s columns through, so the clean side is a
+        // FILTER over the probe output — no contaminated-id anti-join.
         // narrowed barrier: text leaves the pipeline here — nothing after
         // the contamination gate reads it, so the checkpoint carries two
         // columns, not the corpus
         val clean = graft.Caches.lazyBarrier(
-          near.join(contaminated, Seq("doc_id"), "left_anti")
+          Contamination.overlapSetProbe(bench, near, "doc_id", shingleN = 5)
+            .filter(!col("contaminated"))
             .select("doc_id", "source"))
         val withVec = clean
           .select(col("doc_id"), (col("doc_id") % 200000).as("vec_id"))

@@ -108,15 +108,24 @@ object Contamination {
 
   /** Map-side overlap scoring against a pre-collected suite gram set —
     * the probe half of [[overlapSetProbe]], reusable per micro-batch.
+    * ALL of `eval`'s columns ride through (plus a `doc_id` alias when
+    * `idCol` differs), so a caller keeping the clean side can
+    * `.filter(!contaminated)` directly instead of computing the
+    * contaminated id set and anti-joining back — one pass, no join, and
+    * the probe input needs no lineage barrier for a second reader.
     */
   def scoreAgainstSet(suite: Set[Long], eval: DataFrame, idCol: String,
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val bc = eval.sparkSession.sparkContext.broadcast(suite)
     val counts = udf((hs: Seq[Long]) =>
       (hs.size.toLong, hs.count(bc.value.contains).toLong))
-    eval.select(col(idCol).as("doc_id"),
-        counts(TextOps.shingleHashes(col("text"), shingleN)).as("_c"))
-      .select(col("doc_id"), col("_c._1").as("n_grams"), col("_c._2").as("n_overlap"))
+    val withId = if (idCol == "doc_id") eval
+                 else eval.withColumn("doc_id", col(idCol))
+    withId
+      .withColumn("_c", counts(TextOps.shingleHashes(col("text"), shingleN)))
+      .withColumn("n_grams", col("_c._1"))
+      .withColumn("n_overlap", col("_c._2"))
+      .drop("_c")
       .withColumn("overlap_ratio",
         round(col("n_overlap").cast("double") / col("n_grams"), 6))
       .withColumn("contaminated", col("overlap_ratio") >= lit(threshold))

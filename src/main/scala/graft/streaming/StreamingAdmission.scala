@@ -51,10 +51,12 @@ object StreamingAdmission {
     // (0) decontamination gate, when configured: contaminated docs never
     // reach dedup, the index, or the corpus
     val cleanBatch = gate.fold(batch) { g =>
-      val contaminated = graft.scale.Contamination
+      // the probe carries the batch columns through — the clean side is a
+      // filter over the scored batch, not an anti-join back against it
+      graft.scale.Contamination
         .scoreAgainstSet(g.suite, batch, "doc_id", g.shingleN, g.threshold)
-        .filter(col("contaminated")).select("doc_id")
-      batch.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(!col("contaminated"))
+        .select(batch.columns.map(col).toIndexedSeq: _*)
     }
     if (cleanBatch.isEmpty) return
     val sigs = NearDup.withSignatures(cleanBatch)
