@@ -4066,5 +4066,196 @@ object ScaleQueries {
           |FROM pairs, nn WHERE nab >= 5
           |ORDER BY pmi DESC, ta, tb LIMIT 40""".stripMargin),
       doc = "PMI collocations over the broadcast top-20 vocabulary - bounded pair join"),
+
+    // Exact repeated-substring dedup in the style of "Deduplicating
+    // Training Data Makes Language Models Better" (Lee et al.,
+    // arXiv:2107.06499), re-shaped for Spark: instead of a suffix array
+    // (inherently sequential, memory-resident), slide a fixed 40-char
+    // window at stride 10 over every document and hash each window with
+    // TWO independent poly mods packed into one BIGINT key (collision
+    // odds ~ n_windows² / 2^61 — negligible, and in any case computed
+    // identically by the oracle). Any key occurring more than once in
+    // the corpus marks a repeated span; overlapping/adjacent repeated
+    // windows then merge into removal spans by a per-doc
+    // gaps-and-islands pass. Output: the per-doc removal plan
+    // (n_spans, chars_removed, chars_kept). 100 TB posture: raw text
+    // never leaves the scan stage — the 8-byte key is the only shuffle
+    // column; the stride bounds fan-out at len/10 windows per doc; the
+    // island merge is a per-doc window over the (small) repeated subset
+    // only. Reference analog: the service dedups whole events by id
+    // (`service/DuplicateDetectionService.java`); this is the
+    // sub-document generalization a pretraining corpus needs.
+    "dedup_substrings" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val W = 40
+        val d = docs(s, dir)
+        val h = d.filter(length(col("text")) >= W)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L),
+              length(col("text")).cast("long") - W, lit(10L))).as("st"))
+          .select(col("doc_id"), col("st"),
+            (TextOps.polyHash(expr(s"substr(text, st + 1, $W)"), P) * 2147483648L
+              + TextOps.polyHash(expr(s"substr(text, st + 1, $W)"), 998244353L))
+              .as("k"))
+        val rep = h.groupBy("k").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("k")
+        val r = h.join(rep, Seq("k"), "left_semi").select("doc_id", "st")
+        val wOrd = Window.partitionBy("doc_id").orderBy("st")
+        val isl = r
+          .withColumn("brk",
+            when(lag(col("st"), 1).over(wOrd).isNull
+              || col("st") > lag(col("st"), 1).over(wOrd) + W, 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy("doc_id", "island")
+          .agg((max(col("st")) + W - min(col("st"))).as("removed"))
+        val perDoc = spans.groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"), sum(col("removed")).as("chars_removed"))
+        val nw = h.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        val nr = r.groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+        d.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .join(nw, Seq("doc_id"), "left").join(nr, Seq("doc_id"), "left")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+            (col("len") - coalesce(col("chars_removed"), lit(0L))).as("chars_kept"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH w AS (
+           |  SELECT doc_id, text,
+           |    unnest(generate_series(0, CAST(length(text) AS BIGINT) - 40, 10)) AS st
+           |  FROM documents WHERE length(text) >= 40),
+           |h AS (
+           |  SELECT doc_id, st,
+           |    ${sqlPolyHash("substr(text, CAST(st + 1 AS INT), 40)", P)} * 2147483648
+           |      + ${sqlPolyHash("substr(text, CAST(st + 1 AS INT), 40)", 998244353L)} AS k
+           |  FROM w),
+           |rep AS (SELECT k FROM h GROUP BY k HAVING COUNT(*) > 1),
+           |r AS (SELECT doc_id, st FROM h SEMI JOIN rep USING (k)),
+           |isl AS (
+           |  SELECT doc_id, st,
+           |    CASE WHEN lag(st) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+           |           OR st > lag(st) OVER (PARTITION BY doc_id ORDER BY st) + 40
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM r),
+           |isl2 AS (
+           |  SELECT doc_id, st, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM isl),
+           |spans AS (
+           |  SELECT doc_id, island, MAX(st) + 40 - MIN(st) AS removed
+           |  FROM isl2 GROUP BY 1, 2),
+           |pr AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           |    CAST(SUM(removed) AS BIGINT) AS chars_removed
+           |  FROM spans GROUP BY 1),
+           |nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM h GROUP BY 1),
+           |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_repeated FROM r GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(n_windows, 0) AS n_windows,
+           |  COALESCE(n_repeated, 0) AS n_repeated, COALESCE(n_spans, 0) AS n_spans,
+           |  COALESCE(chars_removed, 0) AS chars_removed,
+           |  CAST(length(d.text) AS BIGINT) - COALESCE(chars_removed, 0) AS chars_kept
+           |FROM documents d
+           |LEFT JOIN nw USING (doc_id) LEFT JOIN nr USING (doc_id)
+           |LEFT JOIN pr USING (doc_id)
+           |ORDER BY doc_id""".stripMargin),
+      doc = "Exact repeated-substring removal plan: 40-char windows, stride 10, double-hash key, island-merged spans"),
+
+    // Adamic-Adar link prediction over the SAME planted near-dup graph
+    // as graph_triangles/graph_kcore: for every non-adjacent pair (x, y)
+    // with at least one common neighbor, AA(x,y) = Σ_{z ∈ N(x)∩N(y)}
+    // 1/ln(deg z) — the classic "which near-dup edges did thresholding
+    // miss" recovery signal. Cross-row exactness: each neighbor's
+    // 1/ln(deg) is quantized to integer 1e-9 units FIRST, so the sum per
+    // pair is an exact BIGINT fold (the repo's
+    // quantize-before-cross-row-sum discipline); deg z ≥ 2 always holds
+    // for a common neighbor, so ln is never 0. Scale shape: one
+    // self-join of the adjacency list keyed on the shared neighbor — the
+    // fan-out is Σ_z deg(z)², bounded exactly like the triangle join on
+    // the already-thresholded edge list; corpus text is never touched
+    // past the edge build.
+    "graph_adamic_adar" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        // planted missing links: every 10th doc gets its first-60% and
+        // last-60% slices as extra docs — each slice clears the 0.3
+        // jaccard bar against the ORIGINAL (≈0.6 overlap) but the two
+        // slices only share the middle fifth (≈0.2 < 0.3), so the
+        // slice-slice edge is exactly the link thresholding misses and
+        // Adamic-Adar recovers via their shared hub
+        val base = docs(s, dir)
+        val slices = base.filter(col("doc_id") % 10 === 0)
+        val corpus = base.select("doc_id", "text", "source")
+          .unionByName(slices.select((col("doc_id") + 200000).as("doc_id"),
+            expr("substr(text, 1, CAST(ceil(length(text) * 0.6) AS INT))").as("text"),
+            col("source")))
+          .unionByName(slices.select((col("doc_id") + 400000).as("doc_id"),
+            expr("substr(text, length(text) - CAST(ceil(length(text) * 0.6) AS INT) + 1)")
+              .as("text"),
+            col("source")))
+        val edges = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id",
+              "source", shingleN = 3, threshold = 0.3)
+            .select("doc_a", "doc_b"))
+        val adj = edges.select(col("doc_a").as("z"), col("doc_b").as("n"))
+          .unionByName(edges.select(col("doc_b").as("z"), col("doc_a").as("n")))
+        // deg-1 nodes can never be common neighbors; dropping them BEFORE
+        // the quantization also keeps ln's argument >= 2 (ANSI division)
+        val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") > 1)
+          .withColumn("w9", round(lit(1.0e9) / log(col("deg").cast("double")), 0)
+            .cast("long"))
+        val cand = adj.as("l").join(adj.as("r"), col("l.z") === col("r.z"))
+          .filter(col("l.n") < col("r.n"))
+          .select(col("l.n").as("doc_a"), col("r.n").as("doc_b"), col("l.z").as("z"))
+          .join(edges, Seq("doc_a", "doc_b"), "left_anti")
+        cand.join(deg, Seq("z"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("cn"), sum(col("w9")).as("aa9"))
+          .select(col("doc_a"), col("doc_b"), col("cn"),
+            round(col("aa9").cast("double") / 1.0e9, 6).as("aa_score"))
+          .orderBy(col("aa_score").desc, col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(
+        s"""WITH docs3 AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000,
+           |    substr(text, 1, CAST(ceil(length(text) * 0.6) AS INT)), source
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 400000,
+           |    substr(text, length(text) - CAST(ceil(length(text) * 0.6) AS INT) + 1),
+           |    source
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs3),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.3),
+           |adj AS (
+           |  SELECT doc_a AS z, doc_b AS n FROM p
+           |  UNION ALL SELECT doc_b, doc_a FROM p),
+           |deg AS (
+           |  SELECT z, COUNT(*) AS deg,
+           |    CAST(ROUND(1e9 / LN(CAST(COUNT(*) AS DOUBLE)), 0) AS BIGINT) AS w9
+           |  FROM adj GROUP BY 1 HAVING COUNT(*) > 1),
+           |cand AS (
+           |  SELECT l.n AS doc_a, r.n AS doc_b, l.z AS z
+           |  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+           |  ANTI JOIN p ON l.n = p.doc_a AND r.n = p.doc_b)
+           |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS cn,
+           |  ROUND(CAST(SUM(w9) AS DOUBLE) / 1e9, 6) AS aa_score
+           |FROM cand JOIN deg USING (z)
+           |GROUP BY 1, 2
+           |ORDER BY aa_score DESC, doc_a, doc_b""".stripMargin),
+      doc = "Adamic-Adar link prediction on the near-dup graph - quantized-exact 1/ln(deg) fold"),
   )
 }
