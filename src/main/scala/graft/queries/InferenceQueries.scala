@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.scale.TextOps
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1429,6 +1430,367 @@ object InferenceQueries {
           |  ROUND(CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
           |        * (CAST(SUM(qt) AS DOUBLE) / 1e9), 6) AS q_stat
           |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "Ljung-Box Q per type over lags 1..7 - centered-sum r_k from exact sums")
+      doc = "Ljung-Box Q per type over lags 1..7 - centered-sum r_k from exact sums"),
+
+    // Kruskal–Wallis H across the THREE id-residue cohorts — the k-group
+    // generalization of stats_mannwhitney, same exactness discipline:
+    // doubled midranks (2r = 2·cumbefore + t + 1) keep every rank sum a
+    // BIGINT (no 0.5 doubles), the three per-group rank sums are pivoted
+    // to columns by conditional aggregation (never a cross-row double
+    // SUM), and H plus its tie correction are a single scalar expression
+    // tree written from one shared fragment on both engines. The
+    // cumulative window runs over the distinct-cents value domain, not
+    // the event stream.
+    "stats_kruskal" -> QueryDef(
+      build = (s, dir) => {
+        val v = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select((col("user_id") % 3).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val pts = v.groupBy("cents").agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("cohort") === 2, 1L).otherwise(0L)).as("c2"))
+        val wB = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = pts
+          .withColumn("t", col("c0") + col("c1") + col("c2"))
+          .withColumn("cumb", coalesce(sum(col("t")).over(wB), lit(0L)))
+          .withColumn("r2", col("cumb") * 2L + col("t") + 1L)
+        terms.agg(
+            sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(col("c0") * col("r2")).as("r20"),
+            sum(col("c1") * col("r2")).as("r21"),
+            sum(col("c2") * col("r2")).as("r22"),
+            sum(col("t") * col("t") * col("t") - col("t")).as("ties3"))
+          .select(col("n0"), col("n1"), col("n2"),
+            expr(s"ROUND($sqlKwH, 6) + 0.0").as("h"),
+            expr(s"ROUND(($sqlKwH) / $sqlKwC, 6) + 0.0").as("h_adj"))
+      },
+      oracle = Some(
+        s"""WITH v AS (
+           |  SELECT user_id % 3 AS cohort,
+           |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |pts AS (
+           |  SELECT cents,
+           |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(SUM(CASE WHEN cohort = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM v GROUP BY 1),
+           |terms AS (
+           |  SELECT c0, c1, c2, c0 + c1 + c2 AS t,
+           |    COALESCE(SUM(c0 + c1 + c2) OVER (ORDER BY cents
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           |  FROM pts),
+           |t2 AS (SELECT *, cumb * 2 + t + 1 AS r2 FROM terms),
+           |agg AS (
+           |  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+           |    CAST(SUM(c2) AS BIGINT) AS n2,
+           |    CAST(SUM(c0 * r2) AS BIGINT) AS r20,
+           |    CAST(SUM(c1 * r2) AS BIGINT) AS r21,
+           |    CAST(SUM(c2 * r2) AS BIGINT) AS r22,
+           |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+           |  FROM t2)
+           |SELECT n0, n1, n2,
+           |  ROUND($sqlKwH, 6) + 0.0 AS h,
+           |  ROUND(($sqlKwH) / $sqlKwC, 6) + 0.0 AS h_adj
+           |FROM agg""".stripMargin),
+      doc = "Kruskal-Wallis H + tie correction across 3 cohorts - doubled-midrank BIGINT sums"),
+
+    // Two-sample permutation test for the cohort mean difference, with
+    // HASH-SEEDED label reassignment (poly hash of user_id:replicate) so
+    // every replicate is reproducible under retries and identical on
+    // both engines — the exchangeability-based companion of
+    // evt_ab_ztest that needs no normality assumption. Exactness: the
+    // per-user totals are cents BIGINTs, each replicate's group sums are
+    // integer conditional aggregations, and each diff-of-means is one
+    // double expression over exact integers — so the |diff| >= |obs|
+    // comparisons agree bit-for-bit. Scale shape: the 200-replicate
+    // fan-out explodes the per-USER aggregate (not the event stream),
+    // and each replicate reduces map-side to four integers.
+    "stats_permutation" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val pu = Tables.events(s, dir).filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("cents"))
+        val obs = pu.agg(
+          (sum(when(col("user_id") % 2 === 0, col("cents")).otherwise(0L))
+            .cast("double") /
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).cast("double") -
+            sum(when(col("user_id") % 2 === 1, col("cents")).otherwise(0L))
+              .cast("double") /
+              sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).cast("double"))
+            .as("obs_d"))
+        val reps = pu.select(col("user_id"), col("cents"),
+            explode(sequence(lit(0), lit(199))).as("r"))
+          .withColumn("g", TextOps.polyHash(
+            concat(col("user_id").cast("string"), lit(":"),
+              col("r").cast("string")), P) % 2)
+        val pr = reps.groupBy("r").agg(
+          (sum(when(col("g") === 0, col("cents")).otherwise(0L)).cast("double") /
+            sum(when(col("g") === 0, 1L).otherwise(0L)).cast("double") -
+            sum(when(col("g") === 1, col("cents")).otherwise(0L)).cast("double") /
+              sum(when(col("g") === 1, 1L).otherwise(0L)).cast("double")).as("diff"))
+        pr.crossJoin(broadcast(obs))
+          .agg(
+            sum(when(abs(col("diff")) >= abs(col("obs_d")), 1L).otherwise(0L))
+              .as("n_ge"),
+            min(col("obs_d")).as("od"))
+          .select((round(col("od"), 6) + lit(0.0)).as("obs_diff"), col("n_ge"),
+            round((col("n_ge") + lit(1L)).cast("double") / 201.0, 6).as("p_value"))
+      },
+      oracle = Some(
+        s"""WITH pu AS (
+           |  SELECT user_id,
+           |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |obs AS (
+           |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    - CAST(SUM(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    AS obs_d
+           |  FROM pu),
+           |reps AS (
+           |  SELECT user_id, cents, unnest(generate_series(0, 199)) AS r FROM pu),
+           |g AS (
+           |  SELECT r, cents,
+           |    ${sqlPolyHash("CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)", P)} % 2 AS g
+           |  FROM reps),
+           |pr AS (
+           |  SELECT r,
+           |    CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    - CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS diff
+           |  FROM g GROUP BY 1)
+           |SELECT ROUND(MIN(obs_d), 6) + 0.0 AS obs_diff,
+           |  CAST(SUM(CASE WHEN ABS(diff) >= ABS(obs_d) THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_ge,
+           |  ROUND(CAST(SUM(CASE WHEN ABS(diff) >= ABS(obs_d) THEN 1 ELSE 0 END) + 1
+           |        AS DOUBLE) / 201.0, 6) AS p_value
+           |FROM pr, obs""".stripMargin),
+      doc = "Hash-seeded two-sample permutation test (200 replicates) - exact integer group sums"),
+
+    // Benjamini–Hochberg FDR over the per-type weekend-rate z-tests: each
+    // event type's weekend share vs the corpus-wide share, two-sided
+    // normal p via the Abramowitz–Stegun 26.2.17 polynomial (the SAME
+    // fragment text is compiled by Spark's `expr` and by DuckDB, so the
+    // arithmetic tree is identical), then the step-up rule at q = 0.10.
+    // Day-of-week comes from epoch-day mod 7 (engine-neutral; 0 =
+    // Thursday, weekend = {2, 3}), the ok-rank maximum is a broadcast
+    // scalar join, and every count stays BIGINT until the final
+    // expressions.
+    "stats_fdr_bh" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("dow",
+            pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))), lit(7)))
+          .withColumn("wk", when(col("dow").isin(2, 3), 1L).otherwise(0L))
+        val types = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("wk")).as("k"))
+        val tot = e.agg(count(lit(1)).as("nt"), sum(col("wk")).as("kt"))
+        val zed = types.crossJoin(broadcast(tot))
+          .withColumn("z", expr(
+            "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+              "/ SQRT(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE) " +
+              "* (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) / CAST(n AS DOUBLE))"))
+          .withColumn("p_raw", expr(sqlNormTwoSidedP("z")))
+        val ranked = zed.withColumn("rank",
+          row_number().over(Window.orderBy(col("p_raw"), col("event_type"))))
+        val m = ranked.agg(count(lit(1)).as("m"))
+        val ok = ranked.crossJoin(broadcast(m))
+          .withColumn("ok",
+            col("p_raw") <= lit(0.10) * col("rank").cast("double") / col("m").cast("double"))
+        val thr = ok.agg(max(when(col("ok"), col("rank")).otherwise(0)).as("maxok"))
+        ok.crossJoin(broadcast(thr))
+          .select(col("event_type"), col("n"), col("k"),
+            (round(col("z"), 6) + lit(0.0)).as("z"), round(col("p_raw"), 6).as("p"),
+            col("rank"), (col("rank") <= col("maxok")).as("rejected"))
+          .orderBy("rank")
+      },
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT event_type,
+           |    CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 7 IN (2, 3)
+           |      THEN 1 ELSE 0 END AS wk
+           |  FROM events),
+           |types AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(wk) AS BIGINT) AS k
+           |  FROM e GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(wk) AS BIGINT) AS kt
+           |  FROM e),
+           |zed AS (
+           |  SELECT event_type, n, k,
+           |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) / SQRT(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE) * (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+           |  FROM types, tot),
+           |pz AS (SELECT *, ${sqlNormTwoSidedP("z")} AS p_raw FROM zed),
+           |ranked AS (
+           |  SELECT *, ROW_NUMBER() OVER (ORDER BY p_raw, event_type) AS rank
+           |  FROM pz),
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ranked),
+           |ok AS (
+           |  SELECT ranked.*,
+           |    p_raw <= 0.10 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) AS ok
+           |  FROM ranked, mm),
+           |thr AS (SELECT MAX(CASE WHEN ok THEN rank ELSE 0 END) AS maxok FROM ok)
+           |SELECT event_type, n, k, ROUND(z, 6) + 0.0 AS z, ROUND(p_raw, 6) AS p, rank,
+           |  rank <= maxok AS rejected
+           |FROM ok, thr ORDER BY rank""".stripMargin),
+      doc = "Benjamini-Hochberg FDR step-up over per-type weekend-rate z-tests at q=0.10"),
+
+    // Single changepoint by binary segmentation over the daily event
+    // count series: the split maximizing the between-segment sum-of-
+    // squares reduction, scored as (S1·n2 − S2·n1)²/(n1·n2) from exact
+    // prefix sums (the numerator is cast to double BEFORE squaring so
+    // the op never overflows BIGINT at any corpus size). One window pass
+    // over the days-sized series, one scalar broadcast for the totals;
+    // top-3 splits reported with deterministic day tie-break.
+    "ts_changepoint" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.events(s, dir).groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("day")
+        val c = d
+          .withColumn("s1", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("i", row_number().over(w).cast("long"))
+        val tot = d.agg(sum(col("n")).as("tt"), count(lit(1)).as("dd"))
+        val sc = c.crossJoin(broadcast(tot)).filter(col("i") < col("dd"))
+          .withColumn("num",
+            (col("s1") * (col("dd") - col("i")) - (col("tt") - col("s1")) * col("i"))
+              .cast("double"))
+          .withColumn("score", col("num") * col("num") /
+            (col("i").cast("double") * (col("dd") - col("i")).cast("double")))
+        sc.select(date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+            round(col("s1").cast("double") / col("i").cast("double"), 4)
+              .as("mean_before"),
+            round((col("tt") - col("s1")).cast("double") /
+              (col("dd") - col("i")).cast("double"), 4).as("mean_after"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("split_day"))
+          .limit(3)
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1),
+          |c AS (
+          |  SELECT day, n,
+          |    CAST(SUM(n) OVER (ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+          |  FROM d),
+          |tot AS (
+          |  SELECT CAST(SUM(n) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS dd
+          |  FROM d),
+          |sc AS (
+          |  SELECT day, s1, i, tt, dd,
+          |    CAST(s1 * (dd - i) - (tt - s1) * i AS DOUBLE) AS num
+          |  FROM c, tot WHERE i < dd)
+          |SELECT strftime(day, '%Y-%m-%d') AS split_day,
+          |  ROUND(CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE), 4) AS mean_before,
+          |  ROUND(CAST(tt - s1 AS DOUBLE) / CAST(dd - i AS DOUBLE), 4) AS mean_after,
+          |  ROUND(num * num / (CAST(i AS DOUBLE) * CAST(dd - i AS DOUBLE)), 4) AS score
+          |FROM sc ORDER BY score DESC, split_day LIMIT 3""".stripMargin),
+      doc = "Binary-segmentation changepoint over daily counts - exact prefix sums, top-3 splits"),
+
+    // Calibration of the corpus quality score as a predictor of lang=en,
+    // with expected calibration error: decile reliability bins where the
+    // per-bin mean score is held EXACT (the 6-dp score is lifted to
+    // integer millionths before summation) and the ECE numerator is a
+    // BIGINT Σ|psum_b − 10⁶·pos_b| — so the headline calibration number
+    // involves no cross-row double fold at all. The model-eval
+    // counterpart of txt_quality_filter: before a filter threshold
+    // ships, this is the "is the score a probability" check.
+    "cal_reliability" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("q", TextOps.qualityScore(col("text")))
+          .withColumn("pm", expr("CAST(ROUND(q * 1000000, 0) AS BIGINT)"))
+          .withColumn("bin", least(expr("pm DIV 100000"), lit(9L)))
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+        val bins = d.groupBy("bin").agg(
+            count(lit(1)).as("n"), sum(col("y")).as("pos"), sum(col("pm")).as("psum"))
+          .withColumn("gapnum", col("psum") - lit(1000000L) * col("pos"))
+        val ece = bins.agg(
+          sum(abs(col("gapnum"))).as("enum1"), sum(col("n")).as("nt"))
+        bins.crossJoin(broadcast(ece))
+          .select(col("bin"), col("n"), col("pos"),
+            round(col("psum").cast("double") /
+              (lit(1000000.0) * col("n").cast("double")), 6).as("avg_p"),
+            round(col("pos").cast("double") / col("n").cast("double"), 6)
+              .as("frac_pos"),
+            (round(col("gapnum").cast("double") /
+              (lit(1000000.0) * col("n").cast("double")), 6) + lit(0.0)).as("gap"),
+            round(col("enum1").cast("double") /
+              (lit(1000000.0) * col("nt").cast("double")), 6).as("ece"))
+          .orderBy("bin")
+      },
+      oracle = Some(
+        s"""WITH sc AS (
+           |  SELECT lang,
+           |    CAST(ROUND(($sqlQualityFragDuck) * 1000000, 0) AS BIGINT) AS pm
+           |  FROM documents),
+           |b AS (
+           |  SELECT LEAST(pm // 100000, 9) AS bin,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, pm
+           |  FROM sc),
+           |bins AS (
+           |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+           |    CAST(SUM(pm) AS BIGINT) AS psum
+           |  FROM b GROUP BY 1),
+           |g AS (SELECT *, psum - 1000000 * pos AS gapnum FROM bins),
+           |ece AS (
+           |  SELECT CAST(SUM(ABS(gapnum)) AS BIGINT) AS enum1,
+           |    CAST(SUM(n) AS BIGINT) AS nt
+           |  FROM g)
+           |SELECT bin, n, pos,
+           |  ROUND(CAST(psum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6) AS avg_p,
+           |  ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+           |  ROUND(CAST(gapnum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6) + 0.0
+           |    AS gap,
+           |  ROUND(CAST(enum1 AS DOUBLE) / (1000000.0 * CAST(nt AS DOUBLE)), 6) AS ece
+           |FROM g, ece ORDER BY bin""".stripMargin),
+      doc = "Reliability bins + integer-exact ECE for the quality score vs lang=en"),
   )
+
+  /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one
+    * fragment interpolated into BOTH the Spark `expr` and the oracle.
+    */
+  private def sqlKwH: String =
+    "12.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * (CAST(n0 + n1 + n2 AS DOUBLE) + 1.0)) * " +
+      "(CAST(r20 AS DOUBLE) * CAST(r20 AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE)) + " +
+      "CAST(r21 AS DOUBLE) * CAST(r21 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE)) + " +
+      "CAST(r22 AS DOUBLE) * CAST(r22 AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE))) - " +
+      "3.0 * (CAST(n0 + n1 + n2 AS DOUBLE) + 1.0)"
+
+  /** Kruskal–Wallis tie correction 1 − Σ(t³−t)/(N³−N), N as double. */
+  private def sqlKwC: String =
+    "(1.0 - CAST(ties3 AS DOUBLE) / (CAST(n0 + n1 + n2 AS DOUBLE) * " +
+      "CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE) - " +
+      "CAST(n0 + n1 + n2 AS DOUBLE)))"
+
+  /** Two-sided normal p-value 2(1−Φ(|z|)) via Abramowitz–Stegun 26.2.17
+    * (Horner form, t = 1/(1+0.2316419|z|) inlined). `z` must be a plain
+    * column name; the identical text is compiled by Spark and DuckDB.
+    */
+  private def sqlNormTwoSidedP(z: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * ABS($z)))"
+    s"(2.0 * (EXP(-(($z) * ($z)) / 2.0) * 0.3989422804014327) * " +
+      s"($t * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937 + " +
+      s"$t * (-1.821255978 + $t * 1.330274429))))))"
+  }
+
+  /** The composite quality score (= TextOps.qualityScore) in DuckDB spelling (list HOFs + regexp_extract_all). */
+  private def sqlQualityFragDuck: String =
+    "ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 " +
+      "+ (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN (" +
+      TextOps.stopwords.map(w => s"'$w'").mkString(", ") +
+      "))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4 " +
+      "+ (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) " +
+      "/ CAST(length(text) AS DOUBLE)) * 0.2, 6)"
 }
