@@ -636,6 +636,78 @@ object AnalyticsQueries {
           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
           |  sha256(COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep), '')) AS dedup_hash
           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "Chunk-level sub-document dedup: keep globally-first 32-token chunks, reassemble")
+      doc = "Chunk-level sub-document dedup: keep globally-first 32-token chunks, reassemble"),
+
+    // Rolling 14-day Pearson correlation between the click and error
+    // daily rates — the co-movement monitor beside ts_linfit's
+    // single-series drift. All five window sums (Σa, Σb, Σab, Σa², Σb²)
+    // are exact BIGINTs over the zero-filled day grid, so r is one
+    // double tree per day; rows need a full 14-day frame and positive
+    // variance on both sides (integer predicates). Window runs over the
+    // calendar-sized grid, never the event stream.
+    "ts_rolling_corr" -> QueryDef(
+      build = (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "error"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("b"))
+        val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        val grid = bounds
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val g = grid.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+        val w = Window.orderBy("day").rowsBetween(-13, 0)
+        val ww = Window.orderBy("day")
+        g.withColumn("i", row_number().over(ww))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("sa", sum(col("a")).over(w))
+          .withColumn("sb", sum(col("b")).over(w))
+          .withColumn("sab", sum(col("a") * col("b")).over(w))
+          .withColumn("saa", sum(col("a") * col("a")).over(w))
+          .withColumn("sbb", sum(col("b") * col("b")).over(w))
+          .withColumn("den1", col("cnt") * col("saa") - col("sa") * col("sa"))
+          .withColumn("den2", col("cnt") * col("sbb") - col("sb") * col("sb"))
+          .filter(col("i") >= 14 && col("den1") > 0 && col("den2") > 0)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("a"), col("b"),
+            (round((col("cnt") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt(col("den1").cast("double") * col("den2").cast("double")), 6)
+              + lit(0.0)).as("r"))
+          .orderBy("day")
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b
+          |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+          |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+          |grid AS (
+          |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          |  FROM bounds),
+          |g AS (
+          |  SELECT grid.day, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+          |  FROM grid LEFT JOIN daily ON grid.day = daily.day),
+          |wsum AS (
+          |  SELECT day, a, b,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+          |    CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+          |    CAST(SUM(a) OVER w AS BIGINT) AS sa,
+          |    CAST(SUM(b) OVER w AS BIGINT) AS sb,
+          |    CAST(SUM(a * b) OVER w AS BIGINT) AS sab,
+          |    CAST(SUM(a * a) OVER w AS BIGINT) AS saa,
+          |    CAST(SUM(b * b) OVER w AS BIGINT) AS sbb
+          |  FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+          |d AS (
+          |  SELECT *, cnt * saa - sa * sa AS den1, cnt * sbb - sb * sb AS den2
+          |  FROM wsum)
+          |SELECT strftime(day, '%Y-%m-%d') AS day, a, b,
+          |  ROUND(CAST(cnt * sab - sa * sb AS DOUBLE)
+          |    / SQRT(CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)), 6) + 0.0 AS r
+          |FROM d WHERE i >= 14 AND den1 > 0 AND den2 > 0
+          |ORDER BY day""".stripMargin),
+      doc = "Rolling 14-day click-error Pearson r from exact BIGINT window sums over the day grid"),
   )
 }

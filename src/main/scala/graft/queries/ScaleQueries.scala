@@ -4257,5 +4257,263 @@ object ScaleQueries {
            |GROUP BY 1, 2
            |ORDER BY aa_score DESC, doc_a, doc_b""".stripMargin),
       doc = "Adamic-Adar link prediction on the near-dup graph - quantized-exact 1/ln(deg) fold"),
+
+    // Two-stage retrieve→rerank — the production ANN serving shape: a
+    // CHEAP int8 IVF pass (multi-probe, 4× less data through the probe
+    // shuffle) shortlists 10 candidates per query, then ONLY the
+    // shortlist is rescored at full float precision and cut to top-3.
+    // At 100 TB the rerank stage touches shortlist·k rows (id-keyed
+    // joins back to the vector store), never the corpus pairspace —
+    // exactly how a disaggregated vector index + exact scorer deploys.
+    "emb_rerank" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val short = Quant.ivfQuantizedTopK(e, "vec_id", "embedding",
+            k = 10, nLists = 8, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("coarse_rank"))
+        val ex = short
+          .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+            Seq("query_id"))
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+            Seq("neighbor_id"))
+          .withColumn("score", round(Similarity.cosine(col("qv"), col("nv")), 6))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))
+        ex.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("coarse_rank"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        def intDot(a: String, b: String): String =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), " +
+            s"(x, y) -> x + y)"
+        s"""WITH sc AS (SELECT vec_id, embedding,
+           |    greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127 AS s
+           |  FROM embeddings),
+           |qv AS (SELECT vec_id, embedding, q, sqrt(CAST(${intDot("q", "q")} AS DOUBLE)) AS qn FROM (
+           |  SELECT vec_id, embedding,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+           |  FROM sc)),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cranked AS (
+           |  SELECT c.vec_id AS id, c.q, c.qn, cent_id,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${sqlCosine("c.embedding", "cents.cv")} DESC, cent_id) AS crank
+           |  FROM qv c, cents),
+           |assigned AS (SELECT id, q, qn, cent_id AS list_id FROM cranked WHERE crank = 1),
+           |probes AS (SELECT id, q, qn, cent_id AS list_id FROM cranked WHERE crank <= 2),
+           |scored AS (
+           |  SELECT p.id AS query_id, a.id AS neighbor_id,
+           |    ROUND(CAST(${intDot("p.q", "a.q")} AS DOUBLE) / (p.qn * a.qn), 6) AS qscore
+           |  FROM probes p JOIN assigned a ON p.list_id = a.list_id AND p.id <> a.id),
+           |short AS (
+           |  SELECT query_id, neighbor_id, coarse_rank FROM (
+           |    SELECT query_id, neighbor_id,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS INT) AS coarse_rank
+           |    FROM scored) t WHERE coarse_rank <= 10),
+           |ex AS (
+           |  SELECT s.query_id, s.neighbor_id, s.coarse_rank,
+           |    ${sqlCosine("qe.embedding", "ne.embedding")} AS score
+           |  FROM short s JOIN embeddings qe ON s.query_id = qe.vec_id
+           |               JOIN embeddings ne ON s.neighbor_id = ne.vec_id)
+           |SELECT query_id, neighbor_id, score, coarse_rank, rank FROM (
+           |  SELECT query_id, neighbor_id, score, coarse_rank,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM ex) t
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "Two-stage ANN: int8 IVF shortlist (10) then full-precision rerank to top-3"),
+
+    // nDCG@3 of the single-probe IVF against the exact ranking — the
+    // graded companion of the recall rows, and FULLY oracle-checked
+    // because both arms are deterministic. Relevance = 4 − exact_rank
+    // (3/2/1 for the true top-3, 0 otherwise); each DCG term is
+    // quantized to 1e-9 BIGINT units BEFORE the per-query sum (ln-based
+    // log2, shared spelling), so the cross-row fold is exact integer
+    // arithmetic. Query side is a 5% id-sample — at 100 TB the exact arm
+    // runs on the sample only, as any honest eval does.
+    "emb_ivf_ndcg" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val sys = Similarity.ivfSeededTopK(e, "vec_id", "embedding",
+            k = 3, nLists = 8)
+          .filter(col("query_id") % 20 === 0)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val exact = Similarity.bruteForceTopK(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id").as("e_nbr"),
+            col("rank").as("erank"))
+        val terms = sys.join(exact,
+            sys("query_id") === exact("query_id") &&
+              col("neighbor_id") === col("e_nbr"), "left")
+          .select(sys("query_id"), col("rank"),
+            coalesce(lit(4) - col("erank"), lit(0)).as("rel"))
+          .withColumn("term9", expr(
+            "CAST(ROUND(CAST(rel AS DOUBLE) / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0)) * 1e9, 0) AS BIGINT)"))
+        val dcg = terms.groupBy("query_id").agg(sum(col("term9")).as("dcg9"))
+        val idcg = exact
+          .withColumn("iterm9", expr(
+            "CAST(ROUND(CAST(4 - erank AS DOUBLE) / (LN(CAST(erank AS DOUBLE) + 1.0) / LN(2.0)) * 1e9, 0) AS BIGINT)"))
+          .groupBy("query_id").agg(sum(col("iterm9")).as("idcg9"))
+        idcg.join(dcg, Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("dcg9"), lit(0L)).as("dcg9"),
+            col("idcg9"),
+            round(coalesce(col("dcg9"), lit(0L)).cast("double") /
+              col("idcg9").cast("double"), 6).as("ndcg"))
+          .orderBy("query_id")
+      },
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cscored AS (
+           |  SELECT c.id, c.v, cents.cent_id,
+           |    ${sqlCosine("c.v", "cents.cv")} AS cscore
+           |  FROM c, cents),
+           |assigned AS (
+           |  SELECT id, v, list_id FROM (
+           |    SELECT id, v, cent_id AS list_id,
+           |      row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cent_id) AS crank
+           |    FROM cscored) t
+           |  WHERE crank = 1),
+           |sys AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.id AS query_id, c.id AS neighbor_id,
+           |      CAST(row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${sqlCosine("q.v", "c.v")} DESC, c.id) AS INT) AS rank
+           |    FROM assigned q JOIN assigned c
+           |      ON q.list_id = c.list_id AND q.id <> c.id) t
+           |  WHERE rank <= 3 AND query_id % 20 = 0),
+           |exact AS (
+           |  SELECT query_id, e_nbr, erank FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS e_nbr,
+           |      CAST(row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS erank
+           |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |    WHERE q.vec_id % 20 = 0) t
+           |  WHERE erank <= 3),
+           |terms AS (
+           |  SELECT sys.query_id, sys.rank,
+           |    COALESCE(4 - exact.erank, 0) AS rel
+           |  FROM sys LEFT JOIN exact
+           |    ON sys.query_id = exact.query_id AND sys.neighbor_id = exact.e_nbr),
+           |dcg AS (
+           |  SELECT query_id,
+           |    CAST(SUM(CAST(ROUND(CAST(rel AS DOUBLE) / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0)) * 1e9, 0) AS BIGINT)) AS BIGINT) AS dcg9
+           |  FROM terms GROUP BY 1),
+           |idcg AS (
+           |  SELECT query_id,
+           |    CAST(SUM(CAST(ROUND(CAST(4 - erank AS DOUBLE) / (LN(CAST(erank AS DOUBLE) + 1.0) / LN(2.0)) * 1e9, 0) AS BIGINT)) AS BIGINT) AS idcg9
+           |  FROM exact GROUP BY 1)
+           |SELECT idcg.query_id, COALESCE(dcg9, 0) AS dcg9, idcg9,
+           |  ROUND(CAST(COALESCE(dcg9, 0) AS DOUBLE) / CAST(idcg9 AS DOUBLE), 6) AS ndcg
+           |FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id
+           |ORDER BY idcg.query_id""".stripMargin),
+      doc = "nDCG@3 of single-probe IVF vs the exact ranking - 1e-9-quantized DCG terms, 5% query sample"),
+
+    // Merkle corpus manifest — the reproducible-build receipt: per-source
+    // dataset fingerprint as a TWO-LEVEL hash tree (per-(source, shard)
+    // sha256 over the sorted doc_id:digest lines, then per-source sha256
+    // over the sorted shard:hash lines). The flat alternative
+    // (string_agg over every doc in a source) would hold an entire
+    // source's listing in one aggregation buffer; the Merkle layout
+    // bounds any single buffer at shard size and re-verifies
+    // incrementally (a changed shard re-hashes one leaf + the root) —
+    // the manifest a 100 TB snapshot actually ships with.
+    "corpus_manifest" -> QueryDef(
+      build = (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("line", concat(
+            lpad(col("doc_id").cast("string"), 12, "0"), lit(":"),
+            sha2(encode(col("text"), "UTF-8"), 256)))
+          .withColumn("shard", pmod(col("doc_id"), lit(64)))
+          .withColumn("b", length(encode(col("text"), "UTF-8")).cast("long"))
+        val l1 = d.groupBy("source", "shard").agg(
+          count(lit(1)).as("n_docs"), sum(col("b")).as("bytes"),
+          sha2(concat_ws("\n", array_sort(collect_list(col("line")))), 256)
+            .as("h1"))
+        l1.groupBy("source").agg(
+            sum("n_docs").as("n_docs"), sum("bytes").as("bytes"),
+            count(lit(1)).as("n_shards"),
+            sha2(concat_ws("\n", array_sort(collect_list(concat(
+              lpad(col("shard").cast("string"), 4, "0"), lit(":"), col("h1"))))),
+              256).as("manifest_sha256"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT source, doc_id % 64 AS shard,
+          |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || sha256(text) AS line,
+          |    strlen(text) AS b
+          |  FROM documents),
+          |l1 AS (
+          |  SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(b) AS BIGINT) AS bytes,
+          |    sha256(string_agg(line, chr(10) ORDER BY line)) AS h1
+          |  FROM d GROUP BY 1, 2)
+          |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+          |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+          |  sha256(string_agg(lpad(CAST(shard AS VARCHAR), 4, '0') || ':' || h1,
+          |    chr(10) ORDER BY lpad(CAST(shard AS VARCHAR), 4, '0') || ':' || h1))
+          |    AS manifest_sha256
+          |FROM l1 GROUP BY 1 ORDER BY source""".stripMargin),
+      doc = "Two-level Merkle dataset manifest per source - bounded agg buffers, incremental re-verify"),
+
+    // Privacy audit: k-anonymity of the (source, lang) quasi-identifier
+    // plus PII density per group, over the SAME deterministic PII
+    // injection txt_pii_redact uses (the raw fixture is PII-free, so the
+    // audit must see planted positives at every SF). Groups below k=10
+    // are re-identification risks; the release gate a training-data drop
+    // runs BEFORE the redaction pass ships. One narrow per-row regexp
+    // scan + one group-key aggregation — no shuffle beyond the group-by.
+    "privacy_kanon" -> QueryDef(
+      build = (s, dir) => {
+        val withPii = docs(s, dir).select(col("source"), col("lang"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 3,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 5,
+            concat(lit(" call +49-555-0"), (col("doc_id") % 10).cast("string"),
+              lit("23 today"))).otherwise(lit(""))).as("text"))
+        withPii
+          .withColumn("has_pii",
+            (regexp_count(col("text"), lit(TextOps.emailRe)) +
+              regexp_count(col("text"), lit(TextOps.phoneRe)) > 0)
+              .cast("long"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"), sum(col("has_pii")).as("pii_docs"))
+          .select(col("source"), col("lang"), col("n"), col("pii_docs"),
+            round(col("pii_docs").cast("double") / col("n").cast("double"), 6)
+              .as("pii_ratio"),
+            (col("n") < 10).as("at_risk"))
+          .orderBy("source", "lang")
+      },
+      oracle = Some(
+        s"""WITH withpii AS (
+           |  SELECT source, lang, text ||
+           |    CASE WHEN doc_id % 7 = 3
+           |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 5
+           |      THEN ' call +49-555-0' || CAST(doc_id % 10 AS VARCHAR) || '23 today'
+           |      ELSE '' END AS text
+           |  FROM documents),
+           |flags AS (
+           |  SELECT source, lang,
+           |    CASE WHEN len(regexp_extract_all(text, '${TextOps.emailRe}'))
+           |      + len(regexp_extract_all(text, '${TextOps.phoneRe}')) > 0
+           |      THEN 1 ELSE 0 END AS has_pii
+           |  FROM withpii)
+           |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(has_pii) AS BIGINT) AS pii_docs,
+           |  ROUND(CAST(SUM(has_pii) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           |    AS pii_ratio,
+           |  COUNT(*) < 10 AS at_risk
+           |FROM flags GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
+      doc = "k-anonymity (k=10) + PII density per (source, lang) quasi-identifier group"),
   )
 }
