@@ -1756,6 +1756,62 @@ object InferenceQueries {
            |  ROUND(CAST(enum1 AS DOUBLE) / (1000000.0 * CAST(nt AS DOUBLE)), 6) AS ece
            |FROM g, ece ORDER BY bin""".stripMargin),
       doc = "Reliability bins + integer-exact ECE for the quality score vs lang=en"),
+
+    // Off-policy evaluation by replay (Li et al., WSDM'11): score a
+    // DETERMINISTIC target policy (context = user_id % 5 → one of the 5
+    // event types) against the logged stream under a uniform logging
+    // propensity. IPS re-weights matching events by 1/propensity = 5;
+    // SNIPS self-normalizes by the realized match mass. Rewards are
+    // cents BIGINTs end to end, so both estimators are one double
+    // division over exact integer sums — the counterfactual "what would
+    // this policy have earned" gate before an interleaving experiment.
+    "evt_ips_offpolicy" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+          .withColumn("target", expr(
+            "CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'error' " +
+              "WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'view' END"))
+          .withColumn("m", when(col("event_type") === col("target"), 1L)
+            .otherwise(0L))
+        e.agg(count(lit(1)).as("n"), sum(col("m")).as("n_match"),
+            sum(col("cents")).as("tot_cents"),
+            sum(col("m") * col("cents")).as("match_cents"))
+          .select(col("n"), col("n_match"),
+            round(col("tot_cents").cast("double") /
+              (lit(100.0) * col("n").cast("double")), 6).as("behavior_value"),
+            round(lit(5.0) * col("match_cents").cast("double") /
+              (lit(100.0) * col("n").cast("double")), 6).as("ips_value"),
+            round(col("match_cents").cast("double") /
+              (lit(100.0) * col("n_match").cast("double")), 6).as("snips_value"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+          |    CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+          |      WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'view' END AS target
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (
+          |  SELECT cents,
+          |    CASE WHEN event_type = target THEN 1 ELSE 0 END AS m
+          |  FROM e),
+          |agg AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(m) AS BIGINT) AS n_match,
+          |    CAST(SUM(cents) AS BIGINT) AS tot_cents,
+          |    CAST(SUM(m * cents) AS BIGINT) AS match_cents
+          |  FROM m)
+          |SELECT n, n_match,
+          |  ROUND(CAST(tot_cents AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+          |    AS behavior_value,
+          |  ROUND(5.0 * CAST(match_cents AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+          |    AS ips_value,
+          |  ROUND(CAST(match_cents AS DOUBLE) / (100.0 * CAST(n_match AS DOUBLE)), 6)
+          |    AS snips_value
+          |FROM agg""".stripMargin),
+      doc = "Off-policy replay eval: IPS + SNIPS value of a deterministic target policy, cents-exact"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one

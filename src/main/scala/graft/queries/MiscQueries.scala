@@ -760,6 +760,143 @@ object MiscQueries {
               .cast("double") / col("n_tenants_exact"), 4))
           .orderBy("event_type"),
       oracle = None,
-      doc = "SKETCH rows-only: HLL++ vs exact with realized error (exact arm is hash-green in distinct_tenants)")
+      doc = "SKETCH rows-only: HLL++ vs exact with realized error (exact arm is hash-green in distinct_tenants)"),
+
+    // CDC MERGE: apply a change feed (upserts + deletes) to a base
+    // snapshot with latest-wins-per-key semantics — the incremental
+    // ingestion primitive (Delta/Iceberg `MERGE INTO` shape) a
+    // continuously-refreshed 100 TB corpus is built on. The feed is the
+    // orders stream read as balance updates to customer (every 97th
+    // order a delete); "latest" is one per-key window over the FEED
+    // (feed-sized, not snapshot-sized), then a single key-equi-join
+    // against the base. Deterministic tie-break (o_orderdate, orderkey);
+    // balances kept in exact cents.
+    "cdc_merge" -> QueryDef(
+      build = (s, dir) => {
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey").cast("long").as("k"),
+          expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").as("bal_cents"))
+        val feed = Tables.orders(s, dir).select(
+          col("o_custkey").cast("long").as("k"),
+          col("o_orderdate"), col("o_orderkey").cast("long").as("oid"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("new_bal"),
+          when(col("o_orderkey") % 97 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"))
+        val latest = feed
+          .withColumn("rn", row_number().over(Window.partitionBy("k")
+            .orderBy(col("o_orderdate").desc, col("oid").desc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("new_bal"), col("op"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("version"))
+        base.join(latest, Seq("k"), "left")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k").as("c_custkey"),
+            coalesce(col("new_bal"), col("bal_cents")).as("bal_cents"),
+            when(col("op") === "U", lit("updated")).otherwise(lit("unchanged"))
+              .as("status"),
+            col("version"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT CAST(c_custkey AS BIGINT) AS k,
+          |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+          |  FROM customer),
+          |feed AS (
+          |  SELECT CAST(o_custkey AS BIGINT) AS k, o_orderdate,
+          |    CAST(o_orderkey AS BIGINT) AS oid,
+          |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS new_bal,
+          |    CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+          |  FROM orders),
+          |latest AS (
+          |  SELECT k, new_bal, op, strftime(o_orderdate, '%Y-%m-%d') AS version
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+          |          ORDER BY o_orderdate DESC, oid DESC) AS rn
+          |        FROM feed) t
+          |  WHERE rn = 1)
+          |SELECT base.k AS c_custkey,
+          |  COALESCE(new_bal, bal_cents) AS bal_cents,
+          |  CASE WHEN op = 'U' THEN 'updated' ELSE 'unchanged' END AS status,
+          |  version
+          |FROM base LEFT JOIN latest ON base.k = latest.k
+          |WHERE op IS NULL OR op <> 'D'
+          |ORDER BY c_custkey""".stripMargin),
+      doc = "CDC MERGE: latest-wins upsert + delete apply (feed-sized window, one key join)"),
+
+    // Declarative data-quality suite (Deequ-style): seven constraint
+    // checks over the warehouse tables evaluated as scalar aggregations
+    // and unioned into one verdict table — primary-key uniqueness,
+    // referential integrity, null rate, value range, enum domain, date
+    // bounds, minimum row count. Each check is one map-side-combined agg
+    // over its table; the suite is the admission gate an ingest run
+    // must pass before a snapshot publishes.
+    "dq_checks" -> QueryDef(
+      build = (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val c = Tables.customer(s, dir)
+        def check(name: String, violations: DataFrame): DataFrame =
+          violations.select(lit(name).as("check"),
+            col("violations").cast("long").as("violations"),
+            (col("violations") === 0).as("passed"))
+        val pkU = check("pk_unique_orders",
+          o.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("violations")))
+        val fk = check("fk_orders_customer",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("violations")))
+        val nn = check("not_null_lineitem_qty",
+          l.agg(sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+            .as("violations")))
+        val rng = check("range_lineitem_qty",
+          l.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("violations")))
+        val enm = check("enum_orderstatus",
+          o.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("violations")))
+        val dts = check("date_bounds_orders",
+          o.agg(sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp")
+            || col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("violations")))
+        val cnt = check("rowcount_min_lineitem",
+          l.agg(when(count(lit(1)) >= 1000L, 0L).otherwise(1L)
+            .as("violations")))
+        pkU.unionByName(fk).unionByName(nn).unionByName(rng)
+          .unionByName(enm).unionByName(dts).unionByName(cnt)
+          .orderBy("check")
+      },
+      oracle = Some(
+        """WITH checks AS (
+          |  SELECT 'pk_unique_orders' AS check,
+          |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'fk_orders_customer',
+          |    CAST(COUNT(*) AS BIGINT) FROM orders
+          |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          |  UNION ALL
+          |  SELECT 'not_null_lineitem_qty',
+          |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'range_lineitem_qty',
+          |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'enum_orderstatus',
+          |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'date_bounds_orders',
+          |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+          |      OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'rowcount_min_lineitem',
+          |    CAST(CASE WHEN COUNT(*) >= 1000 THEN 0 ELSE 1 END AS BIGINT)
+          |  FROM lineitem)
+          |SELECT "check", violations, violations = 0 AS passed
+          |FROM checks ORDER BY "check"""".stripMargin),
+      doc = "Deequ-style 7-check data-quality verdict table (PK, FK, nulls, range, enum, dates, rowcount)"),
   )
 }
