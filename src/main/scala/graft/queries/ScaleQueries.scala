@@ -4515,5 +4515,157 @@ object ScaleQueries {
            |  COUNT(*) < 10 AS at_risk
            |FROM flags GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
       doc = "k-anonymity (k=10) + PII density per (source, lang) quasi-identifier group"),
+
+    // Perceptual-hash near-dup over the media payloads: aHash 8×8
+    // byte-mean grid → 64 bits packed as FOUR 16-bit bands; candidate
+    // pairs must agree EXACTLY on ≥1 band (the bit-space analog of
+    // MinHash band-buckets — no all-pairs join), then verify Hamming ≤ 8
+    // from the band values. Planted mutants are SAME-LENGTH patch edits
+    // (12 bytes overwritten mid-payload: the "small visual edit at the
+    // same resolution" case a perceptual hash exists for — measured
+    // Hamming mostly ≤ 8 vs ≥ 13 for organic pairs). Payload bytes ==
+    // char codes on the ASCII fixture, which is what lets the DuckDB
+    // oracle replay the grid byte-exactly.
+    "mm_phash_pairs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val base = docs(s, dir)
+        val corpus = base.select("doc_id", "text").unionByName(
+          base.filter(length(col("text")) >= 80).select(
+            (col("doc_id") + 500000).as("doc_id"),
+            expr("concat(substring(text, 1, 50), repeat('z', 12), substring(text, 63))")
+              .as("text")))
+        val media = corpus.select(col("doc_id"), lit("image").as("media_type"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .as[Multimodal.MediaRecord]
+        val ph = graft.Caches.lazyBarrier(
+          Multimodal.perceptualHash(media).toDF())
+        val bands = ph.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), col("b0").as("v")),
+            struct(lit(1).as("band"), col("b1").as("v")),
+            struct(lit(2).as("band"), col("b2").as("v")),
+            struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(ph.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+          .join(ph.select(col("doc_id").as("doc_b"), col("b0").as("x0"),
+            col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("doc_b"))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+              "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        """WITH docs3 AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 500000,
+          |    substr(text, 1, 50) || repeat('z', 12) || substr(text, 63)
+          |  FROM documents WHERE length(text) >= 80),
+          |codes AS (
+          |  SELECT doc_id,
+          |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs,
+          |    CAST(length(text) AS BIGINT) AS n
+          |  FROM docs3 WHERE length(text) >= 64),
+          |g AS (
+          |  SELECT doc_id, cs, n,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, b) -> a + b) // n AS gm
+          |  FROM codes),
+          |cells AS (
+          |  SELECT doc_id, i,
+          |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |        list_slice(cs, CAST(i * n // 64 AS INT) + 1, CAST((i + 1) * n // 64 AS INT))),
+          |        (a, b) -> a + b)
+          |      // ((i + 1) * n // 64 - i * n // 64) > gm THEN 1 ELSE 0 END AS bit
+          |  FROM g, (SELECT unnest(generate_series(0, 63)) AS i) s),
+          |bands AS (
+          |  SELECT doc_id, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(bit * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells GROUP BY 1, 2),
+          |ph AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+          |h AS (
+          |  SELECT doc_a, doc_b,
+          |    CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) AS INT)
+          |      AS hamming
+          |  FROM cand
+          |  JOIN ph pa ON cand.doc_a = pa.doc_id
+          |  JOIN ph pb ON cand.doc_b = pb.doc_id)
+          |SELECT doc_a, doc_b, hamming FROM h
+          |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Perceptual-hash (aHash) media near-dup: 4x16-bit band blocking + Hamming<=8 verify"),
+
+    // Dedup operator EVALUATION against planted ground truth — the
+    // measured-not-asserted companion of dedup_threshold_sweep: the
+    // jaccard-pairs operator at its production threshold (0.5) scored as
+    // a detector of the planted mutant pairs (id, id+200000).
+    // Precision/recall/F1 from exact BIGINT counts (F1 via the
+    // 2·TP/(P+T) identity — no harmonic-mean double fold). Both arms
+    // deterministic, so the whole eval is hash-checked.
+    "dedup_eval" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val corpus = nearDupDocs(docs(s, dir))
+        val pred = graft.Caches.lazyBarrier(
+          NearDup.jaccardPairs(corpus, "doc_id", "source",
+              shingleN = 3, threshold = 0.5)
+            .select("doc_a", "doc_b"))
+        val truth = docs(s, dir).filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000).as("doc_b"))
+        val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+          .select(col("n_truth"), col("n_pred"), col("tp"),
+            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+              .as("precision"),
+            round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall"),
+            round(lit(2.0) * col("tp").cast("double") /
+              (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
+      },
+      oracle = Some(
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |pred AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+           |truth AS (
+           |  SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |tp AS (SELECT pred.* FROM pred SEMI JOIN truth
+           |  ON pred.doc_a = truth.doc_a AND pred.doc_b = truth.doc_b),
+           |agg AS (
+           |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
+           |SELECT n_truth, n_pred, tp,
+           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+           |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
+           |    AS f1
+           |FROM agg""".stripMargin),
+      doc = "Dedup detector P/R/F1 vs planted mutant pairs - both arms deterministic, fully hash-checked"),
   )
 }

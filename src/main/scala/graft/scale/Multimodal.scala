@@ -96,4 +96,51 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
+
+  /** 64-bit aHash-style perceptual fingerprint, packed as FOUR 16-bit
+    * bands (LSH-ready). The stub "image" is the payload resampled to an
+    * 8×8 grid of byte-mean cells over equal slices; bit i = cell mean >
+    * global mean — the real average-hash algorithm over fake pixels. All
+    * arithmetic is integer (floor divisions), so the DuckDB oracle
+    * replays it exactly. Rows shorter than 64 bytes are skipped (no
+    * empty cells, no div-by-zero). Same typed mapPartitions shape as
+    * [[decodeMeta]]: a real build swaps the byte slices for decoded
+    * luma, everything else stands.
+    */
+  final case class PHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def perceptualHash(ds: Dataset[MediaRecord]): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val n = b.length
+        if (n < 64) Iterator.empty
+        else {
+          var tot = 0L
+          var i = 0
+          while (i < n) { tot += (b(i) & 0xff); i += 1 }
+          val gm = tot / n
+          val bits = new Array[Int](64)
+          var c = 0
+          while (c < 64) {
+            val lo = c * n / 64
+            val hi = (c + 1) * n / 64
+            var s = 0L
+            var j = lo
+            while (j < hi) { s += (b(j) & 0xff); j += 1 }
+            bits(c) = if (s / (hi - lo) > gm) 1 else 0
+            c += 1
+          }
+          def band(k: Int): Int = {
+            var v = 0
+            var j = 0
+            while (j < 16) { v |= bits(16 * k + j) << j; j += 1 }
+            v
+          }
+          Iterator.single(PHash(r.doc_id, band(0), band(1), band(2), band(3)))
+        }
+      }
+    }
+  }
 }
