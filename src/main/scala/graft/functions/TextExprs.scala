@@ -22,6 +22,9 @@ object TextKernels {
   /** = TextOps.P; duplicated here so the kernels stay dependency-free. */
   val P: Long = 1000000007L
 
+  /** Second independent modulus for double-hashed window keys. */
+  val P2: Long = 998244353L
+
   /** MinHash signature width (shared source of truth with NearDup). */
   val MinhashK = 8
 
@@ -44,6 +47,48 @@ object TextKernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Packed double-hash keys of every fixed-width character window at a
+    * given stride — the fused form of
+    * `polyHash(substr(text, p+1, w), P) * 2^31 + polyHash(substr(...), P2)`
+    * per window. One O(n) pass: code-point prefix hashes under both
+    * moduli, then each window key is two multiply-subtract-mod steps
+    * instead of re-hashing w characters (8n → n arithmetic ops per doc at
+    * w/s = 4). Identity (seed 7, base 31) proven against the composed
+    * form in KernelPropertySpec; the DuckDB oracle replays the composed
+    * spelling.
+    */
+  def windowKeys(text: UTF8String, w: Int, s: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < w || w <= 0 || s <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val m1 = P
+    val m2 = P2
+    // prefix(i) = fold of the first i code points from seed 0, mod m
+    val pre1 = new Array[Long](n + 1)
+    val pre2 = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) {
+      pre1(i + 1) = (pre1(i) * 31 + cps(i)) % m1
+      pre2(i + 1) = (pre2(i) * 31 + cps(i)) % m2
+      i += 1
+    }
+    var pow1 = 1L
+    var pow2 = 1L
+    i = 0
+    while (i < w) { pow1 = pow1 * 31 % m1; pow2 = pow2 * 31 % m2; i += 1 }
+    val cnt = (n - w) / s + 1
+    val out = new Array[Long](cnt)
+    var k = 0
+    while (k < cnt) {
+      val p = k * s
+      val h1 = ((7L % m1) * pow1 + pre1(p + w) - pre1(p) * pow1 % m1 + m1) % m1
+      val h2 = ((7L % m2) * pow2 + pre2(p + w) - pre2(p) * pow2 % m2 + m2) % m2
+      out(k) = h1 * 2147483648L + h2
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Poly-hashes of the distinct word n-gram shingles of `text` — the fused
@@ -370,6 +415,25 @@ final case class WinnowExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `graft_window_keys(text, w, stride)`: packed double-hash key per
+  * fixed-width character window (rolling-hash fused pass; mods = P, P2).
+  */
+final case class WindowKeysExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, w: Any, s: Any): Any =
+    TextKernels.windowKeys(t.asInstanceOf[UTF8String],
+      w.asInstanceOf[Number].intValue, s.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, w, s) => s"graft.functions.TextKernels.windowKeys($t, $w, $s)")
+  override def prettyName: String = "graft_window_keys"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** `graft_simhash32(text, mod)`: 32-bit SimHash of a string's tokens. */

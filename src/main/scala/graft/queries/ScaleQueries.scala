@@ -4090,14 +4090,16 @@ object ScaleQueries {
         graft.functions.Hashing.register(s)
         val W = 40
         val d = docs(s, dir)
+        // fused rolling-hash kernel: one O(len) pass emits the packed
+        // double-hash key per window (vs re-hashing 2x40 chars per
+        // window in the composed substr+polyHash form it replaced —
+        // kernel == composed identity pinned in KernelPropertySpec)
         val h = d.filter(length(col("text")) >= W)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(0L),
-              length(col("text")).cast("long") - W, lit(10L))).as("st"))
-          .select(col("doc_id"), col("st"),
-            (TextOps.polyHash(expr(s"substr(text, st + 1, $W)"), P) * 2147483648L
-              + TextOps.polyHash(expr(s"substr(text, st + 1, $W)"), 998244353L))
-              .as("k"))
+          .select(col("doc_id"),
+            posexplode(call_function("graft_window_keys",
+              col("text"), lit(W), lit(10))))
+          .select(col("doc_id"), (col("pos").cast("long") * 10L).as("st"),
+            col("col").as("k"))
         val rep = h.groupBy("k").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select("k")
         val r = h.join(rep, Seq("k"), "left_semi").select("doc_id", "st")

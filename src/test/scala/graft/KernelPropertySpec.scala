@@ -109,4 +109,34 @@ class KernelPropertySpec extends SparkSpec {
       assert(diff == 0, "kernel and HOF tri-products must agree bitwise")
     }
   }
+
+  test("window-keys kernel == composed substr+polyHash double hash") {
+    graft.functions.Hashing.register(spark)
+    val w = 7
+    val stride = 3
+    val docs = (randomDocs(150, 9000L) ++
+        Seq("", "abc", "a" * 6, "b" * 7, "c" * 8, "d" * 29))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = docs.toDF("doc_id", "text")
+    val kernel = d.filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_window_keys",
+          col("text"), lit(w), lit(stride))))
+      .select(col("doc_id"), (col("pos") * stride).cast("long").as("st"),
+        col("col").as("k"))
+    val composed = d.filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          length(col("text")).cast("long") - w, lit(stride.toLong))).as("st"))
+      .select(col("doc_id"), col("st"),
+        (graft.scale.TextOps.polyHash(expr(s"substr(text, st + 1, $w)"),
+            graft.functions.TextKernels.P) * 2147483648L
+          + graft.scale.TextOps.polyHash(expr(s"substr(text, st + 1, $w)"),
+            graft.functions.TextKernels.P2)).as("k"))
+    val diff = kernel.as("a").join(composed.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.st") === col("b.st"),
+        "full_outer")
+      .filter(not(col("a.k") <=> col("b.k"))).count()
+    assert(diff == 0, "rolling-hash window keys must equal the composed form")
+  }
 }
