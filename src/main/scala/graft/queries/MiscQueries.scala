@@ -898,5 +898,42 @@ object MiscQueries {
           |SELECT "check", violations, violations = 0 AS passed
           |FROM checks ORDER BY "check"""".stripMargin),
       doc = "Deequ-style 7-check data-quality verdict table (PK, FK, nulls, range, enum, dates, rowcount)"),
+
+    // Per-tenant hourly admission quota — the batch twin of
+    // streaming/TwsQuota (TwsQuotaSpec pins stream ≡ these semantics
+    // across micro-batch splits): first `limit`=5 events per
+    // (tenant, hour) in deterministic (ts, event_id) order are admitted,
+    // the rest rejected. One per-key window over the event stream keyed
+    // by (tenant, bucket) — at scale the bucket bound keeps every window
+    // partition small regardless of tenant skew.
+    "evt_quota_admission" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("tenant", col("user_id") % 20)
+          .withColumn("bucket", date_trunc("hour", col("ts")))
+        val w = Window.partitionBy("tenant", "bucket")
+          .orderBy(col("ts"), col("event_id"))
+        e.withColumn("admitted", row_number().over(w) <= 5)
+          .groupBy("tenant")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"))
+          .orderBy("tenant")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id % 20 AS tenant, date_trunc('hour', ts) AS bucket,
+          |    ts, event_id
+          |  FROM events),
+          |a AS (
+          |  SELECT tenant,
+          |    ROW_NUMBER() OVER (PARTITION BY tenant, bucket
+          |      ORDER BY ts, event_id) <= 5 AS admitted
+          |  FROM e)
+          |SELECT tenant, CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+          |  CAST(SUM(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+          |FROM a GROUP BY 1 ORDER BY tenant""".stripMargin),
+      doc = "Per-(tenant, hour) admission quota rollup - batch twin of streaming TwsQuota"),
   )
 }
