@@ -1812,6 +1812,123 @@ object InferenceQueries {
           |    AS snips_value
           |FROM agg""".stripMargin),
       doc = "Off-policy replay eval: IPS + SNIPS value of a deterministic target policy, cents-exact"),
+
+    // Point-in-time-correct training-example assembly — the feature-store
+    // discipline that prevents label leakage: every purchase event
+    // becomes one example whose features are computed from STRICTLY
+    // earlier events only. f_last_click rides the asof pattern (last
+    // click value before the label, IGNORE NULLS over the 1-PRECEDING
+    // frame); f_err_7d is a trailing range frame in exact epoch micros
+    // ending 1 µs before the label. One per-user window pass over the
+    // unioned stream — at scale this is the standard sort-merge PIT
+    // join, user-partitioned, no event ever joins forward in time.
+    "feat_pit_assembly" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("click_cents",
+            when(col("event_type") === "click", col("cents")))
+          .withColumn("err", when(col("event_type") === "error", 1L)
+            .otherwise(0L))
+        val wPrev = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-604800000000L, -1L)
+        e.withColumn("f_last_click",
+            last(col("click_cents"), ignoreNulls = true).over(wPrev))
+          .withColumn("f_err_7d", sum(col("err")).over(wRange))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("label_ts"),
+            col("cents").as("label_cents"), col("f_last_click"),
+            coalesce(col("f_err_7d"), lit(0L)).as("f_err_7d"))
+          .orderBy("event_id")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, ts, event_type,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+          |    epoch_us(ts) AS us,
+          |    CASE WHEN event_type = 'click'
+          |      THEN CAST(ROUND(value * 100, 0) AS BIGINT) END AS click_cents,
+          |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+          |  FROM events),
+          |f AS (
+          |  SELECT event_id, user_id, ts, event_type, cents,
+          |    last_value(click_cents IGNORE NULLS) OVER (
+          |      PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f_last_click,
+          |    SUM(err) OVER (PARTITION BY user_id ORDER BY us
+          |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS f_err_7d
+          |  FROM e)
+          |SELECT event_id, user_id,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+          |  cents AS label_cents, f_last_click,
+          |  CAST(COALESCE(f_err_7d, 0) AS BIGINT) AS f_err_7d
+          |FROM f WHERE event_type = 'purchase'
+          |ORDER BY event_id""".stripMargin),
+      doc = "Point-in-time feature assembly for purchase labels - strictly-before frames, no leakage"),
+
+    // Hash-based negative sampling for recommendation training pairs:
+    // every customer draws 15 deterministic part candidates
+    // (poly hash of cust:slot mod |parts|), rejects any part they
+    // actually ordered (the positives anti-join) and any within-user
+    // duplicate draw (keep the lowest slot), and keeps the first 5
+    // survivors in slot order. The rejection-sampling shape is the
+    // scale-safe one: candidate volume is a CONSTANT per user (never
+    // |users|×|parts|), the positives join is key-equi on (cust, part),
+    // and everything replays from the salt.
+    "rec_negative_sampling" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val pos = Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+            col("o_orderkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_partkey").as("part")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select("cust", "part").distinct()
+        val nParts = Tables.part(s, dir).agg(count(lit(1)).as("np"))
+        val cands = Tables.customer(s, dir).select(col("c_custkey").as("cust"))
+          .crossJoin(broadcast(nParts))
+          .select(col("cust"), col("np"),
+            explode(sequence(lit(0), lit(14))).as("slot"))
+          .withColumn("part", TextOps.polyHash(
+            concat(col("cust").cast("string"), lit(":"),
+              col("slot").cast("string")), P) % col("np"))
+        val novel = cands.join(pos, Seq("cust", "part"), "left_anti")
+          .groupBy("cust", "part").agg(min(col("slot")).as("slot"))
+        novel
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("cust").orderBy(col("slot"), col("part"))))
+          .filter(col("rank") <= 5)
+          .select(col("cust"), col("rank"), col("part").as("neg_part"))
+          .orderBy("cust", "rank")
+      },
+      oracle = Some(
+        s"""WITH pos AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part),
+           |cands AS (
+           |  SELECT c_custkey AS cust, slot,
+           |    ${sqlPolyHash("CAST(c_custkey AS VARCHAR) || ':' || CAST(slot AS VARCHAR)", P)} % np AS part
+           |  FROM customer, np, (SELECT unnest(generate_series(0, 14)) AS slot) s),
+           |novel AS (
+           |  SELECT cust, part, CAST(MIN(slot) AS BIGINT) AS slot
+           |  FROM cands ANTI JOIN pos USING (cust, part)
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT cust, part, slot,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY cust ORDER BY slot, part) AS INT)
+           |      AS rank
+           |  FROM novel)
+           |SELECT cust, rank, part AS neg_part FROM ranked
+           |WHERE rank <= 5 ORDER BY cust, rank""".stripMargin),
+      doc = "Deterministic hash rejection-sampled recommendation negatives (5 per customer)"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one

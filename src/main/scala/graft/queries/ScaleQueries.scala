@@ -4669,5 +4669,85 @@ object ScaleQueries {
            |    AS f1
            |FROM agg""".stripMargin),
       doc = "Dedup detector P/R/F1 vs planted mutant pairs - both arms deterministic, fully hash-checked"),
+
+    // Incremental substring admission — the dedup_substrings index turned
+    // into a persisted probe target (completing the incremental family:
+    // text signatures, vectors, now sub-document windows): new docs are
+    // scored by how many of their 40-char windows already exist in the
+    // corpus's window-key index, and flagged at >=50% overlap. Planted
+    // positives are 160-char slices cut at a stride-aligned offset
+    // (substr(..., 11) keeps starts ≡ 0 mod 10, so every slice window
+    // exists verbatim in the index). At scale the index is built once
+    // (distinct 8-byte keys), the probe is one semi-join per batch, and
+    // batch text never touches corpus text.
+    "dedup_substrings_incremental" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val W = 40
+        val d = docs(s, dir)
+        def windows(df: DataFrame): DataFrame =
+          df.filter(length(col("text")) >= W)
+            .select(col("doc_id"),
+              posexplode(call_function("graft_window_keys",
+                col("text"), lit(W), lit(10))))
+            .select(col("doc_id"), col("col").as("k"))
+        val index = windows(d.filter(col("doc_id") % 5 =!= 0)
+          .select("doc_id", "text")).select("k").distinct()
+        val batch = d.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .unionByName(d.filter(col("doc_id") % 20 === 1 && length(col("text")) >= 171)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              expr("substr(text, 11, 160)").as("text")))
+        val bw = windows(batch)
+        val hits = bw.join(index, Seq("k"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        val nw = bw.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        batch.select("doc_id")
+          .join(nw, Seq("doc_id"), "left").join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(col("n_windows").isNull, lit(0.0)).otherwise(
+              round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+                col("n_windows").cast("double"), 6)).as("overlap_ratio"),
+            (coalesce(col("n_hits"), lit(0L)) * 2 >=
+              coalesce(col("n_windows"), lit(0L)) &&
+              col("n_windows").isNotNull).as("flagged"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        def winKeys(src: String): String =
+          s"""SELECT doc_id,
+             |    ${sqlPolyHash("substr(text, CAST(st + 1 AS INT), 40)", P)} * 2147483648
+             |      + ${sqlPolyHash("substr(text, CAST(st + 1 AS INT), 40)", 998244353L)} AS k
+             |  FROM (SELECT doc_id, text,
+             |      unnest(generate_series(0, CAST(length(text) AS BIGINT) - 40, 10)) AS st
+             |    FROM $src WHERE length(text) >= 40) w""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 300000, substr(text, 11, 160)
+           |  FROM documents WHERE doc_id % 20 = 1 AND length(text) >= 171),
+           |idx AS (SELECT DISTINCT k FROM (${winKeys("corpus")}) t),
+           |bw AS (${winKeys("batch")}),
+           |hits AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM bw SEMI JOIN idx USING (k) GROUP BY 1),
+           |nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+           |  FROM bw GROUP BY 1)
+           |SELECT b.doc_id,
+           |  COALESCE(n_windows, 0) AS n_windows,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN n_windows IS NULL THEN 0.0
+           |    ELSE ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+           |      / CAST(n_windows AS DOUBLE), 6) END AS overlap_ratio,
+           |  COALESCE(n_hits, 0) * 2 >= COALESCE(n_windows, 0)
+           |    AND n_windows IS NOT NULL AS flagged
+           |FROM batch b
+           |LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin
+      },
+      doc = "Incremental substring admission vs a persisted window-key index (stride-aligned probes)"),
   )
 }
