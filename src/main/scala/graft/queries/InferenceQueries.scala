@@ -1929,6 +1929,149 @@ object InferenceQueries {
            |SELECT cust, rank, part AS neg_part FROM ranked
            |WHERE rank <= 5 ORDER BY cust, rank""".stripMargin),
       doc = "Deterministic hash rejection-sampled recommendation negatives (5 per customer)"),
+
+    // CUPED variance reduction (Deng et al., WSDM'13) for the id-parity
+    // A/B: per-user PRE-period value total as the covariate, θ =
+    // cov(pre, post)/var(pre) pooled, adjusted outcome y − θ(x − x̄).
+    // Every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact cents BIGINT;
+    // θ, the adjusted cohort means, and the variance-reduction ratio are
+    // single double trees over those integers. The period split is the
+    // exact midpoint of the event-time range (integer micros). This is
+    // the pre-experiment power tool: same decision, smaller n.
+    "stats_cuped" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val mid = e.agg(((min(col("us")) + max(col("us"))) / lit(2L)).as("mid"))
+        val pu = e.crossJoin(broadcast(mid))
+          .groupBy("user_id")
+          .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L))
+            .as("x"),
+            sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L))
+              .as("y"))
+          .withColumn("g", col("user_id") % 2)
+        val m = pu.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("g") === 0, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("g") === 1, col("y")).otherwise(0L)).as("sy1"))
+        m.select(col("n"),
+          expr(s"ROUND($sqlCupedTheta, 6)").as("theta"),
+          expr("ROUND((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) " +
+            "- CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0, 6)")
+            .as("diff_raw"),
+          expr(s"ROUND(((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) " +
+            s"- ($sqlCupedTheta) * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) " +
+            s"- CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) " +
+            s"- (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            s"- ($sqlCupedTheta) * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+            s"- CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) / 100.0, 6)")
+            .as("diff_cuped"),
+          expr(s"ROUND(($sqlCupedTheta) * ($sqlCupedTheta) " +
+            s"* (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+            s"/ (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)")
+            .as("var_reduction"))
+      },
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us,
+           |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |mid AS (SELECT (MIN(us) + MAX(us)) / 2 AS mid FROM e),
+           |pu AS (
+           |  SELECT user_id, user_id % 2 AS g,
+           |    CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+           |  FROM e, mid GROUP BY 1, 2),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |    CAST(SUM(y * y) AS BIGINT) AS syy,
+           |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           |    CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+           |    CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+           |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           |    CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+           |  FROM pu)
+           |SELECT n, ROUND($sqlCupedTheta, 6) AS theta,
+           |  ROUND((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+           |    - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0, 6) AS diff_raw,
+           |  ROUND(((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+           |    - ($sqlCupedTheta) * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+           |    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    - (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           |    - ($sqlCupedTheta) * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           |    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) / 100.0, 6) AS diff_cuped,
+           |  ROUND(($sqlCupedTheta) * ($sqlCupedTheta)
+           |    * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |    / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+           |    AS var_reduction
+           |FROM m""".stripMargin),
+      doc = "CUPED variance-reduced A/B estimate - exact cents moments, theta one shared fragment"),
+
+    // Difference-in-differences over the same 2×2 design (id-parity
+    // group × before/after the exact time midpoint): the four cell
+    // means from conditional cents aggregations, DiD = (T_post − T_pre)
+    // − (C_post − C_pre). The quasi-experiment companion of the A/B
+    // tests for when assignment wasn't randomized; the parallel-trends
+    // diagnostic is diff_pre itself, reported alongside.
+    "evt_did" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val mid = e.agg(((min(col("us")) + max(col("us"))) / lit(2L)).as("mid"))
+        val cells = e.crossJoin(broadcast(mid))
+          .withColumn("g", col("user_id") % 2)
+          .withColumn("post", (col("us") >= col("mid")).cast("int"))
+          .groupBy("g", "post")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+          .withColumn("mean_val",
+            round(col("sc").cast("double") / (lit(100.0) * col("n").cast("double")), 6))
+        val wide = cells
+          .withColumn("cell", concat(col("g"), lit("_"), col("post")))
+          .groupBy().pivot("cell", Seq("0_0", "0_1", "1_0", "1_1"))
+          .agg(first(col("mean_val")))
+        wide.select(
+          col("0_0").as("treat_pre"), col("0_1").as("treat_post"),
+          col("1_0").as("ctrl_pre"), col("1_1").as("ctrl_post"),
+          expr("ROUND(`0_0` - `1_0`, 6) + 0.0").as("diff_pre"),
+          expr("ROUND((`0_1` - `0_0`) - (`1_1` - `1_0`), 6) + 0.0").as("did"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS us,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |mid AS (SELECT (MIN(us) + MAX(us)) / 2 AS mid FROM e),
+          |cells AS (
+          |  SELECT user_id % 2 AS g,
+          |    CASE WHEN us >= mid THEN 1 ELSE 0 END AS post,
+          |    ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+          |      AS mean_val
+          |  FROM e, mid GROUP BY 1, 2),
+          |wide AS (
+          |  SELECT
+          |    MAX(CASE WHEN g = 0 AND post = 0 THEN mean_val END) AS treat_pre,
+          |    MAX(CASE WHEN g = 0 AND post = 1 THEN mean_val END) AS treat_post,
+          |    MAX(CASE WHEN g = 1 AND post = 0 THEN mean_val END) AS ctrl_pre,
+          |    MAX(CASE WHEN g = 1 AND post = 1 THEN mean_val END) AS ctrl_post
+          |  FROM cells)
+          |SELECT treat_pre, treat_post, ctrl_pre, ctrl_post,
+          |  ROUND(treat_pre - ctrl_pre, 6) + 0.0 AS diff_pre,
+          |  ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6) + 0.0 AS did
+          |FROM wide""".stripMargin),
+      doc = "Difference-in-differences over group x time-midpoint cells, cents-exact means"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one
@@ -1946,6 +2089,13 @@ object InferenceQueries {
     "(1.0 - CAST(ties3 AS DOUBLE) / (CAST(n0 + n1 + n2 AS DOUBLE) * " +
       "CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE) - " +
       "CAST(n0 + n1 + n2 AS DOUBLE)))"
+
+  /** CUPED θ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) from the pooled moment
+    * row — one fragment compiled by both engines.
+    */
+  private def sqlCupedTheta: String =
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
 
   /** Two-sided normal p-value 2(1−Φ(|z|)) via Abramowitz–Stegun 26.2.17
     * (Horner form, t = 1/(1+0.2316419|z|) inlined). `z` must be a plain

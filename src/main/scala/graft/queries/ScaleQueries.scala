@@ -4749,5 +4749,151 @@ object ScaleQueries {
            |ORDER BY b.doc_id""".stripMargin
       },
       doc = "Incremental substring admission vs a persisted window-key index (stride-aligned probes)"),
+
+    // Matryoshka-truncation retrieval eval (Kusupati et al., MRL): how
+    // much of exact top-10 cosine retrieval survives when only the first
+    // d of 64 dimensions are read, for d ∈ {8, 16, 32}? Per-query
+    // overlap counts are exact integers (recall = Σoverlap / (10·|Q|),
+    // one division at the end), both arms deterministic → fully
+    // hash-checked. The operational question at 100 TB is exactly this:
+    // a 4× shorter prefix is a 4× cheaper scan IF the quality holds —
+    // this query MEASURES it on a 5% query sample. Truncated-dim dots
+    // are left folds in index order on both engines.
+    "emb_matryoshka_eval" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = graft.Caches.lazyBarrier(
+          broadcast(q).crossJoin(
+              e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+            .filter(col("query_id") =!= col("neighbor_id")))
+        def topk(d: Int, scoreCol: String): DataFrame = {
+          val dot = s"aggregate(zip_with(slice(qv, 1, $d), slice(nv, 1, $d), " +
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+          val qn = s"aggregate(zip_with(slice(qv, 1, $d), slice(qv, 1, $d), " +
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+          val nn = s"aggregate(zip_with(slice(nv, 1, $d), slice(nv, 1, $d), " +
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+          pairs
+            .withColumn(scoreCol,
+              expr(s"ROUND($dot / (SQRT($qn) * SQRT($nn)), 6)"))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("query_id")
+                .orderBy(col(scoreCol).desc, col("neighbor_id"))))
+            .filter(col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        }
+        val exact = graft.Caches.lazyBarrier(topk(64, "score"))
+        // denominator = ALL sampled queries (a query with zero surviving
+        // neighbors still divides), not just those with overlap
+        val nq = q.agg(count(lit(1)).as("n_queries"))
+        val arms = Seq(8, 16, 32).map { d =>
+          topk(d, "score")
+            .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("sum_overlap"))
+            .crossJoin(broadcast(nq))
+            .select(lit(d).as("dim"), col("n_queries"),
+              round(col("sum_overlap").cast("double") /
+                (lit(10.0) * col("n_queries").cast("double")), 6)
+                .as("recall_at_10"))
+        }
+        arms.reduce(_ unionByName _).orderBy("dim")
+      },
+      oracle = Some {
+        def dotD(a: String, b: String, d: Int): String =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, $d), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+            s"(x, y) -> x + y)"
+        def arm(d: Int): String =
+          s"""SELECT $d AS dim, nq.n_queries,
+             |  ROUND(CAST((
+             |    SELECT COUNT(*) FROM (
+             |      SELECT query_id, neighbor_id FROM (
+             |        SELECT query_id, neighbor_id,
+             |          row_number() OVER (PARTITION BY query_id ORDER BY
+             |            ROUND(${dotD("qv", "nv", d)} / (SQRT(${dotD("qv", "qv", d)}) * SQRT(${dotD("nv", "nv", d)})), 6) DESC,
+             |            neighbor_id) AS rank
+             |        FROM pairs) r WHERE rank <= 10) t
+             |    SEMI JOIN exact ON t.query_id = exact.query_id
+             |      AND t.neighbor_id = exact.neighbor_id) AS DOUBLE)
+             |    / (10.0 * CAST(nq.n_queries AS DOUBLE)), 6) AS recall_at_10
+             |FROM nq""".stripMargin
+        s"""WITH nq AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+           |  FROM embeddings WHERE vec_id % 20 = 0),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, q.embedding AS qv,
+           |    c.vec_id AS neighbor_id, c.embedding AS nv
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id % 20 = 0),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY
+           |        ROUND(${dotD("qv", "nv", 64)} / (SQRT(${dotD("qv", "qv", 64)}) * SQRT(${dotD("nv", "nv", 64)})), 6) DESC,
+           |        neighbor_id) AS rank
+           |    FROM pairs) r WHERE rank <= 10)
+           |${arm(8)}
+           |UNION ALL
+           |${arm(16)}
+           |UNION ALL
+           |${arm(32)}
+           |ORDER BY dim""".stripMargin
+      },
+      doc = "Matryoshka prefix-dim retrieval eval: recall@10 of d=8/16/32 vs full 64-dim, exact counts"),
+
+    // Binary-embedding retrieval: rank by Hamming distance over the
+    // per-dimension SIGN bits — 64 floats collapse to 64 bits, the 32×
+    // compression used for first-stage retrieval at extreme scale. The
+    // bit vectors are integer arrays built by one elementwise transform,
+    // Hamming is an exact integer fold, and recall@10 vs the exact float
+    // ranking is reported per dim-budget alongside the top-k table's own
+    // hash check. Query side is the 5% sample; at corpus scale the bits
+    // pack into 8 bytes/vector and the scan is bitwise.
+    "emb_binary_topk" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val bits = e.select(col("vec_id"),
+          expr("transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)")
+            .as("b"))
+        val q = bits.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("b").as("qb"))
+        broadcast(q)
+          .crossJoin(bits.select(col("vec_id").as("neighbor_id"), col("b").as("nb")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("hamming", expr(
+            "aggregate(zip_with(qb, nb, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), " +
+              "0, (acc, v) -> acc + v)"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("hamming"), col("neighbor_id"))))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(
+        """WITH bits AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+          |  FROM embeddings),
+          |pairs AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    CAST(list_reduce(list_prepend(0,
+          |      list_transform(generate_series(1, len(q.b)),
+          |        i -> CASE WHEN q.b[i] = c.b[i] THEN 0 ELSE 1 END)),
+          |      (x, y) -> x + y) AS INT) AS hamming
+          |  FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id % 20 = 0)
+          |SELECT query_id, neighbor_id, hamming, rank FROM (
+          |  SELECT query_id, neighbor_id, hamming,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY hamming, neighbor_id) AS INT) AS rank
+          |  FROM pairs) t
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      doc = "Binary (sign-bit) embedding retrieval: Hamming top-10, 32x compression first stage"),
   )
 }
