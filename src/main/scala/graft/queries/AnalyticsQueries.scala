@@ -709,5 +709,66 @@ object AnalyticsQueries {
           |FROM d WHERE i >= 14 AND den1 > 0 AND den2 > 0
           |ORDER BY day""".stripMargin),
       doc = "Rolling 14-day click-error Pearson r from exact BIGINT window sums over the day grid"),
+
+    // Periodogram of the daily event-count series at harmonics k=1..7:
+    // C_k = Σ xₜ·cos(2πkt/N), S_k likewise, power P_k = (C²+S²)/N —
+    // the spectral companion of ts_acf/ts_season_strength (is the
+    // weekly cycle the dominant frequency, or an alias?). Every
+    // cos/sin term is quantized to 1e-6 BIGINT units BEFORE the
+    // cross-row sum, so engine libm last-ulp drift cannot leak into
+    // the fold; the trig argument is one shared expression. The t
+    // index and day domain are calendar-sized at any corpus scale.
+    "ts_periodogram" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+        val n = d.agg(count(lit(1)).as("nn"))
+        val terms = d.crossJoin(broadcast(n))
+          .select(col("x"), col("t"), col("nn"),
+            explode(sequence(lit(1), lit(7))).as("k"))
+          .withColumn("c9", expr(
+            "CAST(ROUND(CAST(x AS DOUBLE) * COS(6.283185307179586 " +
+              "* CAST(k * t AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+          .withColumn("s9", expr(
+            "CAST(ROUND(CAST(x AS DOUBLE) * SIN(6.283185307179586 " +
+              "* CAST(k * t AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+        terms.groupBy("k")
+          .agg(max(col("nn")).as("nn"), sum("c9").as("sc9"), sum("s9").as("ss9"))
+          .select(col("k"),
+            expr("ROUND(CAST(nn AS DOUBLE) / CAST(k AS DOUBLE), 2)")
+              .as("period_days"),
+            expr("ROUND(((CAST(sc9 AS DOUBLE) / 1e6) * (CAST(sc9 AS DOUBLE) / 1e6) " +
+              "+ (CAST(ss9 AS DOUBLE) / 1e6) * (CAST(ss9 AS DOUBLE) / 1e6)) " +
+              "/ CAST(nn AS DOUBLE), 4)").as("power"))
+          .orderBy("k")
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1),
+          |idx AS (
+          |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+          |  FROM d),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+          |terms AS (
+          |  SELECT k, nn,
+          |    CAST(ROUND(CAST(x AS DOUBLE) * COS(6.283185307179586
+          |      * CAST(k * t AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS c9,
+          |    CAST(ROUND(CAST(x AS DOUBLE) * SIN(6.283185307179586
+          |      * CAST(k * t AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS s9
+          |  FROM idx, n, (SELECT unnest(generate_series(1, 7)) AS k) ks),
+          |agg AS (
+          |  SELECT k, MAX(nn) AS nn,
+          |    CAST(SUM(c9) AS BIGINT) AS sc9, CAST(SUM(s9) AS BIGINT) AS ss9
+          |  FROM terms GROUP BY 1)
+          |SELECT k, ROUND(CAST(nn AS DOUBLE) / CAST(k AS DOUBLE), 2) AS period_days,
+          |  ROUND(((CAST(sc9 AS DOUBLE) / 1e6) * (CAST(sc9 AS DOUBLE) / 1e6)
+          |    + (CAST(ss9 AS DOUBLE) / 1e6) * (CAST(ss9 AS DOUBLE) / 1e6))
+          |    / CAST(nn AS DOUBLE), 4) AS power
+          |FROM agg ORDER BY k""".stripMargin),
+      doc = "Periodogram at harmonics k=1..7 - 1e-6-quantized trig terms, calendar-sized domain"),
   )
 }

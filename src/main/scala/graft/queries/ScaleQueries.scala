@@ -4895,5 +4895,131 @@ object ScaleQueries {
           |  FROM pairs) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
       doc = "Binary (sign-bit) embedding retrieval: Hamming top-10, 32x compression first stage"),
+
+    // Stub resize (the missing member of the decode / feature-extract /
+    // resize / frame-sample multimodal quartet): payload resampled to an
+    // 8×8 byte-mean grid, emitted as a 128-hex-char thumbnail. Integer
+    // grid arithmetic (same cells as mm_phash_pairs), typed
+    // mapPartitions shape, hex output so the oracle re-derives it
+    // byte-for-byte. At scale: one narrow pass, thumbnails are 64 bytes
+    // regardless of payload size, and metadata-only readers never touch
+    // the original binary column.
+    "mm_resize_thumb" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.resizeThumb(
+            Multimodal.mediaFromDocuments(docs(s, dir)), side = 8)
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        """WITH codes AS (
+          |  SELECT doc_id,
+          |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs,
+          |    CAST(length(text) AS BIGINT) AS n
+          |  FROM documents WHERE length(text) >= 64),
+          |cells AS (
+          |  SELECT doc_id, i,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_slice(cs, CAST(i * n // 64 AS INT) + 1, CAST((i + 1) * n // 64 AS INT))),
+          |      (a, b) -> a + b)
+          |    // ((i + 1) * n // 64 - i * n // 64) AS m
+          |  FROM codes, (SELECT unnest(generate_series(0, 63)) AS i) s)
+          |SELECT doc_id, CAST(8 AS INT) AS side,
+          |  string_agg(lower(lpad(to_hex(m), 2, '0')), '' ORDER BY i) AS thumb_hex
+          |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Stub 8x8 resize to a hex thumbnail - integer byte-mean grid, typed mapPartitions"),
+
+    // Stub audio feature-extract: payload bytes as centered PCM, energy
+    // per fixed 64-sample frame (Σ(s−128)², exact integers), silence =
+    // frames under 1e5 — the loudness/silence trim plan an audio corpus
+    // prep computes before chunking. Peak frame ties to the FIRST
+    // maximum on both engines. Trailing partial frame dropped.
+    "mm_audio_energy" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.audioFrameEnergy(
+            Multimodal.mediaFromDocuments(docs(s, dir)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        """WITH codes AS (
+          |  SELECT doc_id,
+          |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs,
+          |    CAST(length(text) AS BIGINT) // 64 AS nf
+          |  FROM documents WHERE length(text) >= 64),
+          |fr AS (
+          |  SELECT doc_id, nf, f,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_slice(cs, CAST(f * 64 AS INT) + 1, CAST(f * 64 + 64 AS INT)),
+          |        c -> (c - 128) * (c - 128))),
+          |      (a, b) -> a + b) AS e
+          |  FROM codes, (SELECT unnest(generate_series(0, 1023)) AS f) s
+          |  WHERE f < nf),
+          |ranked AS (
+          |  SELECT doc_id, nf, f, e,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, f ASC) AS rn
+          |  FROM fr)
+          |SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+          |  CAST(MAX(CASE WHEN rn = 1 THEN e END) AS BIGINT) AS max_energy,
+          |  CAST(MAX(CASE WHEN rn = 1 THEN f END) AS INT) AS max_frame,
+          |  CAST(SUM(CASE WHEN e < 100000 THEN 1 ELSE 0 END) AS INT) AS silence_frames
+          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Stub PCM frame-energy extraction: peak + silence frames from exact integer sums"),
+
+    // Byte-bigram entropy per source — the compressibility estimate a
+    // prep pipeline uses to catch binary junk (entropy ≈ 16 bits per
+    // bigram) and degenerate boilerplate (entropy ≈ 0) before expensive
+    // stages. Counts are exact; each −p·ln p term is quantized to 1e-9
+    // BIGINT units before the per-source sum (the repo's
+    // quantize-before-cross-row-sum rule). Scale shape: one
+    // (source, bigram) count table — the key domain is bounded at
+    // |sources|×65k whatever the corpus size.
+    "txt_byte_entropy" -> QueryDef(
+      build = (s, dir) => {
+        val bi = docs(s, dir).filter(length(col("text")) >= 2)
+          .select(col("source"),
+            explode(expr(
+              "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+              .as("bg"))
+        val counts = bi.groupBy("source", "bg").agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy("source").agg(sum("c").as("t"),
+          count(lit(1)).as("distinct_bigrams"))
+        counts.join(tot, Seq("source"))
+          .withColumn("term9", expr(
+            "CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) " +
+              "* LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9, 0) AS BIGINT)"))
+          .groupBy("source")
+          .agg(max(col("t")).as("n_bigrams"),
+            max(col("distinct_bigrams")).as("distinct_bigrams"),
+            sum(col("term9")).as("h9"))
+          .select(col("source"), col("n_bigrams"), col("distinct_bigrams"),
+            round(col("h9").cast("double") / 1.0e9, 6).as("entropy_nats"),
+            round(col("h9").cast("double") / 1.0e9 /
+              (lit(16.0) * lit(0.6931471805599453)), 6).as("est_compress_ratio"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """WITH bi AS (
+          |  SELECT source,
+          |    unnest(list_transform(generate_series(1, length(text) - 1),
+          |      i -> substr(text, CAST(i AS INT), 2))) AS bg
+          |  FROM documents WHERE length(text) >= 2),
+          |counts AS (
+          |  SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM bi GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+          |    CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+          |  FROM counts GROUP BY 1),
+          |terms AS (
+          |  SELECT counts.source, t, distinct_bigrams,
+          |    CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+          |      * LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9, 0) AS BIGINT)
+          |      AS term9
+          |  FROM counts JOIN tot USING (source))
+          |SELECT source, MAX(t) AS n_bigrams,
+          |  MAX(distinct_bigrams) AS distinct_bigrams,
+          |  ROUND(CAST(SUM(term9) AS DOUBLE) / 1e9, 6) AS entropy_nats,
+          |  ROUND(CAST(SUM(term9) AS DOUBLE) / 1e9
+          |    / (CAST(16.0 AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE)), 6)
+          |    AS est_compress_ratio
+          |FROM terms GROUP BY 1 ORDER BY source""".stripMargin),
+      doc = "Byte-bigram entropy + compressibility estimate per source - 1e-9-quantized terms"),
   )
 }

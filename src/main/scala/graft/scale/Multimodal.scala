@@ -107,6 +107,84 @@ object Multimodal {
     * [[decodeMeta]]: a real build swaps the byte slices for decoded
     * luma, everything else stands.
     */
+  /** Stub resize: the payload resampled to a `side`×`side` grid of
+    * byte-mean cells (same integer grid arithmetic as [[perceptualHash]])
+    * emitted as a hex thumbnail — the downsample a real build replaces
+    * with a codec resize, with the partition-batched shape and the
+    * deterministic output contract already in place. Hex (not raw
+    * binary) so the DuckDB oracle can re-derive it byte-for-byte.
+    */
+  final case class Thumb(doc_id: Long, side: Int, thumb_hex: String)
+
+  def resizeThumb(ds: Dataset[MediaRecord], side: Int): Dataset[Thumb] = {
+    import ds.sparkSession.implicits._
+    val cells = side * side
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val n = b.length
+        if (n < cells) Iterator.empty
+        else {
+          val sb = new java.lang.StringBuilder(cells * 2)
+          var c = 0
+          while (c < cells) {
+            val lo = c * n / cells
+            val hi = (c + 1) * n / cells
+            var s = 0L
+            var j = lo
+            while (j < hi) { s += (b(j) & 0xff); j += 1 }
+            val m = (s / (hi - lo)).toInt
+            sb.append(f"$m%02x")
+            c += 1
+          }
+          Iterator.single(Thumb(r.doc_id, side, sb.toString))
+        }
+      }
+    }
+  }
+
+  /** Stub audio feature-extract: payload bytes read as centered PCM
+    * samples, per-frame energy = Σ(sample−128)² over fixed 64-sample
+    * frames (trailing partial frame dropped) — all integer, so the
+    * oracle replays it. A real build swaps the byte reads for decoded
+    * PCM; the frame loop, silence threshold, and per-partition batching
+    * stand.
+    */
+  final case class AudioFrames(doc_id: Long, n_frames: Int, max_energy: Long,
+                               max_frame: Int, silence_frames: Int)
+
+  def audioFrameEnergy(ds: Dataset[MediaRecord], frameLen: Int = 64,
+                       silenceBelow: Long = 100000L): Dataset[AudioFrames] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val nf = b.length / frameLen
+        if (nf == 0) Iterator.empty
+        else {
+          var maxE = -1L
+          var maxI = 0
+          var silent = 0
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var j = f * frameLen
+            val end = j + frameLen
+            while (j < end) {
+              val d = (b(j) & 0xff) - 128L
+              e += d * d
+              j += 1
+            }
+            if (e > maxE) { maxE = e; maxI = f }
+            if (e < silenceBelow) silent += 1
+            f += 1
+          }
+          Iterator.single(AudioFrames(r.doc_id, nf, maxE, maxI, silent))
+        }
+      }
+    }
+  }
+
   final case class PHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   def perceptualHash(ds: Dataset[MediaRecord]): Dataset[PHash] = {
