@@ -935,5 +935,111 @@ object MiscQueries {
           |  CAST(SUM(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
           |FROM a GROUP BY 1 ORDER BY tenant""".stripMargin),
       doc = "Per-(tenant, hour) admission quota rollup - batch twin of streaming TwsQuota"),
+
+    // Zone-map (min/max) pruning statistics — the data-skipping math a
+    // 100 TB scan lives or dies by: lineitem laid out in 32 range
+    // shards by order key, per-shard min/max shipdate zones, and a
+    // year-1994 predicate evaluated against the zones alone. A shard is
+    // skipped when its zone interval misses the predicate interval —
+    // the per-file skipping parquet/Iceberg do from footer stats,
+    // expressed as a query so the clustering-vs-predicate alignment is
+    // MEASURED (shards pruned / rows avoided), not assumed.
+    "scan_zone_map" -> QueryDef(
+      build = (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val mx = l.agg(max(col("l_orderkey")).as("mk"))
+        val z = l.crossJoin(broadcast(mx))
+          .withColumn("shard", expr("l_orderkey * 32 DIV (mk + 1)"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_shipdate")).as("zmin"), max(col("l_shipdate")).as("zmax"))
+        z.select(col("shard"), col("n_rows"),
+            date_format(col("zmin"), "yyyy-MM-dd").as("zone_min"),
+            date_format(col("zmax"), "yyyy-MM-dd").as("zone_max"),
+            (col("zmax") < lit("1994-01-01").cast("timestamp") ||
+              col("zmin") >= lit("1995-01-01").cast("timestamp")).as("pruned"))
+          .orderBy("shard")
+      },
+      oracle = Some(
+        """WITH mx AS (SELECT MAX(l_orderkey) AS mk FROM lineitem),
+          |z AS (
+          |  SELECT l_orderkey * 32 // (mk + 1) AS shard,
+          |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |    MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax
+          |  FROM lineitem, mx GROUP BY 1)
+          |SELECT shard, n_rows,
+          |  strftime(zmin, '%Y-%m-%d') AS zone_min,
+          |  strftime(zmax, '%Y-%m-%d') AS zone_max,
+          |  zmax < TIMESTAMP '1994-01-01' OR zmin >= TIMESTAMP '1995-01-01'
+          |    AS pruned
+          |FROM z ORDER BY shard""".stripMargin),
+      doc = "Zone-map pruning stats: 32 range shards, min/max shipdate zones vs a year predicate"),
+
+    // ANALYZE-style catalog statistics — the optimizer-feeding table
+    // stats an engine maintains (row count, exact NDV, null count,
+    // min/max) for a representative column set across five tables.
+    // Numeric bounds ride DOUBLE columns, string bounds ride VARCHAR
+    // columns (NULL on the other side) so one verdict table covers
+    // both kinds. Each row is one map-side-combined aggregation over
+    // its table; at warehouse scale these are the stats a CBO's join
+    // reorder and broadcast decisions read.
+    "catalog_analyze" -> QueryDef(
+      build = (s, dir) => {
+        def numStat(df: DataFrame, table: String, column: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(column)).as("ndv"),
+              sum(when(col(column).isNull, 1L).otherwise(0L)).as("n_null"),
+              min(col(column)).cast("double").as("min_num"),
+              max(col(column)).cast("double").as("max_num"))
+            .select(lit(table).as("tbl"), lit(column).as("col"),
+              col("n_rows"), col("ndv"), col("n_null"),
+              col("min_num"), col("max_num"),
+              lit(null).cast("string").as("min_str"),
+              lit(null).cast("string").as("max_str"))
+        def strStat(df: DataFrame, table: String, column: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(column)).as("ndv"),
+              sum(when(col(column).isNull, 1L).otherwise(0L)).as("n_null"),
+              min(col(column)).as("min_str"), max(col(column)).as("max_str"))
+            .select(lit(table).as("tbl"), lit(column).as("col"),
+              col("n_rows"), col("ndv"), col("n_null"),
+              lit(null).cast("double").as("min_num"),
+              lit(null).cast("double").as("max_num"),
+              col("min_str"), col("max_str"))
+        Seq(
+          numStat(Tables.lineitem(s, dir), "lineitem", "l_quantity"),
+          numStat(Tables.orders(s, dir), "orders", "o_totalprice"),
+          strStat(Tables.orders(s, dir), "orders", "o_orderstatus"),
+          strStat(Tables.customer(s, dir), "customer", "c_mktsegment"),
+          strStat(Tables.events(s, dir), "events", "event_type"),
+          numStat(Tables.events(s, dir), "events", "value"),
+          strStat(Tables.documents(s, dir), "documents", "lang"),
+          numStat(Tables.documents(s, dir), "documents", "n_chars"))
+          .reduce(_ unionByName _)
+          .orderBy("tbl", "col")
+      },
+      oracle = Some {
+        def num(t: String, c: String): String =
+          s"""SELECT '$t' AS tbl, '$c' AS col,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM $t""".stripMargin
+        def str(t: String, c: String): String =
+          s"""SELECT '$t', '$c', CAST(COUNT(*) AS BIGINT),
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  MIN($c), MAX($c)
+             |FROM $t""".stripMargin
+        Seq(num("lineitem", "l_quantity"), num("orders", "o_totalprice"),
+          str("orders", "o_orderstatus"), str("customer", "c_mktsegment"),
+          str("events", "event_type"), num("events", "value"),
+          str("documents", "lang"), num("documents", "n_chars"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+      },
+      doc = "ANALYZE-style catalog stats (rows, exact NDV, nulls, min/max) across five tables"),
   )
 }
