@@ -59,9 +59,14 @@ object Bench {
 
   private val UserHz = 100.0 // USER_HZ, the /proc jiffy unit (Linux ABI)
 
-  /** Per-query clean-run ceiling (seconds). Default 3 s. Two documented
-    * classes get 4 s: the >=6-stage prep capstones and the 10-round
-    * iterative graph ops. Their cost at local[32]/sf0.1 is SERIAL JOB
+  /** Per-query clean-run ceiling (seconds). Default 3 s. Three documented
+    * classes get 4 s: the >=6-stage prep capstones, the 10-round
+    * iterative graph ops, and the BPE trainer loop (one argmax job + one
+    * lineage barrier per round, inherently serial — each round depends on
+    * the previous round's merged token table; all three registry entries
+    * run the same loop — 6 training rounds, 3 rounds + the corpus agg,
+    * and 3 rounds + the full-corpus encode sweep).
+    * Their cost at local[32]/sf0.1 is SERIAL JOB
     * DEPTH (8-10 dependent stage jobs x the ~0.3 s scheduler+barrier
     * floor), not per-stage work — profiled via SPARK_GRAFT_BARRIER_DEBUG:
     * warm corpus_prepare_v5 spends ~1.5 s just materializing its six
@@ -71,7 +76,7 @@ object Bench {
     */
   private val DeepPipelines = Set(
     "corpus_prepare_v4", "corpus_prepare_v5", "corpus_prepare_v6",
-    "graph_pagerank")
+    "graph_pagerank", "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

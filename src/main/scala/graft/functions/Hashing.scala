@@ -108,6 +108,8 @@ object Hashing {
     "graft_dot_f" -> (exprs => FloatDotExpr(exprs(0), exprs(1))),
     "graft_l2sq_range" -> (exprs =>
       L2SqRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    "graft_dot_range" -> (exprs =>
+      DotRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_tri_products" -> (exprs => TriProductsExpr(exprs(0))),
     "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), exprs(1))),
     "graft_phrase_positions" -> (exprs => PhrasePositionsExpr(exprs(0), exprs(1))),

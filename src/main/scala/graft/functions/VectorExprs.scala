@@ -27,6 +27,49 @@ object Vectors {
   }
 }
 
+object VectorsRange {
+  /** Left-fold sum of elementwise double products over the 1-based index
+    * range [from, from+len) of two float arrays — strict index order,
+    * double per element: bit-identical to
+    * `aggregate(zip_with(slice(a,from,len), slice(b,from,len), ...), 0.0,
+    * (acc,v) -> acc+v)` and to DuckDB's `list_reduce` over the same
+    * range (the matryoshka prefix-dim kernel).
+    */
+  def dotRange(a: ArrayData, b: ArrayData, from: Int, len: Int): Double = {
+    val hi = math.min(from - 1 + len, math.min(a.numElements(), b.numElements()))
+    var acc = 0.0d
+    var i = from - 1
+    while (i < hi) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_dot_range(a, b, from, len)`: dot product of two ARRAY<FLOAT>
+  * columns over a 1-based index range (prefix-dimension scoring).
+  */
+final case class DotRangeExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType),
+    ArrayType(FloatType), org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, f: Any, l: Any): Any =
+    VectorsRange.dotRange(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      f.asInstanceOf[Number].intValue, l.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, f, l) =>
+      s"graft.functions.VectorsRange.dotRange($a, $b, $f, $l)")
+  override def prettyName: String = "graft_dot_range"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorsL2 {
   /** Left-fold squared-L2 over 1-based index range [from, from+len) of
     * two float arrays — strict index order, double per element, the exact

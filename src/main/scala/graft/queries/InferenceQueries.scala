@@ -2072,6 +2072,67 @@ object InferenceQueries {
           |  ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6) + 0.0 AS did
           |FROM wide""".stripMargin),
       doc = "Difference-in-differences over group x time-midpoint cells, cents-exact means"),
+
+    // Exact tie-corrected ROC-AUC of a score against a binary label — the
+    // classifier-eval primitive every model-quality gate needs, computed
+    // with the Mann–Whitney doubled-rank machinery (AUC = U/(n₁n₀); ties
+    // contribute half-credit WITHOUT ever introducing a 0.5 double:
+    // 2·U = Σ_v (2·c1·cum0< + c1·c0) over per-value counts). Score =
+    // order total price in cents, label = urgent/high priority. The
+    // cumulative window runs over the pre-aggregated distinct-cents value
+    // domain, never the order stream — at 100 TB the rank pass is one
+    // map-side-combinable count shuffle plus a domain-sized window.
+    "eval_auc" -> QueryDef(
+      build = (s, dir) => {
+        val v = Tables.orders(s, dir).select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("pos"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        val pts = v.groupBy("cents").agg(
+          sum(when(col("pos") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("pos") === 0L, 1L).otherwise(0L)).as("c0"))
+        val wB = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = pts
+          .withColumn("cum0b", coalesce(sum(col("c0")).over(wB), lit(0L)))
+        terms.agg(
+            sum("c1").as("n_pos"), sum("c0").as("n_neg"),
+            sum(col("c1") * col("cum0b") * 2L + col("c1") * col("c0")).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            (round(col("u2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+              6) + lit(0.0)).as("auc"),
+            (round(col("u2").cast("double") /
+              (col("n_pos").cast("double") * col("n_neg").cast("double")) - lit(1.0),
+              6) + lit(0.0)).as("gini"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |              THEN 1 ELSE 0 END AS pos,
+          |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |  FROM orders),
+          |pts AS (
+          |  SELECT cents,
+          |    SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS c1,
+          |    SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS c0
+          |  FROM v GROUP BY 1),
+          |terms AS (
+          |  SELECT c1, c0,
+          |    COALESCE(SUM(c0) OVER (ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0b
+          |  FROM pts),
+          |agg AS (
+          |  SELECT SUM(c1) AS n_pos, SUM(c0) AS n_neg,
+          |    SUM(c1 * cum0b * 2 + c1 * c0) AS u2
+          |  FROM terms)
+          |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+          |  ROUND(CAST(u2 AS DOUBLE)
+          |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) + 0.0 AS auc,
+          |  ROUND(CAST(u2 AS DOUBLE)
+          |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0, 6) + 0.0 AS gini
+          |FROM agg""".stripMargin),
+      doc = "Exact tie-corrected ROC-AUC + Gini via doubled rank sums over the value domain"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one

@@ -899,6 +899,74 @@ object MiscQueries {
           |FROM checks ORDER BY "check"""".stripMargin),
       doc = "Deequ-style 7-check data-quality verdict table (PK, FK, nulls, range, enum, dates, rowcount)"),
 
+    // Population-stability-index drift monitor over the event value
+    // distribution: reference window = first half of the time span,
+    // current = second half (exact integer midpoint us·2 ≥ us0+us1 — no
+    // division), 10 fixed-width integer-cent bins ((cents−c0)·10 DIV
+    // span — engine-exact), Laplace-smoothed shares so empty bins
+    // contribute finitely. The distribution twin of dq_checks' row-level
+    // verdicts and the VALUE-space companion of stats_jsd_langs' token
+    // drift. Scale shape: one count shuffle at bin cardinality + a
+    // broadcast min/max scalar; PSI terms are per-bin (the consumer sums
+    // 10 rounded terms — no cross-row double fold inside the query).
+    "dq_psi_value" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(unix_micros(col("ts")).as("us"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val mm = e.agg(min("us").as("us0"), max("us").as("us1"),
+          min("cents").as("c0"), max("cents").as("c1"))
+        val counts = e.crossJoin(broadcast(mm))
+          .withColumn("cur",
+            (col("us") * 2 >= col("us0") + col("us1")).cast("int"))
+          .withColumn("bin",
+            expr("CAST(((cents - c0) * 10) DIV (c1 - c0 + 1) AS INT)"))
+          .groupBy("bin").agg(
+            sum(when(col("cur") === 0, 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("cur") === 1, 1L).otherwise(0L)).as("n_cur"))
+        val grid = s.range(0, 10).select(col("id").cast("int").as("bin"))
+        val filled = grid.join(counts, Seq("bin"), "left")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        val tot = filled.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+        filled.crossJoin(broadcast(tot))
+          .withColumn("p",
+            (col("n_ref") + 1).cast("double") / (col("tr") + 10).cast("double"))
+          .withColumn("q",
+            (col("n_cur") + 1).cast("double") / (col("tc") + 10).cast("double"))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            (round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+              + lit(0.0)).as("psi_term"))
+          .orderBy("bin")
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT epoch_us(ts) AS us,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |mm AS (SELECT MIN(us) AS us0, MAX(us) AS us1,
+          |    MIN(cents) AS c0, MAX(cents) AS c1 FROM e),
+          |counts AS (
+          |  SELECT CAST(((cents - c0) * 10) // (c1 - c0 + 1) AS INT) AS bin,
+          |    SUM(CASE WHEN us * 2 >= us0 + us1 THEN 0 ELSE 1 END) AS n_ref,
+          |    SUM(CASE WHEN us * 2 >= us0 + us1 THEN 1 ELSE 0 END) AS n_cur
+          |  FROM e, mm GROUP BY 1),
+          |grid AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+          |filled AS (
+          |  SELECT g.bin, CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+          |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+          |  FROM grid g LEFT JOIN counts c ON g.bin = c.bin),
+          |tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM filled)
+          |SELECT bin, n_ref, n_cur,
+          |  ROUND((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+          |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+          |    * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+          |      / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))), 6) + 0.0
+          |    AS psi_term
+          |FROM filled, tot ORDER BY bin""".stripMargin),
+      doc = "PSI value-distribution drift: half-span windows, 10 integer-exact bins, Laplace-smoothed shares"),
+
     // Per-tenant hourly admission quota — the batch twin of
     // streaming/TwsQuota (TwsQuotaSpec pins stream ≡ these semantics
     // across micro-batch splits): first `limit`=5 events per

@@ -2231,6 +2231,50 @@ object ScaleQueries {
           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin),
       doc = "Overlapping token-window chunking (40-token windows, stride 20)"),
 
+    // Corpus-scale BPE merge training (scale/Bpe): 6 greedy merge rounds,
+    // each = one pair-count aggregate (map-side combinable, the argmax is
+    // a 1-row broadcast) + one windowed gaps-and-islands application —
+    // tokenizer-vocab training as relational rounds, replayed by the
+    // oracle as unrolled CTE chains. Production trainers see a corpus
+    // SAMPLE; the salted gate keeps cost O(sample) at any corpus size.
+    "txt_bpe_train" -> QueryDef(
+      build = (s, dir) =>
+        Bpe.trainMerges(docs(s, dir), "doc_id", "text", rounds = 6,
+            sampleOneIn = 2)
+          .orderBy("round"),
+      oracle = Some(Bpe.oracleSql(rounds = 6, sampleOneIn = 2,
+        Bpe.mergesSelect(6))),
+      doc = "BPE merge-table training: 6 greedy pair-merge rounds, unrolled-CTE oracle"),
+
+    // The compression curve after 3 merges: per-doc token counts plus the
+    // corpus vocabulary size — what a tokenizer-training job reports to
+    // pick its vocab budget.
+    "txt_bpe_corpus" -> QueryDef(
+      build = (s, dir) =>
+        Bpe.corpusAfterMerges(docs(s, dir), "doc_id", "text", rounds = 3,
+            sampleOneIn = 2)
+          .orderBy("doc_id"),
+      oracle = Some(Bpe.oracleSql(rounds = 3, sampleOneIn = 2,
+        Bpe.corpusSelect(3))),
+      doc = "Corpus state after 3 BPE merges: per-doc token counts + vocab size"),
+
+    // Tokenizer APPLICATION at corpus scale: train 2 merges on a 1-in-4
+    // sample (driver argmax actions touch the sample only), then encode
+    // the FULL corpus in one linear plan — the trained pairs enter as
+    // literals, so the 100 TB encode pass is a single join-free sweep
+    // under the doc_id partitioning. The production split: vocabulary from
+    // a sample, encoding everywhere. Two rounds keep the
+    // merged-symbol-with-neighbor growth property in the applied list
+    // while bounding the serial-job depth (txt_bpe_train carries the
+    // 6-round depth).
+    "txt_bpe_encode" -> QueryDef(
+      build = (s, dir) =>
+        Bpe.encodeCorpus(docs(s, dir), "doc_id", "text", rounds = 2,
+            sampleOneIn = 4)
+          .orderBy("doc_id"),
+      oracle = Some(Bpe.encodeOracleSql(rounds = 2, sampleOneIn = 4)),
+      doc = "Sample-trained BPE encode over the full corpus: per-doc token + merged-token counts"),
+
     // ---------------- deduplication ----------------
 
     "dedup_exact" -> QueryDef(
@@ -4761,23 +4805,24 @@ object ScaleQueries {
     // are left folds in index order on both engines.
     "emb_matryoshka_eval" -> QueryDef(
       build = (s, dir) => {
+        graft.functions.Hashing.register(s)
         val e = embs(s, dir)
         val q = e.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val pairs = graft.Caches.lazyBarrier(
+        // NOT barriered: the broadcast cross join is cheap to recompute per
+        // arm (no shuffle), while checkpointing |Q|·|corpus| wide rows was
+        // the query's dominant cost. Scoring runs through the codegen'd
+        // graft_dot_range kernel — the same strict left fold as the HOF
+        // zip_with/aggregate spelling (DotRangeKernelSpec) and DuckDB's
+        // list_reduce, so oracle hashes are unchanged.
+        val pairs =
           broadcast(q).crossJoin(
               e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
-            .filter(col("query_id") =!= col("neighbor_id")))
+            .filter(col("query_id") =!= col("neighbor_id"))
         def topk(d: Int, scoreCol: String): DataFrame = {
-          val dot = s"aggregate(zip_with(slice(qv, 1, $d), slice(nv, 1, $d), " +
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-          val qn = s"aggregate(zip_with(slice(qv, 1, $d), slice(qv, 1, $d), " +
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-          val nn = s"aggregate(zip_with(slice(nv, 1, $d), slice(nv, 1, $d), " +
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+          val dot = s"graft_dot_range(qv, nv, 1, $d)"
+          val qn = s"graft_dot_range(qv, qv, 1, $d)"
+          val nn = s"graft_dot_range(nv, nv, 1, $d)"
           pairs
             .withColumn(scoreCol,
               expr(s"ROUND($dot / (SQRT($qn) * SQRT($nn)), 6)"))
@@ -4845,6 +4890,77 @@ object ScaleQueries {
            |ORDER BY dim""".stripMargin
       },
       doc = "Matryoshka prefix-dim retrieval eval: recall@10 of d=8/16/32 vs full 64-dim, exact counts"),
+
+    // Adaptive (matryoshka) retrieval — the OPERATIONAL counterpart of
+    // the eval above: shortlist by 16-dim-prefix cosine (top-50), rerank
+    // the shortlist at full 64 dims (top-10). ONE pass: the survivors of
+    // the prefix window still carry both vectors, so the rerank is a
+    // projection over |Q|·50 rows, not a join back into the corpus. At
+    // 100 TB with MRL embeddings stored as head/tail column groups the
+    // shortlist stage scans only the 16-dim head — a 4× cheaper scan
+    // that this query's eval twin licenses; both stages codegen through
+    // graft_dot_range.
+    "emb_matryoshka_topk" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val pairs = broadcast(q).crossJoin(
+            e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+        val short = pairs
+          .withColumn("pre_score", expr(
+            "ROUND(graft_dot_range(qv, nv, 1, 16) / " +
+              "(SQRT(graft_dot_range(qv, qv, 1, 16)) * SQRT(graft_dot_range(nv, nv, 1, 16))), 6)"))
+          .withColumn("pre_rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("pre_score").desc, col("neighbor_id"))))
+          .filter(col("pre_rank") <= 50)
+        short
+          .withColumn("score", expr(
+            "ROUND(graft_dot_range(qv, nv, 1, 64) / " +
+              "(SQRT(graft_dot_range(qv, qv, 1, 64)) * SQRT(graft_dot_range(nv, nv, 1, 64))), 6)"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("score").desc, col("neighbor_id"))).cast("int"))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("pre_rank").cast("int").as("pre_rank"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        def dotD(a: String, b: String, d: Int): String =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, $d), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+            s"(x, y) -> x + y)"
+        s"""WITH pairs AS (
+           |  SELECT q.vec_id AS query_id, q.embedding AS qv,
+           |    c.vec_id AS neighbor_id, c.embedding AS nv
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id % 20 = 0),
+           |short AS (
+           |  SELECT * FROM (
+           |    SELECT query_id, neighbor_id, qv, nv,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+           |        ROUND(${dotD("qv", "nv", 16)} / (SQRT(${dotD("qv", "qv", 16)}) * SQRT(${dotD("nv", "nv", 16)})), 6) DESC,
+           |        neighbor_id) AS INT) AS pre_rank
+           |    FROM pairs) r WHERE pre_rank <= 50),
+           |rr AS (
+           |  SELECT query_id, neighbor_id,
+           |    ROUND(${dotD("qv", "nv", 64)} / (SQRT(${dotD("qv", "qv", 64)}) * SQRT(${dotD("nv", "nv", 64)})), 6) AS score,
+           |    pre_rank
+           |  FROM short),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, score, pre_rank,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           |  FROM rr)
+           |SELECT query_id, neighbor_id, score, pre_rank, rank
+           |FROM ranked WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "Adaptive retrieval: 16-dim-prefix shortlist (top-50) reranked at full 64 dims (top-10)"),
 
     // Binary-embedding retrieval: rank by Hamming distance over the
     // per-dimension SIGN bits — 64 floats collapse to 64 bits, the 32×

@@ -234,6 +234,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native graft_dot_range matches the HOF prefix dot over the real embeddings") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf()).limit(100)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(500)
+    for (d <- Seq(1, 8, 16, 64)) {
+      val hof = s"aggregate(zip_with(slice(va, 1, $d), slice(vb, 1, $d), " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      val n = pairs
+        .select(expr(s"graft_dot_range(va, vb, 1, $d)").as("native"),
+          expr(hof).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(n == 0, s"graft_dot_range d=$d diverges from the HOF fold on $n pairs")
+    }
+  }
+
   test("int8 quantized top-k tracks the exact ranking (recall@10 and score error)") {
     import graft.scale.Quant
     val e = graft.sources.Tables.embeddings(spark, sf())
