@@ -2133,6 +2133,76 @@ object InferenceQueries {
           |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0, 6) + 0.0 AS gini
           |FROM agg""".stripMargin),
       doc = "Exact tie-corrected ROC-AUC + Gini via doubled rank sums over the value domain"),
+
+    // Robust means: 5%-per-side trimmed and winsorized means of the event
+    // value distribution, computed EXACTLY over the distinct-cents value
+    // domain — each value's kept multiplicity is an integer rank-range
+    // intersection (clip(cum..cum+c to [lo+1, n−lo])), so Σkept·cents is
+    // a BIGINT and the only double is the final division. Winsorization
+    // adds the clamped tails analytically (lo·min_kept + lo·max_kept)
+    // instead of rewriting rows. The PARTITION-less window runs over the
+    // pre-aggregated value domain per the repo's window discipline.
+    "stats_trimmed_mean" -> QueryDef(
+      build = (s, dir) => {
+        val v = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val pts = v.groupBy("cents").agg(count(lit(1)).as("c"))
+        val wB = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = pts.withColumn("cumb", coalesce(sum("c").over(wB), lit(0L)))
+        val tot = t.agg(sum("c").as("n"))
+        val k = t.crossJoin(broadcast(tot))
+          .withColumn("lo", expr("n DIV 20"))
+          .withColumn("kept", greatest(lit(0L),
+            least(col("cumb") + col("c"), col("n") - col("lo"))
+              - greatest(col("cumb"), col("lo"))))
+        k.agg(
+            max("n").as("n"),
+            sum(col("c") * col("cents")).as("sum_all"),
+            sum(col("kept") * col("cents")).as("sum_kept"),
+            sum("kept").as("n_kept"),
+            min(when(col("kept") > 0, col("cents"))).as("lo_val"),
+            max(when(col("kept") > 0, col("cents"))).as("hi_val"))
+          .select(col("n"), col("n_kept"),
+            round(col("sum_all").cast("double")
+              / (col("n").cast("double") * 100.0), 6).as("mean_all"),
+            round(col("sum_kept").cast("double")
+              / (col("n_kept").cast("double") * 100.0), 6).as("trimmed_mean"),
+            round((col("sum_kept")
+                + expr("n DIV 20") * col("lo_val")
+                + expr("n DIV 20") * col("hi_val")).cast("double")
+              / (col("n").cast("double") * 100.0), 6).as("winsorized_mean"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |pts AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY 1),
+          |t AS (
+          |  SELECT cents, c, COALESCE(SUM(c) OVER (ORDER BY cents
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+          |  FROM pts),
+          |tot AS (SELECT SUM(c) AS n FROM t),
+          |k AS (
+          |  SELECT cents, c, cumb, n, n // 20 AS lo,
+          |    GREATEST(0, LEAST(cumb + c, n - (n // 20))
+          |      - GREATEST(cumb, n // 20)) AS kept
+          |  FROM t, tot),
+          |agg AS (
+          |  SELECT MAX(n) AS n, SUM(c * cents) AS sum_all,
+          |    SUM(kept * cents) AS sum_kept, SUM(kept) AS n_kept,
+          |    MIN(CASE WHEN kept > 0 THEN cents END) AS lo_val,
+          |    MAX(CASE WHEN kept > 0 THEN cents END) AS hi_val
+          |  FROM k)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(n_kept AS BIGINT) AS n_kept,
+          |  ROUND(CAST(sum_all AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+          |    AS mean_all,
+          |  ROUND(CAST(sum_kept AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 100.0), 6)
+          |    AS trimmed_mean,
+          |  ROUND(CAST(sum_kept + (n // 20) * lo_val + (n // 20) * hi_val AS DOUBLE)
+          |    / (CAST(n AS DOUBLE) * 100.0), 6) AS winsorized_mean
+          |FROM agg""".stripMargin),
+      doc = "Exact 5%-per-side trimmed + winsorized means via integer rank-range clipping"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one

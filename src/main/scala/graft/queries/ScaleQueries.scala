@@ -4962,6 +4962,73 @@ object ScaleQueries {
       },
       doc = "Adaptive retrieval: 16-dim-prefix shortlist (top-50) reranked at full 64 dims (top-10)"),
 
+    // Leave-one-out 5-NN label-prediction accuracy over the embedding
+    // space — the embedding-quality eval a labeling/curation pipeline
+    // runs before trusting vectors for routing or dedup ("do neighbors
+    // share labels?"). Majority vote with deterministic tie-breaks (more
+    // votes first, then smaller label); the query side is the 5% sample,
+    // so at corpus scale the exact pass stays a bounded broadcast against
+    // the corpus scan — the same honest-eval shape as the recall rows.
+    "emb_knn_eval" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val pairs = broadcast(q).crossJoin(
+            e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+              col("label").as("nlabel")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score", round(Similarity.cosine(col("qv"), col("nv")), 6))
+        val nn = pairs.withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("score").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 5)
+        val votes = nn.groupBy("query_id", "qlabel", "nlabel")
+          .agg(count(lit(1)).as("v"))
+        val pred = votes.withColumn("pr", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("v").desc, col("nlabel"))))
+          .filter(col("pr") === 1)
+        pred.groupBy(col("qlabel").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc", round(
+            col("n_correct").cast("double") / col("n_queries").cast("double"), 6))
+          .orderBy("label")
+      },
+      oracle = Some(
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           |  FROM embeddings WHERE vec_id % 20 = 0),
+           |pairs AS (
+           |  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+           |    c.label AS nlabel, ${sqlCosine("q.qv", "c.embedding")} AS score
+           |  FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+           |nn AS (
+           |  SELECT * FROM (
+           |    SELECT query_id, qlabel, nlabel,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM pairs) r WHERE rank <= 5),
+           |votes AS (
+           |  SELECT query_id, qlabel, nlabel, COUNT(*) AS v
+           |  FROM nn GROUP BY 1, 2, 3),
+           |pred AS (
+           |  SELECT query_id, qlabel, nlabel FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY v DESC, nlabel) AS pr
+           |    FROM votes) p WHERE pr = 1)
+           |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  ROUND(CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS acc
+           |FROM pred GROUP BY 1 ORDER BY label""".stripMargin),
+      doc = "Leave-one-out 5-NN majority-vote label accuracy per label (embedding-quality eval)"),
+
     // Binary-embedding retrieval: rank by Hamming distance over the
     // per-dimension SIGN bits — 64 floats collapse to 64 bits, the 32×
     // compression used for first-stage retrieval at extreme scale. The
