@@ -54,6 +54,60 @@ object ScaleQueries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       s"(x, y) -> x + y)"
 
+  /** Winning 5-NN label vote per sampled query vector
+    * (query_id, qlabel, nlabel, v) — deterministic neighbor ranking
+    * (score desc, neighbor_id) and vote tie-break (v desc, nlabel);
+    * shared by the knn-accuracy eval and the label-noise audit.
+    */
+  private def knnTopVote(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashing.register(s)
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val pairs = broadcast(q).crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("label").as("nlabel")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(Similarity.cosine(col("qv"), col("nv")), 6))
+    val nn = pairs.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+    nn.groupBy("query_id", "qlabel", "nlabel")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("v").desc, col("nlabel"))))
+      .filter(col("pr") === 1)
+  }
+
+  /** DuckDB replay of [[knnTopVote]] — CTEs `q .. pred`; the caller
+    * appends its final select over `pred`.
+    */
+  private def sqlKnnPredCtes: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |pairs AS (
+       |  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+       |    c.label AS nlabel, ${sqlCosine("q.qv", "c.embedding")} AS score
+       |  FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+       |nn AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, qlabel, nlabel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM pairs) r WHERE rank <= 5),
+       |votes AS (
+       |  SELECT query_id, qlabel, nlabel, COUNT(*) AS v
+       |  FROM nn GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, qlabel, nlabel, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY v DESC, nlabel) AS pr
+       |    FROM votes) p WHERE pr = 1)""".stripMargin
+
   /** Sign bucket over the first `bits` dims (= Similarity.signBucket —
     * generated from the same bit weights so the two sides cannot drift).
     */
@@ -4562,6 +4616,55 @@ object ScaleQueries {
            |FROM flags GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
       doc = "k-anonymity (k=10) + PII density per (source, lang) quasi-identifier group"),
 
+    // l-diversity — the release-gate companion of privacy_kanon: a
+    // quasi-identifier group with enough ROWS (k-anonymous) can still
+    // leak if every row shares the same sensitive value, so each
+    // (event_type, dow) group must carry ≥ l DISTINCT sensitive values
+    // (user_id here). Distinct-l is the exact-integer flag; entropy
+    // l-diversity ships as a value (the ordered fold over sorted
+    // per-user counts — same deterministic fold idiom as evt_entropy).
+    // Scale shape: two grouped aggregations on the QI key; the collected
+    // count list is bounded by the user population per group.
+    "privacy_ldiversity" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_type"),
+          pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
+            lit(7)).cast("int").as("dow"),
+          col("user_id"))
+        val cu = e.groupBy("event_type", "dow", "user_id")
+          .agg(count(lit(1)).as("c"))
+        cu.groupBy("event_type", "dow")
+          .agg(sum("c").as("n"), count(lit(1)).as("distinct_users"),
+            sort_array(collect_list(col("c"))).as("cs"))
+          .withColumn("entropy", expr(
+            "ROUND(-aggregate(cs, 0D, (a, x) -> a + (x / CAST(n AS DOUBLE)) " +
+              "* ln(x / CAST(n AS DOUBLE))), 6) + 0.0"))
+          .select(col("event_type"), col("dow"), col("n"),
+            col("distinct_users"),
+            (col("distinct_users") >= 5).as("l_diverse_5"), col("entropy"))
+          .orderBy("event_type", "dow")
+      },
+      oracle = Some(
+        """WITH cu AS (
+          |  SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+          |      AS INT) AS dow,
+          |    user_id, COUNT(*) AS c
+          |  FROM events GROUP BY 1, 2, 3),
+          |g AS (
+          |  SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS n,
+          |    CAST(COUNT(*) AS BIGINT) AS distinct_users,
+          |    list_sort(list(c)) AS cs
+          |  FROM cu GROUP BY 1, 2)
+          |SELECT event_type, dow, n, distinct_users,
+          |  distinct_users >= 5 AS l_diverse_5,
+          |  ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list_transform(cs, x -> (x / CAST(n AS DOUBLE))
+          |      * ln(x / CAST(n AS DOUBLE)))), (a, b) -> a + b), 6) + 0.0
+          |    AS entropy
+          |FROM g ORDER BY event_type, dow""".stripMargin),
+      doc = "l-diversity per QI group: distinct-l flag + entropy over sorted per-user counts"),
+
     // Perceptual-hash near-dup over the media payloads: aHash 8×8
     // byte-mean grid → 64 bits packed as FOUR 16-bit bands; candidate
     // pairs must agree EXACTLY on ≥1 band (the bit-space analog of
@@ -4970,57 +5073,17 @@ object ScaleQueries {
     // so at corpus scale the exact pass stays a bounded broadcast against
     // the corpus scan — the same honest-eval shape as the recall rows.
     "emb_knn_eval" -> QueryDef(
-      build = (s, dir) => {
-        graft.functions.Hashing.register(s)
-        val e = embs(s, dir)
-        val q = e.filter(col("vec_id") % 20 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("label").as("qlabel"))
-        val pairs = broadcast(q).crossJoin(
-            e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-              col("label").as("nlabel")))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .withColumn("score", round(Similarity.cosine(col("qv"), col("nv")), 6))
-        val nn = pairs.withColumn("rank", row_number().over(
-            Window.partitionBy("query_id")
-              .orderBy(col("score").desc, col("neighbor_id"))))
-          .filter(col("rank") <= 5)
-        val votes = nn.groupBy("query_id", "qlabel", "nlabel")
-          .agg(count(lit(1)).as("v"))
-        val pred = votes.withColumn("pr", row_number().over(
-            Window.partitionBy("query_id")
-              .orderBy(col("v").desc, col("nlabel"))))
-          .filter(col("pr") === 1)
-        pred.groupBy(col("qlabel").as("label"))
+      build = (s, dir) =>
+        knnTopVote(s, dir)
+          .groupBy(col("qlabel").as("label"))
           .agg(count(lit(1)).as("n_queries"),
             sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
               .as("n_correct"))
           .withColumn("acc", round(
             col("n_correct").cast("double") / col("n_queries").cast("double"), 6))
-          .orderBy("label")
-      },
+          .orderBy("label"),
       oracle = Some(
-        s"""WITH q AS (
-           |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-           |  FROM embeddings WHERE vec_id % 20 = 0),
-           |pairs AS (
-           |  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
-           |    c.label AS nlabel, ${sqlCosine("q.qv", "c.embedding")} AS score
-           |  FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
-           |nn AS (
-           |  SELECT * FROM (
-           |    SELECT query_id, qlabel, nlabel,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY score DESC, neighbor_id) AS rank
-           |    FROM pairs) r WHERE rank <= 5),
-           |votes AS (
-           |  SELECT query_id, qlabel, nlabel, COUNT(*) AS v
-           |  FROM nn GROUP BY 1, 2, 3),
-           |pred AS (
-           |  SELECT query_id, qlabel, nlabel FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY v DESC, nlabel) AS pr
-           |    FROM votes) p WHERE pr = 1)
+        s"""$sqlKnnPredCtes
            |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
            |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_correct,
@@ -5028,6 +5091,26 @@ object ScaleQueries {
            |    / CAST(COUNT(*) AS DOUBLE), 6) AS acc
            |FROM pred GROUP BY 1 ORDER BY label""".stripMargin),
       doc = "Leave-one-out 5-NN majority-vote label accuracy per label (embedding-quality eval)"),
+
+    // Label-noise audit (confident-learning-lite): sampled vectors whose
+    // 5-NN vote is a majority (≥ 3 of 5) on a label other than their
+    // own — the curation list a labeling pipeline re-reviews. Same
+    // deterministic vote machinery as the accuracy eval; the audit
+    // sample bounds the exact pass at any corpus size.
+    "emb_label_noise" -> QueryDef(
+      build = (s, dir) =>
+        knnTopVote(s, dir)
+          .filter(col("nlabel") =!= col("qlabel") && col("v") >= 3)
+          .select(col("query_id").as("vec_id"), col("qlabel").as("label"),
+            col("nlabel").as("suggested_label"), col("v").as("votes"))
+          .orderBy("vec_id"),
+      oracle = Some(
+        s"""$sqlKnnPredCtes
+           |SELECT query_id AS vec_id, qlabel AS label,
+           |  nlabel AS suggested_label, CAST(v AS BIGINT) AS votes
+           |FROM pred WHERE nlabel <> qlabel AND v >= 3
+           |ORDER BY vec_id""".stripMargin),
+      doc = "Label-noise audit: sampled vectors whose 5-NN majority (>=3/5) votes another label"),
 
     // Binary-embedding retrieval: rank by Hamming distance over the
     // per-dimension SIGN bits — 64 floats collapse to 64 bits, the 32×
