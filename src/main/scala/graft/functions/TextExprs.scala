@@ -129,6 +129,16 @@ object TextKernels {
     * positional-index phrase-search kernel; overlapping matches all
     * reported). One linear pass, no per-position array re-indexing.
     */
+  /** Unicode NFC (canonical composition) — fast-path: already-normalized
+    * (e.g. pure-ASCII) strings return the input without re-encoding.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def phrasePositions(text: UTF8String, phrase: UTF8String): ArrayData = {
     val toks = text.toString.split(" ", -1)
     val p = phrase.toString.split(" ", -1)
@@ -449,4 +459,25 @@ final case class SimHash32Expr(left: Expression, right: Expression)
   override def prettyName: String = "graft_simhash32"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_nfc(text)`: Unicode NFC normalization (UTS #15 canonical
+  * composition) via `java.text.Normalizer` — the same normal form DuckDB's
+  * `nfc_normalize` (utf8proc) produces, so NFC output is oracle-hashable.
+  * The standard first step of an LLM text-prep pipeline: decomposed
+  * accents, compatibility variants of the same glyph sequence, and
+  * mixed-source corpora otherwise make byte-level dedup misses out of
+  * visually identical text.
+  */
+final case class NfcExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.nfc(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.nfc($s)")
+  override def prettyName: String = "graft_nfc"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -2285,6 +2285,47 @@ object ScaleQueries {
           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin),
       doc = "Overlapping token-window chunking (40-token windows, stride 20)"),
 
+    // Unicode NFC normalization — the canonical-composition pass a
+    // mixed-source corpus needs BEFORE byte-level dedup (decomposed
+    // accents make visually identical text hash apart). The fixture is
+    // ASCII-only, so decomposed sequences are injected deterministically
+    // (combining acute U+0301); the codegen'd graft_nfc kernel
+    // (java.text.Normalizer) and DuckDB's nfc_normalize (utf8proc) both
+    // implement UTS #15, so the composed output hashes identically —
+    // pinned through the tail12 column, not just the lengths. Per-row
+    // narrow op: zero shuffles, ASCII fast-path returns the input.
+    "txt_unicode_nfc" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val injected = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 13 === 5, lit(" cafe\u0301 entre\u0301e"))
+              .otherwise(lit(""))).as("text"))
+        injected.withColumn("nfc", expr("graft_nfc(text)"))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            length(col("nfc")).cast("long").as("n_chars_nfc"),
+            (col("nfc") =!= col("text")).as("changed"),
+            length(encode(col("nfc"), "UTF-8")).cast("long").as("bytes_nfc"),
+            substring(col("nfc"), -12, 12).as("tail12"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        """WITH injected AS (
+          |  SELECT doc_id, text || CASE WHEN doc_id % 13 = 5
+          |    THEN ' cafe' || chr(769) || ' entre' || chr(769) || 'e'
+          |    ELSE '' END AS text
+          |  FROM documents),
+          |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM injected)
+          |SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+          |  CAST(length(nfc) AS BIGINT) AS n_chars_nfc,
+          |  nfc <> text AS changed,
+          |  CAST(strlen(nfc) AS BIGINT) AS bytes_nfc,
+          |  right(nfc, 12) AS tail12
+          |FROM n ORDER BY doc_id""".stripMargin),
+      doc = "Unicode NFC normalization (graft_nfc == DuckDB nfc_normalize): composed output hash-pinned"),
+
     // Corpus-scale BPE merge training (scale/Bpe): 6 greedy merge rounds,
     // each = one pair-count aggregate (map-side combinable, the argmax is
     // a 1-row broadcast) + one windowed gaps-and-islands application —
