@@ -54,6 +54,15 @@ object ScaleQueries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       s"(x, y) -> x + y)"
 
+  /** Fixed retrieval queries for the RAG capstone: (query_id, 3 terms) —
+    * the deterministic stand-in for an encoded query batch; both engines'
+    * scoring arms are generated from this one constant.
+    */
+  private val RagQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("vector", "merge", "filter"),
+    1 -> Seq("stream", "window", "join"),
+    2 -> Seq("scan", "sort", "hash"))
+
   /** Winning 5-NN label vote per sampled query vector
     * (query_id, qlabel, nlabel, v) — deterministic neighbor ranking
     * (score desc, neighbor_id) and vote tie-break (v desc, nlabel);
@@ -3699,6 +3708,123 @@ object ScaleQueries {
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       },
       doc = "Weight-aware per-source cap: top-15 A-ES keys per source"),
+
+    // RAG context assembly — the retrieval-side capstone: 32-token chunks
+    // (dedup_chunks' chunking), per-query BM25 over CHUNKS (chunk stats,
+    // not doc stats — short units need their own avgdl), top-5 shortlist
+    // per query, then greedy packing into a 96-token context budget with
+    // provenance (doc, chunk idx, rank, cumulative tokens, included
+    // flag). Three fixed 3-term queries stand in for the encoded query
+    // batch (the deterministic-stub discipline). One explode + one
+    // chunk-key aggregate + ONE rank window partitioned by query_id (the
+    // three queries' scores melt into rows, so ranking is a single
+    // shuffle); corpus stats are one broadcast row. At 100 TB: chunking
+    // and scoring are per-doc narrow ops; only the per-query top-5
+    // shortlists — bounded rows — reach the window.
+    "rag_context_pack" -> QueryDef(
+      build = (s, dir) => {
+        val queries = RagQueries
+        val chunks = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("nc", ceil(size(col("toks")) / lit(32.0)).cast("int"))
+          .select(col("doc_id"), expr(
+            """explode(transform(sequence(0, nc - 1),
+              |  i -> struct(i AS idx, slice(toks, i * 32 + 1, 32) AS arr)))
+              |""".stripMargin).as("c"))
+          .select(col("doc_id"), col("c.idx").as("idx"), col("c.arr").as("arr"))
+          .withColumn("ctoks", size(col("arr")).cast("long"))
+        def tf(term: String) = expr(s"size(filter(arr, x -> x = '$term'))").cast("long")
+        val allTerms = queries.flatMap(_._2)
+        val perChunk = chunks.select(
+          Seq(col("doc_id"), col("idx"), col("ctoks")) ++
+            allTerms.map(t => tf(t).as(s"tf_$t")): _*)
+        val statsExprs =
+          (sum("ctoks").cast("double") / count(lit(1))).as("avgdl") +:
+            allTerms.map(t =>
+              sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+        val stats = perChunk.agg(count(lit(1)).as("n_docs"), statsExprs: _*)
+        def w(t: String) =
+          when(col(s"tf_$t") > 0,
+            TextOps.bm25Term(col(s"tf_$t"), col(s"df_$t"), col("n_docs"),
+              col("ctoks"), col("avgdl"))).otherwise(lit(0.0))
+        val melted = perChunk.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("idx"), col("ctoks"), explode(array(
+            queries.map { case (qid, ts) =>
+              struct(lit(qid).as("query_id"),
+                round(ts.map(w).reduce(_ + _), 6).as("score"),
+                ts.map(t => (col(s"tf_$t") > 0).cast("int")).reduce(_ + _)
+                  .as("n_hits"))
+            }: _*)).as("q"))
+          .select(col("q.query_id"), col("doc_id"), col("idx"),
+            col("ctoks"), col("q.score"), col("q.n_hits"))
+          .filter(col("n_hits") > 0)
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"), col("idx"))
+        val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        melted.withColumn("rank", row_number().over(wRank).cast("int"))
+          .filter(col("rank") <= 5)
+          .withColumn("cum_tokens", sum("ctoks").over(wCum))
+          .withColumn("included", col("cum_tokens") <= 96L)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("idx").as("chunk_idx"), col("ctoks").as("n_tokens"),
+            col("cum_tokens"), col("included"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        val queries = RagQueries
+        val allTerms = queries.flatMap(_._2)
+        // identical fragment shape to TextOps.bm25Term (k1=1.2, b=0.75)
+        def w(t: String): String =
+          s"CASE WHEN tf_$t > 0 THEN " +
+            s"ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))" +
+            s" * (CAST(tf_$t AS DOUBLE) * CAST(2.2 AS DOUBLE))" +
+            s" / (CAST(tf_$t AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ctoks / avgdl))" +
+            s" ELSE CAST(0.0 AS DOUBLE) END"
+        val tfCols = allTerms.map(t =>
+          s"CAST(len(list_filter(arr, x -> x = '$t')) AS BIGINT) AS tf_$t")
+          .mkString(",\n    ")
+        val dfCols = allTerms.map(t =>
+          s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+          .mkString(",\n    ")
+        val arms = queries.map { case (qid, ts) =>
+          s"""SELECT $qid AS query_id, doc_id, idx, ctoks,
+             |    ROUND(${ts.map(w).mkString(" + ")}, 6) AS score,
+             |    ${ts.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS n_hits
+             |  FROM perchunk, stats""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |c AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / 32.0) AS INT) AS nc FROM t),
+           |ch AS (
+           |  SELECT doc_id, CAST(i AS INT) AS idx,
+           |    list_slice(toks, i * 32 + 1, LEAST(i * 32 + 32, len(toks))) AS arr
+           |  FROM c, UNNEST(range(0, nc)) AS g(i)),
+           |perchunk AS (
+           |  SELECT doc_id, idx, CAST(len(arr) AS BIGINT) AS ctoks,
+           |    $tfCols
+           |  FROM ch),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(ctoks) AS DOUBLE) / COUNT(*) AS avgdl,
+           |    $dfCols
+           |  FROM perchunk),
+           |melted AS (
+           |  $arms),
+           |ranked AS (
+           |  SELECT query_id, doc_id, idx, ctoks, score,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id, idx) AS INT) AS rank
+           |  FROM melted WHERE n_hits > 0),
+           |top AS (SELECT * FROM ranked WHERE rank <= 5)
+           |SELECT query_id, rank, doc_id, idx AS chunk_idx,
+           |  ctoks AS n_tokens,
+           |  CAST(SUM(ctoks) OVER (PARTITION BY query_id ORDER BY rank
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           |  CAST(SUM(ctoks) OVER (PARTITION BY query_id ORDER BY rank
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 96 AS included,
+           |  score
+           |FROM top ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "RAG context assembly: chunk-level BM25 top-5 per query, packed to a 96-token budget with provenance"),
 
     // Hybrid retrieval fusion (RRF, k=60): the lexical BM25 top-50 (same
     // scoring as txt_bm25_rank) fused with the semantic cosine top-50
