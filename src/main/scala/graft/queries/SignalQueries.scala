@@ -384,6 +384,88 @@ object SignalQueries {
           |FROM holt ORDER BY event_type, day""".stripMargin),
       doc = "Holt linear-trend smoothing: struct-fold vs recursive-CTE, bit-identical state"),
 
+    // Holt–Winters ADDITIVE-SEASONAL smoothing (m=7, α=0.3 β=0.1 γ=0.2) —
+    // the seasonal completion of ts_holt: state is (level, trend, 7-slot
+    // seasonal ring), the ring rotating one slot per step so s[1] is
+    // always s_{t−m}. Init: level = ordered-fold mean of the first
+    // season, seasonals = first-season residuals, trend 0; emission
+    // starts after the warmup season. The Spark side is one struct fold
+    // over the cumulative prefix (the ts_ewma/ts_holt idiom — windows
+    // only over the per-type day domain); the oracle replays the same
+    // recursion as a recursive CTE carrying the ring as a LIST. Every
+    // double op is spelled identically, so state is bit-equal and the
+    // table hash-checks.
+    "ts_holtwinters" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lp = "0.3D * (x - element_at(acc.s, 1)) + 0.7D * (acc.l + acc.b)"
+        dailyCounts(s, dir)
+          .withColumn("xs", collect_list(col("n").cast("double")).over(w))
+          .withColumn("st", expr(
+            s"""CASE WHEN size(xs) >= 8 THEN
+               |  aggregate(
+               |    slice(xs, 8, size(xs) - 7),
+               |    named_struct(
+               |      'l', aggregate(slice(xs, 1, 7), 0D, (a, x) -> a + x) / 7.0D,
+               |      'b', 0D,
+               |      's', transform(slice(xs, 1, 7),
+               |        x -> x - aggregate(slice(xs, 1, 7), 0D, (a, x) -> a + x) / 7.0D)),
+               |    (acc, x) -> named_struct(
+               |      'l', $lp,
+               |      'b', 0.1D * (($lp) - acc.l) + 0.9D * acc.b,
+               |      's', concat(slice(acc.s, 2, 6), array(
+               |        0.2D * (x - ($lp)) + 0.8D * element_at(acc.s, 1)))))
+               |ELSE NULL END""".stripMargin))
+          .filter(col("st").isNotNull)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+            (round(col("st.l"), 6) + lit(0.0)).as("level"),
+            (round(col("st.b"), 6) + lit(0.0)).as("trend"),
+            (round(element_at(col("st.s"), 7), 6) + lit(0.0)).as("seasonal"),
+            (round(col("st.l") + col("st.b") + element_at(col("st.s"), 1), 6)
+              + lit(0.0)).as("forecast"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some {
+        val lp = "0.3 * (r.x - h.s[1]) + 0.7 * (h.l + h.b)"
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |rn AS (
+           |  SELECT event_type, day, n, CAST(n AS DOUBLE) AS x,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM daily),
+           |init AS (
+           |  SELECT event_type,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list(x ORDER BY rn)), (a, b) -> a + b) / 7.0 AS l0,
+           |    list(x ORDER BY rn) AS xs7
+           |  FROM rn WHERE rn <= 7 GROUP BY event_type),
+           |seed AS (
+           |  SELECT event_type, 7 AS rn, CAST(NULL AS DATE) AS day,
+           |    CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x,
+           |    l0 AS l, CAST(0 AS DOUBLE) AS b,
+           |    list_transform(xs7, x -> x - l0) AS s
+           |  FROM init),
+           |hw AS (
+           |  SELECT * FROM seed
+           |  UNION ALL
+           |  SELECT r.event_type, CAST(r.rn AS INT), r.day, r.n, r.x,
+           |    $lp AS l,
+           |    0.1 * (($lp) - h.l) + 0.9 * h.b AS b,
+           |    list_append(h.s[2:7],
+           |      0.2 * (r.x - ($lp)) + 0.8 * h.s[1]) AS s
+           |  FROM hw h JOIN rn r
+           |    ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           |  ROUND(l, 6) + 0.0 AS level, ROUND(b, 6) + 0.0 AS trend,
+           |  ROUND(s[7], 6) + 0.0 AS seasonal,
+           |  ROUND(l + b + s[1], 6) + 0.0 AS forecast
+           |FROM hw WHERE rn >= 8 ORDER BY event_type, day""".stripMargin
+      },
+      doc = "Holt-Winters additive seasonal (m=7): ring-buffer struct fold vs recursive list CTE"),
+
     // Deterministic Lloyd k-means (k=8, 3 rounds, k-lowest-id seeds) —
     // fully oracle-checked clustering, the property the mllib fit can't
     // give (its recall arm is rows-only). Integer-exact centroid state +
