@@ -60,8 +60,9 @@ object Bench {
   private val UserHz = 100.0 // USER_HZ, the /proc jiffy unit (Linux ABI)
 
   /** Per-query clean-run ceiling (seconds). Default 3 s. Three documented
-    * classes get 4 s: the >=6-stage prep capstones, the 10-round
-    * iterative graph ops, and the BPE trainer loop (one argmax job + one
+    * classes get 4 s: the >=6-stage prep capstones, the iterative graph
+    * ops (10-round PageRank, 4-round LPA — per-round barrier floor
+    * dominates), and the BPE trainer loop (one argmax job + one
     * lineage barrier per round, inherently serial — each round depends on
     * the previous round's merged token table; all three registry entries
     * run the same loop — 6 training rounds, 3 rounds + the corpus agg,
@@ -76,7 +77,8 @@ object Bench {
     */
   private val DeepPipelines = Set(
     "corpus_prepare_v4", "corpus_prepare_v5", "corpus_prepare_v6",
-    "graph_pagerank", "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode")
+    "graph_pagerank", "graph_lpa",
+    "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

@@ -2203,6 +2203,70 @@ object InferenceQueries {
           |    / (CAST(n AS DOUBLE) * 100.0), 6) AS winsorized_mean
           |FROM agg""".stripMargin),
       doc = "Exact 5%-per-side trimmed + winsorized means via integer rank-range clipping"),
+
+    // Per-type skewness and excess kurtosis from EXACT raw power sums:
+    // Σc, Σc², Σc³, Σc⁴ over integer cents accumulate in 128-bit space
+    // (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT — c⁴ overflows BIGINT at
+    // cents ≥ ~10⁵), so the sums are reduction-order-independent at any
+    // scale and the only doubles are the closed-form central-moment
+    // expressions, spelled identically on both engines. The
+    // shape-of-distribution companion of evt_ab_ztest (means) and
+    // stats_ks_test; one map-side-combinable shuffle at type cardinality.
+    "stats_moments" -> QueryDef(
+      build = (s, dir) => {
+        val c = expr("CAST(ROUND(value * 100, 0) AS DECIMAL(20,0))")
+        val agg = Tables.events(s, dir).filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(c).as("s1"), sum(c * c).as("s2"),
+            sum(c * c * c).as("s3"), sum(c * c * c * c).as("s4"))
+        agg.select(col("event_type"), col("n"),
+            expr("""ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) + 0.0""").as("mean"),
+            expr(
+              """ROUND(SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                |  - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2)) / 100.0, 6) + 0.0""".stripMargin).as("sd"),
+            expr(
+              """ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                |  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                |  + 2.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 3))
+                | / POW(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                |  - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2), 1.5), 6) + 0.0""".stripMargin).as("skewness"),
+            expr(
+              """ROUND((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                |  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                |  + 6.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                |  - 3.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4))
+                | / POW(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                |  - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2), 2) - 3.0, 6) + 0.0""".stripMargin).as("ex_kurtosis"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT event_type,
+          |    CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT) AS c
+          |  FROM events WHERE value IS NOT NULL),
+          |agg AS (
+          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |    SUM(c) AS s1, SUM(c * c) AS s2,
+          |    SUM(c * c * c) AS s3, SUM(c * c * c * c) AS s4
+          |  FROM v GROUP BY 1)
+          |SELECT event_type, n,
+          |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) + 0.0 AS mean,
+          |  ROUND(SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2)) / 100.0, 6) + 0.0 AS sd,
+          |  ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    + 2.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 3))
+          |   / POW(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2), 1.5), 6) + 0.0 AS skewness,
+          |  ROUND((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    + 6.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    - 3.0 * POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4))
+          |   / POW(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2), 2) - 3.0, 6) + 0.0 AS ex_kurtosis
+          |FROM agg ORDER BY event_type""".stripMargin),
+      doc = "Skewness + excess kurtosis per type from 128-bit-exact raw power sums"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one

@@ -2673,6 +2673,57 @@ object ScaleQueries {
       },
       doc = "PageRank centrality over the near-dup pair graph (10 unrolled-CTE-checked rounds)"),
 
+    // Label-propagation communities over the same near-dup graph — the
+    // density complement of connected components (reachability) and
+    // PageRank (centrality): LPA splits weakly-bridged components into
+    // their dense template clusters. Synchronous rounds, most-frequent
+    // NEIGHBOR label, ties to the smaller label — integer-exact and
+    // totally ordered, so 4 unrolled CTE rounds replay it bit-for-bit.
+    "graph_lpa" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val edges = NearDup.jaccardPairs(nearDupDocs(docs(s, dir)), "doc_id",
+            "source", shingleN = 3, threshold = 0.2)
+          .select("doc_a", "doc_b")
+        val lbl = Clusters.labelPropagation(edges, "doc_a", "doc_b",
+          iterations = 4)
+        val sizes = lbl.groupBy("label").agg(count(lit(1)).as("community_size"))
+        lbl.join(sizes, "label")
+          .select(col("node").as("doc_id"), col("label").as("community"),
+            col("community_size"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val iterCtes = (1 to 4).map { i =>
+          s"""lp$i AS (
+             |  SELECT node, label FROM (
+             |    SELECT e.dst AS node, p.label,
+             |      row_number() OVER (PARTITION BY e.dst
+             |        ORDER BY COUNT(*) DESC, p.label) AS rn
+             |    FROM edges e JOIN lp${i - 1} p ON p.node = e.src
+             |    GROUP BY e.dst, p.label) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlNearDupDocs,
+           |sh AS (SELECT doc_id, source, $sqlShingles AS sh FROM docs2),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.2
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.2),
+           |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+           |$iterCtes,
+           |sizes AS (
+           |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+           |  FROM lp4 GROUP BY label)
+           |SELECT l.node AS doc_id, l.label AS community, s.community_size
+           |FROM lp4 l JOIN sizes s USING (label) ORDER BY doc_id""".stripMargin
+      },
+      doc = "Label-propagation communities (4 synchronous rounds, min-label ties) over the near-dup graph"),
+
     // Doc-frequency-capped variant: shingles shared by more than maxDf docs
     // are dropped before the co-occurrence join — the hot-key guard a 100 TB
     // inverted index needs (one boilerplate shingle in k docs fans out k²

@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected-component resolution over near-dup candidate pairs — the stage
@@ -154,5 +155,41 @@ object Clusters {
               else next
     }
     ranks
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its NEIGHBORS, ties to the smaller label — a total
+    * deterministic order, so the rounds are exactly replayable (and
+    * integer-exact: counts, argmax, nothing else). The community
+    * complement of [[connectedComponents]] (which finds reachability,
+    * not density) and [[pageRank]] (centrality): on a near-dup graph LPA
+    * splits a weakly-bridged component into its dense template clusters.
+    *
+    * Scale shape: per round one edge–label join (shuffle on src) and one
+    * (node, label) count aggregate with map-side combine; label state is
+    * one long per node. Same barrier cadence as pageRank (every second
+    * round) — the cost is serial round depth, not per-round work.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iterations: Int = 4): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = graft.Caches.lazyBarrier(sym)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("c").desc, col("label"))
+    for (i <- 1 to iterations) {
+      val next = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      labels = if (i % 2 == 0 || i == iterations) graft.Caches.lazyBarrier(next)
+               else next
+    }
+    labels
   }
 }
