@@ -277,4 +277,36 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must stay an equi-join on the bucket key:\n${plan.take(2000)}")
     }
   }
+
+  test("matryoshka scoring runs through the native prefix-dot kernel") {
+    graft.functions.Hashing.register(spark)
+    Seq("emb_matryoshka_eval", "emb_matryoshka_topk").foreach { q =>
+      val plan =
+        try SparkEntry.registry(q).build(spark, sf())
+          .queryExecution.executedPlan.toString
+        finally Caches.release()
+      assert(plan.contains("graft_dot_range"),
+        s"$q must score via the codegen'd kernel, not interpreted HOF folds:\n${plan.take(2000)}")
+      // the query side is broadcast against the corpus scan — never a
+      // shuffled all-pairs join
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$q query side must broadcast:\n${plan.take(2000)}")
+    }
+  }
+
+  test("rag_context_pack ranks all queries in ONE melted window pass") {
+    val plan =
+      try SparkEntry.registry("rag_context_pack").build(spark, sf())
+        .queryExecution.executedPlan.toString
+      finally Caches.release()
+    // ONE hash shuffle on query_id feeds both the rank window and the
+    // cum-sum window (same partitioning + sort — the melted layout's
+    // point); per-retrieval-query window subtrees would shuffle 3 times
+    val rankExchanges =
+      "Exchange hashpartitioning\\(query_id".r.findAllIn(plan).length
+    assert(rankExchanges == 1,
+      s"expected exactly one query_id shuffle, found $rankExchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
