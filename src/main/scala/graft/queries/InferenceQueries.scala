@@ -2267,6 +2267,108 @@ object InferenceQueries {
           |    - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2), 2) - 3.0, 6) + 0.0 AS ex_kurtosis
           |FROM agg ORDER BY event_type""".stripMargin),
       doc = "Skewness + excess kurtosis per type from 128-bit-exact raw power sums"),
+
+    // Split-conformal prediction interval (α=0.1) — the distribution-free
+    // uncertainty wrapper a prediction service ships around ANY point
+    // model: train a (type, dow)-mean predictor on the first half of the
+    // span, take q̂ = the ⌈0.9·(n+1)⌉-th smallest |residual| on the
+    // third-quarter calibration window (an EXACT order statistic via
+    // row_number — no interpolation ambiguity), and report empirical
+    // coverage of ŷ ± q̂ on the held-out fourth quarter. Time quarters
+    // are integer arithmetic ((us−us0)·4 DIV span), the predictor is a
+    // cents-sum ratio, and the residual order has a total (resid,
+    // event_id) tie-break — every stage engine-exact. Scale shape: one
+    // grouped mean at (type × dow) cardinality; calibration is a salted
+    // 1-in-20 SAMPLE (split-conformal needs only thousands of points),
+    // so the order-statistic sort stays bounded; q̂ broadcasts.
+    "eval_conformal" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
+              lit(7)).cast("int").as("dow"),
+            unix_micros(col("ts")).as("us"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val mm = e.agg(min("us").as("us0"), max("us").as("us1"))
+        val q = e.crossJoin(broadcast(mm))
+          .withColumn("quarter",
+            expr("CAST(((us - us0) * 4) DIV (us1 - us0 + 1) AS INT)"))
+        val means = q.filter(col("quarter") < 2)
+          .groupBy("event_type", "dow")
+          .agg(sum("cents").as("sc"), count(lit(1)).as("cn"))
+          .withColumn("yhat", col("sc").cast("double") / col("cn").cast("double"))
+          .select("event_type", "dow", "yhat")
+        // calibration is a salted 1-in-20 sample: split-conformal needs
+        // only thousands of calibration points for a tight q̂, so the
+        // global order-statistic sort stays bounded at any corpus size
+        val calib = q.filter(col("quarter") === 2 && col("event_id") % 20 === 0)
+          .join(means, Seq("event_type", "dow"))
+          .withColumn("resid", abs(col("cents").cast("double") - col("yhat")))
+        val nCalib = calib.agg(count(lit(1)).as("n_calib"))
+        val qhat = calib.crossJoin(broadcast(nCalib))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("resid"), col("event_id"))))
+          .filter(col("rk") ===
+            ceil((col("n_calib") + 1).cast("double") * 0.9).cast("long"))
+          .select(col("n_calib"), col("resid").as("qhat"))
+        val test = q.filter(col("quarter") === 3)
+          .join(means, Seq("event_type", "dow"))
+          .crossJoin(broadcast(qhat))
+          .withColumn("covered",
+            (abs(col("cents").cast("double") - col("yhat")) <= col("qhat"))
+              .cast("long"))
+        val nTrain = q.filter(col("quarter") < 2)
+          .agg(count(lit(1)).as("n_train"))
+        test.groupBy("n_calib", "qhat")
+          .agg(count(lit(1)).as("n_test"), sum("covered").as("n_covered"))
+          .crossJoin(broadcast(nTrain))
+          .select(col("n_train"), col("n_calib"),
+            col("n_test"), col("n_covered"),
+            round(col("qhat") / 100.0, 6).as("qhat"),
+            round(col("n_covered").cast("double") / col("n_test").cast("double"),
+              6).as("coverage"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT event_id, event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+          |      AS INT) AS dow,
+          |    epoch_us(ts) AS us,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |mm AS (SELECT MIN(us) AS us0, MAX(us) AS us1 FROM e),
+          |q AS (
+          |  SELECT e.*, CAST(((us - us0) * 4) // (us1 - us0 + 1) AS INT) AS quarter
+          |  FROM e, mm),
+          |means AS (
+          |  SELECT event_type, dow,
+          |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS yhat
+          |  FROM q WHERE quarter < 2 GROUP BY 1, 2),
+          |calib AS (
+          |  SELECT q.event_id, ABS(CAST(q.cents AS DOUBLE) - m.yhat) AS resid
+          |  FROM q JOIN means m USING (event_type, dow)
+          |  WHERE q.quarter = 2 AND q.event_id % 20 = 0),
+          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+          |qhat AS (
+          |  SELECT n_calib, resid AS qhat FROM (
+          |    SELECT c.resid, nc.n_calib,
+          |      row_number() OVER (ORDER BY c.resid, c.event_id) AS rk
+          |    FROM calib c, nc) r
+          |  WHERE rk = CAST(CEIL(CAST(n_calib + 1 AS DOUBLE) * 0.9) AS BIGINT)),
+          |test AS (
+          |  SELECT CASE WHEN ABS(CAST(q.cents AS DOUBLE) - m.yhat) <= h.qhat
+          |    THEN 1 ELSE 0 END AS covered, h.n_calib, h.qhat
+          |  FROM q JOIN means m USING (event_type, dow)
+          |  CROSS JOIN qhat h WHERE q.quarter = 3),
+          |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM q WHERE quarter < 2)
+          |SELECT tr.n_train, t.n_calib,
+          |  CAST(COUNT(*) AS BIGINT) AS n_test,
+          |  CAST(SUM(covered) AS BIGINT) AS n_covered,
+          |  ROUND(t.qhat / 100.0, 6) AS qhat,
+          |  ROUND(CAST(SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          |    AS coverage
+          |FROM test t, tr GROUP BY tr.n_train, t.n_calib, t.qhat""".stripMargin),
+      doc = "Split-conformal interval (alpha=0.1): exact order-statistic qhat + held-out coverage"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one
