@@ -189,7 +189,9 @@ object NearDup {
           explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
         .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
         .filter(size(col("ds")) <= maxDf)
-        .withColumn("ds", sort_array(col("ds"))))
+        // the (blk, s) key is spent once the group exists — persist ONLY
+        // the sorted doc list, narrowing the frame both consumers re-read
+        .select(sort_array(col("ds")).as("ds")))
     val nsh = groups.select(explode(col("ds")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val co = groups
@@ -223,7 +225,9 @@ object NearDup {
           explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
         .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
         .filter(size(col("ds")) <= maxDf)
-        .withColumn("ds", sort_array(col("ds"))))
+        // the (blk, s) key is spent once the group exists — persist ONLY
+        // the sorted doc list, narrowing the frame both consumers re-read
+        .select(sort_array(col("ds")).as("ds")))
     val nsh = groups.select(explode(col("ds")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val co = groups
@@ -232,17 +236,22 @@ object NearDup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val scored = co
-      .join(nsh.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(nsh.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("c_a", round(col("common").cast("double") / col("n_a").cast("double"), 6))
-      .withColumn("c_b", round(col("common").cast("double") / col("n_b").cast("double"), 6))
-    scored.filter(col("c_a") >= threshold)
-      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
-        col("c_a").as("containment"))
-      .unionByName(scored.filter(col("c_b") >= threshold)
-        .select(col("doc_b").as("contained"), col("doc_a").as("container"),
-          col("c_b").as("containment")))
+    // melt each undirected pair to its two directions FIRST, so the
+    // per-doc shingle totals join ONCE on the contained side — the
+    // two-joins-then-union spelling re-evaluated the whole index subtree
+    // per direction (measured ~2x the sibling jaccard query's wall-clock)
+    co.select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("common")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("common")))).as("r"))
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"), col("r.common").as("common"))
+      .join(nsh.select(col("doc").as("contained"), col("n_sh")), "contained")
+      .withColumn("containment",
+        round(col("common").cast("double") / col("n_sh").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("contained", "container", "containment")
   }
 
   /** Persistable signature index of a corpus: one row per (doc, band_idx,
