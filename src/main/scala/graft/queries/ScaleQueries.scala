@@ -4731,6 +4731,70 @@ object ScaleQueries {
            |ORDER BY idcg.query_id""".stripMargin),
       doc = "nDCG@3 of single-probe IVF vs the exact ranking - 1e-9-quantized DCG terms, 5% query sample"),
 
+    // MRR@3 — the navigational-retrieval companion of the nDCG row: the
+    // reciprocal of the system rank at which each query's TRUE nearest
+    // neighbor (exact top-1) appears in the IVF shortlist, 0 when the
+    // probe misses it entirely. Same deterministic system/exact arms and
+    // 5% query sample; rr is a ratio of small exact integers, so the
+    // only double is the final 1/rank.
+    "emb_mrr_eval" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val sys = Similarity.ivfSeededTopK(e, "vec_id", "embedding",
+            k = 3, nLists = 8)
+          .filter(col("query_id") % 20 === 0)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val top1 = Similarity.bruteForceTopK(
+            e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("t_nbr"))
+        top1.join(sys,
+            sys("query_id") === top1("query_id") &&
+              col("neighbor_id") === col("t_nbr"), "left")
+          .select(top1("query_id"),
+            coalesce(col("rank"), lit(0)).cast("int").as("hit_rank"),
+            when(col("rank").isNotNull,
+              round(lit(1.0) / col("rank").cast("double"), 6))
+              .otherwise(lit(0.0)).as("rr"))
+          .orderBy("query_id")
+      },
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cscored AS (
+           |  SELECT c.id, c.v, cents.cent_id,
+           |    ${sqlCosine("c.v", "cents.cv")} AS cscore
+           |  FROM c, cents),
+           |assigned AS (
+           |  SELECT id, v, list_id FROM (
+           |    SELECT id, v, cent_id AS list_id,
+           |      row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cent_id) AS crank
+           |    FROM cscored) t
+           |  WHERE crank = 1),
+           |sys AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.id AS query_id, c.id AS neighbor_id,
+           |      CAST(row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${sqlCosine("q.v", "c.v")} DESC, c.id) AS INT) AS rank
+           |    FROM assigned q JOIN assigned c
+           |      ON q.list_id = c.list_id AND q.id <> c.id) t
+           |  WHERE rank <= 3 AND query_id % 20 = 0),
+           |top1 AS (
+           |  SELECT query_id, t_nbr FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS t_nbr,
+           |      CAST(row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS erank
+           |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |    WHERE q.vec_id % 20 = 0) t
+           |  WHERE erank = 1)
+           |SELECT top1.query_id,
+           |  CAST(COALESCE(sys.rank, 0) AS INT) AS hit_rank,
+           |  CASE WHEN sys.rank IS NOT NULL
+           |    THEN ROUND(1.0 / CAST(sys.rank AS DOUBLE), 6) ELSE 0.0 END AS rr
+           |FROM top1 LEFT JOIN sys
+           |  ON top1.query_id = sys.query_id AND top1.t_nbr = sys.neighbor_id
+           |ORDER BY top1.query_id""".stripMargin),
+      doc = "MRR@3 of single-probe IVF vs the exact top-1 neighbor, 5% query sample"),
+
     // Merkle corpus manifest — the reproducible-build receipt: per-source
     // dataset fingerprint as a TWO-LEVEL hash tree (per-(source, shard)
     // sha256 over the sorted doc_id:digest lines, then per-source sha256
