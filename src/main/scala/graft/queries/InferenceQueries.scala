@@ -2369,6 +2369,118 @@ object InferenceQueries {
           |    AS coverage
           |FROM test t, tr GROUP BY tr.n_train, t.n_calib, t.qhat""".stripMargin),
       doc = "Split-conformal interval (alpha=0.1): exact order-statistic qhat + held-out coverage"),
+
+    // Brown–Forsythe / Levene variance-homogeneity test — the diagnostic
+    // that licenses (or vetoes) the pooled-variance assumptions behind
+    // ANOVA/t: one-way F on z = |x − median_g|, median-centered for
+    // robustness. Everything integer until the closed form: the
+    // per-cohort median is the exact (k1, k2) order-statistic pair over
+    // the value domain (med2 = lower+upper median in cents, so
+    // z2 = |2x − med2| needs no halves), and the F machinery reuses the
+    // ANOVA discipline (per-group quantize-to-BIGINT before any
+    // cross-group sum). One value-domain window + two grouped
+    // aggregates; medians broadcast.
+    "stats_levene" -> QueryDef(
+      build = (s, dir) => {
+        val v = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select((col("user_id") % 3).as("cohort"),
+            expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+        val pts = v.groupBy("cohort", "cents").agg(count(lit(1)).as("c"))
+        val wB = Window.partitionBy("cohort").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = pts.withColumn("cumb", coalesce(sum("c").over(wB), lit(0L)))
+        val nTot = t.groupBy("cohort").agg(sum("c").as("n"))
+        val med = t.join(nTot, "cohort")
+          .withColumn("k1", expr("(n + 1) DIV 2"))
+          .withColumn("k2", expr("(n + 2) DIV 2"))
+          .groupBy("cohort").agg(
+            sum(when(col("cumb") < col("k1") &&
+              col("k1") <= col("cumb") + col("c"), col("cents"))
+              .otherwise(0L)).as("m1"),
+            sum(when(col("cumb") < col("k2") &&
+              col("k2") <= col("cumb") + col("c"), col("cents"))
+              .otherwise(0L)).as("m2"))
+          .select(col("cohort"), (col("m1") + col("m2")).as("med2"))
+        val g = v.join(broadcast(med), "cohort")
+          .select(col("cohort"), abs(col("cents") * 2 - col("med2")).as("z"))
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum("z").as("sx"),
+            sum(col("z") * col("z")).as("sxx"))
+          .withColumn("qb", expr(
+            """CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              |  / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT)""".stripMargin))
+          .withColumn("qw", expr(
+            """CAST(ROUND((CAST(sxx AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              |  * 1e6, 0) AS BIGINT)""".stripMargin))
+        g.join(broadcast(med), "cohort")
+          .agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+            sum(col("sx")).as("gsx"), sum(col("qb")).as("sqb"),
+            sum(col("qw")).as("ssw_q"),
+            max(when(col("cohort") === 0, col("med2"))).as("md0"),
+            max(when(col("cohort") === 1, col("med2"))).as("md1"),
+            max(when(col("cohort") === 2, col("med2"))).as("md2"))
+          .select(col("k"), col("nn").as("n_total"),
+            round(col("md0").cast("double") / 200.0, 6).as("med_0"),
+            round(col("md1").cast("double") / 200.0, 6).as("med_1"),
+            round(col("md2").cast("double") / 200.0, 6).as("med_2"),
+            round(((col("sqb").cast("double") / 1e6 -
+              col("gsx").cast("double") * col("gsx").cast("double") /
+                col("nn").cast("double")) / (col("k") - 1).cast("double")) /
+              ((col("ssw_q").cast("double") / 1e6) /
+                (col("nn") - col("k")).cast("double")), 6).as("w_stat"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id % 3 AS cohort,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events WHERE value IS NOT NULL),
+          |pts AS (SELECT cohort, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+          |t AS (
+          |  SELECT cohort, cents, c, COALESCE(SUM(c) OVER (PARTITION BY cohort
+          |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS cumb
+          |  FROM pts),
+          |nt AS (SELECT cohort, SUM(c) AS n FROM t GROUP BY 1),
+          |med AS (
+          |  SELECT t.cohort,
+          |    SUM(CASE WHEN cumb < (n + 1) // 2 AND (n + 1) // 2 <= cumb + c
+          |        THEN cents ELSE 0 END)
+          |    + SUM(CASE WHEN cumb < (n + 2) // 2 AND (n + 2) // 2 <= cumb + c
+          |        THEN cents ELSE 0 END) AS med2
+          |  FROM t JOIN nt ON t.cohort = nt.cohort GROUP BY 1),
+          |z AS (
+          |  SELECT v.cohort, ABS(v.cents * 2 - m.med2) AS z
+          |  FROM v JOIN med m ON v.cohort = m.cohort),
+          |g AS (
+          |  SELECT cohort, COUNT(*) AS n, SUM(z) AS sx, SUM(z * z) AS sxx
+          |  FROM z GROUP BY 1),
+          |q AS (
+          |  SELECT g.cohort, n, sx, m.med2,
+          |    CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |      / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS qb,
+          |    CAST(ROUND((CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |      * 1e6, 0) AS BIGINT) AS qw
+          |  FROM g JOIN med m ON g.cohort = m.cohort),
+          |agg AS (
+          |  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sx) AS gsx,
+          |    SUM(qb) AS sqb, SUM(qw) AS ssw_q,
+          |    MAX(CASE WHEN cohort = 0 THEN med2 END) AS md0,
+          |    MAX(CASE WHEN cohort = 1 THEN med2 END) AS md1,
+          |    MAX(CASE WHEN cohort = 2 THEN med2 END) AS md2
+          |  FROM q)
+          |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+          |  ROUND(CAST(md0 AS DOUBLE) / 200.0, 6) AS med_0,
+          |  ROUND(CAST(md1 AS DOUBLE) / 200.0, 6) AS med_1,
+          |  ROUND(CAST(md2 AS DOUBLE) / 200.0, 6) AS med_2,
+          |  ROUND(((CAST(sqb AS DOUBLE) / 1e6
+          |    - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / CAST(nn AS DOUBLE))
+          |    / CAST(k - 1 AS DOUBLE))
+          |   / ((CAST(ssw_q AS DOUBLE) / 1e6) / CAST(nn - k AS DOUBLE)), 6)
+          |    AS w_stat
+          |FROM agg""".stripMargin),
+      doc = "Brown-Forsythe/Levene W: one-way F on |x - group median|, exact integer medians + ANOVA quantize discipline"),
   )
 
   /** Kruskal–Wallis H from the pivoted agg row (n0..n2, r20..r22) — one
