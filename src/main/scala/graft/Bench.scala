@@ -77,6 +77,7 @@ object Bench {
     */
   private val DeepPipelines = Set(
     "corpus_prepare_v4", "corpus_prepare_v5", "corpus_prepare_v6",
+    "corpus_prepare_v7",
     "graph_pagerank", "graph_lpa",
     "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode")
   private def ceilingFor(name: String): Double =

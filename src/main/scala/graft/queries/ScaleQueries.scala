@@ -1042,6 +1042,51 @@ object ScaleQueries {
       oracle = Some(corpusV6Oracle),
       doc = "Capstone v6 (CCNet arm): quality gate + exact dedup + unigram-LM perplexity gate + cap/splits"),
 
+    // Capstone v7 — the TOKENIZE-AND-PACK endgame: the shared
+    // normalize → quality gate → exact dedup prefix, then BPE merges
+    // trained on a 1-in-4 sample of the SURVIVING corpus (vocabulary
+    // reflects what actually ships, not what was filtered; ONE merge
+    // round here — txt_bpe_train carries the 6-round depth), the full
+    // survivor set encoded in one join-free sweep, and the encoded token
+    // counts packed into 500-token training sequences per source with
+    // the packing utilization report. This is the step that turns a
+    // curated corpus into trainer input; every stage — gate, dedup,
+    // trainer argmax rounds, encode, pack — replays in ONE DuckDB SQL.
+    "corpus_prepare_v7" -> QueryDef(
+      build = (s, dir) => {
+        val (_, ded) = corpusBaseFrames(s, dir)
+        val enc = Bpe.encodeCorpus(ded, "doc_id", "text", rounds = 1,
+          sampleOneIn = 4)
+        val d = enc.join(ded.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"), col("n_tokens").as("toks"))
+        Packing.packSummary(d, "source", "doc_id", "toks", budget = 500L)
+          .orderBy("source", "seq_id")
+      },
+      oracle = Some(
+        s"""WITH $corpusBaseCtes,
+           |${Bpe.encodeCtesBody(rounds = 1, sampleOneIn = 4, table = "ded")},
+           |enc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
+           |  FROM f2 GROUP BY doc_id),
+           |withsrc AS (
+           |  SELECT d.source, e.doc_id, e.toks
+           |  FROM enc e JOIN ded d USING (doc_id)),
+           |packed AS (
+           |  SELECT source, doc_id, toks,
+           |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks
+           |      AS cum_before
+           |  FROM withsrc),
+           |seqs AS (
+           |  SELECT source, doc_id, toks,
+           |    CAST(FLOOR(CAST(cum_before AS DOUBLE) / 500.0) AS BIGINT) AS seq_id
+           |  FROM packed)
+           |SELECT source, seq_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           |  ROUND(CAST(SUM(toks) AS DOUBLE) / 500.0, 6) AS utilization,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM seqs GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
+      doc = "Capstone v7 (tokenize-and-pack): prep prefix + sample-trained BPE encode + 500-token sequence packing"),
+
     // Near-dup threshold sweep: pair and casualty counts at every policy
     // threshold, from ONE banded candidate pass (the 0.2-floor pair set
     // is computed once; each threshold is a filter over it) — the

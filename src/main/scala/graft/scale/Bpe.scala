@@ -233,16 +233,19 @@ object Bpe {
        |    CASE WHEN keep THEN tok || ' ' || nxt ELSE tok END AS tok
        |  FROM ${sp}cs$r WHERE NOT consumed)""".stripMargin
 
-  private def sampleBase(sampleOneIn: Int): String =
-    if (sampleOneIn <= 1) "SELECT doc_id, text FROM documents"
-    else s"SELECT doc_id, text FROM documents WHERE doc_id % $sampleOneIn = 0"
+  private def sampleBase(sampleOneIn: Int, table: String): String =
+    if (sampleOneIn <= 1) s"SELECT doc_id, text FROM $table"
+    else s"SELECT doc_id, text FROM $table WHERE doc_id % $sampleOneIn = 0"
 
-  /** The training chain: `t1..t{rounds+1}` token tables on the sample plus
-    * `best1..best{rounds}` argmax rows.
+  /** The training chain as a CTE-list body (no leading WITH): `t1..`
+    * token tables on the sample plus `best1..` argmax rows — `table`
+    * parametrizes the corpus source so capstones can train over an
+    * upstream CTE.
     */
-  private def trainCtes(rounds: Int, sampleOneIn: Int): String = {
+  def trainCtesBody(rounds: Int, sampleOneIn: Int,
+                    table: String = "documents"): String = {
     val sb = new StringBuilder
-    sb ++= "WITH " + tokenizeCte("t1", sampleBase(sampleOneIn))
+    sb ++= tokenizeCte("t1", sampleBase(sampleOneIn, table))
     for (r <- 1 to rounds) {
       sb ++= s""",
                 |pc$r AS (
@@ -265,17 +268,18 @@ object Bpe {
     * final token table).
     */
   def oracleSql(rounds: Int, sampleOneIn: Int, finalSelect: String): String =
-    trainCtes(rounds, sampleOneIn) + "\n" + finalSelect
+    "WITH " + trainCtesBody(rounds, sampleOneIn) + "\n" + finalSelect
 
-  /** DuckDB replay of [[encodeCorpus]]: the training chain on the sample,
-    * then the full-corpus token table `f1` pushed through each trained
-    * `best$r` application round (`f2..f{rounds+1}`), reduced to the
-    * per-doc compression record.
+  /** Train-on-sample + encode-the-corpus as a CTE-list body: the training
+    * chain over `table`'s sample, then the full `table` token stream `f1`
+    * pushed through each trained `best$r` application round
+    * (`f2..f{rounds+1}`). The caller selects from `f{rounds+1}`.
     */
-  def encodeOracleSql(rounds: Int, sampleOneIn: Int): String = {
-    val sb = new StringBuilder(trainCtes(rounds, sampleOneIn))
+  def encodeCtesBody(rounds: Int, sampleOneIn: Int,
+                     table: String = "documents"): String = {
+    val sb = new StringBuilder(trainCtesBody(rounds, sampleOneIn, table))
     sb ++= ",\n"
-    sb ++= tokenizeCte("f1", "SELECT doc_id, text FROM documents")
+    sb ++= tokenizeCte("f1", s"SELECT doc_id, text FROM $table")
     for (r <- 1 to rounds) {
       sb ++= s""",
                 |fwn$r AS (
@@ -284,12 +288,18 @@ object Bpe {
                 |  FROM f$r)""".stripMargin
       sb ++= applyCtes("f", "f", r, s"best$r", s"fwn$r")
     }
-    sb ++= s"""
-              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              |  CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
-              |FROM f${rounds + 1} GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
   }
+
+  /** DuckDB replay of [[encodeCorpus]], reduced to the per-doc
+    * compression record.
+    */
+  def encodeOracleSql(rounds: Int, sampleOneIn: Int): String =
+    "WITH " + encodeCtesBody(rounds, sampleOneIn) +
+      s"""
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+         |FROM f${rounds + 1} GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** `finalSelect` for [[trainMerges]]: the merge table across rounds. */
   def mergesSelect(rounds: Int): String =
