@@ -3458,12 +3458,13 @@ object ScaleQueries {
       },
       doc = "IVF-flat with int8 scalar quantization (multi-probe), hash-checked"),
 
-    // ANN recall-as-data, ROWS-ONLY by design: the recall@10 knobs
-    // SCALE.md reasons about (nProbe for IVF), measured against the exact
-    // bruteForceTopK baseline on a 5% query sample and surfaced as
-    // scalar rows — the emb_quant_topk measured-trade design applied to
-    // the ANN family. No oracle: the metric compares two engine plans;
-    // lower bounds live in ScaleOpsSpec instead.
+    // ANN recall-as-data: the recall@10 knobs SCALE.md reasons about
+    // (nProbe for IVF), measured against the exact bruteForceTopK
+    // baseline on a 5% query sample and surfaced as scalar rows — the
+    // emb_quant_topk measured-trade design applied to the ANN family.
+    // Both arms are deterministic (seeded codebook, total tie-breaks)
+    // and the metric is an integer hit-sum ratio, so the table is fully
+    // hash-checked; recall FLOORS additionally live in ScaleOpsSpec.
     "emb_ivf_recall" -> QueryDef(
       build = (s, dir) => {
         val e = embs(s, dir)
@@ -3484,8 +3485,61 @@ object ScaleQueries {
           .select("nprobe", "n_queries", "recall_at_10")
           .orderBy("nprobe")
       },
-      oracle = None,
-      doc = "ROWS-ONLY recall metric: IVF recall@10 vs exact at nProbe 1/2 (bounds in ScaleOpsSpec)"),
+      // both arms are deterministic (seeded codebook, total tie-breaks)
+      // and the metric is an integer hit-sum ratio, so the recall TABLE
+      // is fully hash-checked — upgraded from rows-only in round 7
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |cranked AS (
+           |  SELECT id, v, cent_id,
+           |    row_number() OVER (PARTITION BY id ORDER BY ${sqlCosine("c.v", "cents.cv")} DESC, cent_id) AS crank
+           |  FROM c, cents),
+           |assigned AS (SELECT id, v, cent_id AS list_id FROM cranked WHERE crank = 1),
+           |probes AS (SELECT id, v, cent_id AS list_id FROM cranked WHERE crank <= 2),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlCosine("q.embedding", "t.embedding")} DESC, t.vec_id) AS erank
+           |    FROM embeddings q JOIN embeddings t ON q.vec_id <> t.vec_id
+           |    WHERE q.vec_id % 20 = 0) x WHERE erank <= 10),
+           |sys1 AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.id AS query_id, t.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${sqlCosine("q.v", "t.v")} DESC, t.id) AS rank
+           |    FROM assigned q JOIN assigned t
+           |      ON q.list_id = t.list_id AND q.id <> t.id
+           |    WHERE q.id % 20 = 0) x WHERE rank <= 10),
+           |sys2 AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.id AS query_id, t.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${sqlCosine("q.v", "t.v")} DESC, t.id) AS rank
+           |    FROM probes q JOIN assigned t
+           |      ON q.list_id = t.list_id AND q.id <> t.id
+           |    WHERE q.id % 20 = 0) x WHERE rank <= 10),
+           |qs AS (SELECT DISTINCT query_id FROM exact),
+           |h1 AS (
+           |  SELECT e.query_id, COUNT(*) AS hits FROM exact e
+           |  SEMI JOIN sys1 s ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+           |  GROUP BY 1),
+           |h2 AS (
+           |  SELECT e.query_id, COUNT(*) AS hits FROM exact e
+           |  SEMI JOIN sys2 s ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+           |  GROUP BY 1)
+           |SELECT 1 AS nprobe, CAST(COUNT(*) AS INT) AS n_queries,
+           |  ROUND(CAST(SUM(COALESCE(hits, 0)) AS DOUBLE)
+           |    / (10.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS recall_at_10
+           |FROM qs LEFT JOIN h1 USING (query_id)
+           |UNION ALL
+           |SELECT 2 AS nprobe, CAST(COUNT(*) AS INT) AS n_queries,
+           |  ROUND(CAST(SUM(COALESCE(hits, 0)) AS DOUBLE)
+           |    / (10.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS recall_at_10
+           |FROM qs LEFT JOIN h2 USING (query_id)
+           |ORDER BY nprobe""".stripMargin),
+      doc = "IVF recall@10 vs exact at nProbe 1/2 — fully hash-checked (integer hit sums); floors also in ScaleOpsSpec"),
 
     "emb_banded_recall" -> QueryDef(
       build = (s, dir) => {

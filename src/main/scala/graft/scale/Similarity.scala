@@ -377,7 +377,10 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .agg(
         count(lit(1)).cast("int").as("n_queries"),
-        round(avg(coalesce(col("__hits"), lit(0L)).cast("double") / k), 4)
+        // Σhits/(k·n) — the integer-sum spelling (never an order-dependent
+        // double mean), so the metric is oracle-hashable
+        round(sum(coalesce(col("__hits"), lit(0L))).cast("double") /
+          (lit(k.toDouble) * count(lit(1)).cast("double")), 4)
           .as(s"recall_at_$k"))
   }
 
