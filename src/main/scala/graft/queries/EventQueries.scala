@@ -42,6 +42,106 @@ object EventQueries {
       | WHEN 'click' THEN 'UserLoginEvent' WHEN 'view' THEN 'NotificationSentEvent'
       | WHEN 'purchase' THEN 'PaymentProcessedEvent' ELSE 'ErrorEvent' END""".stripMargin
 
+  // --- DuckDB replays of the three placement hash families (P2) ---
+  // All 32-bit arithmetic is modeled on the UNSIGNED 0..2^32-1 range in
+  // BIGINT: xor and >>> translate directly; int multiplication needs a
+  // HUGEINT product reduced mod 2^32 (BIGINT*BIGINT would overflow).
+
+  /** Java 32-bit product, DuckDB spelling. */
+  private def mul32(x: String, c: Long): String =
+    s"CAST((CAST(($x) AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+
+  /** 32-bit rotate-left: the two shifted halves occupy disjoint bits, so
+    * `+` is the OR.
+    */
+  private def rotl32(x: String, r: Int): String =
+    s"(((($x) << $r) % 4294967296) + (($x) >> ${32 - r}))"
+
+  /** Oracle for `p2_partition_families`: per distinct tenant key, replay
+    * Java String.hashCode, Kafka murmur2, and Spark murmur3(seed 42), all
+    * in DuckDB integer arithmetic over the key's bytes.
+    */
+  private val partitionFamiliesOracle: String = {
+    // murmur2 main-loop step: little-endian word -> k mixing -> h update
+    val m2k0 = "(cs[CAST(4*i+1 AS INT)] + cs[CAST(4*i+2 AS INT)]*256 + " +
+      "cs[CAST(4*i+3 AS INT)]*65536 + cs[CAST(4*i+4 AS INT)]*16777216)"
+    val m2k1 = mul32(m2k0, 1540483477L) // m = 0x5bd1e995
+    val m2k2 = s"xor($m2k1, ($m2k1) >> 24)"
+    val m2k3 = mul32(m2k2, 1540483477L)
+    val m2step = s"xor(${mul32("h", 1540483477L)}, $m2k3)"
+    // murmur3 (Spark) step: mixH1(h, mixK1(w)); Spark's tail bytes take
+    // the identical path, so words-then-bytes is ONE reduce
+    val m3a = mul32("w", 3432918353L) // c1 = 0xcc9e2d51
+    val m3b = rotl32(m3a, 15)
+    val m3k = mul32(m3b, 461845907L) // c2 = 0x1b873593
+    val m3c = s"xor(h, $m3k)"
+    val m3d = rotl32(m3c, 13)
+    val m3step = s"((($m3d) * 5 + 3864292196) % 4294967296)" // + 0xe6546b64
+    s"""$cte, keyed AS (
+       |  SELECT DISTINCT COALESCE(NULLIF(tenant_id,''),'default-tenant') AS key FROM env),
+       |b AS (
+       |  SELECT key,
+       |    list_transform(string_split(key,''), c -> CAST(unicode(c) AS BIGINT)) AS cs,
+       |    CAST(strlen(key) AS BIGINT) AS n
+       |  FROM keyed),
+       |jh AS ( -- Java String.hashCode: h = h*31 + c, signed-int wraparound
+       |  SELECT key,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+       |      (a, c) -> (a * 31 + c) % 4294967296) AS hu
+       |  FROM b),
+       |java_part AS (
+       |  SELECT key,
+       |    CAST(abs(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) % 6 AS INT)
+       |      AS part_java
+       |  FROM jh),
+       |m1 AS ( -- Kafka murmur2: seed 0x9747b28c ^ len, word loop
+       |  SELECT key, cs, n, n % 4 AS rem, n - (n % 4) AS base,
+       |    list_reduce(list_prepend(xor(2538058380::BIGINT, n),
+       |      list_transform(generate_series(0, CAST(n // 4 AS INT) - 1),
+       |        i -> CAST(i AS BIGINT))),
+       |      (h, i) -> $m2step) AS h0
+       |  FROM b),
+       |m2 AS (SELECT key, cs, rem, base, -- tail-byte switch, fallthrough order
+       |  CASE WHEN rem >= 3 THEN xor(h0, cs[CAST(base+3 AS INT)] * 65536) ELSE h0 END AS ha
+       |  FROM m1),
+       |m3 AS (SELECT key, cs, rem, base,
+       |  CASE WHEN rem >= 2 THEN xor(ha, cs[CAST(base+2 AS INT)] * 256) ELSE ha END AS hb
+       |  FROM m2),
+       |m4 AS (SELECT key,
+       |  CASE WHEN rem >= 1 THEN ${mul32("xor(hb, cs[CAST(base+1 AS INT)])", 1540483477L)}
+       |       ELSE hb END AS hc
+       |  FROM m3),
+       |m5 AS (SELECT key, ${mul32("xor(hc, hc >> 13)", 1540483477L)} AS he FROM m4),
+       |m2_part AS ( -- Kafka placement: toPositive(h) % n == (h mod 2^31) % n
+       |  SELECT key, CAST((xor(he, he >> 15) % 2147483648) % 6 AS INT) AS part_murmur2
+       |  FROM m5),
+       |w AS ( -- Spark murmur3: aligned LE words, then tail bytes verbatim
+       |  SELECT key, n,
+       |    list_concat(
+       |      list_transform(generate_series(0, CAST(n // 4 AS INT) - 1),
+       |        i -> cs[CAST(4*i+1 AS INT)] + cs[CAST(4*i+2 AS INT)]*256 +
+       |             cs[CAST(4*i+3 AS INT)]*65536 + cs[CAST(4*i+4 AS INT)]*16777216),
+       |      list_transform(generate_series(CAST(n - (n % 4) + 1 AS INT), CAST(n AS INT)),
+       |        j -> cs[j])) AS ws
+       |  FROM b),
+       |s1 AS (SELECT key, n,
+       |  list_reduce(list_prepend(42::BIGINT, ws), (h, w) -> $m3step) AS h0 FROM w),
+       |s2 AS (SELECT key, xor(xor(h0, n), (xor(h0, n)) >> 16) AS ha FROM s1),
+       |s3 AS (SELECT key, ${mul32("ha", 2246822507L)} AS hb FROM s2), -- 0x85ebca6b
+       |s4 AS (SELECT key, xor(hb, hb >> 13) AS hc FROM s3),
+       |s5 AS (SELECT key, ${mul32("hc", 3266489909L)} AS hd FROM s4), -- 0xc2b2ae35
+       |s6 AS (SELECT key, xor(hd, hd >> 16) AS he FROM s5),
+       |s7 AS (SELECT key,
+       |  CASE WHEN he >= 2147483648 THEN he - 4294967296 ELSE he END AS sgn FROM s6),
+       |spark_part AS ( -- pmod placement
+       |  SELECT key, CAST(((sgn % 6) + 6) % 6 AS INT) AS part_spark FROM s7)
+       |SELECT j.key, j.part_java, m.part_murmur2, sp.part_spark
+       |FROM java_part j
+       |JOIN m2_part m USING (key)
+       |JOIN spark_part sp USING (key)
+       |ORDER BY j.key""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // F3 validity matrix: valid x too-old counts (too-old is observed, not
@@ -162,8 +262,17 @@ object EventQueries {
            |FROM hashed GROUP BY 1, 2 ORDER BY key""".stripMargin),
       doc = "P2 Java-hashCode partition placement via native Catalyst expression"),
 
-    // P2 comparison surface across all three hash families (murmur2 has no
-    // SQL-reproducible oracle offline — structural rows-only check).
+    // P2 comparison surface across all three hash families. The oracle
+    // REPLAYS all three hash algorithms in DuckDB integer arithmetic
+    // (mod-2^32 via HUGEINT products, xor/shift on the unsigned
+    // representation): Java String.hashCode as a 31-polynomial fold,
+    // Kafka's MurmurHash2 (seed 0x9747b28c, m 0x5bd1e995, 24/13/15 mix)
+    // incl. the tail-byte switch, and Spark's Murmur3_x86_32 seed-42 with
+    // Spark's per-byte tail (each trailing byte gets the full
+    // mixK1+mixH1, Murmur3_x86_32.hashUnsafeBytes) and pmod placement.
+    // Keys are ASCII (tenant ids), so unicode() code points are the UTF-8
+    // bytes both hash families consume. Murmur2 additionally pinned by
+    // Kafka known-answer vectors in PartitionKeysSpec.
     "p2_partition_families" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
@@ -174,8 +283,8 @@ object EventQueries {
           .withColumn("part_spark", graft.functions.Hashing.partitionFor(col("key"), 6, "spark"))
           .orderBy("key")
       },
-      oracle = None,
-      doc = "ROWS-ONLY by design: murmur2/spark families have no DuckDB-reproducible oracle; murmur2 pinned by Kafka known-answer vectors in PartitionKeysSpec"),
+      oracle = Some(partitionFamiliesOracle),
+      doc = "P2 all three hash families, each replayed independently in DuckDB integer arithmetic"),
 
     // A12: keyset pagination — the list-endpoint surface done the way it
     // must be done at scale: the cursor is the last (ts, event_id) of the

@@ -27,16 +27,23 @@ final case class FunnelHit(user: String, step: Int, ts: java.sql.Timestamp)
   * included) — greedy is optimal for reachability, see the batch
   * operator's doc.
   *
-  * State per key: the pending buffer (bounded by the watermark horizon ×
-  * arrival rate, not by history) plus at most k longs of step times.
-  * WITHOUT `idleTimeout`, the k-long prefix is retained forever, so keyed
-  * state grows with the USER POPULATION (store TTLConfig cannot help:
-  * Spark only permits it in ProcessingTime mode, and this processor is
-  * event-time). With `idleTimeout = Some(d)`, a watermark-driven timer
-  * clears a user's state once they have been silent for `d` past the
-  * watermark — state then tracks the ACTIVE population. Trade-off: a user
-  * who returns after `d` of silence restarts the funnel from step 1 and
-  * may re-emit hits, the standard session-expiry semantics.
+  * State per key: IN-FLIGHT users carry the pending buffer (bounded by
+  * the watermark horizon × arrival rate, not by history) plus at most k
+  * longs of step times. On COMPLETION (step k finalized) the processor
+  * clears all three states and collapses the user to one 8-byte `done`
+  * stamp — later events for a done user are dropped on arrival, never
+  * buffered, so each step still emits exactly once ever (the stamp is the
+  * information-theoretic minimum for that guarantee; the reference's
+  * idempotency store keeps the same marker,
+  * BaseEventConsumer.java:188-196). Store TTLConfig cannot expire any of
+  * this: Spark only permits it in ProcessingTime mode and this processor
+  * is event-time — expiry is therefore timer-driven. With `idleTimeout =
+  * Some(d)`: a watermark-driven timer clears an in-flight user's state
+  * after `d` of event-time silence, AND expires a completed user's `done`
+  * stamp `d` past completion — keyed state is then O(active users), the
+  * reference's expire-everything posture. Trade-off: a user who returns
+  * after `d` restarts the funnel from step 1 and may re-emit hits, the
+  * standard session-expiry semantics.
   */
 object TwsFunnel {
 
@@ -48,6 +55,7 @@ object TwsFunnel {
     @transient private var pending: ListState[(Long, Long, Int, java.sql.Timestamp)] = _
     @transient private var times: ListState[Long] = _
     @transient private var lastSeen: ValueState[Long] = _
+    @transient private var done: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[(Long, Long, Int, java.sql.Timestamp)](
@@ -57,10 +65,17 @@ object TwsFunnel {
         Encoders.scalaLong, TTLConfig.NONE)
       lastSeen = getHandle.getValueState[Long]("lastSeen",
         Encoders.scalaLong, TTLConfig.NONE)
+      // completion stamp (event-time ms of step k): the only state a
+      // finished user keeps; expired by timer when idleTimeoutMs is set
+      done = getHandle.getValueState[Long]("done",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[FunnelEvent],
                                  timerValues: TimerValues): Iterator[FunnelHit] = {
+      // a completed user's events are dropped on arrival — nothing can
+      // emit past step k, so buffering them would be pure state growth
+      if (done.exists()) return Iterator.empty
       val timers = scala.collection.mutable.Set.empty[Long]
       var maxTs = 0L
       rows.foreach { e =>
@@ -98,17 +113,36 @@ object TwsFunnel {
                 Some(FunnelHit(key, step, tsRaw))
               } else None
           }
-          if (filled.length > before) times.put(filled.toArray)
+          if (filled.length > before) {
+            if (filled.length == k) {
+              // funnel COMPLETE — terminal: no event can ever extend past
+              // step k, so the buffer and the k step times are dead
+              // weight. Collapse to the 8-byte done stamp (and schedule
+              // its own expiry when an idle timeout is configured).
+              val doneMs = filled.last / 1000L
+              pending.clear(); times.clear(); lastSeen.clear()
+              done.update(doneMs)
+              idleTimeoutMs.foreach(idle => getHandle.registerTimer(doneMs + idle))
+            } else times.put(filled.toArray)
+          }
           out
         }
-      // Idle expiry: the cleanup timer armed at lastSeen+idle has fired,
-      // the watermark confirms the silence, and nothing is still buffered
-      // — drop the user's whole footprint. (A later-armed timer from
-      // renewed activity will find wm < lastSeen+idle here and no-op.)
       idleTimeoutMs.foreach { idle =>
-        if (rest.isEmpty && lastSeen.exists() &&
+        // Idle expiry: the cleanup timer armed at lastSeen+idle has fired,
+        // the watermark confirms the silence, and nothing is still buffered
+        // — drop the user's whole footprint. (A later-armed timer from
+        // renewed activity will find wm < lastSeen+idle here and no-op.)
+        if (!done.exists() && rest.isEmpty && lastSeen.exists() &&
             timerValues.getCurrentWatermarkInMs >= lastSeen.get() + idle) {
           pending.clear(); times.clear(); lastSeen.clear()
+        }
+        // Done-stamp expiry: `idle` past completion, forget the user
+        // entirely — state returns to O(in-flight + recently-done), the
+        // reference idempotency store's expire-everything posture. A user
+        // returning later restarts from step 1 (documented trade-off).
+        if (done.exists() &&
+            timerValues.getCurrentWatermarkInMs >= done.get() + idle) {
+          done.clear()
         }
       }
       hits.iterator

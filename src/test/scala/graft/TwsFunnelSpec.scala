@@ -142,4 +142,84 @@ class TwsFunnelSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  /** Users holding any rows in state var `varName` at the checkpoint's
+    * latest committed batch (state data source reader, stateVarName).
+    */
+  private def usersInState(ckpt: String, varName: String): Set[String] =
+    spark.read.format("statestore")
+      .option("stateVarName", varName)
+      .load(ckpt)
+      .selectExpr("key.value AS user")
+      .collect().map(_.getString(0)).toSet
+
+  test("completion collapses keyed state to the done stamp (pending/times cleared)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val out = java.nio.file.Files.createTempDirectory("tws-funnel-done").toString
+      val input = MemoryStream[FunnelEvent]
+      val q = TwsFunnel.funnel(
+          input.toDS().withWatermark("ts", "1 minute"), steps.length)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .start()
+      // u1 completes all 3 steps; u2 stays in-flight at step 1 (the
+      // contrast proving the state reader actually sees live state)
+      val b1 = Seq(FunnelEvent("u1", t(10, 1), 1L, 1),
+        FunnelEvent("u1", t(10, 2), 2L, 2), FunnelEvent("u1", t(10, 3), 3L, 3),
+        FunnelEvent("u2", t(10, 2), 4L, 1))
+      val b2 = Seq(FunnelEvent("wm", t(11, 10), 5L, 1)) // watermark push
+      // post-completion event: dropped on arrival, never buffered
+      val b3 = Seq(FunnelEvent("u1", t(11, 20), 6L, 1),
+        FunnelEvent("wm", t(12, 30), 7L, 1))
+      try {
+        Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        pollUntil(out, 4 + 1) // u1 steps 1-3 + u2 step 1 + wm step 1
+        val got = results(out).filterNot(_._1 == "wm")
+        assert(got == Set(("u1", 1, t(10, 1)), ("u1", 2, t(10, 2)),
+          ("u1", 3, t(10, 3)), ("u2", 1, t(10, 2))), s"got $got")
+      } finally q.stop()
+      // u1 finished: buffer and step times are gone, only the done stamp
+      // remains; u2 in-flight: step times retained
+      assert(!usersInState(s"$out/_ckpt", "pending").contains("u1"))
+      assert(!usersInState(s"$out/_ckpt", "times").contains("u1"))
+      assert(usersInState(s"$out/_ckpt", "done") == Set("u1"))
+      assert(usersInState(s"$out/_ckpt", "times").contains("u2"))
+    }
+  }
+
+  test("idle timeout expires the done stamp: completed users leave state entirely") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val out = java.nio.file.Files.createTempDirectory("tws-funnel-ttl").toString
+      val input = MemoryStream[FunnelEvent]
+      val q = TwsFunnel.funnel(
+          input.toDS().withWatermark("ts", "1 minute"), steps.length,
+          idleTimeoutMs = Some(3600000L)) // 1 h
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .start()
+      val b1 = Seq(FunnelEvent("u1", t(10, 1), 1L, 1),
+        FunnelEvent("u1", t(10, 2), 2L, 2), FunnelEvent("u1", t(10, 3), 3L, 3))
+      val b2 = Seq(FunnelEvent("wm", t(11, 10), 4L, 1)) // finalize completion
+      val b3 = Seq(FunnelEvent("wm", t(13, 0), 5L, 1))  // wm past 10:03+1h
+      try {
+        Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        pollUntil(out, 3 + 1)
+      } finally q.stop()
+      // done stamp expired 1 h past completion — no trace of u1 in any var
+      Seq("pending", "times", "lastSeen", "done").foreach { v =>
+        assert(!usersInState(s"$out/_ckpt", v).contains("u1"),
+          s"u1 still present in state var '$v' after done-stamp expiry")
+      }
+    }
+  }
 }
