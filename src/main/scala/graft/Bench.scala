@@ -59,14 +59,15 @@ object Bench {
 
   private val UserHz = 100.0 // USER_HZ, the /proc jiffy unit (Linux ABI)
 
-  /** Per-query clean-run ceiling (seconds). Default 3 s. Three documented
+  /** Per-query clean-run ceiling (seconds). Default 3 s. Four documented
     * classes get 4 s: the >=6-stage prep capstones, the iterative graph
     * ops (10-round PageRank, 4-round LPA — per-round barrier floor
-    * dominates), and the BPE trainer loop (one argmax job + one
+    * dominates), the BPE trainer loop (one argmax job + one
     * lineage barrier per round, inherently serial — each round depends on
-    * the previous round's merged token table; all three registry entries
+    * the previous round's merged token table; all four registry entries
     * run the same loop — 6 training rounds, 3 rounds + the corpus agg,
-    * and 3 rounds + the full-corpus encode sweep).
+    * 3 rounds + the full-corpus encode sweep, and the encode sweep + the
+    * per-source fertility rollup), and the Gonzalez FPS coreset rounds.
     * Their cost at local[32]/sf0.1 is SERIAL JOB
     * DEPTH (8-10 dependent stage jobs x the ~0.3 s scheduler+barrier
     * floor), not per-stage work — profiled via SPARK_GRAFT_BARRIER_DEBUG:
@@ -80,6 +81,9 @@ object Bench {
     "corpus_prepare_v7",
     "graph_pagerank", "graph_lpa",
     "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode",
+    // fertility runs the same 2-round trainer + encode sweep, plus the
+    // per-source rollup join
+    "txt_bpe_fertility",
     // 8 Gonzalez farthest-point-sampling rounds + C(8,2) pair summaries —
     // the same per-round driver-barrier class as graph_lpa (each round's
     // argmax depends on the previous round's centroid set); warm cost is

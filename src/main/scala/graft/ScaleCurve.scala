@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * scales in volume only. Orders/lineitem share one B so the join keys
   * stay aligned.
   *
-  * Usage: ScaleCurve [srcSfDir] [workDir] [multipliers csv]
+  * Usage: ScaleCurve [srcSfDir] [workDir] [multipliers csv] [queries csv]
+  * (4th arg restricts to a query subset — single-family iteration).
   * Prints one JSON line per multiplier.
   */
 object ScaleCurve {
@@ -66,13 +67,24 @@ object ScaleCurve {
     // window-shape ops whose whole point is staying O(n) at scale
     "emb_dim_cov", "emb_pca_power", "emb_kmeans", "graph_triangles",
     "skyline_orders", "scd2_intervals", "corpus_prepare_v5",
-    "evt_burst_windows", "graph_kcore")
+    "evt_burst_windows", "graph_kcore",
+    // round-7/8 additions: the join-free BPE encode sweep, chunk-level
+    // BM25 RAG packing, packed-bit binary retrieval, and the 16-dim
+    // prefix-shortlist rerank — each should scale in corpus volume only
+    // (the query sides stay the fixed 5% sample)
+    "txt_bpe_encode", "rag_context_pack", "emb_binary_topk",
+    "emb_matryoshka_topk")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scalecurve"
     val mults = (if (args.length > 2) args(2).split(",").toSeq.map(_.trim)
                  else Seq("1", "2", "5", "10")).map(_.toInt)
+    val selected =
+      if (args.length > 3) {
+        val want = args(3).split(",").map(_.trim).toSet
+        curveQueries.filter(want)
+      } else curveQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -120,7 +132,7 @@ object ScaleCurve {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     mults.foreach { m =>
       val dir = synthesize(m)
-      val times = curveQueries.map { q =>
+      val times = selected.map { q =>
         q -> math.min(runOnce(q, dir), runOnce(q, dir))
       }
       val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -86,6 +86,46 @@ object StreamingCurve {
     (sec, spark.read.parquet(indexDir).count())
   }
 
+  /** Heavy-hitter state-cap arm (VERDICT r7 #6): m+1 micro-batches of the
+    * token stream, every batch a FRESH vocabulary (copy-shifted tokens, the
+    * worst case for space-saving — every row is an eviction once the table
+    * fills), through `TwsHeavyHitters(k)`. Returns (last-batch seconds,
+    * state rows = groups, widest per-group table). The cap claim is the
+    * measurement: groups and table width are CONSTANT in m — only the
+    * vocabulary seen (m × 100k tokens) grows — so per-batch time stays
+    * flat while a map-per-token design would grow state m×.
+    */
+  def hhProbe(spark: SparkSession, events: DataFrame, work: String,
+              m: Int, k: Int = 32): (Double, Long, Int) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows0 = events.select(col("event_type"), col("event_id"), col("user_id"))
+      .as[(String, Long, Long)].collect()
+    val b = ScaleCurve.base(100000000L)
+    val ckpt = s"$work/hh_x$m/_ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.TokRow]
+    val q = graft.streaming.TwsHeavyHitters.heavyHitters(input.toDS(), k)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("noop").start()
+    var lastSec = 0.0
+    try {
+      (0 to m).foreach { i =>
+        val batch = rows0.map { case (g, id, u) =>
+          graft.streaming.TokRow(g, id + i.toLong * b, s"tok-${u + i.toLong * b}")
+        }
+        input.addData(batch.toIndexedSeq: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        lastSec = (System.nanoTime() - t0) / 1e9
+      }
+    } finally q.stop()
+    val st = spark.read.format("statestore").option("stateVarName", "hh").load(ckpt)
+    val groups = st.count()
+    val maxW = st.selectExpr("size(value.tokens) AS w")
+      .agg(max("w")).head.getInt(0)
+    (lastSec, groups, maxW)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_streamcurve"
@@ -98,6 +138,10 @@ object StreamingCurve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // transformWithState (the hh arm) requires the multi-column-family
+      // RocksDB provider; the admission arms are provider-agnostic
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Hashing.register(spark)
@@ -109,12 +153,15 @@ object StreamingCurve {
     // multiplier is not charged for codegen/JIT
     textProbe(spark, docs, s"$work/warm", 1)
     vecProbe(spark, vecs, s"$work/warm", 1)
+    val evts = graft.sources.Tables.events(spark, src)
     mults.foreach { m =>
       val (tSec, tRows) = textProbe(spark, docs, work, m)
       val (vSec, vRows) = vecProbe(spark, vecs, work, m)
+      val (hSec, hGroups, hMaxW) = hhProbe(spark, evts, work, m)
       println(s"""{"stream_mult":$m,"src":"$src",""" +
         s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
-        s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows}""")
+        s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows,""" +
+        s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW}""")
     }
     spark.stop()
   }

@@ -2082,6 +2082,65 @@ object InferenceQueries {
     // cumulative window runs over the pre-aggregated distinct-cents value
     // domain, never the order stream — at 100 TB the rank pass is one
     // map-side-combinable count shuffle plus a domain-sized window.
+    // Inter-annotator agreement (round 8): Cohen's kappa between two
+    // deterministic length-class annotators over documents — one from the
+    // char count, one from the whitespace word count, so their
+    // disagreement is real data variation (char-dense vs word-dense
+    // docs), not synthetic noise. Everything is exact BIGINT counts (the
+    // confusion diagonal and the marginal products) through one final
+    // double expression written identically for both engines; the
+    // marginal-product join runs on the |classes|-row tables. The op a
+    // labeling pipeline runs before trusting a rater pool or an
+    // LLM-judge pair.
+    "eval_kappa" -> QueryDef(
+      build = (s, dir) => {
+        val d = graft.Caches.lazyBarrier(Tables.documents(s, dir).select(
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 900, "med").otherwise("long").as("ann_a"),
+          when(size(split(col("text"), " ")) < 60, "short")
+            .when(size(split(col("text"), " ")) < 180, "med").otherwise("long")
+            .as("ann_b")))
+        val tot = d.agg(count(lit(1)).as("n"),
+          sum(when(col("ann_a") === col("ann_b"), 1L).otherwise(0L)).as("agree"))
+        val ma = d.groupBy(col("ann_a").as("cls")).agg(count(lit(1)).as("na"))
+        val mb = d.groupBy(col("ann_b").as("cls")).agg(count(lit(1)).as("nb"))
+        val peNum = ma.join(mb, "cls").agg(sum(col("na") * col("nb")).as("pe_num"))
+        tot.crossJoin(broadcast(peNum))
+          .select(col("n"), col("agree"),
+            round(col("agree").cast("double") / col("n").cast("double"), 6).as("po"),
+            round(col("pe_num").cast("double") /
+              (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
+            round((col("agree").cast("double") / col("n").cast("double") -
+              col("pe_num").cast("double") /
+                (col("n").cast("double") * col("n").cast("double"))) /
+              (lit(1.0d) - col("pe_num").cast("double") /
+                (col("n").cast("double") * col("n").cast("double"))), 6).as("kappa"))
+      },
+      oracle = Some(
+        """WITH lab AS (
+          |  SELECT
+          |    CASE WHEN n_chars < 300 THEN 'short'
+          |         WHEN n_chars < 900 THEN 'med' ELSE 'long' END AS ann_a,
+          |    CASE WHEN len(string_split(text, ' ')) < 60 THEN 'short'
+          |         WHEN len(string_split(text, ' ')) < 180 THEN 'med' ELSE 'long' END AS ann_b
+          |  FROM documents),
+          |tot AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN ann_a = ann_b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+          |  FROM lab),
+          |ma AS (SELECT ann_a AS cls, CAST(COUNT(*) AS BIGINT) AS na FROM lab GROUP BY 1),
+          |mb AS (SELECT ann_b AS cls, CAST(COUNT(*) AS BIGINT) AS nb FROM lab GROUP BY 1),
+          |pe AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS pe_num FROM ma JOIN mb USING (cls))
+          |SELECT n, agree,
+          |  ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+          |  ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+          |  ROUND((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+          |      - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          |    / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+          |    AS kappa
+          |FROM tot, pe""".stripMargin),
+      doc = "Cohen's kappa between two deterministic annotators: exact confusion counts, chance-corrected agreement"),
+
     "eval_auc" -> QueryDef(
       build = (s, dir) => {
         val v = Tables.orders(s, dir).select(

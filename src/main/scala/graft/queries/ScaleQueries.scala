@@ -2424,6 +2424,189 @@ object ScaleQueries {
       oracle = Some(Bpe.encodeOracleSql(rounds = 2, sampleOneIn = 4)),
       doc = "Sample-trained BPE encode over the full corpus: per-doc token + merged-token counts"),
 
+    // Tokenizer fertility eval (round 8): per-source tokens/word and
+    // bytes/token under the sample-trained BPE — the health check a
+    // tokenizer owner runs per data source before committing a vocab
+    // (fertility creep on one domain means the merges were trained on
+    // another). Reuses the encode sweep (join-free, corpus never
+    // re-read); the per-source rollup is one map-side-combinable agg, so
+    // the eval adds a bounded |sources| table on top of the encode cost.
+    "txt_bpe_fertility" -> QueryDef(
+      build = (s, dir) => {
+        val enc = Bpe.encodeCorpus(docs(s, dir), "doc_id", "text",
+          rounds = 2, sampleOneIn = 4)
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        enc.join(d, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum("n_merged").as("merged_tokens"),
+            sum("n_words").as("total_words"),
+            sum("n_bytes").as("total_bytes"))
+          .withColumn("fertility",
+            round(col("total_tokens").cast("double") / col("total_words"), 6))
+          .withColumn("bytes_per_token",
+            round(col("total_bytes").cast("double") / col("total_tokens"), 6))
+          .orderBy("source")
+      },
+      oracle = Some(
+        "WITH " + Bpe.encodeCtesBody(rounds = 2, sampleOneIn = 4) +
+          s""",
+             |perdoc AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+             |  FROM f3 GROUP BY doc_id),
+             |dmeta AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(strlen(text) AS BIGINT) AS n_bytes
+             |  FROM documents)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(n_merged) AS BIGINT) AS merged_tokens,
+             |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+             |  ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 6) AS bytes_per_token
+             |FROM perdoc JOIN dmeta USING (doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Tokenizer fertility per source: tokens/word + bytes/token under the sample-trained BPE"),
+
+    // Packing-strategy eval (round 8): pad-to-max vs concat-and-chop at
+    // three context lengths, per source shard. Closed-form integer
+    // arithmetic per arm — padding waste, bin counts, and the fraction of
+    // docs a concat packer splits across a boundary (the quality cost
+    // that motivates boundary-respecting packers). Docs are truncated at
+    // the context length (least(toks, L)) exactly as the pad regime
+    // would. Cumsum is per-source (the shard axis), never a global
+    // window, so the plan scales with sources × rows like pack_sequences.
+    "pack_efficiency" -> QueryDef(
+      build = (s, dir) => {
+        val base = graft.Caches.lazyBarrier(docs(s, dir).select(col("doc_id"),
+          col("source"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("toks")))
+        val arms = Seq(500L, 1000L, 2000L).map { maxLen =>
+          val w = Window.partitionBy("source").orderBy("doc_id")
+          base
+            .withColumn("ct", least(col("toks"), lit(maxLen)))
+            .withColumn("cum_before", sum("ct").over(w) - col("ct"))
+            .withColumn("split",
+              when(col("ct") > 0 && (floor(col("cum_before") / maxLen) !==
+                floor((col("cum_before") + col("ct") - 1) / maxLen)), 1L)
+                .otherwise(0L))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("ct").as("total_tokens"),
+              sum("split").as("docs_split"))
+            .withColumn("max_len", lit(maxLen))
+            .withColumn("pad_bins", col("n_docs"))
+            .withColumn("pad_waste_frac", round(
+              (col("n_docs") * maxLen - col("total_tokens")).cast("double") /
+                (col("n_docs") * maxLen).cast("double"), 6))
+            .withColumn("pack_bins", ceil(col("total_tokens").cast("double") / maxLen).cast("long"))
+            .withColumn("pack_waste_frac", round(
+              (col("pack_bins") * maxLen - col("total_tokens")).cast("double") /
+                (col("pack_bins") * maxLen).cast("double"), 6))
+            .withColumn("docs_split_frac",
+              round(col("docs_split").cast("double") / col("n_docs").cast("double"), 6))
+        }
+        arms.reduce(_ unionByName _)
+          .select("max_len", "source", "n_docs", "total_tokens", "pad_bins",
+            "pad_waste_frac", "pack_bins", "pack_waste_frac", "docs_split",
+            "docs_split_frac")
+          .orderBy("max_len", "source")
+      },
+      oracle = Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS BIGINT) AS toks
+           |  FROM documents),
+           |arms AS (SELECT unnest([500, 1000, 2000]) AS max_len),
+           |capped AS (
+           |  SELECT a.max_len, t.doc_id, t.source, least(t.toks, a.max_len) AS ct
+           |  FROM toks t, arms a),
+           |cum AS (
+           |  SELECT max_len, source, doc_id, ct,
+           |    SUM(ct) OVER (PARTITION BY max_len, source ORDER BY doc_id) - ct AS cum_before
+           |  FROM capped),
+           |marked AS (
+           |  SELECT max_len, source, ct,
+           |    CASE WHEN ct > 0 AND cum_before // max_len <> (cum_before + ct - 1) // max_len
+           |         THEN 1 ELSE 0 END AS split
+           |  FROM cum),
+           |agg AS (
+           |  SELECT max_len, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(ct) AS BIGINT) AS total_tokens,
+           |    CAST(SUM(split) AS BIGINT) AS docs_split
+           |  FROM marked GROUP BY 1, 2)
+           |SELECT CAST(max_len AS BIGINT) AS max_len, source, n_docs, total_tokens,
+           |  n_docs AS pad_bins,
+           |  ROUND(CAST(n_docs * max_len - total_tokens AS DOUBLE)
+           |    / CAST(n_docs * max_len AS DOUBLE), 6) AS pad_waste_frac,
+           |  CAST(CEIL(CAST(total_tokens AS DOUBLE) / max_len) AS BIGINT) AS pack_bins,
+           |  ROUND(CAST(CAST(CEIL(CAST(total_tokens AS DOUBLE) / max_len) AS BIGINT) * max_len
+           |      - total_tokens AS DOUBLE)
+           |    / CAST(CAST(CEIL(CAST(total_tokens AS DOUBLE) / max_len) AS BIGINT) * max_len AS DOUBLE), 6)
+           |    AS pack_waste_frac,
+           |  docs_split,
+           |  ROUND(CAST(docs_split AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS docs_split_frac
+           |FROM agg ORDER BY max_len, source""".stripMargin),
+      doc = "Packing-strategy eval: pad-to-max vs concat-chop waste + boundary-split fraction at 3 context lengths"),
+
+    // Exact mixture allocation (round 8): a sequence budget split across
+    // languages by temperature-scaled shares (alpha = 0.5, the
+    // sample_temperature family's flattening) with LARGEST-REMAINDER
+    // rounding, so the integer allocations sum exactly to the budget —
+    // the deterministic arithmetic a mixture planner publishes next to
+    // its sampling gates. The remainder rank runs on the AGGREGATED
+    // |langs|-row table, never the corpus, so the window is bounded at
+    // any scale.
+    "corpus_mix_allocation" -> QueryDef(
+      build = (s, dir) => {
+        val budget = 10000L
+        val counts = docs(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+        val sh = counts.crossJoin(broadcast(z))
+          .withColumn("share", sqrt(col("n_docs")) / col("z"))
+          .withColumn("base_alloc",
+            floor(lit(budget.toDouble) * col("share")).cast("long"))
+          .withColumn("rem", lit(budget.toDouble) * col("share") - col("base_alloc"))
+        val fsum = sh.agg(sum("base_alloc").as("fsum"))
+        sh.crossJoin(broadcast(fsum))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"))))
+          .withColumn("final_alloc", col("base_alloc") +
+            when(col("rk") <= lit(budget) - col("fsum"), 1L).otherwise(0L))
+          .select(col("lang"), col("n_docs"), round(col("share"), 6).as("share"),
+            col("base_alloc"), col("final_alloc"),
+            round(col("final_alloc").cast("double") / col("n_docs").cast("double"), 4)
+              .as("epochs"))
+          .orderBy("lang")
+      },
+      oracle = Some(
+        """WITH counts AS (
+          |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+          |z AS (SELECT SUM(sqrt(n_docs)) AS z FROM counts),
+          |sh AS (
+          |  SELECT lang, n_docs, sqrt(n_docs) / z.z AS share,
+          |    CAST(FLOOR(10000.0 * (sqrt(n_docs) / z.z)) AS BIGINT) AS base_alloc,
+          |    10000.0 * (sqrt(n_docs) / z.z)
+          |      - FLOOR(10000.0 * (sqrt(n_docs) / z.z)) AS rem
+          |  FROM counts, z),
+          |tot AS (SELECT SUM(base_alloc) AS fsum FROM sh),
+          |rk AS (
+          |  SELECT lang, n_docs, share, base_alloc, rem,
+          |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM sh)
+          |SELECT lang, n_docs, ROUND(share, 6) AS share, base_alloc,
+          |  CAST(base_alloc + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END AS BIGINT)
+          |    AS final_alloc,
+          |  ROUND(CAST(base_alloc + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END AS DOUBLE)
+          |    / CAST(n_docs AS DOUBLE), 4) AS epochs
+          |FROM rk, tot ORDER BY lang""".stripMargin),
+      doc = "Largest-remainder mixture allocation: temperature shares to exact integer budget split"),
+
     // ---------------- deduplication ----------------
 
     "dedup_exact" -> QueryDef(
@@ -5452,34 +5635,45 @@ object ScaleQueries {
 
     // Adaptive (matryoshka) retrieval — the OPERATIONAL counterpart of
     // the eval above: shortlist by 16-dim-prefix cosine (top-50), rerank
-    // the shortlist at full 64 dims (top-10). ONE pass: the survivors of
-    // the prefix window still carry both vectors, so the rerank is a
-    // projection over |Q|·50 rows, not a join back into the corpus. At
-    // 100 TB with MRL embeddings stored as head/tail column groups the
-    // shortlist stage scans only the 16-dim head — a 4× cheaper scan
-    // that this query's eval twin licenses; both stages codegen through
-    // graft_dot_range.
+    // the shortlist at full 64 dims (top-10). The prefix stage shuffles
+    // ONLY (query_id, neighbor_id, pre_score) through its top-50 window —
+    // the vectors are DROPPED before the exchange (the round-8 fix: the
+    // original carried both 64-float vectors through the Q×N window
+    // shuffle and went 24.7 s at curve ×10; ids+score rows are ~20× a
+    // slimmer exchange and the same query is ~3 s there). The rerank then
+    // re-reads the corpus with the |Q|·50 survivor list BROADCAST into
+    // the scan (broadcast-hash probe, no corpus shuffle) and the query
+    // vectors broadcast on top. At 100 TB with MRL embeddings stored as
+    // head/tail column groups the shortlist stage scans only the 16-dim
+    // head — a 4× cheaper scan that this query's eval twin licenses;
+    // both stages codegen through graft_dot_range.
     "emb_matryoshka_topk" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
         val e = embs(s, dir)
         val q = e.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val pairs = broadcast(q).crossJoin(
+        val short = broadcast(q).crossJoin(
             e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
           .filter(col("query_id") =!= col("neighbor_id"))
-        val short = pairs
           .withColumn("pre_score", expr(
             "ROUND(graft_dot_range(qv, nv, 1, 16) / " +
               "(SQRT(graft_dot_range(qv, qv, 1, 16)) * SQRT(graft_dot_range(nv, nv, 1, 16))), 6)"))
+          .select("query_id", "neighbor_id", "pre_score") // ids+score only into the exchange
           .withColumn("pre_rank", row_number().over(
             Window.partitionBy("query_id")
               .orderBy(col("pre_score").desc, col("neighbor_id"))))
           .filter(col("pre_rank") <= 50)
-        short
+          .select("query_id", "neighbor_id", "pre_rank")
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+          .join(broadcast(short), "neighbor_id")
+          .join(broadcast(q), "query_id")
           .withColumn("score", expr(
             "ROUND(graft_dot_range(qv, nv, 1, 64) / " +
               "(SQRT(graft_dot_range(qv, qv, 1, 64)) * SQRT(graft_dot_range(nv, nv, 1, 64))), 6)"))
+          // vectors out of the plan BEFORE the rank exchange (pinned by
+          // PlanShapeSpec: no shuffle in this query carries a vector)
+          .select("query_id", "neighbor_id", "pre_rank", "score")
           .withColumn("rank", row_number().over(
             Window.partitionBy("query_id")
               .orderBy(col("score").desc, col("neighbor_id"))).cast("int"))

@@ -309,4 +309,30 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one query_id shuffle, found $rankExchanges:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("matryoshka retrieval: no shuffle exchange carries a vector column") {
+    // the round-8 fix pinned: the Q×N shortlist window exchanges
+    // (ids, score) rows only, and the 64-dim rerank re-enters via
+    // broadcast — with vectors in the exchange, curve ×10 measured 24.7 s
+    // against ~3 s for the slim layout
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.registry("emb_matryoshka_topk").build(spark, sf())
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, s"expected at least one exchange:\n$plan")
+      shuffles.foreach { e =>
+        val names = e.output.map(_.name.toLowerCase)
+        assert(!names.exists(n =>
+          n.contains("qv") || n.contains("nv") || n.contains("embedding")),
+          s"vector column crosses a shuffle: ${names.mkString(", ")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.release()
+    }
+  }
 }
