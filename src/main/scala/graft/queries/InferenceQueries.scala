@@ -2141,6 +2141,86 @@ object InferenceQueries {
           |FROM tot, pe""".stripMargin),
       doc = "Cohen's kappa between two deterministic annotators: exact confusion counts, chance-corrected agreement"),
 
+    // Krippendorff's alpha, nominal metric, 3 raters, complete data — the
+    // kappa row's multi-rater generalization (the agreement statistic
+    // labeling platforms standardize on because it extends to missing
+    // data and other metrics). Exact integer pair counts end to end: per
+    // unit, agreeing pairs = Σ_c C(n_uc,2) of C(3,2)=3; expected
+    // disagreement from pooled label counts over N(N−1) ordered pairs;
+    // one final double expression. Third rater classes the CHAR-PER-WORD
+    // density, so the three raters disagree on real document shape.
+    "eval_krippendorff" -> QueryDef(
+      build = (s, dir) => {
+        val words = size(split(col("text"), " "))
+        val lab = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 900, "med").otherwise("long").as("ann_a"),
+          when(words < 60, "short").when(words < 180, "med").otherwise("long")
+            .as("ann_b"),
+          when(col("n_chars") * 10 < words * 45, "short")
+            .when(col("n_chars") * 10 < words * 60, "med").otherwise("long")
+            .as("ann_c"))
+        val melt = graft.Caches.lazyBarrier(lab.select(col("doc_id"),
+          explode(array(col("ann_a"), col("ann_b"), col("ann_c"))).as("cls")))
+        val perUnit = melt.groupBy("doc_id", "cls")
+          .agg(count(lit(1)).as("k"))
+          .groupBy("doc_id")
+          .agg(sum(expr("(k * (k - 1)) div 2")).as("agree_pairs"))
+        val obs = perUnit.agg(count(lit(1)).as("n_units"),
+          sum(lit(3L) - col("agree_pairs")).as("dis_pairs"))
+        val exp_ = melt.groupBy("cls").agg(count(lit(1)).as("nc"))
+          .agg(sum("nc").as("nn"), sum(col("nc") * (col("nc") - 1)).as("agree_ord"))
+        obs.crossJoin(broadcast(exp_))
+          .select(col("n_units"), col("dis_pairs"), col("nn").as("n_values"),
+            round(col("dis_pairs").cast("double") /
+              (lit(3.0d) * col("n_units").cast("double")), 6).as("d_obs"),
+            round((col("nn").cast("double") * (col("nn").cast("double") - 1.0d) -
+              col("agree_ord").cast("double")) /
+              (col("nn").cast("double") * (col("nn").cast("double") - 1.0d)), 6)
+              .as("d_exp"),
+            round(lit(1.0d) -
+              (col("dis_pairs").cast("double") /
+                (lit(3.0d) * col("n_units").cast("double"))) /
+              ((col("nn").cast("double") * (col("nn").cast("double") - 1.0d) -
+                col("agree_ord").cast("double")) /
+                (col("nn").cast("double") * (col("nn").cast("double") - 1.0d))), 6)
+              .as("alpha"))
+      },
+      oracle = Some(
+        """WITH lab AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n_chars < 300 THEN 'short'
+          |         WHEN n_chars < 900 THEN 'med' ELSE 'long' END AS ann_a,
+          |    CASE WHEN len(string_split(text, ' ')) < 60 THEN 'short'
+          |         WHEN len(string_split(text, ' ')) < 180 THEN 'med' ELSE 'long' END AS ann_b,
+          |    CASE WHEN n_chars * 10 < len(string_split(text, ' ')) * 45 THEN 'short'
+          |         WHEN n_chars * 10 < len(string_split(text, ' ')) * 60 THEN 'med'
+          |         ELSE 'long' END AS ann_c
+          |  FROM documents),
+          |melt AS (
+          |  SELECT doc_id, unnest([ann_a, ann_b, ann_c]) AS cls FROM lab),
+          |per_unit AS (
+          |  SELECT doc_id, CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS agree_pairs
+          |  FROM (SELECT doc_id, cls, COUNT(*) AS k FROM melt GROUP BY 1, 2)
+          |  GROUP BY doc_id),
+          |obs AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+          |    CAST(SUM(3 - agree_pairs) AS BIGINT) AS dis_pairs
+          |  FROM per_unit),
+          |ex AS (
+          |  SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+          |    CAST(SUM(nc * (nc - 1)) AS BIGINT) AS agree_ord
+          |  FROM (SELECT cls, COUNT(*) AS nc FROM melt GROUP BY cls))
+          |SELECT n_units, dis_pairs, nn AS n_values,
+          |  ROUND(CAST(dis_pairs AS DOUBLE) / (3.0 * CAST(n_units AS DOUBLE)), 6) AS d_obs,
+          |  ROUND((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0) - CAST(agree_ord AS DOUBLE))
+          |    / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 6) AS d_exp,
+          |  ROUND(1.0 - (CAST(dis_pairs AS DOUBLE) / (3.0 * CAST(n_units AS DOUBLE)))
+          |    / ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0) - CAST(agree_ord AS DOUBLE))
+          |      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))), 6) AS alpha
+          |FROM obs, ex""".stripMargin),
+      doc = "Krippendorff's alpha (nominal, 3 raters): exact pair-count disagreement vs pooled expectation"),
+
     "eval_auc" -> QueryDef(
       build = (s, dir) => {
         val v = Tables.orders(s, dir).select(
