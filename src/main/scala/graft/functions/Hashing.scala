@@ -117,6 +117,7 @@ object Hashing {
     "graft_minhash_sig" -> (exprs => MinHashSigExpr(exprs(0))),
     "graft_simhash32" -> (exprs => SimHash32Expr(exprs(0), exprs(1))),
     "graft_ngram_rep" -> (exprs => NgramRepExpr(exprs(0), exprs(1))),
+    "graft_bigram_codes" -> (exprs => BigramCodesExpr(exprs(0))),
     "graft_nfc" -> (exprs => NfcExpr(exprs(0))),
     "graft_winnow" -> (exprs => WinnowExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_window_keys" -> (exprs => WindowKeysExpr(exprs(0), exprs(1), exprs(2))),

@@ -317,6 +317,47 @@ object TextKernels {
     }
     new GenericArrayData(Array[Long](count.toLong, top.toLong))
   }
+
+  /** Adjacent code-point bigram codes: element j = cp_j · 0x110000 + cp_{j+1}
+    * (0x110000 = the Unicode code-point count, so the packing is
+    * collision-free). One fused pass per document — the HOF spelling
+    * (`transform(sequence(…), i -> substring(text, i, 2))`) evaluates
+    * interpreted per character AND materializes a 2-char string per
+    * position; this emits longs straight into the consuming count
+    * aggregate, so the entropy scan's per-byte constant factor collapses.
+    */
+  def bigramCodes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    buf.sizeHint(n - 1)
+    var i = 0
+    var prev = -1
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) buf += prev.toLong * 0x110000L + cp
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(buf.result())
+  }
+}
+
+/** `graft_bigram_codes(text)`: adjacent code-point bigram codes in one
+  * fused pass — the integer key feed for byte/char-bigram statistics.
+  */
+final case class BigramCodesExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.bigramCodes(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.bigramCodes($t)")
+  override def prettyName: String = "graft_bigram_codes"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `graft_shingle_hashes(text, n, mod)`: distinct word n-gram shingle

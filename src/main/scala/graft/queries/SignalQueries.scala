@@ -1449,8 +1449,12 @@ object SignalQueries {
     // bounded-blocking shape as PMI, keyed by the natural basket.
     "basket_affinity" -> QueryDef(
       build = (s, dir) => {
-        val i = Tables.lineitem(s, dir)
-          .select("l_orderkey", "l_partkey").distinct()
+        // barrier: the distinct basket frame feeds FOUR consumers (the
+        // total, the part frequencies, both self-join sides) — without
+        // it the distinct's shuffle replays per consumer (round-8 fix:
+        // 2.5 s -> ~1.4 s at sf0.1)
+        val i = graft.Caches.lazyBarrier(Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct())
         val n = i.agg(countDistinct(col("l_orderkey")).as("t"))
         val pf = i.groupBy("l_partkey").agg(count(lit(1)).as("np"))
         val a = i.select(col("l_orderkey"), col("l_partkey").as("pa"))

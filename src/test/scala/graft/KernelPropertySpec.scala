@@ -139,4 +139,27 @@ class KernelPropertySpec extends SparkSpec {
       .filter(not(col("a.k") <=> col("b.k"))).count()
     assert(diff == 0, "rolling-hash window keys must equal the composed form")
   }
+
+  test("bigram-codes kernel == independent code-point reference incl. surrogate pairs") {
+    graft.functions.Hashing.register(spark)
+    val hostile = Seq("", "x", "ab", "aaa", "héllo wörld", "naïve café",
+      "日本語テキスト", "étude", // combining accent: two code points
+      "emoji 😀 pair 🍕 end", // surrogate pairs
+      "mixed ascii και ελληνικά and 😀")
+    val texts = randomDocs(100, 9000L) ++ hostile
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // independent reference: JDK code-point stream, written nothing like
+    // the kernel's manual charCount walk
+    def ref(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray.toSeq
+      cps.zip(cps.drop(1)).map { case (a, b) => a.toLong * 0x110000L + b }
+    }
+    val got = d.select(col("doc_id"), expr("graft_bigram_codes(text)").as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t),
+        s"doc $i ('${t.take(20)}...'): kernel ${got(i.toLong).take(5)} != ref ${ref(t).take(5)}")
+    }
+  }
 }
