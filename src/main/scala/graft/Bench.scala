@@ -78,7 +78,7 @@ object Bench {
     */
   private val DeepPipelines = Set(
     "corpus_prepare_v4", "corpus_prepare_v5", "corpus_prepare_v6",
-    "corpus_prepare_v7",
+    "corpus_prepare_v7", "corpus_prepare_v8",
     "graph_pagerank", "graph_lpa",
     "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode",
     // fertility runs the same 2-round trainer + encode sweep, plus the

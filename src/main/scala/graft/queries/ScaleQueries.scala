@@ -1087,6 +1087,84 @@ object ScaleQueries {
            |FROM seqs GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
       doc = "Capstone v7 (tokenize-and-pack): prep prefix + sample-trained BPE encode + 500-token sequence packing"),
 
+    // Capstone v8 — the TRAINING-RUN MANIFEST: the artifact a training
+    // launch actually consumes, one row per source shard composing the
+    // round-8 mix/eval layer over the shared prep prefix. Prefix + the
+    // v7 encode, then per source: survivor count, encoded token total,
+    // tokenizer fertility (tokens/word — the vocab health check), the
+    // temperature-share (α=0.5) sequence-budget allocation rounded to
+    // integers by LARGEST REMAINDER (2000 sequences × 500 tokens; sums
+    // exactly to budget), the implied epochs over that source, and its
+    // concat-chop bin count. Every stage replays in ONE DuckDB SQL; the
+    // allocation window runs on the |sources|-row rollup, never the
+    // corpus.
+    "corpus_prepare_v8" -> QueryDef(
+      build = (s, dir) => {
+        val (_, ded) = corpusBaseFrames(s, dir)
+        val enc = Bpe.encodeCorpus(ded, "doc_id", "text", rounds = 1,
+          sampleOneIn = 4)
+        // barrier: the |sources|-row rollup feeds THREE consumers (the
+        // share normalizer, the floor-sum, the final projection) — without
+        // it the whole prefix+encode subtree re-runs per consumer
+        val roll = graft.Caches.lazyBarrier(
+          enc.join(ded.select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_words")), "doc_id")
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"),
+              sum("n_words").as("words")))
+        val z = roll.agg(sum(sqrt(col("toks"))).as("z"))
+        val sh = roll.crossJoin(broadcast(z))
+          .withColumn("share", sqrt(col("toks")) / col("z"))
+          .withColumn("base_alloc", floor(lit(2000.0d) * col("share")).cast("long"))
+          .withColumn("rem", lit(2000.0d) * col("share") - col("base_alloc"))
+        val fsum = sh.agg(sum("base_alloc").as("fsum"))
+        sh.crossJoin(broadcast(fsum))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .withColumn("seq_alloc", col("base_alloc") +
+            when(col("rk") <= lit(2000L) - col("fsum"), 1L).otherwise(0L))
+          .select(col("source"), col("n_docs"), col("toks").as("total_tokens"),
+            round(col("toks").cast("double") / col("words").cast("double"), 6)
+              .as("fertility"),
+            round(col("share"), 6).as("share"), col("seq_alloc"),
+            round(col("seq_alloc").cast("double") * 500.0d /
+              col("toks").cast("double"), 4).as("epochs"),
+            ceil(col("toks").cast("double") / 500.0d).cast("long").as("pack_bins"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH $corpusBaseCtes,
+           |${Bpe.encodeCtesBody(rounds = 1, sampleOneIn = 4, table = "ded")},
+           |perdoc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           |  FROM f2 GROUP BY doc_id),
+           |roll AS (
+           |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(e.n_tokens) AS BIGINT) AS toks,
+           |    CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS words
+           |  FROM perdoc e JOIN ded d USING (doc_id) GROUP BY 1),
+           |z AS (SELECT SUM(sqrt(toks)) AS z FROM roll),
+           |sh AS (
+           |  SELECT source, n_docs, toks, words, sqrt(toks) / z.z AS share,
+           |    CAST(FLOOR(2000.0 * (sqrt(toks) / z.z)) AS BIGINT) AS base_alloc,
+           |    2000.0 * (sqrt(toks) / z.z)
+           |      - FLOOR(2000.0 * (sqrt(toks) / z.z)) AS rem
+           |  FROM roll, z),
+           |tot AS (SELECT SUM(base_alloc) AS fsum FROM sh),
+           |rk AS (
+           |  SELECT source, n_docs, toks, words, share, base_alloc, rem,
+           |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM sh)
+           |SELECT source, n_docs, toks AS total_tokens,
+           |  ROUND(CAST(toks AS DOUBLE) / CAST(words AS DOUBLE), 6) AS fertility,
+           |  ROUND(share, 6) AS share,
+           |  CAST(base_alloc + CASE WHEN rk <= 2000 - fsum THEN 1 ELSE 0 END AS BIGINT)
+           |    AS seq_alloc,
+           |  ROUND(CAST(base_alloc + CASE WHEN rk <= 2000 - fsum THEN 1 ELSE 0 END AS DOUBLE)
+           |    * 500.0 / CAST(toks AS DOUBLE), 4) AS epochs,
+           |  CAST(CEIL(CAST(toks AS DOUBLE) / 500.0) AS BIGINT) AS pack_bins
+           |FROM rk, tot ORDER BY source""".stripMargin),
+      doc = "Capstone v8 (training-run manifest): prep prefix + encode + per-source fertility, largest-remainder sequence allocation, epochs"),
+
     // Near-dup threshold sweep: pair and casualty counts at every policy
     // threshold, from ONE banded candidate pass (the 0.2-floor pair set
     // is computed once; each threshold is a filter over it) — the
@@ -2565,8 +2643,10 @@ object ScaleQueries {
     "corpus_mix_allocation" -> QueryDef(
       build = (s, dir) => {
         val budget = 10000L
-        val counts = docs(s, dir).groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"))
+        // barrier: the |langs|-row counts feed three consumers (z, the
+        // floor-sum, the final projection) — one corpus scan, not three
+        val counts = graft.Caches.lazyBarrier(docs(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs")))
         val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
         val sh = counts.crossJoin(broadcast(z))
           .withColumn("share", sqrt(col("n_docs")) / col("z"))
@@ -3982,20 +4062,19 @@ object ScaleQueries {
       },
       doc = "Curriculum (easy->hard) training order with in-stage seeded shuffle"),
 
-    // Cross-doc n-gram novelty: the fraction of a doc's distinct 3-grams
-    // whose FIRST corpus occurrence (doc_id order) is this doc — high
-    // novelty = fresh content, low = recombination of earlier text. One
-    // shuffle on the gram key to find first owners, one back-join, one
-    // per-doc aggregate; raw text never shuffles (grams do, like every
-    // n-gram index here).
+    // Cross-doc n-gram novelty: the fraction of a doc's 3-grams whose
+    // FIRST corpus occurrence (doc_id order) is this doc — high novelty =
+    // fresh content, low = recombination of earlier text. ONE shuffle on
+    // the gram key: min(doc_id) OVER (PARTITION BY g) annotates every
+    // gram occurrence with its first owner in the same exchange (the
+    // round-8 rewrite — the previous agg + back-join form shuffled the
+    // gram frame twice, built a join, and needed a lineage barrier to
+    // stop the explode running per consumer); raw text never shuffles.
     "txt_novelty" -> QueryDef(
       build = (s, dir) => {
-        // barrier: referenced by both the first-owner aggregate and the
-        // back-join — without it the shingle explode runs twice
-        val grams = graft.Caches.lazyBarrier(docs(s, dir).select(col("doc_id"),
-          explode(TextOps.shingles(col("text"), 3)).as("g")))
-        val firstOwner = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-        grams.join(firstOwner, "g")
+        docs(s, dir).select(col("doc_id"),
+            explode(TextOps.shingles(col("text"), 3)).as("g"))
+          .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
