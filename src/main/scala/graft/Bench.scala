@@ -79,6 +79,9 @@ object Bench {
   private val DeepPipelines = Set(
     "corpus_prepare_v4", "corpus_prepare_v5", "corpus_prepare_v6",
     "corpus_prepare_v7", "corpus_prepare_v8",
+    // the drop-reason audit replays the whole v4 stage chain and adds
+    // the per-stage attribution joins on top
+    "corpus_audit_trail",
     "graph_pagerank", "graph_lpa",
     "txt_bpe_train", "txt_bpe_corpus", "txt_bpe_encode",
     // fertility runs the same 2-round trainer + encode sweep, plus the

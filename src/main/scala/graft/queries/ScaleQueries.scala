@@ -1165,6 +1165,67 @@ object ScaleQueries {
            |FROM rk, tot ORDER BY source""".stripMargin),
       doc = "Capstone v8 (training-run manifest): prep prefix + encode + per-source fertility, largest-remainder sequence allocation, epochs"),
 
+    // Per-document drop-reason audit over the v4 prep chain — the
+    // "why did my document disappear" explainability table a data owner
+    // asks the pipeline for. Every INPUT doc gets a verdict: the FIRST
+    // stage that removed it (quality gate → exact dup → LSH near-dup →
+    // contamination → semantic dup) or 'kept'. Attribution is pure
+    // id-set membership: the stage frames are the capstone's own
+    // (same barriers), the flag joins carry doc_id only, and at 100 TB
+    // this is exactly the provenance sidecar you'd write next to the
+    // curated corpus. The oracle replays the whole chain (the shared
+    // pipeline CTEs) with one CASE.
+    "corpus_audit_trail" -> QueryDef(
+      build = (s, dir) => {
+        val (scored, ded) = corpusBaseFrames(s, dir)
+        val input = scored.select("doc_id", "source")
+        val gated = TextOps.keepAbovePercentile(scored, "quality", dropFrac = 0.3)
+          .select("doc_id")
+        val sigs = NearDup.withSignatures(ded, shingleN = 3,
+          carryCols = Some(Seq("doc_id")))
+        val lshDropped = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches = 6)
+        val near = ded.join(lshDropped, Seq("doc_id"), "left_anti")
+        val bench = docs(s, dir).filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), TextOps.normalize(col("text")).as("text"))
+        val clean = graft.Caches.lazyBarrier(
+          Contamination.overlapSetProbe(bench, near, "doc_id", shingleN = 5)
+            .filter(!col("contaminated"))
+            .select("doc_id", "source"))
+        val withVec = clean
+          .select(col("doc_id"), (col("doc_id") % 200000).as("vec_id"))
+          .join(embs(s, dir).select("vec_id", "embedding"), "vec_id")
+          .select(col("doc_id"), col("embedding"))
+        val semDropped = Similarity.semanticNearDupPairs(withVec, "doc_id",
+            "embedding", threshold = 0.35, nLists = 32)
+          .select(col("vec_b").as("doc_id")).distinct()
+        input
+          .join(gated.withColumn("g", lit(1)), Seq("doc_id"), "left")
+          .join(ded.select("doc_id").withColumn("d", lit(1)), Seq("doc_id"), "left")
+          .join(lshDropped.withColumn("l", lit(1)), Seq("doc_id"), "left")
+          .join(clean.select("doc_id").withColumn("c", lit(1)), Seq("doc_id"), "left")
+          .join(semDropped.withColumn("sm", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("g").isNull, "quality_gate")
+              .when(col("d").isNull, "exact_dup")
+              .when(col("l") === 1, "near_dup")
+              .when(col("c").isNull, "contaminated")
+              .when(col("sm") === 1, "semantic_dup")
+              .otherwise("kept").as("verdict"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH $corpusPipelineCtes
+           |SELECT d.doc_id, d.source,
+           |  CASE
+           |    WHEN d.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'quality_gate'
+           |    WHEN d.doc_id NOT IN (SELECT doc_id FROM ded) THEN 'exact_dup'
+           |    WHEN d.doc_id IN (SELECT doc_id FROM lsh_dropped) THEN 'near_dup'
+           |    WHEN d.doc_id NOT IN (SELECT doc_id FROM clean) THEN 'contaminated'
+           |    WHEN d.doc_id IN (SELECT doc_id FROM sem_dropped) THEN 'semantic_dup'
+           |    ELSE 'kept' END AS verdict
+           |FROM docs2 d ORDER BY d.doc_id""".stripMargin),
+      doc = "Per-doc drop-reason audit: first prep stage that removed each input doc, or kept"),
+
     // Near-dup threshold sweep: pair and casualty counts at every policy
     // threshold, from ONE banded candidate pass (the 0.2-floor pair set
     // is computed once; each threshold is a filter over it) — the

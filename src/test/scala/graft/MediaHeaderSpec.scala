@@ -82,4 +82,37 @@ class MediaHeaderSpec extends AnyFunSuite {
     assert(Multimodal.parseHeader(
       bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0))._1 == "unknown")
   }
+
+  test("fuzz: random bytes and every truncation of valid wraps never throw") {
+    val rnd = new scala.util.Random(4242) // deterministic
+    // pure noise, and noise behind each format's magic prefix (the
+    // adversarial case: sniff succeeds, structure is garbage)
+    val magics = Seq(Array.empty[Byte],
+      bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      bytes(0xff, 0xd8), "RIFF".getBytes ++ bytes(1, 0, 0, 0) ++ "WAVE".getBytes,
+      bytes(0, 0, 0, 20) ++ "ftyp".getBytes)
+    for (_ <- 0 until 300; magic <- magics) {
+      val noise = new Array[Byte](rnd.nextInt(80))
+      rnd.nextBytes(noise)
+      val r = Multimodal.parseHeader(magic ++ noise) // must not throw
+      assert(r._1.nonEmpty)
+    }
+    // every prefix of every valid container parses or degrades, no throw
+    val wraps = Seq(
+      Multimodal.pngWrap(100, 50, "body".getBytes),
+      Multimodal.jpegWrap(100, 50, "body".getBytes),
+      Multimodal.wavWrap(8000, 2, 16, new Array[Byte](32)),
+      Multimodal.mp4Wrap(100, 50, 1000, 7, "body".getBytes))
+    wraps.foreach { w =>
+      (0 to w.length).foreach { n =>
+        val r = Multimodal.parseHeader(w.take(n))
+        assert(r._1.nonEmpty)
+      }
+      // and with flipped bytes at every position past the magic
+      (8 until w.length).foreach { i =>
+        val m = w.clone(); m(i) = (m(i) ^ 0x5a).toByte
+        assert(Multimodal.parseHeader(m)._1.nonEmpty)
+      }
+    }
+  }
 }
