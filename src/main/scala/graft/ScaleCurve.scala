@@ -73,7 +73,13 @@ object ScaleCurve {
     // prefix-shortlist rerank — each should scale in corpus volume only
     // (the query sides stay the fixed 5% sample)
     "txt_bpe_encode", "rag_context_pack", "emb_binary_topk",
-    "emb_matryoshka_topk")
+    "emb_matryoshka_topk",
+    // round-8 additions: the manifest/audit capstones (deep chains whose
+    // per-stage work is linear), the kernelized entropy scan, and the
+    // closed-form packing/fertility evals (txt_novelty already rides in
+    // the round-6 block above)
+    "corpus_prepare_v8", "corpus_audit_trail", "txt_byte_entropy",
+    "pack_efficiency", "txt_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
