@@ -41,30 +41,59 @@ object StreamingAdmission {
         graft.scale.Contamination.gramSet(bench, shingleN), shingleN, threshold)
   }
 
-  /** Admit one (batch, id) pair — also directly usable for backfill. */
+  /** Admit one (batch, id) pair — also directly usable for backfill.
+    * `rejectedDir`, when set, receives the batch's AUDIT SIDECAR: one
+    * (doc_id, reason, batch_id) row per rejected doc — reason ∈
+    * {contaminated, intra_batch_dup, index_dup}, the streaming twin of
+    * the batch `corpus_audit_trail` — written with the same per-batch
+    * dynamic partition overwrite, so replays stay idempotent.
+    */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, minSigMatches: Int = 6,
-                 gate: Option[DecontaminationGate] = None): Unit = {
+                 gate: Option[DecontaminationGate] = None,
+                 rejectedDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
 
+    def writeRejected(rows: Seq[DataFrame]): Unit = rejectedDir.foreach { dir =>
+      if (rows.nonEmpty)
+        rows.reduce(_ unionByName _)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(dir)
+    }
+
     // (0) decontamination gate, when configured: contaminated docs never
-    // reach dedup, the index, or the corpus
-    val cleanBatch = gate.fold(batch) { g =>
-      // the probe carries the batch columns through — the clean side is a
-      // filter over the scored batch, not an anti-join back against it
+    // reach dedup, the index, or the corpus. The probe carries the batch
+    // columns through — the clean side is a filter over the scored batch,
+    // not an anti-join back against it.
+    val scored = gate.map { g =>
       graft.scale.Contamination
         .scoreAgainstSet(g.suite, batch, "doc_id", g.shingleN, g.threshold)
-        .filter(!col("contaminated"))
-        .select(batch.columns.map(col).toIndexedSeq: _*)
     }
-    if (cleanBatch.isEmpty) return
+    val cleanBatch = scored.fold(batch)(
+      _.filter(!col("contaminated"))
+        .select(batch.columns.map(col).toIndexedSeq: _*))
+    val contaminatedRows = scored.toSeq.map(
+      _.filter(col("contaminated"))
+        .select(col("doc_id"), lit("contaminated").as("reason")))
+    if (cleanBatch.isEmpty) {
+      // everything was leaked eval content — the audit trail still ships
+      writeRejected(contaminatedRows)
+      return
+    }
     val sigs = NearDup.withSignatures(cleanBatch)
 
     // (1) intra-batch near-dups: of any agreeing pair, the smaller id wins
     // (fused band-bucket verify — NearDup.lshDuplicates, equivalence
-    // spec-pinned against the candidates + signature-join composition)
-    val intraDropped = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches)
+    // spec-pinned against the candidates + signature-join composition).
+    // Persisted when the sidecar is on (two consumers: the anti-join and
+    // the reason rows).
+    val intraDropped0 = NearDup.lshDuplicates(sigs, "doc_id", minSigMatches)
+    val intraDropped =
+      if (rejectedDir.isDefined) graft.Caches.persist(intraDropped0)
+      else intraDropped0
     val intraSurvivors = cleanBatch.join(intraDropped, Seq("doc_id"), "left_anti")
 
     // (2) cross-shard admission against the persisted index AS OF before
@@ -76,10 +105,17 @@ object StreamingAdmission {
       if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else NearDup.signatureIndex(batch.limit(0), "doc_id")
-    val verdicts = NearDup.admitAgainst(index, intraSurvivors, "doc_id",
+    val verdicts0 = NearDup.admitAgainst(index, intraSurvivors, "doc_id",
       minSigMatches = minSigMatches)
+    val verdicts =
+      if (rejectedDir.isDefined) graft.Caches.persist(verdicts0) else verdicts0
     val admitted = intraSurvivors.join(
       verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    writeRejected(contaminatedRows ++ Seq(
+      intraDropped.select(col("doc_id"), lit("intra_batch_dup").as("reason")),
+      verdicts.filter(col("is_dup"))
+        .select(col("doc_id"), lit("index_dup").as("reason"))))
 
     // (3) idempotent append: one partition per micro-batch (signatures
     // reused from the stage frame, not recomputed); dynamic overwrite is a
@@ -99,11 +135,13 @@ object StreamingAdmission {
   /** Start the continuous admission stream over a `(doc_id, text)` source. */
   def start(docs: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, minSigMatches: Int = 6,
-            gate: Option[DecontaminationGate] = None): StreamingQuery =
+            gate: Option[DecontaminationGate] = None,
+            rejectedDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, minSigMatches, gate)
+        admitBatch(batch, id, indexDir, admittedDir, minSigMatches, gate,
+          rejectedDir)
       }
       .start()
 }

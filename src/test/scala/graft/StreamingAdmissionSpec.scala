@@ -82,4 +82,51 @@ class StreamingAdmissionSpec extends SparkSpec {
       .select("doc").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(2L), s"index must not contain dropped docs, got $indexed")
   }
+
+  test("rejected sidecar attributes every drop: contaminated / intra-batch / index dup") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("rej-index")
+    val admittedDir = tmp("rej-out")
+    val rejectedDir = tmp("rej-side")
+
+    val leaked = "held out benchmark question about the capital of france and its rivers"
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val gate = StreamingAdmission.DecontaminationGate
+      .forSuite(Seq(Doc(900L, leaked)).toDF())
+
+    val input = MemoryStream[Doc]
+    val q = StreamingAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("rej-ckpt"),
+      gate = Some(gate), rejectedDir = Some(rejectedDir))
+    try {
+      // batch 0: seed the index with doc 1; 2 is a contaminated doc and
+      // 3 is 1's intra-batch near-dup
+      input.addData(Doc(1L, a), Doc(2L, leaked), Doc(3L, a + " today"))
+      q.processAllAvailable()
+      // batch 1: doc 4 is a cross-batch near-dup of the INDEXED doc 1
+      input.addData(Doc(4L, a + " tomorrow"),
+        Doc(5L, "entirely novel sentence about glaciers carving fjords in ancient valleys"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rej = spark.read.parquet(rejectedDir)
+      .select("doc_id", "reason", "batch_id").collect()
+      // batch_id comes back as the partition-inferred integer type
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue)).toSet
+    assert(rej == Set((2L, "contaminated", 0L), (3L, "intra_batch_dup", 0L),
+      (4L, "index_dup", 1L)), s"got $rej")
+    // admitted ∪ rejected = every input doc, disjointly (the audit is total)
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 5L))
+    assert((admitted ++ rej.map(_._1)) == Set(1L, 2L, 3L, 4L, 5L))
+
+    // replaying batch 0 overwrites its sidecar partition - no duplicates
+    StreamingAdmission.admitBatch(
+      Seq(Doc(1L, a), Doc(2L, leaked), Doc(3L, a + " today")).toDF(),
+      0L, indexDir, admittedDir, gate = Some(gate),
+      rejectedDir = Some(rejectedDir))
+    assert(spark.read.parquet(rejectedDir).count() == 3)
+  }
 }
