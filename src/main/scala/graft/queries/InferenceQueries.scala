@@ -2221,6 +2221,77 @@ object InferenceQueries {
           |FROM obs, ex""".stripMargin),
       doc = "Krippendorff's alpha (nominal, 3 raters): exact pair-count disagreement vs pooled expectation"),
 
+    // Fleiss' kappa over the same 3 deterministic raters — the third
+    // member of the standard agreement trio (Cohen pairwise, Fleiss
+    // fixed-m, Krippendorff general). Per item: agreeing ordered pairs
+    // Σ_c n_ic(n_ic−1) of m(m−1)=6; chance from squared pooled category
+    // shares. Exact integer pair counts and an exact-rational P_e
+    // numerator (Σ (N_c)² over (3n)²) until one final double expression.
+    "eval_fleiss" -> QueryDef(
+      build = (s, dir) => {
+        val words = size(split(col("text"), " "))
+        val lab = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 900, "med").otherwise("long").as("ann_a"),
+          when(words < 60, "short").when(words < 180, "med").otherwise("long")
+            .as("ann_b"),
+          when(col("n_chars") * 10 < words * 45, "short")
+            .when(col("n_chars") * 10 < words * 60, "med").otherwise("long")
+            .as("ann_c"))
+        val melt = graft.Caches.lazyBarrier(lab.select(col("doc_id"),
+          explode(array(col("ann_a"), col("ann_b"), col("ann_c"))).as("cls")))
+        val obs = melt.groupBy("doc_id", "cls").agg(count(lit(1)).as("k"))
+          .groupBy("doc_id").agg(sum(col("k") * (col("k") - 1)).as("agree_ord"))
+          .agg(count(lit(1)).as("n_units"), sum("agree_ord").as("agree_sum"))
+        val exp_ = melt.groupBy("cls").agg(count(lit(1)).as("nc"))
+          .agg(sum("nc").as("nn"), sum(col("nc") * col("nc")).as("sq_sum"))
+        obs.crossJoin(broadcast(exp_))
+          .select(col("n_units"),
+            round(col("agree_sum").cast("double") /
+              (lit(6.0d) * col("n_units").cast("double")), 6).as("p_bar"),
+            round(col("sq_sum").cast("double") /
+              (col("nn").cast("double") * col("nn").cast("double")), 6).as("p_e"),
+            round((col("agree_sum").cast("double") /
+                (lit(6.0d) * col("n_units").cast("double")) -
+              col("sq_sum").cast("double") /
+                (col("nn").cast("double") * col("nn").cast("double"))) /
+              (lit(1.0d) - col("sq_sum").cast("double") /
+                (col("nn").cast("double") * col("nn").cast("double"))), 6)
+              .as("fleiss_kappa"))
+      },
+      oracle = Some(
+        """WITH lab AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n_chars < 300 THEN 'short'
+          |         WHEN n_chars < 900 THEN 'med' ELSE 'long' END AS ann_a,
+          |    CASE WHEN len(string_split(text, ' ')) < 60 THEN 'short'
+          |         WHEN len(string_split(text, ' ')) < 180 THEN 'med' ELSE 'long' END AS ann_b,
+          |    CASE WHEN n_chars * 10 < len(string_split(text, ' ')) * 45 THEN 'short'
+          |         WHEN n_chars * 10 < len(string_split(text, ' ')) * 60 THEN 'med'
+          |         ELSE 'long' END AS ann_c
+          |  FROM documents),
+          |melt AS (SELECT doc_id, unnest([ann_a, ann_b, ann_c]) AS cls FROM lab),
+          |per_unit AS (
+          |  SELECT doc_id, CAST(SUM(k * (k - 1)) AS BIGINT) AS agree_ord
+          |  FROM (SELECT doc_id, cls, COUNT(*) AS k FROM melt GROUP BY 1, 2)
+          |  GROUP BY doc_id),
+          |obs AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+          |    CAST(SUM(agree_ord) AS BIGINT) AS agree_sum FROM per_unit),
+          |ex AS (
+          |  SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+          |    CAST(SUM(nc * nc) AS BIGINT) AS sq_sum
+          |  FROM (SELECT cls, COUNT(*) AS nc FROM melt GROUP BY cls))
+          |SELECT n_units,
+          |  ROUND(CAST(agree_sum AS DOUBLE) / (6.0 * CAST(n_units AS DOUBLE)), 6) AS p_bar,
+          |  ROUND(CAST(sq_sum AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS p_e,
+          |  ROUND((CAST(agree_sum AS DOUBLE) / (6.0 * CAST(n_units AS DOUBLE))
+          |      - CAST(sq_sum AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+          |    / (1.0 - CAST(sq_sum AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6)
+          |    AS fleiss_kappa
+          |FROM obs, ex""".stripMargin),
+      doc = "Fleiss' kappa (3 raters): exact per-item pair counts vs squared pooled category shares"),
+
     "eval_auc" -> QueryDef(
       build = (s, dir) => {
         val v = Tables.orders(s, dir).select(
