@@ -2100,21 +2100,7 @@ object InferenceQueries {
           when(size(split(col("text"), " ")) < 60, "short")
             .when(size(split(col("text"), " ")) < 180, "med").otherwise("long")
             .as("ann_b")))
-        val tot = d.agg(count(lit(1)).as("n"),
-          sum(when(col("ann_a") === col("ann_b"), 1L).otherwise(0L)).as("agree"))
-        val ma = d.groupBy(col("ann_a").as("cls")).agg(count(lit(1)).as("na"))
-        val mb = d.groupBy(col("ann_b").as("cls")).agg(count(lit(1)).as("nb"))
-        val peNum = ma.join(mb, "cls").agg(sum(col("na") * col("nb")).as("pe_num"))
-        tot.crossJoin(broadcast(peNum))
-          .select(col("n"), col("agree"),
-            round(col("agree").cast("double") / col("n").cast("double"), 6).as("po"),
-            round(col("pe_num").cast("double") /
-              (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
-            round((col("agree").cast("double") / col("n").cast("double") -
-              col("pe_num").cast("double") /
-                (col("n").cast("double") * col("n").cast("double"))) /
-              (lit(1.0d) - col("pe_num").cast("double") /
-                (col("n").cast("double") * col("n").cast("double"))), 6).as("kappa"))
+        graft.scale.Agreement.cohenKappa(d, "ann_a", "ann_b")
       },
       oracle = Some(
         """WITH lab AS (
@@ -2162,29 +2148,7 @@ object InferenceQueries {
             .as("ann_c"))
         val melt = graft.Caches.lazyBarrier(lab.select(col("doc_id"),
           explode(array(col("ann_a"), col("ann_b"), col("ann_c"))).as("cls")))
-        val perUnit = melt.groupBy("doc_id", "cls")
-          .agg(count(lit(1)).as("k"))
-          .groupBy("doc_id")
-          .agg(sum(expr("(k * (k - 1)) div 2")).as("agree_pairs"))
-        val obs = perUnit.agg(count(lit(1)).as("n_units"),
-          sum(lit(3L) - col("agree_pairs")).as("dis_pairs"))
-        val exp_ = melt.groupBy("cls").agg(count(lit(1)).as("nc"))
-          .agg(sum("nc").as("nn"), sum(col("nc") * (col("nc") - 1)).as("agree_ord"))
-        obs.crossJoin(broadcast(exp_))
-          .select(col("n_units"), col("dis_pairs"), col("nn").as("n_values"),
-            round(col("dis_pairs").cast("double") /
-              (lit(3.0d) * col("n_units").cast("double")), 6).as("d_obs"),
-            round((col("nn").cast("double") * (col("nn").cast("double") - 1.0d) -
-              col("agree_ord").cast("double")) /
-              (col("nn").cast("double") * (col("nn").cast("double") - 1.0d)), 6)
-              .as("d_exp"),
-            round(lit(1.0d) -
-              (col("dis_pairs").cast("double") /
-                (lit(3.0d) * col("n_units").cast("double"))) /
-              ((col("nn").cast("double") * (col("nn").cast("double") - 1.0d) -
-                col("agree_ord").cast("double")) /
-                (col("nn").cast("double") * (col("nn").cast("double") - 1.0d))), 6)
-              .as("alpha"))
+        graft.scale.Agreement.krippendorffAlpha(melt, "doc_id", "cls", m = 3)
       },
       oracle = Some(
         """WITH lab AS (
@@ -2240,24 +2204,7 @@ object InferenceQueries {
             .as("ann_c"))
         val melt = graft.Caches.lazyBarrier(lab.select(col("doc_id"),
           explode(array(col("ann_a"), col("ann_b"), col("ann_c"))).as("cls")))
-        val obs = melt.groupBy("doc_id", "cls").agg(count(lit(1)).as("k"))
-          .groupBy("doc_id").agg(sum(col("k") * (col("k") - 1)).as("agree_ord"))
-          .agg(count(lit(1)).as("n_units"), sum("agree_ord").as("agree_sum"))
-        val exp_ = melt.groupBy("cls").agg(count(lit(1)).as("nc"))
-          .agg(sum("nc").as("nn"), sum(col("nc") * col("nc")).as("sq_sum"))
-        obs.crossJoin(broadcast(exp_))
-          .select(col("n_units"),
-            round(col("agree_sum").cast("double") /
-              (lit(6.0d) * col("n_units").cast("double")), 6).as("p_bar"),
-            round(col("sq_sum").cast("double") /
-              (col("nn").cast("double") * col("nn").cast("double")), 6).as("p_e"),
-            round((col("agree_sum").cast("double") /
-                (lit(6.0d) * col("n_units").cast("double")) -
-              col("sq_sum").cast("double") /
-                (col("nn").cast("double") * col("nn").cast("double"))) /
-              (lit(1.0d) - col("sq_sum").cast("double") /
-                (col("nn").cast("double") * col("nn").cast("double"))), 6)
-              .as("fleiss_kappa"))
+        graft.scale.Agreement.fleissKappa(melt, "doc_id", "cls", m = 3)
       },
       oracle = Some(
         """WITH lab AS (
