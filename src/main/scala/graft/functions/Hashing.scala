@@ -74,6 +74,9 @@ object Hashing {
 
   /** Reference `calculatePartition` placement: abs(String.hashCode) % n,
     * 0 for null/empty (`service/PartitionKeyExtractor.java:122-135`).
+    * Faithful to the reference's Math.abs overflow quirk: a key hashing to
+    * exactly Integer.MIN_VALUE yields a NEGATIVE (out-of-range) partition,
+    * as the reference itself would; the p2 oracle models the same overflow.
     */
   def javaHashPartition(key: UTF8String, numPartitions: Int): Int =
     if (key == null || key.numBytes() == 0) 0
@@ -110,6 +113,8 @@ object Hashing {
       L2SqRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_dot_range" -> (exprs =>
       DotRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    "graft_int_dot_range" -> (exprs =>
+      IntDotRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_tri_products" -> (exprs => TriProductsExpr(exprs(0))),
     "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), exprs(1))),
     "graft_phrase_positions" -> (exprs => PhrasePositionsExpr(exprs(0), exprs(1))),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native vector kernels for the similarity family (scale/Similarity).
   *
@@ -107,6 +107,54 @@ final case class L2SqRangeExpr(first: Expression, second: Expression,
     defineCodeGen(ctx, ev, (a, b, f, l) =>
       s"graft.functions.VectorsL2.l2sqRange($a, $b, $f, $l)")
   override def prettyName: String = "graft_l2sq_range"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object VectorsIntDot {
+  /** Left-fold integer dot over the 1-based index range [from, from+len)
+    * of two byte arrays (int8-quantized vectors) — pure 64-bit integer
+    * arithmetic, so the value is EXACT (no accumulation-order concerns at
+    * all, unlike the float kernels) and identical to any engine's integer
+    * fold, including the DuckDB `list_reduce` the quantized oracles
+    * replay. Max |term| is 127² and len ≤ dims, so overflow needs
+    * dims > 2⁵⁰ — not a real vector.
+    */
+  def intDotRange(a: ArrayData, b: ArrayData, from: Int, len: Int): Long = {
+    val hi = math.min(from - 1 + len, math.min(a.numElements(), b.numElements()))
+    var acc = 0L
+    var i = from - 1
+    while (i < hi) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_int_dot_range(a, b, from, len)`: integer dot product of two
+  * ARRAY<TINYINT> columns (int8-quantized vectors) over a 1-based index
+  * range — the codegen'd within-list scoring kernel of the int8 ANN
+  * family (`Quant.intDot`). One fused loop over the packed byte arrays;
+  * the interpreted `aggregate(zip_with(...))` fold it replaces paid a
+  * per-element lambda eval per candidate pair.
+  */
+final case class IntDotRangeExpr(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType),
+    ArrayType(ByteType), org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(a: Any, b: Any, f: Any, l: Any): Any =
+    VectorsIntDot.intDotRange(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      f.asInstanceOf[Number].intValue, l.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, f, l) =>
+      s"graft.functions.VectorsIntDot.intDotRange($a, $b, $f, $l)")
+  override def prettyName: String = "graft_int_dot_range"
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)

@@ -90,9 +90,14 @@ object EventQueries {
        |      (a, c) -> (a * 31 + c) % 4294967296) AS hu
        |  FROM b),
        |java_part AS (
+       |  -- Java's Math.abs(Integer.MIN_VALUE) overflows back to MIN_VALUE,
+       |  -- so a key hashing to exactly -2^31 yields a NEGATIVE remainder
+       |  -- (the reference's own quirk, faithfully kept by the Spark side);
+       |  -- SQL abs() would silently "fix" it — model the overflow explicitly
        |  SELECT key,
-       |    CAST(abs(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) % 6 AS INT)
-       |      AS part_java
+       |    CAST(CASE WHEN hu = 2147483648 THEN (hu - 4294967296) % 6
+       |      ELSE abs(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) % 6
+       |      END AS INT) AS part_java
        |  FROM jh),
        |m1 AS ( -- Kafka murmur2: seed 0x9747b28c ^ len, word loop
        |  SELECT key, cs, n, n % 4 AS rem, n - (n % 4) AS base,

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * mixture change ships, churn curves for retention policy, snapshot
   * deltas for incremental re-processing).
   *
-  * Reference anchors: the statistics endpoints
-  * (`service/EventStatisticsService.java`) expose count/rate rollups;
+  * Reference anchors: the statistics surface
+  * (`service/TopicManagementService.java`, `model/EventStatistics.java`)
+  * exposes count/rate rollups;
   * these are the inferential companions computed from the same event
   * stream. Conventions as everywhere else in the repo:
   *

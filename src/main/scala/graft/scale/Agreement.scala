@@ -22,12 +22,20 @@ object Agreement {
 
   /** Cohen's kappa between label columns `a` and `b`: one row
     * (n, agree, po, pe, kappa).
+    *
+    * Rows where either label is NULL are EXCLUDED (a null row would
+    * otherwise count toward n but never toward agree or the marginals —
+    * silently depressing po without touching pe). Degenerate input where
+    * both raters emit a single class makes pe = 1 and kappa 0/0 = NaN by
+    * definition — callers wanting a guard should check pe < 1; the spec
+    * pins only non-degenerate fixtures, matching the statistic's domain.
     */
   def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
-    val tot = df.agg(count(lit(1)).as("n"),
+    val rated = df.filter(col(a).isNotNull && col(b).isNotNull)
+    val tot = rated.agg(count(lit(1)).as("n"),
       sum(when(col(a) === col(b), 1L).otherwise(0L)).as("agree"))
-    val ma = df.groupBy(col(a).as("cls")).agg(count(lit(1)).as("na"))
-    val mb = df.groupBy(col(b).as("cls")).agg(count(lit(1)).as("nb"))
+    val ma = rated.groupBy(col(a).as("cls")).agg(count(lit(1)).as("na"))
+    val mb = rated.groupBy(col(b).as("cls")).agg(count(lit(1)).as("nb"))
     val peNum = ma.join(mb, "cls").agg(sum(col("na") * col("nb")).as("pe_num"))
     tot.crossJoin(broadcast(peNum))
       .select(col("n"), col("agree"),

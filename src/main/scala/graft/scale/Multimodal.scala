@@ -270,6 +270,11 @@ object Multimodal {
             rate = u32le(b, i + 12).toInt
             blockAlign = u16le(b, i + 20)
           } else if (ck == "data") dataLen = len
+          // forward-progress guard: a crafted length with the sign bit set
+          // (len.toInt < 0) would make the step zero or negative and spin
+          // the walk forever — treat it as malformed, same posture as the
+          // JPEG (len >= 0 by u16) and BMFF (math.max(size, 8)) walks
+          if (len.toInt < 0) return ("unknown", 0, 0, 0)
           i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
         }
         if (rate > 0 && blockAlign > 0)

@@ -29,15 +29,33 @@ object Quant {
     greatest(aggregate(vec, lit(0.0d),
       (m, x) => greatest(m, abs(x.cast("double")))), lit(1e-30d)) / QMax
 
-  /** Quantized components in [-127, 127] (as longs — the integer dot stays
-    * in cheap 64-bit arithmetic).
+  /** Quantized components in [-127, 127] as BYTES — 1 B/element, so the
+    * quantized corpus really is 4x smaller than the float32 it replaces
+    * everywhere it moves: in the probe shuffle, in the broadcast, in the
+    * persisted assignment frame. (An earlier LongType spelling was
+    * 8 B/element — 2x MORE shuffle bytes than the floats; the byte width
+    * is what makes the compression claim true end to end.)
     */
   def quantizeVec(vec: Column, scale: Column): Column =
-    transform(vec, x => floor(x.cast("double") / scale + lit(0.5d)).cast("long"))
+    transform(vec, x => floor(x.cast("double") / scale + lit(0.5d)).cast("byte"))
 
-  /** Integer dot product of two quantized vectors. */
+  /** Integer dot product of two int8-quantized (byte-array) vectors — the
+    * fused native kernel `graft_int_dot_range` (one codegen'd loop over
+    * the packed bytes; exact 64-bit integer arithmetic, bit-identical to
+    * the interpreted HOF form [[intDotHof]], spec-cross-checked, and to
+    * the DuckDB `list_reduce` the quantized oracles replay). Requires
+    * `Hashing.register` on the session — every caller here registers.
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.functions.call_function("graft_int_dot_range",
+      a, b, lit(1), lit(Int.MaxValue))
+
+  /** The pure higher-order-function form of [[intDot]] (identical values;
+    * interpreted — kept for the kernel cross-check spec).
+    */
+  def intDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
   /** (id, q, qscale, qn) projection: quantized vector, scale, integer norm. */
   def quantized(df: DataFrame, idCol: String, vecCol: String,

@@ -47,10 +47,20 @@ final case class FunnelHit(user: String, step: Int, ts: java.sql.Timestamp)
   */
 object TwsFunnel {
 
+  /** Default idle timeout: the reference's 7-day event max-age
+    * (`BaseEventConsumer.java:153-154`, `Duration.ofDays(7)`) — the same
+    * horizon its idempotency store expires on. With this default, keyed
+    * state is bounded at O(users active in the last 7 event-time days)
+    * out of the box; pass `idleTimeoutMs = None` explicitly to retain
+    * forever (exactly-once step emission across ANY gap, unbounded done
+    * stamps — the pre-r9 default, now opt-in).
+    */
+  val DefaultIdleTimeoutMs: Long = 7L * 24 * 60 * 60 * 1000
+
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  final class Processor(k: Int, idleTimeoutMs: Option[Long] = None)
+  final class Processor(k: Int, idleTimeoutMs: Option[Long] = Some(DefaultIdleTimeoutMs))
       extends StatefulProcessor[String, FunnelEvent, FunnelHit] {
     @transient private var pending: ListState[(Long, Long, Int, java.sql.Timestamp)] = _
     @transient private var times: ListState[Long] = _
@@ -152,10 +162,12 @@ object TwsFunnel {
   /** Match `ds` (already watermarked on `ts`, steps pre-mapped to 1..k)
     * against a k-step funnel; emits each reached step once, finalized.
     * `idleTimeoutMs`: drop a user's state after this much event-time
-    * silence past the watermark (None = retain forever; see class doc).
+    * silence past the watermark (defaults to the reference's 7-day
+    * max-age, [[DefaultIdleTimeoutMs]]; None = retain forever, opt-in —
+    * see class doc).
     */
   def funnel(ds: Dataset[FunnelEvent], k: Int,
-             idleTimeoutMs: Option[Long] = None): Dataset[FunnelHit] = {
+             idleTimeoutMs: Option[Long] = Some(DefaultIdleTimeoutMs)): Dataset[FunnelHit] = {
     val sp = ds.sparkSession
     import sp.implicits._
     ds.groupByKey(_.user)

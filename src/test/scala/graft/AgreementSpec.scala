@@ -58,6 +58,22 @@ class AgreementSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha") == 0.580247)
   }
 
+  test("Cohen's kappa: NULL-labeled rows are excluded, not counted as disagreement") {
+    // the 10-row fixture plus 3 rows with a null on either side must give
+    // the exact same statistics — nulls are outside the statistic's domain
+    val d = (Seq.fill(4)((Option("A"), Option("A"))) ++
+      Seq.fill(2)((Option("B"), Option("B"))) ++
+      Seq.fill(1)((Option("A"), Option("B"))) ++
+      Seq.fill(3)((Option("B"), Option("A"))) ++
+      Seq((None: Option[String], Option("A")), (Option("B"), None),
+        (None: Option[String], None: Option[String])))
+      .toDF("x", "y")
+    val r = Agreement.cohenKappa(d, "x", "y").head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("agree") == 6L)
+    assert(r.getAs[Double]("po") == 0.6 && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.2)
+  }
+
   test("degenerate guards: perfect agreement gives kappa/alpha = 1") {
     val perfect = Seq(("A", "A"), ("B", "B"), ("A", "A")).toDF("x", "y")
     assert(Agreement.cohenKappa(perfect, "x", "y").head()

@@ -66,6 +66,30 @@ class ContainmentWeightedSpec extends SparkSpec {
     }
   }
 
+  test("graft_int_dot_range kernel is bit-identical to the HOF fold on quantized vectors") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id"),
+      graft.scale.Quant.quantizeVec(col("embedding"),
+        graft.scale.Quant.qscale(col("embedding"))).as("q"))
+    // the 1 B/element width is the whole point — pin the storage type
+    assert(q.schema("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType,
+      "quantized vectors must be ARRAY<TINYINT> (1 B/element through the shuffle)")
+    val pairs = q.limit(20)
+      .crossJoin(q.limit(20).select(col("vec_id").as("id2"), col("q").as("q2")))
+    val checked = pairs.select(
+        graft.scale.Quant.intDot(col("q"), col("q2")).as("k"),
+        graft.scale.Quant.intDotHof(col("q"), col("q2")).as("h"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "int-dot kernel == HOF, exactly")
+    }
+  }
+
   test("ts_rolling_median matches a direct frame median on the fixture") {
     val rows = graft.queries.AnalyticsQueries.defs("ts_rolling_median")
       .build(spark, "/root/testdata/sf0.001").collect()

@@ -115,4 +115,32 @@ class MediaHeaderSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzz: 0xFF-filled length fields terminate, never spin (WAV sign-bit guard)") {
+    // a 0x5a byte-flip can never set a length's high bit, so the zero/
+    // negative-step path needs its own adversarial case: saturate every
+    // 4-byte window with 0xFF (lengths 0xFFFFFFFF -> step would be 0) and
+    // the two exact poison values called out in review
+    val wraps = Seq(
+      Multimodal.wavWrap(8000, 2, 16, new Array[Byte](32)),
+      Multimodal.pngWrap(100, 50, "body".getBytes),
+      Multimodal.jpegWrap(100, 50, "body".getBytes),
+      Multimodal.mp4Wrap(100, 50, 1000, 7, "body".getBytes))
+    wraps.foreach { w =>
+      (8 until w.length).foreach { i =>
+        val m = w.clone()
+        (i until math.min(i + 4, m.length)).foreach(j => m(j) = 0xff.toByte)
+        assert(Multimodal.parseHeader(m)._1.nonEmpty) // terminates, no throw
+      }
+    }
+    // exact poison chunk lengths 0xFFFFFFF8 / 0xFFFFFFF7 (step == 0)
+    Seq(0xFFFFFFF8, 0xFFFFFFF7).foreach { len =>
+      val chunk = "LIST".getBytes ++ Array(
+        (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte)
+      val b = "RIFF".getBytes ++ Array(1, 0, 0, 0).map(_.toByte) ++
+        "WAVE".getBytes ++ chunk ++ new Array[Byte](16)
+      assert(Multimodal.parseHeader(b) == (("unknown", 0, 0, 0)))
+    }
+  }
 }

@@ -72,8 +72,12 @@ class TwsFunnelSpec extends SparkSpec {
 
       val out = java.nio.file.Files.createTempDirectory("tws-funnel-fx").toString
       val input = MemoryStream[FunnelEvent]
+      // retain-forever explicitly: this test pins stream ≡ batch over
+      // ARBITRARY event-time gaps, which the default 7-day idle expiry
+      // intentionally trades away (a silent user restarts from step 1)
       val q = TwsFunnel.funnel(
-          input.toDS().withWatermark("ts", "2 minutes"), steps.length)
+          input.toDS().withWatermark("ts", "2 minutes"), steps.length,
+          idleTimeoutMs = None)
         .writeStream
         .option("checkpointLocation", s"$out/_ckpt")
         .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
@@ -189,6 +193,40 @@ class TwsFunnelSpec extends SparkSpec {
       assert(!usersInState(s"$out/_ckpt", "times").contains("u1"))
       assert(usersInState(s"$out/_ckpt", "done") == Set("u1"))
       assert(usersInState(s"$out/_ckpt", "times").contains("u2"))
+    }
+  }
+
+  test("DEFAULT config bounds state: done stamp expires after the 7-day max-age") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val out = java.nio.file.Files.createTempDirectory("tws-funnel-def").toString
+      val input = MemoryStream[FunnelEvent]
+      // NO idleTimeoutMs argument — this is the out-of-the-box posture
+      val q = TwsFunnel.funnel(
+          input.toDS().withWatermark("ts", "1 minute"), steps.length)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .start()
+      def day(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+      val b1 = Seq(FunnelEvent("u1", day(1, 10), 1L, 1),
+        FunnelEvent("u1", day(1, 11), 2L, 2), FunnelEvent("u1", day(1, 12), 3L, 3))
+      val b2 = Seq(FunnelEvent("wm", day(2, 0), 4L, 1))  // finalize completion
+      val b3 = Seq(FunnelEvent("wm", day(9, 13), 5L, 1)) // wm past done + 7 days
+      try {
+        Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        pollUntil(out, 3 + 1)
+      } finally q.stop()
+      // bounded out of the box: 7 event-time days past completion, the
+      // default (reference BaseEventConsumer.java:153 max-age) has cleared
+      // every trace — keyed state is O(users active in the last 7 days)
+      Seq("pending", "times", "lastSeen", "done").foreach { v =>
+        assert(!usersInState(s"$out/_ckpt", v).contains("u1"),
+          s"u1 still present in state var '$v' under the DEFAULT idle timeout")
+      }
     }
   }
 
