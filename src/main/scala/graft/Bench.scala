@@ -70,9 +70,14 @@ object Bench {
     * per-source fertility rollup), and the Gonzalez FPS coreset rounds.
     * Their cost at local[32]/sf0.1 is SERIAL JOB
     * DEPTH (8-10 dependent stage jobs x the ~0.3 s scheduler+barrier
-    * floor), not per-stage work — profiled via SPARK_GRAFT_BARRIER_DEBUG:
-    * warm corpus_prepare_v5 spends ~1.5 s just materializing its six
-    * dependent lineage barriers. On a cluster the same depth amortizes
+    * floor), not per-stage work — profiled via SPARK_GRAFT_BARRIER_DEBUG.
+    * Since r9 the capstones share ONE session-pinned prep prefix
+    * (ScaleQueries.corpusStages + the v7/v8 shared encode): the first
+    * capstone run of a session materializes it once, every later run and
+    * every sibling capstone reuses the pinned frames — so warm capstone
+    * times now measure their OWN stages, not six re-derivations of the
+    * same chain (v5's pre-r9 quiet-host 4.49 s was ~1.5 s of repeated
+    * barrier materialization). On a cluster the same depth amortizes
     * over real data; flagging it here would make the breach list mean
     * "deep pipeline" instead of "slow operator".
     */

@@ -160,6 +160,54 @@ final case class IntDotRangeExpr(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+object VectorsQuant {
+  /** Fused int8 symmetric quantization of a float vector: scale =
+    * max(max|v|, 1e-30)/127 then q_i = floor(v_i/scale + 0.5), one pass
+    * for the scale and one for the components — bit-identical to the HOF
+    * chain `transform(v, x -> floor(x/qscale(v) + 0.5))` (same IEEE-754
+    * double ops in the same order; spec-cross-checked) and to the DuckDB
+    * replay the quantized oracles run.
+    */
+  def quantizeI8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var m = 0.0d
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    val scale = math.max(m, 1e-30d) / 127
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5d).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** `graft_quantize_i8(v)`: int8 symmetric quantization of an ARRAY<FLOAT>
+  * to ARRAY<TINYINT> (per-vector scale, round-half-up) — the codegen'd
+  * corpus-side pass of the int8 ANN family; the interpreted
+  * aggregate+transform chain it replaces paid two lambda evals per
+  * element per vector.
+  */
+final case class QuantizeI8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType)
+  override protected def nullSafeEval(a: Any): Any =
+    VectorsQuant.quantizeI8(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorsQuant.quantizeI8($a)")
+  override def prettyName: String = "graft_quantize_i8"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_dot_f(a, b)`: dot product of two ARRAY<FLOAT> columns. */
 final case class FloatDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -594,32 +594,59 @@ object MiscQueries {
            |FROM env GROUP BY tenant_id ORDER BY tenant_id""".stripMargin),
       doc = "Salted two-stage aggregation == direct groupBy (skew path)"),
 
-    // A8 scale path — SKETCH, rows-only BY DESIGN (no oracle: the
-    // approx_percentile sketch is engine-specific and not reproducible in
-    // DuckDB). The EXACT percentiles are hash-green separately in
-    // a8_latency_percentiles; here the exact arm is computed only to
-    // surface the sketch's realized error as data, not re-emitted.
+    // A8 scale path — the approx_percentile SKETCH with its GUARANTEE
+    // emitted as oracle-checkable data. The sketch values themselves are
+    // engine-specific (DuckDB cannot replay Spark's GK sketch), so the
+    // query emits what IS replayable: the exact percentiles (context)
+    // plus one BOUND VERDICT per percentile — the GK guarantee says the
+    // returned value's rank is within n/accuracy of the target rank, so
+    // p_ok := the approx value's rank interval [count(<v), count(<=v)]
+    // overlaps target p·n within slack n/10000 + 1. The oracle asserts
+    // TRUE: a sketch whose realized rank error exceeds its contract
+    // hash-mismatches. (The previously rows-only approx values are still
+    // computed — they feed the rank counts — just not emitted.)
     "a8_latency_approx" -> QueryDef(
-      build = (s, dir) =>
-        env(s, dir).groupBy("event_type")
-          .agg(
-            expr("approx_percentile(proc_ms, array(0.5, 0.95, 0.99), 10000)").as("approx"),
-            expr("percentile(proc_ms, array(0.5, 0.95, 0.99))").as("exact"))
-          .withColumn("max_rel_err",
-            round(aggregate(
-              zip_with(col("approx").cast("array<double>"), col("exact"),
-                (a, e) => abs(a - e) / e),
-              lit(0.0), (acc, x) => greatest(acc, x)), 6))
-          // Scalar projection only: the driver harness canonicalizes by
-          // sorting every column, and ARRAY cells are unsortable.
-          .select(col("event_type"),
-            col("approx").getItem(0).cast("double").as("p50_approx"),
-            col("approx").getItem(1).cast("double").as("p95_approx"),
-            col("approx").getItem(2).cast("double").as("p99_approx"),
-            col("max_rel_err"))
-          .orderBy("event_type"),
-      oracle = None,
-      doc = "SKETCH rows-only: approx_percentile + realized error (exact arm is hash-green in a8_latency_percentiles)"),
+      build = (s, dir) => {
+        val e = env(s, dir)
+        val ap = e.groupBy("event_type").agg(
+          expr("approx_percentile(proc_ms, array(0.5, 0.95, 0.99), 10000)").as("approx"),
+          count(lit(1)).as("n"),
+          round(expr("percentile(proc_ms, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(proc_ms, 0.95)"), 6).as("p95_exact"),
+          round(expr("percentile(proc_ms, 0.99)"), 6).as("p99_exact"))
+        val ranks = e.select(col("event_type"), col("proc_ms"))
+          .join(broadcast(ap), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").as("n"),
+            max("p50_exact").as("p50_exact"), max("p95_exact").as("p95_exact"),
+            max("p99_exact").as("p99_exact"),
+            sum(when(col("proc_ms") < element_at(col("approx"), 1), 1L).otherwise(0L)).as("lt1"),
+            sum(when(col("proc_ms") <= element_at(col("approx"), 1), 1L).otherwise(0L)).as("le1"),
+            sum(when(col("proc_ms") < element_at(col("approx"), 2), 1L).otherwise(0L)).as("lt2"),
+            sum(when(col("proc_ms") <= element_at(col("approx"), 2), 1L).otherwise(0L)).as("le2"),
+            sum(when(col("proc_ms") < element_at(col("approx"), 3), 1L).otherwise(0L)).as("lt3"),
+            sum(when(col("proc_ms") <= element_at(col("approx"), 3), 1L).otherwise(0L)).as("le3"))
+        def ok(lt: String, le: String, p: Double) = {
+          val slack = col("n").cast("double") / 10000.0 + 1.0
+          (col(lt).cast("double") <= lit(p) * col("n").cast("double") + slack) &&
+            (col(le).cast("double") >= lit(p) * col("n").cast("double") - slack)
+        }
+        ranks.select(col("event_type"),
+            col("p50_exact"), col("p95_exact"), col("p99_exact"),
+            ok("lt1", "le1", 0.5).as("p50_ok"),
+            ok("lt2", "le2", 0.95).as("p95_ok"),
+            ok("lt3", "le3", 0.99).as("p99_ok"))
+          .orderBy("event_type")
+      },
+      oracle = Some(
+        s"""$cte
+           |SELECT event_type,
+           |  ROUND(quantile_cont(proc_ms, 0.5), 6) AS p50_exact,
+           |  ROUND(quantile_cont(proc_ms, 0.95), 6) AS p95_exact,
+           |  ROUND(quantile_cont(proc_ms, 0.99), 6) AS p99_exact,
+           |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+           |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "A8 sketch percentiles, BOUND-CHECKED: GK rank-error contract emitted as hash-checked verdicts next to the exact arm"),
 
     // As-of enrichment: each event picks up the most recent "config update"
     // (a sampled event stream) at or before its timestamp, per tenant —
@@ -747,20 +774,30 @@ object MiscQueries {
            |ORDER BY l.event_id""".stripMargin),
       doc = "As-of join with bounded staleness (1 h TTL on the fill)"),
 
-    // HLL sketched distincts — the 100 TB path (mergeable partial sketches,
-    // one pass, bounded memory). Deterministic for a fixed input+impl but
-    // not reproducible in DuckDB -> structural rows-only check.
+    // HLL sketched distincts — the 100 TB path (mergeable partial
+    // sketches, one pass, bounded memory; register maxes commute, so the
+    // estimate is partitioning-independent). The estimate itself is not
+    // DuckDB-reproducible; its GUARANTEE is: the query emits the exact
+    // count (replayable) plus a bound verdict |approx/exact − 1| ≤ 3·rsd
+    // (rsd 0.02 → 6%, the 3σ band of HLL++'s relative standard
+    // deviation). The oracle asserts TRUE — a sketch drifting past its
+    // contract hash-mismatches instead of passing silently.
     "hll_distinct_tenants" -> QueryDef(
       build = (s, dir) =>
         env(s, dir).groupBy("event_type")
-          .agg(approx_count_distinct(col("tenant_id"), rsd = 0.02).as("n_tenants_approx"),
+          .agg(approx_count_distinct(col("tenant_id"), rsd = 0.02).as("approx"),
                countDistinct("tenant_id").as("n_tenants_exact"))
-          .withColumn("rel_err",
-            round(abs(col("n_tenants_approx") - col("n_tenants_exact"))
-              .cast("double") / col("n_tenants_exact"), 4))
+          .select(col("event_type"), col("n_tenants_exact"),
+            (abs(col("approx") - col("n_tenants_exact")).cast("double")
+              <= lit(0.06) * col("n_tenants_exact").cast("double")).as("bound_ok"))
           .orderBy("event_type"),
-      oracle = None,
-      doc = "SKETCH rows-only: HLL++ vs exact with realized error (exact arm is hash-green in distinct_tenants)"),
+      oracle = Some(
+        s"""$cte
+           |SELECT event_type,
+           |  CAST(COUNT(DISTINCT tenant_id) AS BIGINT) AS n_tenants_exact,
+           |  TRUE AS bound_ok
+           |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "HLL++ distinct tenants, BOUND-CHECKED: 3-sigma rsd contract emitted as a hash-checked verdict next to the exact arm"),
 
     // CDC MERGE: apply a change feed (upserts + deletes) to a base
     // snapshot with latest-wins-per-key semantics — the incremental

@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY §7.1 scale/): image/audio/video
   * payloads ride as opaque `BINARY` columns with typed metadata beside them.
   *
-  * The decode step is a STUB — the real codec libraries are not in this
-  * container — but everything Spark-side is real and tested: the schema,
-  * the typed `Dataset[MediaRecord] -> Dataset[MediaMeta]` mapPartitions
-  * plumbing (the Scala analog of `mapInPandas` batch UDFs), partition-level
-  * batching, and deterministic outputs an oracle can check.
+  * What is REAL here, all from the public file-format specs with no codec
+  * library: container header parsing for PNG/JPEG/WAV/MP4
+  * ([[parseHeader]] — CRC-checked IHDR, SOFn marker walk, RIFF and
+  * ISO-BMFF chunk/box walks), full PNG grayscale-8 PIXEL decode
+  * ([[pngDecodeGray]] — multi-IDAT zlib inflate + all five scanline
+  * filters), and WAV PCM16 SAMPLE decode ([[wavDecodePcm16]]). The image
+  * and audio queries operate on true decoded pixels/samples. What is NOT
+  * claimed (needs codec libraries this container lacks): JPEG entropy
+  * decode and MP4 payload codecs — [[decodeOne]] remains the clearly
+  * marked byte-derived stand-in for those, with the partition-batched
+  * typed plumbing (the Scala analog of `mapInPandas` batch UDFs) real
+  * and tested either way.
   *
   * At 100 TB: payloads stay columnar in parquet, the decode runs once per
   * partition with per-partition codec initialization (the expensive part the
@@ -329,6 +336,204 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // REAL pixel/sample decode (round 9). PNG grayscale-8 is implemented
+  // from the public spec end to end: chunk walk with CRC32 verification,
+  // multi-IDAT zlib inflate (java.util.zip.Inflater — public JDK), and
+  // full scanline un-filtering (None/Sub/Up/Average/Paeth). WAV PCM16 is
+  // raw little-endian samples behind the RIFF walk — parsed, not stubbed.
+  // The image queries below operate on TRUE pixel grids decoded from
+  // planted PNG bytes; the audio query on TRUE PCM samples. What remains
+  // out of scope (genuinely needs codec libraries this container lacks):
+  // JPEG entropy decode and MP4/AAC/H.26x payloads — their header parses
+  // are real ([[parseHeader]]), their pixel/sample decode is not claimed.
+  // ------------------------------------------------------------------
+
+  /** A decoded grayscale image: row-major 8-bit pixels. */
+  final case class PngImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Paeth predictor, exactly as in the PNG spec §9 (order of the <=
+    * comparisons is normative — left wins ties, then up).
+    */
+  private[graft] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    val td = ascii(typ) ++ data
+    crc.update(td)
+    be4(data.length.toLong) ++ td ++ be4(crc.getValue)
+  }
+
+  /** Encode a grayscale-8 image as a REAL PNG: IHDR, zlib-deflated
+    * scanlines split across TWO IDAT chunks (so the decoder's
+    * concatenation path is exercised), IEND — every chunk CRC'd. Row r
+    * uses filter type r % 5, so a round-trip covers all five spec
+    * filters, not just None.
+    */
+  private[graft] def pngEncodeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == w * h, s"pixel buffer ${px.length} != $w x $h")
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (w + 1)) = ft.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(r * w + x) & 0xff
+        val left = if (x > 0) px(r * w + x - 1) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(r * (w + 1) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+    defl.end()
+    val z = out.toByteArray
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = pngChunk("IHDR", be4(w.toLong) ++ be4(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)) // depth 8, color 0 (gray), std compress/filter/interlace
+    val (z1, z2) = z.splitAt(z.length / 2)
+    sig ++ ihdr ++ pngChunk("IDAT", z1) ++ pngChunk("IDAT", z2) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode a grayscale-8 PNG to its true pixel grid: signature sniff,
+    * chunk walk with CRC32 verification on every chunk, multi-IDAT
+    * concatenation, zlib inflate, and full un-filtering (all five spec
+    * filter types via the Paeth predictor). Returns None — never throws —
+    * on anything malformed (bad CRC, truncated stream, wrong color
+    * type/depth, oversized dims), the same poison-tolerance posture as
+    * [[parseHeader]]. Color types other than grayscale-8 are out of this
+    * decoder's declared scope.
+    */
+  private[graft] def pngDecodeGray(b: Array[Byte]): Option[PngImage] = {
+    try {
+      if (b.length < 8 || !PngSig.indices.forall(i => (b(i) & 0xff) == PngSig(i)))
+        return None
+      var i = 8
+      var w = 0; var h = 0
+      var ihdrSeen = false; var iendSeen = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!iendSeen && i + 12 <= b.length) {
+        val len = u32be(b, i).toInt
+        if (len < 0 || i + 12 + len > b.length) return None
+        val typ = tag(b, i + 4)
+        val crc = new java.util.zip.CRC32
+        crc.update(b, i + 4, 4 + len)
+        if (crc.getValue != u32be(b, i + 8 + len)) return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13 || ihdrSeen) return None
+            w = u32be(b, i + 8).toInt; h = u32be(b, i + 12).toInt
+            val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
+            if (depth != 8 || color != 0 || b(i + 18) != 0 || b(i + 19) != 0 ||
+                b(i + 20) != 0) return None
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+            ihdrSeen = true
+          case "IDAT" =>
+            if (!ihdrSeen) return None
+            idat.write(b, i + 8, len)
+          case "IEND" => iendSeen = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (!ihdrSeen || !iendSeen || idat.size == 0) return None
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](h * (w + 1))
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return None }
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return None
+      val px = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        val ft = raw(r * (w + 1)) & 0xff
+        if (ft > 4) return None
+        var x = 0
+        while (x < w) {
+          val v = raw(r * (w + 1) + 1 + x) & 0xff
+          val left = if (x > 0) px(r * w + x - 1) & 0xff else 0
+          val up = if (r > 0) px((r - 1) * w + x) & 0xff else 0
+          val ul = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+          val rec = ft match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case _ => v + paeth(left, up, ul)
+          }
+          px(r * w + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      Some(PngImage(w, h, px))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Decoded PCM16 audio: interleaved signed samples. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Decode WAV PCM16: RIFF walk (same forward-progress guard as
+    * [[parseHeader]]) to fmt (must be audioFormat 1, 16-bit) and data,
+    * then the samples are read as little-endian int16 — PCM is raw, so
+    * this is the complete, real sample decode, no codec library needed.
+    */
+  private[graft] def wavDecodePcm16(b: Array[Byte]): Option[PcmAudio] = {
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var rate = 0; var channels = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= b.length) {
+        val ck = tag(b, i); val len = u32le(b, i + 4)
+        if (len.toInt < 0) return None
+        if (ck == "fmt " && i + 24 <= b.length) {
+          fmtOk = u16le(b, i + 8) == 1 && u16le(b, i + 22) == 16
+          channels = u16le(b, i + 10)
+          rate = u32le(b, i + 12).toInt
+        } else if (ck == "data") {
+          dataOff = i + 8
+          dataLen = math.min(len.toInt, b.length - dataOff)
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (!fmtOk || rate <= 0 || channels <= 0 || dataOff < 0) return None
+      val n = dataLen / 2
+      val s = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        s(j) = ((b(dataOff + 2 * j) & 0xff) |
+          ((b(dataOff + 2 * j + 1) & 0xff) << 8)).toShort
+        j += 1
+      }
+      Some(PcmAudio(rate, channels, s))
+    } catch { case _: Throwable => None }
+  }
+
   /** 64-bit aHash-style perceptual fingerprint, packed as FOUR 16-bit
     * bands (LSH-ready). The stub "image" is the payload resampled to an
     * 8×8 grid of byte-mean cells over equal slices; bit i = cell mean >
@@ -336,8 +541,9 @@ object Multimodal {
     * arithmetic is integer (floor divisions), so the DuckDB oracle
     * replays it exactly. Rows shorter than 64 bytes are skipped (no
     * empty cells, no div-by-zero). Same typed mapPartitions shape as
-    * [[decodeMeta]]: a real build swaps the byte slices for decoded
-    * luma, everything else stands.
+    * [[decodeMeta]]. (The PNG-pixel form below, [[perceptualHashPng]],
+    * is the real-image path; this byte-slice form remains for opaque
+    * payloads where no decoder applies.)
     */
   /** Stub resize: the payload resampled to a `side`×`side` grid of
     * byte-mean cells (same integer grid arithmetic as [[perceptualHash]])
@@ -449,6 +655,217 @@ object Multimodal {
             v
           }
           Iterator.single(PHash(r.doc_id, band(0), band(1), band(2), band(3)))
+        }
+      }
+    }
+  }
+
+  // --- planted real-content generators + true-pixel/sample operators ---
+
+  /** Image dims for the planted PNGs: small (16..32 per side) so the
+    * DuckDB oracle can replay every pixel, real enough that every 8×8
+    * resize cell has ≥2×2 source pixels.
+    */
+  private[graft] def pixDims(docId: Long): (Int, Int) =
+    ((16 + docId % 17).toInt, (16 + (docId * 7) % 17).toInt)
+
+  /** Planted grayscale pixels px(y,x) = (x·7 + y·13 + seed·31 + (x<2 ?
+    * edit : 0)) mod 256 — a deterministic integer formula the oracle
+    * recomputes directly, while the Spark side must DECODE it back out of
+    * real PNG bytes. `edit` perturbs the two leftmost columns (the
+    * near-duplicate plant for the perceptual-hash query).
+    */
+  private[graft] def plantedPixels(w: Int, h: Int, seed: Long, edit: Int = 0): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = if (x < 2) edit else 0
+        px(y * w + x) = (((x * 7 + y * 13 + seed * 31 + e) % 256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Fixture docs as REAL grayscale PNGs with planted pixel content. */
+  def mediaPngPixels(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = pixDims(id)
+        MediaRecord(id, "image", pngEncodeGray(w, h, plantedPixels(w, h, id)))
+      }
+    }
+  }
+
+  /** Block-mean 8-bit downsample of a decoded grayscale image to
+    * side×side: destination cell of pixel (y, x) is (y·side/h, x·side/w)
+    * — the standard integer resize mapping; cell value = floor(mean).
+    * Shared by [[resizePngThumb]] and [[perceptualHashPng]].
+    */
+  private def blockMeans(img: PngImage, side: Int): Array[Int] = {
+    val sums = new Array[Long](side * side)
+    val counts = new Array[Int](side * side)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * side / img.height
+      var x = 0
+      while (x < img.width) {
+        val cx = x * side / img.width
+        sums(cy * side + cx) += img.pixels(y * img.width + x) & 0xff
+        counts(cy * side + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(side * side)(c => (sums(c) / counts(c)).toInt)
+  }
+
+  /** REAL image resize: decode the PNG payload to its true pixel grid
+    * (CRC-verified inflate + un-filter) and block-mean downsample to a
+    * side×side hex thumbnail. Undecodable payloads are skipped — the
+    * never-throw data-path posture. Requires width, height ≥ side.
+    */
+  def resizePngThumb(ds: Dataset[MediaRecord], side: Int): Dataset[Thumb] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        pngDecodeGray(r.payload) match {
+          case Some(img) if img.width >= side && img.height >= side =>
+            val m = blockMeans(img, side)
+            val sb = new java.lang.StringBuilder(side * side * 2)
+            m.foreach(v => sb.append(f"$v%02x"))
+            Iterator.single(Thumb(r.doc_id, side, sb.toString))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** REAL-pixel aHash: decode the PNG, 8×8 block means, bit = cell mean >
+    * global pixel mean (floor), packed as four 16-bit LSH bands — the
+    * actual average-hash algorithm over actual decoded pixels.
+    */
+  def perceptualHashPng(ds: Dataset[MediaRecord]): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        pngDecodeGray(r.payload) match {
+          case Some(img) if img.width >= 8 && img.height >= 8 =>
+            var tot = 0L
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) { tot += img.pixels(i) & 0xff; i += 1 }
+            val gm = tot / n
+            val m = blockMeans(img, 8)
+            def band(k: Int): Int = {
+              var v = 0
+              var j = 0
+              while (j < 16) { if (m(16 * k + j) > gm) v |= 1 << j; j += 1 }
+              v
+            }
+            Iterator.single(PHash(r.doc_id, band(0), band(1), band(2), band(3)))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Per-image statistics from REAL decoded pixels: range, floor-mean,
+    * and horizontal total variation Σ|p(y,x) − p(y,x−1)| — the cheap
+    * contrast/edge-energy feature an image-quality gate ranks on. All
+    * integer arithmetic; undecodable payloads skipped.
+    */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+                              p_min: Int, p_max: Int, p_mean: Int, tv_h: Long)
+
+  def pixelStats(ds: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        pngDecodeGray(r.payload) match {
+          case Some(img) =>
+            val n = img.width * img.height
+            var mn = 255; var mx = 0; var sum = 0L; var tv = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              var prev = 0
+              while (x < img.width) {
+                val v = img.pixels(y * img.width + x) & 0xff
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                sum += v
+                if (x > 0) tv += math.abs(v - prev)
+                prev = v
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(PixelStats(r.doc_id, img.width, img.height,
+              mn, mx, (sum / n).toInt, tv))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Fixture docs as REAL PCM16 WAVs with planted samples: u(i) = (i·37 +
+    * seed·101) mod 4001; loud frames s = u − 2000 (±2 k), every 4th
+    * 64-sample frame is quiet (s = u mod 21 − 10) so the silence
+    * detector has true positives. 1024 samples (16 frames) per doc.
+    */
+  def mediaWavPcm(docs: DataFrame, nSamples: Int = 1024): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val body = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val u = (i * 37 + id * 101) % 4001
+          val s = (if ((i / 64) % 4 == 0) u % 21 - 10 else u - 2000).toInt
+          body(2 * i) = (s & 0xff).toByte
+          body(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "audio", wavWrap(8000 + (id % 8).toInt * 1000, 1, 16, body))
+      }
+    }
+  }
+
+  /** REAL-sample frame energy: parse the WAV container, read the PCM16
+    * samples ([[wavDecodePcm16]]), then per fixed `frameLen`-sample frame
+    * energy = Σ s² (already-centered signed samples — no −128 bias of the
+    * byte stub). Peak ties to the first maximum; trailing partial frame
+    * dropped; undecodable payloads skipped.
+    */
+  def audioFrameEnergyPcm(ds: Dataset[MediaRecord], frameLen: Int = 64,
+                          silenceBelow: Long = 100000L): Dataset[AudioFrames] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavDecodePcm16(r.payload) match {
+          case Some(pcm) if pcm.samples.length >= frameLen =>
+            val s = pcm.samples
+            val nf = s.length / frameLen
+            var maxE = -1L
+            var maxI = 0
+            var silent = 0
+            var f = 0
+            while (f < nf) {
+              var e = 0L
+              var j = f * frameLen
+              val end = j + frameLen
+              while (j < end) { e += s(j).toLong * s(j); j += 1 }
+              if (e > maxE) { maxE = e; maxI = f }
+              if (e < silenceBelow) silent += 1
+              f += 1
+            }
+            Iterator.single(AudioFrames(r.doc_id, nf, maxE, maxI, silent))
+          case _ => Iterator.empty
         }
       }
     }

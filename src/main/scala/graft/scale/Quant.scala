@@ -23,7 +23,9 @@ object Quant {
   val QMax = 127
 
   /** Per-vector symmetric scale: max|v|/127 (floored at 1e-30 so the null
-    * vector quantizes to zeros instead of dividing by zero).
+    * vector quantizes to zeros instead of dividing by zero). HOF form,
+    * kept for the kernel cross-check spec — the hot path is the fused
+    * [[quantize]] kernel.
     */
   def qscale(vec: Column): Column =
     greatest(aggregate(vec, lit(0.0d),
@@ -34,10 +36,20 @@ object Quant {
     * everywhere it moves: in the probe shuffle, in the broadcast, in the
     * persisted assignment frame. (An earlier LongType spelling was
     * 8 B/element — 2x MORE shuffle bytes than the floats; the byte width
-    * is what makes the compression claim true end to end.)
+    * is what makes the compression claim true end to end.) HOF form —
+    * see [[quantize]] for the fused hot-path kernel.
     */
   def quantizeVec(vec: Column, scale: Column): Column =
     transform(vec, x => floor(x.cast("double") / scale + lit(0.5d)).cast("byte"))
+
+  /** Fused int8 quantization — the native kernel `graft_quantize_i8`:
+    * one codegen'd pass computes the per-vector scale and the rounded
+    * byte components, bit-identical to `quantizeVec(v, qscale(v))`
+    * (spec-cross-checked) and to the oracle replay. Requires
+    * `Hashing.register` on the session — every caller here registers.
+    */
+  def quantize(vec: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_quantize_i8", vec)
 
   /** Integer dot product of two int8-quantized (byte-array) vectors — the
     * fused native kernel `graft_int_dot_range` (one codegen'd loop over
@@ -57,12 +69,13 @@ object Quant {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 
-  /** (id, q, qscale, qn) projection: quantized vector, scale, integer norm. */
+  /** (id, q, qn) projection: fused-kernel quantized vector + integer norm.
+    * (The per-vector scale cancels in cosine and is not carried — nothing
+    * downstream ranks on magnitudes.)
+    */
   def quantized(df: DataFrame, idCol: String, vecCol: String,
                 idAs: String, qAs: String, nAs: String): DataFrame = {
-    val scale = qscale(col(vecCol))
-    df.select(col(idCol).as(idAs), quantizeVec(col(vecCol), scale).as(qAs),
-        scale.as(s"${idAs}_scale"))
+    df.select(col(idCol).as(idAs), quantize(col(vecCol)).as(qAs))
       .withColumn(nAs, sqrt(intDot(col(qAs), col(qAs)).cast("double")))
   }
 
@@ -80,10 +93,9 @@ object Quant {
   def ivfQuantizedTopK(corpus: DataFrame, idCol: String, vecCol: String,
                        k: Int, nLists: Int, nProbe: Int = 1): DataFrame = {
     Hashing.register(corpus.sparkSession)
-    val scale = qscale(col(vecCol))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("n"),
-        quantizeVec(col(vecCol), scale).as("q"))
+        quantize(col(vecCol)).as("q"))
       .withColumn("qn", sqrt(intDot(col("q"), col("q")).cast("double")))
     val cents = c.filter(col("id") < nLists)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))

@@ -66,6 +66,22 @@ class ContainmentWeightedSpec extends SparkSpec {
     }
   }
 
+  test("graft_quantize_i8 kernel is byte-identical to the qscale+quantizeVec HOF chain") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val both = e.select(
+        graft.scale.Quant.quantize(col("embedding")).as("k"),
+        graft.scale.Quant.quantizeVec(col("embedding"),
+          graft.scale.Quant.qscale(col("embedding"))).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Byte](0) == r.getSeq[Byte](1),
+        "fused quantizer == HOF chain, byte for byte")
+    }
+  }
+
   test("graft_int_dot_range kernel is bit-identical to the HOF fold on quantized vectors") {
     graft.functions.Hashing.register(spark)
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
