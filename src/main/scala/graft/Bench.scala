@@ -96,7 +96,12 @@ object Bench {
     // the same per-round driver-barrier class as graph_lpa (each round's
     // argmax depends on the previous round's centroid set); warm cost is
     // serial job depth, not per-stage width
-    "emb_coreset_diversity")
+    "emb_coreset_diversity",
+    // the multimodal capstone: two full PNG-decode passes (stats + hash)
+    // over ~7.3k planted images, an exact-percentile barrier, the
+    // band-bucket dedup self-join and the cap window — the same >=5-stage
+    // capstone class as corpus_prepare_v4+
+    "mm_corpus_prepare")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

@@ -86,6 +86,44 @@ object StreamingCurve {
     (sec, spark.read.parquet(indexDir).count())
   }
 
+  /** Media-side twin of [[textProbe]] (r9): planted-PNG perceptual-hash
+    * admission (`StreamingMediaAdmission`). Copy i plants pixels from
+    * seed doc_id + i·b — genuinely different images, so the band index
+    * grows ~m× — and the probe batch re-plants batch 0's seeds under
+    * fresh ids, so every probe image is a pixel-exact dup of an indexed
+    * one and the decode+verify work is identical at every m; index size
+    * is the only variable.
+    */
+  def mediaProbe(spark: SparkSession, docs: DataFrame, work: String,
+                 m: Int): (Double, Long) = {
+    import spark.implicits._
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/media_x$m/index"
+    val admittedDir = s"$work/media_x$m/admitted"
+    def imgs(idShift: Long, seedShift: Long): DataFrame =
+      docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val seed = id + seedShift
+          val (w, h) = graft.scale.Multimodal.pixDims(seed)
+          (id + idShift, graft.scale.Multimodal.pngEncodeGray(w, h,
+            graft.scale.Multimodal.plantedPixels(w, h, seed)))
+        }
+      }.toDF("doc_id", "payload")
+    (0 until m).foreach { i =>
+      streaming.StreamingMediaAdmission.admitBatch(
+        imgs(i.toLong * b, i.toLong * b), i.toLong, indexDir, admittedDir)
+    }
+    val probe = imgs(1000L * b, 0L) // pixel-exact dups of batch 0
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingMediaAdmission.admitBatch(probe, m.toLong, indexDir,
+        admittedDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = math.min(once(), once())
+    (sec, spark.read.parquet(indexDir).count())
+  }
+
   /** Heavy-hitter state-cap arm (VERDICT r7 #6): m+1 micro-batches of the
     * token stream, every batch a FRESH vocabulary (copy-shifted tokens, the
     * worst case for space-saving — every row is an eviction once the table
@@ -153,14 +191,17 @@ object StreamingCurve {
     // multiplier is not charged for codegen/JIT
     textProbe(spark, docs, s"$work/warm", 1)
     vecProbe(spark, vecs, s"$work/warm", 1)
+    mediaProbe(spark, docs, s"$work/warm", 1)
     val evts = graft.sources.Tables.events(spark, src)
     mults.foreach { m =>
       val (tSec, tRows) = textProbe(spark, docs, work, m)
       val (vSec, vRows) = vecProbe(spark, vecs, work, m)
+      val (mSec, mRows) = mediaProbe(spark, docs, work, m)
       val (hSec, hGroups, hMaxW) = hhProbe(spark, evts, work, m)
       println(s"""{"stream_mult":$m,"src":"$src",""" +
         s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
         s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows,""" +
+        s""""media_probe_sec":$mSec,"media_index_rows":$mRows,""" +
         s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW}""")
     }
     spark.stop()

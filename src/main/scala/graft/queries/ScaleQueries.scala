@@ -1671,6 +1671,65 @@ object ScaleQueries {
       enc
     }
 
+  /** Shared oracle CTE chain for the planted-PNG perceptual-hash queries:
+    * given a seeds SQL (doc_id, seed, edit rows), derives pixels → global
+    * mean → 8×8 block means → 64 aHash bits as four 16-bit bands →
+    * band-blocked candidate pairs `h` (doc_a, doc_b, hamming). The Spark
+    * side must DECODE real PNG bytes to reach the same pixels.
+    */
+  private def mmPhashCtes(seedsSql: String): String =
+        s"""seeds AS (
+          |  $seedsSql),
+          |dims AS (
+          |  SELECT doc_id, seed, edit,
+          |    16 + seed % 17 AS w, 16 + (seed * 7) % 17 AS h
+          |  FROM seeds),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    (x * 7 + y * 13 + seed * 31
+          |      + CASE WHEN x < 2 THEN edit ELSE 0 END) % 256 AS p
+          |  FROM dims,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT doc_id, SUM(p) // COUNT(*) AS gm FROM px GROUP BY 1),
+          |cells AS (
+          |  SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(p) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT c.doc_id, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g USING (doc_id) GROUP BY 1, 2),
+          |ph AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+          |h AS (
+          |  SELECT doc_a, doc_b,
+          |    CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) AS INT)
+          |      AS hamming
+          |  FROM cand
+          |  JOIN ph pa ON cand.doc_a = pa.doc_id
+          |  JOIN ph pb ON cand.doc_b = pb.doc_id)""".stripMargin
+
+  /** The pair-query instantiation (mm_phash_pairs, mm_dedup_eval):
+    * corpus = originals + edit-40 clones of EVERY doc at +500000.
+    */
+  private lazy val mmPhashPairCtes: String = mmPhashCtes(
+    """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, doc_id, 40 FROM documents""".stripMargin)
+
   // lazy: referenced from the `defs` initializer above its definition —
   // a plain val would still be null when the Map literal captures it.
   // The CTE chain through `sem` (the post-semantic-dedup survivor set) is
@@ -5638,54 +5697,173 @@ object ScaleQueries {
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(
-        """WITH seeds AS (
-          |  SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 500000, doc_id, 40 FROM documents),
-          |dims AS (
-          |  SELECT doc_id, seed, edit,
-          |    16 + seed % 17 AS w, 16 + (seed * 7) % 17 AS h
-          |  FROM seeds),
-          |px AS (
-          |  SELECT doc_id, w, h, y, x,
-          |    (x * 7 + y * 13 + seed * 31
-          |      + CASE WHEN x < 2 THEN edit ELSE 0 END) % 256 AS p
-          |  FROM dims,
-          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
-          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
-          |  WHERE y < h AND x < w),
-          |g AS (SELECT doc_id, SUM(p) // COUNT(*) AS gm FROM px GROUP BY 1),
-          |cells AS (
-          |  SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS i,
-          |    SUM(p) // COUNT(*) AS m
-          |  FROM px GROUP BY 1, 2),
-          |bands AS (
-          |  SELECT c.doc_id, CAST(i // 16 AS INT) AS band,
-          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
-          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
-          |  FROM cells c JOIN g USING (doc_id) GROUP BY 1, 2),
-          |ph AS (
-          |  SELECT doc_id,
-          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
-          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
-          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
-          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
-          |  FROM bands GROUP BY 1),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-          |h AS (
-          |  SELECT doc_a, doc_b,
-          |    CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
-          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) AS INT)
-          |      AS hamming
-          |  FROM cand
-          |  JOIN ph pa ON cand.doc_a = pa.doc_id
-          |  JOIN ph pb ON cand.doc_b = pb.doc_id)
-          |SELECT doc_a, doc_b, hamming FROM h
-          |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin),
+        s"""WITH $mmPhashPairCtes
+           |SELECT doc_a, doc_b, hamming FROM h
+           |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "Perceptual-hash near-dup over REAL decoded PNG pixels: 4x16-bit band blocking + Hamming<=8 verify"),
+
+    // Media-dedup EVALUATION against planted ground truth — the
+    // measured-not-asserted companion of mm_phash_pairs (the image twin
+    // of dedup_eval): the perceptual-hash detector at its production
+    // threshold (band agreement + Hamming ≤ 8) scored as a detector of
+    // the planted clone pairs (id, id+500000). Both arms deterministic —
+    // the detector over REAL decoded pixels, the truth a formula — so
+    // precision/recall/F1 are fully hash-checked. A clone whose two-
+    // column edit flips more than 8 aHash bits is a MISS the recall
+    // column reports honestly.
+    "mm_dedup_eval" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        graft.functions.Hashing.register(s)
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        def wrap(shift: Long, edit: Int)(it: Iterator[Long]) = it.map { id =>
+          val (w, h) = Multimodal.pixDims(id)
+          Multimodal.MediaRecord(id + shift, "image",
+            Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, id, edit)))
+        }
+        val media = ids.mapPartitions(wrap(0L, 0))
+          .union(ids.mapPartitions(wrap(500000L, 40)))
+        val ph = Multimodal.perceptualHashPng(media).toDF()
+        val b = MediaDedup.bandRows(ph)
+        val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+        val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+        // barrier: the prediction set feeds both the count and the TP join
+        val pred = graft.Caches.lazyBarrier(l.join(r, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(expr("CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+            "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= 8)
+          .select("doc_a", "doc_b").distinct())
+        val truth = docs(s, dir)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 500000).as("doc_b"))
+        val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+          .select(col("n_truth"), col("n_pred"), col("tp"),
+            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+              .as("precision"),
+            round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall"),
+            round(lit(2.0) * col("tp").cast("double") /
+              (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
+      },
+      oracle = Some(
+        s"""WITH $mmPhashPairCtes,
+           |pred AS (SELECT doc_a, doc_b FROM h WHERE hamming <= 8),
+           |truth AS (
+           |  SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b FROM documents),
+           |tp AS (SELECT pred.* FROM pred SEMI JOIN truth
+           |  ON pred.doc_a = truth.doc_a AND pred.doc_b = truth.doc_b),
+           |agg AS (
+           |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
+           |SELECT n_truth, n_pred, tp,
+           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+           |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
+           |    AS f1
+           |FROM agg""".stripMargin),
+      doc = "Media-dedup detector P/R/F1 vs planted clone pairs - real-pixel perceptual hashes, fully hash-checked"),
+
+    // MULTIMODAL CAPSTONE (round 9): the whole image-corpus prep dataflow
+    // as ONE oracle-checked pipeline — the media twin of corpus_prepare:
+    // decode (REAL PNG pixel decode) → pixel-quality gate (drop the
+    // flattest quartile by horizontal total variation, exact-percentile
+    // threshold) → perceptual-hash dedup among survivors (band blocking +
+    // Hamming ≤ 8, smaller id wins; the planted edit-40 clones of every
+    // 10th image are the workload) → per-source cap (salted order, ≤ 25)
+    // → per-source manifest (images, total pixels, mean edge energy).
+    // Every stage — pixels, stats, threshold, hashes, pairs, cap —
+    // replays in ONE DuckDB SQL, and the Spark side can only reach the
+    // same numbers by decoding the planted PNG bytes correctly.
+    "mm_corpus_prepare" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val ids = d.select(col("doc_id")).as[Long]
+        def wrap(keep: Long => Boolean, shift: Long, edit: Int)(it: Iterator[Long]) =
+          it.filter(keep).map { id =>
+            val (w, h) = Multimodal.pixDims(id)
+            Multimodal.MediaRecord(id + shift, "image",
+              Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, id, edit)))
+          }
+        val media = ids.mapPartitions(wrap(_ => true, 0L, 0))
+          .union(ids.mapPartitions(wrap(_ % 10 == 4, 500000L, 40)))
+        // decode + stats once; barrier: the percentile pass and the gate
+        // both read it
+        val stats = graft.Caches.lazyBarrier(Multimodal.pixelStats(media).toDF())
+        val thr = stats.agg(expr("percentile(tv_h, 0.25)").as("t"))
+        val gated = stats.crossJoin(broadcast(thr))
+          .filter(col("tv_h") >= col("t"))
+          .select("doc_id", "width", "height", "tv_h")
+        // perceptual-hash dedup among gate survivors (hash pass over the
+        // same media; survivors selected by semi-join). Barrier: the
+        // survivor hash frame self-joins in phashDuplicates.
+        val phSurv = graft.Caches.lazyBarrier(
+          Multimodal.perceptualHashPng(media).toDF()
+            .join(gated.select("doc_id"), Seq("doc_id"), "left_semi"))
+        val dropped = MediaDedup.phashDuplicates(phSurv, maxHamming = 8)
+        val deduped = gated.join(dropped, Seq("doc_id"), "left_anti")
+        // source attach (clones inherit their original's source) + cap
+        val withSrc = deduped
+          .withColumn("seed", when(col("doc_id") >= 500000,
+            col("doc_id") - 500000).otherwise(col("doc_id")))
+          .join(d.select(col("doc_id").as("seed"), col("source")), "seed")
+          .select("doc_id", "source", "width", "height", "tv_h")
+        val capped = Sampling.capPerGroup(withSrc, "doc_id", "source",
+          cap = 25, salt = "mmprep")
+        capped.groupBy("source").agg(
+            count(lit(1)).as("n_images"),
+            sum(col("width").cast("long") * col("height").cast("long"))
+              .as("total_px"),
+            round(sum("tv_h").cast("double") / count(lit(1)).cast("double"), 4)
+              .as("mean_tv"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH ${mmPhashCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, doc_id, 40 FROM documents WHERE doc_id % 10 = 4""".stripMargin)},
+           |tvd AS (
+           |  SELECT doc_id,
+           |    ABS(p - LAG(p) OVER (PARTITION BY doc_id, y ORDER BY x)) AS dd
+           |  FROM px),
+           |tv AS (SELECT doc_id, SUM(dd) AS tv_h FROM tvd GROUP BY doc_id),
+           |stats AS (
+           |  SELECT p.doc_id, MAX(p.w) AS width, MAX(p.h) AS height,
+           |    MAX(t.tv_h) AS tv_h
+           |  FROM px p JOIN tv t ON p.doc_id = t.doc_id GROUP BY p.doc_id),
+           |thr AS (SELECT quantile_cont(tv_h, 0.25) AS t FROM stats),
+           |gated AS (SELECT s.* FROM stats s, thr WHERE s.tv_h >= thr.t),
+           |dropped AS (
+           |  SELECT DISTINCT h.doc_b AS doc_id FROM h
+           |  JOIN gated ga ON h.doc_a = ga.doc_id
+           |  JOIN gated gb ON h.doc_b = gb.doc_id
+           |  WHERE h.hamming <= 8),
+           |deduped AS (
+           |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+           |withsrc AS (
+           |  SELECT dd.doc_id, d.source, dd.width, dd.height, dd.tv_h
+           |  FROM deduped dd JOIN documents d
+           |    ON d.doc_id = CASE WHEN dd.doc_id >= 500000
+           |                       THEN dd.doc_id - 500000 ELSE dd.doc_id END),
+           |capped AS (
+           |  SELECT doc_id, source, width, height, tv_h FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY source
+           |      ORDER BY ${sqlBucket("CAST(doc_id AS VARCHAR)", "mmprep")}, doc_id) AS rk
+           |    FROM withsrc) x WHERE rk <= 25)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+           |  CAST(SUM(width * height) AS BIGINT) AS total_px,
+           |  ROUND(CAST(SUM(tv_h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_tv,
+           |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM capped GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Multimodal capstone: decode -> pixel-quality gate -> perceptual-hash dedup -> per-source cap -> manifest, one oracle-replayed dataflow"),
 
     // Dedup operator EVALUATION against planted ground truth — the
     // measured-not-asserted companion of dedup_threshold_sweep: the
