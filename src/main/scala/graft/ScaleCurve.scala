@@ -79,7 +79,15 @@ object ScaleCurve {
     // closed-form packing/fertility evals (txt_novelty already rides in
     // the round-6 block above)
     "corpus_prepare_v8", "corpus_audit_trail", "txt_byte_entropy",
-    "pack_efficiency", "txt_bpe_fertility")
+    "pack_efficiency", "txt_bpe_fertility",
+    // round-9 additions: the real-pixel media pair stage (planted-PNG
+    // encode/decode is per-row work; the phash band join is the only pair
+    // stage) and the kernelized int8 IVF (fixed nLists=8 — the documented
+    // knob; expect super-linear within-list growth unless nLists scales
+    // with the corpus, which is the point the curve row makes).
+    // mm_corpus_prepare is excluded: its clone marker (+500000) is only
+    // meaningful on the un-shifted fixture id space.
+    "mm_phash_pairs", "emb_ivf_quant")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

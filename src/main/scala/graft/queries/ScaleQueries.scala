@@ -45,6 +45,16 @@ object ScaleQueries {
   private def sqlCosine(a: String, b: String): String =
     s"ROUND(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
 
+  /** The planted-pixel formula (= Multimodal.plantedPixels), over columns
+    * `x`/`y` and the given seed/edit SQL expressions — ONE spelling shared
+    * by every mm_* oracle so the formula cannot drift per query.
+    */
+  private def sqlPlantedPixel(seed: String, edit: String): String =
+    s"(x * 7 + y * 13 + $seed * 31" +
+      s" + ((x * 73 + y * 151 + $seed * 97) % 251)" +
+      s" * ((x * 31 + y * 17 + $seed * 61) % 241)" +
+      s" + CASE WHEN x < 2 THEN $edit ELSE 0 END) % 256"
+
   /** Squared L2 over index range [from, from+len-1] — the strict-order
     * left fold matching Quant.l2sq.
     */
@@ -1686,8 +1696,7 @@ object ScaleQueries {
           |  FROM seeds),
           |px AS (
           |  SELECT doc_id, w, h, y, x,
-          |    (x * 7 + y * 13 + seed * 31
-          |      + CASE WHEN x < 2 THEN edit ELSE 0 END) % 256 AS p
+          |    ${sqlPlantedPixel("seed", "edit")} AS p
           |  FROM dims,
           |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
           |    (SELECT unnest(generate_series(0, 31)) AS x) xs
@@ -4099,11 +4108,11 @@ object ScaleQueries {
         Multimodal.pixelStats(Multimodal.mediaPngPixels(docs(s, dir)))
           .toDF().orderBy("doc_id"),
       oracle = Some(
-        """WITH d AS (
+        s"""WITH d AS (
           |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 17 AS h
           |  FROM documents),
           |px AS (
-          |  SELECT doc_id, w, h, y, x, (x * 7 + y * 13 + doc_id * 31) % 256 AS p
+          |  SELECT doc_id, w, h, y, x, ${sqlPlantedPixel("doc_id", "0")} AS p
           |  FROM d,
           |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
           |    (SELECT unnest(generate_series(0, 31)) AS x) xs
@@ -4154,7 +4163,7 @@ object ScaleQueries {
           .orderBy("doc_id")
       },
       oracle = Some(
-        """WITH seeds AS (
+        s"""WITH seeds AS (
           |  SELECT doc_id, doc_id AS seed, 0 AS edit, 'index' AS side
           |  FROM documents WHERE doc_id % 10 != 3
           |  UNION ALL
@@ -4168,8 +4177,7 @@ object ScaleQueries {
           |  FROM seeds),
           |px AS (
           |  SELECT doc_id, w, h, y, x,
-          |    (x * 7 + y * 13 + seed * 31
-          |      + CASE WHEN x < 2 THEN edit ELSE 0 END) % 256 AS p
+          |    ${sqlPlantedPixel("seed", "edit")} AS p
           |  FROM dims,
           |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
           |    (SELECT unnest(generate_series(0, 31)) AS x) xs
@@ -6304,11 +6312,11 @@ object ScaleQueries {
             Multimodal.mediaPngPixels(docs(s, dir)), side = 8)
           .toDF().orderBy("doc_id"),
       oracle = Some(
-        """WITH d AS (
+        s"""WITH d AS (
           |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 17 AS h
           |  FROM documents),
           |px AS (
-          |  SELECT doc_id, w, h, y, x, (x * 7 + y * 13 + doc_id * 31) % 256 AS p
+          |  SELECT doc_id, w, h, y, x, ${sqlPlantedPixel("doc_id", "0")} AS p
           |  FROM d,
           |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
           |    (SELECT unnest(generate_series(0, 31)) AS x) xs

@@ -669,11 +669,23 @@ object Multimodal {
   private[graft] def pixDims(docId: Long): (Int, Int) =
     ((16 + docId % 17).toInt, (16 + (docId * 7) % 17).toInt)
 
-  /** Planted grayscale pixels px(y,x) = (x·7 + y·13 + seed·31 + (x<2 ?
-    * edit : 0)) mod 256 — a deterministic integer formula the oracle
-    * recomputes directly, while the Spark side must DECODE it back out of
-    * real PNG bytes. `edit` perturbs the two leftmost columns (the
-    * near-duplicate plant for the perceptual-hash query).
+  /** Planted grayscale pixels — a deterministic integer formula the
+    * oracle recomputes directly, while the Spark side must DECODE it back
+    * out of real PNG bytes:
+    *
+    *   px(y,x) = (7x + 13y + 31·seed
+    *              + ((73x + 151y + 97·seed) mod 251)
+    *              · ((31x + 17y + 61·seed) mod 241)
+    *              + (x<2 ? edit : 0)) mod 256
+    *
+    * The product of the two different-modulus linear hashes SCRAMBLES the
+    * image structurally per seed (an earlier gradient-only formula
+    * differed across seeds by a constant brightness shift, which aHash is
+    * — by design — blind to, so 6 000 "different" images collapsed to ~60
+    * perceptual classes and every media demo was degenerate). `edit`
+    * perturbs the two leftmost columns (the near-duplicate plant for the
+    * perceptual-hash queries); the scramble term is edit-independent, so
+    * a clone differs from its original in exactly those columns.
     */
   private[graft] def plantedPixels(w: Int, h: Int, seed: Long, edit: Int = 0): Array[Byte] = {
     val px = new Array[Byte](w * h)
@@ -682,7 +694,9 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val e = if (x < 2) edit else 0
-        px(y * w + x) = (((x * 7 + y * 13 + seed * 31 + e) % 256) & 0xff).toByte
+        val scr = ((x * 73 + y * 151 + seed * 97) % 251) *
+          ((x * 31 + y * 17 + seed * 61) % 241)
+        px(y * w + x) = (((x * 7 + y * 13 + seed * 31 + scr + e) % 256) & 0xff).toByte
         x += 1
       }
       y += 1
