@@ -87,7 +87,10 @@ object ScaleCurve {
     // with the corpus, which is the point the curve row makes).
     // mm_corpus_prepare is excluded: its clone marker (+500000) is only
     // meaningful on the un-shifted fixture id space.
-    "mm_phash_pairs", "emb_ivf_quant")
+    "mm_phash_pairs", "emb_ivf_quant",
+    // the sqrt-scaled geometry that fixes the fixed-nLists pathology —
+    // the pair of curve rows IS the knob's documentation
+    "emb_ivf_quant_auto")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

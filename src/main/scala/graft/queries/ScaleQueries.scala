@@ -3878,6 +3878,55 @@ object ScaleQueries {
       },
       doc = "IVF-flat with int8 scalar quantization (multi-probe), hash-checked"),
 
+    // The AUTO-GEOMETRY form of the same index (round 9): nLists =
+    // max(8, ceil(sqrt(N))) instead of a fixed constant — the knob the
+    // ScaleCurve row proves matters (fixed-8 is 13.5 s at curve x10 from
+    // O(N^2/nLists) within-list growth; sqrt-scaled geometry keeps the
+    // candidate count ~linear). The corpus count is a bounded one-row
+    // driver scalar (the percentile-threshold class); the oracle replays
+    // GREATEST(8, CEIL(SQRT(COUNT(*)))) so the geometry itself is
+    // hash-checked, not just the scores.
+    "emb_ivf_quant_auto" -> QueryDef(
+      build = (s, dir) =>
+        Quant.ivfQuantizedTopKAuto(embs(s, dir), "vec_id", "embedding",
+            k = 3, nProbe = 2)
+          .orderBy("query_id", "rank"),
+      oracle = Some {
+        def intDot(a: String, b: String): String =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), " +
+            s"(x, y) -> x + y)"
+        s"""WITH sc AS (SELECT vec_id, embedding,
+           |    greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127 AS s
+           |  FROM embeddings),
+           |qv AS (SELECT vec_id, embedding, q, sqrt(CAST(${intDot("q", "q")} AS DOUBLE)) AS qn FROM (
+           |  SELECT vec_id, embedding,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+           |  FROM sc)),
+           |geo AS (SELECT GREATEST(8, CEIL(SQRT(COUNT(*)))) AS n_lists FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS cv
+           |  FROM embeddings, geo WHERE vec_id < n_lists),
+           |cranked AS (
+           |  SELECT c.vec_id AS id, c.q, c.qn, cent_id,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${sqlCosine("c.embedding", "cents.cv")} DESC, cent_id) AS crank
+           |  FROM qv c, cents),
+           |assigned AS (SELECT id, q, qn, cent_id AS list_id FROM cranked WHERE crank = 1),
+           |probes AS (SELECT id, q, qn, cent_id AS list_id FROM cranked WHERE crank <= 2),
+           |scored AS (
+           |  SELECT p.id AS query_id, a.list_id, a.id AS neighbor_id,
+           |    ROUND(CAST(${intDot("p.q", "a.q")} AS DOUBLE) / (p.qn * a.qn), 6) AS qscore
+           |  FROM probes p JOIN assigned a ON p.list_id = a.list_id AND p.id <> a.id),
+           |ranked AS (
+           |  SELECT query_id, list_id, neighbor_id, qscore,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, list_id, neighbor_id, qscore, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      },
+      doc = "IVF x int8 with corpus-scaled geometry (nLists = ceil(sqrt(N))), fully hash-checked incl. the geometry"),
+
     // ANN recall-as-data: the recall@10 knobs SCALE.md reasons about
     // (nProbe for IVF), measured against the exact bruteForceTopK
     // baseline on a 5% query sample and surfaced as scalar rows — the
