@@ -4122,29 +4122,35 @@ object ScaleQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "Real container-header decode: sniff PNG/JPEG/WAV/MP4 magic bytes, parse IHDR/SOF0/fmt/mvhd+tkhd"),
 
-    // Frame sampling (Multimodal.sampleFrames): uniform-stride indices +
-    // stub per-frame extraction in the same typed mapPartitions shape as
-    // the decode — fan-out bounded at `target` rows per media row.
+    // Frame sampling over REAL parsed containers (round 9): n_frames is
+    // read from the actual header structures (1 for PNG/JPEG stills,
+    // data/blockAlign for WAV, mvhd duration for MP4 — parseHeader), and
+    // the digested content is the DEMUXED body (extractBody walks the
+    // container to the data/mdat/trailing payload), not the container
+    // bytes — so the oracle replays every digest from the fixture text.
+    // Uniform-stride indices, fan-out bounded at 4 rows per media row.
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) =>
-        Multimodal.sampleFrames(
-            Multimodal.mediaFromDocuments(docs(s, dir)), target = 4)
+        Multimodal.sampleFramesParsed(
+            Multimodal.mediaWithHeaders(docs(s, dir)), target = 4)
           .toDF().orderBy("doc_id", "frame_idx"),
       oracle = Some(
         """WITH meta AS (
-          |  SELECT doc_id, text, unicode(substr(text, 1, 1)) % 16 AS n_frames
+          |  SELECT doc_id, text,
+          |    CASE WHEN doc_id % 3 = 0 THEN 1
+          |         WHEN doc_id % 3 = 1 THEN strlen(text) // (2 * (1 + doc_id % 2))
+          |         ELSE 1 + doc_id % 240 END AS nf
           |  FROM documents),
-          |valid AS (SELECT doc_id, text, n_frames, least(4, n_frames) AS k
-          |  FROM meta WHERE n_frames > 0),
-          |series AS (SELECT unnest(generate_series(0, 15)) AS i),
+          |valid AS (SELECT doc_id, text, nf, least(4, nf) AS k
+          |  FROM meta WHERE nf > 0),
+          |series AS (SELECT unnest(generate_series(0, 3)) AS i),
           |picks AS (
-          |  SELECT DISTINCT doc_id, text,
-          |    CAST(FLOOR(CAST(i * n_frames AS DOUBLE) / k) AS INT) AS frame_idx
+          |  SELECT DISTINCT doc_id, text, CAST(i * nf // k AS INT) AS frame_idx
           |  FROM valid, series WHERE i < k)
           |SELECT doc_id, frame_idx,
           |  sha256(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_digest
           |FROM picks ORDER BY doc_id, frame_idx""".stripMargin),
-      doc = "Uniform-stride frame sampling with stub per-frame extraction"),
+      doc = "Frame sampling over REAL parsed containers: header-driven n_frames + demuxed-body digests"),
 
     // Per-image pixel statistics from REAL decoded PNGs (round 9): range,
     // floor-mean, horizontal total variation (the cheap contrast /

@@ -321,6 +321,94 @@ object Multimodal {
     } catch { case _: Throwable => ("unknown", 0, 0, 0) }
   }
 
+  /** Extract the media BODY from a container-framed payload by walking
+    * the real structure (the demux step): PNG → bytes after the IHDR
+    * chunk (this writer's layout carries the body as trailing data),
+    * JPEG → bytes after the SOF segment (marker walk), WAV → the data
+    * chunk's content (RIFF walk), ISO-BMFF → the mdat box content (box
+    * walk). None on anything malformed — the poison-tolerance posture.
+    */
+  private[graft] def extractBody(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      if (b.length >= 33 && PngSig.indices.forall(i => (b(i) & 0xff) == PngSig(i))) {
+        // sig(8) + IHDR chunk: len(4) + type(4) + data(len) + crc(4)
+        val len = u32be(b, 8).toInt
+        if (len < 0 || 8 + 12 + len > b.length) None
+        else Some(java.util.Arrays.copyOfRange(b, 8 + 12 + len, b.length))
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return None
+          val marker = b(i + 1) & 0xff
+          if (marker == 0xff) i += 1
+          else if (marker >= 0xd0 && marker <= 0xd9) i += 2
+          else {
+            val len = u16be(b, i + 2)
+            val isSof = (marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 &&
+              marker != 0xc8 && marker != 0xcc
+            if (i + 2 + len > b.length) return None
+            i += 2 + len
+            if (isSof) return Some(java.util.Arrays.copyOfRange(b, i, b.length))
+          }
+        }
+        None
+      } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+        var i = 12
+        while (i + 8 <= b.length) {
+          val ck = tag(b, i); val len = u32le(b, i + 4)
+          if (len.toInt < 0) return None
+          if (ck == "data") {
+            val end = math.min(i + 8 + len.toInt, b.length)
+            return Some(java.util.Arrays.copyOfRange(b, i + 8, end))
+          }
+          i += 8 + len.toInt + (len.toInt & 1)
+        }
+        None
+      } else if (b.length >= 12 && tag(b, 4) == "ftyp") {
+        var i = 0
+        while (i + 8 <= b.length) {
+          val size = u32be(b, i); val box = tag(b, i + 4)
+          if (box == "mdat") {
+            val end = math.min(i + math.max(size.toInt, 8), b.length)
+            return Some(java.util.Arrays.copyOfRange(b, i + 8, end))
+          }
+          i += math.max(size.toInt, 8)
+        }
+        None
+      } else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** Frame sampling over REAL container metadata: n_frames comes from the
+    * PARSED header ([[parseHeader]] — 1 for still images, data/blockAlign
+    * for WAV, mvhd duration for MP4), the frame "content" digested is the
+    * DEMUXED body ([[extractBody]]), not the container bytes — so the
+    * digest is a deterministic function of the media content an oracle
+    * can replay. Same uniform-stride index selection and bounded fan-out
+    * as [[sampleFrames]]; rows whose container fails to parse or demux
+    * are skipped (poison-tolerant).
+    */
+  def sampleFramesParsed(ds: Dataset[MediaRecord], target: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val (container, _, _, nf) = parseHeader(r.payload)
+        extractBody(r.payload) match {
+          case Some(body) if container != "unknown" && nf > 0 =>
+            val k = math.min(target, nf)
+            (0 until k).map(i => i * nf / k).distinct.iterator.map { idx =>
+              md.reset()
+              md.update(body)
+              md.update(s"#$idx".getBytes("UTF-8"))
+              FrameSample(r.doc_id, idx, md.digest().map("%02x".format(_)).mkString)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Real header decode over container-framed payloads: media_type is the
     * SNIFFED container (png/jpeg/wav/mp4), width/height/n_frames are the
     * parsed header fields (for wav: sample rate / channels / sample

@@ -116,6 +116,27 @@ class MediaHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("extractBody demuxes every container back to its exact body; fuzz never throws") {
+    val body = "the original media payload bytes".getBytes("UTF-8")
+    val wraps = Seq(
+      Multimodal.pngWrap(100, 50, body),
+      Multimodal.jpegWrap(100, 50, body),
+      Multimodal.wavWrap(8000, 2, 16, body),
+      Multimodal.mp4Wrap(100, 50, 1000, 7, body))
+    wraps.foreach { w =>
+      val got = Multimodal.extractBody(w)
+      assert(got.exists(_.sameElements(body)),
+        s"demux must return the exact body (got ${got.map(_.length)})")
+      // truncations and byte flips degrade (None or partial), never throw
+      (0 to w.length).foreach(n => Multimodal.extractBody(w.take(n)))
+      (0 until w.length).foreach { i =>
+        val m = w.clone(); m(i) = (m(i) ^ 0x5a).toByte
+        Multimodal.extractBody(m)
+      }
+    }
+    assert(Multimodal.extractBody("not a container".getBytes).isEmpty)
+  }
+
   test("fuzz: 0xFF-filled length fields terminate, never spin (WAV sign-bit guard)") {
     // a 0x5a byte-flip can never set a length's high bit, so the zero/
     // negative-step path needs its own adversarial case: saturate every
