@@ -92,7 +92,14 @@ object Caches {
   }
 
   // --- session-pinned frames: shared ACROSS registered queries ---------
-  private val memo = mutable.Map.empty[(Int, String), Any]
+  // Keyed on the SparkContext REFERENCE (weakly): identity hash codes can
+  // collide across contexts, and a strong key would retain every stopped
+  // context's pinned localCheckpoint frames for the JVM lifetime. A weak
+  // key guarantees (a) a later session can never receive frames bound to
+  // a different (possibly dead) context and (b) a collected context's
+  // entries vanish with it in multi-session JVMs.
+  private val memo =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, mutable.Map[String, Any]]()
 
   /** Memoized once per (SparkContext, key): the sharing mechanism for
     * stage frames that several REGISTERED QUERIES derive identically (the
@@ -101,14 +108,16 @@ object Caches {
     * materialization EACH at sf0.1). Build the shared frames inside `mk`
     * with [[pinnedBarrier]] (NOT [[lazyBarrier]] — per-query [[release]]
     * would unpersist a truncated-lineage frame out from under later
-    * queries). Pinned frames survive release() and die with the JVM —
-    * on a cluster this is precisely "materialize the curated staging
-    * table once, let every downstream job read it".
+    * queries). Pinned frames survive release() and die with their
+    * context — on a cluster this is precisely "materialize the curated
+    * staging table once, let every downstream job read it".
     */
   def sessionMemo[T](spark: org.apache.spark.sql.SparkSession, key: String)(mk: => T): T =
     synchronized {
-      memo.getOrElseUpdate(
-        (System.identityHashCode(spark.sparkContext), key), mk).asInstanceOf[T]
+      val sc = spark.sparkContext
+      var perCtx = memo.get(sc)
+      if (perCtx == null) { perCtx = mutable.Map.empty[String, Any]; memo.put(sc, perCtx) }
+      perCtx.getOrElseUpdate(key, mk).asInstanceOf[T]
     }
 
   /** Lineage barrier for session-pinned frames: same lazy localCheckpoint

@@ -166,25 +166,45 @@ object VectorsQuant {
     * for the scale and one for the components — bit-identical to the HOF
     * chain `transform(v, x -> floor(x/qscale(v) + 0.5))` (same IEEE-754
     * double ops in the same order; spec-cross-checked) and to the DuckDB
-    * replay the quantized oracles run.
+    * replay the quantized oracles run. Null ELEMENTS match the HOF form
+    * too: `greatest` skips nulls, so the scale aggregates the non-null
+    * components, and `transform`'s lambda null-propagates — a null input
+    * component yields a null output component, never a fabricated 0.
     */
   def quantizeI8(a: ArrayData): ArrayData = {
     val n = a.numElements()
+    var hasNull = false
     var m = 0.0d
     var i = 0
     while (i < n) {
-      val v = math.abs(a.getFloat(i).toDouble)
-      if (v > m) m = v
+      if (a.isNullAt(i)) hasNull = true
+      else {
+        val v = math.abs(a.getFloat(i).toDouble)
+        if (v > m) m = v
+      }
       i += 1
     }
     val scale = math.max(m, 1e-30d) / 127
-    val out = new Array[Byte](n)
-    i = 0
-    while (i < n) {
-      out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5d).toByte
-      i += 1
+    if (!hasNull) {
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5d).toByte
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    } else {
+      // slow path (null elements are outside the hot corpora): boxed array
+      // so null components survive, exactly like the HOF lambda
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5d).toByte
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }
 

@@ -778,10 +778,14 @@ object MiscQueries {
     // sketches, one pass, bounded memory; register maxes commute, so the
     // estimate is partitioning-independent). The estimate itself is not
     // DuckDB-reproducible; its GUARANTEE is: the query emits the exact
-    // count (replayable) plus a bound verdict |approx/exact − 1| ≤ 3·rsd
-    // (rsd 0.02 → 6%, the 3σ band of HLL++'s relative standard
-    // deviation). The oracle asserts TRUE — a sketch drifting past its
-    // contract hash-mismatches instead of passing silently.
+    // count (replayable) plus a bound verdict |approx/exact − 1| ≤ 5·rsd
+    // (rsd 0.02 → 10%). Unlike the GK/CMS contracts this bound is
+    // PROBABILISTIC — 3σ leaves ~0.3% tail per group that a Spark
+    // version bump or new fixture group could trip with a perfectly
+    // healthy sketch — so the verdict uses the 5σ band (tail < 1e-6 per
+    // group): wide enough to never flake on a healthy HLL++, still
+    // narrow enough that a broken sketch (wrong hashing, dropped
+    // registers — typically 2x off or worse) hash-mismatches.
     "hll_distinct_tenants" -> QueryDef(
       build = (s, dir) =>
         env(s, dir).groupBy("event_type")
@@ -789,7 +793,7 @@ object MiscQueries {
                countDistinct("tenant_id").as("n_tenants_exact"))
           .select(col("event_type"), col("n_tenants_exact"),
             (abs(col("approx") - col("n_tenants_exact")).cast("double")
-              <= lit(0.06) * col("n_tenants_exact").cast("double")).as("bound_ok"))
+              <= lit(0.10) * col("n_tenants_exact").cast("double")).as("bound_ok"))
           .orderBy("event_type"),
       oracle = Some(
         s"""$cte
@@ -797,7 +801,7 @@ object MiscQueries {
            |  CAST(COUNT(DISTINCT tenant_id) AS BIGINT) AS n_tenants_exact,
            |  TRUE AS bound_ok
            |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "HLL++ distinct tenants, BOUND-CHECKED: 3-sigma rsd contract emitted as a hash-checked verdict next to the exact arm"),
+      doc = "HLL++ distinct tenants, BOUND-CHECKED: 5-sigma rsd contract emitted as a hash-checked verdict next to the exact arm"),
 
     // CDC MERGE: apply a change feed (upserts + deletes) to a base
     // snapshot with latest-wins-per-key semantics — the incremental

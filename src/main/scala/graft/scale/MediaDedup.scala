@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * `streaming/StreamingAdmission`). Images hash to a 64-bit aHash over
   * their REAL decoded pixels ([[Multimodal.perceptualHashPng]] — the PNG
   * decoder, not byte slices), packed as four 16-bit bands; a candidate
-  * pair must agree EXACTLY on ≥1 band (bit-space band blocking — at ≤ 8
-  * differing bits of 64, at least one 16-bit quarter is untouched by
-  * pigeonhole when the edits cluster, and in practice band agreement is
-  * the standard recall/cost knob), then verify Hamming ≤ `maxHamming`.
+  * pair must agree EXACTLY on ≥1 band (bit-space band blocking — the
+  * pigeonhole guarantee of an untouched 16-bit quarter holds only for
+  * ≤ 3 flipped bits of 64; beyond that an edit spread one flip per band
+  * defeats blocking, so band agreement is the empirical recall/cost
+  * knob — the detector eval measures the recall it actually buys, 0.856
+  * vs planted clones, instead of asserting it), then verify
+  * Hamming ≤ `maxHamming`.
   *
   * 100 TB posture: the only shuffle columns are (band, v) ints and the
   * 4×16-bit hash — payloads never move; per-batch admission cost is

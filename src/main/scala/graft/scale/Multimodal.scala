@@ -397,7 +397,10 @@ object Multimodal {
         extractBody(r.payload) match {
           case Some(body) if container != "unknown" && nf > 0 =>
             val k = math.min(target, nf)
-            (0 until k).map(i => i * nf / k).distinct.iterator.map { idx =>
+            // Long stride math: nf comes from untrusted container fields
+            // (WAV dataLen/blockAlign, MP4 mvhd duration) and can approach
+            // 2^31, where i*nf would overflow Int and emit negative indices
+            (0 until k).map(i => (i.toLong * nf / k).toInt).distinct.iterator.map { idx =>
               md.reset()
               md.update(body)
               md.update(s"#$idx".getBytes("UTF-8"))

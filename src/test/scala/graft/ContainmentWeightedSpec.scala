@@ -82,6 +82,29 @@ class ContainmentWeightedSpec extends SparkSpec {
     }
   }
 
+  test("graft_quantize_i8 null-element semantics match the HOF chain (nulls propagate)") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      // poke nulls into scattered components: HOF semantics are scale over
+      // the non-null elements (greatest skips nulls), null components out
+      .select(col("vec_id"), transform(col("embedding"),
+        (x, i) => when(pmod(col("vec_id") + i, lit(7)) === 3,
+          lit(null).cast("float")).otherwise(x)).as("embedding"))
+    val both = e.select(
+        graft.scale.Quant.quantize(col("embedding")).as("k"),
+        graft.scale.Quant.quantizeVec(col("embedding"),
+          graft.scale.Quant.qscale(col("embedding"))).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val k = r.getSeq[Any](0)
+      val h = r.getSeq[Any](1)
+      assert(k == h, "fused quantizer == HOF chain on null-bearing arrays")
+      assert(k.exists(_ == null), "the fixture actually planted null components")
+    }
+  }
+
   test("graft_int_dot_range kernel is bit-identical to the HOF fold on quantized vectors") {
     graft.functions.Hashing.register(spark)
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
