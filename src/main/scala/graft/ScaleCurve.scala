@@ -90,7 +90,14 @@ object ScaleCurve {
     "mm_phash_pairs", "emb_ivf_quant",
     // the sqrt-scaled geometry that fixes the fixed-nLists pathology —
     // the pair of curve rows IS the knob's documentation
-    "emb_ivf_quant_auto")
+    "emb_ivf_quant_auto",
+    // round-10: the corpus-scaled SRP band plan (vectorBandPlanAuto) on
+    // the banded near-dup + posting-index admission paths — candidates
+    // per vector are ceiling-bounded by construction, so these rows
+    // should grow ~linearly where the old fixed 4×4 geometry grew
+    // O(m²/64); dedup_banded_plan rides along to record the geometry
+    // actually chosen at each ×m
+    "dedup_embedding_banded", "dedup_vector_incremental", "dedup_banded_plan")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -126,8 +133,13 @@ object ScaleCurve {
         base(100000000L)), dir, "events")
       write(amplify(Tables.documents(spark, src), Seq("doc_id"), m,
         base(10000000L), perturbText), dir, "documents")
+      // component rotation per copy (the StreamingCurve trick): copies are
+      // mutually near-orthogonal, so the near-dup curve rows measure
+      // VOLUME scaling — exact-copy amplification would hand the banded
+      // dedup a quadratic planted-pair blowup and measure that pathology
+      // instead (the text side's perturbText lesson, vector edition)
       write(amplify(Tables.embeddings(spark, src), Seq("vec_id"), m,
-        base(10000000L)), dir, "embeddings")
+        base(10000000L), StreamingCurve.rotateVec), dir, "embeddings")
       write(amplify(orders, Seq("o_orderkey"), m, bOrd), dir, "orders")
       write(amplify(lineitem, Seq("l_orderkey"), m, bOrd), dir, "lineitem")
       // dimension tables pass through at 1x (same customers, same dims)

@@ -71,15 +71,21 @@ object StreamingCurve {
     val b = ScaleCurve.base(10000000L)
     val indexDir = s"$work/vec_x$m/index"
     val admittedDir = s"$work/vec_x$m/admitted"
+    // deployment-time geometry sized to the corpus this index GROWS TO
+    // (m batches), exactly what a production stream would provision; the
+    // plan is pinned into the persisted index so every batch shares it
+    val plan = graft.scale.Similarity.vectorBandPlanAuto(m.toLong * vecs.count())
     (0 until m).foreach { i =>
       val copy = rotateVec(vecs, i)
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * b))
-      streaming.StreamingVectorAdmission.admitBatch(copy, i.toLong, indexDir, admittedDir)
+      streaming.StreamingVectorAdmission.admitBatch(copy, i.toLong, indexDir,
+        admittedDir, plan)
     }
     val probe = vecs.withColumn("vec_id", col("vec_id") + lit(1000L * b))
     def once(): Double = {
       val t0 = System.nanoTime()
-      streaming.StreamingVectorAdmission.admitBatch(probe, m.toLong, indexDir, admittedDir)
+      streaming.StreamingVectorAdmission.admitBatch(probe, m.toLong, indexDir,
+        admittedDir, plan)
       (System.nanoTime() - t0) / 1e9
     }
     val sec = math.min(once(), once())

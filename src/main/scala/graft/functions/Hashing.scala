@@ -116,6 +116,7 @@ object Hashing {
     "graft_int_dot_range" -> (exprs =>
       IntDotRangeExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_quantize_i8" -> (exprs => QuantizeI8Expr(exprs(0))),
+    "graft_srp_bands" -> (exprs => SrpBandsExpr(exprs(0), exprs(1), exprs(2))),
     "graft_tri_products" -> (exprs => TriProductsExpr(exprs(0))),
     "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), exprs(1))),
     "graft_phrase_positions" -> (exprs => PhrasePositionsExpr(exprs(0), exprs(1))),

@@ -228,6 +228,77 @@ final case class QuantizeI8Expr(child: Expression)
     copy(child = newChild)
 }
 
+object VectorsSrp {
+  /** Deterministic Rademacher hyperplane weight for (plane p, dim k):
+    * ±1 from the parity of an affine mod-P hash — equidistributed over an
+    * odd prime modulus, reproducible in integer SQL on any engine
+    * (operands stay positive, so `%` agrees everywhere). 4096 ≥ any real
+    * embedding dim keeps (p, k) pairs collision-free in the hash input.
+    */
+  @inline private def weightPositive(p: Int, k: Int): Boolean =
+    ((1103515245L * (p * 4096L + k) + 12345L) % 2147483647L) % 2 == 1
+
+  /** Banded sign-random-projection buckets: `bands` entries, band j's bit d
+    * (MSB-first) is the sign of the Rademacher projection Σ_k w(j·r+d, k)·v_k
+    * accumulated as a double left fold in dim order — bit-identical to the
+    * `list_reduce` spelling the DuckDB oracles replay. Unlike the
+    * axis-aligned [[graft.scale.Similarity.signBands]], every plane mixes
+    * ALL dimensions, so the usable bit budget is unbounded by the embedding
+    * dimensionality — the property that lets the band plan keep scaling
+    * with the corpus (bands·bitsPerBand can exceed dim).
+    */
+  def srpBands(v: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](bands)
+    var j = 0
+    while (j < bands) {
+      var bucket = 0
+      var d = 0
+      while (d < bitsPerBand) {
+        val p = j * bitsPerBand + d
+        var s = 0.0d
+        var k = 0
+        while (k < n) {
+          val x = v.getFloat(k).toDouble
+          s += (if (weightPositive(p, k)) x else -x)
+          k += 1
+        }
+        if (s >= 0) bucket |= 1 << (bitsPerBand - 1 - d)
+        d += 1
+      }
+      out(j) = bucket
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** `graft_srp_bands(v, bands, bitsPerBand)`: banded SRP band buckets of an
+  * ARRAY<FLOAT> as ARRAY<INT> — the codegen'd blocking-key kernel of the
+  * corpus-scaled vector near-dup family ([[graft.scale.Similarity]]
+  * `vectorPostings` / `srpBandedNearDupPairs`).
+  */
+final case class SrpBandsExpr(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType),
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any, b: Any, r: Any): Any =
+    VectorsSrp.srpBands(v.asInstanceOf[ArrayData],
+      b.asInstanceOf[Number].intValue, r.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b, r) =>
+      s"graft.functions.VectorsSrp.srpBands($v, $b, $r)")
+  override def prettyName: String = "graft_srp_bands"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** `graft_dot_f(a, b)`: dot product of two ARRAY<FLOAT> columns. */
 final case class FloatDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

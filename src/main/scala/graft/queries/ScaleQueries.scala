@@ -55,6 +55,18 @@ object ScaleQueries {
       s" * ((x * 31 + y * 17 + $seed * 61) % 241)" +
       s" + CASE WHEN x < 2 THEN $edit ELSE 0 END) % 256"
 
+  /** Block-constant planted pixel (= Multimodal.plantedBlockPixels): the
+    * same scramble at 8×8-block granularity — the content class whose
+    * DC-only spectrum makes the LOSSY baseline-JPEG roundtrip exact, so
+    * the jpeg oracles can hash-check true entropy-decoded pixels. The
+    * clone edit shifts the leftmost block column.
+    */
+  private def sqlPlantedBlockPixel(seed: String, edit: String): String =
+    s"((x // 8) * 7 + (y // 8) * 13 + $seed * 31" +
+      s" + (((x // 8) * 73 + (y // 8) * 151 + $seed * 97) % 251)" +
+      s" * (((x // 8) * 31 + (y // 8) * 17 + $seed * 61) % 241)" +
+      s" + CASE WHEN x < 8 THEN $edit ELSE 0 END) % 256"
+
   /** Squared L2 over index range [from, from+len-1] — the strict-order
     * left fold matching Quant.l2sq.
     */
@@ -134,6 +146,50 @@ object ScaleQueries {
     (0 until bits).map { d =>
       s"(CASE WHEN $v[${d + 1}] >= 0 THEN ${1 << (bits - 1 - d)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Corpus-scaled SRP geometry CTEs (= Similarity.vectorBandPlanAuto
+    * replayed from COUNT(*) over `src`): `geo` is the chosen
+    * (b = bands, r = bitsPerBand) — smallest bit width per band count
+    * meeting the integer candidate ceiling n·b ≤ maxFalse·2^r, then the
+    * smallest band count clearing the SRP S-curve recall floor — and `bj`
+    * is one row per band index carrying r. The per-bit dup collision
+    * probability is embedded as the exact double the Scala side uses
+    * (`srpBitCollisionProb`), so both engines run the same search on the
+    * same constants.
+    */
+  private def sqlVectorGeo(src: String, dupCosine: Double = 0.99,
+                           minRecall: Double = 0.95,
+                           maxFalse: Long = 64L): String = {
+    val p = graft.scale.Similarity.srpBitCollisionProb(dupCosine)
+    s"""geo AS (
+       |  SELECT b, r FROM (
+       |    SELECT b, MIN(r) AS r
+       |    FROM (SELECT unnest(generate_series(1, 64)) AS b),
+       |         (SELECT unnest(generate_series(1, 30)) AS r),
+       |         (SELECT COUNT(*) AS n FROM $src) nn
+       |    WHERE nn.n * b <= $maxFalse * (CAST(1 AS BIGINT) << r)
+       |    GROUP BY b) rb
+       |  WHERE 1 - POWER(1 - POWER($p, r), b) >= $minRecall
+       |  ORDER BY b LIMIT 1),
+       |bj AS (SELECT unnest(generate_series(0, b - 1)) AS j, r FROM geo)""".stripMargin
+  }
+
+  /** Hashed-hyperplane SRP band bucket (= graft_srp_bands / VectorsSrp):
+    * bit d of band `j` is the sign of the Rademacher projection, weights
+    * from the parity of the affine mod-P hash of (plane, dim), summed as
+    * a double left fold in dim order — identical constants and fold order
+    * to the kernel, with `j`/`r` free SQL identifiers so the geometry can
+    * come from the `geo`/`bj` CTEs at query time.
+    */
+  private def sqlSrpBucket(v: String, j: String = "j", r: String = "r"): String =
+    s"CAST(list_sum(list_transform(generate_series(0, $r - 1), d -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($v)), k -> " +
+      s"CASE WHEN ((1103515245 * (($j * $r + d) * 4096 + (k - 1)) + 12345) " +
+      s"% 2147483647) % 2 = 1 " +
+      s"THEN CAST($v[k] AS DOUBLE) ELSE -CAST($v[k] AS DOUBLE) END)), " +
+      s"(x, y) -> x + y) >= 0 " +
+      s"THEN (1 << ($r - 1 - d)) ELSE 0 END)) AS INT)"
 
   /** Banded sign buckets (= Similarity.signBands): band j quantizes dims
     * [j*bitsPerBand, (j+1)*bitsPerBand).
@@ -1687,7 +1743,8 @@ object ScaleQueries {
     * band-blocked candidate pairs `h` (doc_a, doc_b, hamming). The Spark
     * side must DECODE real PNG bytes to reach the same pixels.
     */
-  private def mmPhashCtes(seedsSql: String): String =
+  private def mmPhashCtes(seedsSql: String,
+                          pixelExpr: String = sqlPlantedPixel("seed", "edit")): String =
         s"""seeds AS (
           |  $seedsSql),
           |dims AS (
@@ -1696,7 +1753,7 @@ object ScaleQueries {
           |  FROM seeds),
           |px AS (
           |  SELECT doc_id, w, h, y, x,
-          |    ${sqlPlantedPixel("seed", "edit")} AS p
+          |    $pixelExpr AS p
           |  FROM dims,
           |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
           |    (SELECT unnest(generate_series(0, 31)) AS x) xs
@@ -3638,18 +3695,24 @@ object ScaleQueries {
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       doc = "SemDeDup-style semantic near-dup pairs (centroid-cluster blocking)"),
 
-    // Banded multi-probe SRP near-dup: the NearDup.lshCandidates structure
-    // in vector space — candidates share ANY 4-bit sign band (4 bands over
-    // the first 16 dims), verified by exact cosine. Higher recall than one
-    // monolithic 2^bits bucket at the same quantized width.
+    // Banded multi-probe SRP near-dup with CORPUS-SCALED geometry: the
+    // NearDup.lshCandidates structure in vector space, with (bands,
+    // bitsPerBand) chosen by Similarity.vectorBandPlanAuto from COUNT(*)
+    // under a recall floor at the dup-cosine level and an integer
+    // candidate ceiling — the oracle replays the plan SEARCH itself from
+    // COUNT(*), so the geometry (not just the buckets) is hash-checked.
+    // Bits are hashed Rademacher hyperplanes (graft_srp_bands), so the
+    // bit budget keeps growing past the embedding dim at large corpora;
+    // the candidate join carries (id, band, bucket) ints only, vectors
+    // join back by id for surviving pairs.
     "dedup_embedding_banded" -> QueryDef(
       build = (s, dir) => {
         val e = embs(s, dir).select("vec_id", "embedding")
         val withDups = e.unionByName(
           e.filter(col("vec_id") % 25 === 0)
             .withColumn("vec_id", col("vec_id") + 100000))
-        Similarity.srpBandedNearDupPairs(withDups, "vec_id", "embedding",
-            threshold = 0.35, bands = 4, bitsPerBand = 4)
+        Similarity.srpBandedNearDupPairsAuto(withDups, "vec_id", "embedding",
+            threshold = 0.35)
           .orderBy("vec_a", "vec_b")
       },
       oracle = Some(
@@ -3657,17 +3720,14 @@ object ScaleQueries {
            |  SELECT vec_id, embedding FROM embeddings
            |  UNION ALL
            |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
-           |b AS (
-           |  SELECT vec_id, embedding,
-           |    ${sqlSignBands("embedding", 4, 4)} AS bands
-           |  FROM embs2),
+           |${sqlVectorGeo("embs2")},
            |buckets AS (
-           |  SELECT vec_id, j, bands[j + 1] AS bucket
-           |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |  SELECT vec_id, j, ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM embs2, bj),
            |cand AS (
-           |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-           |  FROM buckets l JOIN buckets r
-           |    ON l.j = r.j AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+           |  SELECT DISTINCT l.vec_id AS id_a, rr.vec_id AS id_b
+           |  FROM buckets l JOIN buckets rr
+           |    ON l.j = rr.j AND l.bucket = rr.bucket AND l.vec_id < rr.vec_id),
            |pairs AS (
            |  SELECT id_a AS vec_a, id_b AS vec_b,
            |    ${sqlCosine("la.embedding", "rb.embedding")} AS score
@@ -3675,7 +3735,44 @@ object ScaleQueries {
            |            JOIN embs2 rb ON cand.id_b = rb.vec_id)
            |SELECT vec_a, vec_b, score FROM pairs
            |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
-      doc = "Banded multi-probe SRP near-dup pairs (any-band collision + cosine verify)"),
+      doc = "Banded SRP near-dup pairs, corpus-scaled geometry (plan search oracle-replayed from COUNT(*))"),
+
+    // The band-plan search AS DATA: one row with the corpus size and the
+    // geometry vectorBandPlanAuto chose for it, plus the S-curve recall
+    // at the dup level and the integer linearity guarantee — the DuckDB
+    // oracle re-runs the identical search from COUNT(*), so a drift
+    // between the Scala planner and the SQL replay (the thing every
+    // banded oracle depends on) hash-fails here first, in isolation.
+    "dedup_banded_plan" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        val n = withDups.count()
+        val plan = Similarity.vectorBandPlanAuto(n)
+        s.range(1).select(
+          lit(n).as("n"),
+          lit(plan.bands).as("bands"),
+          lit(plan.bitsPerBand).as("bits_per_band"),
+          round(lit(plan.candidateProbability(0.99)), 4).as("recall_at_dup"),
+          lit(n * plan.bands <= 64L * (1L << plan.bitsPerBand)).as("linear_ok"))
+      },
+      oracle = Some {
+        val p = graft.scale.Similarity.srpBitCollisionProb(0.99)
+        s"""WITH embs2 AS (
+           |  SELECT vec_id FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 25 = 0),
+           |${sqlVectorGeo("embs2")}
+           |SELECT (SELECT COUNT(*) FROM embs2) AS n,
+           |  CAST(b AS INT) AS bands, CAST(r AS INT) AS bits_per_band,
+           |  ROUND(1 - POWER(1 - POWER($p, r), b), 4) AS recall_at_dup,
+           |  (SELECT COUNT(*) FROM embs2) * b
+           |    <= 64 * (CAST(1 AS BIGINT) << r) AS linear_ok
+           |FROM geo""".stripMargin
+      },
+      doc = "Corpus-scaled SRP band plan as data: Scala planner vs SQL search hash-pinned"),
 
     // Z-order clustering (Morton layout): shard orders by the interleaved
     // (custkey, order-day) key and report per-shard ranges of BOTH
@@ -3719,9 +3816,13 @@ object ScaleQueries {
 
     // Incremental VECTOR admission (the embedding analog of
     // dedup_incremental, and the batch form of StreamingVectorAdmission):
-    // a batch probes the persisted banded index on (band, bucket), exact
-    // cosine verifies, best match per probe decides the verdict — the
-    // corpus is never re-read. Mutants are double-scaled copies of
+    // a batch probes the persisted banded POSTING index on (band, bucket)
+    // — ints only through the probe shuffle; indexed vectors join back by
+    // id for colliding candidates — exact cosine verifies, best match per
+    // probe decides the verdict. The geometry is corpus-scaled
+    // (vectorBandPlanAuto from the INDEX corpus size — the index owns its
+    // plan, probes must use the same one), and the oracle replays the
+    // plan search from COUNT(*). Mutants are double-scaled copies of
     // indexed vectors (cosine ~1 by construction, float-cast discipline
     // shared with the oracle so both engines see identical vectors).
     "dedup_vector_incremental" -> QueryDef(
@@ -3734,9 +3835,11 @@ object ScaleQueries {
               x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
         val batch = e.filter(col("vec_id") % 4 === 0)
           .select("vec_id", "embedding").unionByName(mutants)
-        val index = Similarity.vectorIndex(idxSrc, "vec_id", "embedding")
-        Similarity.admitAgainstVectors(index, batch, "vec_id", "embedding",
-            threshold = 0.99)
+        val plan = Similarity.vectorBandPlanFor(idxSrc)
+        val postings = Similarity.vectorPostings(idxSrc, "vec_id", "embedding", plan)
+        Similarity.admitAgainstVectors(postings,
+            idxSrc.select("vec_id", "embedding"), batch,
+            "vec_id", "embedding", threshold = 0.99, plan)
           .orderBy("vec_id")
       },
       oracle = Some(
@@ -3747,15 +3850,15 @@ object ScaleQueries {
            |  SELECT vec_id + 100000,
            |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
            |  FROM embeddings WHERE vec_id % 10 = 1),
-           |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           |${sqlVectorGeo("idxsrc")},
            |ib AS (
            |  SELECT vec_id AS c_id, embedding AS cv, j,
-           |    (${sqlSignBands("embedding", 4, 4)})[j + 1] AS bucket
-           |  FROM idxsrc, js),
+           |    ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM idxsrc, bj),
            |bb AS (
            |  SELECT vec_id AS b_id, embedding AS bv, j,
-           |    (${sqlSignBands("embedding", 4, 4)})[j + 1] AS bucket
-           |  FROM batch, js),
+           |    ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM batch, bj),
            |scored AS (
            |  SELECT DISTINCT b_id, c_id, ${sqlCosine("bv", "cv")} AS score
            |  FROM bb JOIN ib ON bb.j = ib.j AND bb.bucket = ib.bucket),
@@ -3770,7 +3873,7 @@ object ScaleQueries {
            |  COALESCE(best.score, 0.0) AS score
            |FROM batch LEFT JOIN best ON batch.vec_id = best.b_id
            |ORDER BY batch.vec_id""".stripMargin),
-      doc = "Incremental vector admission: banded-index probe + cosine verify verdicts"),
+      doc = "Incremental vector admission: corpus-scaled posting-index probe + cosine verify verdicts"),
 
     // IVF ANN with a deterministic codebook (the nLists lowest-id vectors):
     // assignment, probe and rank all replay in SQL -> hash-checked. The
@@ -4016,22 +4119,35 @@ object ScaleQueries {
         val queries = e.filter(col("vec_id") % 20 === 0)
         val exact = graft.Caches.persist(
           Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 10))
-        val arms = Seq(2, 4).map { bands =>
+        val fixedArms = Seq(2, 4).map { bands =>
           Similarity.recallAtK(
             Similarity.bandedTopK(queries, e, "vec_id", "embedding",
               k = 10, bands = bands, bitsPerBand = 4),
             exact, k = 10)
+            .withColumn("arm", lit(s"axis_${bands}x4"))
             .withColumn("bands", lit(bands))
         }
-        arms.reduce(_ unionByName _)
-          .select("bands", "n_queries", "recall_at_10")
-          .orderBy("bands")
+        // the corpus-scaled plan (hashed planes) measured on the same
+        // scale: its recall target is the DUP cosine level, so its top-10
+        // recall reads as "what the near-dup geometry buys for retrieval"
+        val plan = Similarity.vectorBandPlanFor(e)
+        val autoArm = Similarity.recallAtK(
+            Similarity.bandedTopKPlan(queries, e, "vec_id", "embedding",
+              k = 10, plan),
+            exact, k = 10)
+          .withColumn("arm", lit("auto"))
+          .withColumn("bands", lit(plan.bands))
+        (fixedArms :+ autoArm).reduce(_ unionByName _)
+          .select("arm", "bands", "n_queries", "recall_at_10")
+          .orderBy("arm")
       },
-      // both arms deterministic (sign bands are pure integer arithmetic,
-      // exact scoring has total tie-breaks, metric is an integer hit-sum
-      // ratio) — the SRP band bits replay as sign CASEs in DuckDB, so the
-      // recall table is fully hash-checked (upgraded from rows-only in
-      // round 8, following emb_ivf_recall's round-7 precedent)
+      // all arms deterministic (sign bands / hashed planes are pure
+      // arithmetic with fixed fold order, exact scoring has total
+      // tie-breaks, metric is an integer hit-sum ratio) — fixed bands
+      // replay as sign CASEs, the auto arm replays the plan search AND
+      // its hashed-plane buckets, so the recall table is fully
+      // hash-checked (upgraded from rows-only in round 8, following
+      // emb_ivf_recall's round-7 precedent)
       oracle = Some(
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
            |bexp AS ( -- SRP band bucket: bit d of band j = sign(v[4j+d]), MSB-first
@@ -4078,18 +4194,43 @@ object ScaleQueries {
            |h4 AS (
            |  SELECT e4.query_id, COUNT(*) AS hits FROM exact e4
            |  SEMI JOIN ann4 s ON e4.query_id = s.query_id AND e4.neighbor_id = s.neighbor_id
+           |  GROUP BY 1),
+           |${sqlVectorGeo("e")},
+           |bexpA AS (
+           |  SELECT vec_id, j, ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM e, bj),
+           |candA AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM bexpA q JOIN bexpA c ON q.j = c.j AND q.bucket = c.bucket
+           |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+           |annA AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT cd.query_id, cd.neighbor_id,
+           |      row_number() OVER (PARTITION BY cd.query_id
+           |        ORDER BY ${sqlCosine("qe.embedding", "ne.embedding")} DESC, cd.neighbor_id) AS rank
+           |    FROM candA cd JOIN e qe ON qe.vec_id = cd.query_id
+           |      JOIN e ne ON ne.vec_id = cd.neighbor_id) x WHERE rank <= 10),
+           |hA AS (
+           |  SELECT ea.query_id, COUNT(*) AS hits FROM exact ea
+           |  SEMI JOIN annA s ON ea.query_id = s.query_id AND ea.neighbor_id = s.neighbor_id
            |  GROUP BY 1)
-           |SELECT 2 AS bands, CAST(COUNT(*) AS INT) AS n_queries,
+           |SELECT 'axis_2x4' AS arm, 2 AS bands, CAST(COUNT(*) AS INT) AS n_queries,
            |  ROUND(CAST(SUM(COALESCE(hits, 0)) AS DOUBLE)
            |    / (10.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS recall_at_10
            |FROM qs LEFT JOIN h2 USING (query_id)
            |UNION ALL
-           |SELECT 4 AS bands, CAST(COUNT(*) AS INT) AS n_queries,
+           |SELECT 'axis_4x4' AS arm, 4 AS bands, CAST(COUNT(*) AS INT) AS n_queries,
            |  ROUND(CAST(SUM(COALESCE(hits, 0)) AS DOUBLE)
            |    / (10.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS recall_at_10
            |FROM qs LEFT JOIN h4 USING (query_id)
-           |ORDER BY bands""".stripMargin),
-      doc = "Banded SRP recall@10 vs exact at 2/4 bands — fully hash-checked (sign-band replay + integer hit sums); bounds also in ScaleOpsSpec"),
+           |UNION ALL
+           |SELECT 'auto' AS arm, (SELECT CAST(b AS INT) FROM geo) AS bands,
+           |  CAST(COUNT(*) AS INT) AS n_queries,
+           |  ROUND(CAST(SUM(COALESCE(hits, 0)) AS DOUBLE)
+           |    / (10.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS recall_at_10
+           |FROM qs LEFT JOIN hA USING (query_id)
+           |ORDER BY arm""".stripMargin),
+      doc = "Banded SRP recall@10 vs exact: fixed 2/4-band axis arms + the corpus-scaled auto plan — fully hash-checked (plan search + bucket replay + integer hit sums); bounds also in ScaleOpsSpec"),
 
     // ---------------- multimodal plumbing ----------------
 
@@ -4185,6 +4326,126 @@ object ScaleQueries {
           |FROM px p JOIN tv t ON p.doc_id = t.doc_id
           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
       doc = "REAL pixel statistics: range/mean/horizontal total variation over decoded PNG pixel grids"),
+
+    // Baseline-JPEG pixel decode, end to end (round 10, closing the last
+    // image stub): the fixture plants BLOCK-CONSTANT pixels, encodes them
+    // through the real T.81 pipeline (FDCT → quantize → zigzag → Annex-K
+    // Huffman with byte stuffing), and the Spark side must entropy-decode
+    // + dequantize + IDCT real JPEG bytes to reproduce the planting
+    // formula the oracle recomputes. Constant blocks are the exactness
+    // trick that lets a LOSSY codec carry a hash check (DC-only spectrum,
+    // DC step divides exactly — JpegGray.FixtureQuant doc); the entropy
+    // decoder still works through varied DC categories, EOB runs and
+    // stuffed 0xFF bytes. Arbitrary-content decode is property-pinned in
+    // JpegGraySpec (roundtrip error bounds).
+    "mm_jpeg_pixel_stats" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.pixelStats(Multimodal.mediaJpegPixels(docs(s, dir)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 17 AS h
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x, ${sqlPlantedBlockPixel("doc_id", "0")} AS p
+          |  FROM d,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |tvd AS (
+          |  SELECT doc_id,
+          |    ABS(p - LAG(p) OVER (PARTITION BY doc_id, y ORDER BY x)) AS dd
+          |  FROM px),
+          |tv AS (SELECT doc_id, SUM(dd) AS tv_h FROM tvd GROUP BY doc_id)
+          |SELECT p.doc_id, CAST(MAX(p.w) AS INT) AS width,
+          |  CAST(MAX(p.h) AS INT) AS height,
+          |  CAST(MIN(p.p) AS INT) AS p_min, CAST(MAX(p.p) AS INT) AS p_max,
+          |  CAST(SUM(p.p) // COUNT(*) AS INT) AS p_mean,
+          |  CAST(MAX(t.tv_h) AS BIGINT) AS tv_h
+          |FROM px p JOIN tv t ON p.doc_id = t.doc_id
+          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+      doc = "REAL baseline-JPEG pixel statistics: T.81 Huffman+IDCT decode of planted block-constant JPEGs, hash-checked against the planting formula"),
+
+    // The 8×8 resize over decoded JPEG pixels — same operator as
+    // mm_resize_thumb (decodeGray sniffs the container), JPEG content.
+    "mm_jpeg_thumb" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.resizePngThumb(
+            Multimodal.mediaJpegPixels(docs(s, dir)), side = 8)
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 17 AS h
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x, ${sqlPlantedBlockPixel("doc_id", "0")} AS p
+          |  FROM d,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |cells AS (
+          |  SELECT doc_id, (y * 8) // h AS cy, (x * 8) // w AS cx,
+          |    SUM(p) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(8 AS INT) AS side,
+          |  string_agg(lower(lpad(to_hex(m), 2, '0')), '' ORDER BY cy * 8 + cx) AS thumb_hex
+          |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "REAL 8x8 resize over entropy-decoded baseline-JPEG pixels (container-sniffed decodeGray)"),
+
+    // Perceptual-hash near-dup over a JPEG corpus: originals + clones
+    // whose leftmost BLOCK column is brightness-shifted (the block-
+    // granular twin of mm_phash_pairs' two-column edit, keeping every
+    // block constant so the lossy roundtrip stays exact). Same aHash →
+    // 4×16-bit band blocking → Hamming ≤ 8 verify; the oracle replays
+    // pixels → hash → bands → verify from the block formula.
+    "mm_jpeg_phash_pairs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        def wrap(shift: Long, edit: Int)(it: Iterator[Long]) = it.map { id =>
+          val (w, h) = Multimodal.pixDims(id)
+          Multimodal.MediaRecord(id + shift, "image",
+            graft.scale.JpegGray.jpegEncodeGray(w, h,
+              Multimodal.plantedBlockPixels(w, h, id, edit)))
+        }
+        val media = ids.mapPartitions(wrap(0L, 0))
+          .union(ids.mapPartitions(wrap(600000L, 24)))
+        val ph = graft.Caches.lazyBarrier(
+          Multimodal.perceptualHashPng(media).toDF())
+        val bands = ph.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), col("b0").as("v")),
+            struct(lit(1).as("band"), col("b1").as("v")),
+            struct(lit(2).as("band"), col("b2").as("v")),
+            struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(ph.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+          .join(ph.select(col("doc_id").as("doc_b"), col("b0").as("x0"),
+            col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("doc_b"))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+              "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val ctes = mmPhashCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 600000, doc_id, 24 FROM documents""".stripMargin,
+          sqlPlantedBlockPixel("seed", "edit"))
+        s"""WITH $ctes
+           |SELECT doc_a, doc_b, hamming FROM h
+           |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
+      },
+      doc = "Perceptual-hash near-dup over REAL entropy-decoded JPEG pixels: 4x16-bit band blocking + Hamming<=8 verify"),
 
     // Media admission (round 9): the image-side batch admission —
     // perceptual hashes over REAL decoded PNG pixels, band-bucket

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * ([[parseHeader]] — CRC-checked IHDR, SOFn marker walk, RIFF and
   * ISO-BMFF chunk/box walks), full PNG grayscale-8 PIXEL decode
   * ([[pngDecodeGray]] — multi-IDAT zlib inflate + all five scanline
-  * filters), and WAV PCM16 SAMPLE decode ([[wavDecodePcm16]]). The image
-  * and audio queries operate on true decoded pixels/samples. What is NOT
-  * claimed (needs codec libraries this container lacks): JPEG entropy
-  * decode and MP4 payload codecs — [[decodeOne]] remains the clearly
-  * marked byte-derived stand-in for those, with the partition-batched
-  * typed plumbing (the Scala analog of `mapInPandas` batch UDFs) real
-  * and tested either way.
+  * filters), baseline-JPEG grayscale PIXEL decode ([[JpegGray]] — DHT
+  * Huffman entropy decode, dequant, IDCT, ITU-T T.81), and WAV PCM16
+  * SAMPLE decode ([[wavDecodePcm16]]). The image operators dispatch on
+  * magic bytes ([[decodeGray]]) and run over true decoded pixels from
+  * EITHER container; the audio queries operate on true decoded samples.
+  * What is NOT claimed (needs codec libraries this container lacks):
+  * MP4 video payload codecs, progressive/color JPEG — [[decodeOne]]
+  * remains the clearly marked byte-derived stand-in for those, with the
+  * partition-batched typed plumbing (the Scala analog of `mapInPandas`
+  * batch UDFs) real and tested either way.
   *
   * At 100 TB: payloads stay columnar in parquet, the decode runs once per
   * partition with per-partition codec initialization (the expensive part the
@@ -806,6 +809,63 @@ object Multimodal {
     }
   }
 
+  /** Planted pixels that are CONSTANT within each 8×8 JPEG block — the
+    * same two-modulus scramble as [[plantedPixels]] applied at block
+    * granularity. Constant blocks are the exactness trick that lets a
+    * LOSSY codec carry a hash-checked oracle: their FDCT has energy only
+    * in DC (= 8·(c−128)), [[JpegGray.FixtureQuant]]'s DC step 8 divides
+    * it exactly, and the IDCT of a DC-only block is uniform — so decode
+    * reproduces the planting formula bit-for-bit while the entropy coder
+    * still exercises varied DC categories, byte stuffing and EOB/ZRL
+    * paths. `edit` shifts the leftmost BLOCK COLUMN (x < 8), the
+    * block-granular twin of [[plantedPixels]]' clone edit.
+    */
+  private[graft] def plantedBlockPixels(w: Int, h: Int, seed: Long,
+                                        edit: Int = 0): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val by = y / 8
+      var x = 0
+      while (x < w) {
+        val bx = x / 8
+        val e = if (bx == 0) edit else 0
+        val scr = ((bx * 73 + by * 151 + seed * 97) % 251) *
+          ((bx * 31 + by * 17 + seed * 61) % 241)
+        px(y * w + x) = (((bx * 7 + by * 13 + seed * 31 + scr + e) % 256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Fixture docs as REAL baseline grayscale JPEGs (full DQT/DHT/SOF0/SOS
+    * + Huffman entropy data, [[JpegGray.jpegEncodeGray]]) with planted
+    * block-constant pixel content.
+    */
+  def mediaJpegPixels(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = pixDims(id)
+        MediaRecord(id, "image",
+          JpegGray.jpegEncodeGray(w, h, plantedBlockPixels(w, h, id)))
+      }
+    }
+  }
+
+  /** Container-agnostic grayscale decode: sniff the payload's magic bytes
+    * and dispatch to the real PNG or baseline-JPEG decoder. This is what
+    * makes every pixel operator below (stats, thumbs, aHash, media dedup)
+    * work over a MIXED image corpus — the production shape, where nobody
+    * gets to choose the container.
+    */
+  private[graft] def decodeGray(b: Array[Byte]): Option[PngImage] =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegGray.jpegDecodeGray(b)
+    else pngDecodeGray(b)
+
   /** Block-mean 8-bit downsample of a decoded grayscale image to
     * side×side: destination cell of pixel (y, x) is (y·side/h, x·side/w)
     * — the standard integer resize mapping; cell value = floor(mean).
@@ -838,7 +898,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        pngDecodeGray(r.payload) match {
+        decodeGray(r.payload) match {
           case Some(img) if img.width >= side && img.height >= side =>
             val m = blockMeans(img, side)
             val sb = new java.lang.StringBuilder(side * side * 2)
@@ -858,7 +918,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        pngDecodeGray(r.payload) match {
+        decodeGray(r.payload) match {
           case Some(img) if img.width >= 8 && img.height >= 8 =>
             var tot = 0L
             var i = 0
@@ -891,7 +951,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        pngDecodeGray(r.payload) match {
+        decodeGray(r.payload) match {
           case Some(img) =>
             val n = img.width * img.height
             var mn = 255; var mx = 0; var sum = 0L; var tv = 0L

@@ -310,44 +310,169 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** Persistable banded vector index: one row per (id × band) carrying
-    * the vector and its norm — the embedding analog of
-    * `NearDup.signatureIndex`, and the at-rest shape
-    * `streaming/StreamingVectorAdmission` appends per micro-batch.
+  // ------------------------------------------------------------------
+  // Corpus-scaled SRP band geometry (the vector twin of NearDup.bandPlan)
+  // ------------------------------------------------------------------
+
+  /** One SRP banding plan: `bands` bands of `bitsPerBand` hashed-hyperplane
+    * sign bits each. Two vectors are candidates when ANY band's bucket
+    * matches; `bands` is the recall knob, `bitsPerBand` the precision knob.
     */
-  def vectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                  bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    Hashing.register(corpus.sparkSession)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("n"),
-        signBands(col(vecCol), bands, bitsPerBand).as("bands"))
-      .select(col("id"), col("v"), col("n"),
-        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+  final case class VectorBandPlan(bands: Int, bitsPerBand: Int) {
+    require(bands > 0 && bitsPerBand > 0)
+    def totalBits: Int = bands * bitsPerBand
+    /** Candidate probability of a pair at cosine `c` under this plan:
+      * 1 − (1 − p^r)^b with p the per-hyperplane collision probability —
+      * the SRP S-curve (Charikar 2002), the vector-space analog of
+      * `NearDup.candidateProbability`.
+      */
+    def candidateProbability(c: Double): Double = {
+      val p = srpBitCollisionProb(c)
+      1.0 - math.pow(1.0 - math.pow(p, bitsPerBand), bands)
+    }
   }
 
-  /** Incremental vector admission: verdicts for a batch probed against an
-    * existing [[vectorIndex]] WITHOUT re-reading the corpus — the
-    * embedding analog of `NearDup.admitAgainst`. A batch vector is a dup
-    * when some indexed vector shares ANY sign band and scores ≥
-    * `threshold` cosine; one row per batch vector:
-    * (id, is_dup, matched_id, score) with the best-scoring indexed match
-    * (ties → smallest id; nulls when no band collision at all).
-    * Per-batch cost is O(batch + band-bucket collisions), never
-    * O(corpus).
+  /** Per-hyperplane SRP collision probability of two vectors at cosine
+    * `c`: 1 − arccos(c)/π (Goemans–Williamson rounding identity).
     */
-  def admitAgainstVectors(index: DataFrame, batch: DataFrame,
-                          idCol: String, vecCol: String, threshold: Double,
-                          bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+  def srpBitCollisionProb(c: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  /** Chooses (bands, bitsPerBand) FROM THE CORPUS SIZE — the step the
+    * fixed 4×4 defaults skipped, and the same two error-rate targets as
+    * `NearDup.bandPlanAuto`:
+    *
+    *  - false positives: expected spurious candidates per vector at the
+    *    background level (orthogonal vectors, per-bit collision EXACTLY
+    *    1/2) stay ≤ `maxFalseCandidatesPerVec` — the union bound
+    *    n·b·2^(−r) ≤ f, tested in pure integer arithmetic
+    *    (n·b ≤ f·2^r), which is what keeps total candidate volume LINEAR
+    *    in the corpus; a fixed geometry is O(n²/2^r) — quadratic.
+    *  - false negatives: recall at `dupCosine` (the "these are dups"
+    *    similarity level) ≥ `minRecall` on the SRP S-curve.
+    *
+    * For each band count b (ascending), r(b) is the SMALLEST bit width
+    * meeting the candidate ceiling (minimal r = maximal recall for that
+    * b); the first b whose (b, r(b)) clears the recall floor wins — so the
+    * returned plan has provably minimal bands (spec-pinned). Bits are
+    * hashed Rademacher hyperplanes ([[srpBandBuckets]]), so b·r is NOT
+    * capped by the embedding dimensionality. Pure arithmetic, no data
+    * scan; the DuckDB oracles replay this exact search from COUNT(*).
+    * Throws when no plan ≤ `maxBands`×`maxBitsPerBand` is feasible —
+    * loosen a target rather than silently overshooting.
+    */
+  def vectorBandPlanAuto(corpusSize: Long, dupCosine: Double = 0.99,
+                         minRecall: Double = 0.95,
+                         maxFalseCandidatesPerVec: Long = 64L,
+                         maxBands: Int = 64,
+                         maxBitsPerBand: Int = 30): VectorBandPlan = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(dupCosine > 0 && dupCosine < 1)
+    require(minRecall > 0 && minRecall < 1)
+    require(corpusSize <= (Long.MaxValue >> 7), "corpusSize overflows the integer ceiling test")
+    (1 to maxBands).iterator.flatMap { b =>
+      (1 to maxBitsPerBand)
+        .find(r => corpusSize * b <= maxFalseCandidatesPerVec * (1L << r))
+        .map(r => VectorBandPlan(b, r))
+        .filter(_.candidateProbability(dupCosine) >= minRecall)
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"no (bands ≤ $maxBands, bits ≤ $maxBitsPerBand) meets recall ≥ " +
+        s"$minRecall at cosine $dupCosine with ≤ $maxFalseCandidatesPerVec " +
+        s"false candidates/vector for n=$corpusSize"))
+  }
+
+  /** [[vectorBandPlanAuto]] from the data: one count job over the corpus
+    * (metadata-cheap on parquet), then pure arithmetic.
+    */
+  def vectorBandPlanFor(corpus: DataFrame, dupCosine: Double = 0.99,
+                        minRecall: Double = 0.95,
+                        maxFalseCandidatesPerVec: Long = 64L): VectorBandPlan =
+    vectorBandPlanAuto(corpus.count(), dupCosine, minRecall,
+      maxFalseCandidatesPerVec)
+
+  /** Hashed-hyperplane SRP band buckets (ARRAY<INT>, one bucket per band):
+    * the native kernel `graft_srp_bands`. Every plane is a deterministic
+    * Rademacher (±1) functional over ALL dimensions, so unlike the
+    * axis-aligned [[signBands]] the bit budget scales past the embedding
+    * dim — the property [[vectorBandPlanAuto]] relies on at large corpora.
+    */
+  def srpBandBuckets(vec: Column, plan: VectorBandPlan): Column =
+    call_function("graft_srp_bands", vec, lit(plan.bands), lit(plan.bitsPerBand))
+
+  /** Builtin-HOF form of [[srpBandBuckets]] (identical values; interpreted
+    * lambdas) — kept for the kernel cross-check spec.
+    */
+  def srpBandBucketsHof(vec: Column, plan: VectorBandPlan): Column =
+    array((0 until plan.bands).map { j =>
+      (0 until plan.bitsPerBand).map { d =>
+        val p = j * plan.bitsPerBand + d
+        val s = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, k) =>
+            when((lit(1103515245L) * (lit(p * 4096L) + k.cast("long"))
+              + lit(12345L)) % lit(2147483647L) % 2 === 1,
+              x.cast("double")).otherwise(-x.cast("double"))),
+          lit(0.0d), (acc, v) => acc + v)
+        when(s >= 0, lit(1 << (plan.bitsPerBand - 1 - d))).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Slim banded POSTING table: one (id, band_idx, bucket) row per
+    * (vector × band) — ints only, no vector payload. This is the persisted
+    * index shape and the only thing the candidate-generation shuffle ever
+    * carries; vectors join back BY ID once per verified candidate
+    * ([[vectorSide]]) — the ids-through-the-exchange discipline the
+    * matryoshka/media paths already pin. (The previous shape duplicated
+    * the full float vector once per band row: ×bands parquet bytes at
+    * rest and a vector-wide probe exchange.)
+    */
+  def vectorPostings(corpus: DataFrame, idCol: String, vecCol: String,
+                     plan: VectorBandPlan): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("id"),
+        srpBandBuckets(col(vecCol), plan).as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+  }
+
+  /** (id, v, n) side table for post-candidate verification — vectors and
+    * norms stored ONCE per id, joined back only for pairs that survived
+    * the posting collision + distinct.
+    */
+  def vectorSide(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    withNorm(corpus, idCol, vecCol, "id", "v", "n")
+  }
+
+  /** Incremental vector admission: verdicts for a batch probed against a
+    * persisted posting index WITHOUT re-reading the corpus — the embedding
+    * analog of `NearDup.admitAgainst`. `postings` is the [[vectorPostings]]
+    * shape (id, band_idx, bucket); `vectors` carries (id, `vecCol`) for the
+    * indexed ids (norms recomputed only for colliding candidates). A batch
+    * vector is a dup when some indexed vector shares ANY band bucket and
+    * scores ≥ `threshold` cosine; one row per batch vector:
+    * (id, is_dup, matched_id, score) with the best-scoring indexed match
+    * (ties → smallest id; nulls when no band collision at all). Per-batch
+    * cost is O(batch + band-bucket collisions), never O(corpus), and the
+    * collision shuffle carries ints only.
+    */
+  def admitAgainstVectors(postings: DataFrame, vectors: DataFrame,
+                          batch: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, plan: VectorBandPlan): DataFrame = {
     Hashing.register(batch.sparkSession)
-    val probe = vectorIndex(batch, idCol, vecCol, bands, bitsPerBand)
-      .select(col("id").as("b_id"), col("v").as("bv"), col("n").as("bn"),
-        col("band_idx"), col("bucket"))
-    val idx = index.select(col("id").as("c_id"), col("v").as("cv"),
-      col("n").as("cn"), col("band_idx"), col("bucket"))
-    val scored = probe.join(idx, Seq("band_idx", "bucket"))
+    val b = graft.Caches.persist(vectorSide(batch, idCol, vecCol))
+    val probe = vectorPostings(batch, idCol, vecCol, plan)
+      .select(col("id").as("b_id"), col("band_idx"), col("bucket"))
+    val idx = postings.select(col("id").as("c_id"), col("band_idx"), col("bucket"))
+    // candidate ids FIRST (ints through the exchange), vectors joined back
+    // once per surviving pair
+    val cands = probe.join(idx, Seq("band_idx", "bucket"))
+      .select("b_id", "c_id").distinct()
+    val cside = vectorSide(vectors, idCol, vecCol)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
+    val scored = cands
+      .join(b.select(col("id").as("b_id"), col("v").as("bv"), col("n").as("bn")), "b_id")
+      .join(cside, "c_id")
       .select(col("b_id"), col("c_id"),
         round(dot(col("bv"), col("cv")) / (col("bn") * col("cn")), 6).as("score"))
-      .distinct()
     val w = Window.partitionBy("b_id")
       .orderBy(col("score").desc, col("c_id"))
     val best = scored.withColumn("rk", row_number().over(w))
@@ -384,28 +509,27 @@ object Similarity {
           .as(s"recall_at_$k"))
   }
 
-  /** Banded multi-probe SRP near-dup pairs: candidates are pairs whose sign
-    * quantization collides in ANY of `bands` bands (each `bitsPerBand` wide),
-    * deduplicated, then verified by exact cosine. Same candidate-generation
-    * structure as `NearDup.lshCandidates` — explode bands, shuffle-join on
-    * (band index, band bucket), distinct — so candidate volume is linear in
-    * the corpus while recall is the OR over bands instead of one monolithic
-    * 2^bits bucket. The total quantized width (bands*bitsPerBand) controls
-    * precision; `bands` controls recall.
+  /** Banded multi-probe SRP near-dup pairs: candidates are pairs whose
+    * hashed-hyperplane quantization ([[srpBandBuckets]]) collides in ANY of
+    * the plan's bands, deduplicated, then verified by exact cosine. Same
+    * candidate-generation structure as `NearDup.lshCandidates` — explode
+    * bands, shuffle-join on (band index, band bucket), distinct — and the
+    * exploded posting table carries ints ONLY; vectors join back by id for
+    * the surviving pairs. Geometry comes from [[vectorBandPlanAuto]] (use
+    * [[srpBandedNearDupPairsAuto]] unless replaying a pinned plan): a
+    * fixed plan is O(n²/2^r) candidates — quadratic with a constant
+    * divisor — while the corpus-scaled plan keeps candidates/vector
+    * bounded, so volume stays linear in the corpus.
     */
   def srpBandedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, bands: Int = 4,
-                            bitsPerBand: Int = 4): DataFrame = {
+                            threshold: Double,
+                            plan: VectorBandPlan): DataFrame = {
     Hashing.register(corpus.sparkSession)
-    // Persisted: referenced three times (bucket explode + both pair sides);
-    // without the barrier CollapseProject recomputes norm + all band
-    // quantizations per reference — same trap as NearDup.withSignatures.
-    val b = graft.Caches.persist(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("n"),
-        signBands(col(vecCol), bands, bitsPerBand).as("bands")))
-    val buckets = b.select(col("id"),
-      posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    // Persisted: the side table is referenced twice (both pair sides) and
+    // the postings once; without the barrier CollapseProject recomputes
+    // norms + band quantizations per reference.
+    val b = graft.Caches.persist(vectorSide(corpus, idCol, vecCol))
+    val buckets = vectorPostings(corpus, idCol, vecCol, plan)
     val cands = buckets.as("l").join(buckets.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.bucket") === col("r.bucket") &&
@@ -419,5 +543,50 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("score") >= threshold)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("score"))
+  }
+
+  /** [[srpBandedNearDupPairs]] with the geometry chosen from the corpus
+    * size ([[vectorBandPlanAuto]]) — one count job, then the same
+    * postings-and-verify pipeline. The DuckDB oracle replays the plan
+    * search from COUNT(*), so the geometry itself is hash-checked.
+    */
+  def srpBandedNearDupPairsAuto(corpus: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                dupCosine: Double = 0.99,
+                                minRecall: Double = 0.95,
+                                maxFalseCandidatesPerVec: Long = 64L): DataFrame =
+    srpBandedNearDupPairs(corpus, idCol, vecCol, threshold,
+      vectorBandPlanFor(corpus, dupCosine, minRecall, maxFalseCandidatesPerVec))
+
+  /** Banded SRP top-k under an explicit [[VectorBandPlan]] (hashed
+    * hyperplanes — the corpus-scaled twin of the fixed-geometry
+    * [[bandedTopK]]): candidates are corpus vectors sharing ANY band
+    * bucket with the query, ids-only through the candidate join, exact
+    * cosine rank on the joined-back vectors.
+    */
+  def bandedTopKPlan(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     plan: VectorBandPlan): DataFrame = {
+    Hashing.register(corpus.sparkSession)
+    val q = graft.Caches.persist(vectorSide(queries, idCol, vecCol))
+    val c = graft.Caches.persist(vectorSide(corpus, idCol, vecCol))
+    val qx = vectorPostings(queries, idCol, vecCol, plan)
+      .select(col("id").as("query_id"), col("band_idx"), col("bucket"))
+    val cx = vectorPostings(corpus, idCol, vecCol, plan)
+      .select(col("id").as("neighbor_id"), col("band_idx"), col("bucket"))
+    val cands = broadcast(qx).join(cx, Seq("band_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(q.select(col("id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"))), "query_id")
+      .join(c.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n").as("cn")), "neighbor_id")
+      .withColumn("score", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
   }
 }

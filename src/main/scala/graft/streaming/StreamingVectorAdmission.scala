@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.scale.Similarity
+import graft.scale.Similarity.VectorBandPlan
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -9,18 +10,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[StreamingAdmission]]: each micro-batch of `(vec_id, embedding)` rows
   * is (1) near-dup'd WITHIN the batch (banded-SRP bucket collision +
   * exact-cosine verify, smaller id survives), (2) admitted against the
-  * persisted banded index, and (3) appended — vectors and their index
-  * rows — partitioned by batch id with dynamic partition overwrite, so a
-  * checkpoint-replayed micro-batch overwrites its own partition instead
-  * of double-appending.
+  * persisted banded POSTING index, and (3) appended — admitted vectors to
+  * `admittedDir`, their int-only posting rows to `indexDir` — partitioned
+  * by batch id with dynamic partition overwrite, so a checkpoint-replayed
+  * micro-batch overwrites its own partition instead of double-appending.
   *
   * Same scale posture as the text side: the index directory is the ONLY
   * cross-batch state (no state store — corpus growth bounded by object
   * storage); per-batch cost is O(batch + band-bucket collisions), never
   * O(corpus); candidates are linear because a pair must collide in at
-  * least one 2^bitsPerBand-way band to be scored. Band width follows the
-  * `Similarity.signBands` recall/precision knobs; `threshold` is the
-  * cosine at which a candidate counts as a duplicate.
+  * least one band. The index rows are (id, band_idx, bucket) INTS — the
+  * float vectors live once per id in `admittedDir` and join back only for
+  * colliding candidates, so the index is ~bands×dim× smaller at rest and
+  * the probe shuffle never carries a vector.
+  *
+  * Geometry (`plan`) is a DEPLOYMENT-TIME choice sized to the corpus this
+  * stream is expected to grow to — `Similarity.vectorBandPlanAuto(
+  * expectedCorpusSize, dupCosine, ...)` — and is part of the persisted
+  * index's on-disk contract: a band's bucket is a function of
+  * (band_idx, bitsPerBand), so changing the plan requires reindexing.
+  * There is deliberately NO fixed default: a geometry that ignores corpus
+  * size makes candidate volume quadratic (O(n²/2^bits)) as the index
+  * grows — the fixed-4×4 trap this parameter replaces.
   */
 object StreamingVectorAdmission {
 
@@ -63,20 +74,10 @@ object StreamingVectorAdmission {
     }
   }
 
-  private def withBands(df: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
-    graft.Caches.persist(df
-      .select(col("vec_id").as("id"), col("embedding").as("v"),
-        Similarity.norm(col("embedding")).as("n"),
-        Similarity.signBands(col("embedding"), bands, bitsPerBand).as("bands")))
-
-  private def buckets(df: DataFrame): DataFrame =
-    df.select(col("id"), col("v"), col("n"),
-      posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-
   /** Admit one (batch, id) pair — also directly usable for backfill. */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                 admittedDir: String, threshold: Double = 0.92,
-                 bands: Int = 4, bitsPerBand: Int = 4,
+                 admittedDir: String, plan: VectorBandPlan,
+                 threshold: Double = 0.92,
                  gate: Option[SemanticGate] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
@@ -89,38 +90,60 @@ object StreamingVectorAdmission {
       batch.filter(!isLeak(col("embedding")))
     }
     if (screened.isEmpty) return
-    val b = withBands(screened, bands, bitsPerBand)
-    val bx = buckets(b)
+    val side = graft.Caches.persist(
+      Similarity.vectorSide(screened, "vec_id", "embedding"))
+    val posts = graft.Caches.persist(
+      Similarity.vectorPostings(screened, "vec_id", "embedding", plan))
 
-    // (1) intra-batch: any-band collision -> exact cosine -> larger id dies
-    val intraDropped = bx.as("l").join(bx.as("r"),
+    // (1) intra-batch: any-band collision (ids only) -> exact cosine on the
+    // joined-back vectors -> larger id dies
+    val intraCands = posts.as("l").join(posts.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val intraDropped = intraCands
+      .join(side.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .withColumn("score",
-        Similarity.dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")))
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("score") >= threshold)
-      .select(col("r.id").as("id")).distinct()
-    val intraSurvivors = b.join(intraDropped, Seq("id"), "left_anti")
+      .select(col("id_b").as("id")).distinct()
+    val intraSurvivors = side.join(intraDropped, Seq("id"), "left_anti")
+    val survivorPosts = posts.join(intraDropped, Seq("id"), "left_anti")
 
     // (2) cross-batch admission against the index AS OF before this batch
     // (a replayed batch filters out its own and later partitions, so it
-    // reproduces its first run's verdicts)
-    val index =
-      if (graft.io.Fs.exists(spark, indexDir))
-        spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
-      else buckets(withBands(batch.limit(0), bands, bitsPerBand))
-        .withColumn("batch_id", lit(0L))
-    val rejected = buckets(intraSurvivors).as("p")
-      .join(index.as("c"),
-        col("p.band_idx") === col("c.band_idx") && col("p.bucket") === col("c.bucket"))
-      .withColumn("score",
-        Similarity.dot(col("p.v"), col("c.v")) / (col("p.n") * col("c.n")))
-      .filter(col("score") >= threshold)
-      .select(col("p.id").as("id")).distinct()
+    // reproduces its first run's verdicts). The posting probe shuffles
+    // ints only; indexed vectors come from the admitted corpus BY ID.
+    val haveIndex = graft.io.Fs.exists(spark, indexDir)
+    val rejected =
+      if (!haveIndex) intraSurvivors.limit(0).select(col("id"))
+      else {
+        val idxPosts = spark.read.parquet(indexDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("id").as("c_id"), col("band_idx"), col("bucket"))
+        val crossCands = survivorPosts
+          .select(col("id").as("b_id"), col("band_idx"), col("bucket"))
+          .join(idxPosts, Seq("band_idx", "bucket"))
+          .select("b_id", "c_id").distinct()
+        val corpusSide = spark.read.parquet(admittedDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+          .withColumn("cn", Similarity.norm(col("cv")))
+        crossCands
+          .join(intraSurvivors.select(col("id").as("b_id"), col("v").as("bv"),
+            col("n").as("bn")), "b_id")
+          .join(corpusSide, "c_id")
+          .withColumn("score",
+            Similarity.dot(col("bv"), col("cv")) / (col("bn") * col("cn")))
+          .filter(col("score") >= threshold)
+          .select(col("b_id").as("id")).distinct()
+      }
     val admitted = intraSurvivors.join(rejected, Seq("id"), "left_anti")
+    val admittedPosts = survivorPosts.join(rejected, Seq("id"), "left_anti")
 
     // (3) idempotent append: one partition per micro-batch
-    buckets(admitted)
+    admittedPosts
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexDir)
@@ -132,17 +155,18 @@ object StreamingVectorAdmission {
   }
 
   /** Start the continuous admission stream over a `(vec_id, embedding)`
-    * source.
+    * source. `plan` sizes the banded geometry to the corpus the stream is
+    * expected to grow to (see the object doc — it is pinned into the
+    * persisted index).
     */
   def start(vectors: DataFrame, indexDir: String, admittedDir: String,
-            checkpoint: String, threshold: Double = 0.92,
-            bands: Int = 4, bitsPerBand: Int = 4,
+            checkpoint: String, plan: VectorBandPlan,
+            threshold: Double = 0.92,
             gate: Option[SemanticGate] = None): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, threshold, bands,
-          bitsPerBand, gate)
+        admitBatch(batch, id, indexDir, admittedDir, plan, threshold, gate)
       }
       .start()
 }

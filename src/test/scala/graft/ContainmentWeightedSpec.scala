@@ -105,6 +105,27 @@ class ContainmentWeightedSpec extends SparkSpec {
     }
   }
 
+  test("graft_srp_bands kernel matches the builtin-HOF Rademacher fold exactly") {
+    graft.functions.Hashing.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    for (plan <- Seq(graft.scale.Similarity.VectorBandPlan(2, 5),
+                     graft.scale.Similarity.VectorBandPlan(4, 4),
+                     // more planes than dims — the regime the axis-aligned
+                     // bands could not reach
+                     graft.scale.Similarity.VectorBandPlan(7, 13))) {
+      val both = e.select(
+          graft.scale.Similarity.srpBandBuckets(col("embedding"), plan).as("k"),
+          graft.scale.Similarity.srpBandBucketsHof(col("embedding"), plan).as("h"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"srp_bands kernel == HOF for $plan")
+      }
+    }
+  }
+
   test("graft_int_dot_range kernel is bit-identical to the HOF fold on quantized vectors") {
     graft.functions.Hashing.register(spark)
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -335,4 +335,45 @@ class PlanShapeSpec extends SparkSpec {
       Caches.release()
     }
   }
+
+  test("vector admission probe exchanges carry ints only, even with broadcast disabled") {
+    // closes the sf0.001 blind spot the round-9 verdict named: at fixture
+    // size every join broadcasts, so the registry-wide vector-shuffle
+    // audit never saw the posting-probe exchange that appears at scale.
+    // With broadcast joins off (no hints on this path), the (band_idx,
+    // bucket) collision exchanges must carry NO array column — the float
+    // vectors re-enter by id once, downstream of the distinct.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = graft.sources.Tables.embeddings(spark, sf())
+        .select("vec_id", "embedding")
+      val idxSrc = e.filter(col("vec_id") % 4 =!= 0)
+      val batch = e.filter(col("vec_id") % 4 === 0)
+      val plan = graft.scale.Similarity.vectorBandPlanFor(idxSrc)
+      val postings = graft.scale.Similarity.vectorPostings(
+        idxSrc, "vec_id", "embedding", plan)
+      val physical = graft.scale.Similarity.admitAgainstVectors(
+          postings, idxSrc, batch, "vec_id", "embedding", 0.99, plan)
+        .queryExecution.executedPlan
+      val shuffles = physical.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+      }
+      assert(shuffles.nonEmpty, s"expected real exchanges with broadcast off:\n$physical")
+      val probeExchanges = shuffles.filter(
+        _.output.exists(a => a.name == "bucket" || a.name == "band_idx"))
+      assert(probeExchanges.nonEmpty, "expected a posting-probe exchange")
+      probeExchanges.foreach { ex =>
+        assert(!ex.output.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"posting exchange carries an array column: ${ex.output.mkString(", ")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Caches.release()
+    }
+  }
 }

@@ -353,7 +353,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(exact.intersect(r2).size >= exact.intersect(r1).size)
   }
 
-  test("banded SRP recall is a superset of the single-bucket blocking at equal width") {
+  test("banded SRP: extra bands extend the plane prefix (pair superset); dups always recalled") {
     val e = graft.sources.Tables.embeddings(spark, sf())
       .select("vec_id", "embedding")
     val withDups = e.unionByName(
@@ -362,19 +362,25 @@ class ScaleOpsSpec extends SparkSpec {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 16 monolithic sign bits = the concatenation of 4 bands x 4 bits, so
-    // colliding on all 16 implies colliding in every band -> banded ⊇ single
-    val single = pairSet(Similarity.cosineNearDupPairs(
-      withDups, "vec_id", "embedding", threshold = 0.35, bits = 16))
-    val banded = pairSet(Similarity.srpBandedNearDupPairs(
+    // at equal bit width, bands 0..1 of the (4,4) plan ARE the (2,4)
+    // plan's planes (plane index = j*r+d), so any (2,4) collision is a
+    // (4,4) collision -> strict candidate (hence pair) superset
+    val two = pairSet(Similarity.srpBandedNearDupPairs(
       withDups, "vec_id", "embedding", threshold = 0.35,
-      bands = 4, bitsPerBand = 4))
-    assert(single.subsetOf(banded), s"missing: ${single.diff(banded).take(5)}")
-    // exact duplicates collide in every band -> always recalled
+      Similarity.VectorBandPlan(2, 4)))
+    val four = pairSet(Similarity.srpBandedNearDupPairs(
+      withDups, "vec_id", "embedding", threshold = 0.35,
+      Similarity.VectorBandPlan(4, 4)))
+    assert(two.subsetOf(four), s"missing: ${two.diff(four).take(5)}")
+    // exact duplicates have identical plane sums -> collide in every band
+    // under ANY plan, including the corpus-scaled auto geometry
     val dupPairs = e.filter(col("vec_id") % 25 === 0)
       .select("vec_id").collect().map(_.getLong(0))
       .map(id => (id, id + 100000)).toSet
-    assert(dupPairs.subsetOf(banded), s"missing dups: ${dupPairs.diff(banded).take(5)}")
+    assert(dupPairs.subsetOf(four), s"missing dups: ${dupPairs.diff(four).take(5)}")
+    val auto = pairSet(Similarity.srpBandedNearDupPairsAuto(
+      withDups, "vec_id", "embedding", threshold = 0.35))
+    assert(dupPairs.subsetOf(auto), s"auto plan missing dups: ${dupPairs.diff(auto).take(5)}")
   }
 
   test("recallAtK: exact self-recall is 1.0; a dropped query counts as zero") {

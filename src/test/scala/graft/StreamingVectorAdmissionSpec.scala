@@ -1,5 +1,6 @@
 package graft
 
+import graft.scale.Similarity
 import graft.streaming.StreamingVectorAdmission
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -16,15 +17,21 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(name).resolve("d").toString
 
-  // 16-dim so 4 bands x 4 bits quantize real components; near-dups are
-  // small perturbations (cosine ~0.999), distinct vectors differ in sign
-  // pattern AND direction (cosine << threshold even on band collisions)
+  // 16-dim vectors; near-dups are small perturbations (cosine ~0.999 —
+  // plane-sum signs almost always survive, so every band still collides),
+  // distinct vectors differ in direction (cosine << threshold even on
+  // band collisions, so the exact-cosine verify rejects them)
   private def base(seed: Int): Array[Float] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
   }
   private def perturb(v: Array[Float]): Array[Float] =
     v.map(x => x + 0.01f * math.signum(x))
+
+  // deployment-time geometry: sized for the corpus the stream grows to
+  // (the spec's point is the plumbing; plan choice is spec'd in
+  // VectorBandPlanSpec) — n=1000 -> (2 bands x 5 bits)
+  private val plan = Similarity.vectorBandPlanAuto(1000L)
 
   test("cross/intra-batch vector near-dups rejected; replay idempotent") {
     import spark.implicits._
@@ -35,7 +42,8 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
     val a = base(1); val b = base(2); val c = base(3); val d = base(4)
     val input = MemoryStream[Vec]
     val q = StreamingVectorAdmission.start(
-      input.toDF(), indexDir, admittedDir, tmp("vadm-ckpt"), threshold = 0.95)
+      input.toDF(), indexDir, admittedDir, tmp("vadm-ckpt"), plan,
+      threshold = 0.95)
     try {
       // batch 0: two distinct vectors
       input.addData(Vec(1L, a), Vec(2L, b))
@@ -60,15 +68,19 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
     val before = spark.read.parquet(indexDir).count()
     StreamingVectorAdmission.admitBatch(
       Seq(Vec(4L, perturb(a)), Vec(3L, c), Vec(5L, d), Vec(6L, perturb(d)))
-        .toDF(), 1L, indexDir, admittedDir, threshold = 0.95)
+        .toDF(), 1L, indexDir, admittedDir, plan, threshold = 0.95)
     assert(spark.read.parquet(indexDir).count() == before)
     assert(spark.read.parquet(admittedDir)
       .filter(col("vec_id") === 3L).count() == 1)
 
-    // the index carries one row per (admitted id x band)
+    // the index carries one INT-ONLY posting row per (admitted id x band);
+    // the float vectors live once per id in admittedDir
     val idx = spark.read.parquet(indexDir)
     assert(idx.select("id").distinct().count() == admitted.size.toLong)
-    assert(idx.groupBy("id").count().select(max("count")).head().getLong(0) == 4L)
+    assert(idx.groupBy("id").count().select(max("count")).head().getLong(0)
+      == plan.bands.toLong)
+    assert(!idx.schema.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      "posting index must not carry vector payloads")
   }
 
   test("semantic gate drops vectors near the held-out suite before dedup and the index") {
@@ -85,7 +97,7 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
 
     val input = MemoryStream[Vec]
     val q = StreamingVectorAdmission.start(
-      input.toDF(), indexDir, admittedDir, tmp("vgate-ckpt"),
+      input.toDF(), indexDir, admittedDir, tmp("vgate-ckpt"), plan,
       threshold = 0.95, gate = Some(gate))
     try {
       input.addData(
