@@ -3774,6 +3774,61 @@ object ScaleQueries {
       },
       doc = "Corpus-scaled SRP band plan as data: Scala planner vs SQL search hash-pinned"),
 
+    // The vector near-dup family run to its PRODUCTION conclusion:
+    // banded-auto pairs → connected components → canonical survivor per
+    // cluster (smaller id wins) — what a real pipeline does with near-dup
+    // pairs. The oracle replays geometry search + hashed buckets + pair
+    // verify + the transitive closure (recursive CTE), so cluster
+    // membership and canonical flags are hash-checked end to end.
+    "dedup_vector_clusters" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val withDups = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+        val pairs = Similarity.srpBandedNearDupPairsAuto(withDups,
+          "vec_id", "embedding", threshold = 0.35)
+        Clusters.dedupClusters(pairs, "vec_a", "vec_b")
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            col("cluster_size"), col("is_canonical"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE embs2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |${sqlVectorGeo("embs2")},
+           |buckets AS (
+           |  SELECT vec_id, j, ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM embs2, bj),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, rr.vec_id AS id_b
+           |  FROM buckets l JOIN buckets rr
+           |    ON l.j = rr.j AND l.bucket = rr.bucket AND l.vec_id < rr.vec_id),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b,
+           |      ${sqlCosine("la.embedding", "rb.embedding")} AS score
+           |    FROM cand JOIN embs2 la ON cand.id_a = la.vec_id
+           |              JOIN embs2 rb ON cand.id_b = rb.vec_id) p
+           |  WHERE score >= 0.35),
+           |edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION
+           |  SELECT id_b, id_a FROM pairs),
+           |reach(n, r) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+           |cc AS (SELECT n AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+           |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+           |SELECT cc.vec_id, cc.cluster_id, sized.cluster_size,
+           |  cc.vec_id = cc.cluster_id AS is_canonical
+           |FROM cc JOIN sized ON cc.cluster_id = sized.cluster_id
+           |ORDER BY cc.vec_id""".stripMargin),
+      doc = "Vector near-dup clusters: banded-auto pairs -> connected components -> canonical survivors, fully hash-checked"),
+
     // Z-order clustering (Morton layout): shard orders by the interleaved
     // (custkey, order-day) key and report per-shard ranges of BOTH
     // dimensions — the multi-dim pruning layout (a one-column sort prunes
