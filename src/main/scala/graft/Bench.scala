@@ -107,7 +107,14 @@ object Bench {
     // + recall joins — a deep eval chain, not a production operator; the
     // production paths it measures (bandedTopK/bandedTopKPlan) are
     // sub-second on their own
-    "emb_banded_recall")
+    "emb_banded_recall",
+    // transitive closure over the banded vector pair graph: 5 measured
+    // star/doubling rounds (one action + checkpoint each) on top of the
+    // pinned near-dup pair stage — the same serial-round class as
+    // graph_lpa; CC now REQUIRES convergence (unconverged labels threw
+    // the result away in r10's fix), so round depth is the algorithm's
+    // honest cost, not an un-tuned knob
+    "dedup_vector_clusters")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

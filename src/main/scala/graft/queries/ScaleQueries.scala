@@ -1737,6 +1737,26 @@ object ScaleQueries {
       enc
     }
 
+  /** Session-pinned banded vector near-dup PAIRS (corpus-scaled geometry):
+    * `dedup_embedding_banded` reports them and `dedup_vector_clusters`
+    * closes them transitively — the same "materialize the expensive stage
+    * once, let every downstream job read it" architecture as
+    * [[corpusStages]]; a production pipeline checkpoints exactly this
+    * pair table between the verify join and survivor selection.
+    */
+  private def bandedVectorPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.sessionMemo(s, s"bandedVectorPairs:$dir") {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val withDups = e.unionByName(
+        e.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      val p = graft.Caches.pinnedBarrier(
+        Similarity.srpBandedNearDupPairsAuto(withDups, "vec_id", "embedding",
+          threshold = 0.35))
+      p.count() // materialize inside the memo (see corpusStages)
+      p
+    }
+
   /** Shared oracle CTE chain for the planted-PNG perceptual-hash queries:
     * given a seeds SQL (doc_id, seed, edit rows), derives pixels → global
     * mean → 8×8 block means → 64 aHash bits as four 16-bit bands →
@@ -3706,15 +3726,8 @@ object ScaleQueries {
     // the candidate join carries (id, band, bucket) ints only, vectors
     // join back by id for surviving pairs.
     "dedup_embedding_banded" -> QueryDef(
-      build = (s, dir) => {
-        val e = embs(s, dir).select("vec_id", "embedding")
-        val withDups = e.unionByName(
-          e.filter(col("vec_id") % 25 === 0)
-            .withColumn("vec_id", col("vec_id") + 100000))
-        Similarity.srpBandedNearDupPairsAuto(withDups, "vec_id", "embedding",
-            threshold = 0.35)
-          .orderBy("vec_a", "vec_b")
-      },
+      build = (s, dir) =>
+        bandedVectorPairs(s, dir).orderBy("vec_a", "vec_b"),
       oracle = Some(
         s"""WITH embs2 AS (
            |  SELECT vec_id, embedding FROM embeddings
@@ -3781,18 +3794,11 @@ object ScaleQueries {
     // verify + the transitive closure (recursive CTE), so cluster
     // membership and canonical flags are hash-checked end to end.
     "dedup_vector_clusters" -> QueryDef(
-      build = (s, dir) => {
-        val e = embs(s, dir).select("vec_id", "embedding")
-        val withDups = e.unionByName(
-          e.filter(col("vec_id") % 25 === 0)
-            .withColumn("vec_id", col("vec_id") + 100000))
-        val pairs = Similarity.srpBandedNearDupPairsAuto(withDups,
-          "vec_id", "embedding", threshold = 0.35)
-        Clusters.dedupClusters(pairs, "vec_a", "vec_b")
+      build = (s, dir) =>
+        Clusters.dedupClusters(bandedVectorPairs(s, dir), "vec_a", "vec_b")
           .select(col("doc_id").as("vec_id"), col("cluster_id"),
             col("cluster_size"), col("is_canonical"))
-          .orderBy("vec_id")
-      },
+          .orderBy("vec_id"),
       oracle = Some(
         s"""WITH RECURSIVE embs2 AS (
            |  SELECT vec_id, embedding FROM embeddings

@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
   * shape — MapReduce CC, Kiveris et al. 2014; see PAPERS.md) resolves the
   * pair graph into components and keeps one canonical doc per component.
   *
-  * 100 TB posture: iterative min-label propagation with pointer jumping —
-  * each round is one edge-join + groupBy-min (shuffle on node id) plus one
-  * label-to-label join, and the jump squares resolved path lengths, so
-  * rounds needed grow with log(component diameter), not diameter. Dedup
-  * components are overwhelmingly tiny (pairs/triples), so in practice 2-3
-  * rounds converge; the driver-side loop only ever compares one boolean per
-  * round (`changed.isEmpty`), never collects data.
+  * 100 TB posture: iterative min-label propagation with pointer DOUBLING —
+  * each round is one edge-join + groupBy-min (shuffle on node id) followed
+  * by `Doublings` label-to-label jumps inside the same round's plan, so a
+  * round contracts resolved path lengths ~2·2^Doublings× and rounds needed
+  * grow with log(component diameter), not diameter. (The original single
+  * jump per round was measured NOT converging inside maxIter=16 on the
+  * sf0.1 banded vector pair graph — a long-chain component; labels were
+  * still moving at round 16, which would have shipped silently wrong
+  * cluster ids at bench scale. With 3 doublings the same graph converges
+  * in a handful of rounds, and the loop now fails loudly instead of
+  * returning unconverged labels.) The driver-side loop only ever compares
+  * one scalar per round (the monotone label sum), never collects data.
   */
 object Clusters {
 
@@ -75,27 +80,73 @@ object Clusters {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // min over every neighbor's label (self-loop covers the own label)
-      val prop = edges.as("e")
+      // Three fused phases per round (the star operations of Kiveris et
+      // al. expressed over the label table; measured necessary — plain
+      // min-over-neighbors + pointer jumps did NOT converge in 16 rounds
+      // on the sf0.1 banded vector pair graph, because a discovered min
+      // only crawled the original edges one hop per round):
+      //  1. edge propagation: x learns the min label of its neighborhood
+      //     (self-loop covers the own label);
+      //  2. small-star: every x forwards its phase-1 value to the node m
+      //     it LABELED last round; m takes the min over its whole label
+      //     tree — the hub aggregates its stars in one round;
+      //  3. large-star: x re-reads m's phase-2 value, so the hub's newly
+      //     aggregated min fans back out in the same round.
+      val p1 = edges.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.node"))
         .groupBy(col("e.src").as("node"))
         .agg(min(col("l.label")).as("label"))
-      // pointer jump: follow the label one more hop (label(label(x))).
-      // Every label is itself a node of the pair graph (labels start as node
-      // ids and min() keeps them in-set), so the join always matches.
-      val jumped = cut(prop.as("p")
-        .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
-          col("p.label") === col("j.jn"), "left")
-        .select(col("p.node").as("node"),
-          coalesce(col("j.jl"), col("p.label")).as("label")))
+      val toHub = labels.as("lb")
+        .join(p1.as("p"), col("lb.node") === col("p.node"))
+        .select(col("lb.label").as("node"), col("p.label").as("label"))
+      val p2 = p1.union(toHub)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      // phase 3 uses the PREVIOUS round's pointer (labels), which both
+      // joins below reference; p2 has exactly one row per node (p1 covers
+      // every node via self-loops, toHub only re-keys existing rows)
+      val p3 = labels.as("lb")
+        .join(p2.as("own"), col("lb.node") === col("own.node"))
+        .join(p2.select(col("node").as("hn"), col("label").as("hl")).as("hub"),
+          col("lb.label") === col("hub.hn"), "left")
+        .select(col("lb.node").as("node"),
+          least(col("own.label"), coalesce(col("hub.hl"), col("own.label"))).as("label"))
+      // pointer doubling on top: follow label chains Doublings times
+      // within the same plan — resolved chain lengths contract
+      // 2^Doublings further, no extra jobs (identical subtrees reuse one
+      // shuffle). Every label is itself a node (labels start as node ids
+      // and min() keeps them in-set), so the join always matches.
+      var cur = p3
+      var d = 0
+      while (d < Doublings) {
+        cur = cur.as("p")
+          .join(cur.select(col("node").as("jn"), col("label").as("jl")).as("j"),
+            col("p.label") === col("j.jn"), "left")
+          .select(col("p.node").as("node"),
+            coalesce(col("j.jl"), col("p.label")).as("label"))
+        d += 1
+      }
+      val jumped = cut(cur)
       val newSum = sumOf(jumped)
       done = newSum == labelSum
       labelSum = newSum
       labels = jumped
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter labelSum=$labelSum done=$done")
     }
+    // an unconverged label table is silently WRONG dedup output — fail
+    // loudly; with 3 doublings, 16 rounds resolve diameters far beyond
+    // any real pair graph (~(2·2^3)^16)
+    require(done, s"connected components did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
+
+  /** Pointer-doubling jumps per round (see the loop comment). One is the
+    * measured sweet spot with the star phases in place: 3 jumps saved no
+    * rounds on the measured graphs but paid two extra self-joins per
+    * round.
+    */
+  private val Doublings = 1
 
   private def sumOf(labels: DataFrame): Long = {
     val r = labels.agg(sum("label")).head()

@@ -190,23 +190,37 @@ object JpegGray {
     c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
-  /** Forward DCT of one level-shifted 8×8 block (T.81 A.3.3, direct). */
+  /** Forward DCT of one level-shifted 8×8 block (T.81 A.3.3), separable
+    * row/column factorization: 2×8×64 multiplies instead of the direct
+    * form's 64×64 — the standard rewrite (the AAN factorization goes
+    * further; unnecessary at this scale). Exactness note: block-constant
+    * content still quantizes identically — its AC energy is fp noise
+    * (≤1e-12) under either factorization and the DC path is the same
+    * exact sum of equal terms.
+    */
   private[scale] def fdct(block: Array[Double]): Array[Double] = {
-    val f = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    // columns: tmp(u, x) = Σ_y C(u,y)·block(y, x)
     var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += Cos(u)(y) * block(y * 8 + x); y += 1 }
+        tmp(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    val f = new Array[Double](64)
+    u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += block(y * 8 + x) * Cos(u)(y) * Cos(v)(x)
-            x += 1
-          }
-          y += 1
-        }
+        var x = 0
+        while (x < 8) { s += Cos(v)(x) * tmp(u * 8 + x); x += 1 }
         f(u * 8 + v) = s / 4.0
         v += 1
       }
@@ -215,29 +229,36 @@ object JpegGray {
     f
   }
 
-  /** Inverse DCT to a level-shifted 8×8 block (T.81 A.3.3, direct). */
+  /** Inverse DCT to a level-shifted 8×8 block (T.81 A.3.3), separable. */
   private[scale] def idct(coef: Array[Double]): Array[Double] = {
-    val s = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    // rows: tmp(y, v) = Σ_u C(u,y)·coef(u, v)
     var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u)(y) * coef(u * 8 + v); u += 1 }
+        tmp(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        var acc = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            acc += coef(u * 8 + v) * Cos(u)(y) * Cos(v)(x)
-            v += 1
-          }
-          u += 1
-        }
-        s(y * 8 + x) = acc / 4.0
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v)(x) * tmp(y * 8 + v); v += 1 }
+        out(y * 8 + x) = s / 4.0
         x += 1
       }
       y += 1
     }
-    s
+    out
   }
 
   /** Magnitude category (SSSS): bit length of |v|, 0 for 0. */
