@@ -97,7 +97,11 @@ object ScaleCurve {
     // should grow ~linearly where the old fixed 4×4 geometry grew
     // O(m²/64); dedup_banded_plan rides along to record the geometry
     // actually chosen at each ×m
-    "dedup_embedding_banded", "dedup_vector_incremental", "dedup_banded_plan")
+    "dedup_embedding_banded", "dedup_vector_incremental", "dedup_banded_plan",
+    // recall-vs-floor eval: NOT memoized, so its curve row carries the
+    // full posting+verify pipeline cost at every ×m (the banded row
+    // above reads the session-pinned pair table after its first run)
+    "dedup_vector_eval")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3835,6 +3835,92 @@ object ScaleQueries {
            |ORDER BY cc.vec_id""".stripMargin),
       doc = "Vector near-dup clusters: banded-auto pairs -> connected components -> canonical survivors, fully hash-checked"),
 
+    // The auto band plan's recall floor, MEASURED against planted truth
+    // (the vector twin of dedup_eval / mm_dedup_eval): every vector gets
+    // a mutant with ONE component scaled ×2.7 — a perturbation whose
+    // cosine straddles the 0.99 dup level (≈54% of planted pairs land
+    // above it at sf0.01) — and the banded-auto detector's catch rate
+    // over the ≥0.99 truth pairs is reported next to the S-curve recall
+    // the planner promised. Both arms deterministic, one row, fully
+    // hash-checked: if the geometry ever under-delivers its floor on
+    // real data, this row is where it shows first.
+    "dedup_vector_eval" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val e = embs(s, dir).select("vec_id", "embedding")
+        val mutate = transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+            (x.cast("double") * lit(2.7d)).cast("float")).otherwise(x))
+        // two-step select: with the id shift in the SAME projection, the
+        // lambda's col("vec_id") resolves against the select's own
+        // +100000 alias (measured: every mutant got component
+        // (vid+32) % 64 mutated instead of vid % 64) — mutate first,
+        // rename after
+        val mutants = e.select(col("vec_id"), mutate.as("embedding"))
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        val corpus = e.unionByName(mutants)
+        val n = corpus.count()
+        val plan = Similarity.vectorBandPlanAuto(n)
+        // truth needs no pair join: the planted pair is (id, id+100000)
+        val truth = e.select(col("vec_id"),
+            round(Similarity.dot(col("embedding"), mutate) /
+              (Similarity.norm(col("embedding")) * Similarity.norm(mutate)), 6)
+              .as("c"))
+          .filter(col("c") >= 0.99)
+        val detected = Similarity.srpBandedNearDupPairs(corpus,
+            "vec_id", "embedding", threshold = 0.99, plan)
+          .filter(col("vec_b") === col("vec_a") + 100000)
+        // detected planted pairs use the same rounded cosine >= 0.99, so
+        // they are a SUBSET of truth by construction: recall = |D|/|T|
+        truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+            detected.agg(count(lit(1)).as("n_detected")))
+          .select(col("n_truth"), col("n_detected"),
+            round(col("n_detected").cast("double") /
+              col("n_truth").cast("double"), 4).as("recall_measured"),
+            round(lit(plan.candidateProbability(0.99)), 4).as("recall_floor_scurve"),
+            lit(plan.bands).as("bands"),
+            lit(plan.bitsPerBand).as("bits_per_band"))
+      },
+      oracle = Some {
+        val p = graft.scale.Similarity.srpBitCollisionProb(0.99)
+        val mutSql = "list_transform(generate_series(1, len(embedding)), i -> " +
+          "CASE WHEN i - 1 = vec_id % 64 " +
+          "THEN CAST(CAST(embedding[i] AS DOUBLE) * CAST(2.7 AS DOUBLE) AS FLOAT) " +
+          "ELSE embedding[i] END)"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, embedding FROM e
+           |  UNION ALL
+           |  SELECT vec_id + 100000, $mutSql FROM e),
+           |${sqlVectorGeo("corpus")},
+           |truth AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${sqlCosine("embedding", mutSql)} AS c FROM e) t
+           |  WHERE c >= 0.99),
+           |buckets AS (
+           |  SELECT vec_id, j, ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM corpus, bj),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, rr.vec_id AS id_b
+           |  FROM buckets l JOIN buckets rr
+           |    ON l.j = rr.j AND l.bucket = rr.bucket AND l.vec_id < rr.vec_id
+           |  WHERE rr.vec_id = l.vec_id + 100000),
+           |det AS (
+           |  SELECT id_a FROM (
+           |    SELECT id_a, ${sqlCosine("la.embedding", "rb.embedding")} AS score
+           |    FROM cand JOIN corpus la ON cand.id_a = la.vec_id
+           |              JOIN corpus rb ON cand.id_b = rb.vec_id) p
+           |  WHERE score >= 0.99)
+           |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           |  (SELECT COUNT(*) FROM det) AS n_detected,
+           |  ROUND(CAST((SELECT COUNT(*) FROM det) AS DOUBLE)
+           |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4) AS recall_measured,
+           |  (SELECT ROUND(1 - POWER(1 - POWER($p, r), b), 4) FROM geo) AS recall_floor_scurve,
+           |  (SELECT CAST(b AS INT) FROM geo) AS bands,
+           |  (SELECT CAST(r AS INT) FROM geo) AS bits_per_band""".stripMargin
+      },
+      doc = "Measured banded-auto recall vs planted >=0.99-cosine mutants, next to the planner's S-curve floor — both hash-checked"),
+
     // Z-order clustering (Morton layout): shard orders by the interleaved
     // (custkey, order-day) key and report per-shard ranges of BOTH
     // dimensions — the multi-dim pruning layout (a one-column sort prunes
