@@ -4594,6 +4594,188 @@ object ScaleQueries {
       },
       doc = "Perceptual-hash near-dup over REAL entropy-decoded JPEG pixels: 4x16-bit band blocking + Hamming<=8 verify"),
 
+    // REAL video (round 10): MJPEG-in-AVI — byte-exact AVI container
+    // (RIFF hdrl/avih/strl/movi/idx1 per the public Microsoft layout)
+    // whose '00dc' chunks are complete baseline JPEGs. Scene-cut
+    // detection must walk the real container, demux every frame,
+    // entropy-decode it through the in-repo T.81 decoder, and difference
+    // consecutive frames; the oracle replays the planted scene plan
+    // (scenes of 2 frames sharing a block-scramble seed, a ±2 "motion"
+    // edit inside scenes) at block granularity — dims are multiples of 8
+    // so block diffs ARE pixel diffs. 100 TB: decode stays inside
+    // mapPartitions, one row of ints out per video.
+    "mm_video_scene_cuts" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id")).as[Long]
+        AviMjpeg.sceneCuts(AviMjpeg.mediaAviVideos(ids), threshold = 16)
+          .toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + ((doc_id // 8) % 3) * 8 AS w,
+          |    16 + ((doc_id // 24) % 3) * 8 AS h,
+          |    3 + (doc_id // 8) % 4 AS nf
+          |  FROM documents WHERE doc_id % 4 = 0),
+          |fr AS (
+          |  SELECT doc_id, w, h, nf, f, doc_id * 131 + (f // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 6)) AS f) fs
+          |  WHERE f < nf),
+          |blk AS (
+          |  SELECT doc_id, w, h, f, bx, by,
+          |    ((bx * 7 + by * 13 + s * 31
+          |      + ((bx * 73 + by * 151 + s * 97) % 251)
+          |      * ((bx * 31 + by * 17 + s * 61) % 241)
+          |      + CASE WHEN bx = 0 THEN (f % 2) * 2 ELSE 0 END) % 256) AS v
+          |  FROM fr,
+          |    (SELECT unnest(generate_series(0, 3)) AS bx) bxs,
+          |    (SELECT unnest(generate_series(0, 3)) AS by) bys
+          |  WHERE bx < w // 8 AND by < h // 8),
+          |diff AS (
+          |  SELECT doc_id, f,
+          |    SUM(ABS(v - pv)) * 64 // (MAX(w) * MAX(h)) AS mad
+          |  FROM (SELECT doc_id, w, h, f, bx, by, v,
+          |          LAG(v) OVER (PARTITION BY doc_id, bx, by ORDER BY f) AS pv
+          |        FROM blk) x
+          |  WHERE pv IS NOT NULL
+          |  GROUP BY doc_id, f),
+          |agg AS (
+          |  SELECT doc_id,
+          |    COUNT(*) FILTER (WHERE mad > 16) AS n_cuts,
+          |    COALESCE(MIN(f) FILTER (WHERE mad > 16), -1) AS first_cut,
+          |    SUM(mad) AS sum_mad
+          |  FROM diff GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+          |  CAST(d.nf AS INT) AS n_frames, CAST(a.n_cuts AS INT) AS n_cuts,
+          |  CAST(a.first_cut AS INT) AS first_cut,
+          |  CAST(a.sum_mad AS BIGINT) AS sum_mad
+          |FROM d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "REAL video scene cuts: AVI demux + per-frame T.81 JPEG decode + consecutive-frame MAD, hash-checked against the planted scene plan"),
+
+    // Video near-dup from sampled keyframes: originals + re-encoded
+    // clones (every frame's leftmost block column brightness-shifted, the
+    // video twin of mm_jpeg_phash_pairs' edit). Only k=3 uniform-stride
+    // keyframes per video ever decode; per-frame aHash bands block with
+    // the POSITION in the key (temporal alignment), Hamming verify per
+    // aligned position, pair survives on a 2-of-3 keyframe majority. The
+    // oracle replays pixels → hash → bands → candidates → verify.
+    "mm_video_dedup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = AviMjpeg.mediaAviVideos(ids)
+          .union(AviMjpeg.mediaAviVideos(ids, shift = 700000L, cloneEdit = 24))
+        // barrier: the band probe and both verify sides re-read the hashes
+        val fph = graft.Caches.lazyBarrier(
+          AviMjpeg.keyframeHashes(media, k = 3).toDF())
+        AviMjpeg.videoDupPairs(fph, maxHamming = 8, minMatch = 2)
+          .orderBy("video_a", "video_b")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 24
+          |  FROM documents WHERE doc_id % 8 = 0),
+          |d AS (
+          |  SELECT vid, oid, cedit,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |fp AS (
+          |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+          |    oid * 131 + (((p * nf) // 3) // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT DISTINCT a.vid AS video_a, b.vid AS video_b
+          |  FROM bands a JOIN bands b
+          |    ON a.p = b.p AND a.band = b.band AND a.v = b.v
+          |      AND a.vid < b.vid),
+          |hm AS (
+          |  SELECT c.video_a, c.video_b,
+          |    bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS ham
+          |  FROM cand c
+          |  JOIN fph pa ON pa.vid = c.video_a
+          |  JOIN fph pb ON pb.vid = c.video_b AND pb.p = pa.p)
+          |SELECT video_a, video_b,
+          |  CAST(COUNT(*) FILTER (WHERE ham <= 8) AS INT) AS n_match,
+          |  CAST(MAX(ham) AS INT) AS max_ham
+          |FROM hm GROUP BY video_a, video_b
+          |HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2
+          |ORDER BY video_a, video_b""".stripMargin),
+      doc = "Video near-dup: keyframe-sampled per-frame aHash over REAL demuxed+decoded MJPEG frames, position-aligned band blocking, 2-of-3 majority verify"),
+
+    // Pitch/periodicity detection over REAL decoded PCM16: planted square
+    // waves (half-period 3..16 → full period 6..32, inside the lag
+    // window), integer autocorrelation R(L) for L in [2, 32], argmax with
+    // smallest-lag tie-break. The oracle recomputes every R(L) from the
+    // planting formula; the Spark side must decode the WAV to reach the
+    // same samples.
+    "mm_audio_pitch" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.audioPitch(
+            Multimodal.mediaWavSquare(docs(s, dir).filter(col("doc_id") % 4 === 1)),
+            maxLag = 32)
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 3 + doc_id % 14 AS p, 900 + (doc_id % 7) * 100 AS amp
+          |  FROM documents WHERE doc_id % 4 = 1),
+          |s AS (
+          |  SELECT doc_id, i,
+          |    CASE WHEN (i // p) % 2 = 0 THEN amp ELSE -amp END AS v
+          |  FROM d, (SELECT unnest(generate_series(0, 511)) AS i) ii),
+          |r0 AS (SELECT doc_id, SUM(v * v) AS r_zero FROM s GROUP BY 1),
+          |rl AS (
+          |  SELECT a.doc_id, ls.l, SUM(a.v * b.v) AS r
+          |  FROM s a
+          |  CROSS JOIN (SELECT unnest(generate_series(2, 32)) AS l) ls
+          |  JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + ls.l
+          |  GROUP BY 1, 2),
+          |best AS (
+          |  SELECT doc_id, l AS best_lag, r AS r_best,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, l) AS rn
+          |  FROM rl)
+          |SELECT b.doc_id, CAST(b.best_lag AS INT) AS best_lag,
+          |  CAST(b.r_best AS BIGINT) AS r_best,
+          |  CAST(r0.r_zero AS BIGINT) AS r_zero
+          |FROM best b JOIN r0 USING (doc_id) WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
+      doc = "Audio pitch detection: integer autocorrelation over REAL decoded PCM16 square waves, hash-checked against the planting formula"),
+
     // Media admission (round 9): the image-side batch admission —
     // perceptual hashes over REAL decoded PNG pixels, band-bucket
     // candidate join against an "already admitted" index, Hamming ≤ 8

@@ -1,0 +1,334 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** MJPEG-in-AVI: the REAL video path (SURVEY §7.1 scale/ multimodal).
+  *
+  * Everything here is public-spec arithmetic with no codec library, the
+  * same discipline as the PNG ([[Multimodal.pngDecodeGray]]) and
+  * baseline-JPEG ([[JpegGray]]) work: the AVI container follows the
+  * Microsoft "AVI RIFF File Reference" layout
+  * (`RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+  * '00dc'…) idx1)`, all fields little-endian, chunks word-aligned), and
+  * each `00dc` video chunk is a complete baseline JPEG the in-repo
+  * ITU-T T.81 decoder turns back into true pixels. So video stops being
+  * the one metadata-only modality: [[sceneCuts]] entropy-decodes every
+  * frame and detects cuts from consecutive-frame pixel differences, and
+  * [[keyframeHashes]]/[[videoDupPairs]] run the video analog of the image
+  * perceptual-hash dedup — uniform-stride keyframe sampling, per-frame
+  * aHash, temporally-aligned band blocking.
+  *
+  * 100 TB posture: payloads decode inside `mapPartitions` and never
+  * shuffle; the dedup exchange carries only (pos, band, v) ints plus four
+  * 16-bit hash bands; keyframe sampling bounds per-video decode cost at
+  * `k` frames regardless of video length; candidate blocking keys include
+  * the frame position, so candidate volume stays linear in corpus size
+  * for temporally-aligned near-dups (the re-encode/re-container case)
+  * rather than quadratic across all frame pairs.
+  */
+object AviMjpeg {
+
+  // RIFF is little-endian throughout (the PNG/BMFF side of Multimodal is
+  // big-endian — these stay local to keep each writer spec-shaped).
+  private def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le4(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** A real AVI file around MJPEG frames: 56-byte AVIMAINHEADER (avih),
+    * one video stream (56-byte AVISTREAMHEADER 'vids'/'MJPG' + 40-byte
+    * BITMAPINFOHEADER), the frames as word-aligned '00dc' chunks in the
+    * movi list, and a standard idx1 keyframe index (every MJPEG frame is
+    * a keyframe — the property that makes MJPEG splittable at scale).
+    */
+  private[graft] def wrap(w: Int, h: Int, fps: Int,
+                          frames: Seq[Array[Byte]]): Array[Byte] = {
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le4(4L + body.length) ++ ascii(kind) ++ body
+    def chunk(ck: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      ascii(ck) ++ le4(body.length.toLong) ++ body ++ pad
+    }
+    val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = chunk("avih",
+      le4(1000000L / fps) ++ le4(maxBytes.toLong * fps) ++ le4(0) ++
+        le4(0x10 /* AVIF_HASINDEX */) ++ le4(frames.length.toLong) ++ le4(0) ++
+        le4(1 /* streams */) ++ le4(maxBytes.toLong) ++
+        le4(w.toLong) ++ le4(h.toLong) ++ new Array[Byte](16))
+    val strh = chunk("strh",
+      ascii("vids") ++ ascii("MJPG") ++ le4(0) ++ le2(0) ++ le2(0) ++ le4(0) ++
+        le4(1 /* scale */) ++ le4(fps.toLong /* rate */) ++ le4(0) ++
+        le4(frames.length.toLong) ++ le4(maxBytes.toLong) ++
+        le4(0xffffffffL /* quality: driver default */) ++ le4(0) ++
+        le2(0) ++ le2(0) ++ le2(w) ++ le2(h))
+    val strf = chunk("strf",
+      le4(40) ++ le4(w.toLong) ++ le4(h.toLong) ++ le2(1) ++ le2(24) ++
+        ascii("MJPG") ++ le4(w.toLong * h * 3) ++ le4(0) ++ le4(0) ++
+        le4(0) ++ le4(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val moviBody = frames.iterator.map(f => chunk("00dc", f))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val movi = list("movi", moviBody)
+    // idx1 offsets are relative to the 'movi' fourcc (the common
+    // convention): first chunk header sits 4 bytes past it
+    var off = 4L
+    val idxEntries = frames.iterator.map { f =>
+      val e = ascii("00dc") ++ le4(0x10L /* AVIIF_KEYFRAME */) ++
+        le4(off) ++ le4(f.length.toLong)
+      off += 8L + f.length + (f.length % 2)
+      e
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
+    val idx1 = chunk("idx1", idxEntries)
+    val body = ascii("AVI ") ++ hdrl ++ movi ++ idx1
+    ascii("RIFF") ++ le4(body.length.toLong) ++ body
+  }
+
+  /** True if the payload sniffs as `RIFF····AVI `. */
+  private[graft] def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
+
+  /** (width, height, n_frames) from the real AVIMAINHEADER: walk the
+    * top-level RIFF chunks to LIST hdrl, then its children to avih;
+    * dwTotalFrames at data offset 16, dwWidth/dwHeight at 32/36. None on
+    * anything malformed — the never-throw data-path posture, with the
+    * same forward-progress guard as the WAV walk (a crafted length with
+    * the sign bit set would spin the loop).
+    */
+  private[graft] def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (!isAvi(b)) return None
+      var i = 12
+      while (i + 12 <= b.length) {
+        val ck = tag(b, i); val len = u32le(b, i + 4)
+        if (len.toInt < 0) return None
+        if (ck == "LIST" && tag(b, i + 8) == "hdrl") {
+          var j = i + 12
+          val end = math.min(i + 8 + len.toInt, b.length)
+          while (j + 8 <= end) {
+            val cck = tag(b, j); val clen = u32le(b, j + 4)
+            if (clen.toInt < 0) return None
+            if (cck == "avih" && j + 8 + 40 <= end) {
+              val nf = u32le(b, j + 8 + 16).toInt
+              val w = u32le(b, j + 8 + 32).toInt
+              val h = u32le(b, j + 8 + 36).toInt
+              return if (w > 0 && h > 0) Some((w, h, nf)) else None
+            }
+            j += 8 + clen.toInt + (clen.toInt & 1)
+          }
+          return None
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      None
+    } catch { case _: Throwable => None }
+  }
+
+  /** The movi LIST contents — the demuxable frames region (what
+    * [[Multimodal.extractBody]] returns for AVI payloads). */
+  private[graft] def moviBody(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      if (!isAvi(b)) return None
+      var i = 12
+      while (i + 12 <= b.length) {
+        val ck = tag(b, i); val len = u32le(b, i + 4)
+        if (len.toInt < 0) return None
+        if (ck == "LIST" && tag(b, i + 8) == "movi") {
+          val end = math.min(i + 8 + len.toInt, b.length)
+          return Some(java.util.Arrays.copyOfRange(b, i + 12, end))
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      None
+    } catch { case _: Throwable => None }
+  }
+
+  /** Demux the video frames: every `##dc` (compressed video) chunk inside
+    * the movi list, in stream order, exact payload lengths (the word-
+    * alignment pad byte is container framing, not frame data). None on
+    * malformed structure.
+    */
+  private[graft] def demux(b: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    moviBody(b).flatMap { m =>
+      val out = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i + 8 <= m.length) {
+        val ck = tag(m, i); val len = u32le(m, i + 4)
+        if (len.toInt < 0 || i + 8 + len.toInt > m.length) return None
+        if (ck.endsWith("dc")) out +=
+          java.util.Arrays.copyOfRange(m, i + 8, i + 8 + len.toInt)
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      Some(out.result())
+    }
+  }
+
+  // --- planted video plan (the formulas the video oracles replay) ---
+
+  /** Frame dims, multiples of 8 so every JPEG block is complete (no
+    * padded-edge cases in the MAD arithmetic): 16/24/32 per side.
+    */
+  private[graft] def videoDims(id: Long): (Int, Int) =
+    ((16 + ((id / 8) % 3) * 8).toInt, (16 + ((id / 24) % 3) * 8).toInt)
+
+  /** 3..6 frames per video (scenes of length 2 → 2..3 scenes). The /8
+    * quotient keeps the formula varying over the %4- and %8-strided
+    * fixture subsets the video queries use.
+    */
+  private[graft] def videoFrameCount(id: Long): Int = (3 + (id / 8) % 4).toInt
+
+  /** Frame `f` of video `id`: block-constant planted pixels (the content
+    * class whose lossy JPEG roundtrip is exact, [[Multimodal
+    * .plantedBlockPixels]]) with seed = id·131 + (f/2)·17 — constant
+    * within a 2-frame scene, re-scrambled across scenes — plus a small
+    * within-scene "motion" edit (f%2)·2 on the leftmost block column.
+    * `cloneEdit` adds the near-duplicate plant on the same column.
+    */
+  private[graft] def videoFramePixels(id: Long, f: Int, cloneEdit: Int): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    Multimodal.plantedBlockPixels(w, h, seed = id * 131 + (f / 2) * 17,
+      edit = cloneEdit + (f % 2) * 2)
+  }
+
+  /** Fixture ids as REAL MJPEG AVIs with planted scene structure: each
+    * frame a complete baseline JPEG ([[JpegGray.jpegEncodeGray]]) inside
+    * a byte-exact AVI container. `shift` relabels clone video ids;
+    * content stays keyed to the ORIGINAL id so clones align with their
+    * originals frame-for-frame.
+    */
+  def mediaAviVideos(ids: Dataset[Long], shift: Long = 0L,
+                     cloneEdit: Int = 0): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val frames = (0 until videoFrameCount(id)).map(f =>
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, cloneEdit)))
+        Multimodal.MediaRecord(id + shift, "video", wrap(w, h, fps = 10, frames))
+      }
+    }
+  }
+
+  /** Scene-cut detection over REAL decoded video: parse the avih header,
+    * demux every frame, entropy-decode each through the T.81 JPEG
+    * decoder, then MAD(f) = Σ|p_f − p_{f−1}| / (w·h) (floor) between
+    * consecutive frames; a cut where MAD > threshold. Videos whose
+    * demuxed frame count disagrees with the header, or with any
+    * undecodable frame, are skipped (poison posture). first_cut = −1
+    * when no cut fires.
+    */
+  final case class VideoScenes(doc_id: Long, width: Int, height: Int,
+                               n_frames: Int, n_cuts: Int, first_cut: Int,
+                               sum_mad: Long)
+
+  def sceneCuts(ds: Dataset[Multimodal.MediaRecord],
+                threshold: Int = 16): Dataset[VideoScenes] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val parsed = for {
+          (w, h, nf) <- parseAviHeader(r.payload)
+          frames <- demux(r.payload) if frames.length == nf && nf > 0
+          imgs = frames.flatMap(JpegGray.jpegDecodeGray(_)) if imgs.length == nf
+        } yield {
+          var nCuts = 0
+          var firstCut = -1
+          var sumMad = 0L
+          var f = 1
+          while (f < nf) {
+            val a = imgs(f - 1).pixels
+            val b = imgs(f).pixels
+            var s = 0L
+            var i = 0
+            while (i < a.length) {
+              s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+              i += 1
+            }
+            val mad = s / (w.toLong * h)
+            sumMad += mad
+            if (mad > threshold) {
+              nCuts += 1
+              if (firstCut < 0) firstCut = f
+            }
+            f += 1
+          }
+          VideoScenes(r.doc_id, w, h, nf, nCuts, firstCut, sumMad)
+        }
+        parsed.iterator
+      }
+    }
+  }
+
+  /** Uniform-stride keyframe sampling + per-frame aHash: position p of k
+    * maps to frame ⌊p·nf/k⌋ (the [[Multimodal.sampleFrames]] stride), the
+    * sampled frame entropy-decodes through the JPEG decoder, and its
+    * 64-bit aHash ships as four 16-bit bands — the per-video signature
+    * the dedup join blocks on. Only ≤ k frames per video ever decode,
+    * whatever the video length.
+    */
+  final case class FrameHash(video_id: Long, pos: Int,
+                             b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def keyframeHashes(ds: Dataset[Multimodal.MediaRecord],
+                     k: Int = 3): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        (for {
+          _ <- parseAviHeader(r.payload)
+          frames <- demux(r.payload) if frames.nonEmpty
+        } yield {
+          val nf = frames.length
+          val kk = math.min(k, nf)
+          (0 until kk).iterator.flatMap { p =>
+            val f = p * nf / kk
+            JpegGray.jpegDecodeGray(frames(f)).flatMap(Multimodal.aHash64)
+              .map { case (b0, b1, b2, b3) =>
+                FrameHash(r.doc_id, p, b0, b1, b2, b3)
+              }.iterator
+          }
+        }).getOrElse(Iterator.empty)
+      }
+    }
+  }
+
+  /** Video near-dup from keyframe hashes: candidates share an exact
+    * (pos, band, v) key — temporal alignment is part of the blocking key,
+    * so the join stays linear for the aligned-clone class — then verify
+    * per aligned position (Hamming over the four bands) and keep pairs
+    * where ≥ `minMatch` positions agree within `maxHamming`. Only ints
+    * cross the exchanges; payloads never do.
+    */
+  def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
+                    minMatch: Int = 2): DataFrame = {
+    val bands = fph.select(col("video_id"), col("pos"), explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
+      .select(col("video_id"), col("pos"),
+        col("e.band").as("band"), col("e.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.pos") === col("b.pos") && col("a.band") === col("b.band") &&
+          col("a.v") === col("b.v") && col("a.video_id") < col("b.video_id"))
+      .select(col("a.video_id").as("video_a"), col("b.video_id").as("video_b"))
+      .distinct()
+    val ha = fph.select(col("video_id").as("video_a"), col("pos"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = fph.select(col("video_id").as("video_b"), col("pos"),
+      col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    cand.join(ha, Seq("video_a")).join(hb, Seq("video_b", "pos"))
+      .withColumn("ham", expr(
+        "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+      .groupBy("video_a", "video_b")
+      .agg(sum(when(col("ham") <= maxHamming, 1).otherwise(0)).cast("int").as("n_match"),
+        max(col("ham")).as("max_ham"))
+      .filter(col("n_match") >= minMatch)
+  }
+}

@@ -7,20 +7,24 @@ import org.apache.spark.sql.functions._
   * payloads ride as opaque `BINARY` columns with typed metadata beside them.
   *
   * What is REAL here, all from the public file-format specs with no codec
-  * library: container header parsing for PNG/JPEG/WAV/MP4
+  * library: container header parsing for PNG/JPEG/WAV/MP4/AVI
   * ([[parseHeader]] — CRC-checked IHDR, SOFn marker walk, RIFF and
-  * ISO-BMFF chunk/box walks), full PNG grayscale-8 PIXEL decode
-  * ([[pngDecodeGray]] — multi-IDAT zlib inflate + all five scanline
-  * filters), baseline-JPEG grayscale PIXEL decode ([[JpegGray]] — DHT
-  * Huffman entropy decode, dequant, IDCT, ITU-T T.81), and WAV PCM16
-  * SAMPLE decode ([[wavDecodePcm16]]). The image operators dispatch on
-  * magic bytes ([[decodeGray]]) and run over true decoded pixels from
-  * EITHER container; the audio queries operate on true decoded samples.
+  * ISO-BMFF chunk/box walks, AVI hdrl/avih walk via [[AviMjpeg]]), full
+  * PNG grayscale-8 PIXEL decode ([[pngDecodeGray]] — multi-IDAT zlib
+  * inflate + all five scanline filters), baseline-JPEG grayscale PIXEL
+  * decode ([[JpegGray]] — DHT Huffman entropy decode, dequant, IDCT,
+  * ITU-T T.81), WAV PCM16 SAMPLE decode ([[wavDecodePcm16]]), and VIDEO
+  * FRAME decode for MJPEG-in-AVI ([[AviMjpeg]] — movi demux, every
+  * '00dc' chunk a complete baseline JPEG through the T.81 decoder). The
+  * image operators dispatch on magic bytes ([[decodeGray]]) and run over
+  * true decoded pixels from EITHER container; the audio queries operate
+  * on true decoded samples; the video queries (scene cuts, keyframe
+  * dedup) operate on true demuxed-and-decoded frames.
   * What is NOT claimed (needs codec libraries this container lacks):
-  * MP4 video payload codecs, progressive/color JPEG — [[decodeOne]]
-  * remains the clearly marked byte-derived stand-in for those, with the
-  * partition-batched typed plumbing (the Scala analog of `mapInPandas`
-  * batch UDFs) real and tested either way.
+  * MP4 video payload codecs (H.26x), progressive/color JPEG —
+  * [[decodeOne]] remains the clearly marked byte-derived stand-in for
+  * those, with the partition-batched typed plumbing (the Scala analog of
+  * `mapInPandas` batch UDFs) real and tested either way.
   *
   * At 100 TB: payloads stay columnar in parquet, the decode runs once per
   * partition with per-partition codec initialization (the expensive part the
@@ -290,6 +294,12 @@ object Multimodal {
         if (rate > 0 && blockAlign > 0)
           ("wav", rate, channels, (dataLen / blockAlign).toInt)
         else ("unknown", 0, 0, 0)
+      } else if (AviMjpeg.isAvi(b)) {
+        // AVI: hdrl walk to the AVIMAINHEADER (width/height/total frames)
+        AviMjpeg.parseAviHeader(b) match {
+          case Some((w, h, nf)) => ("avi", w, h, nf)
+          case None             => ("unknown", 0, 0, 0)
+        }
       } else if (b.length >= 12 && tag(b, 4) == "ftyp") {
         // ISO-BMFF: top-level box walk to moov, then child walk to
         // mvhd (timescale/duration) and trak/tkhd (16.16 width/height)
@@ -367,6 +377,8 @@ object Multimodal {
           i += 8 + len.toInt + (len.toInt & 1)
         }
         None
+      } else if (AviMjpeg.isAvi(b)) {
+        AviMjpeg.moviBody(b) // the demuxable frames region
       } else if (b.length >= 12 && tag(b, 4) == "ftyp") {
         var i = 0
         while (i + 8 <= b.length) {
@@ -910,6 +922,30 @@ object Multimodal {
     }
   }
 
+  /** aHash over an already-decoded grayscale image: 8×8 block means, bit =
+    * cell mean > global pixel mean (floor), packed as four 16-bit LSH
+    * bands. None below 8×8. Shared by the image-level
+    * [[perceptualHashPng]] and the per-frame video hashing in
+    * [[AviMjpeg.keyframeHashes]].
+    */
+  private[graft] def aHash64(img: PngImage): Option[(Int, Int, Int, Int)] =
+    if (img.width < 8 || img.height < 8) None
+    else {
+      var tot = 0L
+      var i = 0
+      val n = img.width * img.height
+      while (i < n) { tot += img.pixels(i) & 0xff; i += 1 }
+      val gm = tot / n
+      val m = blockMeans(img, 8)
+      def band(k: Int): Int = {
+        var v = 0
+        var j = 0
+        while (j < 16) { if (m(16 * k + j) > gm) v |= 1 << j; j += 1 }
+        v
+      }
+      Some((band(0), band(1), band(2), band(3)))
+    }
+
   /** REAL-pixel aHash: decode the PNG, 8×8 block means, bit = cell mean >
     * global pixel mean (floor), packed as four 16-bit LSH bands — the
     * actual average-hash algorithm over actual decoded pixels.
@@ -918,22 +954,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        decodeGray(r.payload) match {
-          case Some(img) if img.width >= 8 && img.height >= 8 =>
-            var tot = 0L
-            var i = 0
-            val n = img.width * img.height
-            while (i < n) { tot += img.pixels(i) & 0xff; i += 1 }
-            val gm = tot / n
-            val m = blockMeans(img, 8)
-            def band(k: Int): Int = {
-              var v = 0
-              var j = 0
-              while (j < 16) { if (m(16 * k + j) > gm) v |= 1 << j; j += 1 }
-              v
-            }
-            Iterator.single(PHash(r.doc_id, band(0), band(1), band(2), band(3)))
-          case _ => Iterator.empty
+        decodeGray(r.payload).flatMap(aHash64).iterator.map {
+          case (b0, b1, b2, b3) => PHash(r.doc_id, b0, b1, b2, b3)
         }
       }
     }
@@ -1007,6 +1029,68 @@ object Multimodal {
     * byte stub). Peak ties to the first maximum; trailing partial frame
     * dropped; undecodable payloads skipped.
     */
+  /** Fixture docs as REAL PCM16 WAVs carrying a planted square wave:
+    * s(i) = ±amp with half-period p = 3 + id % 14 (full period 2p ∈
+    * [6, 32], inside the detector's lag window), amp = 900 + (id % 7)·100
+    * — the deterministic periodic signal the pitch oracle replays.
+    */
+  def mediaWavSquare(docs: DataFrame, nSamples: Int = 512): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val p = (3 + id % 14).toInt
+        val amp = (900 + (id % 7) * 100).toInt
+        val body = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = if ((i / p) % 2 == 0) amp else -amp
+          body(2 * i) = (s & 0xff).toByte
+          body(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "audio", wavWrap(8000, 1, 16, body))
+      }
+    }
+  }
+
+  /** Pitch/periodicity detection over REAL decoded samples — the
+    * classic integer autocorrelation detector: R(L) = Σ s[i]·s[i+L] over
+    * the decoded PCM16 samples for L ∈ [2, maxLag], best lag = argmax
+    * (ties → smallest lag, the usual bias toward the fundamental).
+    * All integer arithmetic (Long accumulation — amp² · N exceeds Int),
+    * so the oracle replays it exactly. Undecodable or too-short payloads
+    * are skipped.
+    */
+  final case class AudioPitch(doc_id: Long, best_lag: Int, r_best: Long, r_zero: Long)
+
+  def audioPitch(ds: Dataset[MediaRecord], maxLag: Int = 32): Dataset[AudioPitch] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavDecodePcm16(r.payload) match {
+          case Some(pcm) if pcm.samples.length > maxLag =>
+            val s = pcm.samples
+            val n = s.length
+            var r0 = 0L
+            var i = 0
+            while (i < n) { r0 += s(i).toLong * s(i); i += 1 }
+            var bestLag = 2
+            var bestR = Long.MinValue
+            var lag = 2
+            while (lag <= maxLag) {
+              var rl = 0L
+              var j = 0
+              while (j + lag < n) { rl += s(j).toLong * s(j + lag); j += 1 }
+              if (rl > bestR) { bestR = rl; bestLag = lag }
+              lag += 1
+            }
+            Iterator.single(AudioPitch(r.doc_id, bestLag, bestR, r0))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   def audioFrameEnergyPcm(ds: Dataset[MediaRecord], frameLen: Int = 64,
                           silenceBelow: Long = 100000L): Dataset[AudioFrames] = {
     import ds.sparkSession.implicits._

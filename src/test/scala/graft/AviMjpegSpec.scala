@@ -1,0 +1,152 @@
+package graft
+
+import graft.scale.{AviMjpeg, JpegGray, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MJPEG-in-AVI video path: container roundtrip (write → header parse
+  * → demux → per-frame T.81 decode back to the planted pixels), word-
+  * alignment mechanics on odd-length frames, the scene-cut arithmetic on
+  * a hand-computed video, keyframe stride selection, and the never-throw
+  * malformed-input posture shared with the other container walks.
+  */
+class AviMjpegSpec extends AnyFunSuite {
+
+  private def video(id: Long, cloneEdit: Int = 0): Array[Byte] = {
+    val (w, h) = AviMjpeg.videoDims(id)
+    val frames = (0 until AviMjpeg.videoFrameCount(id)).map(f =>
+      JpegGray.jpegEncodeGray(w, h, AviMjpeg.videoFramePixels(id, f, cloneEdit)))
+    AviMjpeg.wrap(w, h, fps = 10, frames)
+  }
+
+  test("wrap → parseAviHeader returns the avih width/height/frame count") {
+    for (id <- Seq(0L, 8L, 24L, 40L, 96L, 488L)) {
+      val (w, h) = AviMjpeg.videoDims(id)
+      val nf = AviMjpeg.videoFrameCount(id)
+      assert(AviMjpeg.parseAviHeader(video(id)) === Some((w, h, nf)))
+    }
+  }
+
+  test("Multimodal.parseHeader sniffs AVI and reports the real header") {
+    val b = video(16L)
+    val (w, h) = AviMjpeg.videoDims(16L)
+    assert(Multimodal.parseHeader(b) ===
+      (("avi", w, h, AviMjpeg.videoFrameCount(16L))))
+    // extractBody returns the demuxable movi region, which demux accepts
+    val body = Multimodal.extractBody(b)
+    assert(body.isDefined && body.get.length > 0)
+  }
+
+  test("demux recovers every frame; each entropy-decodes to the planted pixels") {
+    for (id <- Seq(0L, 8L, 32L, 120L)) {
+      val (w, h) = AviMjpeg.videoDims(id)
+      val nf = AviMjpeg.videoFrameCount(id)
+      val frames = AviMjpeg.demux(video(id)).get
+      assert(frames.length === nf)
+      for (f <- 0 until nf) {
+        val img = JpegGray.jpegDecodeGray(frames(f)).get
+        assert(img.width == w && img.height == h)
+        assert(java.util.Arrays.equals(img.pixels,
+          AviMjpeg.videoFramePixels(id, f, 0)),
+          s"frame $f of video $id drifted through the AVI+JPEG roundtrip")
+      }
+    }
+  }
+
+  test("odd-length frame chunks are word-aligned without corrupting payloads") {
+    // hand-build frames of odd byte length: demux must return exact
+    // lengths with the pad byte stripped
+    val f1 = Array.tabulate(33)(i => (i * 7).toByte)
+    val f2 = Array.tabulate(40)(i => (i * 11).toByte)
+    val b = AviMjpeg.wrap(16, 16, 10, Seq(f1, f2))
+    val out = AviMjpeg.demux(b).get
+    assert(out.length == 2)
+    assert(java.util.Arrays.equals(out(0), f1))
+    assert(java.util.Arrays.equals(out(1), f2))
+    assert(AviMjpeg.parseAviHeader(b) === Some((16, 16, 2)))
+  }
+
+  test("scene-cut arithmetic matches a hand computation") {
+    // 16x16, 2 blocks per side. Build 4 frames by hand: scenes {0,1} and
+    // {2,3}; within a scene frames differ by +2 on the left block column
+    // (2 of 4 blocks -> per-pixel diff 2 on half the pixels -> mad=1);
+    // across scenes blocks jump by 98/100/98/100 -> mad = 396*64/256 = 99.
+    def flat(vals: (Int, Int, Int, Int)): Array[Byte] = {
+      val (a, b, c, d) = vals
+      val px = new Array[Byte](256)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (y / 8, x / 8) match {
+          case (0, 0) => a; case (0, 1) => b; case (1, 0) => c; case _ => d
+        }
+        px(y * 16 + x) = v.toByte
+      }
+      px
+    }
+    val frames = Seq(
+      flat((10, 20, 30, 40)), flat((12, 20, 32, 40)),      // scene 0 + motion
+      flat((110, 120, 130, 140)), flat((112, 120, 132, 140))) // scene 1 + motion
+      .map(JpegGray.jpegEncodeGray(16, 16, _))
+    val avi = AviMjpeg.wrap(16, 16, 10, frames)
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(Multimodal.MediaRecord(1L, "video", avi)))
+    val out = AviMjpeg.sceneCuts(ds, threshold = 16).collect()
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.n_frames == 4)
+    assert(v.n_cuts == 1)
+    assert(v.first_cut == 2)
+    assert(v.sum_mad == 1L + 99L + 1L)
+  }
+
+  test("keyframe stride picks floor(p*nf/k) and hashes decode-true frames") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(0L, 8L, 16L, 24L))
+    val fph = AviMjpeg.keyframeHashes(
+      AviMjpeg.mediaAviVideos(ids), k = 3).collect()
+    // every video has >= 3 frames so exactly 3 positions each
+    assert(fph.length == 12)
+    assert(fph.groupBy(_.video_id).forall(_._2.map(_.pos).sorted.sameElements(Seq(0, 1, 2))))
+    // position hashes equal the direct hash of the planted frame
+    for (r <- fph) {
+      val nf = AviMjpeg.videoFrameCount(r.video_id)
+      val f = r.pos * nf / 3
+      val (w, h) = AviMjpeg.videoDims(r.video_id)
+      val img = Multimodal.PngImage(w, h,
+        AviMjpeg.videoFramePixels(r.video_id, f, 0))
+      val (b0, b1, b2, b3) = Multimodal.aHash64(img).get
+      assert((r.b0, r.b1, r.b2, r.b3) === ((b0, b1, b2, b3)))
+    }
+  }
+
+  test("malformed inputs: never throw, always None/unknown") {
+    val good = video(8L)
+    assert(AviMjpeg.parseAviHeader(Array.empty[Byte]).isEmpty)
+    assert(AviMjpeg.parseAviHeader(good.take(20)).isEmpty)
+    assert(AviMjpeg.demux(good.take(60)).isEmpty)
+    // sign-bit chunk length: the forward-progress guard must bail
+    val evil = good.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(AviMjpeg.parseAviHeader(evil).isEmpty)
+    assert(AviMjpeg.demux(evil).isEmpty)
+    // a WAV is RIFF but not AVI: the AVI path must not claim it
+    val wav = Multimodal.parseHeader(good)
+    assert(wav._1 == "avi")
+    assert(!AviMjpeg.isAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
+  }
+
+  test("square-wave pitch detector finds the planted full period") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(1L, 5L, 13L, 29L)).toDF("doc_id")
+    val out = Multimodal.audioPitch(Multimodal.mediaWavSquare(docs), maxLag = 32)
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(1L, 5L, 13L, 29L)) {
+      val p = (3 + id % 14).toInt
+      assert(out(id).best_lag == 2 * p,
+        s"doc $id: expected full period ${2 * p}, got ${out(id).best_lag}")
+      assert(out(id).r_best <= out(id).r_zero)
+    }
+  }
+}
