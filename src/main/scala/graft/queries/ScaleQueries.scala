@@ -67,6 +67,16 @@ object ScaleQueries {
       s" * (((x // 8) * 31 + (y // 8) * 17 + $seed * 61) % 241)" +
       s" + CASE WHEN x < 8 THEN $edit ELSE 0 END) % 256"
 
+  /** Block-constant planted value at EXPLICIT block-index expressions —
+    * the chroma-plane variant: a half-resolution plane's 8×8 blocks span
+    * 16×16 full-res pixels, so its oracles pass bx = x // 16, by = y // 16
+    * (no edit arm — the color plants don't clone).
+    */
+  private def sqlBlockValueAt(bx: String, by: String, seed: String): String =
+    s"(($bx) * 7 + ($by) * 13 + ($seed) * 31" +
+      s" + ((($bx) * 73 + ($by) * 151 + ($seed) * 97) % 251)" +
+      s" * ((($bx) * 31 + ($by) * 17 + ($seed) * 61) % 241)) % 256"
+
   /** Squared L2 over index range [from, from+len-1] — the strict-order
     * left fold matching Quant.l2sq.
     */
@@ -4737,6 +4747,107 @@ object ScaleQueries {
           |HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2
           |ORDER BY video_a, video_b""".stripMargin),
       doc = "Video near-dup: keyframe-sampled per-frame aHash over REAL demuxed+decoded MJPEG frames, position-aligned band blocking, 2-of-3 majority verify"),
+
+    // Baseline COLOR JPEG (round 10): SOF0 with three components and
+    // 4:2:0 interleaved MCUs — the generic T.81 decode path (per-
+    // component sampling factors, DC predictors, table ids) over planted
+    // block-constant Y/Cb/Cr planes, every PLANE hash-checked against its
+    // planting formula. Chroma blocks live on the half-res plane, so
+    // their full-res oracle replay indexes blocks at x//16, y//16.
+    "mm_jpeg_color_stats" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.colorStats(
+            Multimodal.mediaJpegColor(docs(s, dir).filter(col("doc_id") % 4 === 2)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + ((doc_id // 8) % 2) * 16 AS w,
+          |    16 + ((doc_id // 16) % 2) * 16 AS h
+          |  FROM documents WHERE doc_id % 4 = 2),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    ${sqlPlantedBlockPixel("doc_id", "0")} AS yv,
+          |    ${sqlBlockValueAt("x // 16", "y // 16", "doc_id + 1000003")} AS cbv,
+          |    ${sqlBlockValueAt("x // 16", "y // 16", "doc_id + 2000003")} AS crv
+          |  FROM d,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |tvd AS (
+          |  SELECT doc_id,
+          |    ABS(yv - LAG(yv) OVER (PARTITION BY doc_id, y ORDER BY x)) AS dd
+          |  FROM px),
+          |tv AS (SELECT doc_id, SUM(dd) AS y_tv FROM tvd GROUP BY doc_id)
+          |SELECT p.doc_id, CAST(MAX(p.w) AS INT) AS width,
+          |  CAST(MAX(p.h) AS INT) AS height,
+          |  CAST(SUM(p.yv) // COUNT(*) AS INT) AS y_mean,
+          |  CAST(SUM(p.cbv) // COUNT(*) AS INT) AS cb_mean,
+          |  CAST(SUM(p.crv) // COUNT(*) AS INT) AS cr_mean,
+          |  CAST(MAX(t.y_tv) AS BIGINT) AS y_tv
+          |FROM px p JOIN tv t ON p.doc_id = t.doc_id
+          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+      doc = "REAL baseline COLOR JPEG: interleaved 4:2:0 MCU entropy decode, per-plane stats hash-checked against the Y/Cb/Cr planting formulas"),
+
+    // The production image-corpus shape: one MIXED corpus (PNG + gray
+    // JPEG + color JPEG), one operator — decodeGray sniffs the container
+    // and, for JPEG, falls back from the grayscale to the generic color
+    // decoder's luma plane. The 8×8 thumbnail oracle replays all three
+    // content classes (the color class's luma is the same block formula
+    // as the gray-JPEG class — only its dims differ).
+    "mm_mixed_decode_thumb" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 3)
+          .select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions { it =>
+          it.map { id =>
+            (id % 3) match {
+              case 0 =>
+                val (w, h) = Multimodal.pixDims(id)
+                Multimodal.MediaRecord(id, "image",
+                  Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, id)))
+              case 1 =>
+                val (w, h) = Multimodal.pixDims(id)
+                Multimodal.MediaRecord(id, "image",
+                  JpegGray.jpegEncodeGray(w, h, Multimodal.plantedBlockPixels(w, h, id)))
+              case _ =>
+                val (w, h) = Multimodal.colorDims(id)
+                val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
+                Multimodal.MediaRecord(id, "image", JpegGray.jpegEncodeYcc420(w, h,
+                  Multimodal.plantedBlockPixels(w, h, id),
+                  Multimodal.plantedBlockPixels(cw, ch, id + 1000003L),
+                  Multimodal.plantedBlockPixels(cw, ch, id + 2000003L)))
+            }
+          }
+        }
+        Multimodal.resizePngThumb(media, side = 8).toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, doc_id % 3 AS cls FROM documents WHERE doc_id % 4 = 3),
+          |dims AS (
+          |  SELECT doc_id, cls,
+          |    CASE WHEN cls = 2 THEN 16 + ((doc_id // 8) % 2) * 16
+          |         ELSE 16 + doc_id % 17 END AS w,
+          |    CASE WHEN cls = 2 THEN 16 + ((doc_id // 16) % 2) * 16
+          |         ELSE 16 + (doc_id * 7) % 17 END AS h
+          |  FROM d),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    CASE WHEN cls = 0 THEN ${sqlPlantedPixel("doc_id", "0")}
+          |         ELSE ${sqlPlantedBlockPixel("doc_id", "0")} END AS p
+          |  FROM dims,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |cells AS (
+          |  SELECT doc_id, (y * 8) // h AS cy, (x * 8) // w AS cx,
+          |    SUM(p) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(8 AS INT) AS side,
+          |  string_agg(lower(lpad(to_hex(m), 2, '0')), '' ORDER BY cy * 8 + cx) AS thumb_hex
+          |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Container-sniffed 8x8 thumbnails over a MIXED image corpus: PNG + grayscale JPEG + color JPEG luma, one operator, all three decode paths hash-checked"),
 
     // Pitch/periodicity detection over REAL decoded PCM16: planted square
     // waves (half-period 3..16 → full period 6..32, inside the lag

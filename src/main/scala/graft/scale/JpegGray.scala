@@ -278,6 +278,68 @@ object JpegGray {
       (((payload.length + 2) >> 8) & 0xff).toByte,
       ((payload.length + 2) & 0xff).toByte) ++ payload
 
+  /** Level-shifted 8×8 block at block coords (bx, by) of a `pw`×`ph`
+    * plane, edge-replicated past the right/bottom borders. */
+  private def sampleBlock(px: Array[Byte], pw: Int, ph: Int,
+                          bx: Int, by: Int): Array[Double] = {
+    val blk = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, pw - 1)
+        blk(y * 8 + x) = (px(sy * pw + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    blk
+  }
+
+  /** FDCT + quantize + Huffman-code one block (T.81 F.1.2): DC as
+    * category+bits on the predictor diff, AC as run/size with ZRL and
+    * EOB. Returns the new DC predictor. Shared by the grayscale and the
+    * interleaved-MCU color encoders — one arithmetic, two framings.
+    */
+  private def encodeBlock(bw: BitWriter, blk: Array[Double], quant: Array[Int],
+                          dcTab: Map[Int, (Int, Int)], acTab: Map[Int, (Int, Int)],
+                          prevDc: Int): Int = {
+    val f = fdct(blk)
+    val q = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val z = f(Zigzag(i)) / quant(i)
+      q(i) = math.round(z).toInt
+      i += 1
+    }
+    // DC: category + bits on the diff
+    val diff = q(0) - prevDc
+    val s = category(diff)
+    val (dcCode, dcLen) = dcTab(s)
+    bw.put(dcCode, dcLen)
+    if (s > 0) bw.put(magBits(diff, s), s)
+    // AC: run-length of zeros + category, ZRL for 16-runs, EOB
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acTab(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val ss = category(q(k))
+        val (c, l) = acTab((run << 4) | ss)
+        bw.put(c, l)
+        bw.put(magBits(q(k), ss), ss)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+    q(0)
+  }
+
   /** Encode a grayscale-8 image as a REAL baseline JPEG: SOI, DQT
     * ([[FixtureQuant]]), SOF0 (1 component), DHT (Annex K.3.1 DC + AC),
     * SOS, Huffman-coded byte-stuffed entropy data, EOI. Edge blocks pad
@@ -298,52 +360,8 @@ object JpegGray {
     while (by < bh2) {
       var bx = 0
       while (bx < bw2) {
-        // level-shifted block with edge replication
-        val blk = new Array[Double](64)
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, w - 1)
-            blk(y * 8 + x) = (px(sy * w + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        val f = fdct(blk)
-        val q = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          val z = f(Zigzag(i)) / quant(i)
-          q(i) = math.round(z).toInt
-          i += 1
-        }
-        // DC: category + bits on the diff
-        val diff = q(0) - prevDc
-        prevDc = q(0)
-        val s = category(diff)
-        val (dcCode, dcLen) = dcTab(s)
-        bw.put(dcCode, dcLen)
-        if (s > 0) bw.put(magBits(diff, s), s)
-        // AC: run-length of zeros + category, ZRL for 16-runs, EOB
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = acTab(0xf0); bw.put(zc, zl); run -= 16
-            }
-            val ss = category(q(k))
-            val (c, l) = acTab((run << 4) | ss)
-            bw.put(c, l)
-            bw.put(magBits(q(k), ss), ss)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+        prevDc = encodeBlock(bw, sampleBlock(px, w, h, bx, by),
+          quant, dcTab, acTab, prevDc)
         bx += 1
       }
       by += 1
@@ -361,6 +379,41 @@ object JpegGray {
     Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++
       dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ sos ++ scan ++
       Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** Entropy-decode + dequantize + IDCT one block (T.81 F.2.2): the
+    * spatial 8×8 (still level-shifted) and the new DC predictor; null on
+    * a broken stream (Option boxing per block would be pure overhead on
+    * the innermost loop). Shared by the grayscale and interleaved-MCU
+    * color decoders.
+    */
+  private def decodeBlock(br: BitReader, dc: DecodeTable, ac: DecodeTable,
+                          qt: Array[Int], prevDc: Int): (Array[Double], Int) = {
+    val zz = new Array[Int](64)
+    val s = br.decode(dc)
+    val newDc = prevDc + extend(br.bits(s), s)
+    zz(0) = newDc
+    var k = 1
+    while (k < 64) {
+      val rs = br.decode(ac)
+      if (br.broken) return null
+      val run = rs >> 4
+      val ss = rs & 0x0f
+      if (ss == 0) {
+        if (run == 15) k += 16 // ZRL
+        else k = 64 // EOB
+      } else {
+        k += run
+        if (k > 63) return null
+        zz(k) = extend(br.bits(ss), ss)
+        k += 1
+      }
+    }
+    if (br.broken) return null
+    val coef = new Array[Double](64)
+    var j = 0
+    while (j < 64) { coef(Zigzag(j)) = (zz(j) * qt(j)).toDouble; j += 1 }
+    (idct(coef), newDc)
   }
 
   /** Decode a baseline grayscale JPEG to its true pixel grid: marker
@@ -445,31 +498,10 @@ object JpegGray {
       while (by < bh2) {
         var bx = 0
         while (bx < bw2) {
-          val zz = new Array[Int](64)
-          val s = br.decode(dc)
-          prevDc += extend(br.bits(s), s)
-          zz(0) = prevDc
-          var k = 1
-          while (k < 64) {
-            val rs = br.decode(ac)
-            if (br.broken) return None
-            val run = rs >> 4
-            val ss = rs & 0x0f
-            if (ss == 0) {
-              if (run == 15) k += 16 // ZRL
-              else k = 64 // EOB
-            } else {
-              k += run
-              if (k > 63) return None
-              zz(k) = extend(br.bits(ss), ss)
-              k += 1
-            }
-          }
-          if (br.broken) return None
-          val coef = new Array[Double](64)
-          var j = 0
-          while (j < 64) { coef(Zigzag(j)) = (zz(j) * qt(j)).toDouble; j += 1 }
-          val blk = idct(coef)
+          val dec = decodeBlock(br, dc, ac, qt, prevDc)
+          if (dec == null) return None
+          val (blk, newDc) = dec
+          prevDc = newDc
           var y = 0
           while (y < 8) {
             val py = by * 8 + y
@@ -493,4 +525,267 @@ object JpegGray {
       Some(Multimodal.PngImage(w, h, px))
     } catch { case _: Throwable => None }
   }
+
+  // ---- baseline COLOR (YCbCr), T.81 interleaved MCUs -------------------
+
+  /** A decoded color image: luma at full resolution, chroma planes
+    * upsampled back to full resolution (nearest neighbor, the integer
+    * mapping cx = x·Hc/hmax — deterministic, so oracle-replayable). RGB
+    * conversion is deliberately NOT provided: the JFIF YCbCr↔RGB matrix
+    * is real-valued and implementation-defined in its rounding, while
+    * every operator here (stats, thumbs, aHash) wants one 8-bit plane —
+    * the luma — plus exact chroma statistics.
+    */
+  private[graft] final case class YccImage(width: Int, height: Int,
+                                           yP: Array[Byte], cb: Array[Byte],
+                                           cr: Array[Byte])
+
+  /** Encode a YCbCr 4:2:0 image as a REAL baseline color JPEG: SOF0 with
+    * three components (Y sampling 2×2, Cb/Cr 1×1), interleaved MCUs per
+    * T.81 A.2.3 (four Y blocks then Cb then Cr per 16×16 MCU), one DC
+    * predictor per component. All components reference the same quant
+    * and Huffman tables (spec-legal — SOS/SOF carry table ids); with
+    * [[FixtureQuant]] the block-constant content class round-trips every
+    * PLANE bit-exactly, the same oracle-exactness trick as grayscale.
+    * `cb`/`cr` are half-resolution planes (⌈w/2⌉×⌈h/2⌉), edge-replicated
+    * into partial MCUs.
+    */
+  private[graft] def jpegEncodeYcc420(w: Int, h: Int, yP: Array[Byte],
+                                      cb: Array[Byte], cr: Array[Byte],
+                                      quant: Array[Int] = FixtureQuant): Array[Byte] = {
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    require(yP.length == w * h, s"luma buffer ${yP.length} != $w x $h")
+    require(cb.length == cw * ch && cr.length == cw * ch,
+      s"chroma buffers must be $cw x $ch")
+    val dcTab = buildEncodeTable(DcBits, DcVals)
+    val acTab = buildEncodeTable(AcBits, AcVals)
+    val bw = new BitWriter
+    val mcuX = (w + 15) / 16
+    val mcuY = (h + 15) / 16
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcuY) {
+      var mx = 0
+      while (mx < mcuX) {
+        var v = 0
+        while (v < 2) {
+          var u = 0
+          while (u < 2) {
+            dcY = encodeBlock(bw, sampleBlock(yP, w, h, mx * 2 + u, my * 2 + v),
+              quant, dcTab, acTab, dcY)
+            u += 1
+          }
+          v += 1
+        }
+        dcCb = encodeBlock(bw, sampleBlock(cb, cw, ch, mx, my),
+          quant, dcTab, acTab, dcCb)
+        dcCr = encodeBlock(bw, sampleBlock(cr, cw, ch, mx, my),
+          quant, dcTab, acTab, dcCr)
+        mx += 1
+      }
+      my += 1
+    }
+    val scan = bw.finish()
+    val dqt = seg(0xdb, Array(0x00.toByte) ++ quant.map(_.toByte))
+    val sof = seg(0xc0, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]) =
+      seg(0xc4, Array(((cls << 4) | 0).toByte) ++ bits.map(_.toByte) ++
+        vals.map(_.toByte))
+    val sos = seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++
+      dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ sos ++ scan ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** Decode a baseline JPEG with one OR three components and sampling
+    * factors in {1, 2} (covers grayscale, 4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+    * what baseline encoders actually emit): generic interleaved-MCU
+    * walk per T.81 A.2.3, per-component DC predictors, per-component
+    * quant/Huffman table ids from SOF/SOS, chroma planes nearest-neighbor
+    * upsampled to full resolution. Single-component scans use the
+    * non-interleaved MCU (one data unit) regardless of sampling, per
+    * A.2.2. None on progressive / restart markers / >2 sampling /
+    * malformed — the same declared-scope posture as [[jpegDecodeGray]].
+    */
+  private[graft] def jpegDecodeYcc(b: Array[Byte]): Option[YccImage] = {
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+      val dcTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
+      val acTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
+      var w = -1; var h = -1
+      // per-component (in SOF order): id, hS, vS, quant id; SOS adds table ids
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var scanTabs: Map[Int, (Int, Int)] = null // comp id -> (dc id, ac id)
+      var scanOrder: Array[Int] = null          // SOS component ids in order
+      var scanStart = -1
+      while (scanStart < 0) {
+        if (i + 4 > b.length || (b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val p = i + 4
+        marker match {
+          case 0xdb =>
+            var q = p
+            while (q < i + 2 + len) {
+              val pq = (b(q) & 0xff) >> 4
+              val tq = b(q) & 0x0f
+              if (pq != 0) return None
+              if (q + 65 > i + 2 + len) return None
+              quant(tq) = Array.tabulate(64)(k => b(q + 1 + k) & 0xff)
+              q += 65
+            }
+          case 0xc4 =>
+            var q = p
+            while (q < i + 2 + len) {
+              val tc = (b(q) & 0xff) >> 4
+              val th = b(q) & 0x0f
+              if (q + 17 > i + 2 + len) return None
+              val bits = Array.tabulate(16)(k => b(q + 1 + k) & 0xff)
+              val n = bits.sum
+              if (q + 17 + n > i + 2 + len) return None
+              val vals = Array.tabulate(n)(k => b(q + 17 + k) & 0xff)
+              val t = new DecodeTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              q += 17 + n
+            }
+          case 0xc0 =>
+            if (len < 8 || (b(p) & 0xff) != 8) return None
+            h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+            w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+            val nc = b(p + 5) & 0xff
+            if (nc != 1 && nc != 3) return None
+            if (len < 8 + 3 * nc) return None
+            comps = Array.tabulate(nc) { c =>
+              val q = p + 6 + 3 * c
+              val id = b(q) & 0xff
+              val hs = (b(q + 1) & 0xff) >> 4
+              val vs = b(q + 1) & 0x0f
+              if (hs < 1 || hs > 2 || vs < 1 || vs > 2) return None
+              (id, hs, vs, b(q + 2) & 0xff)
+            }
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None
+          case 0xdd => return None
+          case 0xda =>
+            val ns = b(p) & 0xff
+            if (comps == null || ns != comps.length) return None
+            scanOrder = Array.tabulate(ns)(c => b(p + 1 + 2 * c) & 0xff)
+            scanTabs = Array.tabulate(ns) { c =>
+              val id = b(p + 1 + 2 * c) & 0xff
+              val t = b(p + 2 + 2 * c) & 0xff
+              id -> ((t >> 4, t & 0x0f))
+            }.toMap
+            scanStart = i + 2 + len
+          case _ =>
+        }
+        i += 2 + len
+      }
+      if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+      // the scan must cover the frame components in SOF order (the
+      // baseline-interleaved case; partial scans are progressive's game)
+      if (!scanOrder.sameElements(comps.map(_._1))) return None
+      val single = comps.length == 1
+      val hmax = comps.map(_._2).max
+      val vmax = comps.map(_._3).max
+      val mcuX = if (single) (w + 7) / 8 else (w + 8 * hmax - 1) / (8 * hmax)
+      val mcuY = if (single) (h + 7) / 8 else (h + 8 * vmax - 1) / (8 * vmax)
+      // per-component padded planes (block-aligned to the MCU grid)
+      val planes = comps.map { case (id, hs, vs, tq) =>
+        val bwc = if (single) mcuX else mcuX * hs
+        val bhc = if (single) mcuY else mcuY * vs
+        val qt = quant.getOrElse(tq, return None)
+        val (dcId, acId) = scanTabs.getOrElse(id, return None)
+        val dc = dcTabs.getOrElse(dcId, return None)
+        val ac = acTabs.getOrElse(acId, return None)
+        (new Array[Byte](bwc * 8 * bhc * 8), bwc * 8, qt, dc, ac)
+      }
+      val br = new BitReader(b, scanStart)
+      val preds = new Array[Int](comps.length)
+      var my = 0
+      while (my < mcuY) {
+        var mx = 0
+        while (mx < mcuX) {
+          var c = 0
+          while (c < comps.length) {
+            val (_, hs, vs, _) = comps(c)
+            val (plane, pw, qt, dc, ac) = planes(c)
+            val nv = if (single) 1 else vs
+            val nh = if (single) 1 else hs
+            var v = 0
+            while (v < nv) {
+              var u = 0
+              while (u < nh) {
+                val dec = decodeBlock(br, dc, ac, qt, preds(c))
+                if (dec == null) return None
+                preds(c) = dec._2
+                val blk = dec._1
+                val ox = (if (single) mx else mx * hs + u) * 8
+                val oy = (if (single) my else my * vs + v) * 8
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    val pv = math.round(blk(y * 8 + x) + 128.0).toInt
+                    plane((oy + y) * pw + ox + x) =
+                      math.max(0, math.min(255, pv)).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                u += 1
+              }
+              v += 1
+            }
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      // crop/upsample every plane to w×h (nearest neighbor on the integer
+      // grid cx = x·Hc/hmax — exact for the 2:1 ratios in scope)
+      def fullRes(ci: Int): Array[Byte] = {
+        val (_, hs0, vs0, _) = comps(ci)
+        val (plane, pw, _, _, _) = planes(ci)
+        val hs = if (single) hmax else hs0 // single-comp: no resampling
+        val vs = if (single) vmax else vs0
+        if (hs == hmax && vs == vmax && pw == w && plane.length == w * h) plane
+        else {
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            val sy = y * vs / vmax
+            var x = 0
+            while (x < w) {
+              out(y * w + x) = plane(sy * pw + x * hs / hmax)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      }
+      val luma = fullRes(0)
+      if (single) {
+        val mid = Array.fill(w * h)(128.toByte) // neutral chroma
+        Some(YccImage(w, h, luma, mid, mid))
+      } else Some(YccImage(w, h, luma, fullRes(1), fullRes(2)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The luma plane of any in-scope baseline JPEG (grayscale or color) as
+    * a grayscale image — what lets every existing pixel operator (stats,
+    * thumbs, aHash, media dedup) run over a COLOR corpus unchanged.
+    */
+  private[graft] def jpegDecodeLuma(b: Array[Byte]): Option[Multimodal.PngImage] =
+    jpegDecodeYcc(b).map(c => Multimodal.PngImage(c.width, c.height, c.yP))
 }

@@ -875,7 +875,9 @@ object Multimodal {
     */
   private[graft] def decodeGray(b: Array[Byte]): Option[PngImage] =
     if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
-      JpegGray.jpegDecodeGray(b)
+      // grayscale fast path, then the generic 1-or-3-component decoder's
+      // luma plane — so COLOR baseline JPEGs feed the same pixel operators
+      JpegGray.jpegDecodeGray(b).orElse(JpegGray.jpegDecodeLuma(b))
     else pngDecodeGray(b)
 
   /** Block-mean 8-bit downsample of a decoded grayscale image to
@@ -1029,6 +1031,73 @@ object Multimodal {
     * byte stub). Peak ties to the first maximum; trailing partial frame
     * dropped; undecodable payloads skipped.
     */
+  /** Color-image dims: multiples of 16 (complete 4:2:0 MCUs, chroma
+    * planes exactly half) so the lossy color roundtrip carries the same
+    * bit-exactness argument as the grayscale block-constant class.
+    */
+  private[graft] def colorDims(docId: Long): (Int, Int) =
+    ((16 + ((docId / 8) % 2) * 16).toInt, (16 + ((docId / 16) % 2) * 16).toInt)
+
+  /** Fixture docs as REAL baseline COLOR JPEGs (SOF0, three components,
+    * 4:2:0 interleaved MCUs) with planted block-constant planes: luma
+    * seeded by doc_id, chroma planes (half resolution — their 8×8 blocks
+    * span 16×16 full-res pixels) by doc_id + 1000003 / + 2000003.
+    */
+  def mediaJpegColor(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = colorDims(id)
+        val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
+        MediaRecord(id, "image", JpegGray.jpegEncodeYcc420(w, h,
+          plantedBlockPixels(w, h, id),
+          plantedBlockPixels(cw, ch, id + 1000003L),
+          plantedBlockPixels(cw, ch, id + 2000003L)))
+      }
+    }
+  }
+
+  /** Per-image statistics from REAL decoded COLOR planes: floor-means of
+    * Y/Cb/Cr (chroma already upsampled — exact ×4 duplication at even
+    * dims, so the mean equals the half-res mean) and the luma horizontal
+    * total variation. All integer; undecodable payloads skipped.
+    */
+  final case class ColorStats(doc_id: Long, width: Int, height: Int,
+                              y_mean: Int, cb_mean: Int, cr_mean: Int,
+                              y_tv: Long)
+
+  def colorStats(ds: Dataset[MediaRecord]): Dataset[ColorStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        JpegGray.jpegDecodeYcc(r.payload) match {
+          case Some(img) =>
+            val n = img.width * img.height
+            var sy = 0L; var scb = 0L; var scr = 0L; var tv = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              var prev = 0
+              while (x < img.width) {
+                val i = y * img.width + x
+                val v = img.yP(i) & 0xff
+                sy += v
+                scb += img.cb(i) & 0xff
+                scr += img.cr(i) & 0xff
+                if (x > 0) tv += math.abs(v - prev)
+                prev = v
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(ColorStats(r.doc_id, img.width, img.height,
+              (sy / n).toInt, (scb / n).toInt, (scr / n).toInt, tv))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Fixture docs as REAL PCM16 WAVs carrying a planted square wave:
     * s(i) = ±amp with half-period p = 3 + id % 14 (full period 2p ∈
     * [6, 32], inside the detector's lag window), amp = 900 + (id % 7)·100
