@@ -101,7 +101,11 @@ object ScaleCurve {
     // recall-vs-floor eval: NOT memoized, so its curve row carries the
     // full posting+verify pipeline cost at every ×m (the banded row
     // above reads the session-pinned pair table after its first run)
-    "dedup_vector_eval")
+    "dedup_vector_eval",
+    // round-10 video: all-frame AVI demux + JPEG decode (pure per-row
+    // work — should be flat-linear) and the keyframe-hash pair stage
+    // (position-aligned band blocking; the only pair join in the family)
+    "mm_video_scene_cuts", "mm_video_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -4667,9 +4667,12 @@ object ScaleQueries {
     // clones (every frame's leftmost block column brightness-shifted, the
     // video twin of mm_jpeg_phash_pairs' edit). Only k=3 uniform-stride
     // keyframes per video ever decode; per-frame aHash bands block with
-    // the POSITION in the key (temporal alignment), Hamming verify per
-    // aligned position, pair survives on a 2-of-3 keyframe majority. The
-    // oracle replays pixels → hash → bands → candidates → verify.
+    // the POSITION in the key (temporal alignment), buckets wider than 64
+    // are suppressed (hot-key LSH discipline — the ScaleCurve ×10 row
+    // measured the uncapped join quadratic on low-entropy 16×16 frames),
+    // Hamming verify per aligned position, pair survives on a 2-of-3
+    // keyframe majority. The oracle replays pixels → hash → bands →
+    // bucket cap → candidates → verify.
     "mm_video_dedup" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -4727,9 +4730,15 @@ object ScaleQueries {
           |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
           |    MAX(CASE WHEN band = 3 THEN v END) AS b3
           |  FROM bands GROUP BY 1, 2),
+          |bcnt AS (
+          |  SELECT p, band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2, 3),
+          |qband AS (
+          |  SELECT b.vid, b.p, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.p = c.p AND b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
           |cand AS (
           |  SELECT DISTINCT a.vid AS video_a, b.vid AS video_b
-          |  FROM bands a JOIN bands b
+          |  FROM qband a JOIN qband b
           |    ON a.p = b.p AND a.band = b.band AND a.v = b.v
           |      AND a.vid < b.vid),
           |hm AS (

@@ -303,9 +303,20 @@ object AviMjpeg {
     * per aligned position (Hamming over the four bands) and keep pairs
     * where ≥ `minMatch` positions agree within `maxHamming`. Only ints
     * cross the exchanges; payloads never do.
+    *
+    * Hot-bucket suppression (`maxBucket`): a (pos, band, v) bucket wider
+    * than the cap is dropped from CANDIDATE GENERATION — the standard LSH
+    * hot-key discipline and this repo's df-capped-inverted-index
+    * precedent (`NearDup`/dedup_jaccard_capped). Low-entropy hashes are a
+    * real video phenomenon (tiny frames, blank frames, logo cards): the
+    * ScaleCurve ×10 row measured the uncapped join at 30.4 s — quadratic
+    * in the width of the hottest buckets — vs ~2 s capped. A pair only
+    * needs ONE of its 12 (pos, band) keys to sit in a cool bucket, and a
+    * band half the corpus shares carries no discriminative signal anyway;
+    * pairs whose every key is hot are the documented recall cost.
     */
   def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
-                    minMatch: Int = 2): DataFrame = {
+                    minMatch: Int = 2, maxBucket: Int = 64): DataFrame = {
     val bands = fph.select(col("video_id"), col("pos"), explode(array(
         struct(lit(0).as("band"), col("b0").as("v")),
         struct(lit(1).as("band"), col("b1").as("v")),
@@ -313,7 +324,12 @@ object AviMjpeg {
         struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
       .select(col("video_id"), col("pos"),
         col("e.band").as("band"), col("e.v").as("v"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val qualified = bands.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("pos", "band", "v")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = qualified.as("a").join(qualified.as("b"),
         col("a.pos") === col("b.pos") && col("a.band") === col("b.band") &&
           col("a.v") === col("b.v") && col("a.video_id") < col("b.video_id"))
       .select(col("a.video_id").as("video_a"), col("b.video_id").as("video_b"))

@@ -136,6 +136,28 @@ class AviMjpegSpec extends AnyFunSuite {
     assert(!AviMjpeg.isAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
   }
 
+  test("hot-bucket suppression: over-wide buckets generate no candidates, cool pairs survive") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // 5 videos share EVERY band value (the blank-frame class): with
+    // maxBucket=4 all their buckets are hot -> zero pairs from them.
+    // 2 more share a distinct cool hash -> exactly one verified pair.
+    val hot = for (v <- 1L to 5L; p <- 0 to 2)
+      yield AviMjpeg.FrameHash(v, p, 7, 7, 7, 7)
+    val cool = for (v <- Seq(100L, 101L); p <- 0 to 2)
+      yield AviMjpeg.FrameHash(v, p, 9, 1, 2, 3)
+    val fph = spark.createDataset(hot ++ cool).toDF()
+    val out = AviMjpeg.videoDupPairs(fph, maxHamming = 8, minMatch = 2,
+      maxBucket = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 100L && out.head.getLong(1) == 101L)
+    assert(out.head.getInt(2) == 3 && out.head.getInt(3) == 0)
+    // with the cap lifted the hot class pairs reappear (5 choose 2 + 1)
+    val uncapped = AviMjpeg.videoDupPairs(fph, maxHamming = 8, minMatch = 2,
+      maxBucket = 1000).collect()
+    assert(uncapped.length == 11)
+  }
+
   test("square-wave pitch detector finds the planted full period") {
     val spark = SparkSpec.session
     import spark.implicits._
