@@ -4757,6 +4757,63 @@ object ScaleQueries {
           |ORDER BY video_a, video_b""".stripMargin),
       doc = "Video near-dup: keyframe-sampled per-frame aHash over REAL demuxed+decoded MJPEG frames, position-aligned band blocking, 2-of-3 majority verify"),
 
+    // The mixed-container video corpus: HALF the videos are MJPEG AVIs,
+    // half sampled MP4s (real ISO-BMFF sample table: stsd 'jpeg', stsz
+    // sizes, stco chunk offsets, stsc runs — Mp4Mjpeg), planted with the
+    // IDENTICAL scene plan, run through ONE operator. The oracle is
+    // container-independent by construction — that's the claim being
+    // checked: the demux layer is transparent to the analytics above it.
+    "mm_mixed_video_cuts" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id")).as[Long]
+        val avi = AviMjpeg.mediaAviVideos(ids.filter(id => (id / 4) % 2 == 0))
+        val mp4 = AviMjpeg.mediaMp4Videos(ids.filter(id => (id / 4) % 2 == 1))
+        AviMjpeg.sceneCuts(avi.union(mp4), threshold = 16)
+          .toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + ((doc_id // 8) % 3) * 8 AS w,
+          |    16 + ((doc_id // 24) % 3) * 8 AS h,
+          |    3 + (doc_id // 8) % 4 AS nf
+          |  FROM documents WHERE doc_id % 4 = 1),
+          |fr AS (
+          |  SELECT doc_id, w, h, nf, f, doc_id * 131 + (f // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 6)) AS f) fs
+          |  WHERE f < nf),
+          |blk AS (
+          |  SELECT doc_id, w, h, f, bx, by,
+          |    ((bx * 7 + by * 13 + s * 31
+          |      + ((bx * 73 + by * 151 + s * 97) % 251)
+          |      * ((bx * 31 + by * 17 + s * 61) % 241)
+          |      + CASE WHEN bx = 0 THEN (f % 2) * 2 ELSE 0 END) % 256) AS v
+          |  FROM fr,
+          |    (SELECT unnest(generate_series(0, 3)) AS bx) bxs,
+          |    (SELECT unnest(generate_series(0, 3)) AS by) bys
+          |  WHERE bx < w // 8 AND by < h // 8),
+          |diff AS (
+          |  SELECT doc_id, f,
+          |    SUM(ABS(v - pv)) * 64 // (MAX(w) * MAX(h)) AS mad
+          |  FROM (SELECT doc_id, w, h, f, bx, by, v,
+          |          LAG(v) OVER (PARTITION BY doc_id, bx, by ORDER BY f) AS pv
+          |        FROM blk) x
+          |  WHERE pv IS NOT NULL
+          |  GROUP BY doc_id, f),
+          |agg AS (
+          |  SELECT doc_id,
+          |    COUNT(*) FILTER (WHERE mad > 16) AS n_cuts,
+          |    COALESCE(MIN(f) FILTER (WHERE mad > 16), -1) AS first_cut,
+          |    SUM(mad) AS sum_mad
+          |  FROM diff GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+          |  CAST(d.nf AS INT) AS n_frames, CAST(a.n_cuts AS INT) AS n_cuts,
+          |  CAST(a.first_cut AS INT) AS first_cut,
+          |  CAST(a.sum_mad AS BIGINT) AS sum_mad
+          |FROM d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "Scene cuts over a MIXED video corpus (MJPEG-AVI + sample-table MP4): one operator, container-independent verdicts, both demux paths hash-checked"),
+
     // Baseline COLOR JPEG (round 10): SOF0 with three components and
     // 4:2:0 interleaved MCUs — the generic T.81 decode path (per-
     // component sampling factors, DC predictors, table ids) over planted

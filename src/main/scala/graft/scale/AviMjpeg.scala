@@ -214,13 +214,44 @@ object AviMjpeg {
     }
   }
 
-  /** Scene-cut detection over REAL decoded video: parse the avih header,
-    * demux every frame, entropy-decode each through the T.81 JPEG
-    * decoder, then MAD(f) = Σ|p_f − p_{f−1}| / (w·h) (floor) between
-    * consecutive frames; a cut where MAD > threshold. Videos whose
-    * demuxed frame count disagrees with the header, or with any
-    * undecodable frame, are skipped (poison posture). first_cut = −1
-    * when no cut fires.
+  /** The same planted videos in the OTHER real container: sampled MP4
+    * (sample-table MJPEG, [[Mp4Mjpeg.wrap]]) — content identical to
+    * [[mediaAviVideos]] frame-for-frame, so a mixed-container corpus
+    * carries one container-independent oracle.
+    */
+  def mediaMp4Videos(ids: Dataset[Long], shift: Long = 0L,
+                     cloneEdit: Int = 0): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val frames = (0 until videoFrameCount(id)).map(f =>
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, cloneEdit)))
+        Multimodal.MediaRecord(id + shift, "video", Mp4Mjpeg.wrap(w, h, frames))
+      }
+    }
+  }
+
+  /** Container-agnostic video demux: sniff AVI vs ISO-BMFF and return
+    * (width, height, frames) from the real container structures — AVI
+    * avih + movi chunks, or the MP4 sample table. None when the header
+    * and the demuxed frame count disagree (AVI) or anything is malformed.
+    */
+  private[graft] def demuxAnyVideo(b: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Byte]])] =
+    if (isAvi(b))
+      for {
+        (w, h, nf) <- parseAviHeader(b)
+        fr <- demux(b) if fr.length == nf
+      } yield (w, h, fr)
+    else Mp4Mjpeg.demuxSamples(b)
+
+  /** Scene-cut detection over REAL decoded video (AVI or sampled MP4):
+    * demux every frame via the container's real structures, entropy-
+    * decode each through the T.81 JPEG decoder, then MAD(f) =
+    * Σ|p_f − p_{f−1}| / (w·h) (floor) between consecutive frames; a cut
+    * where MAD > threshold. Videos whose demuxed frame count disagrees
+    * with the header, or with any undecodable frame, are skipped (poison
+    * posture). first_cut = −1 when no cut fires.
     */
   final case class VideoScenes(doc_id: Long, width: Int, height: Int,
                                n_frames: Int, n_cuts: Int, first_cut: Int,
@@ -232,8 +263,8 @@ object AviMjpeg {
     ds.mapPartitions { it =>
       it.flatMap { r =>
         val parsed = for {
-          (w, h, nf) <- parseAviHeader(r.payload)
-          frames <- demux(r.payload) if frames.length == nf && nf > 0
+          (w, h, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
+          nf = frames.length
           imgs = frames.flatMap(JpegGray.jpegDecodeGray(_)) if imgs.length == nf
         } yield {
           var nCuts = 0
@@ -280,8 +311,7 @@ object AviMjpeg {
     ds.mapPartitions { it =>
       it.flatMap { r =>
         (for {
-          _ <- parseAviHeader(r.payload)
-          frames <- demux(r.payload) if frames.nonEmpty
+          (_, _, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
         } yield {
           val nf = frames.length
           val kk = math.min(k, nf)
