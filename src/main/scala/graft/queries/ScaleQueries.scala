@@ -4915,6 +4915,109 @@ object ScaleQueries {
           |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Container-sniffed 8x8 thumbnails over a MIXED image corpus: PNG + grayscale JPEG + color JPEG luma, one operator, all three decode paths hash-checked"),
 
+    // Video admission (batch form of streaming/StreamingVideoAdmission):
+    // keyframe hashes of the batch probed against a persisted-shape band
+    // index, index buckets wider than 64 suppressed, keyframe-majority
+    // verify. Batch = genuinely novel videos + clones of INDEXED videos
+    // that were both edited (every frame's left block column shifted) AND
+    // re-containered from AVI to sampled MP4 — the verdicts must be
+    // container-blind. The oracle replays the full pixel → hash → band →
+    // cap → candidate → majority chain for every batch video.
+    "mm_admit_video" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val idxIds = docs(s, dir).filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id")).as[Long]
+        val novelIds = docs(s, dir).filter(col("doc_id") % 8 === 4)
+          .select(col("doc_id")).as[Long]
+        val index = AviMjpeg.videoBandRows(
+          AviMjpeg.keyframeHashes(AviMjpeg.mediaAviVideos(idxIds), k = 3).toDF())
+        val batchMedia = AviMjpeg.mediaAviVideos(novelIds)
+          .union(AviMjpeg.mediaMp4Videos(idxIds, shift = 700000L, cloneEdit = 24))
+        // barrier: the band probe and the verify side re-read the hashes
+        val batchFph = graft.Caches.lazyBarrier(
+          AviMjpeg.keyframeHashes(batchMedia, k = 3).toDF())
+        AviMjpeg.admitAgainstVideos(index, batchFph, maxHamming = 8, minMatch = 2)
+          .orderBy("video_id")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit, 'index' AS side
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id, doc_id, 0, 'batch'
+          |  FROM documents WHERE doc_id % 8 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 24, 'batch'
+          |  FROM documents WHERE doc_id % 8 = 0),
+          |d AS (
+          |  SELECT vid, oid, cedit, side,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |fp AS (
+          |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+          |    oid * 131 + (((p * nf) // 3) // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |ibands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON s.vid = b.vid AND s.side = 'index'),
+          |bcnt AS (SELECT p, band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2, 3),
+          |qiband AS (
+          |  SELECT i.vid, i.p, i.band, i.v FROM ibands i
+          |  JOIN bcnt c ON i.p = c.p AND i.band = c.band AND i.v = c.v
+          |  WHERE c.n <= 64),
+          |bbands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON s.vid = b.vid AND s.side = 'batch'),
+          |cand AS (
+          |  SELECT DISTINCT b.vid AS bvid, i.vid AS ivid
+          |  FROM bbands b JOIN qiband i
+          |    ON b.p = i.p AND b.band = i.band AND b.v = i.v),
+          |hm AS (
+          |  SELECT c.bvid, c.ivid,
+          |    bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+          |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3))
+          |      AS ham
+          |  FROM cand c
+          |  JOIN fph pb ON pb.vid = c.bvid
+          |  JOIN fph pi ON pi.vid = c.ivid AND pi.p = pb.p),
+          |dup AS (
+          |  SELECT bvid FROM hm GROUP BY bvid, ivid
+          |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2)
+          |SELECT s.vid AS video_id,
+          |  s.vid IN (SELECT bvid FROM dup) AS is_dup
+          |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
+      doc = "Video admission: keyframe-hash probe vs a band index, hot buckets suppressed, keyframe-majority verdicts — clones re-containered AVI->MP4, container-blind and hash-checked"),
+
     // Pitch/periodicity detection over REAL decoded PCM16: planted square
     // waves (half-period 3..16 → full period 6..32, inside the lag
     // window), integer autocorrelation R(L) for L in [2, 32], argmax with

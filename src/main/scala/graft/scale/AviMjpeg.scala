@@ -345,6 +345,23 @@ object AviMjpeg {
     * band half the corpus shares carries no discriminative signal anyway;
     * pairs whose every key is hot are the documented recall cost.
     */
+  /** Keyframe hashes melted to band rows, CARRYING the full four-band
+    * hash (the [[MediaDedup.bandRows]] fused-verify trick): one row per
+    * (video, pos, band). This is the persisted video-admission index
+    * schema — the band-0 rows double as the per-(video, pos) hash table,
+    * so the index needs no second file.
+    */
+  def videoBandRows(fph: DataFrame): DataFrame =
+    fph.select(col("video_id"), col("pos"), explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("e"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+      .select(col("video_id"), col("pos"),
+        col("e.band").as("band"), col("e.v").as("v"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+
   def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
                     minMatch: Int = 2, maxBucket: Int = 64): DataFrame = {
     val bands = fph.select(col("video_id"), col("pos"), explode(array(
@@ -376,5 +393,55 @@ object AviMjpeg {
       .agg(sum(when(col("ham") <= maxHamming, 1).otherwise(0)).cast("int").as("n_match"),
         max(col("ham")).as("max_ham"))
       .filter(col("n_match") >= minMatch)
+  }
+
+  /** Intra-batch duplicate videos: the larger id of every verified pair
+    * drops, the smaller survives — [[MediaDedup.phashDuplicates]]'
+    * convention lifted to keyframe majority.
+    */
+  def videoDuplicates(fph: DataFrame, maxHamming: Int = 8, minMatch: Int = 2,
+                      maxBucket: Int = 64): DataFrame =
+    videoDupPairs(fph, maxHamming, minMatch, maxBucket)
+      .select(col("video_b").as("video_id")).distinct()
+
+  /** Admission verdicts for a batch of keyframe hashes against a
+    * persisted index of [[videoBandRows]]: candidates from the
+    * (pos, band, v) bucket join — both sides restricted to buckets no
+    * wider than `maxBucket` on the index side (the same hot-key
+    * discipline as [[videoDupPairs]]; an index bucket the whole corpus
+    * shares carries no signal and would make the probe O(index)) — then
+    * keyframe-majority Hamming verify against the index's band-0 rows
+    * (which carry the full hash). Returns (video_id, is_dup) covering
+    * EVERY batch video. Only ints move; payloads stay at the decode site.
+    */
+  def admitAgainstVideos(index: DataFrame, batchFph: DataFrame,
+                         maxHamming: Int = 8, minMatch: Int = 2,
+                         maxBucket: Int = 64): DataFrame = {
+    val idxQualified = index.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("pos", "band", "v")))
+      .filter(col("bucket_n") <= maxBucket)
+    val cand = videoBandRows(batchFph)
+      .select(col("video_id").as("bvid"), col("pos"), col("band"), col("v"))
+      .join(idxQualified.select(col("video_id").as("ivid"),
+        col("pos"), col("band"), col("v")), Seq("pos", "band", "v"))
+      .select("bvid", "ivid").distinct()
+    val bh = batchFph.select(col("video_id").as("bvid"), col("pos"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val ih = index.filter(col("band") === 0)
+      .select(col("video_id").as("ivid"), col("pos"),
+        col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    val dup = cand.join(bh, Seq("bvid")).join(ih, Seq("ivid", "pos"))
+      .withColumn("ham", expr(
+        "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+      .groupBy("bvid", "ivid")
+      .agg(sum(when(col("ham") <= maxHamming, 1).otherwise(0)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .select(col("bvid").as("video_id")).distinct()
+      .withColumn("dup", lit(true))
+    batchFph.select("video_id").distinct()
+      .join(dup, Seq("video_id"), "left")
+      .select(col("video_id"), coalesce(col("dup"), lit(false)).as("is_dup"))
   }
 }

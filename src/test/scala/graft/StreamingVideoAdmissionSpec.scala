@@ -1,0 +1,120 @@
+package graft
+
+import graft.scale.{AviMjpeg, JpegGray}
+import graft.streaming.StreamingVideoAdmission
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+final case class Vid(doc_id: Long, payload: Array[Byte])
+
+/** Streaming video admission: keyframe-hash dedup over REAL demuxed +
+  * entropy-decoded frames — cross-batch through the parquet band index
+  * only, intra-batch via the position-aligned band join with keyframe-
+  * majority verify, container-agnostic (AVI and MP4 of the same content
+  * collide), undecodable payloads audited, replay idempotent.
+  */
+class StreamingVideoAdmissionSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("d").toString
+
+  private def avi(seed: Long, cloneEdit: Int = 0): Array[Byte] = {
+    val (w, h) = AviMjpeg.videoDims(seed)
+    AviMjpeg.wrap(w, h, fps = 10, (0 until AviMjpeg.videoFrameCount(seed)).map(
+      f => JpegGray.jpegEncodeGray(w, h, AviMjpeg.videoFramePixels(seed, f, cloneEdit))))
+  }
+
+  private def mp4(seed: Long): Array[Byte] = {
+    val (w, h) = AviMjpeg.videoDims(seed)
+    graft.scale.Mp4Mjpeg.wrap(w, h, (0 until AviMjpeg.videoFrameCount(seed)).map(
+      f => JpegGray.jpegEncodeGray(w, h, AviMjpeg.videoFramePixels(seed, f, 0))))
+  }
+
+  test("cross-batch dup via index (even cross-CONTAINER), intra pair keeps smaller id, poison audited, replay idempotent") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("vadm-index")
+    val admittedDir = tmp("vadm-out")
+    val rejectedDir = tmp("vadm-side")
+
+    val input = MemoryStream[Vid]
+    val q = StreamingVideoAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("vadm-ckpt"),
+      rejectedDir = Some(rejectedDir))
+    try {
+      // batch 0: two distinct videos seed the index (one AVI, one MP4)
+      input.addData(Vid(1L, avi(8L)), Vid(2L, mp4(48L)))
+      q.processAllAvailable()
+      // batch 1: 4 = the INDEXED video 1's content re-containered as MP4
+      // (cross-batch AND cross-container dup); 3 = novel; (5, 6) =
+      // intra-batch identical pair; 7 = not a video at all
+      input.addData(Vid(4L, mp4(8L)), Vid(3L, avi(96L)),
+        Vid(5L, avi(184L)), Vid(6L, avi(184L)),
+        Vid(7L, "definitely not a video".getBytes("UTF-8")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 2L, 3L, 5L), s"got $admitted")
+
+    val rej = spark.read.parquet(rejectedDir)
+      .select("doc_id", "reason", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue)).toSet
+    assert(rej == Set((4L, "index_dup", 1L), (6L, "intra_batch_dup", 1L),
+      (7L, "undecodable", 1L)), s"got $rej")
+    assert((admitted ++ rej.map(_._1)) == (1L to 7L).toSet)
+    assert(admitted.intersect(rej.map(_._1)) == Set.empty)
+
+    // the index holds 12 band rows (3 pos x 4 bands) per ADMITTED video
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("video_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+    assert(idx.count() == 4L * 12L)
+
+    // replay idempotency: re-admitting batch 0 overwrites its partitions
+    val before = idx.count()
+    StreamingVideoAdmission.admitBatch(
+      Seq(Vid(1L, avi(8L)), Vid(2L, mp4(48L))).toDF(), 0L,
+      indexDir, admittedDir, rejectedDir = Some(rejectedDir))
+    assert(spark.read.parquet(indexDir).count() == before)
+    assert(spark.read.parquet(admittedDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() == 1)
+  }
+
+  test("re-encoded near-clone (every frame's left block column shifted) is rejected by keyframe majority") {
+    import spark.implicits._
+    // the edit-24 clone is only hash-close for SOME content (the detector's
+    // recall is < 1 by design and measured elsewhere); pick a seed whose
+    // clone provably satisfies the keyframe majority at the HASH level —
+    // block-constant content decodes bit-exactly, so direct planted pixels
+    // equal decoded pixels — then assert the admission PLUMBING rejects it
+    def hashes(s: Long, edit: Int): Seq[(Int, Int, Int, Int)] = {
+      val (w, h) = AviMjpeg.videoDims(s)
+      val nf = AviMjpeg.videoFrameCount(s)
+      (0 until 3).map { p =>
+        graft.scale.Multimodal.aHash64(graft.scale.Multimodal.PngImage(w, h,
+          AviMjpeg.videoFramePixels(s, p * nf / 3, edit))).get
+      }
+    }
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    def bandMatch(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Boolean =
+      a._1 == b._1 || a._2 == b._2 || a._3 == b._3 || a._4 == b._4
+    val seed = (8L to 2000L by 8L).find { s =>
+      val (o, c) = (hashes(s, 0), hashes(s, 24))
+      o.zip(c).count { case (a, b) => ham(a, b) <= 8 } >= 2 &&
+        o.zip(c).exists { case (a, b) => bandMatch(a, b) } // candidate exists
+    }.getOrElse(fail("no majority-close clone seed in range"))
+    val indexDir = tmp("vnear-index")
+    val admittedDir = tmp("vnear-out")
+    StreamingVideoAdmission.admitBatch(
+      Seq(Vid(10L, avi(seed))).toDF(), 0L, indexDir, admittedDir)
+    StreamingVideoAdmission.admitBatch(
+      Seq(Vid(11L, avi(seed, cloneEdit = 24))).toDF(), 1L, indexDir, admittedDir)
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(10L),
+      s"the re-encoded near-clone (seed $seed) must be rejected by keyframe majority, got $admitted")
+  }
+}
