@@ -4814,6 +4814,51 @@ object ScaleQueries {
           |FROM d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
       doc = "Scene cuts over a MIXED video corpus (MJPEG-AVI + sample-table MP4): one operator, container-independent verdicts, both demux paths hash-checked"),
 
+    // Truecolor PNG (round 10): color type 2, three full-resolution
+    // channels through the byte-wise scanline filters (`left` = 3 bytes
+    // back — the only place channel count enters the codec). PNG is
+    // lossless, so ALL channels hash-check without the block-constant
+    // trick; the luma is the exact Rec.601 fixed-point integer the
+    // oracle recomputes, and decodeGray's RGB fallback feeds truecolor
+    // corpora to every existing gray operator.
+    "mm_png_rgb_stats" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.rgbStats(
+            Multimodal.mediaPngRgb(docs(s, dir).filter(col("doc_id") % 4 === 0)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 17 AS h
+          |  FROM documents WHERE doc_id % 4 = 0),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    ${sqlPlantedPixel("doc_id", "0")} AS rv,
+          |    ${sqlPlantedPixel("(doc_id + 3000007)", "0")} AS gv,
+          |    ${sqlPlantedPixel("(doc_id + 4000009)", "0")} AS bv
+          |  FROM d,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |lum AS (
+          |  SELECT doc_id, w, h, y, x, rv, gv, bv,
+          |    (rv * 77 + gv * 151 + bv * 28) // 256 AS lv
+          |  FROM px),
+          |tvd AS (
+          |  SELECT doc_id,
+          |    ABS(lv - LAG(lv) OVER (PARTITION BY doc_id, y ORDER BY x)) AS dd
+          |  FROM lum),
+          |tv AS (SELECT doc_id, SUM(dd) AS luma_tv FROM tvd GROUP BY doc_id)
+          |SELECT p.doc_id, CAST(MAX(p.w) AS INT) AS width,
+          |  CAST(MAX(p.h) AS INT) AS height,
+          |  CAST(SUM(p.rv) // COUNT(*) AS INT) AS r_mean,
+          |  CAST(SUM(p.gv) // COUNT(*) AS INT) AS g_mean,
+          |  CAST(SUM(p.bv) // COUNT(*) AS INT) AS b_mean,
+          |  CAST(SUM(p.lv) // COUNT(*) AS INT) AS luma_mean,
+          |  CAST(MAX(t.luma_tv) AS BIGINT) AS luma_tv
+          |FROM lum p JOIN tv t ON p.doc_id = t.doc_id
+          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+      doc = "REAL truecolor PNG: byte-wise filter recon over interleaved RGB, per-channel + exact-integer-luma stats hash-checked against the three planting formulas"),
+
     // Baseline COLOR JPEG (round 10): SOF0 with three components and
     // 4:2:0 interleaved MCUs — the generic T.81 decode path (per-
     // component sampling factors, DC predictors, table ids) over planted

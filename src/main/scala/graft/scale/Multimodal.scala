@@ -474,25 +474,30 @@ object Multimodal {
     be4(data.length.toLong) ++ td ++ be4(crc.getValue)
   }
 
-  /** Encode a grayscale-8 image as a REAL PNG: IHDR, zlib-deflated
-    * scanlines split across TWO IDAT chunks (so the decoder's
-    * concatenation path is exercised), IEND — every chunk CRC'd. Row r
-    * uses filter type r % 5, so a round-trip covers all five spec
-    * filters, not just None.
+  /** Filter + deflate + frame scanlines as a REAL PNG (shared by the
+    * gray-8 and RGB-8 encoders): IHDR with the given color type,
+    * zlib-deflated scanlines split across TWO IDAT chunks (so the
+    * decoder's concatenation path is exercised), IEND — every chunk
+    * CRC'd. Row r uses filter type r % 5, so a round-trip covers all
+    * five spec filters. Filters operate on BYTES with `left` = the byte
+    * `bpp` positions back, per spec §9 — the only place channel count
+    * enters the scanline codec.
     */
-  private[graft] def pngEncodeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
-    require(px.length == w * h, s"pixel buffer ${px.length} != $w x $h")
-    val raw = new Array[Byte](h * (w + 1))
+  private def pngEncode(w: Int, h: Int, data: Array[Byte], bpp: Int,
+                        colorType: Int): Array[Byte] = {
+    require(data.length == w * h * bpp, s"buffer ${data.length} != $w x $h x $bpp")
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
     var r = 0
     while (r < h) {
       val ft = r % 5
-      raw(r * (w + 1)) = ft.toByte
-      var x = 0
-      while (x < w) {
-        val cur = px(r * w + x) & 0xff
-        val left = if (x > 0) px(r * w + x - 1) & 0xff else 0
-        val up = if (r > 0) px((r - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+      raw(r * (stride + 1)) = ft.toByte
+      var j = 0
+      while (j < stride) {
+        val cur = data(r * stride + j) & 0xff
+        val left = if (j >= bpp) data(r * stride + j - bpp) & 0xff else 0
+        val up = if (r > 0) data((r - 1) * stride + j) & 0xff else 0
+        val ul = if (j >= bpp && r > 0) data((r - 1) * stride + j - bpp) & 0xff else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur - left
@@ -500,8 +505,8 @@ object Multimodal {
           case 3 => cur - (left + up) / 2
           case _ => cur - paeth(left, up, ul)
         }
-        raw(r * (w + 1) + 1 + x) = (v & 0xff).toByte
-        x += 1
+        raw(r * (stride + 1) + 1 + j) = (v & 0xff).toByte
+        j += 1
       }
       r += 1
     }
@@ -514,22 +519,31 @@ object Multimodal {
     val z = out.toByteArray
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val ihdr = pngChunk("IHDR", be4(w.toLong) ++ be4(h.toLong) ++
-      Array[Byte](8, 0, 0, 0, 0)) // depth 8, color 0 (gray), std compress/filter/interlace
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
     val (z1, z2) = z.splitAt(z.length / 2)
     sig ++ ihdr ++ pngChunk("IDAT", z1) ++ pngChunk("IDAT", z2) ++
       pngChunk("IEND", Array.empty[Byte])
   }
 
-  /** Decode a grayscale-8 PNG to its true pixel grid: signature sniff,
-    * chunk walk with CRC32 verification on every chunk, multi-IDAT
-    * concatenation, zlib inflate, and full un-filtering (all five spec
-    * filter types via the Paeth predictor). Returns None — never throws —
-    * on anything malformed (bad CRC, truncated stream, wrong color
-    * type/depth, oversized dims), the same poison-tolerance posture as
-    * [[parseHeader]]. Color types other than grayscale-8 are out of this
-    * decoder's declared scope.
+  /** Encode a grayscale-8 image as a REAL PNG (color type 0). */
+  private[graft] def pngEncodeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    pngEncode(w, h, px, bpp = 1, colorType = 0)
+
+  /** Encode an interleaved RGB-8 image as a REAL PNG (color type 2). */
+  private[graft] def pngEncodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    pngEncode(w, h, rgb, bpp = 3, colorType = 2)
+
+  /** Chunk walk + inflate + un-filter core (shared by the gray-8 and
+    * RGB-8 decoders): signature sniff, CRC32 verification on every
+    * chunk, multi-IDAT concatenation, zlib inflate, and full
+    * un-filtering (all five spec filter types via the Paeth predictor,
+    * byte-wise with `left` = `bpp` bytes back per spec §9). Returns
+    * (w, h, recon bytes) or None — never throws — on anything malformed
+    * (bad CRC, truncated stream, wrong color type/depth, oversized
+    * dims), the same poison-tolerance posture as [[parseHeader]].
     */
-  private[graft] def pngDecodeGray(b: Array[Byte]): Option[PngImage] = {
+  private def pngDecode(b: Array[Byte], wantColor: Int,
+                        bpp: Int): Option[(Int, Int, Array[Byte])] = {
     try {
       if (b.length < 8 || !PngSig.indices.forall(i => (b(i) & 0xff) == PngSig(i)))
         return None
@@ -549,8 +563,8 @@ object Multimodal {
             if (len != 13 || ihdrSeen) return None
             w = u32be(b, i + 8).toInt; h = u32be(b, i + 12).toInt
             val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
-            if (depth != 8 || color != 0 || b(i + 18) != 0 || b(i + 19) != 0 ||
-                b(i + 20) != 0) return None
+            if (depth != 8 || color != wantColor || b(i + 18) != 0 ||
+                b(i + 19) != 0 || b(i + 20) != 0) return None
             if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
             ihdrSeen = true
           case "IDAT" =>
@@ -562,9 +576,10 @@ object Multimodal {
         i += 12 + len
       }
       if (!ihdrSeen || !iendSeen || idat.size == 0) return None
+      val stride = w * bpp
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte](h * (w + 1))
+      val raw = new Array[Byte](h * (stride + 1))
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
@@ -573,17 +588,17 @@ object Multimodal {
       }
       inf.end()
       if (off != raw.length) return None
-      val px = new Array[Byte](w * h)
+      val px = new Array[Byte](h * stride)
       var r = 0
       while (r < h) {
-        val ft = raw(r * (w + 1)) & 0xff
+        val ft = raw(r * (stride + 1)) & 0xff
         if (ft > 4) return None
-        var x = 0
-        while (x < w) {
-          val v = raw(r * (w + 1) + 1 + x) & 0xff
-          val left = if (x > 0) px(r * w + x - 1) & 0xff else 0
-          val up = if (r > 0) px((r - 1) * w + x) & 0xff else 0
-          val ul = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+        var j = 0
+        while (j < stride) {
+          val v = raw(r * (stride + 1) + 1 + j) & 0xff
+          val left = if (j >= bpp) px(r * stride + j - bpp) & 0xff else 0
+          val up = if (r > 0) px((r - 1) * stride + j) & 0xff else 0
+          val ul = if (j >= bpp && r > 0) px((r - 1) * stride + j - bpp) & 0xff else 0
           val rec = ft match {
             case 0 => v
             case 1 => v + left
@@ -591,13 +606,42 @@ object Multimodal {
             case 3 => v + (left + up) / 2
             case _ => v + paeth(left, up, ul)
           }
-          px(r * w + x) = (rec & 0xff).toByte
-          x += 1
+          px(r * stride + j) = (rec & 0xff).toByte
+          j += 1
         }
         r += 1
       }
-      Some(PngImage(w, h, px))
+      Some((w, h, px))
     } catch { case _: Throwable => None }
+  }
+
+  /** Decode a grayscale-8 PNG (color type 0) to its true pixel grid. */
+  private[graft] def pngDecodeGray(b: Array[Byte]): Option[PngImage] =
+    pngDecode(b, wantColor = 0, bpp = 1).map { case (w, h, px) => PngImage(w, h, px) }
+
+  /** A decoded truecolor image: row-major interleaved 8-bit RGB. */
+  final case class RgbImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decode a truecolor RGB-8 PNG (color type 2). */
+  private[graft] def pngDecodeRgb(b: Array[Byte]): Option[RgbImage] =
+    pngDecode(b, wantColor = 2, bpp = 3).map { case (w, h, px) => RgbImage(w, h, px) }
+
+  /** Integer luma of an RGB image — Rec.601 fixed point with a 256
+    * denominator ((77·R + 151·G + 28·B) >> 8), exact and
+    * oracle-replayable, the deterministic bridge that feeds truecolor
+    * PNGs to every grayscale pixel operator.
+    */
+  private[graft] def rgbLuma(img: RgbImage): PngImage = {
+    val out = new Array[Byte](img.width * img.height)
+    var i = 0
+    while (i < out.length) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val bch = img.rgb(3 * i + 2) & 0xff
+      out(i) = ((r * 77 + g * 151 + bch * 28) >> 8).toByte
+      i += 1
+    }
+    PngImage(img.width, img.height, out)
   }
 
   /** Decoded PCM16 audio: interleaved signed samples. */
@@ -878,7 +922,9 @@ object Multimodal {
       // grayscale fast path, then the generic 1-or-3-component decoder's
       // luma plane — so COLOR baseline JPEGs feed the same pixel operators
       JpegGray.jpegDecodeGray(b).orElse(JpegGray.jpegDecodeLuma(b))
-    else pngDecodeGray(b)
+    else
+      // gray-8 fast path, then truecolor RGB-8 via the exact integer luma
+      pngDecodeGray(b).orElse(pngDecodeRgb(b).map(rgbLuma))
 
   /** Block-mean 8-bit downsample of a decoded grayscale image to
     * side×side: destination cell of pixel (y, x) is (y·side/h, x·side/w)
@@ -1031,6 +1077,72 @@ object Multimodal {
     * byte stub). Peak ties to the first maximum; trailing partial frame
     * dropped; undecodable payloads skipped.
     */
+  /** Fixture docs as REAL truecolor PNGs: three full-resolution planted
+    * channels (R seeded by doc_id, G by +3000007, B by +4000009)
+    * interleaved per spec. No subsampling — PNG is lossless, so ALL
+    * three channels hash-check without the block-constant trick.
+    */
+  def mediaPngRgb(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = pixDims(id)
+        val r = plantedPixels(w, h, id)
+        val g = plantedPixels(w, h, id + 3000007L)
+        val bl = plantedPixels(w, h, id + 4000009L)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = r(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = bl(i)
+          i += 1
+        }
+        MediaRecord(id, "image", pngEncodeRgb(w, h, rgb))
+      }
+    }
+  }
+
+  /** Per-image statistics from REAL decoded RGB: floor-means per channel,
+    * the integer-luma mean, and the luma horizontal total variation. All
+    * integer; undecodable payloads skipped.
+    */
+  final case class RgbStats(doc_id: Long, width: Int, height: Int,
+                            r_mean: Int, g_mean: Int, b_mean: Int,
+                            luma_mean: Int, luma_tv: Long)
+
+  def rgbStats(ds: Dataset[MediaRecord]): Dataset[RgbStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        pngDecodeRgb(rec.payload) match {
+          case Some(img) =>
+            val n = img.width * img.height
+            val luma = rgbLuma(img).pixels
+            var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var tv = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              var prev = 0
+              while (x < img.width) {
+                val i = y * img.width + x
+                sr += img.rgb(3 * i) & 0xff
+                sg += img.rgb(3 * i + 1) & 0xff
+                sb += img.rgb(3 * i + 2) & 0xff
+                val l = luma(i) & 0xff
+                sl += l
+                if (x > 0) tv += math.abs(l - prev)
+                prev = l
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(RgbStats(rec.doc_id, img.width, img.height,
+              (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, (sl / n).toInt, tv))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Color-image dims: multiples of 16 (complete 4:2:0 MCUs, chroma
     * planes exactly half) so the lossy color roundtrip carries the same
     * bit-exactness argument as the grayscale block-constant class.

@@ -92,6 +92,33 @@ class PngPixelSpec extends AnyFunSuite {
     assert(Multimodal.wavDecodePcm16(Multimodal.wavWrap(8000, 1, 8, body)).isEmpty)
   }
 
+  test("truecolor RGB-8 PNG: lossless round trip, byte-wise filters, exact luma dispatch") {
+    for ((w, h, seed) <- Seq((16, 16, 1L), (32, 17, 42L), (3, 7, 9L), (1, 6, 5L))) {
+      val r = img(w, h, seed)
+      val g = img(w, h, seed + 3000007L)
+      val bl = img(w, h, seed + 4000009L)
+      val rgb = new Array[Byte](w * h * 3)
+      for (i <- 0 until w * h) {
+        rgb(3 * i) = r(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = bl(i)
+      }
+      val bytes = Multimodal.pngEncodeRgb(w, h, rgb)
+      val dec = Multimodal.pngDecodeRgb(bytes).get
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.sameElements(rgb), s"RGB drift at ${w}x$h seed=$seed")
+      // the gray decoder must refuse color type 2; dispatch takes the luma
+      assert(Multimodal.pngDecodeGray(bytes).isEmpty)
+      val luma = Multimodal.decodeGray(bytes).get
+      for (i <- 0 until w * h) {
+        val expect = ((r(i) & 0xff) * 77 + (g(i) & 0xff) * 151 +
+          (bl(i) & 0xff) * 28) >> 8
+        assert((luma.pixels(i) & 0xff) == expect, s"luma at $i of ${w}x$h")
+      }
+      // and the RGB decoder must refuse a grayscale payload
+      assert(Multimodal.pngDecodeRgb(
+        Multimodal.pngEncodeGray(w, h, r)).isEmpty)
+    }
+  }
+
   test("planted-pixel edit perturbs only the two leftmost columns") {
     val (w, h) = Multimodal.pixDims(33L)
     val a = Multimodal.plantedPixels(w, h, 33L)
