@@ -4960,6 +4960,119 @@ object ScaleQueries {
           |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Container-sniffed 8x8 thumbnails over a MIXED image corpus: PNG + grayscale JPEG + color JPEG luma, one operator, all three decode paths hash-checked"),
 
+    // The video CAPSTONE: one dataflow from raw mixed-container payloads
+    // to a training manifest — (1) real header/metadata gate (sniffed
+    // container + avih/mvhd frame count ≥ 4; poison payloads fall out as
+    // 'unknown'), (2) keyframe-hash dedup across containers (clones are
+    // edited AND re-containered AVI→MP4; larger id drops), (3) manifest
+    // of survivors with their REAL container metadata. Every stage
+    // oracle-replayed.
+    "mm_video_corpus_prepare" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id")).as[Long]
+        val poison = docs(s, dir).filter(col("doc_id") % 4 === 2)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, t) =>
+            Multimodal.MediaRecord(id, "video", t.getBytes("UTF-8")) }
+        val corpus = AviMjpeg.mediaAviVideos(ids)
+          .union(AviMjpeg.mediaMp4Videos(ids, shift = 700000L, cloneEdit = 24))
+          .union(poison)
+        // barrier: headers feed the gate, the join-back, and the manifest
+        val headers = graft.Caches.lazyBarrier(
+          Multimodal.decodeHeaders(corpus).toDF())
+        val gatedIds = headers
+          .filter(col("media_type") =!= "unknown" && col("n_frames") >= 4)
+          .select("doc_id")
+        val gated = corpus.join(gatedIds, Seq("doc_id"), "left_semi")
+          .as[Multimodal.MediaRecord]
+        val fph = graft.Caches.lazyBarrier(
+          AviMjpeg.keyframeHashes(gated, k = 3).toDF())
+        val dropped = AviMjpeg.videoDuplicates(fph)
+        headers.join(gatedIds, Seq("doc_id"), "left_semi")
+          .join(dropped.select(col("video_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("video_id"),
+            col("media_type").as("container"),
+            col("width"), col("height"), col("n_frames"))
+          .orderBy("video_id")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit, 'avi' AS cont
+          |  FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 24, 'mp4'
+          |  FROM documents WHERE doc_id % 4 = 0),
+          |d AS (
+          |  SELECT vid, oid, cedit, cont,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |gated AS (SELECT * FROM d WHERE nf >= 4),
+          |fp AS (
+          |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+          |    oid * 131 + (((p * nf) // 3) // 2) * 17 AS s
+          |  FROM gated, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |bcnt AS (
+          |  SELECT p, band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2, 3),
+          |qband AS (
+          |  SELECT b.vid, b.p, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.p = c.p AND b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
+          |cand AS (
+          |  SELECT DISTINCT a.vid AS video_a, b.vid AS video_b
+          |  FROM qband a JOIN qband b
+          |    ON a.p = b.p AND a.band = b.band AND a.v = b.v
+          |      AND a.vid < b.vid),
+          |hm AS (
+          |  SELECT c.video_a, c.video_b,
+          |    bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS ham
+          |  FROM cand c
+          |  JOIN fph pa ON pa.vid = c.video_a
+          |  JOIN fph pb ON pb.vid = c.video_b AND pb.p = pa.p),
+          |dropped AS (
+          |  SELECT DISTINCT video_b FROM hm GROUP BY video_a, video_b
+          |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2)
+          |SELECT g2.vid AS video_id, g2.cont AS container,
+          |  CAST(g2.w AS INT) AS width, CAST(g2.h AS INT) AS height,
+          |  CAST(g2.nf AS INT) AS n_frames
+          |FROM gated g2
+          |WHERE g2.vid NOT IN (SELECT video_b FROM dropped)
+          |ORDER BY g2.vid""".stripMargin),
+      doc = "Video capstone: real-metadata gate (poison drops as 'unknown', frame-count floor) -> cross-container keyframe dedup -> survivor manifest, one oracle-replayed dataflow"),
+
     // Video admission (batch form of streaming/StreamingVideoAdmission):
     // keyframe hashes of the batch probed against a persisted-shape band
     // index, index buckets wider than 64 suppressed, keyframe-majority
