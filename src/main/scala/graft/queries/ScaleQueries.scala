@@ -5176,6 +5176,31 @@ object ScaleQueries {
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
       doc = "Video admission: keyframe-hash probe vs a band index, hot buckets suppressed, keyframe-majority verdicts — clones re-containered AVI->MP4, container-blind and hash-checked"),
 
+    // Stereo PCM16 (round 10): the fmt chunk's channel count does real
+    // work — the interleaved stream de-interleaves into L/R planes, and
+    // per-channel energies + the L·R dot (the stereo-correlation feature
+    // a downmix/channel-dedup pass ranks on) hash-check against the two
+    // planting formulas.
+    "mm_audio_stereo" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.audioStereoStats(
+            Multimodal.mediaWavStereo(docs(s, dir).filter(col("doc_id") % 4 === 3)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+          |s AS (
+          |  SELECT doc_id, i,
+          |    (i * 37 + doc_id * 101) % 4001 - 2000 AS l,
+          |    (i * 53 + doc_id * 67) % 4001 - 2000 AS r
+          |  FROM d, (SELECT unnest(generate_series(0, 511)) AS i) ii)
+          |SELECT doc_id, CAST(512 AS INT) AS n_frames,
+          |  CAST(SUM(l * l) AS BIGINT) AS e_left,
+          |  CAST(SUM(r * r) AS BIGINT) AS e_right,
+          |  CAST(SUM(l * r) AS BIGINT) AS dot_lr
+          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "REAL stereo PCM16: channel de-interleave by the fmt channel count, per-channel energies + L*R dot hash-checked against the planting formulas"),
+
     // Pitch/periodicity detection over REAL decoded PCM16: planted square
     // waves (half-period 3..16 → full period 6..32, inside the lag
     // window), integer autocorrelation R(L) for L in [2, 32], argmax with

@@ -1234,6 +1234,63 @@ object Multimodal {
     }
   }
 
+  /** Fixture docs as REAL STEREO PCM16 WAVs: two planted channels
+    * interleaved L,R per frame (the RIFF block layout), L(i) = (i·37 +
+    * id·101) mod 4001 − 2000, R(i) = (i·53 + id·67) mod 4001 − 2000.
+    */
+  def mediaWavStereo(docs: DataFrame, nFrames: Int = 512): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val body = new Array[Byte](nFrames * 4)
+        var i = 0
+        while (i < nFrames) {
+          val l = ((i * 37 + id * 101) % 4001 - 2000).toInt
+          val r = ((i * 53 + id * 67) % 4001 - 2000).toInt
+          body(4 * i) = (l & 0xff).toByte
+          body(4 * i + 1) = ((l >> 8) & 0xff).toByte
+          body(4 * i + 2) = (r & 0xff).toByte
+          body(4 * i + 3) = ((r >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "audio", wavWrap(16000, 2, 16, body))
+      }
+    }
+  }
+
+  /** Per-channel statistics from REAL decoded stereo PCM16: the
+    * interleaved sample stream de-interleaves by the fmt chunk's channel
+    * count (the first time the decoder's `channels` field does real
+    * work), then integer energies per channel and the L·R dot — the
+    * stereo-correlation feature a channel-dedup/downmix pass ranks on.
+    * Mono or undecodable payloads are skipped.
+    */
+  final case class StereoStats(doc_id: Long, n_frames: Int,
+                               e_left: Long, e_right: Long, dot_lr: Long)
+
+  def audioStereoStats(ds: Dataset[MediaRecord]): Dataset[StereoStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavDecodePcm16(r.payload) match {
+          case Some(pcm) if pcm.channels == 2 && pcm.samples.length >= 2 =>
+            val s = pcm.samples
+            val nf = s.length / 2
+            var el = 0L; var er = 0L; var dot = 0L
+            var i = 0
+            while (i < nf) {
+              val l = s(2 * i).toLong
+              val rr = s(2 * i + 1).toLong
+              el += l * l; er += rr * rr; dot += l * rr
+              i += 1
+            }
+            Iterator.single(StereoStats(r.doc_id, nf, el, er, dot))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Pitch/periodicity detection over REAL decoded samples — the
     * classic integer autocorrelation detector: R(L) = Σ s[i]·s[i+L] over
     * the decoded PCM16 samples for L ∈ [2, maxLag], best lag = argmax

@@ -158,6 +158,28 @@ class AviMjpegSpec extends AnyFunSuite {
     assert(uncapped.length == 11)
   }
 
+  test("stereo de-interleave: per-channel energies match a direct computation; mono skipped") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(3L, 7L)).toDF("doc_id")
+    val out = Multimodal.audioStereoStats(Multimodal.mediaWavStereo(docs, nFrames = 64))
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(3L, 7L)) {
+      var el = 0L; var er = 0L; var dot = 0L
+      for (i <- 0 until 64) {
+        val l = (i * 37 + id * 101) % 4001 - 2000
+        val r = (i * 53 + id * 67) % 4001 - 2000
+        el += l * l; er += r * r; dot += l * r
+      }
+      assert(out(id).n_frames == 64)
+      assert(out(id).e_left == el && out(id).e_right == er && out(id).dot_lr == dot)
+    }
+    // a mono WAV must be skipped by the stereo operator, not misread
+    val mono = Multimodal.audioStereoStats(
+      Multimodal.mediaWavSquare(spark.createDataset(Seq(1L)).toDF("doc_id")))
+    assert(mono.collect().isEmpty)
+  }
+
   test("square-wave pitch detector finds the planted full period") {
     val spark = SparkSpec.session
     import spark.implicits._
