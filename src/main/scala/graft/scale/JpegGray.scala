@@ -8,12 +8,15 @@ package graft.scale
   * canonical code generation, Annex K.3 example tables), implemented
   * from the spec — not a ported library.
   *
-  * Scope, stated precisely: baseline DCT (SOF0), 8-bit, SINGLE component
-  * (grayscale), no restart markers, Huffman tables read from the
-  * stream's own DHT segments (so any standard encoder's baseline
-  * grayscale output decodes, not just ours). Progressive (SOF2), chroma
-  * subsampling and restart intervals are out of declared scope → None,
-  * the poison-tolerance posture of every media parser here.
+  * Scope, stated precisely: baseline DCT (SOF0), 8-bit, one component
+  * (grayscale) or three (YCbCr — interleaved MCUs with sampling factors
+  * in {1, 2}; the in-repo encoder emits 4:2:0), restart intervals
+  * (DRI/RSTn with per-restart predictor resets, F.2.1.3.1), Huffman
+  * tables read from the stream's own DHT segments (so any standard
+  * encoder's baseline output decodes, not just ours). Progressive
+  * (SOF2), arithmetic coding and >2 sampling factors are out of
+  * declared scope → None, the poison-tolerance posture of every media
+  * parser here.
   *
   * 100 TB posture: decode is a pure per-row map (mapPartitions over
   * payload bytes, no shuffle); the direct O(64²)-per-block double DCT is
@@ -144,6 +147,19 @@ object JpegGray {
       }
       out.toByteArray
     }
+
+    /** Byte-align (1-fill) and emit a restart marker RSTm (T.81 F.1.2.3:
+      * markers sit on byte boundaries and are NOT byte-stuffed). */
+    def restartMarker(m: Int): Unit = {
+      if (nbits > 0) {
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+      out.write(0xff)
+      out.write(0xd0 + (m & 7))
+    }
   }
 
   private final class BitReader(b: Array[Byte], var pos: Int) {
@@ -181,6 +197,26 @@ object JpegGray {
       }
       if (len > 16 || broken) { broken = true; 0 }
       else t.values(t.valPtr(len) + code - t.minCode(len))
+    }
+
+    /** Consume a restart marker (T.81 F.2.1.3.1): discard the current
+      * byte's pad bits, step over an unread whole-byte padding (stuffed
+      * if it padded to X'FF'), then require FF D0..D7. Sets `broken` and
+      * returns false on anything else.
+      */
+    def restart(): Boolean = {
+      nbits = 0
+      def marker(p: Int): Boolean =
+        p + 1 < b.length && (b(p) & 0xff) == 0xff && {
+          val m = b(p + 1) & 0xff; m >= 0xd0 && m <= 0xd7
+        }
+      if (marker(pos)) { pos += 2; return true }
+      // one unread padding byte may precede the marker
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) == 0x00) pos += 2
+      else pos += 1
+      if (marker(pos)) { pos += 2; true }
+      else { broken = true; false }
     }
   }
 
@@ -348,20 +384,28 @@ object JpegGray {
     * [[FixtureQuant]]).
     */
   private[graft] def jpegEncodeGray(w: Int, h: Int, px: Array[Byte],
-                                    quant: Array[Int] = FixtureQuant): Array[Byte] = {
+                                    quant: Array[Int] = FixtureQuant,
+                                    restartInterval: Int = 0): Array[Byte] = {
     require(px.length == w * h, s"pixel buffer ${px.length} != $w x $h")
     val dcTab = buildEncodeTable(DcBits, DcVals)
     val acTab = buildEncodeTable(AcBits, AcVals)
     val bw = new BitWriter
     val bw2 = (w + 7) / 8
     val bh2 = (h + 7) / 8
+    val nMcu = bw2 * bh2
     var prevDc = 0
+    var mcu = 0
+    var rst = 0
     var by = 0
     while (by < bh2) {
       var bx = 0
       while (bx < bw2) {
         prevDc = encodeBlock(bw, sampleBlock(px, w, h, bx, by),
           quant, dcTab, acTab, prevDc)
+        mcu += 1
+        if (restartInterval > 0 && mcu % restartInterval == 0 && mcu < nMcu) {
+          bw.restartMarker(rst); rst = (rst + 1) & 7; prevDc = 0
+        }
         bx += 1
       }
       by += 1
@@ -375,9 +419,14 @@ object JpegGray {
     def dht(cls: Int, bits: Array[Int], vals: Array[Int]) =
       seg(0xc4, Array(((cls << 4) | 0).toByte) ++ bits.map(_.toByte) ++
         vals.map(_.toByte))
+    val dri =
+      if (restartInterval > 0)
+        seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+          (restartInterval & 0xff).toByte))
+      else Array.empty[Byte]
     val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
     Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++
-      dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ sos ++ scan ++
+      dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ dri ++ sos ++ scan ++
       Array(0xff.toByte, 0xd9.toByte)
   }
 
@@ -418,11 +467,13 @@ object JpegGray {
 
   /** Decode a baseline grayscale JPEG to its true pixel grid: marker
     * walk, DQT/DHT read FROM THE STREAM (any baseline encoder's tables),
-    * SOF0 (single 8-bit component only), Huffman entropy decode with
-    * byte unstuffing, dequantize, de-zigzag, IDCT, level shift, clamp,
-    * crop to the SOF dims. None — never throws — on anything outside the
-    * declared scope or malformed (progressive, multi-component, restart
-    * intervals, truncated scans, undefined tables).
+    * SOF0 (single 8-bit component only), DRI restart intervals (RSTn
+    * consumption + predictor reset), Huffman entropy decode with byte
+    * unstuffing, dequantize, de-zigzag, IDCT, level shift, clamp, crop
+    * to the SOF dims. None — never throws — on anything outside the
+    * declared scope or malformed (progressive, multi-component,
+    * truncated scans, undefined tables). Multi-component baselines
+    * decode via [[jpegDecodeYcc]].
     */
   private[graft] def jpegDecodeGray(b: Array[Byte]): Option[Multimodal.PngImage] = {
     try {
@@ -432,7 +483,7 @@ object JpegGray {
       val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
       val dcTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
       val acTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
-      var w = -1; var h = -1; var qId = -1
+      var w = -1; var h = -1; var qId = -1; var ri = 0
       var dcId = -1; var acId = -1
       var scanStart = -1
       while (scanStart < 0) {
@@ -475,7 +526,9 @@ object JpegGray {
             qId = b(p + 8) & 0xff
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             return None // progressive/extended/arithmetic out of scope
-          case 0xdd => return None // restart intervals out of scope
+          case 0xdd => // DRI: restart interval in MCUs
+            if (len < 4) return None
+            ri = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
           case 0xda => // SOS
             if ((b(p) & 0xff) != 1) return None
             dcId = (b(p + 2) & 0xff) >> 4
@@ -493,6 +546,8 @@ object JpegGray {
       val px = new Array[Byte](w * h)
       val bw2 = (w + 7) / 8
       val bh2 = (h + 7) / 8
+      val nMcu = bw2 * bh2
+      var mcu = 0
       var prevDc = 0
       var by = 0
       while (by < bh2) {
@@ -502,6 +557,11 @@ object JpegGray {
           if (dec == null) return None
           val (blk, newDc) = dec
           prevDc = newDc
+          mcu += 1
+          if (ri > 0 && mcu % ri == 0 && mcu < nMcu) {
+            if (!br.restart()) return None
+            prevDc = 0 // predictors reset at every restart (F.2.1.3.1)
+          }
           var y = 0
           while (y < 8) {
             val py = by * 8 + y
@@ -552,7 +612,8 @@ object JpegGray {
     */
   private[graft] def jpegEncodeYcc420(w: Int, h: Int, yP: Array[Byte],
                                       cb: Array[Byte], cr: Array[Byte],
-                                      quant: Array[Int] = FixtureQuant): Array[Byte] = {
+                                      quant: Array[Int] = FixtureQuant,
+                                      restartInterval: Int = 0): Array[Byte] = {
     val cw = (w + 1) / 2
     val ch = (h + 1) / 2
     require(yP.length == w * h, s"luma buffer ${yP.length} != $w x $h")
@@ -564,6 +625,8 @@ object JpegGray {
     val mcuX = (w + 15) / 16
     val mcuY = (h + 15) / 16
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcuN = 0
+    var rst = 0
     var my = 0
     while (my < mcuY) {
       var mx = 0
@@ -582,6 +645,12 @@ object JpegGray {
           quant, dcTab, acTab, dcCb)
         dcCr = encodeBlock(bw, sampleBlock(cr, cw, ch, mx, my),
           quant, dcTab, acTab, dcCr)
+        mcuN += 1
+        if (restartInterval > 0 && mcuN % restartInterval == 0 &&
+            mcuN < mcuX * mcuY) {
+          bw.restartMarker(rst); rst = (rst + 1) & 7
+          dcY = 0; dcCb = 0; dcCr = 0
+        }
         mx += 1
       }
       my += 1
@@ -595,9 +664,14 @@ object JpegGray {
     def dht(cls: Int, bits: Array[Int], vals: Array[Int]) =
       seg(0xc4, Array(((cls << 4) | 0).toByte) ++ bits.map(_.toByte) ++
         vals.map(_.toByte))
+    val dri =
+      if (restartInterval > 0)
+        seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+          (restartInterval & 0xff).toByte))
+      else Array.empty[Byte]
     val sos = seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
     Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++
-      dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ sos ++ scan ++
+      dht(0, DcBits, DcVals) ++ dht(1, AcBits, AcVals) ++ dri ++ sos ++ scan ++
       Array(0xff.toByte, 0xd9.toByte)
   }
 
@@ -619,7 +693,7 @@ object JpegGray {
       val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
       val dcTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
       val acTabs = scala.collection.mutable.Map.empty[Int, DecodeTable]
-      var w = -1; var h = -1
+      var w = -1; var h = -1; var ri = 0
       // per-component (in SOF order): id, hS, vS, quant id; SOS adds table ids
       var comps: Array[(Int, Int, Int, Int)] = null
       var scanTabs: Map[Int, (Int, Int)] = null // comp id -> (dc id, ac id)
@@ -674,7 +748,9 @@ object JpegGray {
             }
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             return None
-          case 0xdd => return None
+          case 0xdd => // DRI: restart interval in MCUs
+            if (len < 4) return None
+            ri = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
           case 0xda =>
             val ns = b(p) & 0xff
             if (comps == null || ns != comps.length) return None
@@ -710,6 +786,7 @@ object JpegGray {
       }
       val br = new BitReader(b, scanStart)
       val preds = new Array[Int](comps.length)
+      var mcuN = 0
       var my = 0
       while (my < mcuY) {
         var mx = 0
@@ -746,6 +823,11 @@ object JpegGray {
               v += 1
             }
             c += 1
+          }
+          mcuN += 1
+          if (ri > 0 && mcuN % ri == 0 && mcuN < mcuX * mcuY) {
+            if (!br.restart()) return None
+            java.util.Arrays.fill(preds, 0) // all predictors reset (F.2.1.3.1)
           }
           mx += 1
         }

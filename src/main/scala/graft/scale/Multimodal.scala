@@ -898,7 +898,10 @@ object Multimodal {
 
   /** Fixture docs as REAL baseline grayscale JPEGs (full DQT/DHT/SOF0/SOS
     * + Huffman entropy data, [[JpegGray.jpegEncodeGray]]) with planted
-    * block-constant pixel content.
+    * block-constant pixel content. A third of the corpus carries DRI
+    * restart intervals (1- or 2-MCU), so the driver's oracle gate
+    * exercises the RSTn decode path on every run — pixels (and therefore
+    * the oracles) are interval-independent.
     */
   def mediaJpegPixels(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
@@ -906,7 +909,8 @@ object Multimodal {
       it.map { id =>
         val (w, h) = pixDims(id)
         MediaRecord(id, "image",
-          JpegGray.jpegEncodeGray(w, h, plantedBlockPixels(w, h, id)))
+          JpegGray.jpegEncodeGray(w, h, plantedBlockPixels(w, h, id),
+            restartInterval = (id % 3).toInt))
       }
     }
   }

@@ -78,6 +78,38 @@ class JpegColorSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(img.pixels, yP))
   }
 
+  test("restart intervals (DRI/RSTn): bit-exact roundtrips at every interval, gray and color") {
+    // gray: 24x24 = 9 MCUs; intervals 1..4 exercise marker-at-every-MCU,
+    // mid-row, and row-crossing restarts plus the m-cycling RST0..7
+    val (w, h) = (24, 24)
+    val px = Multimodal.plantedBlockPixels(w, h, 77L)
+    for (ri <- 1 to 4) {
+      val b = JpegGray.jpegEncodeGray(w, h, px, restartInterval = ri)
+      // the stream really contains restart markers
+      assert(b.sliding(2).exists(s => (s(0) & 0xff) == 0xff &&
+        (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7), s"no RSTn at ri=$ri")
+      val img = JpegGray.jpegDecodeGray(b).get
+      assert(java.util.Arrays.equals(img.pixels, px), s"gray drift at ri=$ri")
+    }
+    // color: 48x32 = 6 MCUs
+    val (cw2, ch2) = (48, 32)
+    val (yP, cb, cr) = planes(cw2, ch2, 9L)
+    for (ri <- 1 to 3) {
+      val b = JpegGray.jpegEncodeYcc420(cw2, ch2, yP, cb, cr, restartInterval = ri)
+      val img = JpegGray.jpegDecodeYcc(b).get
+      assert(java.util.Arrays.equals(img.yP, yP), s"color luma drift at ri=$ri")
+    }
+    // a missing/corrupted restart marker must fail closed, not misdecode:
+    // overwrite the first RSTn with a data-looking byte pair
+    val good = JpegGray.jpegEncodeGray(w, h, px, restartInterval = 2)
+    val idx = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) >= 0xd0 &&
+        (good(i + 1) & 0xff) <= 0xd7 && i > 100)
+    val evil = good.clone()
+    evil(idx + 1) = 0x00.toByte // FF D0 -> FF 00 (stuffed data, not a marker)
+    assert(JpegGray.jpegDecodeGray(evil).isEmpty)
+  }
+
   test("malformed/out-of-scope color streams: None, never a throw") {
     val (w, h) = (16, 16)
     val (yP, cb, cr) = planes(w, h, 3L)
