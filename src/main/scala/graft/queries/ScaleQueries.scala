@@ -5176,6 +5176,28 @@ object ScaleQueries {
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
       doc = "Video admission: keyframe-hash probe vs a band index, hot buckets suppressed, keyframe-majority verdicts — clones re-containered AVI->MP4, container-blind and hash-checked"),
 
+    // EXIF metadata (round 10): a REAL APP1 segment — "Exif\0\0" + TIFF
+    // 6.0 header + IFD0 with spec-layout entries (ASCII values past the
+    // IFD via offsets) — parsed back by an endian-aware IFD walk. Byte
+    // order alternates by id parity, so BOTH "II" and "MM" TIFF files
+    // are hash-checked on every driver run. The metadata pass a
+    // multimodal pipeline runs before any pixel decodes.
+    "mm_exif_meta" -> QueryDef(
+      build = (s, dir) =>
+        Exif.exifMeta(
+            Exif.mediaJpegExif(docs(s, dir).filter(col("doc_id") % 4 === 1)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        """SELECT doc_id,
+          |  'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+          |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+          |  '2020:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+          |    || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+          |    || ':00:00' AS date_time,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+          |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin),
+      doc = "REAL EXIF: APP1/TIFF IFD walk, both byte orders, Make/Orientation/DateTime hash-checked against the planting formulas"),
+
     // Stereo PCM16 (round 10): the fmt chunk's channel count does real
     // work — the interleaved stream de-interleaves into L/R planes, and
     // per-channel energies + the L·R dot (the stereo-correlation feature

@@ -1,0 +1,202 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** EXIF metadata (APP1 "Exif" + TIFF 6.0 IFD walk) — the typed-metadata
+  * pass a multimodal pipeline runs before any pixel ever decodes:
+  * orientation for rotation-normalized hashing, capture time for
+  * freshness/curriculum gates, camera make for source attribution.
+  *
+  * Writer: a real APP1 segment — "Exif\0\0", TIFF header (II or MM byte
+  * order, magic 42, IFD0 offset), one IFD0 whose entries follow the spec
+  * layout exactly (tag, type, count, value-or-offset; ASCII values
+  * longer than 4 bytes live past the IFD through offsets, NUL-terminated,
+  * word-aligned). Reader: marker walk to APP1, endian-aware TIFF walk,
+  * SHORT/ASCII value reads, None on anything malformed — the same
+  * poison posture as every parser here.
+  *
+  * 100 TB posture: EXIF extraction is a bounded header read (the APP1
+  * segment caps at 64 KiB by the JPEG length field) — the metadata pass
+  * never touches entropy-coded data, so a scan projecting only metadata
+  * columns reads kilobytes per image, not the payload.
+  */
+object Exif {
+
+  private def u16(b: Array[Byte], i: Int, le: Boolean): Int =
+    if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32(b: Array[Byte], i: Int, le: Boolean): Long =
+    if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def p16(v: Int, le: Boolean): Array[Byte] =
+    if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def p32(v: Long, le: Boolean): Array[Byte] =
+    if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  val TagMake = 0x010f
+  val TagOrientation = 0x0112
+  val TagDateTime = 0x0132
+
+  /** A real APP1 Exif segment with IFD0 = {Make (ASCII), Orientation
+    * (SHORT), DateTime (ASCII, the spec's "YYYY:MM:DD HH:MM:SS")}.
+    * `littleEndian` selects the TIFF byte order ("II" vs "MM") — both
+    * are legal and both occur in the wild.
+    */
+  private[graft] def app1(make: String, orientation: Int, dateTime: String,
+                          littleEndian: Boolean): Array[Byte] = {
+    val le = littleEndian
+    val tiffStart = 0 // offsets are relative to the TIFF header
+    val header = (if (le) "II" else "MM").getBytes("US-ASCII") ++
+      p16(42, le) ++ p32(8, le) // IFD0 directly after the header
+    // IFD0: count + 3 entries + next-IFD(0); data area follows
+    val nEntries = 3
+    val ifdBytes = 2 + nEntries * 12 + 4
+    var dataOff = 8 + ifdBytes // first free byte after IFD0
+    val data = new java.io.ByteArrayOutputStream()
+    def asciiValue(s: String): Array[Byte] = {
+      val v = (s + "\u0000").getBytes("US-ASCII")
+      if (v.length <= 4) v ++ new Array[Byte](4 - v.length)
+      else {
+        val off = dataOff
+        data.write(v)
+        if (v.length % 2 == 1) { data.write(0) } // word alignment
+        dataOff += v.length + (v.length % 2)
+        p32(off.toLong + tiffStart, le)
+      }
+    }
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]): Array[Byte] =
+      p16(tag, le) ++ p16(typ, le) ++ p32(count.toLong, le) ++ value
+    // entries must be ascending by tag per TIFF 6.0
+    val eMake = entry(TagMake, 2 /* ASCII */, make.length + 1, asciiValue(make))
+    val eOri = entry(TagOrientation, 3 /* SHORT */, 1,
+      p16(orientation, le) ++ p16(0, le))
+    val eDt = entry(TagDateTime, 2, dateTime.length + 1, asciiValue(dateTime))
+    val ifd = p16(nEntries, le) ++ eMake ++ eOri ++ eDt ++ p32(0, le)
+    val tiff = header ++ ifd ++ data.toByteArray
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff
+    Array(0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+  }
+
+  /** Insert an APP1 segment right after SOI — where the EXIF spec puts
+    * it. No-op (returns the input) if the payload is not a JPEG. */
+  private[graft] def insertApp1(jpeg: Array[Byte], seg: Array[Byte]): Array[Byte] =
+    if (jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+      jpeg.take(2) ++ seg ++ jpeg.drop(2)
+    else jpeg
+
+  /** Extracted EXIF fields; `byte_order` records which TIFF endianness
+    * the file used ("II"/"MM") — itself a parsed fact. */
+  final case class ExifMeta(doc_id: Long, make: String, orientation: Int,
+                            date_time: String, byte_order: String)
+
+  /** Parse the first APP1 "Exif" segment: marker walk (same discipline
+    * as the JPEG header parse), TIFF endianness + magic check, IFD0
+    * entry walk reading Make/Orientation/DateTime. None on anything
+    * missing or malformed — never a throw.
+    */
+  private[graft] def parse(b: Array[Byte]): Option[(String, Int, String, String)] = {
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 4 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // scan: no APP1 ahead
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 16 &&
+            new String(b, i + 4, 6, "US-ASCII") == "Exif\u0000\u0000") {
+          val t = i + 10 // TIFF header start
+          val order = new String(b, t, 2, "US-ASCII")
+          val le = order match {
+            case "II" => true
+            case "MM" => false
+            case _    => return None
+          }
+          if (u16(b, t + 2, le) != 42) return None
+          val ifd = t + u32(b, t + 4, le).toInt
+          if (ifd + 2 > i + 2 + len) return None
+          val n = u16(b, ifd, le)
+          var make: String = null
+          var ori = -1
+          var dt: String = null
+          var e = 0
+          while (e < n) {
+            val p = ifd + 2 + e * 12
+            if (p + 12 > i + 2 + len) return None
+            val tag = u16(b, p, le)
+            val typ = u16(b, p + 2, le)
+            val count = u32(b, p + 4, le).toInt
+            def asciiAt: Option[String] = {
+              if (typ != 2 || count <= 0 || count > 1024) return None
+              val off = if (count <= 4) p + 8 else t + u32(b, p + 8, le).toInt
+              if (off + count > b.length) return None
+              Some(new String(b, off, count - 1, "US-ASCII")) // strip NUL
+            }
+            tag match {
+              case TagMake        => make = asciiAt.getOrElse(return None)
+              case TagOrientation =>
+                if (typ != 3) return None
+                ori = u16(b, p + 8, le)
+              case TagDateTime    => dt = asciiAt.getOrElse(return None)
+              case _              => ()
+            }
+            e += 1
+          }
+          return if (make != null && ori >= 0 && dt != null)
+            Some((make, ori, dt, order)) else None
+        }
+        i += 2 + len
+      }
+      None
+    } catch { case _: Throwable => None }
+  }
+
+  /** Planted EXIF fields — the formulas the oracle replays. Byte order
+    * alternates by id parity so BOTH TIFF endiannesses are gate-covered.
+    */
+  private[graft] def plantedFields(id: Long): (String, Int, String, Boolean) = (
+    s"CAM-${id % 5}",
+    (1 + id % 8).toInt,
+    f"2020:01:${1 + id % 28}%02d ${id % 24}%02d:00:00",
+    id % 2 == 0)
+
+  /** Fixture docs as planted-pixel JPEGs carrying a REAL EXIF APP1. */
+  def mediaJpegExif(docs: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = Multimodal.pixDims(id)
+        val (make, ori, dt, le) = plantedFields(id)
+        Multimodal.MediaRecord(id, "image", insertApp1(
+          JpegGray.jpegEncodeGray(w, h, Multimodal.plantedBlockPixels(w, h, id)),
+          app1(make, ori, dt, le)))
+      }
+    }
+  }
+
+  /** The metadata pass: EXIF fields per image, payloads never shuffled,
+    * unparseable/EXIF-less images skipped (the caller anti-joins for an
+    * audit, the admission pattern). */
+  def exifMeta(ds: Dataset[Multimodal.MediaRecord]): Dataset[ExifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        parse(r.payload).iterator.map { case (make, ori, dt, order) =>
+          ExifMeta(r.doc_id, make, ori, dt, order)
+        }
+      }
+    }
+  }
+}
