@@ -5073,6 +5073,104 @@ object ScaleQueries {
           |ORDER BY g2.vid""".stripMargin),
       doc = "Video capstone: real-metadata gate (poison drops as 'unknown', frame-count floor) -> cross-container keyframe dedup -> survivor manifest, one oracle-replayed dataflow"),
 
+    // OFFSET-TOLERANT video dedup: clones are the originals with the
+    // FIRST FRAME TRIMMED (the re-upload-with-cut-intro class) —
+    // position-aligned blocking cannot catch them, so blocking drops the
+    // position from the key, band matches VOTE for the offset they imply,
+    // and the verify re-aligns the frame sequences at the winning offset
+    // (ties → smallest |offset|, the no-trim prior). The oracle replays
+    // all-frame hashes → capped buckets → offset votes → argmax →
+    // aligned verify. Every planted pair must surface at offset 1.
+    "mm_video_dedup_trimmed" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = AviMjpeg.mediaAviVideos(ids)
+          .union(AviMjpeg.mediaAviVideosTrimmed(ids, shift = 700000L, trim = 1))
+        val fph = graft.Caches.lazyBarrier(
+          AviMjpeg.allFrameHashes(media).toDF())
+        AviMjpeg.videoDupPairsOffset(fph, maxHamming = 8, minMatch = 2)
+          .orderBy("video_a", "video_b")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS trim
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 1
+          |  FROM documents WHERE doc_id % 8 = 0),
+          |d AS (
+          |  SELECT vid, oid, trim,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |fp AS (
+          |  SELECT vid, w, h, p, p + trim AS f,
+          |    oid * 131 + (((p + trim)) // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 5)) AS p) ps
+          |  WHERE p < nf - trim),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |bcnt AS (SELECT band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          |qband AS (
+          |  SELECT b.vid, b.p, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
+          |votes AS (
+          |  SELECT a.vid AS video_a, b.vid AS video_b, a.p - b.p AS off,
+          |    COUNT(*) AS n_votes
+          |  FROM qband a JOIN qband b
+          |    ON a.band = b.band AND a.v = b.v AND a.vid < b.vid
+          |  GROUP BY 1, 2, 3),
+          |best AS (
+          |  SELECT video_a, video_b, off,
+          |    row_number() OVER (PARTITION BY video_a, video_b
+          |      ORDER BY n_votes DESC, ABS(off), off) AS rk
+          |  FROM votes),
+          |hm AS (
+          |  SELECT b.video_a, b.video_b, b.off,
+          |    bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS ham
+          |  FROM best b
+          |  JOIN fph pa ON pa.vid = b.video_a
+          |  JOIN fph pb ON pb.vid = b.video_b AND pb.p = pa.p - b.off
+          |  WHERE b.rk = 1)
+          |SELECT video_a, video_b, CAST(off AS INT) AS offset,
+          |  CAST(COUNT(*) AS INT) AS n_aligned,
+          |  CAST(COUNT(*) FILTER (WHERE ham <= 8) AS INT) AS n_match
+          |FROM hm GROUP BY 1, 2, 3
+          |HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2
+          |ORDER BY video_a, video_b""".stripMargin),
+      doc = "Offset-tolerant video dedup: position-free band blocking, offset voting, aligned verify — trimmed re-uploads caught at their true offset, hash-checked"),
+
     // Video admission (batch form of streaming/StreamingVideoAdmission):
     // keyframe hashes of the batch probed against a persisted-shape band
     // index, index buckets wider than 64 suppressed, keyframe-majority

@@ -395,6 +395,106 @@ object AviMjpeg {
       .filter(col("n_match") >= minMatch)
   }
 
+  /** Per-frame hashes of EVERY frame (pos = frame index) — the input to
+    * offset-tolerant matching, where uniform-stride sampling would break
+    * alignment under trims. Bounded by video length; the fixture videos
+    * are short, and a production deployment caps decoded frames per
+    * video upstream.
+    */
+  def allFrameHashes(ds: Dataset[Multimodal.MediaRecord]): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        (for {
+          (_, _, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
+        } yield {
+          frames.iterator.zipWithIndex.flatMap { case (fr, f) =>
+            JpegGray.jpegDecodeGray(fr).flatMap(Multimodal.aHash64)
+              .map { case (b0, b1, b2, b3) =>
+                FrameHash(r.doc_id, f, b0, b1, b2, b3)
+              }.iterator
+          }
+        }).getOrElse(Iterator.empty)
+      }
+    }
+  }
+
+  /** The planted videos with the first `trim` frames dropped — the
+    * re-upload-with-trimmed-intro clone class. Frame j of the trimmed
+    * video is BYTE-IDENTICAL to frame j+trim of the original.
+    */
+  def mediaAviVideosTrimmed(ids: Dataset[Long], shift: Long,
+                            trim: Int = 1): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val frames = (trim until videoFrameCount(id)).map(f =>
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, 0)))
+        Multimodal.MediaRecord(id + shift, "video", wrap(w, h, fps = 10, frames))
+      }
+    }
+  }
+
+  /** OFFSET-TOLERANT video near-dup — the trimmed-re-upload detector
+    * position-aligned blocking cannot catch. Blocking drops the position
+    * from the key (band, v only; hot buckets capped as everywhere), each
+    * band match votes for the frame offset it implies (frame_a −
+    * frame_b), the winning offset per pair is the vote argmax (ties →
+    * smallest |offset|, then smallest offset — the no-trim prior), and
+    * the verify re-aligns the two frame sequences AT that offset:
+    * n_aligned overlapping frames, n_match of them within `maxHamming`.
+    * Pairs survive on n_match ≥ `minMatch`. Only ints and 16-bit bands
+    * cross the exchanges.
+    */
+  def videoDupPairsOffset(fph: DataFrame, maxHamming: Int = 8,
+                          minMatch: Int = 2, maxBucket: Int = 64): DataFrame = {
+    val bands = fph.select(col("video_id"), col("pos"), explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
+      .select(col("video_id"), col("pos"),
+        col("e.band").as("band"), col("e.v").as("v"))
+    val qualified = bands.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "v")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val votes = qualified.as("a").join(qualified.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.video_id") < col("b.video_id"))
+      .select(col("a.video_id").as("video_a"), col("b.video_id").as("video_b"),
+        (col("a.pos") - col("b.pos")).as("off"))
+      .groupBy("video_a", "video_b", "off")
+      .agg(count(lit(1)).as("n_votes"))
+    val best = votes.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("video_a", "video_b")
+          .orderBy(col("n_votes").desc, abs(col("off")), col("off"))))
+      .filter(col("rk") === 1)
+      .select(col("video_a"), col("video_b"), col("off"))
+    val ha = fph.select(col("video_id").as("video_a"), col("pos").as("fa"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = fph.select(col("video_id").as("video_b"), col("pos").as("fb"),
+      col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    // the alignment is an EQUI-join: fb = fa − off is precomputed so the
+    // planner hashes on (video_b, fb) instead of exploding nfa×nfb rows
+    // per pair and post-filtering
+    best.join(ha, Seq("video_a"))
+      .withColumn("fb", col("fa") - col("off"))
+      .join(hb, Seq("video_b", "fb"))
+      .withColumn("ham", expr(
+        "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+      .groupBy("video_a", "video_b", "off")
+      .agg(count(lit(1)).cast("int").as("n_aligned"),
+        sum(when(col("ham") <= maxHamming, 1).otherwise(0)).cast("int").as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .select(col("video_a"), col("video_b"), col("off").cast("int").as("offset"),
+        col("n_aligned"), col("n_match"))
+  }
+
   /** Intra-batch duplicate videos: the larger id of every verified pair
     * drops, the smaller survives — [[MediaDedup.phashDuplicates]]'
     * convention lifted to keyframe majority.

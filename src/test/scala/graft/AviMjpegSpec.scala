@@ -158,6 +158,28 @@ class AviMjpegSpec extends AnyFunSuite {
     assert(uncapped.length == 11)
   }
 
+  test("offset-tolerant dedup finds trimmed clones at their true offset") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(8L, 32L, 96L, 120L))
+    val media = AviMjpeg.mediaAviVideos(ids)
+      .union(AviMjpeg.mediaAviVideosTrimmed(ids, shift = 700000L, trim = 1))
+    val pairs = AviMjpeg.videoDupPairsOffset(
+        AviMjpeg.allFrameHashes(media).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    for (id <- Seq(8L, 32L, 96L, 120L)) {
+      val nf = AviMjpeg.videoFrameCount(id)
+      val got = pairs.get((id, id + 700000L))
+      assert(got.isDefined, s"trimmed clone of $id not detected")
+      val (off, nAligned, nMatch) = got.get
+      assert(off == 1, s"video $id: expected offset 1, got $off")
+      // every overlapping frame is byte-identical -> all aligned match
+      assert(nAligned == nf - 1 && nMatch == nf - 1,
+        s"video $id: $nMatch/$nAligned of ${nf - 1}")
+    }
+  }
+
   test("stereo de-interleave: per-channel energies match a direct computation; mono skipped") {
     val spark = SparkSpec.session
     import spark.implicits._
