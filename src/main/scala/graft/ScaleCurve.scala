@@ -105,7 +105,14 @@ object ScaleCurve {
     // round-10 video: all-frame AVI demux + JPEG decode (pure per-row
     // work — should be flat-linear) and the keyframe-hash pair stage
     // (position-aligned band blocking; the only pair join in the family)
-    "mm_video_scene_cuts", "mm_video_dedup")
+    "mm_video_scene_cuts", "mm_video_dedup",
+    // offset voting blocks WITHOUT the position in the key — the widest
+    // collision surface in the video family; the hot-bucket cap is what
+    // keeps it linear, and this row is the measurement of that claim
+    "mm_video_dedup_trimmed",
+    // the admission probe (index-side cap) and the gate→dedup→manifest
+    // capstone — the two chained forms of the same band machinery
+    "mm_admit_video", "mm_video_corpus_prepare")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
