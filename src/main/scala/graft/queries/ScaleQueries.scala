@@ -5073,6 +5073,35 @@ object ScaleQueries {
           |ORDER BY g2.vid""".stripMargin),
       doc = "Video capstone: real-metadata gate (poison drops as 'unknown', frame-count floor) -> cross-container keyframe dedup -> survivor manifest, one oracle-replayed dataflow"),
 
+    // Caption extraction (round 10): the cross-modal bridge — a REAL AVI
+    // text stream ('txts' strl, '01tx' chunks interleaved with the
+    // frames they subtitle) demuxed back to per-video caption statistics
+    // and a content digest. The oracle rebuilds every caption from the
+    // planting formula and hashes the same '|'-joined transcript.
+    "mm_video_captions" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 2)
+          .select(col("doc_id")).as[Long]
+        AviMjpeg.videoCaptions(AviMjpeg.mediaAviVideosCaptioned(ids))
+          .toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 3 + (doc_id // 8) % 4 AS nf
+          |  FROM documents WHERE doc_id % 4 = 2),
+          |c AS (
+          |  SELECT doc_id, f,
+          |    'tok' || CAST((doc_id * 31 + f * 7) % 97 AS VARCHAR)
+          |      || ' tok' || CAST((doc_id * 17 + f * 11) % 89 AS VARCHAR) AS cap
+          |  FROM d, (SELECT unnest(generate_series(0, 6)) AS f) fs
+          |  WHERE f < nf)
+          |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_captions,
+          |  CAST(SUM(length(cap)) AS BIGINT) AS caption_chars,
+          |  sha256(string_agg(cap, '|' ORDER BY f)) AS cap_sha256
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Caption extraction from a REAL AVI text stream: '01tx' demux, per-video transcript stats + digest hash-checked against the planting formula"),
+
     // OFFSET-TOLERANT video dedup: clones are the originals with the
     // FIRST FRAME TRIMMED (the re-upload-with-cut-intro class) —
     // position-aligned blocking cannot catch them, so blocking drops the

@@ -44,22 +44,28 @@ object AviMjpeg {
   /** A real AVI file around MJPEG frames: 56-byte AVIMAINHEADER (avih),
     * one video stream (56-byte AVISTREAMHEADER 'vids'/'MJPG' + 40-byte
     * BITMAPINFOHEADER), the frames as word-aligned '00dc' chunks in the
-    * movi list, and a standard idx1 keyframe index (every MJPEG frame is
-    * a keyframe — the property that makes MJPEG splittable at scale).
+    * movi list, and a standard idx1 index (every MJPEG frame is a
+    * keyframe — the property that makes MJPEG splittable at scale).
+    * `captions`, when non-empty, adds a SECOND stream — AVISTREAMHEADER
+    * 'txts' — whose UTF-8 '01tx' chunks interleave with the frames they
+    * subtitle, the classic AVI text-stream layout.
     */
   private[graft] def wrap(w: Int, h: Int, fps: Int,
-                          frames: Seq[Array[Byte]]): Array[Byte] = {
+                          frames: Seq[Array[Byte]],
+                          captions: Seq[String] = Nil): Array[Byte] = {
     def list(kind: String, body: Array[Byte]): Array[Byte] =
       ascii("LIST") ++ le4(4L + body.length) ++ ascii(kind) ++ body
     def chunk(ck: String, body: Array[Byte]): Array[Byte] = {
       val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
       ascii(ck) ++ le4(body.length.toLong) ++ body ++ pad
     }
+    val capBytes = captions.map(_.getBytes("UTF-8"))
+    val nStreams = if (capBytes.isEmpty) 1 else 2
     val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
     val avih = chunk("avih",
       le4(1000000L / fps) ++ le4(maxBytes.toLong * fps) ++ le4(0) ++
         le4(0x10 /* AVIF_HASINDEX */) ++ le4(frames.length.toLong) ++ le4(0) ++
-        le4(1 /* streams */) ++ le4(maxBytes.toLong) ++
+        le4(nStreams.toLong) ++ le4(maxBytes.toLong) ++
         le4(w.toLong) ++ le4(h.toLong) ++ new Array[Byte](16))
     val strh = chunk("strh",
       ascii("vids") ++ ascii("MJPG") ++ le4(0) ++ le2(0) ++ le2(0) ++ le4(0) ++
@@ -71,22 +77,61 @@ object AviMjpeg {
       le4(40) ++ le4(w.toLong) ++ le4(h.toLong) ++ le2(1) ++ le2(24) ++
         ascii("MJPG") ++ le4(w.toLong * h * 3) ++ le4(0) ++ le4(0) ++
         le4(0) ++ le4(0))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val moviBody = frames.iterator.map(f => chunk("00dc", f))
-      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val txtStrl =
+      if (capBytes.isEmpty) Array.empty[Byte]
+      else {
+        val maxCap = capBytes.map(_.length).max
+        val tStrh = chunk("strh",
+          ascii("txts") ++ le4(0) ++ le4(0) ++ le2(0) ++ le2(0) ++ le4(0) ++
+            le4(1) ++ le4(fps.toLong) ++ le4(0) ++
+            le4(capBytes.length.toLong) ++ le4(maxCap.toLong) ++
+            le4(0xffffffffL) ++ le4(0) ++ le2(0) ++ le2(0) ++ le2(0) ++ le2(0))
+        list("strl", tStrh ++ chunk("strf", le4(0)))
+      }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf) ++ txtStrl)
+    // interleave: each frame's caption chunk follows its frame chunk
+    val moviBody = frames.iterator.zipWithIndex.map { case (f, i) =>
+      chunk("00dc", f) ++
+        (if (i < capBytes.length) chunk("01tx", capBytes(i))
+         else Array.empty[Byte])
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
     val movi = list("movi", moviBody)
     // idx1 offsets are relative to the 'movi' fourcc (the common
     // convention): first chunk header sits 4 bytes past it
     var off = 4L
-    val idxEntries = frames.iterator.map { f =>
-      val e = ascii("00dc") ++ le4(0x10L /* AVIIF_KEYFRAME */) ++
+    val idxEntries = frames.iterator.zipWithIndex.map { case (f, i) =>
+      var e = ascii("00dc") ++ le4(0x10L /* AVIIF_KEYFRAME */) ++
         le4(off) ++ le4(f.length.toLong)
       off += 8L + f.length + (f.length % 2)
+      if (i < capBytes.length) {
+        e ++= ascii("01tx") ++ le4(0L) ++ le4(off) ++
+          le4(capBytes(i).length.toLong)
+        off += 8L + capBytes(i).length + (capBytes(i).length % 2)
+      }
       e
     }.foldLeft(Array.empty[Byte])(_ ++ _)
     val idx1 = chunk("idx1", idxEntries)
     val body = ascii("AVI ") ++ hdrl ++ movi ++ idx1
     ascii("RIFF") ++ le4(body.length.toLong) ++ body
+  }
+
+  /** Demux the caption stream: every `##tx` chunk inside the movi list,
+    * in stream order, decoded as UTF-8. None on malformed structure;
+    * Some(empty) when the video simply has no text stream.
+    */
+  private[graft] def demuxCaptions(b: Array[Byte]): Option[IndexedSeq[String]] = {
+    moviBody(b).flatMap { m =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i + 8 <= m.length) {
+        val ck = tag(m, i); val len = u32le(m, i + 4)
+        if (len.toInt < 0 || i + 8 + len.toInt > m.length) return None
+        if (ck.endsWith("tx")) out +=
+          new String(m, i + 8, len.toInt, "UTF-8")
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      Some(out.result())
+    }
   }
 
   /** True if the payload sniffs as `RIFF····AVI `. */
@@ -395,20 +440,23 @@ object AviMjpeg {
       .filter(col("n_match") >= minMatch)
   }
 
-  /** Per-frame hashes of EVERY frame (pos = frame index) — the input to
-    * offset-tolerant matching, where uniform-stride sampling would break
-    * alignment under trims. Bounded by video length; the fixture videos
-    * are short, and a production deployment caps decoded frames per
-    * video upstream.
+  /** Per-frame hashes of every frame up to `maxFrames` (pos = frame
+    * index) — the input to offset-tolerant matching, where uniform-
+    * stride sampling would break alignment under trims. Per-video decode
+    * cost is bounded BY CONSTRUCTION at `maxFrames`, not by trusting the
+    * corpus: a pathological hours-long upload costs the same as a
+    * `maxFrames`-frame one (its tail simply doesn't participate in
+    * offset matching — the documented truncation).
     */
-  def allFrameHashes(ds: Dataset[Multimodal.MediaRecord]): Dataset[FrameHash] = {
+  def allFrameHashes(ds: Dataset[Multimodal.MediaRecord],
+                     maxFrames: Int = 1024): Dataset[FrameHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
         (for {
           (_, _, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
         } yield {
-          frames.iterator.zipWithIndex.flatMap { case (fr, f) =>
+          frames.iterator.take(maxFrames).zipWithIndex.flatMap { case (fr, f) =>
             JpegGray.jpegDecodeGray(fr).flatMap(Multimodal.aHash64)
               .map { case (b0, b1, b2, b3) =>
                 FrameHash(r.doc_id, f, b0, b1, b2, b3)
@@ -493,6 +541,53 @@ object AviMjpeg {
       .filter(col("n_match") >= minMatch)
       .select(col("video_a"), col("video_b"), col("off").cast("int").as("offset"),
         col("n_aligned"), col("n_match"))
+  }
+
+  /** Planted caption text — the formula the caption oracle replays. */
+  private[graft] def captionText(id: Long, f: Int): String =
+    s"tok${(id * 31 + f * 7) % 97} tok${(id * 17 + f * 11) % 89}"
+
+  /** The planted videos WITH a caption stream: one '01tx' chunk per
+    * frame, interleaved — the cross-modal corpus (video frames + the
+    * text pipeline's raw material in one container).
+    */
+  def mediaAviVideosCaptioned(ids: Dataset[Long]): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val nf = videoFrameCount(id)
+        val frames = (0 until nf).map(f =>
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, 0)))
+        Multimodal.MediaRecord(id, "video",
+          wrap(w, h, fps = 10, frames, (0 until nf).map(captionText(id, _))))
+      }
+    }
+  }
+
+  /** Caption extraction — the bridge from the video container to the
+    * TEXT pipeline: demux the '##tx' stream and emit per-video caption
+    * statistics plus a content digest (what a downstream text-dedup /
+    * quality stage keys on). Malformed videos are skipped; caption-less
+    * ones emit zero counts (absence is a fact, not an error).
+    */
+  final case class VideoCaptions(doc_id: Long, n_captions: Int,
+                                 caption_chars: Long, cap_sha256: String)
+
+  def videoCaptions(ds: Dataset[Multimodal.MediaRecord]): Dataset[VideoCaptions] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        demuxCaptions(r.payload).iterator.map { caps =>
+          md.reset()
+          md.update(caps.mkString("|").getBytes("UTF-8"))
+          VideoCaptions(r.doc_id, caps.length,
+            caps.iterator.map(_.length.toLong).sum,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
   }
 
   /** Intra-batch duplicate videos: the larger id of every verified pair

@@ -158,6 +158,31 @@ class AviMjpegSpec extends AnyFunSuite {
     assert(uncapped.length == 11)
   }
 
+  test("caption stream: '01tx' chunks roundtrip; video demux is undisturbed by them") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(2L, 10L))
+    val media = AviMjpeg.mediaAviVideosCaptioned(ids).collect()
+    for (m <- media) {
+      val nf = AviMjpeg.videoFrameCount(m.doc_id)
+      // captions come back verbatim and in order
+      assert(AviMjpeg.demuxCaptions(m.payload).get ==
+        (0 until nf).map(AviMjpeg.captionText(m.doc_id, _)))
+      // the video stream still demuxes to exactly nf decodable frames
+      val frames = AviMjpeg.demux(m.payload).get
+      assert(frames.length == nf)
+      assert(frames.forall(JpegGray.jpegDecodeGray(_).isDefined))
+      // and the header still reports the video stream's frame count
+      assert(AviMjpeg.parseAviHeader(m.payload).map(_._3) === Some(nf))
+    }
+    // a caption-less video has an EMPTY caption stream, not a missing one
+    val (pw, ph) = AviMjpeg.videoDims(8L)
+    val plain = AviMjpeg.wrap(pw, ph, 10,
+      Seq(JpegGray.jpegEncodeGray(pw, ph, AviMjpeg.videoFramePixels(8L, 0, 0))))
+    assert(AviMjpeg.demuxCaptions(plain).get.isEmpty)
+    assert(AviMjpeg.demuxCaptions(plain.take(40)).isEmpty) // malformed -> None
+  }
+
   test("offset-tolerant dedup finds trimmed clones at their true offset") {
     val spark = SparkSpec.session
     import spark.implicits._
