@@ -5325,6 +5325,25 @@ object ScaleQueries {
           |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin),
       doc = "REAL EXIF: APP1/TIFF IFD walk, both byte orders, Make/Orientation/DateTime hash-checked against the planting formulas"),
 
+    // WAV LIST INFO (round 10): the audio EXIF — a REAL RIFF INFO block
+    // (NUL-terminated, word-aligned subchunks between fmt and data)
+    // parsed back alongside the PCM sample count, proving metadata and
+    // decode coexist (the sample walk skips LIST like any unknown
+    // chunk). All fields hash-checked against the planting formulas.
+    "mm_wav_info_meta" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.wavInfoMeta(
+            Multimodal.mediaWavWithInfo(docs(s, dir).filter(col("doc_id") % 4 === 0)))
+          .toDF().orderBy("doc_id"),
+      oracle = Some(
+        """SELECT doc_id,
+          |  'artist' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+          |  'track' || CAST(doc_id % 13 AS VARCHAR) AS title,
+          |  '20' || CAST(10 + doc_id % 15 AS VARCHAR) AS created,
+          |  CAST(256 AS INT) AS n_samples
+          |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin),
+      doc = "WAV LIST INFO metadata (IART/INAM/ICRD) + PCM sample count through the metadata block, hash-checked"),
+
     // Stereo PCM16 (round 10): the fmt chunk's channel count does real
     // work — the interleaved stream de-interleaves into L/R planes, and
     // per-channel energies + the L·R dot (the stereo-correlation feature

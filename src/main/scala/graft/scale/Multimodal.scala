@@ -168,6 +168,64 @@ object Multimodal {
       ascii("WAVE") ++ fmt ++ data ++ body
   }
 
+  /** WAV with a RIFF `LIST INFO` metadata block (IART/INAM/ICRD & co. —
+    * the audio sibling of EXIF) between fmt and data: each INFO subchunk
+    * is a NUL-terminated, word-aligned string per the RIFF spec. The
+    * sample-decode walk skips LIST like any unknown chunk, so metadata
+    * never disturbs decoding.
+    */
+  private[graft] def wavWrapInfo(sampleRate: Int, channels: Int,
+                                 bitsPerSample: Int, body: Array[Byte],
+                                 info: Seq[(String, String)]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val fmt = ascii("fmt ") ++ le4(16) ++ le2(1) ++ le2(channels) ++
+      le4(sampleRate) ++ le4(sampleRate.toLong * blockAlign) ++
+      le2(blockAlign) ++ le2(bitsPerSample)
+    val infoBody = info.iterator.map { case (k, v) =>
+      require(k.length == 4, s"INFO tag must be a fourcc: $k")
+      val s = v.getBytes("US-ASCII") :+ 0.toByte
+      val pad: Array[Byte] =
+        if (s.length % 2 == 1) Array(0.toByte) else Array.empty
+      ascii(k) ++ le4(s.length.toLong) ++ s ++ pad
+    }.foldLeft(ascii("INFO"))(_ ++ _)
+    val list = ascii("LIST") ++ le4(infoBody.length.toLong) ++ infoBody
+    val data = ascii("data") ++ le4(body.length.toLong)
+    ascii("RIFF") ++
+      le4(4L + fmt.length + list.length + data.length + body.length) ++
+      ascii("WAVE") ++ fmt ++ list ++ data ++ body
+  }
+
+  /** Parse the `LIST INFO` metadata of a WAV: tag fourcc → string (NUL
+    * stripped). None on malformed structure; Some(empty) when the file
+    * simply has no INFO list — absence is a fact, not an error.
+    */
+  private[graft] def wavInfo(b: Array[Byte]): Option[Map[String, String]] = {
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val ck = tag(b, i); val len = u32le(b, i + 4)
+        if (len.toInt < 0) return None
+        if (ck == "LIST" && len >= 4 && i + 12 <= b.length &&
+            tag(b, i + 8) == "INFO") {
+          val end = math.min(i + 8 + len.toInt, b.length)
+          var j = i + 12
+          val out = Map.newBuilder[String, String]
+          while (j + 8 <= end) {
+            val sub = tag(b, j); val slen = u32le(b, j + 4)
+            if (slen.toInt < 0 || j + 8 + slen.toInt > end) return None
+            val raw = new String(b, j + 8, slen.toInt, "US-ASCII")
+            out += sub -> raw.takeWhile(_ != '\u0000') // strip NUL tail
+            j += 8 + slen.toInt + (slen.toInt & 1)
+          }
+          return Some(out.result())
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      Some(Map.empty)
+    } catch { case _: Throwable => None }
+  }
+
   /** MP4 (ISO-BMFF): ftyp + moov{mvhd(v0), trak{tkhd(v0)}} + mdat(body).
     * mvhd carries timescale/duration; tkhd carries width/height as 16.16
     * fixed point — the fields a container-metadata pass extracts.
@@ -1291,6 +1349,57 @@ object Multimodal {
             Iterator.single(StereoStats(r.doc_id, nf, el, er, dot))
           case _ => Iterator.empty
         }
+      }
+    }
+  }
+
+  /** Planted INFO fields — the formulas the metadata oracle replays. */
+  private[graft] def wavInfoFields(id: Long): Seq[(String, String)] = Seq(
+    "IART" -> s"artist${id % 7}",
+    "INAM" -> s"track${id % 13}",
+    "ICRD" -> s"20${10 + id % 15}")
+
+  /** Fixture docs as planted-square-wave WAVs carrying a REAL LIST INFO
+    * metadata block. */
+  def mediaWavWithInfo(docs: DataFrame, nSamples: Int = 256): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val p = (3 + id % 14).toInt
+        val amp = (900 + (id % 7) * 100).toInt
+        val body = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = if ((i / p) % 2 == 0) amp else -amp
+          body(2 * i) = (s & 0xff).toByte
+          body(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "audio",
+          wavWrapInfo(8000, 1, 16, body, wavInfoFields(id)))
+      }
+    }
+  }
+
+  /** The audio metadata pass: LIST INFO fields per file (the EXIF of
+    * WAV), plus proof the samples still decode THROUGH the metadata
+    * block (n_samples from the real PCM walk). Malformed files skipped.
+    */
+  final case class WavInfoMeta(doc_id: Long, artist: String, title: String,
+                               created: String, n_samples: Int)
+
+  def wavInfoMeta(ds: Dataset[MediaRecord]): Dataset[WavInfoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        (for {
+          info <- wavInfo(r.payload)
+          pcm <- wavDecodePcm16(r.payload)
+          artist <- info.get("IART")
+          title <- info.get("INAM")
+          created <- info.get("ICRD")
+        } yield WavInfoMeta(r.doc_id, artist, title, created,
+          pcm.samples.length)).iterator
       }
     }
   }

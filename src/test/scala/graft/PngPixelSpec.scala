@@ -119,6 +119,24 @@ class PngPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV LIST INFO: roundtrip, decode-through-metadata, malformed rejection") {
+    val body = Array.tabulate(64)(i => (i * 3).toByte)
+    val info = Seq("IART" -> "someone", "INAM" -> "a track", "ICRD" -> "2021")
+    val b = Multimodal.wavWrapInfo(8000, 1, 16, body, info)
+    assert(Multimodal.wavInfo(b) === Some(info.toMap))
+    // samples decode THROUGH the LIST block, exact
+    val pcm = Multimodal.wavDecodePcm16(b).get
+    assert(pcm.samples.length == 32)
+    assert(pcm.samples(1) == (((body(3) & 0xff) << 8) | (body(2) & 0xff)).toShort)
+    // and the header walk still reports the stream facts
+    assert(Multimodal.parseHeader(b)._1 == "wav")
+    // INFO-less WAV: empty map, not an error; junk: None
+    assert(Multimodal.wavInfo(
+      Multimodal.wavWrap(8000, 1, 16, body)) === Some(Map.empty[String, String]))
+    assert(Multimodal.wavInfo("junk".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.wavInfo(b.take(30)) === Some(Map.empty[String, String]))
+  }
+
   test("planted-pixel edit perturbs only the two leftmost columns") {
     val (w, h) = Multimodal.pixDims(33L)
     val a = Multimodal.plantedPixels(w, h, 33L)
