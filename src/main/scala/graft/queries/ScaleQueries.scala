@@ -5073,6 +5073,61 @@ object ScaleQueries {
           |ORDER BY g2.vid""".stripMargin),
       doc = "Video capstone: real-metadata gate (poison drops as 'unknown', frame-count floor) -> cross-container keyframe dedup -> survivor manifest, one oracle-replayed dataflow"),
 
+    // COLOR video (round 10): the same scene-cut operator over 4:2:0
+    // YCbCr MJPEG frames — the per-frame decode dispatches through the
+    // container-sniffing luma fallback, so the oracle is the SAME
+    // block-level luma replay as the grayscale video queries (chroma is
+    // a per-video static cast that cuts never see). One operator, three
+    // frame formats (gray JPEG, color JPEG, across two containers).
+    "mm_video_color_cuts" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 4 === 3)
+          .select(col("doc_id")).as[Long]
+        AviMjpeg.sceneCuts(AviMjpeg.mediaAviVideosColor(ids), threshold = 16)
+          .toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH d AS (
+          |  SELECT doc_id, 16 + ((doc_id // 8) % 3) * 8 AS w,
+          |    16 + ((doc_id // 24) % 3) * 8 AS h,
+          |    3 + (doc_id // 8) % 4 AS nf
+          |  FROM documents WHERE doc_id % 4 = 3),
+          |fr AS (
+          |  SELECT doc_id, w, h, nf, f, doc_id * 131 + (f // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 6)) AS f) fs
+          |  WHERE f < nf),
+          |blk AS (
+          |  SELECT doc_id, w, h, f, bx, by,
+          |    ((bx * 7 + by * 13 + s * 31
+          |      + ((bx * 73 + by * 151 + s * 97) % 251)
+          |      * ((bx * 31 + by * 17 + s * 61) % 241)
+          |      + CASE WHEN bx = 0 THEN (f % 2) * 2 ELSE 0 END) % 256) AS v
+          |  FROM fr,
+          |    (SELECT unnest(generate_series(0, 3)) AS bx) bxs,
+          |    (SELECT unnest(generate_series(0, 3)) AS by) bys
+          |  WHERE bx < w // 8 AND by < h // 8),
+          |diff AS (
+          |  SELECT doc_id, f,
+          |    SUM(ABS(v - pv)) * 64 // (MAX(w) * MAX(h)) AS mad
+          |  FROM (SELECT doc_id, w, h, f, bx, by, v,
+          |          LAG(v) OVER (PARTITION BY doc_id, bx, by ORDER BY f) AS pv
+          |        FROM blk) x
+          |  WHERE pv IS NOT NULL
+          |  GROUP BY doc_id, f),
+          |agg AS (
+          |  SELECT doc_id,
+          |    COUNT(*) FILTER (WHERE mad > 16) AS n_cuts,
+          |    COALESCE(MIN(f) FILTER (WHERE mad > 16), -1) AS first_cut,
+          |    SUM(mad) AS sum_mad
+          |  FROM diff GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+          |  CAST(d.nf AS INT) AS n_frames, CAST(a.n_cuts AS INT) AS n_cuts,
+          |  CAST(a.first_cut AS INT) AS first_cut,
+          |  CAST(a.sum_mad AS BIGINT) AS sum_mad
+          |FROM d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "Scene cuts over COLOR (4:2:0 YCbCr) MJPEG video: per-frame interleaved-MCU decode, luma MAD, same container-blind oracle as the grayscale form"),
+
     // Caption extraction (round 10): the cross-modal bridge — a REAL AVI
     // text stream ('txts' strl, '01tx' chunks interleaved with the
     // frames they subtitle) demuxed back to per-video caption statistics

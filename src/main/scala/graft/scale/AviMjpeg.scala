@@ -310,7 +310,7 @@ object AviMjpeg {
         val parsed = for {
           (w, h, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
           nf = frames.length
-          imgs = frames.flatMap(JpegGray.jpegDecodeGray(_)) if imgs.length == nf
+          imgs = frames.flatMap(Multimodal.decodeGray(_)) if imgs.length == nf
         } yield {
           var nCuts = 0
           var firstCut = -1
@@ -362,7 +362,7 @@ object AviMjpeg {
           val kk = math.min(k, nf)
           (0 until kk).iterator.flatMap { p =>
             val f = p * nf / kk
-            JpegGray.jpegDecodeGray(frames(f)).flatMap(Multimodal.aHash64)
+            Multimodal.decodeGray(frames(f)).flatMap(Multimodal.aHash64)
               .map { case (b0, b1, b2, b3) =>
                 FrameHash(r.doc_id, p, b0, b1, b2, b3)
               }.iterator
@@ -457,7 +457,7 @@ object AviMjpeg {
           (_, _, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
         } yield {
           frames.iterator.take(maxFrames).zipWithIndex.flatMap { case (fr, f) =>
-            JpegGray.jpegDecodeGray(fr).flatMap(Multimodal.aHash64)
+            Multimodal.decodeGray(fr).flatMap(Multimodal.aHash64)
               .map { case (b0, b1, b2, b3) =>
                 FrameHash(r.doc_id, f, b0, b1, b2, b3)
               }.iterator
@@ -541,6 +541,29 @@ object AviMjpeg {
       .filter(col("n_match") >= minMatch)
       .select(col("video_a"), col("video_b"), col("off").cast("int").as("offset"),
         col("n_aligned"), col("n_match"))
+  }
+
+  /** The planted videos as COLOR MJPEG: each frame a baseline 4:2:0
+    * YCbCr JPEG whose luma carries the same scene plan as the grayscale
+    * videos and whose chroma planes are a per-video static color cast
+    * (block-constant at the half-res plane, so every plane round-trips
+    * bit-exactly). The scene-cut/dedup operators decode these through
+    * the container-sniffing luma fallback — color video end-to-end, no
+    * operator changes.
+    */
+  def mediaAviVideosColor(ids: Dataset[Long]): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val (cw, ch) = ((w + 1) / 2, (h + 1) / 2)
+        val cb = Multimodal.plantedBlockPixels(cw, ch, id + 1000003L)
+        val cr = Multimodal.plantedBlockPixels(cw, ch, id + 2000003L)
+        val frames = (0 until videoFrameCount(id)).map(f =>
+          JpegGray.jpegEncodeYcc420(w, h, videoFramePixels(id, f, 0), cb, cr))
+        Multimodal.MediaRecord(id, "video", wrap(w, h, fps = 10, frames))
+      }
+    }
   }
 
   /** Planted caption text — the formula the caption oracle replays. */
