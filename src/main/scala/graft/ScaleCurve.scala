@@ -112,7 +112,10 @@ object ScaleCurve {
     "mm_video_dedup_trimmed",
     // the admission probe (index-side cap) and the gate→dedup→manifest
     // capstone — the two chained forms of the same band machinery
-    "mm_admit_video", "mm_video_corpus_prepare")
+    "mm_admit_video", "mm_video_corpus_prepare",
+    // color frames cost ~6 decoded blocks per MCU vs gray's 1 — per-row
+    // work, so the row should stay flat-linear like the gray form
+    "mm_video_color_cuts")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

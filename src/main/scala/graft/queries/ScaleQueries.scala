@@ -5130,15 +5130,20 @@ object ScaleQueries {
 
     // Caption extraction (round 10): the cross-modal bridge — a REAL AVI
     // text stream ('txts' strl, '01tx' chunks interleaved with the
-    // frames they subtitle) demuxed back to per-video caption statistics
+    // frames they subtitle) OR a real MP4 tx3g timed-text track (16-bit
+    // length-prefixed UTF-8 samples through their own sample table),
+    // half the corpus each, demuxed back to per-video caption statistics
     // and a content digest. The oracle rebuilds every caption from the
-    // planting formula and hashes the same '|'-joined transcript.
+    // planting formula — it is container-independent by construction,
+    // which is the claim being checked.
     "mm_video_captions" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
         val ids = docs(s, dir).filter(col("doc_id") % 4 === 2)
           .select(col("doc_id")).as[Long]
-        AviMjpeg.videoCaptions(AviMjpeg.mediaAviVideosCaptioned(ids))
+        val avi = AviMjpeg.mediaAviVideosCaptioned(ids.filter(id => (id / 4) % 2 == 0))
+        val mp4 = AviMjpeg.mediaMp4VideosCaptioned(ids.filter(id => (id / 4) % 2 == 1))
+        AviMjpeg.videoCaptions(avi.union(mp4))
           .toDF().orderBy("doc_id")
       },
       oracle = Some(

@@ -588,11 +588,35 @@ object AviMjpeg {
     }
   }
 
+  /** The planted videos as sampled MP4 with a tx3g timed-text track —
+    * the MP4 twin of [[mediaAviVideosCaptioned]], caption-for-caption
+    * identical content.
+    */
+  def mediaMp4VideosCaptioned(ids: Dataset[Long]): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = videoDims(id)
+        val nf = videoFrameCount(id)
+        val frames = (0 until nf).map(f =>
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, 0)))
+        Multimodal.MediaRecord(id, "video",
+          Mp4Mjpeg.wrap(w, h, frames, (0 until nf).map(captionText(id, _))))
+      }
+    }
+  }
+
+  /** Container-agnostic caption demux: AVI '##tx' chunks or the MP4
+    * tx3g timed-text track. */
+  private[graft] def demuxAnyCaptions(b: Array[Byte]): Option[IndexedSeq[String]] =
+    if (isAvi(b)) demuxCaptions(b) else Mp4Mjpeg.demuxText(b)
+
   /** Caption extraction — the bridge from the video container to the
-    * TEXT pipeline: demux the '##tx' stream and emit per-video caption
-    * statistics plus a content digest (what a downstream text-dedup /
-    * quality stage keys on). Malformed videos are skipped; caption-less
-    * ones emit zero counts (absence is a fact, not an error).
+    * TEXT pipeline: demux the text stream (AVI '##tx' chunks or the MP4
+    * tx3g track) and emit per-video caption statistics plus a content
+    * digest (what a downstream text-dedup / quality stage keys on).
+    * Malformed videos are skipped; caption-less ones emit zero counts
+    * (absence is a fact, not an error).
     */
   final case class VideoCaptions(doc_id: Long, n_captions: Int,
                                  caption_chars: Long, cap_sha256: String)
@@ -602,7 +626,7 @@ object AviMjpeg {
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
-        demuxCaptions(r.payload).iterator.map { caps =>
+        demuxAnyCaptions(r.payload).iterator.map { caps =>
           md.reset()
           md.update(caps.mkString("|").getBytes("UTF-8"))
           VideoCaptions(r.doc_id, caps.length,

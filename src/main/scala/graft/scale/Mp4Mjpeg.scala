@@ -41,53 +41,81 @@ object Mp4Mjpeg {
     * (the demuxer handles the general stsc form anyway), timescale 10,
     * one tick per sample.
     */
-  private[graft] def wrap(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+  private[graft] def wrap(w: Int, h: Int, frames: Seq[Array[Byte]],
+                          captions: Seq[String] = Nil): Array[Byte] = {
     val n = frames.length
+    // 3GPP timed text (tx3g): each text sample is a 16-bit big-endian
+    // length followed by the UTF-8 bytes — the real wire layout
+    val capSamples = captions.map { c =>
+      val u = c.getBytes("UTF-8")
+      be2(u.length) ++ u
+    }
     val ftyp = box("ftyp", ascii("isom") ++ be4(0x200) ++ ascii("isom"))
     val mvhd = box("mvhd", be4(0) /* v0+flags */ ++
       be4(0) ++ be4(0) ++ be4(10) /* timescale */ ++ be4(n.toLong) ++
       be4(0x00010000L) ++ be2(0x0100) ++ be2(0) ++ new Array[Byte](8) ++
       (be4(0x00010000L) ++ be4(0) ++ be4(0) ++ be4(0) ++ be4(0x00010000L) ++
         be4(0) ++ be4(0) ++ be4(0) ++ be4(0x40000000L)) ++
-      new Array[Byte](24) ++ be4(2))
-    val tkhd = box("tkhd", be4(7) /* v0, enabled|in-movie|in-preview */ ++
-      be4(0) ++ be4(0) ++ be4(1) ++ be4(0) ++ be4(n.toLong) ++
-      new Array[Byte](8) ++ be2(0) ++ be2(0) ++ be2(0) ++ be2(0) ++
-      (be4(0x00010000L) ++ be4(0) ++ be4(0) ++ be4(0) ++ be4(0x00010000L) ++
-        be4(0) ++ be4(0) ++ be4(0) ++ be4(0x40000000L)) ++
-      be4(w.toLong << 16) ++ be4(h.toLong << 16))
-    val mdhd = box("mdhd", be4(0) ++ be4(0) ++ be4(0) ++ be4(10) ++
-      be4(n.toLong) ++ be2(0x55c4 /* 'und' */) ++ be2(0))
-    val hdlr = box("hdlr", be4(0) ++ be4(0) ++ ascii("vide") ++
+      new Array[Byte](24) ++ be4(if (capSamples.isEmpty) 2 else 3))
+    def tkhdBox(trackId: Int, dur: Int, tw: Int, th: Int) =
+      box("tkhd", be4(7) /* v0, enabled|in-movie|in-preview */ ++
+        be4(0) ++ be4(0) ++ be4(trackId.toLong) ++ be4(0) ++ be4(dur.toLong) ++
+        new Array[Byte](8) ++ be2(0) ++ be2(0) ++ be2(0) ++ be2(0) ++
+        (be4(0x00010000L) ++ be4(0) ++ be4(0) ++ be4(0) ++ be4(0x00010000L) ++
+          be4(0) ++ be4(0) ++ be4(0) ++ be4(0x40000000L)) ++
+        be4(tw.toLong << 16) ++ be4(th.toLong << 16))
+    def mdhdBox(dur: Int) = box("mdhd", be4(0) ++ be4(0) ++ be4(0) ++
+      be4(10) ++ be4(dur.toLong) ++ be2(0x55c4 /* 'und' */) ++ be2(0))
+    def hdlrBox(kind: String) = box("hdlr", be4(0) ++ be4(0) ++ ascii(kind) ++
       new Array[Byte](12) ++ Array(0.toByte) /* empty name, NUL */)
-    val vmhd = box("vmhd", be4(1) ++ be2(0) ++ be2(0) ++ be2(0) ++ be2(0))
+    def sampleTables(entry: Array[Byte], samples: Seq[Array[Byte]],
+                     stco: Array[Byte]): Array[Byte] = {
+      val m = samples.length
+      box("stbl", box("stsd", be4(0) ++ be4(1) ++ entry) ++
+        box("stts", be4(0) ++ be4(1) ++ be4(m.toLong) ++ be4(1)) ++
+        box("stsc", be4(0) ++ be4(1) ++ be4(1) ++ be4(m.toLong) ++ be4(1)) ++
+        box("stsz", be4(0) ++ be4(0) ++ be4(m.toLong) ++
+          samples.toArray.flatMap(s => be4(s.length.toLong))) ++
+        stco)
+    }
     // VisualSampleEntry 'jpeg' (86 bytes): the QuickTime-lineage MJPEG
     // sample description — every sample an independent baseline JPEG
-    val sampleEntry = box("jpeg", new Array[Byte](6) ++ be2(1) /* dref idx */ ++
+    val videoEntry = box("jpeg", new Array[Byte](6) ++ be2(1) /* dref idx */ ++
       be2(0) ++ be2(0) ++ new Array[Byte](12) ++ be2(w) ++ be2(h) ++
       be4(0x00480000L) ++ be4(0x00480000L) ++ be4(0) ++ be2(1) ++
       new Array[Byte](32) ++ be2(24) ++ be2(0xffff))
-    val stsd = box("stsd", be4(0) ++ be4(1) ++ sampleEntry)
-    val stts = box("stts", be4(0) ++ be4(1) ++ be4(n.toLong) ++ be4(1))
-    val stsc = box("stsc", be4(0) ++ be4(1) ++ be4(1) ++ be4(n.toLong) ++ be4(1))
-    val stsz = box("stsz", be4(0) ++ be4(0) /* per-sample sizes */ ++
-      be4(n.toLong) ++ frames.toArray.flatMap(f => be4(f.length.toLong)))
-    // stco carries the ABSOLUTE file offset of the single chunk. Its own
-    // box size is constant (8 + 4 + 4 + 4), so the moov size — and with
-    // it the mdat payload offset — closes before stco's content is known.
-    val stcoSize = 8 + 4 + 4 + 4
-    val stblSize = 8 + stsd.length + stts.length + stsc.length + stsz.length + stcoSize
-    val minfSize = 8 + vmhd.length + stblSize
-    val mdiaSize = 8 + mdhd.length + hdlr.length + minfSize
-    val trakSize = 8 + tkhd.length + mdiaSize
-    val moovSize = 8 + mvhd.length + trakSize
+    // TextSampleEntry 'tx3g': reserved(6) + dref(2) + displayFlags(4) +
+    // justification(2) + bg color(4) + default text box(8) + default
+    // style record(12)
+    val textEntry = box("tx3g", new Array[Byte](6) ++ be2(1) ++
+      be4(0) ++ be2(0) ++ be4(0) ++ new Array[Byte](8) ++ new Array[Byte](12))
+    def trakBox(tkhd: Array[Byte], dur: Int, kind: String, mhd: Array[Byte],
+                entry: Array[Byte], samples: Seq[Array[Byte]],
+                stco: Array[Byte]): Array[Byte] =
+      box("trak", tkhd ++ box("mdia", mdhdBox(dur) ++ hdlrBox(kind) ++
+        box("minf", mhd ++ sampleTables(entry, samples, stco))))
+    val vmhd = box("vmhd", be4(1) ++ be2(0) ++ be2(0) ++ be2(0) ++ be2(0))
+    val nmhd = box("nmhd", be4(0))
+    // stco boxes have constant size (one chunk each), so the moov size —
+    // and with it the mdat payload offsets — closes before the offsets
+    // are known: build the moov twice, dummy offsets then real ones.
+    def moovOf(videoOff: Long, textOff: Long): Array[Byte] = {
+      val vTrak = trakBox(tkhdBox(1, n, w, h), n, "vide", vmhd, videoEntry,
+        frames, box("stco", be4(0) ++ be4(1) ++ be4(videoOff)))
+      val tTrak =
+        if (capSamples.isEmpty) Array.empty[Byte]
+        else trakBox(tkhdBox(2, capSamples.length, 0, 0), capSamples.length,
+          "text", nmhd, textEntry, capSamples,
+          box("stco", be4(0) ++ be4(1) ++ be4(textOff)))
+      box("moov", mvhd ++ vTrak ++ tTrak)
+    }
+    val moovSize = moovOf(0L, 0L).length
     val dataStart = ftyp.length + moovSize + 8 // + mdat header
-    val stco = box("stco", be4(0) ++ be4(1) ++ be4(dataStart.toLong))
-    val moov = box("moov", mvhd ++ box("trak", tkhd ++ box("mdia",
-      mdhd ++ hdlr ++ box("minf", vmhd ++
-        box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)))))
+    val videoBytes = frames.iterator.map(_.length.toLong).sum
+    val moov = moovOf(dataStart.toLong, dataStart.toLong + videoBytes)
     require(moov.length == moovSize, "box size bookkeeping drifted")
-    val mdat = box("mdat", frames.toArray.flatMap(f => f))
+    val mdat = box("mdat",
+      frames.toArray.flatMap(f => f) ++ capSamples.toArray.flatMap(s => s))
     ftyp ++ moov ++ mdat
   }
 
@@ -115,24 +143,110 @@ object Mp4Mjpeg {
                     kind: String): Option[(Int, Int)] =
     children(b, start, end).collectFirst { case (k, s, e) if k == kind => (s, e) }
 
+  /** The stbl range of a trak, plus its stsd entry format fourcc. */
+  private def trakStbl(b: Array[Byte], trakS: Int,
+                       trakE: Int): Option[(Int, Int, String)] =
+    for {
+      (mdiaS, mdiaE) <- child(b, trakS, trakE, "mdia")
+      (minfS, minfE) <- child(b, mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- child(b, minfS, minfE, "stbl")
+      (stsdS, stsdE) <- child(b, stblS, stblE, "stsd")
+      if stsdS + 16 <= stsdE && stsdS + 16 <= b.length
+    } yield (stblS, stblE, tag(b, stsdS + 12))
+
+  /** The first trak whose sample description matches `format`:
+    * (tkhd body start, stbl range). Multi-trak files (video + timed
+    * text) resolve by format, not position.
+    */
+  private def trakOf(b: Array[Byte], format: String): Option[(Int, Int, Int)] = {
+    val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
+    children(b, moovS, moovE).collectFirst {
+      case ("trak", ts, te) if trakStbl(b, ts, te).exists(_._3 == format) =>
+        val (tkhdS, _) = child(b, ts, te, "tkhd").getOrElse(return None)
+        val (stblS, stblE, _) = trakStbl(b, ts, te).get
+        (tkhdS, stblS, stblE)
+    }
+  }
+
+  /** Demux the timed-text track (tx3g): each sample is a 16-bit
+    * big-endian length + UTF-8 bytes, per 3GPP timed text. None on
+    * malformed structure; Some(empty) when the file has no text track.
+    */
+  /** Every top-level box's declared size must fit the file — the
+    * truncation check (nested walks clamp; the top level must not). */
+  private def topLevelFits(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = math.max(u32be(b, i).toInt, 8)
+      if (i + size > b.length) return false
+      i += size
+    }
+    i == b.length
+  }
+
+  private[graft] def demuxText(b: Array[Byte]): Option[IndexedSeq[String]] = {
+    try {
+      if (!isBmff(b)) return None
+      // a TRUNCATED file is malformed; one without a text trak isn't
+      if (!topLevelFits(b)) return None
+      if (child(b, 0, b.length, "moov").isEmpty) return None
+      trakOf(b, "tx3g") match {
+        case None => Some(Vector.empty)
+        case Some((_, stblS, stblE)) =>
+          sliceSamples(b, stblS, stblE).flatMap { samples =>
+            val texts = Vector.newBuilder[String]
+            var i = 0
+            var ok = true
+            while (ok && i < samples.length) {
+              val s = samples(i)
+              if (s.length < 2) ok = false
+              else {
+                val len = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
+                if (2 + len > s.length) ok = false
+                else texts += new String(s, 2, len, "UTF-8")
+              }
+              i += 1
+            }
+            if (ok) Some(texts.result()) else None
+          }
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Demux via the REAL sample table: (width, height, samples). Width and
     * height come from tkhd 16.16; sample byte ranges from stsz sizes +
     * stco chunk offsets + stsc samples-per-chunk runs (general run-length
-    * form per §8.7.4). None on anything malformed, truncated, or missing
-    * a video sample table — the never-throw posture.
+    * form per §8.7.4). The video trak resolves by its 'jpeg' sample
+    * description (multi-trak files have timed text too), falling back to
+    * the first trak for foreign single-trak files. None on anything
+    * malformed, truncated, or missing a video sample table — the
+    * never-throw posture.
     */
   private[graft] def demuxSamples(b: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Byte]])] = {
     try {
       if (!isBmff(b)) return None
       val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
-      val (trakS, trakE) = child(b, moovS, moovE, "trak").getOrElse(return None)
-      val (tkhdS, _) = child(b, trakS, trakE, "tkhd").getOrElse(return None)
+      val (tkhdS, stblS, stblE) = trakOf(b, "jpeg").getOrElse {
+        // foreign single-trak files may omit stsd-level detail — fall
+        // back to the first trak's stbl without requiring a format match
+        val (trakS, trakE) = child(b, moovS, moovE, "trak").getOrElse(return None)
+        val (t, _) = child(b, trakS, trakE, "tkhd").getOrElse(return None)
+        val (mdiaS, mdiaE) = child(b, trakS, trakE, "mdia").getOrElse(return None)
+        val (minfS, minfE) = child(b, mdiaS, mdiaE, "minf").getOrElse(return None)
+        val (s, e) = child(b, minfS, minfE, "stbl").getOrElse(return None)
+        (t, s, e)
+      }
       if ((b(tkhdS) & 0xff) != 0) return None // v0 layout only
       val w = (u32be(b, tkhdS + 76) >> 16).toInt
       val h = (u32be(b, tkhdS + 80) >> 16).toInt
-      val (mdiaS, mdiaE) = child(b, trakS, trakE, "mdia").getOrElse(return None)
-      val (minfS, minfE) = child(b, mdiaS, mdiaE, "minf").getOrElse(return None)
-      val (stblS, stblE) = child(b, minfS, minfE, "stbl").getOrElse(return None)
+      sliceSamples(b, stblS, stblE).map(samples => (w, h, samples))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Slice a trak's samples out of the file by its REAL sample table. */
+  private def sliceSamples(b: Array[Byte], stblS: Int,
+                           stblE: Int): Option[IndexedSeq[Array[Byte]]] = {
+    try {
       // stsz: sample_size (uniform if nonzero) + count (+ per-sample sizes)
       val (stszS, stszE) = child(b, stblS, stblE, "stsz").getOrElse(return None)
       val uniform = u32be(b, stszS + 4)
@@ -178,7 +292,7 @@ object Mp4Mjpeg {
         chunk += 1
       }
       if (sample != n) return None
-      Some((w, h, out.result()))
+      Some(out.result())
     } catch { case _: Throwable => None }
   }
 }

@@ -97,6 +97,33 @@ class Mp4MjpegSpec extends AnyFunSuite {
     assert(ha == hm && ha.size == 12)
   }
 
+  test("tx3g timed text: length-prefixed samples roundtrip; video trak resolves by format") {
+    val id = 16L
+    val (w, h) = AviMjpeg.videoDims(id)
+    val fs = frames(id)
+    val caps = fs.indices.map(f => AviMjpeg.captionText(id, f))
+    val b = Mp4Mjpeg.wrap(w, h, fs, caps)
+    assert(Mp4Mjpeg.demuxText(b).get == caps)
+    // the video trak still demuxes by its 'jpeg' sample description even
+    // though the file now has two traks
+    val (dw, dh, out) = Mp4Mjpeg.demuxSamples(b).get
+    assert(dw == w && dh == h && out.length == fs.length)
+    for (i <- fs.indices) assert(java.util.Arrays.equals(out(i), fs(i)))
+    // caption-less MP4: empty text, not an error; junk: None
+    assert(Mp4Mjpeg.demuxText(Mp4Mjpeg.wrap(w, h, fs)).get.isEmpty)
+    assert(Mp4Mjpeg.demuxText(b.take(50)).isEmpty)
+    // container-agnostic extraction agrees with the AVI twin
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(8L, 16L))
+    val a = AviMjpeg.videoCaptions(AviMjpeg.mediaAviVideosCaptioned(ids))
+      .collect().map(c => c.doc_id -> c).toMap
+    val m = AviMjpeg.videoCaptions(AviMjpeg.mediaMp4VideosCaptioned(ids))
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(a.keySet == m.keySet && a.keySet.size == 2)
+    for ((k, va) <- a) assert(va == m(k), s"caption container disagreement on $k")
+  }
+
   test("malformed sampled MP4s: None, never a throw") {
     val good = Mp4Mjpeg.wrap(16, 16, frames(8L))
     assert(Mp4Mjpeg.demuxSamples(good.take(40)).isEmpty)
