@@ -307,33 +307,45 @@ object AviMjpeg {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        val parsed = for {
-          (w, h, frames) <- demuxAnyVideo(r.payload) if frames.nonEmpty
-          nf = frames.length
-          imgs = frames.flatMap(Multimodal.decodeGray(_)) if imgs.length == nf
-        } yield {
-          var nCuts = 0
-          var firstCut = -1
-          var sumMad = 0L
-          var f = 1
-          while (f < nf) {
-            val a = imgs(f - 1).pixels
-            val b = imgs(f).pixels
-            var s = 0L
-            var i = 0
-            while (i < a.length) {
-              s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
-              i += 1
+        val parsed = demuxAnyVideo(r.payload).filter(_._3.nonEmpty).flatMap {
+          case (w, h, frames) =>
+            // stream the decode PAIRWISE: only the previous frame's pixels
+            // stay live, so per-video memory is O(2 frames) whatever the
+            // video length — decoded pixels dwarf the compressed payload
+            val nf = frames.length
+            var prev: Array[Byte] = null
+            var nCuts = 0
+            var firstCut = -1
+            var sumMad = 0L
+            var f = 0
+            var ok = true
+            while (ok && f < nf) {
+              Multimodal.decodeGray(frames(f)) match {
+                case Some(img) =>
+                  val b = img.pixels
+                  if (prev != null && prev.length != b.length) {
+                    ok = false // mixed frame dims: malformed, skip the video
+                  } else if (prev != null) {
+                    var s = 0L
+                    var i = 0
+                    while (i < b.length) {
+                      s += math.abs((prev(i) & 0xff) - (b(i) & 0xff))
+                      i += 1
+                    }
+                    val mad = s / (w.toLong * h)
+                    sumMad += mad
+                    if (mad > threshold) {
+                      nCuts += 1
+                      if (firstCut < 0) firstCut = f
+                    }
+                  }
+                  prev = b
+                case None => ok = false // any undecodable frame skips the video
+              }
+              f += 1
             }
-            val mad = s / (w.toLong * h)
-            sumMad += mad
-            if (mad > threshold) {
-              nCuts += 1
-              if (firstCut < 0) firstCut = f
-            }
-            f += 1
-          }
-          VideoScenes(r.doc_id, w, h, nf, nCuts, firstCut, sumMad)
+            if (ok) Some(VideoScenes(r.doc_id, w, h, nf, nCuts, firstCut, sumMad))
+            else None
         }
         parsed.iterator
       }

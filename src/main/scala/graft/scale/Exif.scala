@@ -141,7 +141,9 @@ object Exif {
             def asciiAt: Option[String] = {
               if (typ != 2 || count <= 0 || count > 1024) return None
               val off = if (count <= 4) p + 8 else t + u32(b, p + 8, le).toInt
-              if (off + count > b.length) return None
+              // offsets must stay INSIDE the APP1 segment — a value
+              // pointing into the entropy stream is malformed, not data
+              if (off < t || off + count > i + 2 + len) return None
               Some(new String(b, off, count - 1, "US-ASCII")) // strip NUL
             }
             tag match {
