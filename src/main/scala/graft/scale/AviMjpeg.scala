@@ -323,7 +323,12 @@ object AviMjpeg {
               Multimodal.decodeGray(frames(f)) match {
                 case Some(img) =>
                   val b = img.pixels
-                  if (prev != null && prev.length != b.length) {
+                  if (b.length != w.toLong * h) {
+                    // decoded dims disagree with the container header
+                    // (avih/tkhd): the MAD divisor below would be wrong —
+                    // malformed, skip the video (never-wrong-output posture)
+                    ok = false
+                  } else if (prev != null && prev.length != b.length) {
                     ok = false // mixed frame dims: malformed, skip the video
                   } else if (prev != null) {
                     var s = 0L

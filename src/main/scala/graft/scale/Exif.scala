@@ -61,24 +61,32 @@ object Exif {
     val ifdBytes = 2 + nEntries * 12 + 4
     var dataOff = 8 + ifdBytes // first free byte after IFD0
     val data = new java.io.ByteArrayOutputStream()
-    def asciiValue(s: String): Array[Byte] = {
+    // (count, valueField): count is the ENCODED byte length incl. NUL --
+    // TIFF 6.0 type-2 values are US-ASCII, so the entry count must come
+    // from the encoded bytes, not the UTF-16 code-unit count (they differ
+    // for non-ASCII input, which would otherwise corrupt the IFD).
+    def asciiValue(s: String): (Int, Array[Byte]) = {
       val v = (s + "\u0000").getBytes("US-ASCII")
-      if (v.length <= 4) v ++ new Array[Byte](4 - v.length)
-      else {
-        val off = dataOff
-        data.write(v)
-        if (v.length % 2 == 1) { data.write(0) } // word alignment
-        dataOff += v.length + (v.length % 2)
-        p32(off.toLong + tiffStart, le)
-      }
+      val field =
+        if (v.length <= 4) v ++ new Array[Byte](4 - v.length)
+        else {
+          val off = dataOff
+          data.write(v)
+          if (v.length % 2 == 1) { data.write(0) } // word alignment
+          dataOff += v.length + (v.length % 2)
+          p32(off.toLong + tiffStart, le)
+        }
+      (v.length, field)
     }
     def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]): Array[Byte] =
       p16(tag, le) ++ p16(typ, le) ++ p32(count.toLong, le) ++ value
     // entries must be ascending by tag per TIFF 6.0
-    val eMake = entry(TagMake, 2 /* ASCII */, make.length + 1, asciiValue(make))
+    val (makeN, makeV) = asciiValue(make)
+    val eMake = entry(TagMake, 2 /* ASCII */, makeN, makeV)
     val eOri = entry(TagOrientation, 3 /* SHORT */, 1,
       p16(orientation, le) ++ p16(0, le))
-    val eDt = entry(TagDateTime, 2, dateTime.length + 1, asciiValue(dateTime))
+    val (dtN, dtV) = asciiValue(dateTime)
+    val eDt = entry(TagDateTime, 2, dtN, dtV)
     val ifd = p16(nEntries, le) ++ eMake ++ eOri ++ eDt ++ p32(0, le)
     val tiff = header ++ ifd ++ data.toByteArray
     val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff

@@ -123,7 +123,20 @@ object Mp4Mjpeg {
   private[graft] def isBmff(b: Array[Byte]): Boolean =
     b.length >= 12 && tag(b, 4) == "ftyp"
 
-  /** Walk children of [start, end) yielding (boxType, bodyStart, bodyEnd). */
+  /** Signals a box-size form this parser declares out of scope (64-bit
+    * largesize) or outright illegal (2..7 — smaller than the box header).
+    * Every demux entry point catches it into a clean None. */
+  private final class BoxSizeException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Walk children of [start, end) yielding (boxType, bodyStart, bodyEnd).
+    * ISO-BMFF §4.2 size handling: size==0 means body-extends-to-end (legal
+    * for the last box, common for streaming-written mdat) — yielded with
+    * bodyEnd=end and the walk stops there; size==1 (64-bit largesize) and
+    * sizes above Int.MaxValue are declared out of scope (files that large
+    * don't fit this in-memory parser anyway) and raise [[BoxSizeException]]
+    * so the caller returns a clean None instead of misparsing a garbage
+    * child walk; sizes 2..7 are illegal (below the 8-byte header). */
   private def children(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
     new Iterator[(String, Int, Int)] {
       private var i = start
@@ -131,11 +144,22 @@ object Mp4Mjpeg {
       def next(): (String, Int, Int) = {
         val size = u32be(b, i)
         val kind = tag(b, i + 4)
-        val step = math.max(size.toInt, 8)
-        val bodyEnd = math.min(math.min(i + step, end), b.length)
-        val out = (kind, i + 8, bodyEnd)
-        i += step
-        out
+        if (size == 1L || size > Int.MaxValue.toLong)
+          throw new BoxSizeException(s"box size $size out of scope")
+        if (size != 0L && size < 8L)
+          throw new BoxSizeException(s"illegal box size $size")
+        val clampedEnd = math.min(end, b.length)
+        if (size == 0L) { // body extends to the end of the enclosing range
+          val out = (kind, i + 8, clampedEnd)
+          i = clampedEnd
+          out
+        } else {
+          val step = size.toInt
+          val bodyEnd = math.min(i + step, clampedEnd)
+          val out = (kind, i + 8, bodyEnd)
+          i += step
+          out
+        }
       }
     }
 
@@ -177,9 +201,12 @@ object Mp4Mjpeg {
   private def topLevelFits(b: Array[Byte]): Boolean = {
     var i = 0
     while (i + 8 <= b.length) {
-      val size = math.max(u32be(b, i).toInt, 8)
-      if (i + size > b.length) return false
-      i += size
+      val size = u32be(b, i)
+      if (size == 0L) return true // last box extends to EOF — fits
+      if (size == 1L || size > Int.MaxValue.toLong) return false // largesize: out of scope
+      if (size < 8L) return false // below the 8-byte box header: illegal
+      if (i + size.toInt > b.length) return false
+      i += size.toInt
     }
     i == b.length
   }
@@ -225,6 +252,8 @@ object Mp4Mjpeg {
   private[graft] def demuxSamples(b: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Byte]])] = {
     try {
       if (!isBmff(b)) return None
+      // truncated files are malformed here too, not just in demuxText
+      if (!topLevelFits(b)) return None
       val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
       val (tkhdS, stblS, stblE) = trakOf(b, "jpeg").getOrElse {
         // foreign single-trak files may omit stsd-level detail — fall

@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
   * ([[parseHeader]] — CRC-checked IHDR, SOFn marker walk, RIFF and
   * ISO-BMFF chunk/box walks, AVI hdrl/avih walk via [[AviMjpeg]]), full
   * PNG grayscale-8 PIXEL decode ([[pngDecodeGray]] — multi-IDAT zlib
-  * inflate + all five scanline filters), baseline-JPEG grayscale PIXEL
-  * decode ([[JpegGray]] — DHT Huffman entropy decode, dequant, IDCT,
-  * ITU-T T.81), WAV PCM16 SAMPLE decode ([[wavDecodePcm16]]), and VIDEO
-  * FRAME decode for MJPEG-in-AVI ([[AviMjpeg]] — movi demux, every
-  * '00dc' chunk a complete baseline JPEG through the T.81 decoder). The
-  * image operators dispatch on magic bytes ([[decodeGray]]) and run over
+  * inflate + all five scanline filters, gray-8 AND truecolor RGB-8),
+  * baseline-JPEG PIXEL decode in grayscale AND 4:2:0 YCbCr color incl.
+  * DRI/RSTn restart intervals ([[JpegGray]] — DHT Huffman entropy
+  * decode, dequant, IDCT, ITU-T T.81), WAV PCM16 SAMPLE decode mono and
+  * stereo ([[wavDecodePcm16]]), EXIF metadata in both TIFF byte orders
+  * ([[Exif]]), and VIDEO FRAME decode for MJPEG in BOTH containers:
+  * AVI movi demux ([[AviMjpeg]]) and real ISO-BMFF MP4
+  * stsd/stts/stsc/stsz/stco sample tables ([[Mp4Mjpeg]]) — every sample
+  * a complete baseline JPEG through the T.81 decoder. The image
+  * operators dispatch on magic bytes ([[decodeGray]]) and run over
   * true decoded pixels from EITHER container; the audio queries operate
   * on true decoded samples; the video queries (scene cuts, keyframe
-  * dedup) operate on true demuxed-and-decoded frames.
+  * dedup, captions from AVI '01tx' or MP4 tx3g) operate on true
+  * demuxed-and-decoded frames from either container.
   * What is NOT claimed (needs codec libraries this container lacks):
-  * MP4 video payload codecs (H.26x), progressive/color JPEG —
+  * inter-coded video codecs (H.26x), progressive/arithmetic JPEG —
   * [[decodeOne]] remains the clearly marked byte-derived stand-in for
   * those, with the partition-batched typed plumbing (the Scala analog of
   * `mapInPandas` batch UDFs) real and tested either way.
