@@ -3882,8 +3882,10 @@ object ScaleQueries {
           .filter(col("vec_b") === col("vec_a") + 100000)
         // detected planted pairs use the same rounded cosine >= 0.99, so
         // they are a SUBSET of truth by construction: recall = |D|/|T|
+        // both sides are 1-row aggregates; hint one so the join stays a
+        // BNLJ even with the broadcast threshold disabled/outgrown
         truth.agg(count(lit(1)).as("n_truth")).crossJoin(
-            detected.agg(count(lit(1)).as("n_detected")))
+            broadcast(detected.agg(count(lit(1)).as("n_detected"))))
           .select(col("n_truth"), col("n_detected"),
             round(col("n_detected").cast("double") /
               col("n_truth").cast("double"), 4).as("recall_measured"),

@@ -1894,13 +1894,22 @@ object SignalQueries {
         val act = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
         val days = act.select(col("day").as("d")).distinct()
-        act.join(days,
-            datediff(col("d"), col("day")) >= 0 &&
-              datediff(col("d"), col("day")) <= 6)
-          .groupBy("d")
-          .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+        // each active (user, day) contributes to the 7 windows ENDING at
+        // day..day+6: explode the bounded offset instead of a non-equi
+        // day-grid join — O(7N) rows through an equi-shuffle on d, vs the
+        // O(N·D) nested-loop the range join degenerates to at scale
+        val win = act
+          .select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .withColumn("d", date_add(col("day"), col("off")))
+        win.groupBy("d")
+          .agg(countDistinct(when(col("off") === 0, col("user_id")))
               .as("dau"),
             countDistinct(col("user_id")).as("wau"))
+          // restrict to OBSERVED days (day+off can fall past the last
+          // active day); the aggregated side is one row per day, the
+          // grid is calendar-bounded — broadcast it
+          .join(broadcast(days), "d")
           .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
             col("dau"), col("wau"),
             round(col("dau").cast("double") / col("wau").cast("double"), 6)

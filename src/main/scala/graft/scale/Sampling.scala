@@ -124,7 +124,10 @@ object Sampling {
       count(lit(1)).as("n_g"), first(col("target_share")).as("t_g"))
     val budget = counts.agg(
       min(col("n_g").cast("double") / col("t_g")).as("scale_c"))
-    val rates = counts.crossJoin(budget)
+    // budget is a 1-row aggregate: hint it so the plan stays a BNLJ even
+    // when the broadcast threshold is disabled/outgrown (never a
+    // CartesianProduct at scale)
+    val rates = counts.crossJoin(broadcast(budget))
       .withColumn("rate", least(lit(1.0),
         col("scale_c") * col("t_g") / col("n_g").cast("double")))
     tagged.join(rates.select(col(stratumCol), col("rate")), Seq(stratumCol))

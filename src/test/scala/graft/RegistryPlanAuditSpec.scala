@@ -90,4 +90,108 @@ class RegistryPlanAuditSpec extends SparkSpec {
       s"stale vector-shuffle allowlist entries (no longer shuffle vectors — " +
         s"delete them): ${stale.mkString(", ")}")
   }
+
+  /** Why each allowlisted query may plan a CartesianProduct ONLY when
+    * broadcast is globally disabled: every entry is a join against a
+    * provably bounded side (a 1-row aggregate scalar or a suite-bounded
+    * constant), so the "cartesian" is O(N·1) — at any scale. In the
+    * production configuration these plan as BroadcastNestedLoopJoin; the
+    * no-broadcast pass exists to prove nothing ELSE degenerates.
+    */
+  private val noBroadcastCartesianAllow: Map[String, String] = Map.empty
+
+  /** Extra vector-shuffle allowances that appear only with broadcast off:
+    * joins whose small side is bounded by construction (query sets gated
+    * to a benchmark suite, codebooks of k centroids) and broadcast in the
+    * production plan. Each reason names the bound.
+    */
+  private val noBroadcastVectorAllow: Map[String, String] = Map(
+    "dedup_embedding" -> ("sign-bucket blocking (cosineNearDupPairs): each " +
+      "vector moves ONCE into its bucket-keyed exchange to co-locate " +
+      "candidates — the move that replaces the all-pairs plan; O(corpus) " +
+      "exchange bytes"),
+    "dedup_threshold_sweep" -> ("same sign-bucket blocking exchange as " +
+      "dedup_embedding — the sweep reuses one bucketed pair pass"),
+    "dedup_vector_eval" -> ("banded-SRP verify: candidates are ids-only " +
+      "through the (band,bucket) exchange; the flagged exchange is the " +
+      "id-keyed RE-ENTRY join that scores surviving pairs — each vector " +
+      "crosses it once per pair side, O(corpus) bytes"),
+    "dedup_vector_incremental" -> ("posting-probe admission: probe " +
+      "exchanges carry ints (pinned in PlanShapeSpec); the flagged " +
+      "exchanges are the id-keyed re-entry joins for batch and corpus " +
+      "vectors scoring surviving candidates — one move each"),
+    "emb_banded_recall" -> ("recall eval: the banded arm re-joins query " +
+      "and corpus vectors by id to score candidate pairs — the ids-only " +
+      "candidate design's single re-entry move per side"),
+    "emb_rerank" -> ("two-stage rerank: shortlist is ids+score; the " +
+      "flagged exchange re-enters query vectors by id for the exact " +
+      "rerank — one move of the (bounded) query set"))
+
+  test("registry-wide with broadcast DISABLED: no cartesian, no vector through a shuffle") {
+    // The sf0.001 blind spot where the round-8 (matryoshka) and round-9
+    // (vector posting probe) scale bugs hid: at fixture size every join
+    // broadcasts, so the default-config audit above never sees the
+    // exchanges that appear at 100 TB when the "small" side outgrows the
+    // threshold. Planning every query with
+    // spark.sql.autoBroadcastJoinThreshold=-1 forces the shuffle-join
+    // shape and makes those exchanges auditable. Explicit broadcast()
+    // hints in production code still broadcast under this config — which
+    // is the point: a side that is KNOWN bounded should be hinted, so the
+    // plan does not silently flip to a vector-carrying shuffle at scale.
+    graft.functions.Hashing.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cartesians = Seq.newBuilder[String]
+    val vectorOffenders = Seq.newBuilder[(String, Seq[String])]
+    val cartesianed = Set.newBuilder[String]
+    val vectorShufflers = Set.newBuilder[String]
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        val plan =
+          try SparkEntry.registry(name).build(spark, dir).queryExecution.executedPlan
+          finally Caches.release()
+        if (plan.toString.contains("CartesianProduct")) {
+          cartesianed += name
+          if (!noBroadcastCartesianAllow.contains(name)) cartesians += name
+        }
+        val vecCols = plan.collect { case e: ShuffleExchangeExec =>
+          e.output.filter(_.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true
+            case _ => false
+          }).map(_.name)
+        }.flatten.distinct
+        if (vecCols.nonEmpty) {
+          vectorShufflers += name
+          if (!vectorShuffleAllow.contains(name) &&
+              !noBroadcastVectorAllow.contains(name))
+            vectorOffenders += (name -> vecCols)
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    val cart = cartesians.result()
+    assert(cart.isEmpty,
+      s"cartesian-product plans under no-broadcast (either a real scale " +
+        s"bug, or a bounded scalar join missing an explicit broadcast() " +
+        s"hint): ${cart.mkString(", ")}")
+    val off = vectorOffenders.result()
+    assert(off.isEmpty,
+      "vector columns cross a shuffle exchange under no-broadcast without " +
+        "an allowlist reason (hint the bounded side with broadcast(), or " +
+        "carry ids+score and re-join vectors): " +
+        off.map { case (n, cs) => s"$n(${cs.mkString(",")})" }.mkString("; "))
+    val staleCart = noBroadcastCartesianAllow.keySet.diff(cartesianed.result())
+    assert(staleCart.isEmpty,
+      s"stale no-broadcast cartesian allowlist entries: ${staleCart.mkString(", ")}")
+    val staleVec = (noBroadcastVectorAllow.keySet ++ vectorShuffleAllow.keySet)
+      .diff(vectorShufflers.result())
+      .diff(vectorShuffleAllow.keySet) // default-pass staleness is checked above
+    assert(staleVec.isEmpty,
+      s"stale no-broadcast vector allowlist entries: ${staleVec.mkString(", ")}")
+  }
 }
