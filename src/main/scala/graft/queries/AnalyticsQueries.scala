@@ -597,27 +597,35 @@ object AnalyticsQueries {
     // Sub-document (chunk-level) dedup: split every doc into fixed
     // 32-token chunks, keep only the globally-FIRST occurrence of each
     // exact chunk (order = doc_id, chunk idx), reassemble the survivors.
-    // The dedup key is the chunk sha256 — raw chunk text never enters the
-    // shuffle; one window over the hash key decides keep/drop.
+    // The keep/drop decision shuffles (doc_id, idx, sha256) ONLY — the
+    // digest is the dedup key, so the h-window exchange and the per-doc
+    // flag aggregation carry ints+digests; chunk text is then rebuilt
+    // from the original token arrays in the single id-keyed re-entry
+    // join (raw text moves exactly once, never through the decision).
     "dedup_chunks" -> QueryDef(
       build = (s, dir) => {
         val d = Tables.documents(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .withColumn("nc", ceil(size(col("toks")) / lit(32.0)).cast("int"))
-        val ch = d.select(col("doc_id"), expr(
+        val keys = d.select(col("doc_id"), expr(
             """explode(transform(sequence(0, nc - 1),
-              |  i -> struct(i AS idx, array_join(slice(toks, i * 32 + 1, 32), ' ') AS chunk)))
+              |  i -> struct(i AS idx,
+              |    sha2(encode(array_join(slice(toks, i * 32 + 1, 32), ' '), 'UTF-8'), 256) AS h)))
               |""".stripMargin).as("c"))
-          .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
-          .withColumn("h", sha2(encode(col("chunk"), "UTF-8"), 256))
+          .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
         val wFirst = Window.partitionBy("h").orderBy("doc_id", "idx")
-        ch.withColumn("keep", row_number().over(wFirst) === 1)
+        val perDoc = keys
+          .withColumn("keep", row_number().over(wFirst) === 1)
           .groupBy("doc_id")
           .agg(
             count(lit(1)).cast("int").as("n_chunks"),
             sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+            sort_array(collect_list(when(col("keep"), col("idx"))))
+              .as("kept_idx"))
+        d.join(perDoc, "doc_id")
+          .select(col("doc_id"), col("n_chunks"), col("n_kept"),
             sha2(encode(array_join(expr(
-              "transform(array_sort(filter(collect_list(struct(idx, keep, chunk)), s -> s.keep)), s -> s.chunk)"),
+              "transform(kept_idx, i -> array_join(slice(toks, i * 32 + 1, 32), ' '))"),
               " "), "UTF-8"), 256).as("dedup_hash"))
           .orderBy("doc_id")
       },

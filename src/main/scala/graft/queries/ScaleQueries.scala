@@ -2015,22 +2015,35 @@ object ScaleQueries {
         // step whole-stage-codegens, unlike per-row HOF folds (interpreted,
         // and recomputed per referencing column without a persist barrier).
         // Char-class ratios are single-pass regexp_count.
+        // Text-level expressions are computed BEFORE the explode (the
+        // Project under Generate runs once per document) and ride the
+        // token aggregation as group-constants via first() — so the
+        // doc_id exchange carries partial aggregates only and raw text
+        // never crosses a shuffle (the join-back it replaces shuffled the
+        // full documents table by doc_id).
         val d = docs(s, dir)
-        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        d.select(col("doc_id"),
+            TextOps.bpeishTokenCount(col("text")).as("bpeish_pre"),
+            round(TextOps.digitRatio(col("text")), 6).as("digit_pre"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_pre"),
+            explode(TextOps.tokens(col("text"))).as("t"))
           .groupBy("doc_id").agg(
             count(lit(1)).cast("int").as("n_tokens"),
             sum(length(col("t"))).as("tok_len_sum"),
-            sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
-        d.join(agg, "doc_id").select(
+            sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+            first(col("bpeish_pre")).as("bpeish_tokens"),
+            first(col("digit_pre")).as("digit_ratio"),
+            first(col("punct_pre")).as("punct_ratio"))
+          .select(
             col("doc_id"),
             col("n_tokens"),
-            TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+            col("bpeish_tokens"),
             round(col("tok_len_sum").cast("double")
               / col("n_tokens").cast("double"), 6).as("mean_token_len"),
             round(col("n_stop").cast("double")
               / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
-            round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
-            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+            col("digit_ratio"),
+            col("punct_ratio"))
           .orderBy("doc_id")
       },
       oracle = Some(
@@ -2054,13 +2067,23 @@ object ScaleQueries {
         // all 5 language-marker scores in a single codegen'd pass; the
         // argmax fold then runs over plain int columns (was: 6 interpreted
         // HOF array scans per document behind a persist barrier).
+        // Text-level terms (length, digit ratio) and the label column ride
+        // the token aggregation as first() group-constants computed before
+        // the explode — no join-back, so raw text never crosses a shuffle
+        // (the doc_id exchange carries partial aggregates only).
         val d = docs(s, dir)
         val langs = TextOps.langMarkers.keys.toSeq.sorted
         val aggCols =
-          sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop") +:
+          (sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop") +:
           langs.map(l => sum(when(col("t").isin(TextOps.langMarkers(l): _*), 1L)
-            .otherwise(0L)).as(s"s_$l"))
-        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+            .otherwise(0L)).as(s"s_$l"))) ++ Seq(
+            first(col("len_pre")).as("len_d"),
+            first(col("digit_pre")).as("dig_r"),
+            first(col("lang")).as("lang"))
+        val agg = d.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("double").as("len_pre"),
+            TextOps.digitRatio(col("text")).as("digit_pre"),
+            explode(TextOps.tokens(col("text"))).as("t"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"), aggCols: _*)
         val pred = langs.tail.foldLeft((lit(langs.head), col(s"s_${langs.head}"))) {
@@ -2068,13 +2091,13 @@ object ScaleQueries {
             (when(col(s"s_$l") > bestScore, lit(l)).otherwise(bestLang),
              when(col(s"s_$l") > bestScore, col(s"s_$l")).otherwise(bestScore))
         }._1
-        d.join(agg, "doc_id").select(
+        agg.select(
             col("doc_id"),
             round(
-              least(length(col("text")).cast("double") / 500.0, lit(1.0)) * 0.4
+              least(col("len_d") / 500.0, lit(1.0)) * 0.4
                 + (lit(1.0) - col("n_stop").cast("double")
                     / col("n_toks").cast("double")) * 0.4
-                + (lit(1.0) - TextOps.digitRatio(col("text"))) * 0.2,
+                + (lit(1.0) - col("dig_r")) * 0.2,
               6).as("quality"),
             pred.as("predicted_lang"),
             col("lang"),

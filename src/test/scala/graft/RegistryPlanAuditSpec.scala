@@ -127,6 +127,30 @@ class RegistryPlanAuditSpec extends SparkSpec {
       "flagged exchange re-enters query vectors by id for the exact " +
       "rerank — one move of the (bounded) query set"))
 
+  /** Column names that mean "the raw document text" (or its token-array
+    * form — the same bytes, differently shaped). SURVEY claims "text never
+    * shuffles" for the dedup/novelty/diff families; this is the registry-
+    * wide enforcement. Short token/term columns (t, tok, w1, phrase…) are
+    * deliberately NOT matched — shuffling single tokens keyed by token is
+    * the standard shape; the gate is about full-document payloads.
+    */
+  private val rawTextNames = Set(
+    "text", "toks", "tokens", "body", "content", "chunk", "chunks",
+    "raw_text", "norm_text", "doc_text", "chunk_text", "sentence",
+    "paragraph", "snippet")
+
+  /** Why each allowlisted query may move a raw-text column through ONE
+    * shuffle exchange: each entry is the single id-keyed re-entry join of
+    * a decision computed on ids+digests (text moves once, never through
+    * the decision exchanges).
+    */
+  private val textShuffleAllow: Map[String, String] = Map(
+    "dedup_chunks" -> ("survivor reassembly: the keep/drop decision " +
+      "shuffles (doc_id, idx, sha256) only; the flagged exchange is the " +
+      "single doc_id-keyed re-entry join that rebuilds kept chunk text " +
+      "from the original token arrays — text moves once, never through " +
+      "the decision"))
+
   test("registry-wide with broadcast DISABLED: no cartesian, no vector through a shuffle") {
     // The sf0.001 blind spot where the round-8 (matryoshka) and round-9
     // (vector posting probe) scale bugs hid: at fixture size every join
@@ -144,8 +168,10 @@ class RegistryPlanAuditSpec extends SparkSpec {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val cartesians = Seq.newBuilder[String]
     val vectorOffenders = Seq.newBuilder[(String, Seq[String])]
+    val textOffenders = Seq.newBuilder[(String, Seq[String])]
     val cartesianed = Set.newBuilder[String]
     val vectorShufflers = Set.newBuilder[String]
+    val textShufflers = Set.newBuilder[String]
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -168,6 +194,19 @@ class RegistryPlanAuditSpec extends SparkSpec {
           if (!vectorShuffleAllow.contains(name) &&
               !noBroadcastVectorAllow.contains(name))
             vectorOffenders += (name -> vecCols)
+        }
+        val txtCols = plan.collect { case e: ShuffleExchangeExec =>
+          e.output.filter(a => rawTextNames.contains(a.name.toLowerCase) &&
+            (a.dataType match {
+              case org.apache.spark.sql.types.StringType => true
+              case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+              case _ => false
+            })).map(_.name)
+        }.flatten.distinct
+        if (txtCols.nonEmpty) {
+          textShufflers += name
+          if (!textShuffleAllow.contains(name))
+            textOffenders += (name -> txtCols)
         }
       }
     } finally {
@@ -193,5 +232,13 @@ class RegistryPlanAuditSpec extends SparkSpec {
       .diff(vectorShuffleAllow.keySet) // default-pass staleness is checked above
     assert(staleVec.isEmpty,
       s"stale no-broadcast vector allowlist entries: ${staleVec.mkString(", ")}")
+    val txtOff = textOffenders.result()
+    assert(txtOff.isEmpty,
+      "raw-text columns cross a shuffle exchange without an allowlist " +
+        "reason (decide on ids+digests, re-enter text once by id): " +
+        txtOff.map { case (n, cs) => s"$n(${cs.mkString(",")})" }.mkString("; "))
+    val staleTxt = textShuffleAllow.keySet.diff(textShufflers.result())
+    assert(staleTxt.isEmpty,
+      s"stale text-shuffle allowlist entries: ${staleTxt.mkString(", ")}")
   }
 }
