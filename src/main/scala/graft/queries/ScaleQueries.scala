@@ -3563,6 +3563,73 @@ object ScaleQueries {
            |ORDER BY bt.doc_id""".stripMargin),
       doc = "Incremental shard admission vs a persisted MinHash signature index"),
 
+    // Deletion propagation (right-to-be-forgotten) through the TEXT
+    // signature index: tombstoned corpus docs' rows are purged
+    // (Deletion.purge — broadcast anti-join, the index never shuffles),
+    // then a batch re-probes. Planted classes make the semantics
+    // observable: +300000 docs are near-copies of TOMBSTONED corpus docs
+    // (admitted — their only match is gone), +200000 docs are near-copies
+    // of SURVIVING docs (still duplicates), %5==0 docs are fresh. The
+    // oracle replays index-minus-tombstones as index-of-surviving-corpus —
+    // purge(index(C), T) ≡ index(C \ T) is the pinned equivalence.
+    "corpus_delete_propagation" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+        val tombstones = corpus.filter(col("doc_id") % 15 === 2).select("doc_id")
+        val batch = d.filter(col("doc_id") % 15 === 2).select(
+            (col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 20 === 1).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+          .unionByName(d.filter(col("doc_id") % 5 === 0).select("doc_id", "text"))
+        val purged = Deletion.purge(
+          NearDup.signatureIndex(corpus, "doc_id"), tombstones, "doc")
+        NearDup.admitAgainst(purged, batch, "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 5 != 0 AND doc_id % 15 != 2),
+           |batch AS (
+           |  SELECT doc_id + 300000 AS doc_id,
+           |    text || ' near duplicate suffix marker' AS text
+           |  FROM documents WHERE doc_id % 15 = 2
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    text || ' near duplicate suffix marker' AS text
+           |  FROM documents WHERE doc_id % 20 = 1
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |csigs AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+           |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+           |  FROM corpus)),
+           |bsigs AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+           |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+           |  FROM batch)),
+           |cbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |bbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+           |  FROM bsigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |cand AS (SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+           |  FROM bbands b JOIN cbands c ON b.j = c.j AND b.bh = c.bh),
+           |scored AS (SELECT b_doc, c_doc,
+           |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
+           |    i -> CASE WHEN bs.sig[i] = cs.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches
+           |  FROM cand JOIN bsigs bs ON cand.b_doc = bs.doc_id
+           |            JOIN csigs cs ON cand.c_doc = cs.doc_id),
+           |best AS (SELECT b_doc, c_doc, sig_matches,
+           |  ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY sig_matches DESC, c_doc ASC) AS rn
+           |  FROM scored)
+           |SELECT bt.doc_id, COALESCE(best.sig_matches >= 6, FALSE) AS is_dup,
+           |  best.c_doc AS matched_doc, COALESCE(best.sig_matches, 0) AS sig_matches
+           |FROM batch bt LEFT JOIN best ON bt.doc_id = best.b_doc AND best.rn = 1
+           |ORDER BY bt.doc_id""".stripMargin),
+      doc = "Right-to-be-forgotten: purge tombstones from the signature index, re-probe admits near-dups of deleted-only content"),
+
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
@@ -4056,6 +4123,74 @@ object ScaleQueries {
            |FROM batch LEFT JOIN best ON batch.vec_id = best.b_id
            |ORDER BY batch.vec_id""".stripMargin),
       doc = "Incremental vector admission: corpus-scaled posting-index probe + cosine verify verdicts"),
+
+    // Deletion propagation through the VECTOR posting index: tombstoned
+    // vectors' posting rows AND stored vectors are purged, then a batch
+    // re-probes UNDER THE INDEX'S ORIGINAL BAND PLAN (the index owns its
+    // geometry — deletions never re-plan, so the oracle computes geo from
+    // the FULL index source but probes only survivors). +300000 mutants
+    // of tombstoned vectors are admitted (match gone); +100000 mutants of
+    // surviving vectors stay duplicates; %4==0 vectors are fresh.
+    "vector_delete_propagation" -> QueryDef(
+      build = (s, dir) => {
+        val e = embs(s, dir)
+        val idxSrc = e.filter(col("vec_id") % 4 =!= 0)
+        val tombstones = idxSrc.filter(col("vec_id") % 9 === 2).select("vec_id")
+        def mutate(src: DataFrame, shift: Long) = src.select(
+          (col("vec_id") + shift).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select("vec_id", "embedding")
+          .unionByName(mutate(
+            e.filter(col("vec_id") % 10 === 1 && col("vec_id") % 9 =!= 2), 100000L))
+          .unionByName(mutate(
+            e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") % 9 === 2), 300000L))
+        val plan = Similarity.vectorBandPlanFor(idxSrc)
+        val postings = Similarity.vectorPostings(idxSrc, "vec_id", "embedding", plan)
+        Similarity.admitAgainstVectors(
+            Deletion.purge(postings, tombstones, "id"),
+            Deletion.purge(idxSrc.select("vec_id", "embedding"), tombstones, "vec_id"),
+            batch, "vec_id", "embedding", threshold = 0.99, plan)
+          .orderBy("vec_id")
+      },
+      oracle = Some(
+        s"""WITH idxsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+           |surv AS (SELECT vec_id, embedding FROM idxsrc WHERE vec_id % 9 <> 2),
+           |batch AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 10 = 1 AND vec_id % 9 <> 2
+           |  UNION ALL
+           |  SELECT vec_id + 300000,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 4 <> 0 AND vec_id % 9 = 2),
+           |${sqlVectorGeo("idxsrc")},
+           |ib AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, j,
+           |    ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM surv, bj),
+           |bb AS (
+           |  SELECT vec_id AS b_id, embedding AS bv, j,
+           |    ${sqlSrpBucket("embedding")} AS bucket
+           |  FROM batch, bj),
+           |scored AS (
+           |  SELECT DISTINCT b_id, c_id, ${sqlCosine("bv", "cv")} AS score
+           |  FROM bb JOIN ib ON bb.j = ib.j AND bb.bucket = ib.bucket),
+           |best AS (
+           |  SELECT b_id, c_id AS matched_id, score FROM (
+           |    SELECT b_id, c_id, score,
+           |      row_number() OVER (PARTITION BY b_id ORDER BY score DESC, c_id) AS rk
+           |    FROM scored) t WHERE rk = 1)
+           |SELECT batch.vec_id,
+           |  COALESCE(best.score >= 0.99, FALSE) AS is_dup,
+           |  best.matched_id,
+           |  COALESCE(best.score, 0.0) AS score
+           |FROM batch LEFT JOIN best ON batch.vec_id = best.b_id
+           |ORDER BY batch.vec_id""".stripMargin),
+      doc = "Right-to-be-forgotten for vectors: purge postings + stored vectors, re-probe under the index's original band plan"),
 
     // IVF ANN with a deterministic codebook (the nLists lowest-id vectors):
     // assignment, probe and rank all replay in SQL -> hash-checked. The
@@ -5388,6 +5523,111 @@ object ScaleQueries {
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
       doc = "Video admission: keyframe-hash probe vs a band index, hot buckets suppressed, keyframe-majority verdicts — clones re-containered AVI->MP4, container-blind and hash-checked"),
 
+    // Deletion propagation through the VIDEO band index: same batch as
+    // mm_admit_video, but the index is purged of tombstoned videos
+    // (doc_id % 16 == 8, a subset of the %8==0 index side) first — so the
+    // +700000 MP4 clones of TOMBSTONED sources flip to admitted while
+    // clones of surviving sources stay duplicates. The hot-bucket cap is
+    // recounted over the SURVIVING index (the cap is a property of the
+    // index state, not of history), which the oracle replays.
+    "mm_video_delete_propagation" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val idxIds = docs(s, dir).filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id")).as[Long]
+        val novelIds = docs(s, dir).filter(col("doc_id") % 8 === 4)
+          .select(col("doc_id")).as[Long]
+        val index = AviMjpeg.videoBandRows(
+          AviMjpeg.keyframeHashes(AviMjpeg.mediaAviVideos(idxIds), k = 3).toDF())
+        val tombstones = docs(s, dir)
+          .filter(col("doc_id") % 16 === 8).select("doc_id")
+        val batchMedia = AviMjpeg.mediaAviVideos(novelIds)
+          .union(AviMjpeg.mediaMp4Videos(idxIds, shift = 700000L, cloneEdit = 24))
+        val batchFph = graft.Caches.lazyBarrier(
+          AviMjpeg.keyframeHashes(batchMedia, k = 3).toDF())
+        AviMjpeg.admitAgainstVideos(
+            Deletion.purge(index, tombstones, "video_id"), batchFph,
+            maxHamming = 8, minMatch = 2)
+          .orderBy("video_id")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit, 'index' AS side
+          |  FROM documents WHERE doc_id % 8 = 0 AND doc_id % 16 != 8
+          |  UNION ALL
+          |  SELECT doc_id, doc_id, 0, 'batch'
+          |  FROM documents WHERE doc_id % 8 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 24, 'batch'
+          |  FROM documents WHERE doc_id % 8 = 0),
+          |d AS (
+          |  SELECT vid, oid, cedit, side,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |fp AS (
+          |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+          |    oid * 131 + (((p * nf) // 3) // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |ibands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON s.vid = b.vid AND s.side = 'index'),
+          |bcnt AS (SELECT p, band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2, 3),
+          |qiband AS (
+          |  SELECT i.vid, i.p, i.band, i.v FROM ibands i
+          |  JOIN bcnt c ON i.p = c.p AND i.band = c.band AND i.v = c.v
+          |  WHERE c.n <= 64),
+          |bbands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON s.vid = b.vid AND s.side = 'batch'),
+          |cand AS (
+          |  SELECT DISTINCT b.vid AS bvid, i.vid AS ivid
+          |  FROM bbands b JOIN qiband i
+          |    ON b.p = i.p AND b.band = i.band AND b.v = i.v),
+          |hm AS (
+          |  SELECT c.bvid, c.ivid,
+          |    bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+          |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3))
+          |      AS ham
+          |  FROM cand c
+          |  JOIN fph pb ON pb.vid = c.bvid
+          |  JOIN fph pi ON pi.vid = c.ivid AND pi.p = pb.p),
+          |dup AS (
+          |  SELECT bvid FROM hm GROUP BY bvid, ivid
+          |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2)
+          |SELECT s.vid AS video_id,
+          |  s.vid IN (SELECT bvid FROM dup) AS is_dup
+          |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
+      doc = "Right-to-be-forgotten for video: purge band rows, clones of deleted-only videos re-admit, hot-bucket cap recounted over survivors"),
+
     // EXIF metadata (round 10): a REAL APP1 segment — "Exif\0\0" + TIFF
     // 6.0 header + IFD0 with spec-layout entries (ASCII values past the
     // IFD via offsets) — parsed back by an endian-aware IFD walk. Byte
@@ -5574,6 +5814,89 @@ object ScaleQueries {
           |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
       doc = "Media admission: real-pixel perceptual hashes, band-blocked probe vs the admitted index, hash-checked verdicts"),
+
+    // Deletion propagation through the MEDIA band index: tombstoned
+    // images' band rows are purged, then admission re-probes. +800000
+    // docs are EXACT pixel copies of tombstoned index images — admitted
+    // post-purge (their only match is gone); +700000 edit-40 copies of
+    // surviving images stay duplicates; %10==3 images are novel.
+    "mm_delete_propagation" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        def mk(keep: Long => Boolean, shift: Long, edit: Int)(it: Iterator[Long]) =
+          it.filter(keep).map { id =>
+            val (w, h) = Multimodal.pixDims(id)
+            Multimodal.MediaRecord(id + shift, "image",
+              Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, id, edit)))
+          }
+        val index = MediaDedup.bandRows(
+          MediaDedup.phashes(ids.mapPartitions(mk(_ % 10 != 3, 0L, 0))))
+        val tombstones = docs(s, dir)
+          .filter(col("doc_id") % 10 === 6).select("doc_id")
+        val batchPh = graft.Caches.lazyBarrier(MediaDedup.phashes(
+          ids.mapPartitions(mk(_ % 10 == 3, 0L, 0))
+            .union(ids.mapPartitions(mk(_ % 10 == 4, 700000L, 40)))
+            .union(ids.mapPartitions(mk(_ % 10 == 6, 800000L, 0)))))
+        MediaDedup.admitAgainst(
+            Deletion.purge(index, tombstones, "doc_id"), batchPh, maxHamming = 8)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH seeds AS (
+          |  SELECT doc_id, doc_id AS seed, 0 AS edit, 'index' AS side
+          |  FROM documents WHERE doc_id % 10 != 3
+          |  UNION ALL
+          |  SELECT doc_id, doc_id, 0, 'batch' FROM documents WHERE doc_id % 10 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 40, 'batch'
+          |  FROM documents WHERE doc_id % 10 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 800000, doc_id, 0, 'batch'
+          |  FROM documents WHERE doc_id % 10 = 6),
+          |dims AS (
+          |  SELECT doc_id, seed, edit, side,
+          |    16 + seed % 17 AS w, 16 + (seed * 7) % 17 AS h
+          |  FROM seeds),
+          |px AS (
+          |  SELECT doc_id, w, h, y, x,
+          |    ${sqlPlantedPixel("seed", "edit")} AS p
+          |  FROM dims,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT doc_id, SUM(p) // COUNT(*) AS gm FROM px GROUP BY 1),
+          |cells AS (
+          |  SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(p) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT c.doc_id, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g USING (doc_id) GROUP BY 1, 2),
+          |ph AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1),
+          |dup AS (
+          |  SELECT DISTINCT b.doc_id
+          |  FROM bands b
+          |  JOIN seeds sb ON b.doc_id = sb.doc_id AND sb.side = 'batch'
+          |  JOIN bands i ON b.band = i.band AND b.v = i.v
+          |  JOIN seeds si ON i.doc_id = si.doc_id AND si.side = 'index'
+          |    AND si.doc_id % 10 != 6
+          |  JOIN ph pb ON pb.doc_id = b.doc_id
+          |  JOIN ph pi ON pi.doc_id = i.doc_id
+          |  WHERE bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+          |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3)) <= 8)
+          |SELECT s.doc_id,
+          |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+          |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
+      doc = "Right-to-be-forgotten for media: purge band rows, exact copies of deleted-only images re-admit"),
 
     "mm_content_hash" -> QueryDef(
       build = (s, dir) =>

@@ -51,7 +51,8 @@ object StreamingAdmission {
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, minSigMatches: Int = 6,
                  gate: Option[DecontaminationGate] = None,
-                 rejectedDir: Option[String] = None): Unit = {
+                 rejectedDir: Option[String] = None,
+                 tombstonesDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
 
@@ -101,10 +102,22 @@ object StreamingAdmission {
     // later) partition, so it sees exactly the index state of its first
     // run and reproduces the same verdicts. Batch ids must be
     // monotonically increasing — Structured Streaming guarantees it.
-    val index =
+    // Tombstones (right-to-be-forgotten, see graft.scale.Deletion) mask
+    // the index AT READ: the next batch's probe cannot match deleted
+    // content, so a near-dup of only-deleted content is ADMITTED — the
+    // pinned semantics. The physical rewrite (Deletion.rewritePurged) is
+    // a separate compaction concern; masking keeps every batch correct in
+    // the meantime and stays replay-idempotent (a replayed batch sees the
+    // same tombstone set the recovery run sees).
+    val tombstones = tombstonesDir
+      .filter(graft.io.Fs.exists(spark, _))
+      .map(spark.read.parquet(_))
+    val rawIndex =
       if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else NearDup.signatureIndex(batch.limit(0), "doc_id")
+    val index = tombstones.fold(rawIndex)(
+      t => graft.scale.Deletion.purge(rawIndex, t, "doc"))
     val verdicts0 = NearDup.admitAgainst(index, intraSurvivors, "doc_id",
       minSigMatches = minSigMatches)
     val verdicts =
@@ -132,16 +145,20 @@ object StreamingAdmission {
     graft.Caches.release()
   }
 
-  /** Start the continuous admission stream over a `(doc_id, text)` source. */
+  /** Start the continuous admission stream over a `(doc_id, text)` source.
+    * `tombstonesDir`, when set, is re-read each micro-batch, so ids
+    * appended there between batches take effect on the NEXT batch.
+    */
   def start(docs: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, minSigMatches: Int = 6,
             gate: Option[DecontaminationGate] = None,
-            rejectedDir: Option[String] = None): StreamingQuery =
+            rejectedDir: Option[String] = None,
+            tombstonesDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         admitBatch(batch, id, indexDir, admittedDir, minSigMatches, gate,
-          rejectedDir)
+          rejectedDir, tombstonesDir)
       }
       .start()
 }

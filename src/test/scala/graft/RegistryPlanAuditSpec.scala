@@ -125,7 +125,11 @@ class RegistryPlanAuditSpec extends SparkSpec {
       "candidate design's single re-entry move per side"),
     "emb_rerank" -> ("two-stage rerank: shortlist is ids+score; the " +
       "flagged exchange re-enters query vectors by id for the exact " +
-      "rerank — one move of the (bounded) query set"))
+      "rerank — one move of the (bounded) query set"),
+    "vector_delete_propagation" -> ("same posting-probe admission shape " +
+      "as dedup_vector_incremental over the PURGED index — probe " +
+      "exchanges carry ints; the flagged exchanges are the id-keyed " +
+      "re-entry joins for batch and surviving corpus vectors"))
 
   /** Column names that mean "the raw document text" (or its token-array
     * form — the same bytes, differently shaped). SURVEY claims "text never

@@ -54,6 +54,43 @@ class StreamingAdmissionSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() == 1)
   }
 
+  test("tombstones take effect on the next batch: near-dup of deleted-only content re-admits") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = tmp("tomb-index")
+    val admittedDir = tmp("tomb-out")
+    val tombDir = tmp("tomb-ids")
+
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "entirely novel sentence about glaciers carving fjords in ancient valleys"
+    val input = MemoryStream[Doc]
+    val q = StreamingAdmission.start(
+      input.toDF(), indexDir, admittedDir, tmp("tomb-ckpt"),
+      tombstonesDir = Some(tombDir))
+    try {
+      input.addData(Doc(1L, a), Doc(2L, b))
+      q.processAllAvailable()
+      // right-to-be-forgotten for doc 1 lands BETWEEN batches
+      Seq(1L).toDF("doc_id").write.parquet(tombDir)
+      // batch 2: a near-dup of the deleted doc 1 (must ADMIT — its only
+      // match is gone) and a near-dup of the surviving doc 2 (must stay
+      // rejected)
+      input.addData(Doc(4L, a + " today"), Doc(5L, b + " and rivers"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(4L),
+      s"near-dup of deleted-only content must re-admit, got $admitted")
+    assert(!admitted.contains(5L),
+      s"near-dup of surviving content must stay rejected, got $admitted")
+    // and the admitted doc 4 seeded the index (it is corpus content now)
+    val indexed = spark.read.parquet(indexDir)
+      .select("doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed.contains(4L))
+  }
+
   test("decontamination gate drops leaked eval content before dedup and the index") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
