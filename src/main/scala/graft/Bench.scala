@@ -114,7 +114,14 @@ object Bench {
     // graph_lpa; CC now REQUIRES convergence (unconverged labels threw
     // the result away in r10's fix), so round depth is the algorithm's
     // honest cost, not an un-tuned knob
-    "dedup_vector_clusters")
+    "dedup_vector_clusters",
+    // cross-modal paired dedup: a full PNG decode+aHash pass, the image
+    // band pair join, the caption MinHash LSH pair join, ONE fused CC
+    // resolution over both modality graphs (namespaced nodes — already
+    // halved from two sequential CC runs), and the joint-class assembly
+    // joins — the same multi-pair-join + CC capstone class as
+    // mm_corpus_prepare and dedup_vector_clusters
+    "mm_pair_dedup")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

@@ -115,7 +115,13 @@ object ScaleCurve {
     "mm_admit_video", "mm_video_corpus_prepare",
     // color frames cost ~6 decoded blocks per MCU vs gray's 1 — per-row
     // work, so the row should stay flat-linear like the gray form
-    "mm_video_color_cuts")
+    "mm_video_color_cuts",
+    // round-11: cross-modal paired dedup — two blocked pair joins (image
+    // bands + caption LSH) and two CC resolutions; every copy replants
+    // its own clone classes (the +600k/700k/800k markers sit far below
+    // the ~3e9 copy stride), so the row measures volume scaling of the
+    // joint-class machinery
+    "mm_pair_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -5898,6 +5898,134 @@ object ScaleQueries {
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
       doc = "Right-to-be-forgotten for media: purge band rows, exact copies of deleted-only images re-admit"),
 
+    // Cross-modal paired dedup (CrossModal.pairDedup): CLIP-style
+    // (image, caption) pairs deduplicated by the JOINT (img_cluster,
+    // txt_cluster) class, with disagreement surfaced as data. Planted
+    // classes: +600000 full cross-modal clones (near image + near
+    // caption — same class as their source, dropped), +700000 same image
+    // re-captioned with synthetic id-derived text (img_disagree), +800000
+    // same caption re-illustrated from a shifted seed (txt_disagree).
+    // Both clusterings, both CC resolutions, the class sizes and the
+    // disagreement flags all replay in DuckDB (two recursive CTEs).
+    "mm_pair_dedup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        def synthCaption(idc: Column): Column = array_join(
+          transform(sequence(lit(0), lit(11)),
+            i => concat(lit("w"),
+              ((idc * 31 + i.cast("long") * 7919) % 104729).cast("string"))), " ")
+        val base = d.select(col("doc_id").as("pair_id"), col("text"),
+          col("doc_id").as("img_seed"), lit(0).as("img_edit"))
+        val fullClone = d.filter(col("doc_id") % 12 === 0).select(
+          (col("doc_id") + 600000).as("pair_id"),
+          concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+          col("doc_id").as("img_seed"), lit(40).as("img_edit"))
+        val reCaptioned = d.filter(col("doc_id") % 12 === 4).select(
+          (col("doc_id") + 700000).as("pair_id"),
+          synthCaption(col("doc_id")).as("text"),
+          col("doc_id").as("img_seed"), lit(0).as("img_edit"))
+        val reIllustrated = d.filter(col("doc_id") % 12 === 8).select(
+          (col("doc_id") + 800000).as("pair_id"),
+          concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+          (col("doc_id") + 5000011L).as("img_seed"), lit(0).as("img_edit"))
+        val pairsTab = base.unionByName(fullClone)
+          .unionByName(reCaptioned).unionByName(reIllustrated)
+        val media = pairsTab.select(
+            col("pair_id"), col("img_seed"), col("img_edit"))
+          .as[(Long, Long, Int)].mapPartitions(_.map { case (pid, seed, edit) =>
+            val (w, h) = Multimodal.pixDims(seed)
+            Multimodal.MediaRecord(pid, "image",
+              Multimodal.pngEncodeGray(w, h,
+                Multimodal.plantedPixels(w, h, seed, edit)))
+          })
+        CrossModal.pairDedup(
+            Multimodal.perceptualHashPng(media).toDF(),
+            pairsTab.select("pair_id", "text"), "pair_id")
+          .orderBy("pair_id")
+      },
+      oracle = Some {
+        val synthSql = "array_to_string(list_transform(generate_series(0, 11), " +
+          "i -> 'w' || CAST((doc_id * 31 + i * 7919) % 104729 AS VARCHAR)), ' ')"
+        s"""WITH RECURSIVE caps AS (
+          |  SELECT doc_id AS pair_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 600000, text || ' near duplicate suffix marker'
+          |  FROM documents WHERE doc_id % 12 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, $synthSql
+          |  FROM documents WHERE doc_id % 12 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 800000, text || ' near duplicate suffix marker'
+          |  FROM documents WHERE doc_id % 12 = 8),
+          |${mmPhashCtes(
+            """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 600000, doc_id, 40 FROM documents WHERE doc_id % 12 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 700000, doc_id, 0 FROM documents WHERE doc_id % 12 = 4
+              |  UNION ALL
+              |  SELECT doc_id + 800000, doc_id + 5000011, 0
+              |  FROM documents WHERE doc_id % 12 = 8""".stripMargin)},
+          |iedges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM h WHERE hamming <= 8
+          |  UNION
+          |  SELECT doc_b, doc_a FROM h WHERE hamming <= 8),
+          |csigs AS (SELECT pair_id, $sqlMinhashSig AS sig FROM (
+          |  SELECT pair_id AS doc_id, pair_id,
+          |    list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+          |  FROM caps)),
+          |cbands AS (SELECT pair_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+          |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+          |tpairs AS (
+          |  SELECT DISTINCT l.pair_id AS a, r.pair_id AS b
+          |  FROM cbands l JOIN cbands r ON l.j = r.j AND l.bh = r.bh
+          |    AND l.pair_id < r.pair_id),
+          |tagree AS (
+          |  SELECT a, b FROM tpairs
+          |  JOIN csigs sa ON tpairs.a = sa.pair_id
+          |  JOIN csigs sb ON tpairs.b = sb.pair_id
+          |  WHERE CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
+          |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) >= 6),
+          |tedges AS (SELECT a, b FROM tagree UNION SELECT b, a FROM tagree),
+          |reachi(n, r) AS (
+          |  SELECT a, a FROM iedges
+          |  UNION
+          |  SELECT e.b, reachi.r FROM reachi JOIN iedges e ON reachi.n = e.a),
+          |cci AS (SELECT n AS pair_id, MIN(r) AS c FROM reachi GROUP BY n),
+          |reacht(n, r) AS (
+          |  SELECT a, a FROM tedges
+          |  UNION
+          |  SELECT e.b, reacht.r FROM reacht JOIN tedges e ON reacht.n = e.a),
+          |cct AS (SELECT n AS pair_id, MIN(r) AS c FROM reacht GROUP BY n),
+          |clustered AS (
+          |  SELECT caps.pair_id,
+          |    COALESCE(cci.c, caps.pair_id) AS img_cluster,
+          |    COALESCE(cct.c, caps.pair_id) AS txt_cluster
+          |  FROM caps
+          |  LEFT JOIN cci ON caps.pair_id = cci.pair_id
+          |  LEFT JOIN cct ON caps.pair_id = cct.pair_id),
+          |nimg AS (SELECT img_cluster, COUNT(*) AS n_img FROM clustered GROUP BY 1),
+          |ntxt AS (SELECT txt_cluster, COUNT(*) AS n_txt FROM clustered GROUP BY 1),
+          |byclass AS (
+          |  SELECT img_cluster, txt_cluster, COUNT(*) AS class_size,
+          |    MIN(pair_id) AS canonical_id
+          |  FROM clustered GROUP BY 1, 2)
+          |SELECT c.pair_id, c.img_cluster, c.txt_cluster,
+          |  CAST(bc.class_size AS INT) AS class_size,
+          |  c.pair_id = bc.canonical_id AS is_canonical,
+          |  ni.n_img > bc.class_size AS img_disagree,
+          |  nt.n_txt > bc.class_size AS txt_disagree
+          |FROM clustered c
+          |JOIN byclass bc ON c.img_cluster = bc.img_cluster
+          |  AND c.txt_cluster = bc.txt_cluster
+          |JOIN nimg ni ON c.img_cluster = ni.img_cluster
+          |JOIN ntxt nt ON c.txt_cluster = nt.txt_cluster
+          |ORDER BY c.pair_id""".stripMargin
+      },
+      doc = "Cross-modal paired dedup: joint (image, caption) equivalence classes, canonical keep, re-caption/re-illustration disagreement as data"),
+
     "mm_content_hash" -> QueryDef(
       build = (s, dir) =>
         docs(s, dir).select(

@@ -1,0 +1,127 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Cross-modal paired dedup — the CLIP-style training-pair prep step: an
+  * (image, caption) pair corpus is deduplicated by the JOINT equivalence
+  * class (same image content AND same caption content), and the two
+  * single-modality cluster structures are compared to surface
+  * DISAGREEMENT as data: the same image re-captioned, or the same caption
+  * re-illustrated — exactly the rows a pair-training curator must review
+  * rather than silently drop.
+  *
+  * Both modality clusterings reuse the engine's single-modal machinery:
+  * images via aHash band blocking + Hamming verify over REAL decoded
+  * pixels ([[MediaDedup]] layout) resolved by
+  * [[Clusters.connectedComponents]]; captions via MinHash LSH band
+  * candidates + signature agreement ([[NearDup]]) resolved the same way.
+  * The joint class is the (img_cluster, txt_cluster) composite; the
+  * lowest pair_id per class is canonical.
+  *
+  * Scale shape: both edge generators are the blocked single-modality
+  * shapes (never all-pairs), the CC runs shuffle (node, cluster) ids
+  * only, and every downstream count is an id-keyed aggregation — payloads
+  * and text never cross an exchange after their hash/signature pass.
+  */
+object CrossModal {
+
+  /** Per-pair verdicts for an (image, caption) pair corpus.
+    *
+    * @param ph       perceptual hashes of the pair images
+    *                 ([[MediaDedup.phashes]] layout: doc_id, b0..b3) with
+    *                 doc_id = pair id
+    * @param captions (idCol, text) captions, one row per pair
+    * @return one row per pair: (pair_id, img_cluster, txt_cluster,
+    *         class_size, is_canonical, img_disagree, txt_disagree) where
+    *         img_disagree means some pair shares this pair's image
+    *         cluster but not its caption cluster (and symmetrically).
+    */
+  def pairDedup(ph: DataFrame, captions: DataFrame, idCol: String,
+                maxHamming: Int = 8, minSigMatches: Int = 6): DataFrame = {
+    val phB = graft.Caches.persist(ph)
+
+    // image edges: exact 16-bit band agreement blocks, Hamming verifies
+    val bands = phB.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val imgEdges = cand
+      .join(phB.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+      .join(phB.select(col("doc_id").as("doc_b"), col("b0").as("x0"),
+        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("doc_b"))
+      .filter(expr(
+        "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= maxHamming)
+      .select("doc_a", "doc_b")
+
+    // caption edges: LSH band candidates + MinHash signature agreement.
+    // The bucket table feeds both sides of the self-join — persist, or
+    // the shingle+MinHash pass runs twice.
+    val sigs = NearDup.withSignatures(captions)
+    val buckets = graft.Caches.lazyBarrier(sigs.select(col(idCol).as("doc"),
+      col("minhash_sig").as("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
+    val txtEdges = buckets.as("l").join(buckets.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        col("l.sig").as("sa"), col("r.sig").as("sb"))
+      .distinct()
+      .filter(aggregate(zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+        (acc, v) => acc + v) >= minSigMatches)
+      .select("doc_a", "doc_b")
+
+    // ONE CC run for both modalities: image nodes map to 2·id, caption
+    // nodes to 2·id+1 — the namespaces are disjoint (components never
+    // mix) and both maps are monotonic, so min-id cluster semantics
+    // survive the decode. CC cost is serial round depth (one action +
+    // checkpoint per star round), so fusing halves the query's dominant
+    // cost vs two sequential resolutions.
+    val nsEdges = imgEdges.select((col("doc_a") * 2).as("doc_a"),
+        (col("doc_b") * 2).as("doc_b"))
+      .unionByName(txtEdges.select((col("doc_a") * 2 + 1).as("doc_a"),
+        (col("doc_b") * 2 + 1).as("doc_b")))
+    val cc = Clusters.connectedComponents(nsEdges, "doc_a", "doc_b")
+    val imgCc = cc.filter(col("node") % 2 === 0)
+      .select(shiftright(col("node"), 1).as("pair_id"),
+        shiftright(col("cluster_id"), 1).as("img_cc"))
+    val txtCc = cc.filter(col("node") % 2 === 1)
+      .select(shiftright(col("node"), 1).as("pair_id"),
+        shiftright(col("cluster_id"), 1).as("txt_cc"))
+
+    // singleton pairs (no edge in a modality) are their own cluster;
+    // persisted — the class/count aggregations below read it four times
+    val base = graft.Caches.lazyBarrier(captions.select(col(idCol).as("pair_id"))
+      .join(imgCc, Seq("pair_id"), "left")
+      .join(txtCc, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("img_cc"), col("pair_id")).as("img_cluster"),
+        coalesce(col("txt_cc"), col("pair_id")).as("txt_cluster")))
+
+    val nImg = base.groupBy("img_cluster").agg(count(lit(1)).as("n_img"))
+    val nTxt = base.groupBy("txt_cluster").agg(count(lit(1)).as("n_txt"))
+    val byClass = base.groupBy("img_cluster", "txt_cluster")
+      .agg(count(lit(1)).as("class_size"), min("pair_id").as("canonical_id"))
+
+    base
+      .join(byClass, Seq("img_cluster", "txt_cluster"))
+      .join(nImg, Seq("img_cluster"))
+      .join(nTxt, Seq("txt_cluster"))
+      .select(col("pair_id"), col("img_cluster"), col("txt_cluster"),
+        col("class_size").cast("int").as("class_size"),
+        (col("pair_id") === col("canonical_id")).as("is_canonical"),
+        (col("n_img") > col("class_size")).as("img_disagree"),
+        (col("n_txt") > col("class_size")).as("txt_disagree"))
+  }
+}
