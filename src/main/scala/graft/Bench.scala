@@ -137,7 +137,25 @@ object Bench {
     // 32-core query by <10% — flagging those would cry wolf on every run
     val gateForeign = sys.env.getOrElse("SPARK_GRAFT_FOREIGN_CORES_GATE", "4.0").toDouble
     val jvmsBefore = foreignJvms()
-    val load1Before = load1()
+    // Headline self-defense (r10 verdict #6): a contended START inflates
+    // every per-query number — the r10 driver artifact shipped a 225.8 s
+    // total measured at load1_before 12.12 that a quiet host re-ran at
+    // 211.2 s. So: wait (bounded by its own 120 s budget, same spirit as
+    // the breach-retry budget) for the pre-existing load to drain before
+    // the first sample; if it never calms, stamp headline_contended so
+    // the TOTAL can't ship as a quiet-host capability number silently.
+    val startWaitT0 = System.nanoTime()
+    var load1Before = load1()
+    while (load1Before >= 0 && load1Before > gateLoad1 &&
+           System.nanoTime() - startWaitT0 < 120e9.toLong) {
+      Thread.sleep(5000)
+      load1Before = load1()
+    }
+    val startDelaySec = (System.nanoTime() - startWaitT0) / 1e9
+    val headlineContended = load1Before < 0 || load1Before > gateLoad1
+    if (startDelaySec > 5.5)
+      System.err.println(f"[bench] delayed start $startDelaySec%.0f s waiting " +
+        f"for pre-existing load to drain (load1 now $load1Before%.2f)")
     var load1Max = load1Before
     var cpuPrev = cpuSample()
     var tPrev = System.nanoTime()
@@ -397,6 +415,8 @@ object Bench {
       s""""foreign_jvms":$foreign,"load1":$load1After,""" +
       s""""load1_before":$load1Before,"load1_max":$load1Max,""" +
       s""""foreign_cores_max":${f"$foreignCoresMax%.3f"},""" +
+      s""""start_delay_sec":${f"$startDelaySec%.1f"},""" +
+      s""""headline_contended":$headlineContended,""" +
       s""""variance_reruns":${varianceQueries.length}"""
     val decodeJson =
       s""""decode_struct_sec":${decode._1},"decode_perfield_sec":${decode._2},""" +

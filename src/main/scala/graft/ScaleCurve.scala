@@ -142,55 +142,59 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.sources.Tables
-
-    def write(df: DataFrame, dir: String, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-
-    def synthesize(m: Int): String = {
-      val dir = s"$work/x$m"
-      // shared order-key base keeps the orders<->lineitem join aligned
-      val orders = Tables.orders(spark, src)
-      val lineitem = Tables.lineitem(spark, src)
-      val bOrd = base(orders.agg(max("o_orderkey")).head.getLong(0))
-      write(amplify(Tables.events(spark, src), Seq("event_id"), m,
-        base(100000000L)), dir, "events")
-      write(amplify(Tables.documents(spark, src), Seq("doc_id"), m,
-        base(10000000L), perturbText), dir, "documents")
-      // component rotation per copy (the StreamingCurve trick): copies are
-      // mutually near-orthogonal, so the near-dup curve rows measure
-      // VOLUME scaling — exact-copy amplification would hand the banded
-      // dedup a quadratic planted-pair blowup and measure that pathology
-      // instead (the text side's perturbText lesson, vector edition)
-      write(amplify(Tables.embeddings(spark, src), Seq("vec_id"), m,
-        base(10000000L), StreamingCurve.rotateVec), dir, "embeddings")
-      write(amplify(orders, Seq("o_orderkey"), m, bOrd), dir, "orders")
-      write(amplify(lineitem, Seq("l_orderkey"), m, bOrd), dir, "lineitem")
-      // dimension tables pass through at 1x (same customers, same dims)
-      Seq("customer", "supplier", "part", "nation", "region")
-        .foreach(t => write(Tables.table(spark, src, t), dir, t))
-      dir
-    }
-
-    def runOnce(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[curve] $name: $e") }
-      finally Caches.release()
-      (System.nanoTime() - t0) / 1e9
-    }
 
     // warm-up
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     mults.foreach { m =>
-      val dir = synthesize(m)
+      val dir = synthesize(spark, src, work, m)
       val times = selected.map { q =>
-        q -> math.min(runOnce(q, dir), runOnce(q, dir))
+        q -> math.min(timeQuery(spark, q, dir), timeQuery(spark, q, dir))
       }
       val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       println(s"""{"curve_mult":$m,"src":"$src","queries":$qs}""")
     }
     spark.stop()
+  }
+
+  /** Write the m-times-amplified fixture under `work/x{m}`; returns the
+    * dir. Shared by the main and the gated ScaleCurveGateSpec.
+    */
+  def synthesize(spark: SparkSession, src: String, work: String,
+                 m: Int): String = {
+    import graft.sources.Tables
+    def write(df: DataFrame, dir: String, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    val dir = s"$work/x$m"
+    // shared order-key base keeps the orders<->lineitem join aligned
+    val orders = Tables.orders(spark, src)
+    val lineitem = Tables.lineitem(spark, src)
+    val bOrd = base(orders.agg(max("o_orderkey")).head.getLong(0))
+    write(amplify(Tables.events(spark, src), Seq("event_id"), m,
+      base(100000000L)), dir, "events")
+    write(amplify(Tables.documents(spark, src), Seq("doc_id"), m,
+      base(10000000L), perturbText), dir, "documents")
+    // component rotation per copy (the StreamingCurve trick): copies are
+    // mutually near-orthogonal, so the near-dup curve rows measure
+    // VOLUME scaling — exact-copy amplification would hand the banded
+    // dedup a quadratic planted-pair blowup and measure that pathology
+    // instead (the text side's perturbText lesson, vector edition)
+    write(amplify(Tables.embeddings(spark, src), Seq("vec_id"), m,
+      base(10000000L), StreamingCurve.rotateVec), dir, "embeddings")
+    write(amplify(orders, Seq("o_orderkey"), m, bOrd), dir, "orders")
+    write(amplify(lineitem, Seq("l_orderkey"), m, bOrd), dir, "lineitem")
+    // dimension tables pass through at 1x (same customers, same dims)
+    Seq("customer", "supplier", "part", "nation", "region")
+      .foreach(t => write(Tables.table(spark, src, t), dir, t))
+    dir
+  }
+
+  /** One timed noop-sink run of a registry query against `dir`. */
+  def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[curve] $name: $e") }
+    finally Caches.release()
+    (System.nanoTime() - t0) / 1e9
   }
 }
