@@ -121,7 +121,12 @@ object Bench {
     // halved from two sequential CC runs), and the joint-class assembly
     // joins — the same multi-pair-join + CC capstone class as
     // mm_corpus_prepare and dedup_vector_clusters
-    "mm_pair_dedup")
+    "mm_pair_dedup",
+    // leakage-proof splits ride the SAME transitive-closure machinery as
+    // dedup_vector_clusters (near-dup pair join + CC star rounds, then
+    // the split assignment joins) — serial round depth, borderline at the
+    // 3 s line since r9 (2.9 s quiet), same class, same ceiling
+    "sample_splits_clustered")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

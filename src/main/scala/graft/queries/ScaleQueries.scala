@@ -2015,25 +2015,26 @@ object ScaleQueries {
         // step whole-stage-codegens, unlike per-row HOF folds (interpreted,
         // and recomputed per referencing column without a persist barrier).
         // Char-class ratios are single-pass regexp_count.
-        // Text-level expressions are computed BEFORE the explode (the
-        // Project under Generate runs once per document) and ride the
-        // token aggregation as group-constants via first() — so the
-        // doc_id exchange carries partial aggregates only and raw text
-        // never crosses a shuffle (the join-back it replaces shuffled the
-        // full documents table by doc_id).
+        // Text-level scalars live in their OWN scan-side projection and
+        // re-join the token aggregate on doc_id: neither exchange carries
+        // raw text (the scalar side is (doc_id, 3 doubles)), and each
+        // regex runs once per DOCUMENT. Two shapes that look equivalent
+        // are not: the old join-back shuffled the full documents table by
+        // doc_id (text through an exchange), and computing the scalars in
+        // the same select as the explode re-evaluates them per TOKEN row
+        // inside the Generate's codegen (measured 13.5 s vs ~1 s at
+        // sf0.1 for the bpeish regex).
         val d = docs(s, dir)
-        d.select(col("doc_id"),
-            TextOps.bpeishTokenCount(col("text")).as("bpeish_pre"),
-            round(TextOps.digitRatio(col("text")), 6).as("digit_pre"),
-            round(TextOps.punctRatio(col("text")), 6).as("punct_pre"),
-            explode(TextOps.tokens(col("text"))).as("t"))
+        val scalars = d.select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+          round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
           .groupBy("doc_id").agg(
             count(lit(1)).cast("int").as("n_tokens"),
             sum(length(col("t"))).as("tok_len_sum"),
-            sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
-            first(col("bpeish_pre")).as("bpeish_tokens"),
-            first(col("digit_pre")).as("digit_ratio"),
-            first(col("punct_pre")).as("punct_ratio"))
+            sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+        agg.join(scalars, "doc_id")
           .select(
             col("doc_id"),
             col("n_tokens"),
@@ -2067,25 +2068,24 @@ object ScaleQueries {
         // all 5 language-marker scores in a single codegen'd pass; the
         // argmax fold then runs over plain int columns (was: 6 interpreted
         // HOF array scans per document behind a persist barrier).
-        // Text-level terms (length, digit ratio) and the label column ride
-        // the token aggregation as first() group-constants computed before
-        // the explode — no join-back, so raw text never crosses a shuffle
-        // (the doc_id exchange carries partial aggregates only).
+        // Text-level terms (length, digit ratio) and the label column live
+        // in their own scan-side projection and re-join the token
+        // aggregate on doc_id — neither exchange carries raw text, and
+        // the regex runs once per DOCUMENT (see txt_stats: expressions
+        // projected beside an explode re-evaluate per token row).
         val d = docs(s, dir)
         val langs = TextOps.langMarkers.keys.toSeq.sorted
         val aggCols =
-          (sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop") +:
+          sum(when(col("t").isin(TextOps.stopwords: _*), 1L).otherwise(0L)).as("n_stop") +:
           langs.map(l => sum(when(col("t").isin(TextOps.langMarkers(l): _*), 1L)
-            .otherwise(0L)).as(s"s_$l"))) ++ Seq(
-            first(col("len_pre")).as("len_d"),
-            first(col("digit_pre")).as("dig_r"),
-            first(col("lang")).as("lang"))
-        val agg = d.select(col("doc_id"), col("lang"),
-            length(col("text")).cast("double").as("len_pre"),
-            TextOps.digitRatio(col("text")).as("digit_pre"),
-            explode(TextOps.tokens(col("text"))).as("t"))
+            .otherwise(0L)).as(s"s_$l"))
+        val scalars = d.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("double").as("len_d"),
+          TextOps.digitRatio(col("text")).as("dig_r"))
+        val agg = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"), aggCols: _*)
+          .join(scalars, "doc_id")
         val pred = langs.tail.foldLeft((lit(langs.head), col(s"s_${langs.head}"))) {
           case ((bestLang, bestScore), l) =>
             (when(col(s"s_$l") > bestScore, lit(l)).otherwise(bestLang),

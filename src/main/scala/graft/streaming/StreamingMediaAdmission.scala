@@ -33,7 +33,8 @@ object StreamingMediaAdmission {
     */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, maxHamming: Int = 8,
-                 rejectedDir: Option[String] = None): Unit = {
+                 rejectedDir: Option[String] = None,
+                 tombstonesDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -66,10 +67,17 @@ object StreamingMediaAdmission {
     // (3) admission against the index AS OF before this batch (a replayed
     // batch filters out its own and later partitions — same verdicts as
     // its first run; Structured Streaming guarantees monotone batch ids)
-    val index =
+    // tombstones (graft.scale.Deletion semantics) mask the index at read:
+    // a near-dup of only-deleted images admits on the next batch
+    val tombstones = tombstonesDir
+      .filter(graft.io.Fs.exists(spark, _))
+      .map(spark.read.parquet(_))
+    val rawIndex =
       if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else MediaDedup.bandRows(ph.limit(0))
+    val index = tombstones.fold(rawIndex)(
+      t => graft.scale.Deletion.purge(rawIndex, t, "doc_id"))
     val verdicts0 = MediaDedup.admitAgainst(index, intraSurvivors, maxHamming)
     val verdicts =
       if (rejectedDir.isDefined) graft.Caches.persist(verdicts0) else verdicts0
@@ -96,11 +104,13 @@ object StreamingMediaAdmission {
   /** Start the continuous media admission over a (doc_id, payload) source. */
   def start(images: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, maxHamming: Int = 8,
-            rejectedDir: Option[String] = None): StreamingQuery =
+            rejectedDir: Option[String] = None,
+            tombstonesDir: Option[String] = None): StreamingQuery =
     images.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, maxHamming, rejectedDir)
+        admitBatch(batch, id, indexDir, admittedDir, maxHamming, rejectedDir,
+          tombstonesDir)
       }
       .start()
 }

@@ -78,7 +78,8 @@ object StreamingVectorAdmission {
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, plan: VectorBandPlan,
                  threshold: Double = 0.92,
-                 gate: Option[SemanticGate] = None): Unit = {
+                 gate: Option[SemanticGate] = None,
+                 tombstonesDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     graft.functions.Hashing.register(spark)
@@ -116,18 +117,26 @@ object StreamingVectorAdmission {
     // reproduces its first run's verdicts). The posting probe shuffles
     // ints only; indexed vectors come from the admitted corpus BY ID.
     val haveIndex = graft.io.Fs.exists(spark, indexDir)
+    // tombstones (graft.scale.Deletion semantics) mask the index and the
+    // admitted corpus at read: the next batch's probe cannot match
+    // deleted vectors, so a near-dup of only-deleted content admits
+    val tombstones = tombstonesDir
+      .filter(graft.io.Fs.exists(spark, _))
+      .map(spark.read.parquet(_))
+    def purged(df: DataFrame, key: String): DataFrame =
+      tombstones.fold(df)(t => graft.scale.Deletion.purge(df, t, key))
     val rejected =
       if (!haveIndex) intraSurvivors.limit(0).select(col("id"))
       else {
-        val idxPosts = spark.read.parquet(indexDir)
-          .filter(col("batch_id") < batchId)
+        val idxPosts = purged(spark.read.parquet(indexDir)
+          .filter(col("batch_id") < batchId), "id")
           .select(col("id").as("c_id"), col("band_idx"), col("bucket"))
         val crossCands = survivorPosts
           .select(col("id").as("b_id"), col("band_idx"), col("bucket"))
           .join(idxPosts, Seq("band_idx", "bucket"))
           .select("b_id", "c_id").distinct()
-        val corpusSide = spark.read.parquet(admittedDir)
-          .filter(col("batch_id") < batchId)
+        val corpusSide = purged(spark.read.parquet(admittedDir)
+          .filter(col("batch_id") < batchId), "vec_id")
           .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
           .withColumn("cn", Similarity.norm(col("cv")))
         crossCands
@@ -162,11 +171,13 @@ object StreamingVectorAdmission {
   def start(vectors: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, plan: VectorBandPlan,
             threshold: Double = 0.92,
-            gate: Option[SemanticGate] = None): StreamingQuery =
+            gate: Option[SemanticGate] = None,
+            tombstonesDir: Option[String] = None): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        admitBatch(batch, id, indexDir, admittedDir, plan, threshold, gate)
+        admitBatch(batch, id, indexDir, admittedDir, plan, threshold, gate,
+          tombstonesDir)
       }
       .start()
 }

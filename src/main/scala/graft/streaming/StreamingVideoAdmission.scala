@@ -37,7 +37,8 @@ object StreamingVideoAdmission {
     */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
                  admittedDir: String, maxHamming: Int = 8, minMatch: Int = 2,
-                 rejectedDir: Option[String] = None): Unit = {
+                 rejectedDir: Option[String] = None,
+                 tombstonesDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -70,10 +71,17 @@ object StreamingVideoAdmission {
     // (3) admission against the index AS OF before this batch (a replayed
     // batch filters out its own and later partitions — same verdicts as
     // its first run)
-    val index =
+    // tombstones (graft.scale.Deletion semantics) mask the index at read:
+    // a clone of only-deleted videos admits on the next batch
+    val tombstones = tombstonesDir
+      .filter(graft.io.Fs.exists(spark, _))
+      .map(spark.read.parquet(_))
+    val rawIndex =
       if (graft.io.Fs.exists(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
       else AviMjpeg.videoBandRows(fph.limit(0))
+    val index = tombstones.fold(rawIndex)(
+      t => graft.scale.Deletion.purge(rawIndex, t, "video_id"))
     val verdicts0 = AviMjpeg.admitAgainstVideos(index, intraSurvivors,
       maxHamming, minMatch)
     val verdicts =
@@ -103,12 +111,13 @@ object StreamingVideoAdmission {
   /** Start the continuous video admission over a (doc_id, payload) source. */
   def start(videos: DataFrame, indexDir: String, admittedDir: String,
             checkpoint: String, maxHamming: Int = 8, minMatch: Int = 2,
-            rejectedDir: Option[String] = None): StreamingQuery =
+            rejectedDir: Option[String] = None,
+            tombstonesDir: Option[String] = None): StreamingQuery =
     videos.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         admitBatch(batch, id, indexDir, admittedDir, maxHamming, minMatch,
-          rejectedDir)
+          rejectedDir, tombstonesDir)
       }
       .start()
 }

@@ -91,4 +91,24 @@ class StreamingMediaAdmissionSpec extends SparkSpec {
     assert(admitted == Set(10L),
       s"the edited near-clone must be rejected by the Hamming verify, got $admitted")
   }
+
+  test("tombstones mask the media index: copy of a deleted-only image re-admits") {
+    import spark.implicits._
+    val indexDir = tmp("mtomb-index")
+    val admittedDir = tmp("mtomb-out")
+    val tombDir = tmp("mtomb-ids")
+    StreamingMediaAdmission.admitBatch(
+      Seq(Img(1L, png(1L)), Img(2L, png(500L))).toDF(), 0L,
+      indexDir, admittedDir)
+    Seq(1L).toDF("doc_id").write.parquet(tombDir)
+    StreamingMediaAdmission.admitBatch(
+      Seq(Img(4L, png(1L)), Img(5L, png(500L))).toDF(), 1L,
+      indexDir, admittedDir, tombstonesDir = Some(tombDir))
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(4L),
+      s"copy of the deleted-only image must re-admit, got $admitted")
+    assert(!admitted.contains(5L),
+      s"copy of the surviving image must stay rejected, got $admitted")
+  }
 }

@@ -113,4 +113,28 @@ class StreamingVectorAdmissionSpec extends SparkSpec {
       .select("id").distinct().as[Long].collect().toSet
     assert(indexed == Set(2L), s"index must not contain gated vectors, got $indexed")
   }
+
+  test("tombstones mask the vector index: near-dup of a deleted-only vector re-admits") {
+    import spark.implicits._
+    val indexDir = tmp("vtomb-index")
+    val admittedDir = tmp("vtomb-out")
+    val tombDir = tmp("vtomb-ids")
+    val a = base(1)
+    val b = base(2)
+    StreamingVectorAdmission.admitBatch(
+      Seq(Vec(1L, a), Vec(2L, b)).toDF(), 0L, indexDir, admittedDir, plan,
+      threshold = 0.95)
+    // right-to-be-forgotten for vector 1 between batches
+    Seq(1L).toDF("vec_id").write.parquet(tombDir)
+    StreamingVectorAdmission.admitBatch(
+      Seq(Vec(4L, perturb(a)), Vec(5L, perturb(b))).toDF(), 1L,
+      indexDir, admittedDir, plan, threshold = 0.95,
+      tombstonesDir = Some(tombDir))
+    val admitted = spark.read.parquet(admittedDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(4L),
+      s"near-dup of the deleted-only vector must re-admit, got $admitted")
+    assert(!admitted.contains(5L),
+      s"near-dup of the surviving vector must stay rejected, got $admitted")
+  }
 }

@@ -117,4 +117,24 @@ class StreamingVideoAdmissionSpec extends SparkSpec {
     assert(admitted == Set(10L),
       s"the re-encoded near-clone (seed $seed) must be rejected by keyframe majority, got $admitted")
   }
+
+  test("tombstones mask the video index: clone of a deleted-only video re-admits") {
+    import spark.implicits._
+    val indexDir = tmp("vidtomb-index")
+    val admittedDir = tmp("vidtomb-out")
+    val tombDir = tmp("vidtomb-ids")
+    StreamingVideoAdmission.admitBatch(
+      Seq(Vid(1L, avi(8L)), Vid(2L, avi(48L))).toDF(), 0L,
+      indexDir, admittedDir)
+    Seq(1L).toDF("video_id").write.parquet(tombDir)
+    StreamingVideoAdmission.admitBatch(
+      Seq(Vid(4L, mp4(8L)), Vid(5L, avi(48L))).toDF(), 1L,
+      indexDir, admittedDir, tombstonesDir = Some(tombDir))
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(4L),
+      s"clone of the deleted-only video must re-admit (even re-containered), got $admitted")
+    assert(!admitted.contains(5L),
+      s"clone of the surviving video must stay rejected, got $admitted")
+  }
 }
