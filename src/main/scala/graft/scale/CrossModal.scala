@@ -41,46 +41,47 @@ object CrossModal {
                 maxHamming: Int = 8, minSigMatches: Int = 6): DataFrame = {
     val phB = graft.Caches.persist(ph)
 
-    // image edges: exact 16-bit band agreement blocks, Hamming verifies
+    // image edges: exact 16-bit band agreement blocks, Hamming verifies —
+    // the MediaDedup.bandRows fused-verify layout (band rows carry the
+    // FULL hash, so ONE bucket join verifies in place; a candidates-then-
+    // re-entry spelling costs two more hash joins and a wider distinct)
     val bands = phB.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), col("b0").as("v")),
         struct(lit(1).as("band"), col("b1").as("v")),
         struct(lit(2).as("band"), col("b2").as("v")),
-        struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
-    val cand = bands.as("a").join(bands.as("b"),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("e"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+    val imgEdges = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(
+        "CAST(bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+          "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS INT)") <= maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val imgEdges = cand
-      .join(phB.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
-      .join(phB.select(col("doc_id").as("doc_b"), col("b0").as("x0"),
-        col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), Seq("doc_b"))
-      .filter(expr(
-        "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
-          "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= maxHamming)
-      .select("doc_a", "doc_b")
 
     // caption edges: LSH band candidates + MinHash signature agreement.
     // The bucket table feeds both sides of the self-join — persist, or
     // the shingle+MinHash pass runs twice.
     val sigs = NearDup.withSignatures(captions)
-    val buckets = graft.Caches.lazyBarrier(sigs.select(col(idCol).as("doc"),
+    val buckets = sigs.select(col(idCol).as("doc"),
       col("minhash_sig").as("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // agreement filters BEFORE the dedup: the collision rows carry both
+    // signature arrays, so deduplicating first would move 2×K longs per
+    // row through the distinct exchange — filter on the join output
+    // (cheap per row), then distinct over bare id pairs
     val txtEdges = buckets.as("l").join(buckets.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        col("l.sig").as("sa"), col("r.sig").as("sb"))
-      .distinct()
-      .filter(aggregate(zip_with(col("sa"), col("sb"),
+      .filter(aggregate(zip_with(col("l.sig"), col("r.sig"),
         (x, y) => when(x === y, 1).otherwise(0)), lit(0),
         (acc, v) => acc + v) >= minSigMatches)
-      .select("doc_a", "doc_b")
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
 
     // ONE CC run for both modalities: image nodes map to 2·id, caption
     // nodes to 2·id+1 — the namespaces are disjoint (components never
@@ -102,12 +103,12 @@ object CrossModal {
 
     // singleton pairs (no edge in a modality) are their own cluster;
     // persisted — the class/count aggregations below read it four times
-    val base = graft.Caches.lazyBarrier(captions.select(col(idCol).as("pair_id"))
+    val base = captions.select(col(idCol).as("pair_id"))
       .join(imgCc, Seq("pair_id"), "left")
       .join(txtCc, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("img_cc"), col("pair_id")).as("img_cluster"),
-        coalesce(col("txt_cc"), col("pair_id")).as("txt_cluster")))
+        coalesce(col("txt_cc"), col("pair_id")).as("txt_cluster"))
 
     val nImg = base.groupBy("img_cluster").agg(count(lit(1)).as("n_img"))
     val nTxt = base.groupBy("txt_cluster").agg(count(lit(1)).as("n_txt"))
