@@ -3630,6 +3630,92 @@ object ScaleQueries {
            |ORDER BY bt.doc_id""".stripMargin),
       doc = "Right-to-be-forgotten: purge tombstones from the signature index, re-probe admits near-dups of deleted-only content"),
 
+    // Purge ACCOUNTING across every persisted index family — the audit
+    // record a takedown request closes with: per family, rows before,
+    // rows after, rows purged, and the tombstone count. Row counts are
+    // structural (text: 4 band rows/doc; vector: plan.bands posting
+    // rows/vector; media: 4 band rows/image; video: 4 bands × 3 keyframe
+    // positions/video), so the oracle replays them from the same
+    // membership formulas + the replayed band-plan geometry.
+    "corpus_delete_audit" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val e = embs(s, dir)
+        // text family
+        val corpus = d.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+        val tombT = corpus.filter(col("doc_id") % 15 === 2).select("doc_id")
+        val idxT = NearDup.signatureIndex(corpus, "doc_id")
+        // vector family
+        val idxSrc = e.filter(col("vec_id") % 4 =!= 0)
+        val tombV = idxSrc.filter(col("vec_id") % 9 === 2).select("vec_id")
+        val plan = Similarity.vectorBandPlanFor(idxSrc)
+        val idxV = Similarity.vectorPostings(idxSrc, "vec_id", "embedding", plan)
+        // media family
+        val ids = d.select(col("doc_id")).as[Long]
+        val mediaIdx = MediaDedup.bandRows(MediaDedup.phashes(
+          ids.mapPartitions(_.filter(_ % 10 != 3).map { id =>
+            val (w, h) = Multimodal.pixDims(id)
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, id, 0)))
+          })))
+        val tombM = d.filter(col("doc_id") % 10 === 6).select("doc_id")
+        // video family
+        val vidIdx = AviMjpeg.videoBandRows(AviMjpeg.keyframeHashes(
+          AviMjpeg.mediaAviVideos(
+            d.filter(col("doc_id") % 8 === 0).select(col("doc_id")).as[Long]),
+          k = 3).toDF())
+        val tombVid = d.filter(col("doc_id") % 16 === 8).select("doc_id")
+        def family(name: String, idx: DataFrame, tomb: DataFrame,
+                   key: String): DataFrame = {
+          val purgedRows = Deletion.purge(idx, tomb, key)
+          idx.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(broadcast(purgedRows.agg(count(lit(1)).as("rows_after"))))
+            .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_tombstones"))))
+            .select(lit(name).as("family"), col("rows_before"),
+              col("rows_after"),
+              (col("rows_before") - col("rows_after")).as("rows_purged"),
+              col("n_tombstones"))
+        }
+        family("text", idxT, tombT, "doc")
+          .unionByName(family("vector", idxV, tombV, "id"))
+          .unionByName(family("media", mediaIdx, tombM, "doc_id"))
+          .unionByName(family("video", vidIdx, tombVid, "video_id"))
+          .orderBy("family")
+      },
+      oracle = Some(
+        s"""WITH idxsrc AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 <> 0),
+           |${sqlVectorGeo("idxsrc")},
+           |t AS (
+           |  SELECT 'text' AS family,
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 5 != 0) AS rows_before,
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 5 != 0 AND doc_id % 15 != 2) AS rows_after,
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id % 5 != 0 AND doc_id % 15 = 2) AS n_tombstones),
+           |v AS (
+           |  SELECT 'vector',
+           |    (SELECT b FROM geo) * (SELECT COUNT(*) FROM idxsrc),
+           |    (SELECT b FROM geo) * (SELECT COUNT(*) FROM idxsrc WHERE vec_id % 9 <> 2),
+           |    (SELECT COUNT(*) FROM idxsrc WHERE vec_id % 9 = 2)),
+           |m AS (
+           |  SELECT 'media',
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 10 != 3),
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 10 != 3 AND doc_id % 10 != 6),
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 6)),
+           |vid AS (
+           |  SELECT 'video',
+           |    12 * (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 0),
+           |    12 * (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 0 AND doc_id % 16 != 8),
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id % 16 = 8)),
+           |u AS (SELECT * FROM t UNION ALL SELECT * FROM v
+           |  UNION ALL SELECT * FROM m UNION ALL SELECT * FROM vid)
+           |SELECT family, CAST(rows_before AS BIGINT) AS rows_before,
+           |  CAST(rows_after AS BIGINT) AS rows_after,
+           |  CAST(rows_before - rows_after AS BIGINT) AS rows_purged,
+           |  CAST(n_tombstones AS BIGINT) AS n_tombstones
+           |FROM u ORDER BY family""".stripMargin),
+      doc = "Takedown audit record: per index family, rows before/after/purged + tombstone count, geometry-replayed"),
+
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
