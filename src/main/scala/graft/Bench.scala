@@ -126,7 +126,12 @@ object Bench {
     // dedup_vector_clusters (near-dup pair join + CC star rounds, then
     // the split assignment joins) — serial round depth, borderline at the
     // 3 s line since r9 (2.9 s quiet), same class, same ceiling
-    "sample_splits_clustered")
+    "sample_splits_clustered",
+    // video+transcript paired dedup: keyframe-band pair join + the fused
+    // dual-modality CC (measured 4 star rounds — the video near-match
+    // chains are the depth) + joint-class assembly — the video twin of
+    // mm_pair_dedup, same capstone class
+    "mm_video_pair_dedup")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

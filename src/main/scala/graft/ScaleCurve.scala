@@ -121,7 +121,10 @@ object ScaleCurve {
     // its own clone classes (the +600k/700k/800k markers sit far below
     // the ~3e9 copy stride), so the row measures volume scaling of the
     // joint-class machinery
-    "mm_pair_dedup")
+    "mm_pair_dedup",
+    // video+transcript twin: keyframe-band pair join + fused CC; captions
+    // demuxed from the real containers ride along per copy
+    "mm_video_pair_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

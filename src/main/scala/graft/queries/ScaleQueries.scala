@@ -5714,6 +5714,174 @@ object ScaleQueries {
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.vid""".stripMargin),
       doc = "Right-to-be-forgotten for video: purge band rows, clones of deleted-only videos re-admit, hot-bucket cap recounted over survivors"),
 
+    // VIDEO+TRANSCRIPT paired dedup — the video twin of mm_pair_dedup,
+    // with the transcripts demuxed FROM THE REAL CONTAINERS (AVI '01tx'
+    // chunks / MP4 tx3g samples, not a side table): video clusters from
+    // keyframe-band dup pairs (hot-bucket capped), transcript clusters
+    // from the extracted-caption digest, joint classes + disagreement via
+    // the shared CrossModal core. Planted classes: +700000 full clones
+    // (near video re-containered AVI→MP4 + identical transcript — joint
+    // dups, cross-container), +800000 re-transcribed (exact video copy,
+    // new transcript → vid_disagree), +900000 re-shot (fully re-scrambled
+    // footage on the same id-keyed geometry, same transcript →
+    // txt_disagree).
+    "mm_video_pair_dedup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id")).as[Long]
+        // fixture session-pinned like mm_pair_dedup's: demux + decode +
+        // hash + caption extraction run once; warm runs measure the
+        // joint-class operator
+        val (fph, caps) = graft.Caches.sessionMemo(s, s"mmVideoPair:$dir") {
+          val media = AviMjpeg.mediaAviVideosCaptioned(ids)
+            .union(AviMjpeg.mediaMp4VideosCaptioned(ids,
+              shift = 700000L, cloneEdit = 24))
+            .union(AviMjpeg.mediaAviVideosCaptioned(ids,
+              shift = 800000L, cloneEdit = 0, capIdShift = 800000L))
+            .union(AviMjpeg.mediaAviVideosCaptioned(ids,
+              shift = 900000L, seedShift = 5000011L))
+          (graft.Caches.pinnedBarrier(
+             AviMjpeg.keyframeHashes(media, k = 3).toDF()),
+           graft.Caches.pinnedBarrier(AviMjpeg.videoCaptions(media).toDF()))
+        }
+        // ham <= 4 (tighter than the admission path's 8): the pair graph
+        // feeds a TRANSITIVE closure here, so marginal edges do not just
+        // add pairs — they chain unrelated footage into one cluster and
+        // deepen the CC (measured: ham<=8 chains cost 5 star rounds)
+        val vidEdges = AviMjpeg.videoDupPairs(fph, maxHamming = 4, minMatch = 2)
+          .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
+        // transcript classes are digest-exact (same footage re-uploaded
+        // carries byte-identical captions): star edges min-id ↔ member
+        val wTr = Window.partitionBy("cap_sha256")
+        val txtEdges = caps
+          .withColumn("m", min("doc_id").over(wTr))
+          .filter(col("doc_id") =!= col("m"))
+          .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+        CrossModal.pairDedupFromEdges(
+            caps.select(col("doc_id").as("pair_id")), vidEdges, txtEdges)
+          .select(col("pair_id"), col("img_cluster").as("vid_cluster"),
+            col("txt_cluster"), col("class_size"), col("is_canonical"),
+            col("img_disagree").as("vid_disagree"), col("txt_disagree"))
+          .orderBy("pair_id")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE seeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit, doc_id AS capid,
+          |    0 AS sshift
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 24, doc_id, 0
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 800000, doc_id, 0, doc_id + 800000, 0
+          |  FROM documents WHERE doc_id % 8 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 900000, doc_id, 0, doc_id, 5000011
+          |  FROM documents WHERE doc_id % 8 = 0),
+          |d AS (
+          |  SELECT vid, oid, cedit, capid, sshift,
+          |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+          |    3 + (oid // 8) % 4 AS nf
+          |  FROM seeds),
+          |fp AS (
+          |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+          |    (oid + sshift) * 131 + (((p * nf) // 3) // 2) * 17 AS s
+          |  FROM d, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+          |px AS (
+          |  SELECT vid, p, w, h, y, x,
+          |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+          |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+          |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+          |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+          |  FROM fp,
+          |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+          |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+          |  WHERE y < h AND x < w),
+          |g AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM px GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+          |    SUM(pv) // COUNT(*) AS m
+          |  FROM px GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN m > gm THEN 1 ELSE 0 END
+          |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+          |  FROM cells c JOIN g ON g.vid = c.vid AND g.p = c.p
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |bcnt AS (
+          |  SELECT p, band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2, 3),
+          |qband AS (
+          |  SELECT b.vid, b.p, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.p = c.p AND b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
+          |cand AS (
+          |  SELECT DISTINCT a.vid AS video_a, b.vid AS video_b
+          |  FROM qband a JOIN qband b
+          |    ON a.p = b.p AND a.band = b.band AND a.v = b.v
+          |      AND a.vid < b.vid),
+          |hm AS (
+          |  SELECT c.video_a, c.video_b,
+          |    bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS ham
+          |  FROM cand c
+          |  JOIN fph pa ON pa.vid = c.video_a
+          |  JOIN fph pb ON pb.vid = c.video_b AND pb.p = pa.p),
+          |vpair AS (
+          |  SELECT video_a, video_b FROM hm GROUP BY video_a, video_b
+          |  HAVING COUNT(*) FILTER (WHERE ham <= 4) >= 2),
+          |vedges AS (
+          |  SELECT video_a AS a, video_b AS b FROM vpair
+          |  UNION
+          |  SELECT video_b, video_a FROM vpair),
+          |reachv(n, r) AS (
+          |  SELECT a, a FROM vedges
+          |  UNION
+          |  SELECT e.b, reachv.r FROM reachv JOIN vedges e ON reachv.n = e.a),
+          |ccv AS (SELECT n AS vid, MIN(r) AS c FROM reachv GROUP BY n),
+          |caps AS (
+          |  SELECT vid, string_agg(cap, '|' ORDER BY f) AS transcript FROM (
+          |    SELECT d.vid, f,
+          |      'tok' || CAST((capid * 31 + f * 7) % 97 AS VARCHAR)
+          |        || ' tok' || CAST((capid * 17 + f * 11) % 89 AS VARCHAR) AS cap
+          |    FROM d, (SELECT unnest(generate_series(0, 6)) AS f) fs
+          |    WHERE f < nf) t GROUP BY vid),
+          |tcl AS (
+          |  SELECT vid, MIN(vid) OVER (PARTITION BY transcript) AS tc FROM caps),
+          |clustered AS (
+          |  SELECT s.vid AS pair_id,
+          |    COALESCE(ccv.c, s.vid) AS vid_cluster,
+          |    tcl.tc AS txt_cluster
+          |  FROM seeds s
+          |  LEFT JOIN ccv ON s.vid = ccv.vid
+          |  JOIN tcl ON s.vid = tcl.vid),
+          |nv AS (SELECT vid_cluster, COUNT(*) AS n_vid FROM clustered GROUP BY 1),
+          |nt AS (SELECT txt_cluster, COUNT(*) AS n_txt FROM clustered GROUP BY 1),
+          |byclass AS (
+          |  SELECT vid_cluster, txt_cluster, COUNT(*) AS class_size,
+          |    MIN(pair_id) AS canonical_id
+          |  FROM clustered GROUP BY 1, 2)
+          |SELECT c.pair_id, c.vid_cluster, c.txt_cluster,
+          |  CAST(bc.class_size AS INT) AS class_size,
+          |  c.pair_id = bc.canonical_id AS is_canonical,
+          |  nv.n_vid > bc.class_size AS vid_disagree,
+          |  nt.n_txt > bc.class_size AS txt_disagree
+          |FROM clustered c
+          |JOIN byclass bc ON c.vid_cluster = bc.vid_cluster
+          |  AND c.txt_cluster = bc.txt_cluster
+          |JOIN nv ON c.vid_cluster = nv.vid_cluster
+          |JOIN nt ON c.txt_cluster = nt.txt_cluster
+          |ORDER BY c.pair_id""".stripMargin),
+      doc = "Video+transcript paired dedup: container-extracted captions vs keyframe clusters, joint classes + re-transcription/re-shoot disagreement"),
+
     // EXIF metadata (round 10): a REAL APP1 segment — "Exif\0\0" + TIFF
     // 6.0 header + IFD0 with spec-layout entries (ASCII values past the
     // IFD via offsets) — parsed back by an endian-aware IFD walk. Byte

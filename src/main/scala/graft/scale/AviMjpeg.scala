@@ -234,9 +234,12 @@ object AviMjpeg {
     * within-scene "motion" edit (f%2)·2 on the leftmost block column.
     * `cloneEdit` adds the near-duplicate plant on the same column.
     */
-  private[graft] def videoFramePixels(id: Long, f: Int, cloneEdit: Int): Array[Byte] = {
+  private[graft] def videoFramePixels(id: Long, f: Int, cloneEdit: Int,
+                                       seedShift: Long = 0L): Array[Byte] = {
     val (w, h) = videoDims(id)
-    Multimodal.plantedBlockPixels(w, h, seed = id * 131 + (f / 2) * 17,
+    // seedShift re-scrambles the CONTENT while keeping the id-keyed
+    // geometry (dims, frame count) — the "re-shot footage" plant
+    Multimodal.plantedBlockPixels(w, h, seed = (id + seedShift) * 131 + (f / 2) * 17,
       edit = cloneEdit + (f % 2) * 2)
   }
 
@@ -589,36 +592,47 @@ object AviMjpeg {
 
   /** The planted videos WITH a caption stream: one '01tx' chunk per
     * frame, interleaved — the cross-modal corpus (video frames + the
-    * text pipeline's raw material in one container).
+    * text pipeline's raw material in one container). `shift` relabels
+    * clone ids (frame content stays keyed to the ORIGINAL id, perturbed
+    * by `cloneEdit`); `capIdShift` re-keys the caption FORMULA — 0 plants
+    * a transcript identical to the original's (a re-upload), a distinct
+    * shift plants a re-transcription of the same footage.
     */
-  def mediaAviVideosCaptioned(ids: Dataset[Long]): Dataset[Multimodal.MediaRecord] = {
+  def mediaAviVideosCaptioned(ids: Dataset[Long], shift: Long = 0L,
+                              cloneEdit: Int = 0,
+                              capIdShift: Long = 0L,
+                              seedShift: Long = 0L): Dataset[Multimodal.MediaRecord] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
         val (w, h) = videoDims(id)
         val nf = videoFrameCount(id)
         val frames = (0 until nf).map(f =>
-          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, 0)))
-        Multimodal.MediaRecord(id, "video",
-          wrap(w, h, fps = 10, frames, (0 until nf).map(captionText(id, _))))
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, cloneEdit, seedShift)))
+        Multimodal.MediaRecord(id + shift, "video",
+          wrap(w, h, fps = 10, frames,
+            (0 until nf).map(captionText(id + capIdShift, _))))
       }
     }
   }
 
   /** The planted videos as sampled MP4 with a tx3g timed-text track —
     * the MP4 twin of [[mediaAviVideosCaptioned]], caption-for-caption
-    * identical content.
+    * identical content (same shift/cloneEdit/capIdShift knobs).
     */
-  def mediaMp4VideosCaptioned(ids: Dataset[Long]): Dataset[Multimodal.MediaRecord] = {
+  def mediaMp4VideosCaptioned(ids: Dataset[Long], shift: Long = 0L,
+                              cloneEdit: Int = 0,
+                              capIdShift: Long = 0L): Dataset[Multimodal.MediaRecord] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
         val (w, h) = videoDims(id)
         val nf = videoFrameCount(id)
         val frames = (0 until nf).map(f =>
-          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, 0)))
-        Multimodal.MediaRecord(id, "video",
-          Mp4Mjpeg.wrap(w, h, frames, (0 until nf).map(captionText(id, _))))
+          JpegGray.jpegEncodeGray(w, h, videoFramePixels(id, f, cloneEdit)))
+        Multimodal.MediaRecord(id + shift, "video",
+          Mp4Mjpeg.wrap(w, h, frames,
+            (0 until nf).map(captionText(id + capIdShift, _))))
       }
     }
   }

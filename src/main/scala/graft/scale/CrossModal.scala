@@ -83,12 +83,26 @@ object CrossModal {
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
 
-    // ONE CC run for both modalities: image nodes map to 2·id, caption
-    // nodes to 2·id+1 — the namespaces are disjoint (components never
-    // mix) and both maps are monotonic, so min-id cluster semantics
-    // survive the decode. CC cost is serial round depth (one action +
-    // checkpoint per star round), so fusing halves the query's dominant
-    // cost vs two sequential resolutions.
+    pairDedupFromEdges(captions.select(col(idCol).as("pair_id")),
+      imgEdges, txtEdges)
+  }
+
+  /** The modality-agnostic core: joint-class resolution + disagreement
+    * assembly over PRE-BUILT same-modality edge lists — the entry point
+    * for pair corpora whose edges come from other detectors (e.g.
+    * video+transcript: keyframe-band video pairs + transcript-digest
+    * classes). `pairs` is one (pair_id) row per pair; both edge frames
+    * are (doc_a, doc_b) over pair ids.
+    *
+    * ONE CC run covers both modalities: first-modality nodes map to 2·id,
+    * second-modality nodes to 2·id+1 — the namespaces are disjoint
+    * (components never mix) and both maps are monotonic, so min-id
+    * cluster semantics survive the decode. CC cost is serial round depth
+    * (one action + checkpoint per star round), so fusing halves the
+    * dominant cost vs two sequential resolutions.
+    */
+  def pairDedupFromEdges(pairs: DataFrame, imgEdges: DataFrame,
+                         txtEdges: DataFrame): DataFrame = {
     val nsEdges = imgEdges.select((col("doc_a") * 2).as("doc_a"),
         (col("doc_b") * 2).as("doc_b"))
       .unionByName(txtEdges.select((col("doc_a") * 2 + 1).as("doc_a"),
@@ -101,9 +115,8 @@ object CrossModal {
       .select(shiftright(col("node"), 1).as("pair_id"),
         shiftright(col("cluster_id"), 1).as("txt_cc"))
 
-    // singleton pairs (no edge in a modality) are their own cluster;
-    // persisted — the class/count aggregations below read it four times
-    val base = captions.select(col(idCol).as("pair_id"))
+    // singleton pairs (no edge in a modality) are their own cluster
+    val base = pairs
       .join(imgCc, Seq("pair_id"), "left")
       .join(txtCc, Seq("pair_id"), "left")
       .select(col("pair_id"),

@@ -32,7 +32,9 @@ class ScaleCurveGateSpec extends SparkSpec {
     // posting-table vector admission under the corpus-scaled band plan
     "dedup_vector_incremental",
     // cross-modal paired dedup: two blocked pair joins + one fused CC
-    "mm_pair_dedup")
+    "mm_pair_dedup",
+    // the video+transcript twin (keyframe-band pair join + fused CC)
+    "mm_video_pair_dedup")
 
   private val MaxRatio = 8.0
   // ratios over a tiny numerator are scheduler noise, not a curve: floor
