@@ -968,9 +968,13 @@ object ScaleQueries {
            |bands AS (
            |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |tbcnt AS (SELECT j, bh, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+           |qbands AS (
+           |  SELECT b.doc_id, b.j, b.bh FROM bands b
+           |  JOIN tbcnt c ON b.j = c.j AND b.bh = c.bh WHERE c.n <= 64),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |  FROM qbands a JOIN qbands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
            |dropped AS (
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
@@ -1805,9 +1809,14 @@ object ScaleQueries {
           |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
           |    MAX(CASE WHEN band = 3 THEN v END) AS b3
           |  FROM bands GROUP BY 1),
+          |bcnt AS (SELECT band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          |qband AS (
+          |  SELECT b.doc_id, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
           |cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
+          |  FROM qband a JOIN qband b
           |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
           |h AS (
           |  SELECT doc_a, doc_b,
@@ -1865,9 +1874,13 @@ object ScaleQueries {
            |bands AS (
            |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |tbcnt AS (SELECT j, bh, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+           |qbands AS (
+           |  SELECT b.doc_id, b.j, b.bh FROM bands b
+           |  JOIN tbcnt c ON b.j = c.j AND b.bh = c.bh WHERE c.n <= 64),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |  FROM qbands a JOIN qbands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
            |lsh_dropped AS (
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
@@ -3368,9 +3381,13 @@ object ScaleQueries {
            |bands AS (
            |  SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |tbcnt AS (SELECT j, bh, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+           |qbands AS (
+           |  SELECT b.doc_id, b.j, b.bh FROM bands b
+           |  JOIN tbcnt c ON b.j = c.j AND b.bh = c.bh WHERE c.n <= 64),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |  FROM qbands a JOIN qbands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b,
            |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
            |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches,
@@ -4815,12 +4832,15 @@ object ScaleQueries {
           .union(ids.mapPartitions(wrap(600000L, 24)))
         val ph = graft.Caches.lazyBarrier(
           Multimodal.perceptualHashPng(media).toDF())
-        val bands = ph.select(col("doc_id"), explode(array(
+        // hot (band, v) buckets suppressed — oracle replays via qband
+        val bands = MediaDedup.capBandBuckets(
+          ph.select(col("doc_id"), explode(array(
             struct(lit(0).as("band"), col("b0").as("v")),
             struct(lit(1).as("band"), col("b1").as("v")),
             struct(lit(2).as("band"), col("b2").as("v")),
             struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v")),
+          maxBucket = 64)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -6054,12 +6074,18 @@ object ScaleQueries {
           |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
           |    MAX(CASE WHEN band = 3 THEN v END) AS b3
           |  FROM bands GROUP BY 1),
+          |ibands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON b.doc_id = s.doc_id AND s.side = 'index'),
+          |ibcnt AS (SELECT band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2),
+          |qiband AS (
+          |  SELECT i.doc_id, i.band, i.v FROM ibands i
+          |  JOIN ibcnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
           |dup AS (
           |  SELECT DISTINCT b.doc_id
           |  FROM bands b
           |  JOIN seeds sb ON b.doc_id = sb.doc_id AND sb.side = 'batch'
-          |  JOIN bands i ON b.band = i.band AND b.v = i.v
-          |  JOIN seeds si ON i.doc_id = si.doc_id AND si.side = 'index'
+          |  JOIN qiband i ON b.band = i.band AND b.v = i.v
           |  JOIN ph pb ON pb.doc_id = b.doc_id
           |  JOIN ph pi ON pi.doc_id = i.doc_id
           |  WHERE bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
@@ -6067,7 +6093,7 @@ object ScaleQueries {
           |SELECT s.doc_id,
           |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
-      doc = "Media admission: real-pixel perceptual hashes, band-blocked probe vs the admitted index, hash-checked verdicts"),
+      doc = "Media admission: real-pixel perceptual hashes, band-blocked probe vs the admitted index (hot index buckets suppressed), hash-checked verdicts"),
 
     // Deletion propagation through the MEDIA band index: tombstoned
     // images' band rows are purged, then admission re-probes. +800000
@@ -6136,13 +6162,19 @@ object ScaleQueries {
           |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
           |    MAX(CASE WHEN band = 3 THEN v END) AS b3
           |  FROM bands GROUP BY 1),
+          |ibands AS (
+          |  SELECT b.* FROM bands b
+          |  JOIN seeds s ON b.doc_id = s.doc_id AND s.side = 'index'
+          |    AND s.doc_id % 10 != 6),
+          |ibcnt AS (SELECT band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2),
+          |qiband AS (
+          |  SELECT i.doc_id, i.band, i.v FROM ibands i
+          |  JOIN ibcnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
           |dup AS (
           |  SELECT DISTINCT b.doc_id
           |  FROM bands b
           |  JOIN seeds sb ON b.doc_id = sb.doc_id AND sb.side = 'batch'
-          |  JOIN bands i ON b.band = i.band AND b.v = i.v
-          |  JOIN seeds si ON i.doc_id = si.doc_id AND si.side = 'index'
-          |    AND si.doc_id % 10 != 6
+          |  JOIN qiband i ON b.band = i.band AND b.v = i.v
           |  JOIN ph pb ON pb.doc_id = b.doc_id
           |  JOIN ph pi ON pi.doc_id = i.doc_id
           |  WHERE bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
@@ -6150,7 +6182,7 @@ object ScaleQueries {
           |SELECT s.doc_id,
           |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
-      doc = "Right-to-be-forgotten for media: purge band rows, exact copies of deleted-only images re-admit"),
+      doc = "Right-to-be-forgotten for media: purge band rows, hot-bucket cap recounted over the surviving index, exact copies of deleted-only images re-admit"),
 
     // Cross-modal paired dedup (CrossModal.pairDedup): CLIP-style
     // (image, caption) pairs deduplicated by the JOINT (img_cluster,
@@ -6240,9 +6272,13 @@ object ScaleQueries {
           |  FROM caps)),
           |cbands AS (SELECT pair_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
           |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+          |cbcnt AS (SELECT j, bh, COUNT(*) AS n FROM cbands GROUP BY 1, 2),
+          |cqband AS (
+          |  SELECT b.pair_id, b.j, b.bh FROM cbands b
+          |  JOIN cbcnt c ON b.j = c.j AND b.bh = c.bh WHERE c.n <= 64),
           |tpairs AS (
           |  SELECT DISTINCT l.pair_id AS a, r.pair_id AS b
-          |  FROM cbands l JOIN cbands r ON l.j = r.j AND l.bh = r.bh
+          |  FROM cqband l JOIN cqband r ON l.j = r.j AND l.bh = r.bh
           |    AND l.pair_id < r.pair_id),
           |tagree AS (
           |  SELECT a, b FROM tpairs
@@ -7755,12 +7791,16 @@ object ScaleQueries {
           .union(ids.mapPartitions(wrap(500000L, 40)))
         val ph = graft.Caches.lazyBarrier(
           Multimodal.perceptualHashPng(media).toDF())
-        val bands = ph.select(col("doc_id"), explode(array(
+        // hot (band, v) buckets suppressed before the self-join — the cap
+        // the oracle's qband CTE replays (MediaDedup.capBandBuckets doc)
+        val bands = MediaDedup.capBandBuckets(
+          ph.select(col("doc_id"), explode(array(
             struct(lit(0).as("band"), col("b0").as("v")),
             struct(lit(1).as("band"), col("b1").as("v")),
             struct(lit(2).as("band"), col("b2").as("v")),
             struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v")),
+          maxBucket = 64)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -7806,7 +7846,8 @@ object ScaleQueries {
         val media = ids.mapPartitions(wrap(0L, 0))
           .union(ids.mapPartitions(wrap(500000L, 40)))
         val ph = Multimodal.perceptualHashPng(media).toDF()
-        val b = MediaDedup.bandRows(ph)
+        // capped like phashDuplicates — the oracle's qband CTE replays it
+        val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(ph), maxBucket = 64)
         val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
           col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
         val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
@@ -7923,11 +7964,24 @@ object ScaleQueries {
            |  FROM px p JOIN tv t ON p.doc_id = t.doc_id GROUP BY p.doc_id),
            |thr AS (SELECT quantile_cont(tv_h, 0.25) AS t FROM stats),
            |gated AS (SELECT s.* FROM stats s, thr WHERE s.tv_h >= thr.t),
+           |sband AS (
+           |  SELECT b.doc_id, b.band, b.v FROM bands b
+           |  JOIN gated g ON b.doc_id = g.doc_id),
+           |sbcnt AS (SELECT band, v, COUNT(*) AS n FROM sband GROUP BY 1, 2),
+           |sqband AS (
+           |  SELECT s.doc_id, s.band, s.v FROM sband s
+           |  JOIN sbcnt c ON s.band = c.band AND s.v = c.v
+           |  WHERE c.n <= 64),
+           |scand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sqband a JOIN sqband b
+           |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
            |dropped AS (
-           |  SELECT DISTINCT h.doc_b AS doc_id FROM h
-           |  JOIN gated ga ON h.doc_a = ga.doc_id
-           |  JOIN gated gb ON h.doc_b = gb.doc_id
-           |  WHERE h.hamming <= 8),
+           |  SELECT DISTINCT sc.doc_b AS doc_id FROM scand sc
+           |  JOIN ph pa ON sc.doc_a = pa.doc_id
+           |  JOIN ph pb ON sc.doc_b = pb.doc_id
+           |  WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+           |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 8),
            |deduped AS (
            |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
            |withsrc AS (

@@ -38,21 +38,26 @@ object CrossModal {
     *         cluster but not its caption cluster (and symmetrically).
     */
   def pairDedup(ph: DataFrame, captions: DataFrame, idCol: String,
-                maxHamming: Int = 8, minSigMatches: Int = 6): DataFrame = {
+                maxHamming: Int = 8, minSigMatches: Int = 6,
+                maxBucket: Int = 64): DataFrame = {
     val phB = graft.Caches.persist(ph)
 
     // image edges: exact 16-bit band agreement blocks, Hamming verifies —
     // the MediaDedup.bandRows fused-verify layout (band rows carry the
     // FULL hash, so ONE bucket join verifies in place; a candidates-then-
-    // re-entry spelling costs two more hash joins and a wider distinct)
-    val bands = phB.select(col("doc_id"), explode(array(
+    // re-entry spelling costs two more hash joins and a wider distinct).
+    // Hot (band, v) buckets are suppressed before the self-join
+    // (MediaDedup.capBandBuckets — blank/flat images share one aHash
+    // band, the degenerate-content quadratic the video cap measured)
+    val bands = MediaDedup.capBandBuckets(
+      phB.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), col("b0").as("v")),
         struct(lit(1).as("band"), col("b1").as("v")),
         struct(lit(2).as("band"), col("b2").as("v")),
         struct(lit(3).as("band"), col("b3").as("v")))).as("e"),
       col("b0"), col("b1"), col("b2"), col("b3"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.v").as("v"),
-        col("b0"), col("b1"), col("b2"), col("b3"))
+        col("b0"), col("b1"), col("b2"), col("b3")), maxBucket)
     val imgEdges = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -63,12 +68,16 @@ object CrossModal {
       .distinct()
 
     // caption edges: LSH band candidates + MinHash signature agreement.
-    // The bucket table feeds both sides of the self-join — persist, or
-    // the shingle+MinHash pass runs twice.
+    // The bucket table feeds both sides of the self-join — withSignatures
+    // already barriers the signature subtree (Caches.lazyBarrier), so
+    // both sides read the checkpoint instead of re-running the
+    // shingle+MinHash pass. Hot (band_idx, band_hash) buckets suppressed
+    // (NearDup.capBuckets — boilerplate-identical captions collide in
+    // every band, the text twin of the blank-image pathology).
     val sigs = NearDup.withSignatures(captions)
-    val buckets = sigs.select(col(idCol).as("doc"),
+    val buckets = NearDup.capBuckets(sigs.select(col(idCol).as("doc"),
       col("minhash_sig").as("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
     // agreement filters BEFORE the dedup: the collision rows carry both
     // signature arrays, so deduplicating first would move 2×K longs per
     // row through the distinct exchange — filter on the join output

@@ -46,13 +46,35 @@ object MediaDedup {
     s"CAST(bit_count(${a}0 ^ ${b}0) + bit_count(${a}1 ^ ${b}1) + " +
       s"bit_count(${a}2 ^ ${b}2) + bit_count(${a}3 ^ ${b}3) AS INT)"
 
+  /** Band rows restricted to (band, v) buckets no wider than `maxBucket` —
+    * the hot-bucket suppression every band-blocked join in this engine
+    * carries (video precedent: `AviMjpeg.videoDupPairs`, where the
+    * uncapped join measured 30.4 s at ×10 vs ~2 s capped). aHash buckets
+    * are CONTENT-degenerate on real corpora: blank/flat images share one
+    * aHash, so one band value can hold a large fraction of the corpus and
+    * the bucket self-join goes quadratic in its width. A bucket wider
+    * than the cap carries no discriminative signal; dropping it from
+    * candidate generation bounds per-bucket fan-out at maxBucket² — the
+    * documented recall cost is pairs whose EVERY band is hot. The window
+    * partitions on the same key the join shuffles on, so the exchange is
+    * shared. Deterministic, so the DuckDB oracles replay the cap exactly.
+    */
+  def capBandBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    b.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "v")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
   /** Intra-set duplicates: the LARGER doc_id of any pair agreeing on ≥1
     * band with Hamming ≤ `maxHamming` (the keep-smallest admission rule,
     * same convention as `NearDup.lshDuplicates`). One band-bucket
-    * self-join; output (doc_id) distinct.
+    * self-join over [[capBandBuckets]]-qualified rows; output (doc_id)
+    * distinct.
     */
-  def phashDuplicates(ph: DataFrame, maxHamming: Int): DataFrame = {
-    val b = bandRows(ph)
+  def phashDuplicates(ph: DataFrame, maxHamming: Int,
+                      maxBucket: Int = 64): DataFrame = {
+    val b = capBandBuckets(bandRows(ph), maxBucket)
     val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
@@ -67,11 +89,16 @@ object MediaDedup {
     * rows, [[bandRows]] layout): (doc_id, is_dup). The batch side melts
     * to band rows and bucket-joins the index on (band, v); Hamming ≤
     * `maxHamming` vs ANY index member makes the batch image a duplicate.
+    * The INDEX side is [[capBandBuckets]]-qualified (same discipline as
+    * `AviMjpeg.admitAgainstVideos`): an index bucket the whole corpus
+    * shares makes the probe O(index) per hot batch row, and the cap is a
+    * property of the current index state — recounted after purges.
     */
-  def admitAgainst(index: DataFrame, batch: DataFrame, maxHamming: Int): DataFrame = {
+  def admitAgainst(index: DataFrame, batch: DataFrame, maxHamming: Int,
+                   maxBucket: Int = 64): DataFrame = {
     val probe = bandRows(batch).select(col("doc_id"), col("band"), col("v"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val idx = index.select(col("band"), col("v"),
+    val idx = capBandBuckets(index, maxBucket).select(col("band"), col("v"),
       col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
     val dups = probe.join(idx, Seq("band", "v"))
       .filter(expr(hamming("a", "x")) <= maxHamming)

@@ -93,13 +93,37 @@ object NearDup {
     sigs.withColumn("bands", bandHashes(col("minhash_sig")))
   }
 
-  /** LSH candidate pairs: documents sharing any (band index, band hash)
-    * bucket, deduplicated, a < b. The join is a shuffle on the band hash —
-    * linear in corpus size, never quadratic.
+  /** Bucket rows restricted to (band_idx, band_hash) buckets no wider
+    * than `maxBucket` — the hot-bucket suppression the video family
+    * proved with numbers (`AviMjpeg.videoDupPairs`: 30.4 s uncapped at
+    * ×10 vs ~2 s capped). [[bandPlanAuto]] bounds EXPECTED background
+    * collisions under hash uniformity; it cannot bound content-degenerate
+    * buckets — boilerplate-identical documents collide in every band, so
+    * one band hash can hold a large fraction of a web corpus and the
+    * bucket self-join goes quadratic in its width. A bucket wider than
+    * the cap carries no discriminative signal (its members are either
+    * true mass-duplicates, better handled by the exact digest pass that
+    * runs FIRST in every capstone chain, or boilerplate collisions);
+    * dropping it bounds per-bucket fan-out at maxBucket². The window
+    * partitions on the same key the join shuffles on, so the exchange is
+    * shared. Deterministic — the DuckDB oracles replay the cap exactly.
     */
-  def lshCandidates(withSigs: DataFrame, idCol: String): DataFrame = {
-    val buckets = withSigs.select(col(idCol).as("doc"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+  private[scale] def capBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+  /** LSH candidate pairs: documents sharing any (band index, band hash)
+    * bucket, deduplicated, a < b. The join is a shuffle on the band hash,
+    * with buckets wider than `maxBucket` suppressed ([[capBuckets]]) —
+    * linear in corpus size even on boilerplate-degenerate content.
+    */
+  def lshCandidates(withSigs: DataFrame, idCol: String,
+                    maxBucket: Int = 64): DataFrame = {
+    val buckets = capBuckets(withSigs.select(col(idCol).as("doc"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
     buckets.as("l").join(buckets.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -120,10 +144,13 @@ object NearDup {
     * replaces three narrow ones over the full signature table.
     */
   def lshDuplicates(withSigs: DataFrame, idCol: String,
-                    minSigMatches: Int): DataFrame = {
-    val buckets = withSigs.select(col(idCol).as("doc"),
+                    minSigMatches: Int, maxBucket: Int = 64): DataFrame = {
+    // the cap window partitions on the join key, so the qualification
+    // rides the same exchange the self-join needs anyway (sig payload
+    // included — it crossed that exchange before the cap existed too)
+    val buckets = capBuckets(withSigs.select(col(idCol).as("doc"),
       col("minhash_sig").as("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
     buckets.as("l").join(buckets.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -141,8 +168,10 @@ object NearDup {
     * Unlike a blocked cross join with per-pair `array_intersect` (quadratic
     * in block size and linear in shingle count *per pair*), this only does
     * work for pairs that actually share a shingle — the shape that survives
-    * 100 TB. Ultra-frequent shingles would fan out k^2; production runs cap
-    * document frequency first (not done here to keep the oracle exact).
+    * 100 TB. Ultra-frequent shingles fan out k²: this form is the EXACT
+    * reference arm (used where the query's contract is exact Jaccard over
+    * all pairs); production runs use [[jaccardPairsCapped]], whose df cap
+    * bounds every shingle's fan-out and replays exactly in the oracle.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, blockCol: String,
                    shingleN: Int = 3, threshold: Double = 0.2): DataFrame = {
