@@ -3564,8 +3564,12 @@ object ScaleQueries {
            |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
            |bbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM bsigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |ccnt AS (SELECT j, bh, COUNT(*) AS n FROM cbands GROUP BY 1, 2),
+           |qcbands AS (
+           |  SELECT c.doc_id, c.j, c.bh FROM cbands c
+           |  JOIN ccnt n ON c.j = n.j AND c.bh = n.bh WHERE n.n <= 64),
            |cand AS (SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
-           |  FROM bbands b JOIN cbands c ON b.j = c.j AND b.bh = c.bh),
+           |  FROM bbands b JOIN qcbands c ON b.j = c.j AND b.bh = c.bh),
            |scored AS (SELECT b_doc, c_doc,
            |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
            |    i -> CASE WHEN bs.sig[i] = cs.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches
@@ -3631,8 +3635,12 @@ object ScaleQueries {
            |  FROM csigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
            |bbands AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
            |  FROM bsigs, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+           |ccnt AS (SELECT j, bh, COUNT(*) AS n FROM cbands GROUP BY 1, 2),
+           |qcbands AS (
+           |  SELECT c.doc_id, c.j, c.bh FROM cbands c
+           |  JOIN ccnt n ON c.j = n.j AND c.bh = n.bh WHERE n.n <= 64),
            |cand AS (SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
-           |  FROM bbands b JOIN cbands c ON b.j = c.j AND b.bh = c.bh),
+           |  FROM bbands b JOIN qcbands c ON b.j = c.j AND b.bh = c.bh),
            |scored AS (SELECT b_doc, c_doc,
            |  CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}),
            |    i -> CASE WHEN bs.sig[i] = cs.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT) AS sig_matches

@@ -305,15 +305,21 @@ object NearDup {
     * Scale shape: work is O(batch + bucket collisions) — the corpus-side
     * cost is one shuffle of the (already tiny) index rows that share a
     * bucket with the batch; admitted docs' index rows can be unioned back
-    * in to grow the index shard by shard.
+    * in to grow the index shard by shard. The INDEX side is bucket-capped
+    * ([[capBuckets]], same discipline as the image/video admission
+    * probes): an index bucket the whole corpus shares makes the probe
+    * O(index) per hot batch row, and the cap is a property of the current
+    * index state — recounted after purges.
     */
   def admitAgainst(index: DataFrame, batch: DataFrame, idCol: String,
-                   shingleN: Int = 3, minSigMatches: Int = 6): DataFrame = {
+                   shingleN: Int = 3, minSigMatches: Int = 6,
+                   maxBucket: Int = 64): DataFrame = {
     val probe = signatureIndex(batch, idCol, shingleN)
       .select(col("doc").as("b_doc"), col("minhash_sig").as("b_sig"),
         col("band_idx"), col("band_hash"))
-    val idx = index.select(col("doc").as("c_doc"),
-      col("minhash_sig").as("c_sig"), col("band_idx"), col("band_hash"))
+    val idx = capBuckets(index.select(col("doc").as("c_doc"),
+      col("minhash_sig").as("c_sig"), col("band_idx"), col("band_hash")),
+      maxBucket)
     val cand = probe.join(idx, Seq("band_idx", "band_hash"))
       .select("b_doc", "b_sig", "c_doc", "c_sig").distinct()
     val scored = cand.withColumn("sig_matches",
