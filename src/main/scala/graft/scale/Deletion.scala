@@ -29,26 +29,40 @@ import org.apache.spark.sql.functions._
   *    ([[Similarity.VectorBandPlan]]): the index owns its plan, and
   *    probes must keep using it — deletions never silently re-plan.
   *
-  * Scale shape: tombstone sets are takedown-sized (ids only — thousands
-  * to low millions of longs), so [[purge]] plans as a broadcast LEFT ANTI
-  * hash join over the index scan. The index side NEVER shuffles: a purge
-  * over a 100 TB index is one map-side filtering pass, and with the index
-  * stored partitioned (e.g. by batch_id, as [[graft.streaming.StreamingAdmission]]
-  * writes it) only the partitions that still contain tombstoned rows need
-  * rewriting. The plan shape (anti join via broadcast, zero exchanges on
-  * the index side) is pinned in DeletionSpec even with the broadcast
-  * threshold disabled.
+  * Scale shape: tombstone sets are usually takedown-sized (ids only —
+  * thousands to low millions of longs), so [[purge]] plans as a broadcast
+  * LEFT ANTI hash join over the index scan. The index side NEVER
+  * shuffles: a purge over a 100 TB index is one map-side filtering pass,
+  * and with the index stored partitioned (e.g. by batch_id, as
+  * [[graft.streaming.StreamingAdmission]] writes it) only the partitions
+  * that still contain tombstoned rows need rewriting. The plan shape
+  * (anti join via broadcast, zero exchanges on the index side) is pinned
+  * in DeletionSpec even with the broadcast threshold disabled. The
+  * takedown-size assumption is GUARDED, not assumed: a corpus-scale
+  * tombstone frame (a bulk licensing purge) falls back to a shuffled
+  * anti-join instead of OOMing every executor with the broadcast.
   */
 object Deletion {
 
+  /** Above this many distinct tombstone ids (~32 MB of longs, the
+    * practical broadcast comfort zone) [[purge]] drops the broadcast hint
+    * and lets the anti-join shuffle both sides.
+    */
+  val MaxBroadcastIds: Int = 4000000
+
   /** `table` minus the rows whose `keyCol` appears in `tombstones` (whose
     * FIRST column is the id column, any name). Ids are deduplicated
-    * before the broadcast.
+    * before the broadcast. The size guard is a bounded probe —
+    * `limit(max+1).count()` — so deciding the plan never scans more of a
+    * bulk tombstone set than the threshold itself.
     */
-  def purge(table: DataFrame, tombstones: DataFrame, keyCol: String): DataFrame = {
+  def purge(table: DataFrame, tombstones: DataFrame, keyCol: String,
+            maxBroadcastIds: Int = MaxBroadcastIds): DataFrame = {
     val t = tombstones
       .select(col(tombstones.columns.head).as("__tombstone_id")).distinct()
-    table.join(broadcast(t), col(keyCol) === col("__tombstone_id"), "left_anti")
+    val small = t.limit(maxBroadcastIds + 1).count() <= maxBroadcastIds
+    val rhs = if (small) broadcast(t) else t
+    table.join(rhs, col(keyCol) === col("__tombstone_id"), "left_anti")
   }
 
   /** Physically rewrite a persisted parquet index minus the tombstones

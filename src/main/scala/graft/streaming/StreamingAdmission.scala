@@ -99,16 +99,22 @@ object StreamingAdmission {
 
     // (2) cross-shard admission against the persisted index AS OF before
     // this batch: a replayed micro-batch filters out its own (and any
-    // later) partition, so it sees exactly the index state of its first
-    // run and reproduces the same verdicts. Batch ids must be
-    // monotonically increasing — Structured Streaming guarantees it.
-    // Tombstones (right-to-be-forgotten, see graft.scale.Deletion) mask
-    // the index AT READ: the next batch's probe cannot match deleted
-    // content, so a near-dup of only-deleted content is ADMITTED — the
-    // pinned semantics. The physical rewrite (Deletion.rewritePurged) is
-    // a separate compaction concern; masking keeps every batch correct in
-    // the meantime and stays replay-idempotent (a replayed batch sees the
-    // same tombstone set the recovery run sees).
+    // later) partition — the INDEX side of a replay is exactly the state
+    // of the batch's first run (batch ids must be monotonically
+    // increasing; Structured Streaming guarantees it). Tombstones
+    // (right-to-be-forgotten, see graft.scale.Deletion) mask the index AT
+    // READ: the next batch's probe cannot match deleted content, so a
+    // near-dup of only-deleted content is ADMITTED — the pinned
+    // semantics. The physical rewrite (Deletion.rewritePurged) is a
+    // separate compaction concern. The replay guarantee is therefore
+    // verdict-exact only for a FIXED tombstone set: the mask is re-read
+    // at replay time, so a crash-recovery replay AFTER a tombstone append
+    // re-decides under the current set (a rejection whose only match was
+    // since deleted flips to admission). That is deletion law applied
+    // retroactively — a replay must not resurrect matches against purged
+    // content — and it is the deliberate trade: legal erasure outranks
+    // cross-purge verdict reproduction. Pipelines needing byte-stable
+    // replays must freeze tombstonesDir for the recovery window.
     val tombstones = tombstonesDir
       .filter(graft.io.Fs.exists(spark, _))
       .map(spark.read.parquet(_))

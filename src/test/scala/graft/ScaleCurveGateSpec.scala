@@ -67,4 +67,96 @@ class ScaleCurveGateSpec extends SparkSpec {
         offenders.map { case (q, t1, t10, r) =>
           f"$q (x1=$t1%.2f s, x10=$t10%.2f s, ratio=$r%.2f)" }.mkString("; "))
   }
+
+  /** Degenerate-content stress (r11 verdict #2): ScaleCurve.synthesize
+    * perturbs every copy, so NO synthetic corpus above ever has a hot
+    * bucket — the exact reason the uncapped image-band and text-LSH joins
+    * looked linear for three rounds. This row feeds the band joins the
+    * content the perturbation is designed to avoid: 20% of images share
+    * ONE aHash (blank/flat frames) and 20% of documents are boilerplate-
+    * identical, so one bucket holds 0.2·n rows and the uncapped self-join
+    * is quadratic in it. The registry queries derive their media content
+    * from doc_id formulas (never degenerate by construction), so this
+    * gate drives the OPERATORS directly with the exact frames those
+    * queries produce post-decode — the join shape is what's under test.
+    *
+    * Both directions are asserted: the shipped (capped) forms stay inside
+    * the envelope, AND the uncapped forms leave it — proving the gate
+    * bites, the way the video cap's measured 30.4 s did.
+    */
+  test("degenerate-content skew: capped band joins stay linear, uncapped fail") {
+    assume(sys.env.get("SPARK_GRAFT_CURVE_GATE").contains("1"),
+      "set SPARK_GRAFT_CURVE_GATE=1 to run the degenerate-content gate")
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    graft.functions.Hashing.register(spark)
+
+    // 20% blank images: one shared hash; the rest id-injective (odd
+    // multiplier mod 2^16 is a bijection while n < 65536 — no accidental
+    // hot buckets besides the planted one)
+    def skewPh(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 === 0, lit(4660))
+        .otherwise(pmod(col("id") * 40503, lit(65536))).cast("int").as("b0"),
+      when(col("id") % 5 === 0, lit(22136))
+        .otherwise(pmod(col("id") * 30341, lit(65536))).cast("int").as("b1"),
+      when(col("id") % 5 === 0, lit(4919))
+        .otherwise(pmod(col("id") * 20507, lit(65536))).cast("int").as("b2"),
+      when(col("id") % 5 === 0, lit(57005))
+        .otherwise(pmod(col("id") * 10837, lit(65536))).cast("int").as("b3"))
+
+    // 20% boilerplate-identical docs: identical text -> identical
+    // signatures -> collide in every band
+    def skewDocs(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 === 0,
+        lit("home about products contact copyright all rights reserved " +
+          "privacy policy terms of service cookie settings"))
+        .otherwise(concat_ws(" ", (0 until 10).map(j =>
+          concat(lit("tok"),
+            pmod(col("id") * 31 + lit(j * 7919), lit(104729)).cast("string"))): _*))
+        .as("text"))
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try df.write.format("noop").mode("overwrite").save()
+      finally Caches.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // capped arms: best-of-2 (the timing under assertion); uncapped arms:
+    // one run — they only need to demonstrably leave the envelope, and a
+    // second quadratic ×10 run buys no precision worth its wall-clock
+    def ratioOf(f: Long => DataFrame, n: Long, runs: Int): Double = {
+      def best(m: Long) = (0 until runs).map(_ => time(f(m))).min
+      best(n * 10) / math.max(best(n), FloorSec)
+    }
+
+    import graft.scale.{MediaDedup, NearDup}
+    // image n is larger than text n: the Hamming verify is a codegen'd
+    // int filter (~100M rows/s even at local[4]), so the quadratic needs
+    // a wider hot bucket to dominate the ×10 wall than the text side's
+    // per-collision signature-agreement fold does
+    val rows = Seq(
+      ("image_band_capped", ratioOf(n =>
+        MediaDedup.phashDuplicates(skewPh(n), maxHamming = 8), 8000L, 2), true),
+      ("image_band_uncapped", ratioOf(n =>
+        MediaDedup.phashDuplicates(skewPh(n), maxHamming = 8,
+          maxBucket = Int.MaxValue), 8000L, 1), false),
+      ("text_lsh_capped", ratioOf(n =>
+        NearDup.lshDuplicates(NearDup.withSignatures(skewDocs(n)), "doc_id",
+          minSigMatches = 6), 2000L, 2), true),
+      ("text_lsh_uncapped", ratioOf(n =>
+        NearDup.lshDuplicates(NearDup.withSignatures(skewDocs(n)), "doc_id",
+          minSigMatches = 6, maxBucket = Int.MaxValue), 2000L, 1), false))
+    rows.foreach { case (name, r, _) => info(f"$name%-22s ratio=$r%.2f") }
+    val cappedOffenders = rows.filter { case (_, r, capped) => capped && r > MaxRatio }
+    assert(cappedOffenders.isEmpty,
+      "capped band join went super-linear on degenerate content: " +
+        cappedOffenders.map { case (n, r, _) => f"$n (ratio=$r%.2f)" }.mkString("; "))
+    val uncappedPassers = rows.filter { case (_, r, capped) => !capped && r <= MaxRatio }
+    assert(uncappedPassers.isEmpty,
+      "uncapped form stayed inside the envelope — the skew fixture no " +
+        "longer produces a hot bucket and this gate has stopped biting: " +
+        uncappedPassers.map { case (n, r, _) => f"$n (ratio=$r%.2f)" }.mkString("; "))
+  }
 }
