@@ -124,7 +124,11 @@ object ScaleCurve {
     "mm_pair_dedup",
     // video+transcript twin: keyframe-band pair join + fused CC; captions
     // demuxed from the real containers ride along per copy
-    "mm_video_pair_dedup")
+    "mm_video_pair_dedup",
+    // round-12 audio: WAV decode + energy-profile fingerprint (per-row
+    // work) feeding the same capped band join as the image family — the
+    // row should stay flat-linear like mm_phash_pairs
+    "mm_audio_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

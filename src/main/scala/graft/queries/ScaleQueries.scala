@@ -1835,6 +1835,45 @@ object ScaleQueries {
       |  UNION ALL
       |  SELECT doc_id + 500000, doc_id, 40 FROM documents""".stripMargin)
 
+  /** Shared oracle CTE chain for the audio energy-profile fingerprint
+    * queries: given a seeds SQL (doc_id, seed, edit rows — `aseeds` may
+    * carry extra columns like `side`), replays the planted PCM16 sample
+    * plan (AudioDedup.mediaWavPlanted: the mediaWavPcm formula + the
+    * edit offset on samples 64..95) → 64 window energies → clip mean →
+    * bit plan → four 16-bit bands `abands` → per-clip fingerprints
+    * `afp` (b0..b3). The Spark side must PARSE the real RIFF/WAVE
+    * container and decode (and mono-mix) the PCM16 samples to reach the
+    * same bands — the stereo re-encodes land on identical fingerprints
+    * only if the mix is sample-exact.
+    */
+  private def audioFpCtes(seedsSql: String): String =
+        s"""aseeds AS (
+          |  $seedsSql),
+          |asm AS (
+          |  SELECT doc_id, i,
+          |    (CASE WHEN (i // 64) % 4 = 0
+          |      THEN (i * 37 + seed * 101) % 4001 % 21 - 10
+          |      ELSE ((i * 73 + seed * 151 + 17) % 251)
+          |        * ((i * 31 + seed * 61 + 5) % 241) % 4001 - 2000 END
+          |     + CASE WHEN i >= 64 AND i < 96 THEN edit ELSE 0 END) AS s
+          |  FROM aseeds, (SELECT unnest(generate_series(0, 1023)) AS i) gs),
+          |awin AS (
+          |  SELECT doc_id, i // 16 AS w, SUM(s * s) AS e FROM asm GROUP BY 1, 2),
+          |abands AS (
+          |  SELECT a.doc_id, CAST(a.w // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN a.e > b.e THEN 1 ELSE 0 END
+          |      * (1 << CAST(a.w % 16 AS INT))) AS INT) AS v
+          |  FROM awin a JOIN awin b
+          |    ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % 64
+          |  GROUP BY 1, 2),
+          |afp AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM abands GROUP BY 1)""".stripMargin
+
   // lazy: referenced from the `defs` initializer above its definition —
   // a plain val would still be null when the Map literal captures it.
   // The CTE chain through `sem` (the post-semantic-dedup survivor set) is
@@ -3692,6 +3731,10 @@ object ScaleQueries {
             d.filter(col("doc_id") % 8 === 0).select(col("doc_id")).as[Long]),
           k = 3).toDF())
         val tombVid = d.filter(col("doc_id") % 16 === 8).select("doc_id")
+        // audio family (round 12): same membership plan as media — 4
+        // fingerprint band rows per clip, %10==6 tombstones
+        val audioIdx = MediaDedup.bandRows(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 != 3))).toDF())
         def family(name: String, idx: DataFrame, tomb: DataFrame,
                    key: String): DataFrame = {
           val purgedRows = Deletion.purge(idx, tomb, key)
@@ -3707,6 +3750,7 @@ object ScaleQueries {
           .unionByName(family("vector", idxV, tombV, "id"))
           .unionByName(family("media", mediaIdx, tombM, "doc_id"))
           .unionByName(family("video", vidIdx, tombVid, "video_id"))
+          .unionByName(family("audio", audioIdx, tombM, "doc_id"))
           .orderBy("family")
       },
       oracle = Some(
@@ -3732,8 +3776,14 @@ object ScaleQueries {
            |    12 * (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 0),
            |    12 * (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 0 AND doc_id % 16 != 8),
            |    (SELECT COUNT(*) FROM documents WHERE doc_id % 16 = 8)),
+           |au AS (
+           |  SELECT 'audio',
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 10 != 3),
+           |    4 * (SELECT COUNT(*) FROM documents WHERE doc_id % 10 != 3 AND doc_id % 10 != 6),
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 6)),
            |u AS (SELECT * FROM t UNION ALL SELECT * FROM v
-           |  UNION ALL SELECT * FROM m UNION ALL SELECT * FROM vid)
+           |  UNION ALL SELECT * FROM m UNION ALL SELECT * FROM vid
+           |  UNION ALL SELECT * FROM au)
            |SELECT family, CAST(rows_before AS BIGINT) AS rows_before,
            |  CAST(rows_after AS BIGINT) AS rows_after,
            |  CAST(rows_before - rows_after AS BIGINT) AS rows_purged,
@@ -6191,6 +6241,178 @@ object ScaleQueries {
           |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
           |FROM seeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
       doc = "Right-to-be-forgotten for media: purge band rows, hot-bucket cap recounted over the surviving index, exact copies of deleted-only images re-admit"),
+
+    // ---------------- audio fingerprint dedup family (round 12) --------
+    // The missing modality of the (dedup, admission, deletion) matrix: a
+    // speech corpus dedups audio BEFORE transcripts exist. Fingerprint =
+    // 64 energy-profile bits over REAL decoded PCM16 (AudioDedup: window
+    // energy > clip mean — container- and gain-invariant by
+    // construction), packed in the MediaDedup four-band layout so the
+    // capped band machinery applies unchanged. Planted classes: every
+    // doc's +500000 clone is a STEREO RE-ENCODE (L=R, different container
+    // bytes, same mix) with a small loud-region edit — the detector must
+    // see through the container to land within Hamming ≤ 8.
+    "mm_audio_dedup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = AudioDedup.mediaWavPlanted(ids)
+          .union(AudioDedup.mediaWavPlanted(ids, shift = 500000L, edit = 100,
+            stereo = true))
+        // barrier: the band probe and both verify sides re-read the
+        // fingerprints
+        val fp = graft.Caches.lazyBarrier(
+          AudioDedup.fingerprintsWav(media).toDF())
+        // fused-verify band join (rows carry the full fingerprint), hot
+        // buckets suppressed — a silent/flat clip is the audio analog of
+        // a blank image: one shared fingerprint bucket
+        val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(fp), maxBucket = 64)
+        val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+          col("b3").as("a3"))
+        val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"),
+          col("b3").as("x3"))
+        l.join(r, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+              "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+          .filter(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming").distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, doc_id, 100 FROM documents""".stripMargin)},
+          |abcnt AS (SELECT band, v, COUNT(*) AS n FROM abands GROUP BY 1, 2),
+          |qaband AS (
+          |  SELECT b.doc_id, b.band, b.v FROM abands b
+          |  JOIN abcnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+          |acand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM qaband a JOIN qaband b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b,
+          |  CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) AS INT)
+          |    AS hamming
+          |FROM acand
+          |JOIN afp pa ON acand.doc_a = pa.doc_id
+          |JOIN afp pb ON acand.doc_b = pb.doc_id
+          |WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |  + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 8
+          |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Audio near-dup: energy-profile fingerprints over REAL decoded PCM16, band blocking + Hamming<=8 verify, stereo re-encodes detected through the container"),
+
+    // Audio admission: the 5th admission twin's batch form. Index = the
+    // %10!=3 mono corpus as persisted band rows; batch = novel %10==3
+    // clips + stereo edit-100 re-encodes of %10==4 index members. The
+    // index side carries the hot-bucket cap (admitAgainst default).
+    "mm_admit_audio" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val index = MediaDedup.bandRows(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 != 3))).toDF())
+        // barrier: admitAgainst reads the batch fingerprints twice (band
+        // probe + the verdict left join)
+        val batchFp = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 == 3))
+            .union(AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 == 4),
+              shift = 700000L, edit = 100, stereo = true))).toDF())
+        MediaDedup.admitAgainst(index, batchFp, maxHamming = 8)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit, 'index' AS side
+            |  FROM documents WHERE doc_id % 10 != 3
+            |  UNION ALL
+            |  SELECT doc_id, doc_id, 0, 'batch' FROM documents WHERE doc_id % 10 = 3
+            |  UNION ALL
+            |  SELECT doc_id + 700000, doc_id, 100, 'batch'
+            |  FROM documents WHERE doc_id % 10 = 4""".stripMargin)},
+          |ibands AS (
+          |  SELECT b.* FROM abands b
+          |  JOIN aseeds s ON b.doc_id = s.doc_id AND s.side = 'index'),
+          |ibcnt AS (SELECT band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2),
+          |qiband AS (
+          |  SELECT i.doc_id, i.band, i.v FROM ibands i
+          |  JOIN ibcnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
+          |dup AS (
+          |  SELECT DISTINCT b.doc_id
+          |  FROM abands b
+          |  JOIN aseeds sb ON b.doc_id = sb.doc_id AND sb.side = 'batch'
+          |  JOIN qiband i ON b.band = i.band AND b.v = i.v
+          |  JOIN afp pb ON pb.doc_id = b.doc_id
+          |  JOIN afp pi ON pi.doc_id = i.doc_id
+          |  WHERE bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+          |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3)) <= 8)
+          |SELECT s.doc_id,
+          |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+          |FROM aseeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
+      doc = "Audio admission: energy-profile fingerprint probe vs the admitted band index (hot index buckets suppressed), stereo re-encodes rejected, hash-checked verdicts"),
+
+    // Deletion propagation through the AUDIO band index: tombstoned
+    // clips' band rows are purged, then admission re-probes. +800000
+    // clips are EXACT stereo re-encodes of tombstoned index clips —
+    // admitted post-purge (their only match is gone); +700000 edit-100
+    // re-encodes of surviving clips stay duplicates; %10==3 clips are
+    // novel. The hot-bucket cap is recounted over the SURVIVING index.
+    "mm_audio_delete_propagation" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val index = MediaDedup.bandRows(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 != 3))).toDF())
+        val tombstones = docs(s, dir)
+          .filter(col("doc_id") % 10 === 6).select("doc_id")
+        val batchFp = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 == 3))
+            .union(AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 == 4),
+              shift = 700000L, edit = 100, stereo = true))
+            .union(AudioDedup.mediaWavPlanted(ids.filter(id => id % 10 == 6),
+              shift = 800000L, edit = 0, stereo = true))).toDF())
+        MediaDedup.admitAgainst(
+            Deletion.purge(index, tombstones, "doc_id"), batchFp, maxHamming = 8)
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit, 'index' AS side
+            |  FROM documents WHERE doc_id % 10 != 3
+            |  UNION ALL
+            |  SELECT doc_id, doc_id, 0, 'batch' FROM documents WHERE doc_id % 10 = 3
+            |  UNION ALL
+            |  SELECT doc_id + 700000, doc_id, 100, 'batch'
+            |  FROM documents WHERE doc_id % 10 = 4
+            |  UNION ALL
+            |  SELECT doc_id + 800000, doc_id, 0, 'batch'
+            |  FROM documents WHERE doc_id % 10 = 6""".stripMargin)},
+          |ibands AS (
+          |  SELECT b.* FROM abands b
+          |  JOIN aseeds s ON b.doc_id = s.doc_id AND s.side = 'index'
+          |    AND s.doc_id % 10 != 6),
+          |ibcnt AS (SELECT band, v, COUNT(*) AS n FROM ibands GROUP BY 1, 2),
+          |qiband AS (
+          |  SELECT i.doc_id, i.band, i.v FROM ibands i
+          |  JOIN ibcnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
+          |dup AS (
+          |  SELECT DISTINCT b.doc_id
+          |  FROM abands b
+          |  JOIN aseeds sb ON b.doc_id = sb.doc_id AND sb.side = 'batch'
+          |  JOIN qiband i ON b.band = i.band AND b.v = i.v
+          |  JOIN afp pb ON pb.doc_id = b.doc_id
+          |  JOIN afp pi ON pi.doc_id = i.doc_id
+          |  WHERE bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+          |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3)) <= 8)
+          |SELECT s.doc_id,
+          |  s.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+          |FROM aseeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
+      doc = "Right-to-be-forgotten for audio: purge band rows, cap recounted over survivors, exact re-encodes of deleted-only clips re-admit"),
 
     // Cross-modal paired dedup (CrossModal.pairDedup): CLIP-style
     // (image, caption) pairs deduplicated by the JOINT (img_cluster,

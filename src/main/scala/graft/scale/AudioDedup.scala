@@ -1,0 +1,151 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Audio fingerprint dedup — the 4th modality of the admission family
+  * (text MinHash / image aHash / video keyframe bands / now audio). A
+  * speech-heavy training corpus dedups audio BEFORE transcripts exist,
+  * so the fingerprint must come from the decoded samples themselves.
+  *
+  * Fingerprint: the clip's REAL decoded PCM16 samples
+  * ([[Multimodal.wavDecodePcm16]] — the container is parsed, not byte-
+  * sliced; stereo mono-mixes as floor((L+R)/2)) split into 64 equal time
+  * windows; bit w is set when window w's energy (Σ s²) exceeds window
+  * (w+1)%64's — the energy-DIFFERENCE bit plan of the public audio-
+  * fingerprinting literature (Haitsma & Kalker 2002's band-difference
+  * scheme, reduced to the time axis since no FFT is needed for
+  * envelope-level dedup). Differences, not a global-mean comparison,
+  * because a clip with quiet passages drags the mean below every loud
+  * window and the bits collapse to the loud/quiet mask (measured: a
+  * mean-reference plan gave per-bit balance 0.88/0.00 across the planted
+  * corpus and 10k spurious sub-8-Hamming pairs on 500 docs; difference
+  * bits are balanced wherever consecutive windows are exchangeable).
+  * Two invariances hold by construction: CONTAINER invariance
+  * (mono→stereo or rate-field re-encodes decode to the same mix, so the
+  * fingerprint is bit-identical) and GAIN invariance (uniform amplitude
+  * scaling multiplies both sides of every comparison).
+  *
+  * The 64 bits pack as four 16-bit bands in the [[MediaDedup]] layout
+  * (doc_id, b0..b3), so the ENTIRE image machinery applies unchanged:
+  * [[MediaDedup.bandRows]] is the persisted index schema,
+  * [[MediaDedup.phashDuplicates]] the intra-set dedup (hot-bucket
+  * capped), [[MediaDedup.admitAgainst]] the admission probe (index-side
+  * cap, recounted after [[Deletion.purge]]), and
+  * [[graft.streaming.StreamingAudioAdmission]] the streaming twin.
+  *
+  * 100 TB posture: decode stays inside mapPartitions (payload bytes
+  * never shuffle), one fixed-width row out per clip; everything after
+  * the fingerprint is the already-curve-gated band machinery.
+  */
+object AudioDedup {
+
+  /** Fingerprint windows (bits) and the band packing. */
+  val Windows = 64
+  val Bands = 4
+  val BandBits: Int = Windows / Bands
+
+  final case class AudioFingerprint(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** (doc_id, b0..b3) energy-profile fingerprints from WAV payloads.
+    * Clips shorter than [[Windows]] samples (no full window) and
+    * undecodable payloads are absent — callers needing an audit row
+    * anti-join back, the [[MediaDedup.phashes]] convention. A trailing
+    * partial window is dropped (window length = floor(samples/64)).
+    */
+  def fingerprintsWav(media: Dataset[Multimodal.MediaRecord]): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.wavDecodePcm16(r.payload) match {
+          case Some(pcm) if pcm.samples.length / pcm.channels >= Windows =>
+            val ch = pcm.channels
+            val nf = pcm.samples.length / ch // frames (samples per channel)
+            val mono = new Array[Int](nf)
+            var f = 0
+            while (f < nf) {
+              // floor mean across channels: >> 1 on the 2-channel sum is
+              // floor division (matches DuckDB's // for negatives)
+              var sum = 0
+              var c = 0
+              while (c < ch) { sum += pcm.samples(f * ch + c); c += 1 }
+              mono(f) = if (ch == 2) sum >> 1 else if (ch == 1) sum else {
+                // general floor division for exotic channel counts
+                Math.floorDiv(sum, ch)
+              }
+              f += 1
+            }
+            val wlen = nf / Windows
+            val e = new Array[Long](Windows)
+            var w = 0
+            while (w < Windows) {
+              var acc = 0L
+              var j = w * wlen
+              val end = j + wlen
+              while (j < end) { acc += mono(j).toLong * mono(j); j += 1 }
+              e(w) = acc
+              w += 1
+            }
+            var b0 = 0; var b1 = 0; var b2 = 0; var b3 = 0
+            w = 0
+            while (w < Windows) {
+              if (e(w) > e((w + 1) % Windows)) {
+                val bit = 1 << (w % BandBits)
+                (w / BandBits) match {
+                  case 0 => b0 |= bit
+                  case 1 => b1 |= bit
+                  case 2 => b2 |= bit
+                  case _ => b3 |= bit
+                }
+              }
+              w += 1
+            }
+            Iterator.single(AudioFingerprint(r.doc_id, b0, b1, b2, b3))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Fixture clips as REAL PCM16 WAVs over the planted sample plan the
+    * oracles replay: every 4th 64-sample frame is quiet, loud frames use
+    * the product-of-mods formula (the planted-pixel trick — a plain
+    * arithmetic progression in i makes energy PROFILES near-identical
+    * across seeds and every pair fingerprints as a near-dup), with an
+    * `edit` offset added to samples 64..95 (the first LOUD frame) so
+    * clones are near-identical, not byte-identical. `stereo` wraps the
+    * SAME samples as L=R two-channel frames — a true container re-encode
+    * whose mono mix is bit-exact, exercising the fingerprint's container
+    * invariance end to end.
+    */
+  def mediaWavPlanted(ids: Dataset[Long], shift: Long = 0L, edit: Int = 0,
+                      stereo: Boolean = false,
+                      nSamples: Int = 1024): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val ch = if (stereo) 2 else 1
+        val body = new Array[Byte](nSamples * 2 * ch)
+        var i = 0
+        while (i < nSamples) {
+          val base = (if ((i / 64) % 4 == 0)
+            ((i * 37 + id * 101) % 4001 % 21 - 10)
+          else
+            ((i * 73 + id * 151 + 17) % 251) * ((i * 31 + id * 61 + 5) % 241) % 4001 - 2000).toInt
+          val s = base + (if (i >= 64 && i < 96) edit else 0)
+          var c = 0
+          while (c < ch) {
+            val off = 2 * (i * ch + c)
+            body(off) = (s & 0xff).toByte
+            body(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Multimodal.MediaRecord(id + shift, "audio",
+          Multimodal.wavWrap(if (stereo) 16000 else 8000 + (id % 8).toInt * 1000,
+            ch, 16, body))
+      }
+    }
+  }
+}
