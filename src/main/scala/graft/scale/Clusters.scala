@@ -41,8 +41,16 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 16,
                           reliable: Boolean = false): DataFrame = {
+    // lazy local checkpoint, not eager: the cut still replaces the plan
+    // with a LogicalRDD leaf immediately (the lineage/analysis truncation
+    // this loop needs), but the final stage's materialization folds into
+    // the next action that touches the frame — the per-round convergence
+    // sum — instead of costing a separate job per cut. (Under AQE the
+    // upstream query stages still materialize at cut creation, so the
+    // interleaved A/B on the pair capstones showed parity-to-better, not
+    // the 2× the job count suggests; lazy is kept as the never-worse form.)
     val cut: DataFrame => DataFrame =
-      if (reliable) graft.Caches.reliableCheckpoint else graft.Caches.localCheckpoint
+      if (reliable) graft.Caches.reliableCheckpoint else graft.Caches.lazyBarrier
     // cut + distinct here, on the PAIR list: the input is typically an
     // expensive similarity join that everything below (nodes, edges,
     // labels) re-references — materialize it once; distinct at this level

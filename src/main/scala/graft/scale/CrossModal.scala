@@ -123,8 +123,33 @@ object CrossModal {
     val txtCc = cc.filter(col("node") % 2 === 1)
       .select(shiftright(col("node"), 1).as("pair_id"),
         shiftright(col("cluster_id"), 1).as("txt_cc"))
+    assemble(pairs, imgCc, txtCc)
+  }
 
-    // singleton pairs (no edge in a modality) are their own cluster
+  /** [[pairDedupFromEdges]] for corpora whose SECOND modality's clusters
+    * are already resolved — e.g. digest-exact transcript classes, where
+    * cluster = min pair_id per digest is a single window, no transitive
+    * closure needed. Fusing such star edges into the CC buys nothing (the
+    * round count is set by the OTHER side's graph depth) and costs every
+    * round their row volume plus the namespacing map — measured on
+    * mm_video_pair_dedup as part of the 4.6 → sub-4 s trim. `txtClusters`
+    * is (pair_id, txt_cc), covering at least every pair with a non-
+    * singleton class (missing pairs default to their own cluster).
+    */
+  def pairDedupFromEdgesResolvedTxt(pairs: DataFrame, imgEdges: DataFrame,
+                                    txtClusters: DataFrame): DataFrame = {
+    val cc = Clusters.connectedComponents(imgEdges, "doc_a", "doc_b")
+    val imgCc = cc.select(col("node").as("pair_id"),
+      col("cluster_id").as("img_cc"))
+    assemble(pairs, imgCc,
+      txtClusters.select(col("pair_id"), col("txt_cc")))
+  }
+
+  /** Joint-class + disagreement assembly over per-modality cluster maps
+    * (left-joined; singleton pairs default to their own cluster).
+    */
+  private def assemble(pairs: DataFrame, imgCc: DataFrame,
+                       txtCc: DataFrame): DataFrame = {
     val base = pairs
       .join(imgCc, Seq("pair_id"), "left")
       .join(txtCc, Seq("pair_id"), "left")

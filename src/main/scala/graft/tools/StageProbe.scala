@@ -26,9 +26,13 @@ object StageProbe {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stageSet = args.headOption.getOrElse("v4")
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
-      val stages = graft.queries.ScaleQueries.corpusV4Stages(spark, sfDir)
+      val stages = stageSet match {
+        case "videopair" => graft.queries.ScaleQueries.videoPairStages(spark, sfDir)
+        case _           => graft.queries.ScaleQueries.corpusV4Stages(spark, sfDir)
+      }
       println(f"[probe] pass$pass BUILD                ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       stages.foreach {
         case (name, df) =>
