@@ -130,6 +130,61 @@ object StreamingCurve {
     (sec, spark.read.parquet(indexDir).count())
   }
 
+  /** Deletion-at-scale arm (VERDICT r11 #5): the text admission index is
+    * grown to m batches (the [[textProbe]] builder), a FIXED takedown set
+    * (batch-0 docs with doc_id % 15 == 2 — constant across m) is written
+    * as tombstones, and two costs are measured against the grown index:
+    *
+    *  - `probeSec`: one tombstone-MASKED probe batch (exact dups of
+    *    batch 0). Must stay flat in m — the mask is a broadcast anti-join
+    *    on the index scan, so index growth adds no probe shuffle work.
+    *    Correctness rides along: the tombstoned docs' twins must ADMIT
+    *    (their only match is masked) while every other probe doc stays
+    *    rejected — asserted in StreamingScaleSpec.
+    *  - `purgeSec`: the physical compaction ([[graft.scale.Deletion.rewritePurged]]).
+    *    One map-side filtering pass over the index (plan pinned
+    *    broadcast-anti in DeletionSpec), so its cost grows with index
+    *    VOLUME (it rewrites the survivors) but never adds a shuffle —
+    *    the curve documents the linear-rewrite slope.
+    *
+    * Returns (probeSec, purgeSec, admitted, rowsBefore, rowsAfter).
+    */
+  def deletionProbe(spark: SparkSession, docs: DataFrame, work: String,
+                    m: Int): (Double, Double, Long, Long, Long) = {
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/del_x$m/index"
+    val admittedDir = s"$work/del_x$m/admitted"
+    val tombDir = s"$work/del_x$m/tombstones"
+    (0 until m).foreach { i =>
+      val copy = ScaleCurve.perturbText(docs, i)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * b))
+      streaming.StreamingAdmission.admitBatch(copy, i.toLong, indexDir, admittedDir)
+    }
+    // fixed takedown set: batch-0 ids only, so |T| is constant in m
+    docs.filter(col("doc_id") % 15 === 2).select("doc_id")
+      .write.mode("overwrite").parquet(tombDir)
+    val probe = ScaleCurve.perturbText(docs, 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000L * b))
+    def onceProbe(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingAdmission.admitBatch(probe, m.toLong, indexDir,
+        admittedDir, tombstonesDir = Some(tombDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = math.min(onceProbe(), onceProbe())
+    val admitted = spark.read.parquet(admittedDir)
+      .filter(col("batch_id") === m.toLong).count()
+    def oncePurge(i: Int): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val counts = graft.scale.Deletion.rewritePurged(spark, indexDir,
+        s"$work/del_x$m/purged$i", spark.read.parquet(tombDir), "doc")
+      ((System.nanoTime() - t0) / 1e9, counts)
+    }
+    val (p1, counts) = oncePurge(0)
+    val (p2, _) = oncePurge(1)
+    (probeSec, math.min(p1, p2), admitted, counts._1, counts._2)
+  }
+
   /** Heavy-hitter state-cap arm (VERDICT r7 #6): m+1 micro-batches of the
     * token stream, every batch a FRESH vocabulary (copy-shifted tokens, the
     * worst case for space-saving — every row is an eviction once the table
@@ -204,11 +259,15 @@ object StreamingCurve {
       val (vSec, vRows) = vecProbe(spark, vecs, work, m)
       val (mSec, mRows) = mediaProbe(spark, docs, work, m)
       val (hSec, hGroups, hMaxW) = hhProbe(spark, evts, work, m)
+      val (dProbeSec, dPurgeSec, dAdmitted, dBefore, dAfter) =
+        deletionProbe(spark, docs, work, m)
       println(s"""{"stream_mult":$m,"src":"$src",""" +
         s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
         s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows,""" +
         s""""media_probe_sec":$mSec,"media_index_rows":$mRows,""" +
-        s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW}""")
+        s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW,""" +
+        s""""del_probe_sec":$dProbeSec,"del_purge_sec":$dPurgeSec,""" +
+        s""""del_readmitted":$dAdmitted,"del_rows_before":$dBefore,"del_rows_after":$dAfter}""")
     }
     spark.stop()
   }

@@ -6591,6 +6591,189 @@ object ScaleQueries {
       },
       doc = "Cross-modal paired dedup: joint (image, caption) equivalence classes, canonical keep, re-caption/re-illustration disagreement as data"),
 
+    // Cross-modal retrieval EVAL over the pair corpus — the capstone that
+    // exercises (image, caption) pairs as a DATASET, not just a dedup
+    // target: caption-side BM25 retrieval (df-pruned inverted index —
+    // terms in more than a quarter of the corpus are dropped, the
+    // stopword discipline that bounds posting fan-out at any scale)
+    // returns pairs, and SUCCESS is measured in IMAGE space: the
+    // retrieved pair's REAL-decoded aHash must sit within Hamming ≤ 8 of
+    // the query's ground-truth image. Planted failure class: every
+    // %40==25 pair was RE-ILLUSTRATED (caption kept, image re-drawn from
+    // a shifted seed) — lexical retrieval still finds the right caption,
+    // but the paired image is wrong, and recall@k reports it. This is the
+    // pair-corpus QA a CLIP-data curator runs: "when a caption matches,
+    // is the image it ships with still the right one". Captions carry
+    // id-derived entity tags + a %97 cohort tag (rare terms BM25's idf
+    // rewards; the cohort tag gives every query a multi-candidate list so
+    // rank depth is exercised). Per-term contributions are quantized to
+    // 1e-9 BIGINT units before the per-pair sum (order-free under any
+    // partial aggregation), and the whole chain — tags, postings, df
+    // prune, BM25, ranking, pixel hashes, hamming, recall@k — replays in
+    // one DuckDB SQL.
+    "mm_pair_retrieval" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        def tag(idc: Column, j: Int): Column =
+          concat(lit("tag"), ((idc * 31 + j * 7919) % 104729).cast("string"))
+        def grp(idc: Column): Column =
+          concat(lit("grp"), (idc % 97).cast("string"))
+        // recovery pairs (+900000): for every re-illustrated doc, the
+        // ORIGINAL image survives under a short cohort-tagged caption —
+        // reachable only through the grp term at deeper rank, so
+        // recall@k>1 measurably recovers what recall@1 loses
+        val caps = d.select(col("doc_id").as("pair_id"),
+          concat_ws(" ", col("text"), tag(col("doc_id"), 0),
+            tag(col("doc_id"), 1), tag(col("doc_id"), 2),
+            grp(col("doc_id"))).as("caption"))
+          .unionByName(d.filter(col("doc_id") % 40 === 25)
+            .select((col("doc_id") + 900000L).as("pair_id"),
+              concat_ws(" ", tag(col("doc_id") + 900000L, 0),
+                tag(col("doc_id") + 900000L, 1), tag(col("doc_id") + 900000L, 2),
+                grp(col("doc_id"))).as("caption")))
+        // inverted index: postings + doc lengths + corpus stats + df
+        val posts = caps
+          .select(col("pair_id"), explode(TextOps.tokens(col("caption"))).as("t"))
+          .groupBy("pair_id", "t").agg(count(lit(1)).as("tf"))
+        val dls = posts.groupBy("pair_id").agg(sum("tf").as("dl"))
+        val stats = dls.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val dft = posts.groupBy("t").agg(count(lit(1)).as("df"))
+        val q = d.filter(col("doc_id") % 20 === 5)
+          .select(col("doc_id").as("qid"), explode(array(
+            tag(col("doc_id"), 0), tag(col("doc_id"), 1),
+            tag(col("doc_id"), 2), grp(col("doc_id")))).as("t"))
+          .distinct()
+        val scored = q.join(posts, Seq("t")).join(dft, Seq("t"))
+          .join(dls, Seq("pair_id")).crossJoin(broadcast(stats))
+          .filter(col("df") * 4 <= col("n_docs"))
+          .withColumn("term9", round(TextOps.bm25Term(col("tf"), col("df"),
+            col("n_docs"), col("dl"), col("avgdl")) * 1e9, 0).cast("long"))
+          .groupBy("qid", "pair_id").agg(sum("term9").as("score9"))
+        val top = scored.withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score9").desc, col("pair_id"))).cast("int"))
+          .filter(col("rank") <= 5)
+        // REAL-decoded pixel hashes: corpus pair images (re-illustrated
+        // where %40==25) + the queries' ground-truth images at +2000000
+        val media = d.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.flatMap { id =>
+            def rec(recId: Long, seed: Long) = {
+              val (w, h) = Multimodal.pixDims(seed)
+              Multimodal.MediaRecord(recId, "image",
+                Multimodal.pngEncodeGray(w, h, Multimodal.plantedPixels(w, h, seed)))
+            }
+            val corpusRec = rec(id, if (id % 40 == 25) id + 5000011L else id)
+            val recovery =
+              if (id % 40 == 25) Iterator(rec(id + 900000L, id)) else Iterator.empty
+            val truth =
+              if (id % 20 == 5) Iterator(rec(id + 2000000L, id)) else Iterator.empty
+            Iterator(corpusRec) ++ recovery ++ truth
+          }
+        }
+        val ph = graft.Caches.lazyBarrier(
+          Multimodal.perceptualHashPng(media).toDF())
+        val firstHit = top
+          .join(ph.select(col("doc_id").as("pair_id"), col("b0").as("x0"),
+            col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")),
+            Seq("pair_id"))
+          .join(ph.filter(col("doc_id") >= 2000000L)
+            .select((col("doc_id") - 2000000L).as("qid"), col("b0").as("a0"),
+              col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+            Seq("qid"))
+          .filter(expr("CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+            "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= 8)
+          .groupBy("qid").agg(min("rank").as("first_hit"))
+        val hb = firstHit.groupBy("first_hit").agg(count(lit(1)).as("nh"))
+        val nq = d.filter(col("doc_id") % 20 === 5)
+          .agg(count(lit(1)).as("n_queries"))
+        s.range(1, 6).select(col("id").cast("int").as("k"))
+          .join(broadcast(hb), col("first_hit") <= col("k"), "left")
+          .groupBy("k").agg(sum(coalesce(col("nh"), lit(0L))).as("n_hits"))
+          .crossJoin(broadcast(nq))
+          .select(col("k"), col("n_queries"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_queries").cast("double"), 6).as("recall"))
+          .orderBy("k")
+      },
+      oracle = Some {
+        val capSql = "text || ' tag' || CAST((doc_id * 31) % 104729 AS VARCHAR)" +
+          " || ' tag' || CAST((doc_id * 31 + 7919) % 104729 AS VARCHAR)" +
+          " || ' tag' || CAST((doc_id * 31 + 15838) % 104729 AS VARCHAR)" +
+          " || ' grp' || CAST(doc_id % 97 AS VARCHAR)"
+        val bm25 = "ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+          " * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))" +
+          " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+        s"""WITH ${mmPhashCtes(
+          """SELECT doc_id,
+            |    CASE WHEN doc_id % 40 = 25 THEN doc_id + 5000011 ELSE doc_id END AS seed,
+            |    0 AS edit
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 900000, doc_id, 0 FROM documents WHERE doc_id % 40 = 25
+            |  UNION ALL
+            |  SELECT doc_id + 2000000, doc_id, 0 FROM documents WHERE doc_id % 20 = 5""".stripMargin)},
+          |rcaps AS (
+          |  SELECT doc_id AS pair_id, $capSql AS caption FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 900000,
+          |    'tag' || CAST(((doc_id + 900000) * 31) % 104729 AS VARCHAR)
+          |    || ' tag' || CAST(((doc_id + 900000) * 31 + 7919) % 104729 AS VARCHAR)
+          |    || ' tag' || CAST(((doc_id + 900000) * 31 + 15838) % 104729 AS VARCHAR)
+          |    || ' grp' || CAST(doc_id % 97 AS VARCHAR)
+          |  FROM documents WHERE doc_id % 40 = 25),
+          |rtoks AS (SELECT pair_id, unnest(string_split(caption, ' ')) AS t FROM rcaps),
+          |rposts AS (SELECT pair_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM rtoks GROUP BY 1, 2),
+          |rdl AS (SELECT pair_id, CAST(SUM(tf) AS BIGINT) AS dl FROM rposts GROUP BY 1),
+          |rstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM rdl),
+          |rdf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM rposts GROUP BY 1),
+          |rq AS (
+          |  SELECT DISTINCT doc_id AS qid, unnest([
+          |    'tag' || CAST((doc_id * 31) % 104729 AS VARCHAR),
+          |    'tag' || CAST((doc_id * 31 + 7919) % 104729 AS VARCHAR),
+          |    'tag' || CAST((doc_id * 31 + 15838) % 104729 AS VARCHAR),
+          |    'grp' || CAST(doc_id % 97 AS VARCHAR)]) AS t
+          |  FROM documents WHERE doc_id % 20 = 5),
+          |rscored AS (
+          |  SELECT rq.qid, p.pair_id,
+          |    SUM(CAST(ROUND($bm25 * 1e9, 0) AS BIGINT)) AS score9
+          |  FROM rq
+          |  JOIN rposts p USING (t)
+          |  JOIN rdf USING (t)
+          |  JOIN rdl ON p.pair_id = rdl.pair_id, rstats
+          |  WHERE rdf.df * 4 <= rstats.n_docs
+          |  GROUP BY 1, 2),
+          |rtop AS (
+          |  SELECT qid, pair_id, CAST(row_number() OVER (PARTITION BY qid
+          |    ORDER BY score9 DESC, pair_id) AS INT) AS rank
+          |  FROM rscored QUALIFY rank <= 5),
+          |rhits AS (
+          |  SELECT t.qid, MIN(t.rank) AS first_hit
+          |  FROM rtop t
+          |  JOIN ph pr ON pr.doc_id = t.pair_id
+          |  JOIN ph tr ON tr.doc_id = t.qid + 2000000
+          |  WHERE bit_count(xor(pr.b0, tr.b0)) + bit_count(xor(pr.b1, tr.b1))
+          |    + bit_count(xor(pr.b2, tr.b2)) + bit_count(xor(pr.b3, tr.b3)) <= 8
+          |  GROUP BY 1),
+          |rhb AS (SELECT first_hit, CAST(COUNT(*) AS BIGINT) AS nh FROM rhits GROUP BY 1),
+          |rnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+          |  FROM documents WHERE doc_id % 20 = 5),
+          |perk AS (
+          |  SELECT ks.k, CAST(COALESCE(SUM(CASE WHEN rhb.first_hit <= ks.k
+          |    THEN rhb.nh END), 0) AS BIGINT) AS n_hits
+          |  FROM (SELECT CAST(unnest(generate_series(1, 5)) AS INT) AS k) ks
+          |  LEFT JOIN rhb ON rhb.first_hit <= ks.k
+          |  GROUP BY 1)
+          |SELECT k, n_queries, n_hits,
+          |  ROUND(CAST(n_hits AS DOUBLE) / CAST(n_queries AS DOUBLE), 6) AS recall
+          |FROM perk, rnq ORDER BY k""".stripMargin
+      },
+      doc = "Cross-modal retrieval eval: df-pruned BM25 caption retrieval scored against the paired IMAGE (real-pixel aHash), re-illustrated pairs planted as misses, recall@1..5 hash-checked"),
+
     "mm_content_hash" -> QueryDef(
       build = (s, dir) =>
         docs(s, dir).select(

@@ -31,6 +31,48 @@ class StreamingScaleSpec extends SparkSpec {
     assert(t5 <= 4.0 * t1, f"text probe cost grew x1=$t1%.2fs -> x5=$t5%.2fs")
   }
 
+  test("deletion at scale: masked probe flat x1 -> x5, tombstoned twins re-admit, purge accounting exact") {
+    graft.functions.Hashing.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val (p1, purge1, adm1, before1, after1) =
+      StreamingCurve.deletionProbe(spark, docs, s"$work/d", 1)
+    val (p5, _, adm5, before5, after5) =
+      StreamingCurve.deletionProbe(spark, docs, s"$work/d", 5)
+    // tombstoned docs that actually made the index (a batch-0 doc can be
+    // dropped intra-batch — then its twin still matches the surviving
+    // near-dup and stays rejected); 4 band rows each. Membership is by
+    // the tombstone SET, not doc % 15 — re-admitted probe twins also
+    // satisfy the residue (the id shift is a multiple of 15) but are not
+    // tombstoned
+    val indexedTomb1 = spark.read.parquet(s"$work/d/del_x1/index")
+      .join(spark.read.parquet(s"$work/d/del_x1/tombstones"),
+        org.apache.spark.sql.functions.col("doc") ===
+          org.apache.spark.sql.functions.col("doc_id"), "left_semi")
+      .select("doc").distinct().count()
+    // the probe is an exact copy of batch 0: with batch-0's %15==2 docs
+    // tombstoned, twins whose ONLY match was masked re-admit; every other
+    // twin stays rejected — and the verdict set is IDENTICAL at both
+    // index sizes (index growth adds only non-matching content)
+    assert(adm1 > 0, "no tombstoned twin re-admitted — the mask is dead")
+    assert(adm1 == adm5, s"re-admit verdicts changed with index size: $adm1 vs $adm5")
+    assert(adm1 <= indexedTomb1, s"re-admitted $adm1 > indexed tombstones $indexedTomb1")
+    // purge accounting is structural: 4 band rows per INDEXED tombstoned
+    // doc, regardless of how large the index has grown
+    assert(before1 - after1 == 4 * indexedTomb1,
+      s"x1 purged ${before1 - after1} rows, expected ${4 * indexedTomb1}")
+    assert(before5 - after5 == 4 * indexedTomb1,
+      s"x5 purged ${before5 - after5} rows, expected ${4 * indexedTomb1}")
+    assert(before5 >= 4 * before1, s"index did not grow: x1=$before1 x5=$before5")
+    // masked per-batch probe cost stays flat (same envelope as the
+    // unmasked arms — the mask is a broadcast anti-join on the scan)
+    assert(p5 <= 4.0 * p1, f"masked probe cost grew x1=$p1%.2fs -> x5=$p5%.2fs")
+    // the purge slope (linear rewrite of survivors, no shuffle) is
+    // published in SCALE.md's sf0.1 curve; at fixture scale only the
+    // accounting above is stable enough to gate
+    assert(purge1 > 0.0)
+  }
+
   test("vector admission: probe cost flat x1 -> x5; probe fully rejected; index grows") {
     graft.functions.Hashing.register(spark)
     val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
