@@ -128,7 +128,11 @@ object ScaleCurve {
     // round-12 audio: WAV decode + energy-profile fingerprint (per-row
     // work) feeding the same capped band join as the image family — the
     // row should stay flat-linear like mm_phash_pairs
-    "mm_audio_dedup")
+    "mm_audio_dedup",
+    // offset voting without the position in the key — the widest audio
+    // collision surface, same operator as the video trimmed row; the
+    // hot-bucket cap is what keeps it linear
+    "mm_audio_dedup_trimmed")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

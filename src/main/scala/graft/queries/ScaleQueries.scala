@@ -6451,6 +6451,173 @@ object ScaleQueries {
           |FROM aseeds s WHERE s.side = 'batch' ORDER BY s.doc_id""".stripMargin),
       doc = "Right-to-be-forgotten for audio: purge band rows, cap recounted over survivors, exact re-encodes of deleted-only clips re-admit"),
 
+    // Offset-tolerant audio dedup — the trimmed-re-upload detector. A
+    // leading-silence/intro trim shifts content by whole segments exactly
+    // the way a trimmed video shifts keyframes, so the clip is split into
+    // fixed 512-sample segments, each segment gets its own 64-bit
+    // energy-difference fingerprint (AudioDedup.segmentFingerprintsWav,
+    // FrameHash layout), and AviMjpeg.videoDupPairsOffset runs VERBATIM:
+    // block on (band, v) without the position (hot buckets capped), every
+    // band match votes for the offset it implies, verify the re-aligned
+    // segment sequences at the winning offset. One offset-voting
+    // operator, two modalities. Planted: +700000 clones drop the first
+    // 512 samples — detected at offset 1 with all 3 surviving segments
+    // aligned.
+    "mm_audio_dedup_trimmed" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id")).as[Long]
+        val media = AudioDedup.mediaWavPlanted(ids, nSamples = 2048)
+          .union(AudioDedup.mediaWavPlanted(ids, shift = 700000L,
+            nSamples = 2048, trimSamples = 512))
+        val fph = graft.Caches.lazyBarrier(
+          AudioDedup.segmentFingerprintsWav(media).toDF())
+        AviMjpeg.videoDupPairsOffset(fph, maxHamming = 8, minMatch = 2)
+          .orderBy("video_a", "video_b")
+      },
+      oracle = Some(
+        s"""WITH tseeds AS (
+          |  SELECT doc_id AS vid, doc_id AS oid, 0 AS toff
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, doc_id, 1
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |tsm AS (
+          |  SELECT vid, p, k // 8 AS w,
+          |    (CASE WHEN (((p + toff) * 512 + k) // 64) % 4 = 0
+          |      THEN (((p + toff) * 512 + k) * 37 + oid * 101) % 4001 % 21 - 10
+          |      ELSE ((((p + toff) * 512 + k) * 73 + oid * 151 + 17) % 251)
+          |        * ((((p + toff) * 512 + k) * 31 + oid * 61 + 5) % 241) % 4001 - 2000
+          |      END) AS s
+          |  FROM tseeds,
+          |    (SELECT unnest(generate_series(0, 3)) AS p) ps,
+          |    (SELECT unnest(generate_series(0, 511)) AS k) ks
+          |  WHERE p < 4 - toff),
+          |twin AS (
+          |  SELECT vid, p, w, SUM(s * s) AS e FROM tsm GROUP BY 1, 2, 3),
+          |bands AS (
+          |  SELECT a.vid, a.p, CAST(a.w // 16 AS INT) AS band,
+          |    CAST(SUM(CASE WHEN a.e > b.e THEN 1 ELSE 0 END
+          |      * (1 << CAST(a.w % 16 AS INT))) AS INT) AS v
+          |  FROM twin a JOIN twin b
+          |    ON a.vid = b.vid AND a.p = b.p AND b.w = (a.w + 1) % 64
+          |  GROUP BY 1, 2, 3),
+          |fph AS (
+          |  SELECT vid, p,
+          |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+          |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+          |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+          |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+          |  FROM bands GROUP BY 1, 2),
+          |bcnt AS (SELECT band, v, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          |qband AS (
+          |  SELECT b.vid, b.p, b.band, b.v FROM bands b
+          |  JOIN bcnt c ON b.band = c.band AND b.v = c.v
+          |  WHERE c.n <= 64),
+          |votes AS (
+          |  SELECT a.vid AS video_a, b.vid AS video_b, a.p - b.p AS off,
+          |    COUNT(*) AS n_votes
+          |  FROM qband a JOIN qband b
+          |    ON a.band = b.band AND a.v = b.v AND a.vid < b.vid
+          |  GROUP BY 1, 2, 3),
+          |best AS (
+          |  SELECT video_a, video_b, off,
+          |    row_number() OVER (PARTITION BY video_a, video_b
+          |      ORDER BY n_votes DESC, ABS(off), off) AS rk
+          |  FROM votes),
+          |hm AS (
+          |  SELECT b.video_a, b.video_b, b.off,
+          |    bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS ham
+          |  FROM best b
+          |  JOIN fph pa ON pa.vid = b.video_a
+          |  JOIN fph pb ON pb.vid = b.video_b AND pb.p = pa.p - b.off
+          |  WHERE b.rk = 1)
+          |SELECT video_a, video_b, CAST(off AS INT) AS offset,
+          |  CAST(COUNT(*) AS INT) AS n_aligned,
+          |  CAST(COUNT(*) FILTER (WHERE ham <= 8) AS INT) AS n_match
+          |FROM hm GROUP BY 1, 2, 3
+          |HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2
+          |ORDER BY video_a, video_b""".stripMargin),
+      doc = "Offset-tolerant audio dedup: per-segment energy fingerprints through the video family's offset-voting operator — trimmed re-uploads caught at their true offset, hash-checked"),
+
+    // Audio-dedup EVALUATION against planted ground truth — the audio
+    // twin of mm_dedup_eval: the capped band detector at its production
+    // threshold (band agreement + Hamming ≤ 8) scored as a detector of
+    // the planted stereo-re-encode pairs (id, id+500000). Both arms
+    // deterministic, so precision/recall/F1 are fully hash-checked; a
+    // clone whose loud-region edit flips more than 8 bits would be a
+    // MISS the recall column reports honestly.
+    "mm_audio_dedup_eval" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = AudioDedup.mediaWavPlanted(ids)
+          .union(AudioDedup.mediaWavPlanted(ids, shift = 500000L, edit = 100,
+            stereo = true))
+        val fp = AudioDedup.fingerprintsWav(media).toDF()
+        val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(fp), maxBucket = 64)
+        val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+          col("b3").as("a3"))
+        val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"),
+          col("b3").as("x3"))
+        // barrier: the prediction set feeds both the count and the TP join
+        val pred = graft.Caches.lazyBarrier(l.join(r, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(expr("CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+            "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= 8)
+          .select("doc_a", "doc_b").distinct())
+        val truth = docs(s, dir)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 500000).as("doc_b"))
+        val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+          .select(col("n_truth"), col("n_pred"), col("tp"),
+            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+              .as("precision"),
+            round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall"),
+            round(lit(2.0) * col("tp").cast("double") /
+              (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
+      },
+      oracle = Some(
+        s"""WITH ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, doc_id, 100 FROM documents""".stripMargin)},
+          |abcnt AS (SELECT band, v, COUNT(*) AS n FROM abands GROUP BY 1, 2),
+          |qaband AS (
+          |  SELECT b.doc_id, b.band, b.v FROM abands b
+          |  JOIN abcnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+          |pred AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM qaband a JOIN qaband b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+          |  JOIN afp pa ON pa.doc_id = a.doc_id
+          |  JOIN afp pb ON pb.doc_id = b.doc_id
+          |  WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 8),
+          |truth AS (
+          |  SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b FROM documents),
+          |tp AS (SELECT pred.* FROM pred SEMI JOIN truth
+          |  ON pred.doc_a = truth.doc_a AND pred.doc_b = truth.doc_b),
+          |agg AS (
+          |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
+          |SELECT n_truth, n_pred, tp,
+          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+          |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
+          |    AS f1
+          |FROM agg""".stripMargin),
+      doc = "Audio-dedup detector P/R/F1 vs planted stereo-re-encode pairs - both arms deterministic, fully hash-checked"),
+
     // Cross-modal paired dedup (CrossModal.pairDedup): CLIP-style
     // (image, caption) pairs deduplicated by the JOINT (img_cluster,
     // txt_cluster) class, with disagreement surfaced as data. Planted

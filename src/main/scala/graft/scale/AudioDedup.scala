@@ -107,6 +107,74 @@ object AudioDedup {
     }
   }
 
+  /** Per-SEGMENT fingerprints for offset-tolerant dedup: the clip splits
+    * into fixed `segLen`-sample segments (trailing partial dropped) and
+    * each segment gets its own 64-bit energy-difference fingerprint. The
+    * output schema is [[AviMjpeg.FrameHash]]'s (video_id, pos, b0..b3) —
+    * deliberately, because a TRIMMED re-upload (leading silence or intro
+    * cut) shifts content by whole segments exactly the way a trimmed
+    * video shifts keyframes, so [[AviMjpeg.videoDupPairsOffset]] (block
+    * on (band, v) sans position, vote for the implied offset, verify the
+    * re-aligned sequences) applies to audio VERBATIM — one offset-voting
+    * operator, two modalities. Fixed segment length (not a fixed segment
+    * COUNT) is what makes equal-content segments land on equal
+    * fingerprints regardless of how much was trimmed.
+    */
+  def segmentFingerprintsWav(media: Dataset[Multimodal.MediaRecord],
+                             segLen: Int = 512): Dataset[AviMjpeg.FrameHash] = {
+    import media.sparkSession.implicits._
+    require(segLen % Windows == 0, s"segLen must be a multiple of $Windows")
+    val wlen = segLen / Windows
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.wavDecodePcm16(r.payload) match {
+          case Some(pcm) if pcm.samples.length / pcm.channels >= segLen =>
+            val ch = pcm.channels
+            val nf = pcm.samples.length / ch
+            val mono = new Array[Int](nf)
+            var f = 0
+            while (f < nf) {
+              var sum = 0
+              var c = 0
+              while (c < ch) { sum += pcm.samples(f * ch + c); c += 1 }
+              mono(f) = if (ch == 2) sum >> 1 else if (ch == 1) sum
+                        else Math.floorDiv(sum, ch)
+              f += 1
+            }
+            val nSeg = nf / segLen
+            (0 until nSeg).iterator.map { p =>
+              val e = new Array[Long](Windows)
+              var w = 0
+              while (w < Windows) {
+                var acc = 0L
+                var j = p * segLen + w * wlen
+                val end = j + wlen
+                while (j < end) { acc += mono(j).toLong * mono(j); j += 1 }
+                e(w) = acc
+                w += 1
+              }
+              var b0 = 0; var b1 = 0; var b2 = 0; var b3 = 0
+              w = 0
+              while (w < Windows) {
+                if (e(w) > e((w + 1) % Windows)) {
+                  val bit = 1 << (w % BandBits)
+                  (w / BandBits) match {
+                    case 0 => b0 |= bit
+                    case 1 => b1 |= bit
+                    case 2 => b2 |= bit
+                    case _ => b3 |= bit
+                  }
+                }
+                w += 1
+              }
+              AviMjpeg.FrameHash(r.doc_id, p, b0, b1, b2, b3)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Fixture clips as REAL PCM16 WAVs over the planted sample plan the
     * oracles replay: every 4th 64-sample frame is quiet, loud frames use
     * the product-of-mods formula (the planted-pixel trick — a plain
@@ -118,15 +186,21 @@ object AudioDedup {
     * whose mono mix is bit-exact, exercising the fingerprint's container
     * invariance end to end.
     */
+  /** `trimSamples` drops that many LEADING samples from the planted plan
+    * (the trimmed-re-upload fixture: sample j of the clip equals sample
+    * j + trimSamples of the original — absolute-index formula, so
+    * trimmed content is sample-exact against the untrimmed clip's tail).
+    */
   def mediaWavPlanted(ids: Dataset[Long], shift: Long = 0L, edit: Int = 0,
                       stereo: Boolean = false,
-                      nSamples: Int = 1024): Dataset[Multimodal.MediaRecord] = {
+                      nSamples: Int = 1024,
+                      trimSamples: Int = 0): Dataset[Multimodal.MediaRecord] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
         val ch = if (stereo) 2 else 1
-        val body = new Array[Byte](nSamples * 2 * ch)
-        var i = 0
+        val body = new Array[Byte]((nSamples - trimSamples) * 2 * ch)
+        var i = trimSamples
         while (i < nSamples) {
           val base = (if ((i / 64) % 4 == 0)
             ((i * 37 + id * 101) % 4001 % 21 - 10)
@@ -135,7 +209,7 @@ object AudioDedup {
           val s = base + (if (i >= 64 && i < 96) edit else 0)
           var c = 0
           while (c < ch) {
-            val off = 2 * (i * ch + c)
+            val off = 2 * ((i - trimSamples) * ch + c)
             body(off) = (s & 0xff).toByte
             body(off + 1) = ((s >> 8) & 0xff).toByte
             c += 1

@@ -85,6 +85,28 @@ class AudioDedupSpec extends SparkSpec {
     assert(m.keySet == Set(1L), s"got ${m.keySet}")
   }
 
+  test("segment fingerprints: a whole-segment trim shifts positions, content fingerprints are equal") {
+    import spark.implicits._
+    val orig = AudioDedup.mediaWavPlanted(Seq(42L).toDS(), nSamples = 2048)
+    val trimmed = AudioDedup.mediaWavPlanted(Seq(42L).toDS(), shift = 1L,
+      nSamples = 2048, trimSamples = 512)
+    val segs = AudioDedup.segmentFingerprintsWav(orig.union(trimmed))
+      .collect().map(f => (f.video_id, f.pos) -> ((f.b0, f.b1, f.b2, f.b3))).toMap
+    assert(segs.count(_._1._1 == 42L) == 4 && segs.count(_._1._1 == 43L) == 3)
+    (0 until 3).foreach { p =>
+      assert(segs((43L, p)) == segs((42L, p + 1)),
+        s"trimmed seg $p must equal original seg ${p + 1}")
+    }
+    // and the offset-voting video operator resolves the trim verbatim
+    val fph = AudioDedup.segmentFingerprintsWav(orig.union(trimmed)).toDF()
+    val pairs = graft.scale.AviMjpeg.videoDupPairsOffset(fph,
+      maxHamming = 8, minMatch = 2).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("video_a") == 42L && r.getAs[Long]("video_b") == 43L &&
+      r.getAs[Int]("offset") == 1 && r.getAs[Int]("n_match") == 3, s"got $r")
+  }
+
   test("fingerprints drive the capped band machinery end to end (dedup + admission)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
