@@ -130,6 +130,42 @@ object StreamingCurve {
     (sec, spark.read.parquet(indexDir).count())
   }
 
+  /** Audio-side twin of [[textProbe]] (r12): energy-difference
+    * fingerprint admission (`StreamingAudioAdmission`). Copy i plants
+    * PCM16 samples from seed doc_id + i·b — genuinely different clips,
+    * so the band index grows ~m× — and the probe batch re-encodes
+    * batch 0's clips AS STEREO under fresh ids: every probe clip is a
+    * container re-encode of an indexed one (the fingerprint's container
+    * invariance exercised at scale), so decode+verify work is identical
+    * at every m; index size is the only variable.
+    */
+  def audioProbe(spark: SparkSession, docs: DataFrame, work: String,
+                 m: Int): (Double, Long) = {
+    import spark.implicits._
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/audio_x$m/index"
+    val admittedDir = s"$work/audio_x$m/admitted"
+    def clips(idShift: Long, seedShift: Long, stereo: Boolean): DataFrame =
+      graft.scale.AudioDedup.mediaWavPlanted(
+          docs.select(col("doc_id") + seedShift).as[Long],
+          shift = idShift - seedShift, stereo = stereo)
+        .toDF().select(col("doc_id"), col("payload"))
+    (0 until m).foreach { i =>
+      streaming.StreamingAudioAdmission.admitBatch(
+        clips(i.toLong * b, i.toLong * b, stereo = false), i.toLong,
+        indexDir, admittedDir)
+    }
+    val probe = clips(1000L * b, 0L, stereo = true) // re-encodes of batch 0
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingAudioAdmission.admitBatch(probe, m.toLong, indexDir,
+        admittedDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = math.min(once(), once())
+    (sec, spark.read.parquet(indexDir).count())
+  }
+
   /** Deletion-at-scale arm (VERDICT r11 #5): the text admission index is
     * grown to m batches (the [[textProbe]] builder), a FIXED takedown set
     * (batch-0 docs with doc_id % 15 == 2 — constant across m) is written
@@ -253,11 +289,13 @@ object StreamingCurve {
     textProbe(spark, docs, s"$work/warm", 1)
     vecProbe(spark, vecs, s"$work/warm", 1)
     mediaProbe(spark, docs, s"$work/warm", 1)
+    audioProbe(spark, docs, s"$work/warm", 1)
     val evts = graft.sources.Tables.events(spark, src)
     mults.foreach { m =>
       val (tSec, tRows) = textProbe(spark, docs, work, m)
       val (vSec, vRows) = vecProbe(spark, vecs, work, m)
       val (mSec, mRows) = mediaProbe(spark, docs, work, m)
+      val (aSec, aRows) = audioProbe(spark, docs, work, m)
       val (hSec, hGroups, hMaxW) = hhProbe(spark, evts, work, m)
       val (dProbeSec, dPurgeSec, dAdmitted, dBefore, dAfter) =
         deletionProbe(spark, docs, work, m)
@@ -265,6 +303,7 @@ object StreamingCurve {
         s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
         s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows,""" +
         s""""media_probe_sec":$mSec,"media_index_rows":$mRows,""" +
+        s""""audio_probe_sec":$aSec,"audio_index_rows":$aRows,""" +
         s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW,""" +
         s""""del_probe_sec":$dProbeSec,"del_purge_sec":$dPurgeSec,""" +
         s""""del_readmitted":$dAdmitted,"del_rows_before":$dBefore,"del_rows_after":$dAfter}""")
