@@ -127,11 +127,15 @@ object Bench {
     // the split assignment joins) — serial round depth, borderline at the
     // 3 s line since r9 (2.9 s quiet), same class, same ceiling
     "sample_splits_clustered",
-    // video+transcript paired dedup: keyframe-band pair join + the fused
-    // dual-modality CC (measured 4 star rounds — the video near-match
-    // chains are the depth) + joint-class assembly — the video twin of
-    // mm_pair_dedup, same capstone class
-    "mm_video_pair_dedup")
+    // video+transcript paired dedup: keyframe-band pair join + the
+    // video-edge CC (transcript digest classes resolve in one window and
+    // skip the closure since r12) + joint-class assembly — the video
+    // twin of mm_pair_dedup, same capstone class
+    "mm_video_pair_dedup",
+    // audio+transcript paired dedup: fingerprint band pair join + CC
+    // (2 star rounds on the planted triangles) + joint-class assembly —
+    // the audio twin of mm_video_pair_dedup, same capstone class
+    "mm_audio_pair_dedup")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

@@ -132,7 +132,10 @@ object ScaleCurve {
     // offset voting without the position in the key — the widest audio
     // collision surface, same operator as the video trimmed row; the
     // hot-bucket cap is what keeps it linear
-    "mm_audio_dedup_trimmed")
+    "mm_audio_dedup_trimmed",
+    // audio+transcript paired dedup: fingerprint-edge CC through the
+    // shared cross-modal core — every copy replants its own classes
+    "mm_audio_pair_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1771,6 +1771,38 @@ object ScaleQueries {
       "cc_rounds" -> cc, "final" -> fin)
   }
 
+  /** mm_audio_pair_dedup stage frames for `tools.StageProbe`
+    * ("audiopair" mode).
+    */
+  private[graft] def audioPairStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val fin = defs("mm_audio_pair_dedup").build(s, dir)
+    import s.implicits._
+    val d = docs(s, dir).filter(col("doc_id") % 4 === 1)
+    val fp = graft.Caches.sessionMemo[DataFrame](s, s"mmAudioPair:$dir") {
+      sys.error("fixture must already be pinned by the build above")
+    }
+    val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(fp), maxBucket = 64)
+    val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+      col("b3").as("a3"))
+    val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+      col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"),
+      col("b3").as("x3"))
+    val audEdges = l.join(r, Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+        "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= 2)
+      .select("doc_a", "doc_b").distinct()
+    val caps = d.select(col("doc_id").as("pair_id"), col("text"))
+    val txtClusters = caps
+      .select(col("pair_id"), sha2(encode(col("text"), "UTF-8"), 256).as("dg"))
+      .select(col("pair_id"), min("pair_id").over(
+        Window.partitionBy("dg")).as("txt_cc"))
+    val cc = Clusters.connectedComponents(audEdges, "doc_a", "doc_b")
+    Seq("aud_edges" -> audEdges, "txt_clusters" -> txtClusters,
+      "cc_rounds" -> cc, "final" -> fin)
+  }
+
   private[graft] def corpusV4Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
         val st = corpusStages(s, dir)
         val near = st.ded.join(st.lshDropped, Seq("doc_id"), "left_anti")
@@ -6617,6 +6649,144 @@ object ScaleQueries {
           |    AS f1
           |FROM agg""".stripMargin),
       doc = "Audio-dedup detector P/R/F1 vs planted stereo-re-encode pairs - both arms deterministic, fully hash-checked"),
+
+    // Audio+transcript paired dedup — the audio twin of
+    // mm_video_pair_dedup, through the SAME modality-agnostic core
+    // (CrossModal.pairDedupFromEdgesResolvedTxt): audio edges from the
+    // capped fingerprint band join at Hamming ≤ 2 (tight — the pair
+    // graph feeds a TRANSITIVE closure, the ham-4 video lesson), resolved
+    // by one CC; transcript classes are digest-exact (re-encodes carry
+    // byte-identical transcripts) — min pair_id per sha256, one window
+    // over (pair_id, digest) so text never shuffles. Planted classes:
+    // +700000 stereo re-encode + same transcript (joint dup, dropped);
+    // +800000 exact clip re-transcribed (aud_disagree); +900000
+    // re-recorded audio under the same transcript (txt_disagree).
+    "mm_audio_pair_dedup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir).filter(col("doc_id") % 4 === 1)
+        val ids = d.select(col("doc_id")).as[Long]
+        def synthCaption(idc: Column): Column = array_join(
+          transform(sequence(lit(0), lit(11)),
+            i => concat(lit("w"),
+              ((idc * 31 + i.cast("long") * 7919) % 104729).cast("string"))), " ")
+        val caps = d.select(col("doc_id").as("pair_id"), col("text"))
+          .unionByName(d.select((col("doc_id") + 700000L).as("pair_id"), col("text")))
+          .unionByName(d.select((col("doc_id") + 800000L).as("pair_id"),
+            synthCaption(col("doc_id")).as("text")))
+          .unionByName(d.select((col("doc_id") + 900000L).as("pair_id"), col("text")))
+        // fixture session-pinned like the other pair capstones: synth +
+        // WAV decode + fingerprinting run once; warm runs measure the
+        // operator under test (edge join + CC + joint-class assembly)
+        val fp = graft.Caches.sessionMemo(s, s"mmAudioPair:$dir") {
+          val media = AudioDedup.mediaWavPlanted(ids)
+            .union(AudioDedup.mediaWavPlanted(ids, shift = 700000L, edit = 100,
+              stereo = true))
+            .union(AudioDedup.mediaWavPlanted(ids, shift = 800000L, stereo = true))
+            .union(AudioDedup.mediaWavPlanted(ids.map(_ + 5000011L),
+              shift = 900000L - 5000011L))
+          val f = graft.Caches.pinnedBarrier(
+            AudioDedup.fingerprintsWav(media).toDF())
+          f.count() // materialize inside the memo (see corpusStages)
+          f
+        }
+        val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(fp), maxBucket = 64)
+        val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+          col("b3").as("a3"))
+        val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"),
+          col("b3").as("x3"))
+        val audEdges = l.join(r, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(expr("CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+            "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)") <= 2)
+          .select("doc_a", "doc_b").distinct()
+        // digest classes: text never shuffles — the window runs over
+        // (pair_id, sha256) only
+        val txtClusters = caps
+          .select(col("pair_id"),
+            sha2(encode(col("text"), "UTF-8"), 256).as("dg"))
+          .select(col("pair_id"), min("pair_id").over(
+            Window.partitionBy("dg")).as("txt_cc"))
+        CrossModal.pairDedupFromEdgesResolvedTxt(
+            caps.select("pair_id"), audEdges, txtClusters)
+          .select(col("pair_id"), col("img_cluster").as("aud_cluster"),
+            col("txt_cluster"), col("class_size"), col("is_canonical"),
+            col("img_disagree").as("aud_disagree"), col("txt_disagree"))
+          .orderBy("pair_id")
+      },
+      oracle = Some {
+        val synthSql = "array_to_string(list_transform(generate_series(0, 11), " +
+          "i -> 'w' || CAST((doc_id * 31 + i * 7919) % 104729 AS VARCHAR)), ' ')"
+        s"""WITH RECURSIVE ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit
+            |  FROM documents WHERE doc_id % 4 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 700000, doc_id, 100 FROM documents WHERE doc_id % 4 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 800000, doc_id, 0 FROM documents WHERE doc_id % 4 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 900000, doc_id + 5000011, 0
+            |  FROM documents WHERE doc_id % 4 = 1""".stripMargin)},
+          |acaps AS (
+          |  SELECT doc_id AS pair_id, text FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 800000, $synthSql FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 4 = 1),
+          |abcnt AS (SELECT band, v, COUNT(*) AS n FROM abands GROUP BY 1, 2),
+          |qaband AS (
+          |  SELECT b.doc_id, b.band, b.v FROM abands b
+          |  JOIN abcnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+          |apairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM qaband a JOIN qaband b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+          |  JOIN afp pa ON pa.doc_id = a.doc_id
+          |  JOIN afp pb ON pb.doc_id = b.doc_id
+          |  WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 2),
+          |aedges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM apairs
+          |  UNION
+          |  SELECT doc_b, doc_a FROM apairs),
+          |reacha(n, r) AS (
+          |  SELECT a, a FROM aedges
+          |  UNION
+          |  SELECT e.b, reacha.r FROM reacha JOIN aedges e ON reacha.n = e.a),
+          |cca AS (SELECT n AS pair_id, MIN(r) AS c FROM reacha GROUP BY n),
+          |cct AS (
+          |  SELECT pair_id, MIN(pair_id) OVER (PARTITION BY text) AS c
+          |  FROM acaps),
+          |clustered AS (
+          |  SELECT acaps.pair_id,
+          |    COALESCE(cca.c, acaps.pair_id) AS aud_cluster,
+          |    cct.c AS txt_cluster
+          |  FROM acaps
+          |  LEFT JOIN cca ON acaps.pair_id = cca.pair_id
+          |  JOIN cct ON acaps.pair_id = cct.pair_id),
+          |naud AS (SELECT aud_cluster, COUNT(*) AS n_aud FROM clustered GROUP BY 1),
+          |ntxt AS (SELECT txt_cluster, COUNT(*) AS n_txt FROM clustered GROUP BY 1),
+          |byclass AS (
+          |  SELECT aud_cluster, txt_cluster, COUNT(*) AS class_size,
+          |    MIN(pair_id) AS canonical_id
+          |  FROM clustered GROUP BY 1, 2)
+          |SELECT c.pair_id, c.aud_cluster, c.txt_cluster,
+          |  CAST(bc.class_size AS INT) AS class_size,
+          |  c.pair_id = bc.canonical_id AS is_canonical,
+          |  na.n_aud > bc.class_size AS aud_disagree,
+          |  nt.n_txt > bc.class_size AS txt_disagree
+          |FROM clustered c
+          |JOIN byclass bc ON c.aud_cluster = bc.aud_cluster
+          |  AND c.txt_cluster = bc.txt_cluster
+          |JOIN naud na ON c.aud_cluster = na.aud_cluster
+          |JOIN ntxt nt ON c.txt_cluster = nt.txt_cluster
+          |ORDER BY c.pair_id""".stripMargin
+      },
+      doc = "Audio+transcript paired dedup: fingerprint-edge CC x digest-exact transcript classes through the shared cross-modal core — re-transcription and re-recording ship as disagreement flags"),
 
     // Cross-modal paired dedup (CrossModal.pairDedup): CLIP-style
     // (image, caption) pairs deduplicated by the JOINT (img_cluster,

@@ -31,6 +31,7 @@ object StageProbe {
       val t0 = System.nanoTime()
       val stages = stageSet match {
         case "videopair" => graft.queries.ScaleQueries.videoPairStages(spark, sfDir)
+        case "audiopair" => graft.queries.ScaleQueries.audioPairStages(spark, sfDir)
         case _           => graft.queries.ScaleQueries.corpusV4Stages(spark, sfDir)
       }
       println(f"[probe] pass$pass BUILD                ${(System.nanoTime() - t0) / 1e9}%8.3f s")
