@@ -6650,6 +6650,97 @@ object ScaleQueries {
           |FROM agg""".stripMargin),
       doc = "Audio-dedup detector P/R/F1 vs planted stereo-re-encode pairs - both arms deterministic, fully hash-checked"),
 
+    // Threshold sweep for the audio detector — the knob's documentation
+    // as data (the dedup_threshold_sweep discipline): P/R/F1 of the
+    // capped band detector at Hamming thresholds 0/2/4/6/8 against the
+    // planted stereo-re-encode pairs. What it shows: recall saturates by
+    // ham 2 (the planted edit budget) while the background pair count is
+    // what grows with the threshold — so ham ≤ 8 buys nothing on this
+    // corpus but pays ~4·10⁻⁴ of all pairs in false candidates, a rate
+    // that is QUADRATIC in corpus size; a production run tunes toward
+    // the recall knee. Both arms deterministic, fully hash-checked.
+    "mm_audio_threshold_sweep" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = AudioDedup.mediaWavPlanted(ids)
+          .union(AudioDedup.mediaWavPlanted(ids, shift = 500000L, edit = 100,
+            stereo = true))
+        val fp = AudioDedup.fingerprintsWav(media).toDF()
+        val b = MediaDedup.capBandBuckets(MediaDedup.bandRows(fp), maxBucket = 64)
+        val l = b.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+          col("b3").as("a3"))
+        val r = b.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("x0"), col("b1").as("x1"), col("b2").as("x2"),
+          col("b3").as("x3"))
+        val pairs = l.join(r, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ x0) + bit_count(a1 ^ x1) + " +
+              "bit_count(a2 ^ x2) + bit_count(a3 ^ x3) AS INT)"))
+          .filter(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming").distinct()
+          .withColumn("is_tp", (col("doc_b") - col("doc_a") === 500000L))
+        // tiny (hamming, is_tp) histogram, then each threshold reads it
+        val hist = pairs.groupBy("hamming", "is_tp").agg(count(lit(1)).as("n"))
+        val nTruth = docs(s, dir).agg(count(lit(1)).as("n_truth"))
+        s.range(0, 5).select((col("id") * 2).cast("int").as("threshold"))
+          .join(broadcast(hist), col("hamming") <= col("threshold"), "left")
+          .groupBy("threshold").agg(
+            sum(coalesce(col("n"), lit(0L))).as("n_pred"),
+            sum(coalesce(when(col("is_tp"), col("n")).otherwise(0L), lit(0L)))
+              .as("tp"))
+          .crossJoin(broadcast(nTruth))
+          .select(col("threshold"), col("n_truth"), col("n_pred"), col("tp"),
+            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+              .as("precision"),
+            round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
+              .as("recall"),
+            round(lit(2.0) * col("tp").cast("double") /
+              (col("n_pred") + col("n_truth")).cast("double"), 6).as("f1"))
+          .orderBy("threshold")
+      },
+      oracle = Some(
+        s"""WITH ${audioFpCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, doc_id, 100 FROM documents""".stripMargin)},
+          |abcnt AS (SELECT band, v, COUNT(*) AS n FROM abands GROUP BY 1, 2),
+          |qaband AS (
+          |  SELECT b.doc_id, b.band, b.v FROM abands b
+          |  JOIN abcnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+          |spairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+          |      AS INT) AS hamming
+          |  FROM qaband a JOIN qaband b
+          |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+          |  JOIN afp pa ON pa.doc_id = a.doc_id
+          |  JOIN afp pb ON pb.doc_id = b.doc_id
+          |  WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          |    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 8),
+          |shist AS (
+          |  SELECT hamming, doc_b - doc_a = 500000 AS is_tp, COUNT(*) AS n
+          |  FROM spairs GROUP BY 1, 2),
+          |snt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM documents),
+          |sthr AS (
+          |  SELECT ks.threshold,
+          |    CAST(COALESCE(SUM(shist.n), 0) AS BIGINT) AS n_pred,
+          |    CAST(COALESCE(SUM(CASE WHEN shist.is_tp THEN shist.n ELSE 0 END), 0)
+          |      AS BIGINT) AS tp
+          |  FROM (SELECT CAST(unnest([0, 2, 4, 6, 8]) AS INT) AS threshold) ks
+          |  LEFT JOIN shist ON shist.hamming <= ks.threshold
+          |  GROUP BY 1)
+          |SELECT threshold, n_truth, n_pred, tp,
+          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+          |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
+          |    AS f1
+          |FROM sthr, snt ORDER BY threshold""".stripMargin),
+      doc = "Audio detector threshold sweep: P/R/F1 at Hamming 0/2/4/6/8 vs planted re-encodes — the recall knee and the quadratic false-candidate cost of loose thresholds, as data"),
+
     // Audio+transcript paired dedup — the audio twin of
     // mm_video_pair_dedup, through the SAME modality-agnostic core
     // (CrossModal.pairDedupFromEdgesResolvedTxt): audio edges from the
