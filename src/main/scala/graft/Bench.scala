@@ -203,13 +203,27 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projection
     // (a key-derivation query would degenerate to a scan row count) — the
     // noop write forces full computation of all output columns.
+    //
+    // Every run is bracketed by cpuSample() so the artifact carries
+    // PER-QUERY foreign-core context (r12 verdict #1: cross-round movers
+    // like emb_ivf_topk 0.91→1.21 s could not be split between contention
+    // and code without re-running on a quiet host — now each timing
+    // carries its own contention evidence).
+    var qForeign = Map.empty[String, Seq[Double]]
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                 name: String): Double = {
+      val c0 = cpuSample()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       finally Caches.release()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val c1 = cpuSample()
+      val f =
+        if (c0._1 < 0 || c1._1 < 0 || sec < 0.2) -1.0
+        else ((c1._1 - c0._1) - (c1._2 - c0._2)) / (sec * UserHz)
+      qForeign += name -> (qForeign.getOrElse(name, Seq.empty[Double]) :+ f)
+      sec
     }
     // JIT/codegen warm-up so the first measured query isn't charged for it
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -296,13 +310,8 @@ object Bench {
     def runWithForeign(
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): (Double, Double) = {
-      val c0 = cpuSample(); val t0 = System.nanoTime()
-      val sec = runOnce(fn, name)
-      val c1 = cpuSample(); val dt = (System.nanoTime() - t0) / 1e9
-      val during =
-        if (c0._1 < 0 || c1._1 < 0 || dt < 0.2) -1.0
-        else ((c1._1 - c0._1) - (c1._2 - c0._2)) / (dt * UserHz)
-      (sec, during)
+      val sec = runOnce(fn, name) // runOnce brackets with cpuSample itself
+      (sec, qForeign(name).last)
     }
     var finalResults = results
     var suspects = Set.empty[String]
@@ -408,6 +417,18 @@ object Bench {
       foreignCoresMax >= 0 && foreignCoresMax <= gateForeign
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // foreign cores measured DURING the run that produced each shipped
+    // min — the per-query contention context that lets a reader adjudicate
+    // a cross-round mover without a quiet-host re-run
+    val foreignAtMin: Map[String, Double] = finalResults.keys.map { n =>
+      val runs = allRuns(n)
+      val fs = qForeign.getOrElse(n, Seq.empty[Double])
+      val idx = runs.indexOf(runs.min)
+      n -> (if (idx >= 0 && idx < fs.length) fs(idx) else -1.0)
+    }.toMap
+    val qf = foreignAtMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val vq = varianceQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-run spreads for every variance-flagged query plus the
     // ceiling-adjacent ones (best > 2.5 s): [a, b, c?] in run order, so a
@@ -444,6 +465,7 @@ object Bench {
     // compact ALWAYS-PARSEABLE summary instead.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""query_foreign_at_min":$qf,""" +
       decodeJson + contention + s""","variance_queries":$vq,""" +
       s""""spreads":$spreads,"ceiling_breaches":$breaches,""" +
       s""""contention_suspect_breaches":$suspectJson,"clean":$clean}"""
@@ -465,8 +487,12 @@ object Bench {
       slowest).distinct
     val headQs = headNames.map(n => "\"" + n + "\":" + f"${finalResults(n)}%.3f")
       .mkString("{", ",", "}")
+    val headF = headNames
+      .map(n => "\"" + n + "\":" + f"${foreignAtMin.getOrElse(n, -1.0)}%.2f")
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":$headQs,"sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"queries":$headQs,""" +
+      s""""foreign_at_min":$headF,"sf":"$sfDir",""" +
       decodeJson + contention +
       s""","spreads":${spreadJson(breachNames)},""" +
       s""""ceiling_breaches":$breaches,""" +

@@ -1921,8 +1921,11 @@ object ScaleQueries {
     * queries: given a seeds SQL (doc_id, seed, edit rows — `aseeds` may
     * carry extra columns like `side`), replays the planted PCM16 sample
     * plan (AudioDedup.mediaWavPlanted: the mediaWavPcm formula + the
-    * edit offset on samples 64..95) → 64 window energies → clip mean →
-    * bit plan → four 16-bit bands `abands` → per-clip fingerprints
+    * edit offset on samples 64..95) → 64 window energies → consecutive
+    * energy-DIFFERENCE bits (window energy > next window's energy; the
+    * clip-mean reference was measured degenerate on quiet passages and
+    * rejected — AudioDedup.scala) → four 16-bit bands `abands` →
+    * per-clip fingerprints
     * `afp` (b0..b3). The Spark side must PARSE the real RIFF/WAVE
     * container and decode (and mono-mix) the PCM16 samples to reach the
     * same bands — the stereo re-encodes land on identical fingerprints
@@ -6314,9 +6317,11 @@ object ScaleQueries {
     // ---------------- audio fingerprint dedup family (round 12) --------
     // The missing modality of the (dedup, admission, deletion) matrix: a
     // speech corpus dedups audio BEFORE transcripts exist. Fingerprint =
-    // 64 energy-profile bits over REAL decoded PCM16 (AudioDedup: window
-    // energy > clip mean — container- and gain-invariant by
-    // construction), packed in the MediaDedup four-band layout so the
+    // 64 energy-DIFFERENCE bits over REAL decoded PCM16 (AudioDedup:
+    // window energy > next window's energy, the Haitsma-Kalker time-axis
+    // plan — container- and gain-invariant by construction; the clip-mean
+    // reference collapsed on quiet passages and was rejected with
+    // measured evidence), packed in the MediaDedup four-band layout so the
     // capped band machinery applies unchanged. Planted classes: every
     // doc's +500000 clone is a STEREO RE-ENCODE (L=R, different container
     // bytes, same mix) with a small loud-region edit — the detector must
@@ -6610,7 +6615,8 @@ object ScaleQueries {
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
           .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
           .select(col("n_truth"), col("n_pred"), col("tp"),
-            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+            when(col("n_pred") === 0, lit(null).cast("double")).otherwise(
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
               .as("precision"),
             round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall"),
@@ -6643,7 +6649,7 @@ object ScaleQueries {
           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
           |SELECT n_truth, n_pred, tp,
-          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+          |  CASE WHEN n_pred = 0 THEN NULL ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
           |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
           |    AS f1
@@ -6693,7 +6699,8 @@ object ScaleQueries {
               .as("tp"))
           .crossJoin(broadcast(nTruth))
           .select(col("threshold"), col("n_truth"), col("n_pred"), col("tp"),
-            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+            when(col("n_pred") === 0, lit(null).cast("double")).otherwise(
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
               .as("precision"),
             round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall"),
@@ -6734,7 +6741,7 @@ object ScaleQueries {
           |  LEFT JOIN shist ON shist.hamming <= ks.threshold
           |  GROUP BY 1)
           |SELECT threshold, n_truth, n_pred, tp,
-          |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+          |  CASE WHEN n_pred = 0 THEN NULL ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
           |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
           |    AS f1
@@ -8743,7 +8750,8 @@ object ScaleQueries {
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
           .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
           .select(col("n_truth"), col("n_pred"), col("tp"),
-            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+            when(col("n_pred") === 0, lit(null).cast("double")).otherwise(
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
               .as("precision"),
             round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall"),
@@ -8762,7 +8770,7 @@ object ScaleQueries {
            |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
            |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
            |SELECT n_truth, n_pred, tp,
-           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+           |  CASE WHEN n_pred = 0 THEN NULL ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
            |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
            |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
            |    AS f1
@@ -8901,7 +8909,8 @@ object ScaleQueries {
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
           .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
           .select(col("n_truth"), col("n_pred"), col("tp"),
-            round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+            when(col("n_pred") === 0, lit(null).cast("double")).otherwise(
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
               .as("precision"),
             round(col("tp").cast("double") / col("n_truth").cast("double"), 6)
               .as("recall"),
@@ -8927,7 +8936,7 @@ object ScaleQueries {
            |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
            |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS tp)
            |SELECT n_truth, n_pred, tp,
-           |  ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision,
+           |  CASE WHEN n_pred = 0 THEN NULL ELSE ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
            |  ROUND(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
            |  ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE), 6)
            |    AS f1

@@ -440,11 +440,7 @@ object AviMjpeg {
         struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
       .select(col("video_id"), col("pos"),
         col("e.band").as("band"), col("e.v").as("v"))
-    bands.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("pos", "band", "v")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    HotBuckets.cap(bands, Seq("pos", "band", "v"), maxBucket)
   }
 
   def videoDupPairs(fph: DataFrame, maxHamming: Int = 8,
@@ -539,11 +535,7 @@ object AviMjpeg {
         struct(lit(3).as("band"), col("b3").as("v")))).as("e"))
       .select(col("video_id"), col("pos"),
         col("e.band").as("band"), col("e.v").as("v"))
-    val qualified = bands.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "v")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val qualified = HotBuckets.cap(bands, Seq("band", "v"), maxBucket)
     val votes = qualified.as("a").join(qualified.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.video_id") < col("b.video_id"))
@@ -705,10 +697,7 @@ object AviMjpeg {
   def admitAgainstVideos(index: DataFrame, batchFph: DataFrame,
                          maxHamming: Int = 8, minMatch: Int = 2,
                          maxBucket: Int = 64): DataFrame = {
-    val idxQualified = index.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("pos", "band", "v")))
-      .filter(col("bucket_n") <= maxBucket)
+    val idxQualified = HotBuckets.cap(index, Seq("pos", "band", "v"), maxBucket)
     val cand = videoBandRows(batchFph)
       .select(col("video_id").as("bvid"), col("pos"), col("band"), col("v"))
       .join(idxQualified.select(col("video_id").as("ivid"),

@@ -54,12 +54,15 @@ object Deletion {
     * FIRST column is the id column, any name). Ids are deduplicated
     * before the broadcast. The size guard is a bounded probe —
     * `limit(max+1).count()` — so deciding the plan never scans more of a
-    * bulk tombstone set than the threshold itself.
+    * bulk tombstone set than the threshold itself, and the distinct'd
+    * frame is persisted (Caches-tracked, released per query/micro-batch)
+    * so the probe job and the anti-join share ONE computation instead of
+    * re-deriving the distinct twice (r12 advisory).
     */
   def purge(table: DataFrame, tombstones: DataFrame, keyCol: String,
             maxBroadcastIds: Int = MaxBroadcastIds): DataFrame = {
-    val t = tombstones
-      .select(col(tombstones.columns.head).as("__tombstone_id")).distinct()
+    val t = graft.Caches.persist(tombstones
+      .select(col(tombstones.columns.head).as("__tombstone_id")).distinct())
     val small = t.limit(maxBroadcastIds + 1).count() <= maxBroadcastIds
     val rhs = if (small) broadcast(t) else t
     table.join(rhs, col(keyCol) === col("__tombstone_id"), "left_anti")

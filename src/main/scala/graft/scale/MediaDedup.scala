@@ -60,11 +60,7 @@ object MediaDedup {
     * shared. Deterministic, so the DuckDB oracles replay the cap exactly.
     */
   def capBandBuckets(b: DataFrame, maxBucket: Int): DataFrame =
-    b.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "v")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    HotBuckets.cap(b, Seq("band", "v"), maxBucket)
 
   /** Intra-set duplicates: the LARGER doc_id of any pair agreeing on ≥1
     * band with Hamming ≤ `maxHamming` (the keep-smallest admission rule,

@@ -109,11 +109,7 @@ object NearDup {
     * shared. Deterministic — the DuckDB oracles replay the cap exactly.
     */
   private[scale] def capBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
-    buckets.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    HotBuckets.cap(buckets, Seq("band_idx", "band_hash"), maxBucket)
 
   /** LSH candidate pairs: documents sharing any (band index, band hash)
     * bucket, deduplicated, a < b. The join is a shuffle on the band hash,

@@ -64,8 +64,23 @@ object StreamingVectorAdmission {
     }
   }
   object SemanticGate {
+    /** Benchmark suites are bounded by construction (thousands of rows,
+      * not corpus-scale); above this the collect would stop being a
+      * bounded driver scalar and the suite should be banded instead.
+      */
+    val MaxSuiteRows: Int = 100000
+
     def forSuite(bench: DataFrame, vecCol: String = "embedding",
                  threshold: Double = 0.95): SemanticGate = {
+      // size guard (same pattern as Deletion.purge): a bounded probe so a
+      // corpus-scale frame passed by mistake fails loudly instead of
+      // OOMing the driver — the bound is ENFORCED, not assumed (r12
+      // verdict #4)
+      val n = bench.limit(MaxSuiteRows + 1).count()
+      require(n <= MaxSuiteRows,
+        s"SemanticGate suite has >$MaxSuiteRows rows — this gate collects " +
+          "the suite to the driver and is sized for bounded eval sets; " +
+          "band the suite (Similarity.vectorPostings) instead")
       val rows = bench.select(col(vecCol)).collect().map { r =>
         val v = r.getSeq[Float](0)
         (v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))

@@ -27,6 +27,49 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stageSet = args.headOption.getOrElse("v4")
+    // --- capcost: the ×1 cost of hot-bucket suppression on NON-degenerate
+    // registry content (r12 verdict #1b). Runs each band-join registry
+    // query under all three HotBuckets modes — window (shipped), twophase
+    // (the candidate alternative), off (the no-cap floor; NOT a legal
+    // registry mode, measurement only) — best-of-2 after a warm-up pass
+    // that pins the session fixtures, so the deltas isolate the cap
+    // strategy, not fixture materialization. window-vs-off = what the cap
+    // costs; twophase-vs-window = what switching would buy.
+    if (stageSet == "capcost") {
+      val names = args.drop(1) match {
+        case rest if rest.nonEmpty => rest.toSeq
+        case _ => Seq("dedup_minhash_lsh", "mm_phash_pairs", "mm_video_dedup",
+          "mm_audio_dedup", "mm_dedup_eval", "dedup_incremental")
+      }
+      def run(name: String): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        graft.Caches.release()
+        s
+      }
+      names.foreach { n => run(n); run(n) } // fixture pin + JIT warm-up
+      val rows = for (name <- names) yield {
+        val per = for (mode <- Seq("window", "twophase", "off")) yield {
+          sys.props("graft.capMode") = mode
+          val s = math.min(run(name), run(name))
+          println(f"[capcost] $name%-28s $mode%-9s $s%7.3f s")
+          mode -> s
+        }
+        sys.props("graft.capMode") = "window"
+        val m = per.toMap
+        println(f"[capcost] $name%-28s cap overhead vs off ${
+          (m("window") / m("off") - 1) * 100}%6.1f%%  twophase vs window ${
+          (m("twophase") / m("window") - 1) * 100}%6.1f%%")
+        name -> m
+      }
+      println("[capcost] summary " + rows.map { case (n, m) =>
+        f"$n:w=${m("window")}%.3f,t=${m("twophase")}%.3f,o=${m("off")}%.3f"
+      }.mkString(" "))
+      spark.stop()
+      return
+    }
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
       val stages = stageSet match {
