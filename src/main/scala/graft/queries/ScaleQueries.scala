@@ -230,6 +230,146 @@ object ScaleQueries {
       |  SELECT doc_id + 200000, text || ' near duplicate suffix marker', source
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
+  // ---- v9 incremental-capstone shared helpers -------------------------
+
+  /** sha256 over the comma-joined, zero-padded, SORTED id list — the
+    * set-equality digest both v9 arms (and their oracle twins) compute;
+    * lexical order over lpad-12 strings == numeric order for every id in
+    * range, and the empty set digests sha256('') on both engines.
+    */
+  private def idSetSha(idc: Column): Column =
+    sha2(concat_ws(",",
+      array_sort(collect_list(lpad(idc.cast("string"), 12, "0")))), 256)
+
+  private def sqlIdSetSha(x: String): String =
+    s"sha256(COALESCE(string_agg(lpad(CAST($x AS VARCHAR), 12, '0'), ',' " +
+      s"ORDER BY lpad(CAST($x AS VARCHAR), 12, '0')), ''))"
+
+  /** One v9 'admit' row: both arms' admitted-id sets reduced to
+    * (count, set digest) + the equality verdict.
+    */
+  private def v9AdmitRow(family: String, a: DataFrame, b: DataFrame,
+                         idCol: String): DataFrame = {
+    val aa = a.agg(count(lit(1)).as("n_a"), idSetSha(col(idCol)).as("v_a"))
+    val bb = b.agg(count(lit(1)).as("n_b"), idSetSha(col(idCol)).as("v_b"))
+    aa.crossJoin(bb).select(lit("admit").as("section"), lit(family).as("key"),
+      col("n_a"), col("n_b"), col("v_a"), col("v_b"),
+      (col("n_a") === col("n_b") && col("v_a") === col("v_b")).as("equal"))
+  }
+
+  /** v9 'verdict' rows: per (source:reason) key, both arms' doc sets —
+    * full-outer joined so a key present in only one arm surfaces as an
+    * inequality instead of vanishing.
+    */
+  private def v9VerdictRows(vInc: DataFrame, vBatch: DataFrame): DataFrame = {
+    def keyed(df: DataFrame) = df
+      .groupBy(concat(col("source"), lit(":"), col("reason")).as("key"))
+      .agg(count(lit(1)).as("n"), idSetSha(col("doc_id")).as("h"))
+    keyed(vInc).select(col("key"), col("n").as("n_a"), col("h").as("v_a"))
+      .join(keyed(vBatch)
+          .select(col("key"), col("n").as("n_b"), col("h").as("v_b")),
+        Seq("key"), "full_outer")
+      .select(lit("verdict").as("section"), col("key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("v_a"), lit("")).as("v_a"),
+        coalesce(col("v_b"), lit("")).as("v_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("v_a"), lit("")) === coalesce(col("v_b"), lit("")))
+          .as("equal"))
+  }
+
+  /** v9 text-family oracle CTE chain: both arms (incremental = masked
+    * index probe + capped intra-shard pairs; batch = one-shot capped LSH
+    * over the union) down to the `ta`/`tb` admit aggregates and the
+    * `ka`/`kb` per-(source:reason) verdict aggregates.
+    */
+  private lazy val v9TextOracleSql: String = {
+    def m(a: String, b: String): String =
+      s"CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}), " +
+        s"i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT)"
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 4 <> 1),
+       |tomb AS (
+       |  SELECT doc_id FROM d0 WHERE doc_id % 16 = 2 AND doc_id // 4096 = 0),
+       |s1 AS (
+       |  SELECT doc_id + 1500000 AS doc_id, text, source FROM documents
+       |  WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 1800000, text || ' near duplicate suffix marker', source
+       |  FROM documents WHERE doc_id % 8 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 1700000, text || ' near duplicate suffix marker', source
+       |  FROM documents
+       |  WHERE doc_id % 4 <> 1 AND doc_id % 16 = 2 AND doc_id // 4096 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1900000, text || ' near duplicate suffix marker', source
+       |  FROM documents WHERE doc_id % 8 = 1),
+       |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       |sig0 AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+       |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+       |  FROM d0)),
+       |sig1 AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+       |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+       |  FROM s1)),
+       |sig0s AS (SELECT * FROM sig0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+       |sigu AS (SELECT * FROM sig0s UNION ALL SELECT * FROM sig1),
+       |ib AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+       |  FROM sig0s, js),
+       |icnt AS (SELECT j, bh, COUNT(*) AS n FROM ib GROUP BY 1, 2),
+       |qib AS (SELECT i.doc_id, i.j, i.bh FROM ib i
+       |  JOIN icnt c ON i.j = c.j AND i.bh = c.bh WHERE c.n <= 64),
+       |bb AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+       |  FROM sig1, js),
+       |bcnt1 AS (SELECT j, bh, COUNT(*) AS n FROM bb GROUP BY 1, 2),
+       |qbb AS (SELECT b.doc_id, b.j, b.bh FROM bb b
+       |  JOIN bcnt1 c ON b.j = c.j AND b.bh = c.bh WHERE c.n <= 64),
+       |pidx AS (SELECT DISTINCT b.doc_id FROM bb b
+       |  JOIN qib i ON b.j = i.j AND b.bh = i.bh
+       |  JOIN sig1 bs ON bs.doc_id = b.doc_id
+       |  JOIN sig0 cs ON cs.doc_id = i.doc_id
+       |  WHERE ${m("bs", "cs")} >= 6),
+       |pintra AS (SELECT DISTINCT b.doc_id FROM qbb a
+       |  JOIN qbb b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  JOIN sig1 sa ON sa.doc_id = a.doc_id
+       |  JOIN sig1 sb ON sb.doc_id = b.doc_id
+       |  WHERE ${m("sa", "sb")} >= 6),
+       |vinc AS (SELECT s1.doc_id, s1.source,
+       |  CASE WHEN s1.doc_id IN (SELECT doc_id FROM pintra) THEN 'dup_intra'
+       |       WHEN s1.doc_id IN (SELECT doc_id FROM pidx) THEN 'dup_index'
+       |       ELSE 'admitted' END AS reason
+       |  FROM s1),
+       |ub AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+       |  FROM sigu, js),
+       |ucnt AS (SELECT j, bh, COUNT(*) AS n FROM ub GROUP BY 1, 2),
+       |qub AS (SELECT u.doc_id, u.j, u.bh FROM ub u
+       |  JOIN ucnt c ON u.j = c.j AND u.bh = c.bh WHERE c.n <= 64),
+       |upairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM qub a
+       |  JOIN qub b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  JOIN sigu sa ON sa.doc_id = a.doc_id
+       |  JOIN sigu sb ON sb.doc_id = b.doc_id
+       |  WHERE ${m("sa", "sb")} >= 6),
+       |part AS (SELECT db AS doc_id,
+       |    MAX(CASE WHEN da >= 1500000 THEN 1 ELSE 0 END) AS has_intra
+       |  FROM upairs WHERE db >= 1500000 GROUP BY 1),
+       |vbat AS (SELECT s1.doc_id, s1.source,
+       |  CASE WHEN part.has_intra = 1 THEN 'dup_intra'
+       |       WHEN part.has_intra = 0 THEN 'dup_index'
+       |       ELSE 'admitted' END AS reason
+       |  FROM s1 LEFT JOIN part USING (doc_id)),
+       |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM vinc WHERE reason = 'admitted'),
+       |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM vbat WHERE reason = 'admitted'),
+       |ka AS (SELECT source || ':' || reason AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM vinc GROUP BY 1),
+       |kb AS (SELECT source || ':' || reason AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM vbat GROUP BY 1)""".stripMargin
+  }
+
   private def nearDupDocs(d: DataFrame): DataFrame =
     d.select("doc_id", "text", "source").unionByName(
       d.filter(col("doc_id") % 20 === 0).select(
@@ -3875,6 +4015,114 @@ object ScaleQueries {
            |  CAST(n_tombstones AS BIGINT) AS n_tombstones
            |FROM u ORDER BY family""".stripMargin),
       doc = "Takedown audit record: per index family, rows before/after/purged + tombstone count, geometry-replayed"),
+
+    // ---------------- incremental corpus capstone (v9) ----------------
+    // The delta-shard dataflow a daily 100 TB ingest actually runs
+    // (r12 verdict #2): an arriving shard is probed against the PERSISTED
+    // admission indices (tombstone-masked), intra-shard deduped, and the
+    // whole incremental composition is proven equivalent to the one-shot
+    // batch pipeline over the union — per family, as hash-checked DATA.
+    // Output: one row per (section, key), where every row carries TWO
+    // independently derived arms — n_a/v_a from the incremental
+    // composition (index probe + intra-batch pairs), n_b/v_b from the
+    // one-shot batch twin over (shard0 \ tombstones) ∪ shard1 — and
+    // `equal` is the admission-twin equality discipline applied to the
+    // whole pipeline. v_a/v_b are sha256 digests of the sorted admitted
+    // id sets (set equality, not just count equality).
+    //
+    // Shard discipline (shared by every family; all formulas replayed in
+    // the oracle): shard0 = id % 4 != 1; tombstones = the takedown batch;
+    // shard1 = fresh content (% 4 == 1, ids shifted +1500000 so admission
+    // order == id order — the precondition for batch equivalence),
+    // near-dups of surviving shard0 entities (% 8 == 4, +1800000,
+    // rejected), near-dups of TOMBSTONED entities (+1700000, admitted —
+    // their only match is masked), and intra-shard near-dups of fresh
+    // shard1 entities (% 8 == 1, +1900000, killed by the intra pass in
+    // the incremental arm and by a shard1-side pair in the batch arm).
+    "corpus_prepare_incremental" -> QueryDef(
+      build = (s, dir) => {
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val suffix = lit(" near duplicate suffix marker")
+
+        // ---- text family --------------------------------------------
+        val shard0 = d.filter(col("doc_id") % 4 =!= 1)
+          .select("doc_id", "text", "source")
+        // clustered takedown batch (shard region 0): leaves genuinely
+        // untouched manifest shards for the splice law downstream
+        val tomb = shard0.filter(col("doc_id") % 16 === 2 &&
+          expr("doc_id div 4096") === 0).select("doc_id")
+        val fresh = d.filter(col("doc_id") % 4 === 1).select(
+          (col("doc_id") + 1500000L).as("doc_id"), col("text"), col("source"))
+        val ndSurv = d.filter(col("doc_id") % 8 === 4).select(
+          (col("doc_id") + 1800000L).as("doc_id"),
+          concat(col("text"), suffix).as("text"), col("source"))
+        val ndTomb = d.filter(col("doc_id") % 4 =!= 1 &&
+            col("doc_id") % 16 === 2 && expr("doc_id div 4096") === 0).select(
+          (col("doc_id") + 1700000L).as("doc_id"),
+          concat(col("text"), suffix).as("text"), col("source"))
+        val intra = d.filter(col("doc_id") % 8 === 1).select(
+          (col("doc_id") + 1900000L).as("doc_id"),
+          concat(col("text"), suffix).as("text"), col("source"))
+        val shard1 = fresh.unionByName(ndSurv).unionByName(ndTomb)
+          .unionByName(intra)
+
+        val sig1 = NearDup.withSignatures(shard1.select("doc_id", "text"))
+        // incremental arm: persisted index minus tombstones (cap
+        // recounted inside admitAgainst), intra-shard pair kill, probe
+        val index = Deletion.purge(
+          NearDup.signatureIndex(shard0.select("doc_id", "text"), "doc_id"),
+          tomb, "doc")
+        val intraKill = NearDup.lshDupPairs(sig1, "doc_id", minSigMatches = 6)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("ik", lit(true))
+        val probe = NearDup.admitAgainst(index,
+          shard1.select("doc_id", "text"), "doc_id")
+        val vInc = shard1.select("doc_id", "source")
+          .join(intraKill, Seq("doc_id"), "left")
+          .join(probe.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(coalesce(col("ik"), lit(false)), lit("dup_intra"))
+              .when(col("is_dup"), lit("dup_index"))
+              .otherwise(lit("admitted")))
+          .select("doc_id", "source", "reason")
+
+        // batch twin: one-shot LSH dedup over the updated union
+        val unionDocs = shard0.join(tomb, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text")
+          .unionByName(shard1.select("doc_id", "text"))
+        val pairsU = NearDup.lshDupPairs(
+          NearDup.withSignatures(unionDocs), "doc_id", minSigMatches = 6)
+        val partner = pairsU.filter(col("doc_b") >= 1500000L)
+          .groupBy(col("doc_b").as("doc_id"))
+          .agg(max(when(col("doc_a") >= 1500000L, 1).otherwise(0))
+            .as("has_intra"))
+        val vBatch = shard1.select("doc_id", "source")
+          .join(partner, Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("has_intra") === 1, lit("dup_intra"))
+              .when(col("has_intra") === 0, lit("dup_index"))
+              .otherwise(lit("admitted")))
+          .select("doc_id", "source", "reason")
+
+        v9AdmitRow("text", vInc.filter(col("reason") === "admitted"),
+            vBatch.filter(col("reason") === "admitted"), "doc_id")
+          .unionByName(v9VerdictRows(vInc, vBatch))
+          .orderBy("section", "key")
+      },
+      oracle = Some(v9TextOracleSql +
+        s"""
+           |SELECT 'admit' AS section, 'text' AS key, ta.n AS n_a, tb.n AS n_b,
+           |  ta.h AS v_a, tb.h AS v_b, ta.n = tb.n AND ta.h = tb.h AS equal
+           |FROM ta, tb
+           |UNION ALL
+           |SELECT 'verdict', key, COALESCE(ka.n, 0), COALESCE(kb.n, 0),
+           |  COALESCE(ka.h, ''), COALESCE(kb.h, ''),
+           |  COALESCE(ka.n, 0) = COALESCE(kb.n, 0)
+           |    AND COALESCE(ka.h, '') = COALESCE(kb.h, '')
+           |FROM ka FULL OUTER JOIN kb USING (key)
+           |ORDER BY section, key""".stripMargin),
+      doc = "Incremental corpus capstone v9: delta shard probed against tombstone-masked persisted indices; every row carries the incremental arm AND the one-shot batch twin with a set-equality verdict"),
 
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {

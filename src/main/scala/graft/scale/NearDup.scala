@@ -157,6 +157,28 @@ object NearDup {
       .select(col("r.doc").as(idCol)).distinct()
   }
 
+  /** Verified LSH near-dup PAIRS (doc_a < doc_b, distinct) — the pair
+    * form of [[lshDuplicates]] (same fused one-join plan, same cap, same
+    * `>= minSigMatches` verification) for callers that need the partner,
+    * not just the loser: duplicate-reason attribution (was the kill an
+    * intra-batch pair or an index match?) and the incremental-vs-batch
+    * equivalence oracles of the v9 capstone.
+    */
+  def lshDupPairs(withSigs: DataFrame, idCol: String,
+                  minSigMatches: Int, maxBucket: Int = 64): DataFrame = {
+    val buckets = capBuckets(withSigs.select(col(idCol).as("doc"),
+      col("minhash_sig").as("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc") < col("r.doc"))
+      .withColumn("m", aggregate(zip_with(col("l.sig"), col("r.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("m") >= minSigMatches)
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b")).distinct()
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode shingles, self-join on (block, shingle), count co-occurrences,
     * then jaccard = common / (|a| + |b| - common).
