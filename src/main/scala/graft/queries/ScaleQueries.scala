@@ -370,6 +370,67 @@ object ScaleQueries {
        |  FROM vbat GROUP BY 1)""".stripMargin
   }
 
+  /** v9 vector-family oracle CTEs (continuation — no WITH): both arms
+    * under the shard0-derived SRP geometry, down to `va`/`vb2`.
+    */
+  private lazy val v9VectorOracleSql: String =
+    s"""vsrc AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 1),
+       |vtomb AS (SELECT vec_id FROM vsrc WHERE vec_id % 16 = 2),
+       |vs1 AS (
+       |  SELECT vec_id + 1500000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 4 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 1800000,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 8 = 4
+       |  UNION ALL
+       |  SELECT vec_id + 1700000,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 4 <> 1 AND vec_id % 16 = 2
+       |  UNION ALL
+       |  SELECT vec_id + 1900000,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 8 = 1),
+       |${sqlVectorGeo("vsrc")},
+       |vsurv AS (SELECT * FROM vsrc
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM vtomb)),
+       |ivb AS (
+       |  SELECT vec_id AS c_id, embedding AS cv, j,
+       |    ${sqlSrpBucket("embedding")} AS bucket
+       |  FROM vsurv, bj),
+       |bvb AS (
+       |  SELECT vec_id AS b_id, embedding AS bv, j,
+       |    ${sqlSrpBucket("embedding")} AS bucket
+       |  FROM vs1, bj),
+       |vpidx AS (
+       |  SELECT DISTINCT b_id FROM bvb JOIN ivb
+       |    ON bvb.j = ivb.j AND bvb.bucket = ivb.bucket
+       |  WHERE ${sqlCosine("bv", "cv")} >= 0.99),
+       |vpintra AS (
+       |  SELECT DISTINCT b.b_id FROM bvb a JOIN bvb b
+       |    ON a.j = b.j AND a.bucket = b.bucket AND a.b_id < b.b_id
+       |  WHERE ${sqlCosine("a.bv", "b.bv")} >= 0.99),
+       |vadminc AS (
+       |  SELECT vec_id FROM vs1
+       |  WHERE vec_id NOT IN (SELECT b_id FROM vpintra)
+       |    AND vec_id NOT IN (SELECT b_id FROM vpidx)),
+       |uvb AS (
+       |  SELECT vec_id AS u_id, embedding AS uv, j,
+       |    ${sqlSrpBucket("embedding")} AS bucket
+       |  FROM (SELECT * FROM vsurv UNION ALL SELECT * FROM vs1) uu, bj),
+       |uvkill AS (
+       |  SELECT DISTINCT b.u_id FROM uvb a JOIN uvb b
+       |    ON a.j = b.j AND a.bucket = b.bucket AND a.u_id < b.u_id
+       |  WHERE ${sqlCosine("a.uv", "b.uv")} >= 0.99),
+       |vadmbat AS (
+       |  SELECT vec_id FROM vs1
+       |  WHERE vec_id NOT IN (SELECT u_id FROM uvkill)),
+       |va AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("vec_id")} AS h
+       |  FROM vadminc),
+       |vb2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("vec_id")} AS h
+       |  FROM vadmbat)""".stripMargin
+
   private def nearDupDocs(d: DataFrame): DataFrame =
     d.select("doc_id", "text", "source").unionByName(
       d.filter(col("doc_id") % 20 === 0).select(
@@ -4105,16 +4166,75 @@ object ScaleQueries {
               .otherwise(lit("admitted")))
           .select("doc_id", "source", "reason")
 
+        // ---- vector family ------------------------------------------
+        // The index owns its geometry (the documented deletion law):
+        // BOTH arms run under the band plan derived from shard0, so the
+        // equivalence statement is about the dataflow, not a re-plan.
+        val e = embs(s, dir)
+        val vShard0 = e.filter(col("vec_id") % 4 =!= 1)
+          .select("vec_id", "embedding")
+        val vTomb = vShard0.filter(col("vec_id") % 16 === 2).select("vec_id")
+        def vMut(src: DataFrame, shift: Long) = src.select(
+          (col("vec_id") + shift).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+        val vShard1 = e.filter(col("vec_id") % 4 === 1)
+          .select((col("vec_id") + 1500000L).as("vec_id"), col("embedding"))
+          .unionByName(vMut(e.filter(col("vec_id") % 8 === 4), 1800000L))
+          .unionByName(vMut(e.filter(col("vec_id") % 4 =!= 1 &&
+            col("vec_id") % 16 === 2), 1700000L))
+          .unionByName(vMut(e.filter(col("vec_id") % 8 === 1), 1900000L))
+        val vPlan = Similarity.vectorBandPlanFor(vShard0)
+        // pairs-based kill (larger id dies) under the index plan — the
+        // same collision+verify rule admitAgainstVectors applies
+        def vecKills(src: DataFrame): DataFrame = {
+          val p = Similarity.vectorPostings(src, "vec_id", "embedding", vPlan)
+          val cand = p.as("l").join(p.as("r"),
+              col("l.band_idx") === col("r.band_idx") &&
+              col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
+            .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+          val sd = Similarity.vectorSide(src, "vec_id", "embedding")
+          cand.join(sd.select(col("id").as("id_a"), col("v").as("av"),
+              col("n").as("an")), "id_a")
+            .join(sd.select(col("id").as("id_b"), col("v").as("bv"),
+              col("n").as("bn")), "id_b")
+            .filter(round(Similarity.dot(col("av"), col("bv")) /
+              (col("an") * col("bn")), 6) >= 0.99d)
+            .select(col("id_b").as("vec_id")).distinct()
+        }
+        val vProbe = Similarity.admitAgainstVectors(
+          Deletion.purge(
+            Similarity.vectorPostings(vShard0, "vec_id", "embedding", vPlan),
+            vTomb, "id"),
+          Deletion.purge(vShard0, vTomb, "vec_id"),
+          vShard1, "vec_id", "embedding", threshold = 0.99, vPlan)
+        val vAdmInc = vShard1.select("vec_id")
+          .join(vecKills(vShard1).withColumn("ik", lit(true)),
+            Seq("vec_id"), "left")
+          .join(vProbe.select("vec_id", "is_dup"), Seq("vec_id"), "left")
+          .filter(!coalesce(col("ik"), lit(false)) && !col("is_dup"))
+          .select("vec_id")
+        val vUnion = vShard0.join(vTomb, Seq("vec_id"), "left_anti")
+          .unionByName(vShard1)
+        val vAdmBatch = vShard1.select("vec_id")
+          .join(vecKills(vUnion), Seq("vec_id"), "left_anti")
+
         v9AdmitRow("text", vInc.filter(col("reason") === "admitted"),
             vBatch.filter(col("reason") === "admitted"), "doc_id")
+          .unionByName(v9AdmitRow("vector", vAdmInc, vAdmBatch, "vec_id"))
           .unionByName(v9VerdictRows(vInc, vBatch))
           .orderBy("section", "key")
       },
-      oracle = Some(v9TextOracleSql +
+      oracle = Some(v9TextOracleSql + ",\n" + v9VectorOracleSql +
         s"""
            |SELECT 'admit' AS section, 'text' AS key, ta.n AS n_a, tb.n AS n_b,
            |  ta.h AS v_a, tb.h AS v_b, ta.n = tb.n AND ta.h = tb.h AS equal
            |FROM ta, tb
+           |UNION ALL
+           |SELECT 'admit', 'vector', va.n, vb2.n, va.h, vb2.h,
+           |  va.n = vb2.n AND va.h = vb2.h
+           |FROM va, vb2
            |UNION ALL
            |SELECT 'verdict', key, COALESCE(ka.n, 0), COALESCE(kb.n, 0),
            |  COALESCE(ka.h, ''), COALESCE(kb.h, ''),
