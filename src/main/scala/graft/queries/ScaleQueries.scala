@@ -431,6 +431,133 @@ object ScaleQueries {
        |vb2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("vec_id")} AS h
        |  FROM vadmbat)""".stripMargin
 
+  /** v9 image-family oracle CTEs: the mmPhashCtes pixel→aHash chain over
+    * all five seed classes (shard0 at base ids, shard1 at +1.5M..+1.9M),
+    * then both arms down to `ia`/`ib2`. Shard membership derives from the
+    * id range (shard1 ids ≥ 1500000), tombstones from the % formula.
+    */
+  private lazy val v9ImageOracleSql: String = {
+    val ham = "bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))" +
+      " + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))"
+    mmPhashCtes(
+      """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1500000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1800000, doc_id, 40 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 8 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 1700000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1 AND doc_id % 16 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1900000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 8 = 1""".stripMargin) + ",\n" +
+    s"""itomb AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1 AND doc_id % 16 = 2),
+       |isb AS (SELECT b.* FROM bands b WHERE b.doc_id < 1500000
+       |  AND b.doc_id NOT IN (SELECT doc_id FROM itomb)),
+       |iscnt AS (SELECT band, v, COUNT(*) AS n FROM isb GROUP BY 1, 2),
+       |qisb AS (SELECT i.doc_id, i.band, i.v FROM isb i
+       |  JOIN iscnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
+       |is1b AS (SELECT * FROM bands WHERE doc_id >= 1500000),
+       |ipidx AS (SELECT DISTINCT b.doc_id FROM is1b b
+       |  JOIN qisb i ON b.band = i.band AND b.v = i.v
+       |  JOIN ph pa ON pa.doc_id = b.doc_id
+       |  JOIN ph pb ON pb.doc_id = i.doc_id
+       |  WHERE $ham <= 8),
+       |is1cnt AS (SELECT band, v, COUNT(*) AS n FROM is1b GROUP BY 1, 2),
+       |qis1b AS (SELECT b.doc_id, b.band, b.v FROM is1b b
+       |  JOIN is1cnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+       |ipintra AS (SELECT DISTINCT b.doc_id FROM qis1b a
+       |  JOIN qis1b b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+       |  JOIN ph pa ON pa.doc_id = a.doc_id
+       |  JOIN ph pb ON pb.doc_id = b.doc_id
+       |  WHERE $ham <= 8),
+       |iadminc AS (SELECT DISTINCT doc_id FROM seeds WHERE doc_id >= 1500000
+       |  AND doc_id NOT IN (SELECT doc_id FROM ipintra)
+       |  AND doc_id NOT IN (SELECT doc_id FROM ipidx)),
+       |iub AS (SELECT * FROM bands WHERE doc_id >= 1500000
+       |  OR doc_id NOT IN (SELECT doc_id FROM itomb)),
+       |iucnt AS (SELECT band, v, COUNT(*) AS n FROM iub GROUP BY 1, 2),
+       |qiub AS (SELECT u.doc_id, u.band, u.v FROM iub u
+       |  JOIN iucnt c ON u.band = c.band AND u.v = c.v WHERE c.n <= 64),
+       |iukill AS (SELECT DISTINCT b.doc_id FROM qiub a
+       |  JOIN qiub b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+       |  JOIN ph pa ON pa.doc_id = a.doc_id
+       |  JOIN ph pb ON pb.doc_id = b.doc_id
+       |  WHERE $ham <= 8),
+       |iadmbat AS (SELECT DISTINCT doc_id FROM seeds WHERE doc_id >= 1500000
+       |  AND doc_id NOT IN (SELECT doc_id FROM iukill)),
+       |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM iadminc),
+       |ib2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM iadmbat)""".stripMargin
+  }
+
+  /** v9 audio-family oracle CTEs: audioFpCtes over the same five seed
+    * classes (stereo re-encodes land on identical fingerprints by the
+    * sample-exact mono mix), then both arms down to `aa`/`ab2`.
+    */
+  private lazy val v9AudioOracleSql: String = {
+    val ham = "bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))" +
+      " + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))"
+    audioFpCtes(
+      """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1500000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1800000, doc_id, 100 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 8 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 1700000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 4 <> 1 AND doc_id % 16 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1900000, doc_id, 0 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 8 = 1""".stripMargin) + ",\n" +
+    s"""aisb AS (SELECT b.* FROM abands b WHERE b.doc_id < 1500000
+       |  AND b.doc_id NOT IN (SELECT doc_id FROM itomb)),
+       |aiscnt AS (SELECT band, v, COUNT(*) AS n FROM aisb GROUP BY 1, 2),
+       |qaisb AS (SELECT i.doc_id, i.band, i.v FROM aisb i
+       |  JOIN aiscnt c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
+       |as1b AS (SELECT * FROM abands WHERE doc_id >= 1500000),
+       |apidx AS (SELECT DISTINCT b.doc_id FROM as1b b
+       |  JOIN qaisb i ON b.band = i.band AND b.v = i.v
+       |  JOIN afp pa ON pa.doc_id = b.doc_id
+       |  JOIN afp pb ON pb.doc_id = i.doc_id
+       |  WHERE $ham <= 8),
+       |as1cnt AS (SELECT band, v, COUNT(*) AS n FROM as1b GROUP BY 1, 2),
+       |qas1b AS (SELECT b.doc_id, b.band, b.v FROM as1b b
+       |  JOIN as1cnt c ON b.band = c.band AND b.v = c.v WHERE c.n <= 64),
+       |apintra AS (SELECT DISTINCT b.doc_id FROM qas1b a
+       |  JOIN qas1b b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+       |  JOIN afp pa ON pa.doc_id = a.doc_id
+       |  JOIN afp pb ON pb.doc_id = b.doc_id
+       |  WHERE $ham <= 8),
+       |aadminc AS (SELECT DISTINCT doc_id FROM aseeds WHERE doc_id >= 1500000
+       |  AND doc_id NOT IN (SELECT doc_id FROM apintra)
+       |  AND doc_id NOT IN (SELECT doc_id FROM apidx)),
+       |aub AS (SELECT * FROM abands WHERE doc_id >= 1500000
+       |  OR doc_id NOT IN (SELECT doc_id FROM itomb)),
+       |aucnt AS (SELECT band, v, COUNT(*) AS n FROM aub GROUP BY 1, 2),
+       |qaub AS (SELECT u.doc_id, u.band, u.v FROM aub u
+       |  JOIN aucnt c ON u.band = c.band AND u.v = c.v WHERE c.n <= 64),
+       |aukill AS (SELECT DISTINCT b.doc_id FROM qaub a
+       |  JOIN qaub b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+       |  JOIN afp pa ON pa.doc_id = a.doc_id
+       |  JOIN afp pb ON pb.doc_id = b.doc_id
+       |  WHERE $ham <= 8),
+       |aadmbat AS (SELECT DISTINCT doc_id FROM aseeds WHERE doc_id >= 1500000
+       |  AND doc_id NOT IN (SELECT doc_id FROM aukill)),
+       |aa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM aadminc),
+       |ab2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("doc_id")} AS h
+       |  FROM aadmbat)""".stripMargin
+  }
+
   private def nearDupDocs(d: DataFrame): DataFrame =
     d.select("doc_id", "text", "source").unionByName(
       d.filter(col("doc_id") % 20 === 0).select(
@@ -4220,13 +4347,84 @@ object ScaleQueries {
         val vAdmBatch = vShard1.select("vec_id")
           .join(vecKills(vUnion), Seq("vec_id"), "left_anti")
 
+        // ---- image family (entity subset doc_id % 3 == 0: one decode
+        // pass per side bounds the capstone's media cost) --------------
+        import s.implicits._
+        val ids3 = d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+        def mkImg(keep: Long => Boolean, shift: Long, edit: Int)(
+            it: Iterator[Long]) =
+          it.filter(keep).map { id =>
+            val (w, h) = Multimodal.pixDims(id)
+            Multimodal.MediaRecord(id + shift, "image",
+              Multimodal.pngEncodeGray(w, h,
+                Multimodal.plantedPixels(w, h, id, edit)))
+          }
+        val iPh0 = graft.Caches.lazyBarrier(MediaDedup.phashes(
+          ids3.mapPartitions(mkImg(_ % 4 != 1, 0L, 0))))
+        val iTomb = d.filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 4 =!= 1 && col("doc_id") % 16 === 2)
+          .select("doc_id")
+        val iPh1 = graft.Caches.lazyBarrier(MediaDedup.phashes(
+          ids3.mapPartitions(mkImg(_ % 4 == 1, 1500000L, 0))
+            .union(ids3.mapPartitions(mkImg(_ % 8 == 4, 1800000L, 40)))
+            .union(ids3.mapPartitions(
+              mkImg(id => id % 4 != 1 && id % 16 == 2, 1700000L, 0)))
+            .union(ids3.mapPartitions(mkImg(_ % 8 == 1, 1900000L, 0)))))
+        val iProbe = MediaDedup.admitAgainst(
+          Deletion.purge(MediaDedup.bandRows(iPh0), iTomb, "doc_id"),
+          iPh1, maxHamming = 8)
+        val iAdmInc = iPh1.select("doc_id")
+          .join(MediaDedup.phashDuplicates(iPh1, maxHamming = 8)
+            .withColumn("ik", lit(true)), Seq("doc_id"), "left")
+          .join(iProbe.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+          .filter(!coalesce(col("ik"), lit(false)) && !col("is_dup"))
+          .select("doc_id")
+        val iAdmBatch = iPh1.select("doc_id")
+          .join(MediaDedup.phashDuplicates(
+              iPh0.join(iTomb, Seq("doc_id"), "left_anti").unionByName(iPh1),
+              maxHamming = 8),
+            Seq("doc_id"), "left_anti")
+
+        // ---- audio family (same entity subset; stereo re-encodes so
+        // the batch twin is container-blind like the admission path) ---
+        val aFp0 = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids3.filter(id => id % 4 != 1))).toDF())
+        val aFp1 = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
+          AudioDedup.mediaWavPlanted(ids3.filter(id => id % 4 == 1),
+              shift = 1500000L, edit = 0, stereo = true)
+            .union(AudioDedup.mediaWavPlanted(ids3.filter(id => id % 8 == 4),
+              shift = 1800000L, edit = 100, stereo = true))
+            .union(AudioDedup.mediaWavPlanted(
+              ids3.filter(id => id % 4 != 1 && id % 16 == 2),
+              shift = 1700000L, edit = 0, stereo = true))
+            .union(AudioDedup.mediaWavPlanted(ids3.filter(id => id % 8 == 1),
+              shift = 1900000L, edit = 0, stereo = true))).toDF())
+        val aProbe = MediaDedup.admitAgainst(
+          Deletion.purge(MediaDedup.bandRows(aFp0), iTomb, "doc_id"),
+          aFp1, maxHamming = 8)
+        val aAdmInc = aFp1.select("doc_id")
+          .join(MediaDedup.phashDuplicates(aFp1, maxHamming = 8)
+            .withColumn("ik", lit(true)), Seq("doc_id"), "left")
+          .join(aProbe.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+          .filter(!coalesce(col("ik"), lit(false)) && !col("is_dup"))
+          .select("doc_id")
+        val aAdmBatch = aFp1.select("doc_id")
+          .join(MediaDedup.phashDuplicates(
+              aFp0.join(iTomb, Seq("doc_id"), "left_anti").unionByName(aFp1),
+              maxHamming = 8),
+            Seq("doc_id"), "left_anti")
+
         v9AdmitRow("text", vInc.filter(col("reason") === "admitted"),
             vBatch.filter(col("reason") === "admitted"), "doc_id")
           .unionByName(v9AdmitRow("vector", vAdmInc, vAdmBatch, "vec_id"))
+          .unionByName(v9AdmitRow("image", iAdmInc, iAdmBatch, "doc_id"))
+          .unionByName(v9AdmitRow("audio", aAdmInc, aAdmBatch, "doc_id"))
           .unionByName(v9VerdictRows(vInc, vBatch))
           .orderBy("section", "key")
       },
-      oracle = Some(v9TextOracleSql + ",\n" + v9VectorOracleSql +
+      oracle = Some(v9TextOracleSql + ",\n" + v9VectorOracleSql + ",\n" +
+        v9ImageOracleSql + ",\n" + v9AudioOracleSql +
         s"""
            |SELECT 'admit' AS section, 'text' AS key, ta.n AS n_a, tb.n AS n_b,
            |  ta.h AS v_a, tb.h AS v_b, ta.n = tb.n AND ta.h = tb.h AS equal
@@ -4235,6 +4433,14 @@ object ScaleQueries {
            |SELECT 'admit', 'vector', va.n, vb2.n, va.h, vb2.h,
            |  va.n = vb2.n AND va.h = vb2.h
            |FROM va, vb2
+           |UNION ALL
+           |SELECT 'admit', 'image', ia.n, ib2.n, ia.h, ib2.h,
+           |  ia.n = ib2.n AND ia.h = ib2.h
+           |FROM ia, ib2
+           |UNION ALL
+           |SELECT 'admit', 'audio', aa.n, ab2.n, aa.h, ab2.h,
+           |  aa.n = ab2.n AND aa.h = ab2.h
+           |FROM aa, ab2
            |UNION ALL
            |SELECT 'verdict', key, COALESCE(ka.n, 0), COALESCE(kb.n, 0),
            |  COALESCE(ka.h, ''), COALESCE(kb.h, ''),
