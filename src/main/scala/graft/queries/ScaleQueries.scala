@@ -558,6 +558,126 @@ object ScaleQueries {
        |  FROM aadmbat)""".stripMargin
   }
 
+  /** v9 video-family oracle CTEs: the mm_admit_video planted-MJPEG chain
+    * (keyframe pixels → per-frame aHash → (pos, band, v) blocking rows)
+    * over the five seed classes, then both arms under the keyframe-
+    * majority rule (≥2 aligned positions within Hamming 8) down to
+    * `wa`/`wb`.
+    */
+  private lazy val v9VideoOracleSql: String = {
+    val vham = "bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))" +
+      " + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))"
+    s"""vseeds AS (
+       |  SELECT doc_id AS vid, doc_id AS oid, 0 AS cedit FROM documents
+       |  WHERE doc_id % 8 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1500000, doc_id, 0 FROM documents WHERE doc_id % 8 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 1800000, doc_id, 24 FROM documents
+       |  WHERE doc_id % 8 = 0 AND doc_id % 16 <> 8
+       |  UNION ALL
+       |  SELECT doc_id + 1700000, doc_id, 24 FROM documents
+       |  WHERE doc_id % 16 = 8
+       |  UNION ALL
+       |  SELECT doc_id + 1900000, doc_id, 24 FROM documents
+       |  WHERE doc_id % 16 = 4),
+       |vdm AS (
+       |  SELECT vid, oid, cedit,
+       |    16 + ((oid // 8) % 3) * 8 AS w, 16 + ((oid // 24) % 3) * 8 AS h,
+       |    3 + (oid // 8) % 4 AS nf
+       |  FROM vseeds),
+       |vfr AS (
+       |  SELECT vid, cedit, w, h, p, (p * nf) // 3 AS f,
+       |    oid * 131 + (((p * nf) // 3) // 2) * 17 AS s
+       |  FROM vdm, (SELECT unnest(generate_series(0, 2)) AS p) ps),
+       |vpx AS (
+       |  SELECT vid, p, w, h, y, x,
+       |    (((x // 8) * 7 + (y // 8) * 13 + s * 31
+       |      + (((x // 8) * 73 + (y // 8) * 151 + s * 97) % 251)
+       |      * (((x // 8) * 31 + (y // 8) * 17 + s * 61) % 241)
+       |      + CASE WHEN x < 8 THEN cedit + (f % 2) * 2 ELSE 0 END) % 256) AS pv
+       |  FROM vfr,
+       |    (SELECT unnest(generate_series(0, 31)) AS y) ys,
+       |    (SELECT unnest(generate_series(0, 31)) AS x) xs
+       |  WHERE y < h AND x < w),
+       |vgm AS (SELECT vid, p, SUM(pv) // COUNT(*) AS gm FROM vpx GROUP BY 1, 2),
+       |vcl AS (
+       |  SELECT vid, p, ((y * 8) // h) * 8 + (x * 8) // w AS i,
+       |    SUM(pv) // COUNT(*) AS m
+       |  FROM vpx GROUP BY 1, 2, 3),
+       |vbands AS (
+       |  SELECT c.vid, c.p, CAST(i // 16 AS INT) AS band,
+       |    CAST(SUM(CASE WHEN m > g.gm THEN 1 ELSE 0 END
+       |      * (1 << CAST(i % 16 AS INT))) AS INT) AS v
+       |  FROM vcl c JOIN vgm g ON g.vid = c.vid AND g.p = c.p
+       |  GROUP BY 1, 2, 3),
+       |vfph AS (
+       |  SELECT vid, p,
+       |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+       |  FROM vbands GROUP BY 1, 2),
+       |vtombv AS (SELECT doc_id AS vid FROM documents WHERE doc_id % 16 = 8),
+       |visb AS (SELECT b.* FROM vbands b WHERE b.vid < 1500000
+       |  AND b.vid NOT IN (SELECT vid FROM vtombv)),
+       |viscnt AS (SELECT p, band, v, COUNT(*) AS n FROM visb GROUP BY 1, 2, 3),
+       |qvisb AS (SELECT i.vid, i.p, i.band, i.v FROM visb i
+       |  JOIN viscnt c ON i.p = c.p AND i.band = c.band AND i.v = c.v
+       |  WHERE c.n <= 64),
+       |vs1b AS (SELECT * FROM vbands WHERE vid >= 1500000),
+       |vcand AS (SELECT DISTINCT b.vid AS bvid, i.vid AS ivid FROM vs1b b
+       |  JOIN qvisb i ON b.p = i.p AND b.band = i.band AND b.v = i.v),
+       |vhm AS (SELECT c.bvid, c.ivid,
+       |    bit_count(xor(pb.b0, pi.b0)) + bit_count(xor(pb.b1, pi.b1))
+       |      + bit_count(xor(pb.b2, pi.b2)) + bit_count(xor(pb.b3, pi.b3)) AS ham
+       |  FROM vcand c
+       |  JOIN vfph pb ON pb.vid = c.bvid
+       |  JOIN vfph pi ON pi.vid = c.ivid AND pi.p = pb.p),
+       |vpidxv AS (SELECT DISTINCT bvid AS vid FROM (
+       |  SELECT bvid, ivid FROM vhm GROUP BY bvid, ivid
+       |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2) t),
+       |vs1cnt AS (SELECT p, band, v, COUNT(*) AS n FROM vs1b GROUP BY 1, 2, 3),
+       |qvs1b AS (SELECT b.vid, b.p, b.band, b.v FROM vs1b b
+       |  JOIN vs1cnt c ON b.p = c.p AND b.band = c.band AND b.v = c.v
+       |  WHERE c.n <= 64),
+       |vicand AS (SELECT DISTINCT a.vid AS aid, b.vid AS bid FROM qvs1b a
+       |  JOIN qvs1b b ON a.p = b.p AND a.band = b.band AND a.v = b.v
+       |    AND a.vid < b.vid),
+       |vihm AS (SELECT c.aid, c.bid, $vham AS ham
+       |  FROM vicand c
+       |  JOIN vfph pa ON pa.vid = c.aid
+       |  JOIN vfph pb ON pb.vid = c.bid AND pb.p = pa.p),
+       |vintrav AS (SELECT DISTINCT bid AS vid FROM (
+       |  SELECT aid, bid FROM vihm GROUP BY aid, bid
+       |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2) t),
+       |vadminc2 AS (SELECT DISTINCT vid FROM vseeds WHERE vid >= 1500000
+       |  AND vid NOT IN (SELECT vid FROM vintrav)
+       |  AND vid NOT IN (SELECT vid FROM vpidxv)),
+       |vub2 AS (SELECT * FROM vbands WHERE vid >= 1500000
+       |  OR vid NOT IN (SELECT vid FROM vtombv)),
+       |vucnt2 AS (SELECT p, band, v, COUNT(*) AS n FROM vub2 GROUP BY 1, 2, 3),
+       |qvub2 AS (SELECT u.vid, u.p, u.band, u.v FROM vub2 u
+       |  JOIN vucnt2 c ON u.p = c.p AND u.band = c.band AND u.v = c.v
+       |  WHERE c.n <= 64),
+       |vucand AS (SELECT DISTINCT a.vid AS aid, b.vid AS bid FROM qvub2 a
+       |  JOIN qvub2 b ON a.p = b.p AND a.band = b.band AND a.v = b.v
+       |    AND a.vid < b.vid),
+       |vuhm AS (SELECT c.aid, c.bid, $vham AS ham
+       |  FROM vucand c
+       |  JOIN vfph pa ON pa.vid = c.aid
+       |  JOIN vfph pb ON pb.vid = c.bid AND pb.p = pa.p),
+       |vukill AS (SELECT DISTINCT bid AS vid FROM (
+       |  SELECT aid, bid FROM vuhm GROUP BY aid, bid
+       |  HAVING COUNT(*) FILTER (WHERE ham <= 8) >= 2) t),
+       |vadmbat2 AS (SELECT DISTINCT vid FROM vseeds WHERE vid >= 1500000
+       |  AND vid NOT IN (SELECT vid FROM vukill)),
+       |wa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("vid")} AS h
+       |  FROM vadminc2),
+       |wb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlIdSetSha("vid")} AS h
+       |  FROM vadmbat2)""".stripMargin
+  }
+
   private def nearDupDocs(d: DataFrame): DataFrame =
     d.select("doc_id", "text", "source").unionByName(
       d.filter(col("doc_id") % 20 === 0).select(
@@ -4415,16 +4535,58 @@ object ScaleQueries {
               maxHamming = 8),
             Seq("doc_id"), "left_anti")
 
+        // ---- video family (idx = %8==0 AVI, clones re-containered to
+        // MP4 — the admission and the batch twin are both container-
+        // blind; keyframe-majority match rule on both arms) ------------
+        val vidFph0 = graft.Caches.lazyBarrier(AviMjpeg.keyframeHashes(
+          AviMjpeg.mediaAviVideos(d.filter(col("doc_id") % 8 === 0)
+            .select(col("doc_id")).as[Long]), k = 3).toDF())
+        val vidTomb = d.filter(col("doc_id") % 16 === 8)
+          .select(col("doc_id").as("video_id"))
+        val vidFph1 = graft.Caches.lazyBarrier(AviMjpeg.keyframeHashes(
+          AviMjpeg.mediaAviVideos(d.filter(col("doc_id") % 8 === 4)
+              .select(col("doc_id")).as[Long], shift = 1500000L)
+            .union(AviMjpeg.mediaMp4Videos(
+              d.filter(col("doc_id") % 8 === 0 && col("doc_id") % 16 =!= 8)
+                .select(col("doc_id")).as[Long],
+              shift = 1800000L, cloneEdit = 24))
+            .union(AviMjpeg.mediaMp4Videos(
+              d.filter(col("doc_id") % 16 === 8).select(col("doc_id")).as[Long],
+              shift = 1700000L, cloneEdit = 24))
+            .union(AviMjpeg.mediaMp4Videos(
+              d.filter(col("doc_id") % 16 === 4).select(col("doc_id")).as[Long],
+              shift = 1900000L, cloneEdit = 24)), k = 3).toDF())
+        val vidProbe = AviMjpeg.admitAgainstVideos(
+          Deletion.purge(AviMjpeg.videoBandRows(vidFph0), vidTomb, "video_id"),
+          vidFph1, maxHamming = 8, minMatch = 2)
+        val vidAdmInc = vidFph1.select("video_id").distinct()
+          .join(AviMjpeg.videoDupPairs(vidFph1, maxHamming = 8, minMatch = 2)
+              .select(col("video_b").as("video_id")).distinct()
+              .withColumn("ik", lit(true)),
+            Seq("video_id"), "left")
+          .join(vidProbe.select("video_id", "is_dup"), Seq("video_id"), "left")
+          .filter(!coalesce(col("ik"), lit(false)) && !col("is_dup"))
+          .select("video_id")
+        val vidAdmBatch = vidFph1.select("video_id").distinct()
+          .join(AviMjpeg.videoDupPairs(
+              vidFph0.join(vidTomb, Seq("video_id"), "left_anti")
+                .unionByName(vidFph1),
+              maxHamming = 8, minMatch = 2)
+              .select(col("video_b").as("video_id")).distinct(),
+            Seq("video_id"), "left_anti")
+
         v9AdmitRow("text", vInc.filter(col("reason") === "admitted"),
             vBatch.filter(col("reason") === "admitted"), "doc_id")
           .unionByName(v9AdmitRow("vector", vAdmInc, vAdmBatch, "vec_id"))
           .unionByName(v9AdmitRow("image", iAdmInc, iAdmBatch, "doc_id"))
           .unionByName(v9AdmitRow("audio", aAdmInc, aAdmBatch, "doc_id"))
+          .unionByName(v9AdmitRow("video", vidAdmInc, vidAdmBatch, "video_id"))
           .unionByName(v9VerdictRows(vInc, vBatch))
           .orderBy("section", "key")
       },
       oracle = Some(v9TextOracleSql + ",\n" + v9VectorOracleSql + ",\n" +
-        v9ImageOracleSql + ",\n" + v9AudioOracleSql +
+        v9ImageOracleSql + ",\n" + v9AudioOracleSql + ",\n" +
+        v9VideoOracleSql +
         s"""
            |SELECT 'admit' AS section, 'text' AS key, ta.n AS n_a, tb.n AS n_b,
            |  ta.h AS v_a, tb.h AS v_b, ta.n = tb.n AND ta.h = tb.h AS equal
@@ -4441,6 +4603,10 @@ object ScaleQueries {
            |SELECT 'admit', 'audio', aa.n, ab2.n, aa.h, ab2.h,
            |  aa.n = ab2.n AND aa.h = ab2.h
            |FROM aa, ab2
+           |UNION ALL
+           |SELECT 'admit', 'video', wa.n, wb.n, wa.h, wb.h,
+           |  wa.n = wb.n AND wa.h = wb.h
+           |FROM wa, wb
            |UNION ALL
            |SELECT 'verdict', key, COALESCE(ka.n, 0), COALESCE(kb.n, 0),
            |  COALESCE(ka.h, ''), COALESCE(kb.h, ''),
