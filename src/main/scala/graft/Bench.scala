@@ -135,7 +135,16 @@ object Bench {
     // audio+transcript paired dedup: fingerprint band pair join + CC
     // (2 star rounds on the planted triangles) + joint-class assembly —
     // the audio twin of mm_video_pair_dedup, same capstone class
-    "mm_audio_pair_dedup")
+    "mm_audio_pair_dedup",
+    // v9 incremental capstone: five families × two arms (index probe +
+    // intra pairs, AND the one-shot batch twin) — deliberately runs the
+    // pipeline twice per family to pin the equivalence law; serial stage
+    // depth is the cost, same class as mm_corpus_prepare
+    "corpus_prepare_incremental",
+    // v9 bookkeeping: re-derives the text arms' corpora then computes
+    // manifest/diff/mix each TWICE (spliced-vs-direct, presence-vs-
+    // bookkeeping, per-arm allocation) — two-armed by design
+    "corpus_manifest_incremental")
   private def ceilingFor(name: String): Double =
     if (DeepPipelines(name)) 4.0 else 3.0
 

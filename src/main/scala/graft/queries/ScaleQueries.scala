@@ -279,6 +279,83 @@ object ScaleQueries {
           .as("equal"))
   }
 
+  /** v9 text-family arms, shared by `corpus_prepare_incremental` and
+    * `corpus_manifest_incremental` (session-pinned: the verdict frames
+    * are the join key of every downstream section, and recomputing the
+    * two LSH passes per consumer would double the capstones' cost).
+    * Returns (shard0, tomb, shard1, vInc, vBatch): shard frames carry
+    * (doc_id, text, source, lang); verdict frames (doc_id, source,
+    * reason) with reason ∈ admitted / dup_intra / dup_index.
+    */
+  private def v9TextArms(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.Caches.sessionMemo(s, s"v9textarms:$dir") {
+      graft.functions.Hashing.register(s)
+      val d = docs(s, dir)
+      val suffix = lit(" near duplicate suffix marker")
+      val shard0 = d.filter(col("doc_id") % 4 =!= 1)
+        .select("doc_id", "text", "source", "lang")
+      // clustered takedown batch (shard region 0): leaves genuinely
+      // untouched manifest shards for the splice law downstream
+      val tomb = shard0.filter(col("doc_id") % 16 === 2 &&
+        expr("doc_id div 4096") === 0).select("doc_id")
+      val fresh = d.filter(col("doc_id") % 4 === 1).select(
+        (col("doc_id") + 1500000L).as("doc_id"), col("text"), col("source"),
+        col("lang"))
+      val ndSurv = d.filter(col("doc_id") % 8 === 4).select(
+        (col("doc_id") + 1800000L).as("doc_id"),
+        concat(col("text"), suffix).as("text"), col("source"), col("lang"))
+      val ndTomb = d.filter(col("doc_id") % 4 =!= 1 &&
+          col("doc_id") % 16 === 2 && expr("doc_id div 4096") === 0).select(
+        (col("doc_id") + 1700000L).as("doc_id"),
+        concat(col("text"), suffix).as("text"), col("source"), col("lang"))
+      val intra = d.filter(col("doc_id") % 8 === 1).select(
+        (col("doc_id") + 1900000L).as("doc_id"),
+        concat(col("text"), suffix).as("text"), col("source"), col("lang"))
+      val shard1 = fresh.unionByName(ndSurv).unionByName(ndTomb)
+        .unionByName(intra)
+
+      val sig1 = NearDup.withSignatures(shard1.select("doc_id", "text"))
+      // incremental arm: persisted index minus tombstones (cap recounted
+      // inside admitAgainst), intra-shard pair kill, probe
+      val index = Deletion.purge(
+        NearDup.signatureIndex(shard0.select("doc_id", "text"), "doc_id"),
+        tomb, "doc")
+      val intraKill = NearDup.lshDupPairs(sig1, "doc_id", minSigMatches = 6)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("ik", lit(true))
+      val probe = NearDup.admitAgainst(index,
+        shard1.select("doc_id", "text"), "doc_id")
+      val vInc = shard1.select("doc_id", "source")
+        .join(intraKill, Seq("doc_id"), "left")
+        .join(probe.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(coalesce(col("ik"), lit(false)), lit("dup_intra"))
+            .when(col("is_dup"), lit("dup_index"))
+            .otherwise(lit("admitted")))
+        .select("doc_id", "source", "reason")
+
+      // batch twin: one-shot LSH dedup over the updated union
+      val unionDocs = shard0.join(tomb, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+        .unionByName(shard1.select("doc_id", "text"))
+      val pairsU = NearDup.lshDupPairs(
+        NearDup.withSignatures(unionDocs), "doc_id", minSigMatches = 6)
+      val partner = pairsU.filter(col("doc_b") >= 1500000L)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(max(when(col("doc_a") >= 1500000L, 1).otherwise(0))
+          .as("has_intra"))
+      val vBatch = shard1.select("doc_id", "source")
+        .join(partner, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(col("has_intra") === 1, lit("dup_intra"))
+            .when(col("has_intra") === 0, lit("dup_index"))
+            .otherwise(lit("admitted")))
+        .select("doc_id", "source", "reason")
+      (shard0, tomb, shard1,
+        graft.Caches.pinnedBarrier(vInc), graft.Caches.pinnedBarrier(vBatch))
+    }
+
   /** v9 text-family oracle CTE chain: both arms (incremental = masked
     * index probe + capped intra-shard pairs; batch = one-shot capped LSH
     * over the union) down to the `ta`/`tb` admit aggregates and the
@@ -289,21 +366,21 @@ object ScaleQueries {
       s"CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}), " +
         s"i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT)"
     s"""WITH d0 AS (
-       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 4 <> 1),
+       |  SELECT doc_id, text, source, lang FROM documents WHERE doc_id % 4 <> 1),
        |tomb AS (
        |  SELECT doc_id FROM d0 WHERE doc_id % 16 = 2 AND doc_id // 4096 = 0),
        |s1 AS (
-       |  SELECT doc_id + 1500000 AS doc_id, text, source FROM documents
+       |  SELECT doc_id + 1500000 AS doc_id, text, source, lang FROM documents
        |  WHERE doc_id % 4 = 1
        |  UNION ALL
-       |  SELECT doc_id + 1800000, text || ' near duplicate suffix marker', source
+       |  SELECT doc_id + 1800000, text || ' near duplicate suffix marker', source, lang
        |  FROM documents WHERE doc_id % 8 = 4
        |  UNION ALL
-       |  SELECT doc_id + 1700000, text || ' near duplicate suffix marker', source
+       |  SELECT doc_id + 1700000, text || ' near duplicate suffix marker', source, lang
        |  FROM documents
        |  WHERE doc_id % 4 <> 1 AND doc_id % 16 = 2 AND doc_id // 4096 = 0
        |  UNION ALL
-       |  SELECT doc_id + 1900000, text || ' near duplicate suffix marker', source
+       |  SELECT doc_id + 1900000, text || ' near duplicate suffix marker', source, lang
        |  FROM documents WHERE doc_id % 8 = 1),
        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
        |sig0 AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
@@ -4351,67 +4428,7 @@ object ScaleQueries {
       build = (s, dir) => {
         graft.functions.Hashing.register(s)
         val d = docs(s, dir)
-        val suffix = lit(" near duplicate suffix marker")
-
-        // ---- text family --------------------------------------------
-        val shard0 = d.filter(col("doc_id") % 4 =!= 1)
-          .select("doc_id", "text", "source")
-        // clustered takedown batch (shard region 0): leaves genuinely
-        // untouched manifest shards for the splice law downstream
-        val tomb = shard0.filter(col("doc_id") % 16 === 2 &&
-          expr("doc_id div 4096") === 0).select("doc_id")
-        val fresh = d.filter(col("doc_id") % 4 === 1).select(
-          (col("doc_id") + 1500000L).as("doc_id"), col("text"), col("source"))
-        val ndSurv = d.filter(col("doc_id") % 8 === 4).select(
-          (col("doc_id") + 1800000L).as("doc_id"),
-          concat(col("text"), suffix).as("text"), col("source"))
-        val ndTomb = d.filter(col("doc_id") % 4 =!= 1 &&
-            col("doc_id") % 16 === 2 && expr("doc_id div 4096") === 0).select(
-          (col("doc_id") + 1700000L).as("doc_id"),
-          concat(col("text"), suffix).as("text"), col("source"))
-        val intra = d.filter(col("doc_id") % 8 === 1).select(
-          (col("doc_id") + 1900000L).as("doc_id"),
-          concat(col("text"), suffix).as("text"), col("source"))
-        val shard1 = fresh.unionByName(ndSurv).unionByName(ndTomb)
-          .unionByName(intra)
-
-        val sig1 = NearDup.withSignatures(shard1.select("doc_id", "text"))
-        // incremental arm: persisted index minus tombstones (cap
-        // recounted inside admitAgainst), intra-shard pair kill, probe
-        val index = Deletion.purge(
-          NearDup.signatureIndex(shard0.select("doc_id", "text"), "doc_id"),
-          tomb, "doc")
-        val intraKill = NearDup.lshDupPairs(sig1, "doc_id", minSigMatches = 6)
-          .select(col("doc_b").as("doc_id")).distinct()
-          .withColumn("ik", lit(true))
-        val probe = NearDup.admitAgainst(index,
-          shard1.select("doc_id", "text"), "doc_id")
-        val vInc = shard1.select("doc_id", "source")
-          .join(intraKill, Seq("doc_id"), "left")
-          .join(probe.select("doc_id", "is_dup"), Seq("doc_id"), "left")
-          .withColumn("reason",
-            when(coalesce(col("ik"), lit(false)), lit("dup_intra"))
-              .when(col("is_dup"), lit("dup_index"))
-              .otherwise(lit("admitted")))
-          .select("doc_id", "source", "reason")
-
-        // batch twin: one-shot LSH dedup over the updated union
-        val unionDocs = shard0.join(tomb, Seq("doc_id"), "left_anti")
-          .select("doc_id", "text")
-          .unionByName(shard1.select("doc_id", "text"))
-        val pairsU = NearDup.lshDupPairs(
-          NearDup.withSignatures(unionDocs), "doc_id", minSigMatches = 6)
-        val partner = pairsU.filter(col("doc_b") >= 1500000L)
-          .groupBy(col("doc_b").as("doc_id"))
-          .agg(max(when(col("doc_a") >= 1500000L, 1).otherwise(0))
-            .as("has_intra"))
-        val vBatch = shard1.select("doc_id", "source")
-          .join(partner, Seq("doc_id"), "left")
-          .withColumn("reason",
-            when(col("has_intra") === 1, lit("dup_intra"))
-              .when(col("has_intra") === 0, lit("dup_index"))
-              .otherwise(lit("admitted")))
-          .select("doc_id", "source", "reason")
+        val (_, _, _, vInc, vBatch) = v9TextArms(s, dir)
 
         // ---- vector family ------------------------------------------
         // The index owns its geometry (the documented deletion law):
@@ -4480,17 +4497,19 @@ object ScaleQueries {
               Multimodal.pngEncodeGray(w, h,
                 Multimodal.plantedPixels(w, h, id, edit)))
           }
-        val iPh0 = graft.Caches.lazyBarrier(MediaDedup.phashes(
-          ids3.mapPartitions(mkImg(_ % 4 != 1, 0L, 0))))
+        val iPh0 = graft.Caches.sessionMemo(s, s"v9imgph0:$dir")(
+          graft.Caches.pinnedBarrier(MediaDedup.phashes(
+            ids3.mapPartitions(mkImg(_ % 4 != 1, 0L, 0)))))
         val iTomb = d.filter(col("doc_id") % 3 === 0 &&
           col("doc_id") % 4 =!= 1 && col("doc_id") % 16 === 2)
           .select("doc_id")
-        val iPh1 = graft.Caches.lazyBarrier(MediaDedup.phashes(
+        val iPh1 = graft.Caches.sessionMemo(s, s"v9imgph1:$dir")(
+          graft.Caches.pinnedBarrier(MediaDedup.phashes(
           ids3.mapPartitions(mkImg(_ % 4 == 1, 1500000L, 0))
             .union(ids3.mapPartitions(mkImg(_ % 8 == 4, 1800000L, 40)))
             .union(ids3.mapPartitions(
               mkImg(id => id % 4 != 1 && id % 16 == 2, 1700000L, 0)))
-            .union(ids3.mapPartitions(mkImg(_ % 8 == 1, 1900000L, 0)))))
+            .union(ids3.mapPartitions(mkImg(_ % 8 == 1, 1900000L, 0))))))
         val iProbe = MediaDedup.admitAgainst(
           Deletion.purge(MediaDedup.bandRows(iPh0), iTomb, "doc_id"),
           iPh1, maxHamming = 8)
@@ -4508,9 +4527,11 @@ object ScaleQueries {
 
         // ---- audio family (same entity subset; stereo re-encodes so
         // the batch twin is container-blind like the admission path) ---
-        val aFp0 = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
-          AudioDedup.mediaWavPlanted(ids3.filter(id => id % 4 != 1))).toDF())
-        val aFp1 = graft.Caches.lazyBarrier(AudioDedup.fingerprintsWav(
+        val aFp0 = graft.Caches.sessionMemo(s, s"v9audfp0:$dir")(
+          graft.Caches.pinnedBarrier(AudioDedup.fingerprintsWav(
+            AudioDedup.mediaWavPlanted(ids3.filter(id => id % 4 != 1))).toDF()))
+        val aFp1 = graft.Caches.sessionMemo(s, s"v9audfp1:$dir")(
+          graft.Caches.pinnedBarrier(AudioDedup.fingerprintsWav(
           AudioDedup.mediaWavPlanted(ids3.filter(id => id % 4 == 1),
               shift = 1500000L, edit = 0, stereo = true)
             .union(AudioDedup.mediaWavPlanted(ids3.filter(id => id % 8 == 4),
@@ -4519,7 +4540,7 @@ object ScaleQueries {
               ids3.filter(id => id % 4 != 1 && id % 16 == 2),
               shift = 1700000L, edit = 0, stereo = true))
             .union(AudioDedup.mediaWavPlanted(ids3.filter(id => id % 8 == 1),
-              shift = 1900000L, edit = 0, stereo = true))).toDF())
+              shift = 1900000L, edit = 0, stereo = true))).toDF()))
         val aProbe = MediaDedup.admitAgainst(
           Deletion.purge(MediaDedup.bandRows(aFp0), iTomb, "doc_id"),
           aFp1, maxHamming = 8)
@@ -4538,12 +4559,14 @@ object ScaleQueries {
         // ---- video family (idx = %8==0 AVI, clones re-containered to
         // MP4 — the admission and the batch twin are both container-
         // blind; keyframe-majority match rule on both arms) ------------
-        val vidFph0 = graft.Caches.lazyBarrier(AviMjpeg.keyframeHashes(
-          AviMjpeg.mediaAviVideos(d.filter(col("doc_id") % 8 === 0)
-            .select(col("doc_id")).as[Long]), k = 3).toDF())
+        val vidFph0 = graft.Caches.sessionMemo(s, s"v9vidfph0:$dir")(
+          graft.Caches.pinnedBarrier(AviMjpeg.keyframeHashes(
+            AviMjpeg.mediaAviVideos(d.filter(col("doc_id") % 8 === 0)
+              .select(col("doc_id")).as[Long]), k = 3).toDF()))
         val vidTomb = d.filter(col("doc_id") % 16 === 8)
           .select(col("doc_id").as("video_id"))
-        val vidFph1 = graft.Caches.lazyBarrier(AviMjpeg.keyframeHashes(
+        val vidFph1 = graft.Caches.sessionMemo(s, s"v9vidfph1:$dir")(
+          graft.Caches.pinnedBarrier(AviMjpeg.keyframeHashes(
           AviMjpeg.mediaAviVideos(d.filter(col("doc_id") % 8 === 4)
               .select(col("doc_id")).as[Long], shift = 1500000L)
             .union(AviMjpeg.mediaMp4Videos(
@@ -4555,7 +4578,7 @@ object ScaleQueries {
               shift = 1700000L, cloneEdit = 24))
             .union(AviMjpeg.mediaMp4Videos(
               d.filter(col("doc_id") % 16 === 4).select(col("doc_id")).as[Long],
-              shift = 1900000L, cloneEdit = 24)), k = 3).toDF())
+              shift = 1900000L, cloneEdit = 24)), k = 3).toDF()))
         val vidProbe = AviMjpeg.admitAgainstVideos(
           Deletion.purge(AviMjpeg.videoBandRows(vidFph0), vidTomb, "video_id"),
           vidFph1, maxHamming = 8, minMatch = 2)
@@ -4615,6 +4638,253 @@ object ScaleQueries {
            |FROM ka FULL OUTER JOIN kb USING (key)
            |ORDER BY section, key""".stripMargin),
       doc = "Incremental corpus capstone v9: delta shard probed against tombstone-masked persisted indices; every row carries the incremental arm AND the one-shot batch twin with a set-equality verdict"),
+
+    // The v9 bookkeeping half: after the delta shard's text verdicts,
+    // produce the updated-corpus artifacts a daily ingest publishes —
+    // the two-level Merkle manifest root (arm a = INCREMENTAL SPLICE:
+    // only shards touched by a tombstone or an admitted doc recompute
+    // their h1, untouched shards reuse the old snapshot's h1; arm b =
+    // direct recompute over the batch-twin corpus — equality proves the
+    // touched-shard classification is complete), the snapshot diff (arm
+    // a = full-outer presence diff old→new; arm b = bookkeeping classes
+    // from the admission verdicts + tombstones), and the temperature
+    // mixture re-allocation per lang (largest-remainder to an exact
+    // integer budget, one arm per corpus). Same (section, key, two-arm,
+    // equal) row discipline as corpus_prepare_incremental.
+    "corpus_manifest_incremental" -> QueryDef(
+      build = (s, dir) => {
+        val (shard0, tomb, shard1, vInc, vBatch) = v9TextArms(s, dir)
+        val admIncDocs = shard1.join(
+          vInc.filter(col("reason") === "admitted").select("doc_id"),
+          Seq("doc_id"))
+        val admBatDocs = shard1.join(
+          vBatch.filter(col("reason") === "admitted").select("doc_id"),
+          Seq("doc_id"))
+        val d0s = shard0.join(tomb, Seq("doc_id"), "left_anti")
+        val uInc = d0s.unionByName(admIncDocs)
+        val uBat = d0s.unionByName(admBatDocs)
+
+        // manifest: per-(source, shard) h1 over sorted lines, root over
+        // sorted shard:h1 lines — the corpus_manifest layout
+        def h1(df: DataFrame) = df.select(col("source"),
+            expr("doc_id div 4096").as("shard"),
+            concat(lpad(col("doc_id").cast("string"), 12, "0"), lit(":"),
+              sha2(encode(col("text"), "UTF-8"), 256)).as("line"))
+          .groupBy("source", "shard")
+          .agg(sha2(concat_ws("\n",
+            array_sort(collect_list(col("line")))), 256).as("h1"))
+        def root(hdf: DataFrame) = hdf.groupBy("source").agg(
+          sha2(concat_ws("\n", array_sort(collect_list(concat(
+            lpad(col("shard").cast("string"), 6, "0"), lit(":"),
+            col("h1"))))), 256).as("root"))
+        val touched = shard0.join(tomb, Seq("doc_id"))
+            .select(col("source"), expr("doc_id div 4096").as("shard"))
+          .unionByName(admIncDocs.select(col("source"),
+            expr("doc_id div 4096").as("shard")))
+          .distinct()
+        val spliced = h1(shard0)
+          .join(touched, Seq("source", "shard"), "left_anti")
+          .unionByName(h1(uInc)
+            .join(touched, Seq("source", "shard"), "left_semi"))
+        val manifest = uInc.groupBy("source").agg(count(lit(1)).as("n_a"))
+          .join(uBat.groupBy("source").agg(count(lit(1)).as("n_b")),
+            Seq("source"))
+          .join(root(spliced).withColumnRenamed("root", "v_a"), Seq("source"))
+          .join(root(h1(uBat)).withColumnRenamed("root", "v_b"), Seq("source"))
+          .select(lit("manifest").as("section"), col("source").as("key"),
+            col("n_a"), col("n_b"), col("v_a"), col("v_b"),
+            (col("n_a") === col("n_b") && col("v_a") === col("v_b"))
+              .as("equal"))
+
+        // diff: presence diff old→new vs the bookkeeping classes
+        val diffA = uInc.select(col("doc_id"), col("source").as("nsrc"))
+          .join(shard0.select(col("doc_id"), col("source").as("osrc")),
+            Seq("doc_id"), "full_outer")
+          .select(coalesce(col("nsrc"), col("osrc")).as("source"),
+            when(col("osrc").isNull, "added")
+              .when(col("nsrc").isNull, "removed")
+              .otherwise("unchanged").as("status"), col("doc_id"))
+          .groupBy(concat(col("source"), lit(":"), col("status")).as("key"))
+          .agg(count(lit(1)).as("n_a"),
+            sum(col("doc_id")).cast("string").as("v_a"))
+        val diffB = shard0.join(tomb, Seq("doc_id"))
+            .select(col("source"), lit("removed").as("status"), col("doc_id"))
+          .unionByName(admIncDocs.select(col("source"),
+            lit("added").as("status"), col("doc_id")))
+          .unionByName(d0s.select(col("source"),
+            lit("unchanged").as("status"), col("doc_id")))
+          .groupBy(concat(col("source"), lit(":"), col("status")).as("key"))
+          .agg(count(lit(1)).as("n_b"),
+            sum(col("doc_id")).cast("string").as("v_b"))
+        val diff = diffA.join(diffB, Seq("key"), "full_outer")
+          .select(lit("diff").as("section"), col("key"),
+            coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"),
+            coalesce(col("v_a"), lit("")).as("v_a"),
+            coalesce(col("v_b"), lit("")).as("v_b"),
+            (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+              coalesce(col("v_a"), lit("")) === coalesce(col("v_b"), lit("")))
+              .as("equal"))
+
+        // mix: largest-remainder temperature allocation, one arm per
+        // corpus (the corpus_mix_allocation machinery, micro-share
+        // quantized so the v strings are format-stable across engines)
+        def mix(df: DataFrame) = {
+          val counts = graft.Caches.lazyBarrier(
+            df.groupBy("lang").agg(count(lit(1)).as("n_docs")))
+          val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+          val sh = counts.crossJoin(broadcast(z))
+            .withColumn("share", sqrt(col("n_docs")) / col("z"))
+            .withColumn("base_alloc",
+              floor(lit(10000.0d) * col("share")).cast("long"))
+            .withColumn("rem",
+              lit(10000.0d) * col("share") - col("base_alloc"))
+          val fsum = sh.agg(sum("base_alloc").as("fsum"))
+          sh.crossJoin(broadcast(fsum))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("rem").desc, col("lang"))))
+            .withColumn("final_alloc", col("base_alloc") +
+              when(col("rk") <= lit(10000L) - col("fsum"), 1L).otherwise(0L))
+            .select(col("lang"), col("final_alloc"),
+              concat(col("n_docs").cast("string"), lit(":"),
+                round(col("share") * 1e6).cast("long").cast("string"))
+                .as("v"))
+        }
+        val mixRows = mix(uInc).select(col("lang"),
+            col("final_alloc").as("n_a"), col("v").as("v_a"))
+          .join(mix(uBat).select(col("lang"), col("final_alloc").as("n_b"),
+            col("v").as("v_b")), Seq("lang"))
+          .select(lit("mix").as("section"), col("lang").as("key"),
+            col("n_a"), col("n_b"), col("v_a"), col("v_b"),
+            (col("n_a") === col("n_b") && col("v_a") === col("v_b"))
+              .as("equal"))
+
+        manifest.unionByName(diff).unionByName(mixRows)
+          .orderBy("section", "key")
+      },
+      oracle = Some(v9TextOracleSql + ",\n" +
+        s"""admi AS (SELECT s1.doc_id, s1.text, s1.source, s1.lang FROM s1
+           |  JOIN vinc ON s1.doc_id = vinc.doc_id WHERE vinc.reason = 'admitted'),
+           |admb AS (SELECT s1.doc_id, s1.text, s1.source, s1.lang FROM s1
+           |  JOIN vbat ON s1.doc_id = vbat.doc_id WHERE vbat.reason = 'admitted'),
+           |d0s AS (SELECT * FROM d0
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+           |uinc AS (SELECT * FROM d0s UNION ALL SELECT * FROM admi),
+           |ubat AS (SELECT * FROM d0s UNION ALL SELECT * FROM admb),
+           |oldl AS (SELECT source, doc_id // 4096 AS shard,
+           |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || sha256(text) AS line
+           |  FROM d0),
+           |oldh AS (SELECT source, shard,
+           |    sha256(string_agg(line, chr(10) ORDER BY line)) AS h1
+           |  FROM oldl GROUP BY 1, 2),
+           |incl AS (SELECT source, doc_id // 4096 AS shard,
+           |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || sha256(text) AS line
+           |  FROM uinc),
+           |inch AS (SELECT source, shard,
+           |    sha256(string_agg(line, chr(10) ORDER BY line)) AS h1
+           |  FROM incl GROUP BY 1, 2),
+           |batl AS (SELECT source, doc_id // 4096 AS shard,
+           |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || sha256(text) AS line
+           |  FROM ubat),
+           |bath AS (SELECT source, shard,
+           |    sha256(string_agg(line, chr(10) ORDER BY line)) AS h1
+           |  FROM batl GROUP BY 1, 2),
+           |touched AS (SELECT DISTINCT source, shard FROM (
+           |  SELECT d0.source, d0.doc_id // 4096 AS shard FROM d0
+           |  JOIN tomb ON d0.doc_id = tomb.doc_id
+           |  UNION ALL
+           |  SELECT source, doc_id // 4096 FROM admi) t),
+           |spliced AS (
+           |  SELECT o.source, o.shard, o.h1 FROM oldh o
+           |  WHERE NOT EXISTS (SELECT 1 FROM touched t
+           |    WHERE t.source = o.source AND t.shard = o.shard)
+           |  UNION ALL
+           |  SELECT n.source, n.shard, n.h1 FROM inch n
+           |  WHERE EXISTS (SELECT 1 FROM touched t
+           |    WHERE t.source = n.source AND t.shard = n.shard)),
+           |roota AS (SELECT source,
+           |    sha256(string_agg(lpad(CAST(shard AS VARCHAR), 6, '0') || ':' || h1,
+           |      chr(10) ORDER BY lpad(CAST(shard AS VARCHAR), 6, '0') || ':' || h1))
+           |      AS root
+           |  FROM spliced GROUP BY 1),
+           |rootb AS (SELECT source,
+           |    sha256(string_agg(lpad(CAST(shard AS VARCHAR), 6, '0') || ':' || h1,
+           |      chr(10) ORDER BY lpad(CAST(shard AS VARCHAR), 6, '0') || ':' || h1))
+           |      AS root
+           |  FROM bath GROUP BY 1),
+           |nai AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM uinc GROUP BY 1),
+           |nbi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ubat GROUP BY 1),
+           |diffa AS (
+           |  SELECT COALESCE(n.source, o.source) || ':' ||
+           |    CASE WHEN o.doc_id IS NULL THEN 'added'
+           |         WHEN n.doc_id IS NULL THEN 'removed'
+           |         ELSE 'unchanged' END AS key,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(CAST(SUM(COALESCE(n.doc_id, o.doc_id)) AS BIGINT) AS VARCHAR) AS v
+           |  FROM (SELECT doc_id, source FROM uinc) n
+           |  FULL OUTER JOIN (SELECT doc_id, source FROM d0) o
+           |    ON n.doc_id = o.doc_id
+           |  GROUP BY 1),
+           |diffb AS (
+           |  SELECT source || ':' || status AS key, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(CAST(SUM(doc_id) AS BIGINT) AS VARCHAR) AS v
+           |  FROM (
+           |    SELECT d0.source, 'removed' AS status, d0.doc_id FROM d0
+           |    JOIN tomb ON d0.doc_id = tomb.doc_id
+           |    UNION ALL SELECT source, 'added', doc_id FROM admi
+           |    UNION ALL SELECT source, 'unchanged', doc_id FROM d0s) t
+           |  GROUP BY 1),
+           |cnta AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM uinc GROUP BY 1),
+           |za AS (SELECT SUM(sqrt(n_docs)) AS z FROM cnta),
+           |sha_ AS (SELECT lang, n_docs, sqrt(n_docs) / za.z AS share,
+           |    CAST(FLOOR(10000.0 * (sqrt(n_docs) / za.z)) AS BIGINT) AS base_alloc,
+           |    10000.0 * (sqrt(n_docs) / za.z)
+           |      - FLOOR(10000.0 * (sqrt(n_docs) / za.z)) AS rem
+           |  FROM cnta, za),
+           |fsa AS (SELECT SUM(base_alloc) AS fsum FROM sha_),
+           |rka AS (SELECT lang, n_docs, share, base_alloc, rem,
+           |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM sha_),
+           |mixa AS (SELECT lang,
+           |    CAST(base_alloc + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END
+           |      AS BIGINT) AS final_alloc,
+           |    CAST(n_docs AS VARCHAR) || ':' ||
+           |      CAST(CAST(ROUND(share * 1e6) AS BIGINT) AS VARCHAR) AS v
+           |  FROM rka, fsa),
+           |cntb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ubat GROUP BY 1),
+           |zb AS (SELECT SUM(sqrt(n_docs)) AS z FROM cntb),
+           |shb_ AS (SELECT lang, n_docs, sqrt(n_docs) / zb.z AS share,
+           |    CAST(FLOOR(10000.0 * (sqrt(n_docs) / zb.z)) AS BIGINT) AS base_alloc,
+           |    10000.0 * (sqrt(n_docs) / zb.z)
+           |      - FLOOR(10000.0 * (sqrt(n_docs) / zb.z)) AS rem
+           |  FROM cntb, zb),
+           |fsb AS (SELECT SUM(base_alloc) AS fsum FROM shb_),
+           |rkb AS (SELECT lang, n_docs, share, base_alloc, rem,
+           |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM shb_),
+           |mixb AS (SELECT lang,
+           |    CAST(base_alloc + CASE WHEN rk <= 10000 - fsum THEN 1 ELSE 0 END
+           |      AS BIGINT) AS final_alloc,
+           |    CAST(n_docs AS VARCHAR) || ':' ||
+           |      CAST(CAST(ROUND(share * 1e6) AS BIGINT) AS VARCHAR) AS v
+           |  FROM rkb, fsb)
+           |SELECT 'manifest' AS section, n1.source AS key, n1.n AS n_a,
+           |  n2.n AS n_b, ra.root AS v_a, rb.root AS v_b,
+           |  n1.n = n2.n AND ra.root = rb.root AS equal
+           |FROM nai n1
+           |JOIN nbi n2 ON n1.source = n2.source
+           |JOIN roota ra ON ra.source = n1.source
+           |JOIN rootb rb ON rb.source = n1.source
+           |UNION ALL
+           |SELECT 'diff', key, COALESCE(da.n, 0), COALESCE(db.n, 0),
+           |  COALESCE(da.v, ''), COALESCE(db.v, ''),
+           |  COALESCE(da.n, 0) = COALESCE(db.n, 0)
+           |    AND COALESCE(da.v, '') = COALESCE(db.v, '')
+           |FROM diffa da FULL OUTER JOIN diffb db USING (key)
+           |UNION ALL
+           |SELECT 'mix', ma.lang, ma.final_alloc, mb.final_alloc, ma.v, mb.v,
+           |  ma.final_alloc = mb.final_alloc AND ma.v = mb.v
+           |FROM mixa ma JOIN mixb mb ON ma.lang = mb.lang
+           |ORDER BY section, key""".stripMargin),
+      doc = "v9 bookkeeping: incremental Merkle-splice manifest root vs direct recompute, presence diff vs verdict bookkeeping, mixture re-allocation per arm - every row two-armed with an equality verdict"),
 
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
