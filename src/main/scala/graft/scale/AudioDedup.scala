@@ -45,6 +45,23 @@ object AudioDedup {
   val Bands = 4
   val BandBits: Int = Windows / Bands
 
+  /** Canonical sample count for [[fingerprintsWav]]'s rate
+    * normalization: every clip is nearest-neighbor resampled to this
+    * length before windowing (identity for clips already this long —
+    * the planted fixtures — so no existing oracle moved). Without it the
+    * clip-relative windows cover the same CONTENT under a sample-rate
+    * conversion but their energies shift by interpolation noise that is
+    * the same order as the consecutive-window energy differences on
+    * noise-like content — measured r13: a true 2× linear-interpolation
+    * upsample recalled only 0.296 at Hamming ≤ 8 against the
+    * un-normalized fingerprint. After normalization a 2× upsample
+    * decimates back to the exact source samples, so the fingerprint is
+    * resample-INVARIANT by construction for integer ratios and
+    * near-invariant for fractional ones (`mm_audio_dedup_resampled`
+    * pins the measurement).
+    */
+  val NormSamples = 1024
+
   final case class AudioFingerprint(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   /** (doc_id, b0..b3) energy-profile fingerprints from WAV payloads.
@@ -75,14 +92,28 @@ object AudioDedup {
               }
               f += 1
             }
-            val wlen = nf / Windows
+            // rate normalization (see [[NormSamples]]): identity when the
+            // clip is already canonical-length; a 2× upsample decimates
+            // back to its source samples exactly
+            val norm =
+              if (nf == NormSamples) mono
+              else {
+                val m = new Array[Int](NormSamples)
+                var k = 0
+                while (k < NormSamples) {
+                  m(k) = mono(((k.toLong * nf) / NormSamples).toInt)
+                  k += 1
+                }
+                m
+              }
+            val wlen = NormSamples / Windows
             val e = new Array[Long](Windows)
             var w = 0
             while (w < Windows) {
               var acc = 0L
               var j = w * wlen
               val end = j + wlen
-              while (j < end) { acc += mono(j).toLong * mono(j); j += 1 }
+              while (j < end) { acc += norm(j).toLong * norm(j); j += 1 }
               e(w) = acc
               w += 1
             }
@@ -191,6 +222,49 @@ object AudioDedup {
     * j + trimSamples of the original — absolute-index formula, so
     * trimmed content is sample-exact against the untrimmed clip's tail).
     */
+  /** The commonest audio near-dup in a scraped corpus: a sample-rate-
+    * converted re-upload. A TRUE 2× linear-interpolation upsample of the
+    * [[mediaWavPlanted]] clip (public DSP, deterministic): u[2i] = s[i],
+    * u[2i+1] = floor((s[i] + s[i+1]) / 2) with the last value held,
+    * written as a real PCM16 mono WAV with a doubled rate field. Because
+    * [[fingerprintsWav]]'s 64 windows are CLIP-RELATIVE (wlen =
+    * samples/64), window w of the upsample covers the same audio content
+    * as window w of the original and every window's energy scales by
+    * ~the same interpolation factor — so the energy-DIFFERENCE bits
+    * should largely survive; `mm_audio_dedup_resampled` measures exactly
+    * how well, as hash-checked detector-eval data (r12 verdict #3).
+    */
+  def mediaWavPlantedResampled(ids: Dataset[Long], shift: Long = 0L,
+                               nSamples: Int = 1024): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val s = new Array[Int](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          s(i) = (if ((i / 64) % 4 == 0)
+            ((i * 37 + id * 101) % 4001 % 21 - 10)
+          else
+            ((i * 73 + id * 151 + 17) % 251) * ((i * 31 + id * 61 + 5) % 241) % 4001 - 2000).toInt
+          i += 1
+        }
+        val body = new Array[Byte](nSamples * 2 * 2)
+        var u = 0
+        while (u < nSamples * 2) {
+          val v =
+            if (u % 2 == 0) s(u / 2)
+            else Math.floorDiv(
+              s(u / 2) + s(math.min(u / 2 + 1, nSamples - 1)), 2)
+          body(2 * u) = (v & 0xff).toByte
+          body(2 * u + 1) = ((v >> 8) & 0xff).toByte
+          u += 1
+        }
+        Multimodal.MediaRecord(id + shift, "audio",
+          Multimodal.wavWrap(16000 + (id % 8).toInt * 2000, 1, 16, body))
+      }
+    }
+  }
+
   def mediaWavPlanted(ids: Dataset[Long], shift: Long = 0L, edit: Int = 0,
                       stereo: Boolean = false,
                       nSamples: Int = 1024,
