@@ -7083,6 +7083,50 @@ object ScaleQueries {
     // order alternates by id parity, so BOTH "II" and "MM" TIFF files
     // are hash-checked on every driver run. The metadata pass a
     // multimodal pipeline runs before any pixel decodes.
+    // Media privacy redaction — the #1 privacy step a scraped photo
+    // corpus runs (r12 verdict #4): strip GPS coordinates and owner
+    // attribution from real EXIF APP1 segments and re-emit a valid JPEG.
+    // Redaction is an ALLOWLIST RE-EMIT (Exif.redactApp1): the segment
+    // is rebuilt carrying only Make/Orientation/DateTime in the original
+    // byte order, so unknown tags can never survive by accident. The
+    // audit row per image proves all four laws with real parses: (1) the
+    // BEFORE parse recovers the planted GPS/owner values (the leak is
+    // real), (2) the AFTER parse shows no GPS and no owner, (3) the
+    // allowlisted fields survive byte-exactly, (4) every byte outside
+    // the APP1 segment is untouched (stripApp1 before == after).
+    // id % 3 == 2 images carry no GPS/owner — the no-op class is
+    // covered too. Both TIFF byte orders planted (id parity).
+    "mm_exif_redact" -> QueryDef(
+      build = (s, dir) => {
+        Exif.redactAudit(Exif.mediaJpegExifGps(docs(s, dir)))
+          .toDF().orderBy("doc_id")
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          |  doc_id % 3 <> 2 AS had_gps,
+          |  CASE WHEN doc_id % 3 <> 2 THEN
+          |    (CASE WHEN doc_id % 4 < 2 THEN 'N' ELSE 'S' END) || ':' ||
+          |    CAST(doc_id % 90 AS VARCHAR) || ':' || CAST(doc_id % 60 AS VARCHAR)
+          |  END AS gps_lat,
+          |  CASE WHEN doc_id % 3 <> 2 THEN
+          |    (CASE WHEN doc_id % 8 < 4 THEN 'E' ELSE 'W' END) || ':' ||
+          |    CAST(doc_id % 180 AS VARCHAR) || ':' ||
+          |    CAST((doc_id * 7) % 60 AS VARCHAR)
+          |  END AS gps_lon,
+          |  CASE WHEN doc_id % 3 <> 2
+          |    THEN 'owner-' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+          |  'CAM-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+          |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+          |  '2020:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+          |    ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00'
+          |    AS date_time,
+          |  FALSE AS has_gps_after,
+          |  FALSE AS has_artist_after,
+          |  TRUE AS body_unchanged
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "EXIF GPS/owner redaction: allowlist re-emit of the APP1 segment, before/after parses + byte-identical-body proof as hash-checked data"),
+
     "mm_exif_meta" -> QueryDef(
       build = (s, dir) =>
         Exif.exifMeta(

@@ -65,4 +65,34 @@ class ExifSpec extends AnyFunSuite {
     // not a JPEG at all
     assert(Exif.parse("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("GPS redaction: allowlist re-emit strips GPS+owner, keeps fields, body byte-identical, idempotent") {
+    Seq(6L /* II, gps */, 9L /* MM, gps */, 2L /* no gps class */).foreach { id =>
+      val (w, h) = Multimodal.pixDims(id)
+      val (make, ori, dt, le) = Exif.plantedFields(id)
+      val (artist, gps) = Exif.plantedGps(id)
+      val b = Exif.insertApp1(
+        JpegGray.jpegEncodeGray(w, h, Multimodal.plantedBlockPixels(w, h, id)),
+        Exif.app1Gps(make, ori, dt, artist, gps, le))
+      val before = Exif.parseAll(b).get
+      assert(before._5 === artist, s"id=$id artist before")
+      assert(before._6.isDefined === gps.isDefined, s"id=$id gps before")
+      val red = Exif.redactApp1(b)
+      val after = Exif.parseAll(red).get
+      assert((after._1, after._2, after._3, after._4) === ((make, ori, dt, if (le) "II" else "MM")))
+      assert(after._5.isEmpty && after._6.isEmpty && after._7.isEmpty, s"id=$id leak survived")
+      // everything outside the APP1 segment byte-identical
+      assert(java.util.Arrays.equals(Exif.stripApp1(b), Exif.stripApp1(red)))
+      // pixels still decode identically
+      assert(java.util.Arrays.equals(JpegGray.jpegDecodeGray(red).get.pixels,
+        Multimodal.plantedBlockPixels(w, h, id)))
+      // idempotent: redacting a redacted image is byte-identical
+      assert(java.util.Arrays.equals(Exif.redactApp1(red), red))
+    }
+    // non-JPEG and EXIF-less inputs pass through unchanged
+    val wav = "RIFFxxxxWAVE".getBytes("US-ASCII")
+    assert(Exif.redactApp1(wav) eq wav)
+    val plain = JpegGray.jpegEncodeGray(16, 16, Multimodal.plantedBlockPixels(16, 16, 2L))
+    assert(java.util.Arrays.equals(Exif.redactApp1(plain), plain))
+  }
 }
