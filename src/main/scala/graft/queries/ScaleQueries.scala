@@ -7083,6 +7083,134 @@ object ScaleQueries {
     // order alternates by id parity, so BOTH "II" and "MM" TIFF files
     // are hash-checked on every driver run. The metadata pass a
     // multimodal pipeline runs before any pixel decodes.
+    // Batch twin of the sixth streaming twin (StreamingPairAdmission):
+    // joint (image, caption) admission verdicts against the persisted
+    // image band index + caption signature index. Planted classes: %10==3
+    // fresh pairs (clean admit), +700000 full dups (edit-40 image clone +
+    // suffix caption — both modalities match, rejected), +800000
+    // re-captioned (image clone + formula-novel caption — admitted,
+    // flagged disagree), +900000 re-illustrated (novel-seed image +
+    // suffix caption — admitted, flagged disagree). The oracle replays
+    // both probes (capped index sides) and the joint CASE.
+    "mm_admit_pair" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        graft.functions.Hashing.register(s)
+        val d = docs(s, dir)
+        val ids = d.select(col("doc_id")).as[Long]
+        val suffix = lit(" near duplicate suffix marker")
+        def mk(keep: Long => Boolean, shift: Long, edit: Int,
+               seedShift: Long)(it: Iterator[Long]) =
+          it.filter(keep).map { id =>
+            val seed = id + seedShift
+            val (w, h) = Multimodal.pixDims(seed)
+            Multimodal.MediaRecord(id + shift, "image",
+              Multimodal.pngEncodeGray(w, h,
+                Multimodal.plantedPixels(w, h, seed, edit)))
+          }
+        val imgIndex = MediaDedup.bandRows(MediaDedup.phashes(
+          ids.mapPartitions(mk(_ % 10 != 3, 0L, 0, 0L))))
+        val txtIndex = NearDup.signatureIndex(
+          d.filter(col("doc_id") % 10 =!= 3).select("doc_id", "text"),
+          "doc_id")
+        val batchPh = graft.Caches.lazyBarrier(MediaDedup.phashes(
+          ids.mapPartitions(mk(_ % 10 == 3, 0L, 0, 0L))
+            .union(ids.mapPartitions(mk(_ % 10 == 4, 700000L, 40, 0L)))
+            .union(ids.mapPartitions(mk(_ % 10 == 6, 800000L, 40, 0L)))
+            .union(ids.mapPartitions(mk(_ % 10 == 7, 900000L, 0, 1000000L)))))
+        val batchCaps = d.filter(col("doc_id") % 10 === 3)
+            .select("doc_id", "text")
+          .unionByName(d.filter(col("doc_id") % 10 === 4).select(
+            (col("doc_id") + 700000L).as("doc_id"),
+            concat(col("text"), suffix).as("text")))
+          .unionByName(d.filter(col("doc_id") % 10 === 6).select(
+            (col("doc_id") + 800000L).as("doc_id"),
+            expr("array_join(transform(sequence(0, 29), " +
+              "i -> concat('c', CAST(doc_id AS STRING), 'w', " +
+              "CAST(i AS STRING))), ' ')").as("text")))
+          .unionByName(d.filter(col("doc_id") % 10 === 7).select(
+            (col("doc_id") + 900000L).as("doc_id"),
+            concat(col("text"), suffix).as("text")))
+        CrossModal.jointVerdicts(imgIndex, txtIndex, batchPh, batchCaps,
+            "doc_id")
+          .orderBy("pair_id")
+      },
+      oracle = Some {
+        val ham = "bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))" +
+          " + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))"
+        def m(a: String, b: String): String =
+          s"CAST(list_aggregate(list_transform(generate_series(1, ${NearDup.K}), " +
+            s"i -> CASE WHEN $a.sig[i] = $b.sig[i] THEN 1 ELSE 0 END), 'sum') AS INT)"
+        s"""WITH ${mmPhashCtes(
+          """SELECT doc_id, doc_id AS seed, 0 AS edit FROM documents
+            |  WHERE doc_id % 10 <> 3
+            |  UNION ALL
+            |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 10 = 3
+            |  UNION ALL
+            |  SELECT doc_id + 700000, doc_id, 40 FROM documents
+            |  WHERE doc_id % 10 = 4
+            |  UNION ALL
+            |  SELECT doc_id + 800000, doc_id, 40 FROM documents
+            |  WHERE doc_id % 10 = 6
+            |  UNION ALL
+            |  SELECT doc_id + 900000, doc_id + 1000000, 0 FROM documents
+            |  WHERE doc_id % 10 = 7""".stripMargin)},
+          |iidx AS (SELECT * FROM bands
+          |  WHERE doc_id % 10 <> 3 AND doc_id < 700000),
+          |icnt2 AS (SELECT band, v, COUNT(*) AS n FROM iidx GROUP BY 1, 2),
+          |qidx AS (SELECT i.doc_id, i.band, i.v FROM iidx i
+          |  JOIN icnt2 c ON i.band = c.band AND i.v = c.v WHERE c.n <= 64),
+          |ibat AS (SELECT * FROM bands
+          |  WHERE doc_id % 10 = 3 OR doc_id >= 700000),
+          |imgdup AS (SELECT DISTINCT b.doc_id FROM ibat b
+          |  JOIN qidx i ON b.band = i.band AND b.v = i.v
+          |  JOIN ph pa ON pa.doc_id = b.doc_id
+          |  JOIN ph pb ON pb.doc_id = i.doc_id
+          |  WHERE $ham <= 8),
+          |caps0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+          |bcaps AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 700000, text || ' near duplicate suffix marker'
+          |  FROM documents WHERE doc_id % 10 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 800000,
+          |    array_to_string(list_transform(generate_series(0, 29),
+          |      i -> 'c' || CAST(doc_id AS VARCHAR) || 'w' || CAST(i AS VARCHAR)), ' ')
+          |  FROM documents WHERE doc_id % 10 = 6
+          |  UNION ALL
+          |  SELECT doc_id + 900000, text || ' near duplicate suffix marker'
+          |  FROM documents WHERE doc_id % 10 = 7),
+          |csig AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+          |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+          |  FROM caps0)),
+          |bsig AS (SELECT doc_id, $sqlMinhashSig AS sig FROM (
+          |  SELECT doc_id, list_transform($sqlShingles, s -> ${sqlPolyHash("s", P)}) AS shh
+          |  FROM bcaps)),
+          |js2 AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+          |  FROM csig, js2),
+          |ccnt2 AS (SELECT j, bh, COUNT(*) AS n FROM cb GROUP BY 1, 2),
+          |qcb AS (SELECT c.doc_id, c.j, c.bh FROM cb c
+          |  JOIN ccnt2 n ON c.j = n.j AND c.bh = n.bh WHERE n.n <= 64),
+          |bb2 AS (SELECT doc_id, j, (sig[2*j + 1] * 31 + sig[2*j + 2]) % $P AS bh
+          |  FROM bsig, js2),
+          |txtdup AS (SELECT DISTINCT b.doc_id FROM bb2 b
+          |  JOIN qcb i ON b.j = i.j AND b.bh = i.bh
+          |  JOIN bsig bs ON bs.doc_id = b.doc_id
+          |  JOIN csig cs ON cs.doc_id = i.doc_id
+          |  WHERE ${m("bs", "cs")} >= 6)
+          |SELECT b.doc_id AS pair_id,
+          |  b.doc_id IN (SELECT doc_id FROM imgdup) AS img_dup,
+          |  b.doc_id IN (SELECT doc_id FROM txtdup) AS txt_dup,
+          |  b.doc_id IN (SELECT doc_id FROM imgdup)
+          |    AND b.doc_id IN (SELECT doc_id FROM txtdup) AS is_dup,
+          |  b.doc_id IN (SELECT doc_id FROM imgdup)
+          |    <> (b.doc_id IN (SELECT doc_id FROM txtdup)) AS disagree
+          |FROM bcaps b ORDER BY pair_id""".stripMargin
+      },
+      doc = "Joint (image, caption) pair admission vs both persisted indices: both-match rejected, one-match admitted+flagged disagree - the batch twin of StreamingPairAdmission"),
+
     // Media privacy redaction — the #1 privacy step a scraped photo
     // corpus runs (r12 verdict #4): strip GPS coordinates and owner
     // attribution from real EXIF APP1 segments and re-emit a valid JPEG.

@@ -172,4 +172,36 @@ object CrossModal {
         (col("n_img") > col("class_size")).as("img_disagree"),
         (col("n_txt") > col("class_size")).as("txt_disagree"))
   }
+
+  /** Joint admission verdicts for an arriving batch of (image, caption)
+    * pairs against PERSISTED single-modality indices — the incremental
+    * form of [[pairDedup]]'s semantics (r12 verdict #5): both-modality
+    * match ⇒ duplicate pair (rejected); exactly one modality matching ⇒
+    * ADMITTED but flagged `disagree` (a re-captioned image or a
+    * re-illustrated caption — curator-review rows, never silent drops).
+    *
+    * @param imgIndex [[MediaDedup.bandRows]] layout over admitted images
+    * @param txtIndex [[NearDup.signatureIndex]] layout over admitted captions
+    * @param ph       perceptual hashes of the batch pairs (pair id = doc_id)
+    * @param captions (idCol, text) batch captions
+    * @return (pair_id, img_dup, txt_dup, is_dup, disagree) — one row per
+    *         batch pair present in EITHER input frame (full outer, so an
+    *         undecodable image still gets its caption verdict)
+    */
+  def jointVerdicts(imgIndex: DataFrame, txtIndex: DataFrame, ph: DataFrame,
+                    captions: DataFrame, idCol: String = "doc_id",
+                    maxHamming: Int = 8, minSigMatches: Int = 6,
+                    maxBucket: Int = 64): DataFrame = {
+    val iv = MediaDedup.admitAgainst(imgIndex, ph, maxHamming, maxBucket)
+      .select(col("doc_id").as("pair_id"), col("is_dup").as("img_dup"))
+    val tv = NearDup.admitAgainst(txtIndex, captions, idCol,
+        minSigMatches = minSigMatches, maxBucket = maxBucket)
+      .select(col(idCol).as("pair_id"), col("is_dup").as("txt_dup"))
+    iv.join(tv, Seq("pair_id"), "full_outer")
+      .select(col("pair_id"),
+        coalesce(col("img_dup"), lit(false)).as("img_dup"),
+        coalesce(col("txt_dup"), lit(false)).as("txt_dup"))
+      .withColumn("is_dup", col("img_dup") && col("txt_dup"))
+      .withColumn("disagree", col("img_dup") =!= col("txt_dup"))
+  }
 }
