@@ -145,8 +145,12 @@ object StreamingCurve {
     val b = ScaleCurve.base(10000000L)
     val indexDir = s"$work/audio_x$m/index"
     val admittedDir = s"$work/audio_x$m/admitted"
+    // envelope clips (r12 verdict #7): the base formula's background pair
+    // rate made later batches collide with the grown index (index grew
+    // 4.4× at the ×10 label); the per-window envelope makes unrelated
+    // clips near-balanced Hamming so the index genuinely grows ×m
     def clips(idShift: Long, seedShift: Long, stereo: Boolean): DataFrame =
-      graft.scale.AudioDedup.mediaWavPlanted(
+      graft.scale.AudioDedup.mediaWavPlantedEnvelope(
           docs.select(col("doc_id") + seedShift).as[Long],
           shift = idShift - seedShift, stereo = stereo)
         .toDF().select(col("doc_id"), col("payload"))
@@ -214,6 +218,73 @@ object StreamingCurve {
       val t0 = System.nanoTime()
       val counts = graft.scale.Deletion.rewritePurged(spark, indexDir,
         s"$work/del_x$m/purged$i", spark.read.parquet(tombDir), "doc")
+      ((System.nanoTime() - t0) / 1e9, counts)
+    }
+    val (p1, counts) = oncePurge(0)
+    val (p2, _) = oncePurge(1)
+    (probeSec, math.min(p1, p2), admitted, counts._1, counts._2)
+  }
+
+  /** Deletion-compaction arm for the VIDEO band index (r12 verdict #6):
+    * the text [[deletionProbe]]'s discipline applied to the WIDEST index
+    * rows in the engine ((video_id, pos, band, v, b0..b3) per keyframe
+    * band). The index grows to m batches of planted AVI videos (distinct
+    * seeds per copy), a FIXED takedown set (batch-0 videos with
+    * doc_id % 16 == 8 — constant across m) is tombstoned, then:
+    *
+    *  - `probeSec`: one tombstone-MASKED probe batch — batch-0 re-encodes
+    *    re-containered to MP4 (the container-blind admission path) under
+    *    fresh ids. Must stay flat in m; tombstoned videos' twins ADMIT
+    *    (their only match is masked), every other twin stays rejected.
+    *  - `purgeSec`: the physical rewrite ([[graft.scale.Deletion.rewritePurged]])
+    *    of the grown index minus tombstones — linear in index VOLUME,
+    *    never a shuffle; its slope at 12-column rows is what this arm
+    *    publishes.
+    *
+    * Returns (probeSec, purgeSec, admitted, rowsBefore, rowsAfter).
+    */
+  def videoDeletionProbe(spark: SparkSession, docs: DataFrame, work: String,
+                         m: Int): (Double, Double, Long, Long, Long) = {
+    import spark.implicits._
+    val b = ScaleCurve.base(10000000L)
+    val indexDir = s"$work/vdel_x$m/index"
+    val admittedDir = s"$work/vdel_x$m/admitted"
+    val tombDir = s"$work/vdel_x$m/tombstones"
+    // murmur-mixed curve videos (AviMjpeg.mediaVideosMixed): the planted
+    // registry formula's small-modulus blocks made arithmetically-
+    // shifted copies collide with the grown index (×5 grew only 2.9×);
+    // the mixed generator's per-seed high-entropy hashes grow the index
+    // ×m genuinely. The probe re-derives batch 0's seeds as MP4 — the
+    // container-blind re-encode — under fresh record ids.
+    def vids(idShift: Long, seedShift: Long, mp4: Boolean): DataFrame = {
+      val ids = docs.filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id") + seedShift).as[Long]
+      graft.scale.AviMjpeg.mediaVideosMixed(ids,
+          shift = idShift - seedShift, mp4 = mp4)
+        .toDF().select(col("doc_id"), col("payload"))
+    }
+    (0 until m).foreach { i =>
+      streaming.StreamingVideoAdmission.admitBatch(
+        vids(i.toLong * b, i.toLong * b, mp4 = false), i.toLong,
+        indexDir, admittedDir)
+    }
+    // fixed takedown set: batch-0 video ids only, |T| constant in m
+    docs.filter(col("doc_id") % 16 === 8).select("doc_id")
+      .write.mode("overwrite").parquet(tombDir)
+    val probe = vids(1000L * b, 0L, mp4 = true)
+    def onceProbe(): Double = {
+      val t0 = System.nanoTime()
+      streaming.StreamingVideoAdmission.admitBatch(probe, m.toLong, indexDir,
+        admittedDir, tombstonesDir = Some(tombDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = math.min(onceProbe(), onceProbe())
+    val admitted = spark.read.parquet(admittedDir)
+      .filter(col("batch_id") === m.toLong).count()
+    def oncePurge(i: Int): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val counts = graft.scale.Deletion.rewritePurged(spark, indexDir,
+        s"$work/vdel_x$m/purged$i", spark.read.parquet(tombDir), "video_id")
       ((System.nanoTime() - t0) / 1e9, counts)
     }
     val (p1, counts) = oncePurge(0)
@@ -299,6 +370,8 @@ object StreamingCurve {
       val (hSec, hGroups, hMaxW) = hhProbe(spark, evts, work, m)
       val (dProbeSec, dPurgeSec, dAdmitted, dBefore, dAfter) =
         deletionProbe(spark, docs, work, m)
+      val (vdProbeSec, vdPurgeSec, vdAdmitted, vdBefore, vdAfter) =
+        videoDeletionProbe(spark, docs, work, m)
       println(s"""{"stream_mult":$m,"src":"$src",""" +
         s""""text_probe_sec":$tSec,"text_index_rows":$tRows,""" +
         s""""vec_probe_sec":$vSec,"vec_index_rows":$vRows,""" +
@@ -306,7 +379,9 @@ object StreamingCurve {
         s""""audio_probe_sec":$aSec,"audio_index_rows":$aRows,""" +
         s""""hh_batch_sec":$hSec,"hh_state_groups":$hGroups,"hh_max_table":$hMaxW,""" +
         s""""del_probe_sec":$dProbeSec,"del_purge_sec":$dPurgeSec,""" +
-        s""""del_readmitted":$dAdmitted,"del_rows_before":$dBefore,"del_rows_after":$dAfter}""")
+        s""""del_readmitted":$dAdmitted,"del_rows_before":$dBefore,"del_rows_after":$dAfter,""" +
+        s""""vdel_probe_sec":$vdProbeSec,"vdel_purge_sec":$vdPurgeSec,""" +
+        s""""vdel_readmitted":$vdAdmitted,"vdel_rows_before":$vdBefore,"vdel_rows_after":$vdAfter}""")
     }
     spark.stop()
   }

@@ -222,6 +222,61 @@ object AudioDedup {
     * j + trimSamples of the original — absolute-index formula, so
     * trimmed content is sample-exact against the untrimmed clip's tail).
     */
+  /** Curve-fixture variant of [[mediaWavPlanted]] with a seed-dependent
+    * per-window amplitude ENVELOPE (gain 1 + (id·31 + w·7) % 6 on window
+    * w): the energy ORDERING of consecutive windows becomes
+    * clip-specific, so unrelated clips land near-balanced Hamming and
+    * the background pair rate is ~0 instead of the base formula's ~2e-4
+    * (quadratic in corpus — which made the ×10 streaming-curve arm's
+    * index grow only 4.4× as later batches' clips collided with the
+    * grown index; r12 verdict #7). Registry fixtures keep
+    * [[mediaWavPlanted]] (their oracles replay that formula); this one
+    * exists so the curve's "×m index" label is true by construction.
+    * Stereo re-encodes stay sample-exact re-encodes.
+    */
+  def mediaWavPlantedEnvelope(ids: Dataset[Long], shift: Long = 0L,
+                              stereo: Boolean = false,
+                              nSamples: Int = 1024): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    val wlen = nSamples / Windows
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val ch = if (stereo) 2 else 1
+        val body = new Array[Byte](nSamples * 2 * ch)
+        var i = 0
+        while (i < nSamples) {
+          val base = (if ((i / 64) % 4 == 0)
+            ((i * 37 + id * 101) % 4001 % 21 - 10)
+          else
+            ((i * 73 + id * 151 + 17) % 251) * ((i * 31 + id * 61 + 5) % 241) % 4001 - 2000).toInt
+          val w = i / wlen
+          // gain must be pseudo-random per (id, w) AND nonlinear in id:
+          // a modular-arithmetic gain ((id·31+7w) % 6, or any linear
+          // hash) gives either six possible gain sequences or constant
+          // per-id offsets that whole id classes share (measured both
+          // ways: intra-batch dedup collapsed 60 clips to 9, then ham-0
+          // pairs at Δid=68) — the murmur finalizer breaks the linearity
+          // (simulated: 0 collisions / min pairwise Hamming 11 over 125k
+          // pairs, and 0 cross-batch at the curve's id shift)
+          var h = id * 1000003L + w
+          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+          val s = base * (1 + Math.floorMod(h, 6L).toInt)
+          var c = 0
+          while (c < ch) {
+            val off = 2 * (i * ch + c)
+            body(off) = (s & 0xff).toByte
+            body(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Multimodal.MediaRecord(id + shift, "audio",
+          Multimodal.wavWrap(
+            if (stereo) 16000 else 8000 + (id % 8).toInt * 1000, ch, 16, body))
+      }
+    }
+  }
+
   /** The commonest audio near-dup in a scraped corpus: a sample-rate-
     * converted re-upload. A TRUE 2× linear-interpolation upsample of the
     * [[mediaWavPlanted]] clip (public DSP, deterministic): u[2i] = s[i],

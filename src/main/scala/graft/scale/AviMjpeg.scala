@@ -249,6 +249,54 @@ object AviMjpeg {
     * content stays keyed to the ORIGINAL id so clones align with their
     * originals frame-for-frame.
     */
+  /** Curve-fixture videos with murmur-mixed BLOCK-CONSTANT pixels (one
+    * value per 8×8 block from the 64-bit finalizer over (seed, frame,
+    * block)): every frame's aHash is high-entropy per seed, so unrelated
+    * curve videos land nowhere near each other — unlike
+    * [[videoFramePixels]], whose small-modulus products give ≤16
+    * distinct block values per frame and made arithmetically-shifted
+    * curve copies collide with the grown index (measured: the ×5 video
+    * index grew only 2.9×). Block-constant pixels keep the lossy JPEG
+    * roundtrip exact, so the MP4 re-wrap of the same seed decodes to
+    * identical keyframe hashes (the container-blind probe). Registry
+    * fixtures keep [[mediaAviVideos]] — their oracles replay that
+    * formula; this generator exists for the streaming curve only.
+    */
+  def mediaVideosMixed(ids: Dataset[Long], shift: Long = 0L,
+                       mp4: Boolean = false): Dataset[Multimodal.MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        // 64×64: each aHash CELL covers exactly one 8×8 pixel block, so
+        // all 64 hash bits are independent — at the registry's 16–32 px
+        // dims a cell is smaller than its block and the hash collapses
+        // to ≤16 independent values (≈14 possible hashes at 16×16),
+        // which no content entropy can fix
+        val w = 64
+        val h = 64
+        val nf = videoFrameCount(id)
+        def px(f: Int): Array[Byte] = {
+          val a = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var hh = id * 1000003L + f * 8191L + (y / 8) * 127L + (x / 8)
+              hh ^= (hh >>> 33); hh *= 0xff51afd7ed558ccdL; hh ^= (hh >>> 33)
+              a(y * w + x) = (hh & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          a
+        }
+        val frames = (0 until nf).map(f => JpegGray.jpegEncodeGray(w, h, px(f)))
+        Multimodal.MediaRecord(id + shift, "video",
+          if (mp4) Mp4Mjpeg.wrap(w, h, frames) else wrap(w, h, fps = 10, frames))
+      }
+    }
+  }
+
   def mediaAviVideos(ids: Dataset[Long], shift: Long = 0L,
                      cloneEdit: Int = 0): Dataset[Multimodal.MediaRecord] = {
     import ids.sparkSession.implicits._

@@ -85,4 +85,47 @@ class StreamingScaleSpec extends SparkSpec {
     assert(admitted5 == 0L, s"probe vectors admitted: $admitted5")
     assert(t5 <= 4.0 * t1, f"vector probe cost grew x1=$t1%.2fs -> x5=$t5%.2fs")
   }
+
+  test("video deletion at scale: masked probe flat x1 -> x5, tombstoned twins re-admit, purge accounting exact") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val (p1, purge1, adm1, before1, after1) =
+      StreamingCurve.videoDeletionProbe(spark, docs, s"$work/vd", 1)
+    val (p5, _, adm5, before5, after5) =
+      StreamingCurve.videoDeletionProbe(spark, docs, s"$work/vd", 5)
+    // tombstoned videos that actually made the index; 12 band rows each
+    // (4 bands x 3 keyframe positions)
+    val indexedTomb1 = spark.read.parquet(s"$work/vd/vdel_x1/index")
+      .join(spark.read.parquet(s"$work/vd/vdel_x1/tombstones"),
+        org.apache.spark.sql.functions.col("video_id") ===
+          org.apache.spark.sql.functions.col("doc_id"), "left_semi")
+      .select("video_id").distinct().count()
+    assert(adm1 > 0, "no tombstoned twin re-admitted — the mask is dead")
+    assert(adm1 == adm5, s"re-admit verdicts changed with index size: $adm1 vs $adm5")
+    assert(adm1 <= indexedTomb1, s"re-admitted $adm1 > indexed tombstones $indexedTomb1")
+    assert(before1 - after1 == 12 * indexedTomb1,
+      s"x1 purged ${before1 - after1} rows, expected ${12 * indexedTomb1}")
+    assert(before5 - after5 == 12 * indexedTomb1,
+      s"x5 purged ${before5 - after5} rows, expected ${12 * indexedTomb1}")
+    assert(before5 >= 4 * before1, s"index did not grow: x1=$before1 x5=$before5")
+    assert(p5 <= 4.0 * p1, f"masked video probe cost grew x1=$p1%.2fs -> x5=$p5%.2fs")
+    assert(purge1 > 0.0)
+  }
+
+  test("audio admission curve fixture: index genuinely grows x5 (envelope clips, ~zero background collisions)") {
+    graft.functions.Hashing.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val (a1, rows1) = StreamingCurve.audioProbe(spark, docs, s"$work/au", 1)
+    val (a5, rows5) = StreamingCurve.audioProbe(spark, docs, s"$work/au", 5)
+    // the r12 arm grew only 4.4x at the x10 label (base-formula background
+    // pairs, quadratic in corpus); the envelope fixture must grow x5 at x5
+    assert(rows5 >= 4 * rows1 && rows5 <= 6 * rows1,
+      s"audio index must grow ~5x: x1=$rows1 x5=$rows5")
+    // probe batch = stereo re-encodes of batch 0 -> all rejected
+    val admitted5 = spark.read.parquet(s"$work/au/audio_x5/admitted")
+      .filter(org.apache.spark.sql.functions.col("batch_id") === 5L).count()
+    assert(admitted5 == 0L, s"probe clips admitted: $admitted5")
+    assert(a5 <= 4.0 * a1, f"audio probe cost grew x1=$a1%.2fs -> x5=$a5%.2fs")
+  }
 }
