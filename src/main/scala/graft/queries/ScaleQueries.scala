@@ -7255,6 +7255,46 @@ object ScaleQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "EXIF GPS/owner redaction: allowlist re-emit of the APP1 segment, before/after parses + byte-identical-body proof as hash-checked data"),
 
+    // The MEDIA row of the privacy release gate (privacy_kanon's
+    // sibling): per source, how dense the GPS/owner leak was BEFORE
+    // redaction, and the zero-leak / body-unchanged verdict AFTER — the
+    // gate a training-data drop runs before any image ships.
+    "privacy_media_gate" -> QueryDef(
+      build = (s, dir) => {
+        val audit = Exif.redactAudit(Exif.mediaJpegExifGps(docs(s, dir))).toDF()
+        docs(s, dir).select(col("doc_id"), col("source"))
+          .join(audit, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("had_gps"), 1L).otherwise(0L)).as("gps_docs"),
+            sum(when(col("artist").isNotNull, 1L).otherwise(0L))
+              .as("owner_docs"),
+            sum(when(col("has_gps_after") || col("has_artist_after"), 1L)
+              .otherwise(0L)).as("leaks_after"),
+            sum(when(col("body_unchanged"), 0L).otherwise(1L))
+              .as("body_changed"))
+          .select(col("source"), col("n"), col("gps_docs"),
+            round(col("gps_docs").cast("double") / col("n").cast("double"), 6)
+              .as("gps_ratio"),
+            col("owner_docs"), col("leaks_after"), col("body_changed"),
+            (col("leaks_after") === 0 && col("body_changed") === 0)
+              .as("gate_pass"))
+          .orderBy("source")
+      },
+      oracle = Some(
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS gps_docs,
+          |  ROUND(CAST(SUM(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(COUNT(*) AS DOUBLE), 6) AS gps_ratio,
+          |  CAST(SUM(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS owner_docs,
+          |  CAST(0 AS BIGINT) AS leaks_after,
+          |  CAST(0 AS BIGINT) AS body_changed,
+          |  TRUE AS gate_pass
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Media privacy release gate: per-source GPS/owner leak density before redaction, zero-leak + body-unchanged verdict after"),
+
     "mm_exif_meta" -> QueryDef(
       build = (s, dir) =>
         Exif.exifMeta(

@@ -260,6 +260,7 @@ object AudioDedup {
           // pairs, and 0 cross-batch at the curve's id shift)
           var h = id * 1000003L + w
           h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+          h *= 0xc4ceb9fe1a85ec53L; h ^= (h >>> 33) // full fmix64
           val s = base * (1 + Math.floorMod(h, 6L).toInt)
           var c = 0
           while (c < ch) {

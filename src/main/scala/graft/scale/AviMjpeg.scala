@@ -281,8 +281,15 @@ object AviMjpeg {
           while (y < h) {
             var x = 0
             while (x < w) {
+              // FULL murmur3 fmix64: with only the first multiply the
+              // low output byte stays linear in the input's low bits, so
+              // corresponding blocks of two videos differ by a CONSTANT
+              // plus high-bit noise and ~1% of cross-video frames landed
+              // within Hamming 8 (measured); the second multiply + final
+              // xorshift fixes it (0/900 cross-frame pairs <= 8, min 21)
               var hh = id * 1000003L + f * 8191L + (y / 8) * 127L + (x / 8)
               hh ^= (hh >>> 33); hh *= 0xff51afd7ed558ccdL; hh ^= (hh >>> 33)
+              hh *= 0xc4ceb9fe1a85ec53L; hh ^= (hh >>> 33)
               a(y * w + x) = (hh & 0xff).toByte
               x += 1
             }
