@@ -252,7 +252,10 @@ object ScaleQueries {
                          idCol: String): DataFrame = {
     val aa = a.agg(count(lit(1)).as("n_a"), idSetSha(col(idCol)).as("v_a"))
     val bb = b.agg(count(lit(1)).as("n_b"), idSetSha(col(idCol)).as("v_b"))
-    aa.crossJoin(bb).select(lit("admit").as("section"), lit(family).as("key"),
+    // 1-row × 1-row scalar join: explicit broadcast so the registry-wide
+    // no-cartesian plan audit can tell it from an unbounded cross join
+    aa.crossJoin(broadcast(bb))
+      .select(lit("admit").as("section"), lit(family).as("key"),
       col("n_a"), col("n_b"), col("v_a"), col("v_b"),
       (col("n_a") === col("n_b") && col("v_a") === col("v_b")).as("equal"))
   }
@@ -336,7 +339,7 @@ object ScaleQueries {
         .select("doc_id", "source", "reason")
 
       // batch twin: one-shot LSH dedup over the updated union
-      val unionDocs = shard0.join(tomb, Seq("doc_id"), "left_anti")
+      val unionDocs = shard0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .select("doc_id", "text")
         .unionByName(shard1.select("doc_id", "text"))
       val pairsU = NearDup.lshDupPairs(
@@ -4684,13 +4687,17 @@ object ScaleQueries {
     "corpus_manifest_incremental" -> QueryDef(
       build = (s, dir) => {
         val (shard0, tomb, shard1, vInc, vBatch) = v9TextArms(s, dir)
-        val admIncDocs = shard1.join(
-          vInc.filter(col("reason") === "admitted").select("doc_id"),
+        // bounded sides hinted so the delta text never shuffles: the
+        // admitted-id sets are delta-shard-bounded ids-only frames and
+        // the takedown set is Deletion.purge's broadcast class — text
+        // re-enters its joins map-side, once
+        val admIncDocs = shard1.join(broadcast(
+          vInc.filter(col("reason") === "admitted").select("doc_id")),
           Seq("doc_id"))
-        val admBatDocs = shard1.join(
-          vBatch.filter(col("reason") === "admitted").select("doc_id"),
+        val admBatDocs = shard1.join(broadcast(
+          vBatch.filter(col("reason") === "admitted").select("doc_id")),
           Seq("doc_id"))
-        val d0s = shard0.join(tomb, Seq("doc_id"), "left_anti")
+        val d0s = shard0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
         val uInc = d0s.unionByName(admIncDocs)
         val uBat = d0s.unionByName(admBatDocs)
 

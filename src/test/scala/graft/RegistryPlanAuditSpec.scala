@@ -120,6 +120,13 @@ class RegistryPlanAuditSpec extends SparkSpec {
       "exchanges carry ints (pinned in PlanShapeSpec); the flagged " +
       "exchanges are the id-keyed re-entry joins for batch and corpus " +
       "vectors scoring surviving candidates — one move each"),
+    "corpus_prepare_incremental" -> ("v9 vector arms: candidates are " +
+      "ids-only through the (band,bucket) posting exchanges (index " +
+      "probe, intra-shard pairs, and the one-shot batch twin); the " +
+      "flagged exchanges are the id-keyed re-entry joins that score " +
+      "surviving pairs from the session-pinned side tables — one move " +
+      "per pair side, O(corpus) bytes, the dedup_vector_incremental " +
+      "discipline applied to both arms"),
     "emb_banded_recall" -> ("recall eval: the banded arm re-joins query " +
       "and corpus vectors by id to score candidate pairs — the ids-only " +
       "candidate design's single re-entry move per side"),
