@@ -26,10 +26,14 @@ class BenchGuardSpec extends AnyFunSuite {
     val dBusy = busy2 - busy1
     assert(dSelf > 0, "self jiffies did not advance during a busy loop")
     // host-wide busy includes us: foreign = busy - self stays bounded by
-    // the machine (jiffy rounding may make it slightly negative)
+    // the machine. Both sides are jiffy-quantized INDEPENDENTLY (the
+    // /proc/stat busy sum per-CPU, /proc/self/stat per-thread), so with
+    // 32 CPUs and a many-threaded JVM the difference can round a handful
+    // of jiffies negative (observed -4 on this host over a 0.4 s window);
+    // bound the rounding by a per-core allowance, not a constant.
     val foreign = dBusy - dSelf
     val cores = Runtime.getRuntime.availableProcessors()
-    assert(foreign >= -2 && foreign <= 41L * cores)
+    assert(foreign >= -math.max(2L, cores / 2L) && foreign <= 41L * cores)
   }
 
   test("a foreign CPU burner shows up in the busy-minus-self delta") {
