@@ -59,6 +59,18 @@ object Bench {
 
   private val UserHz = 100.0 // USER_HZ, the /proc jiffy unit (Linux ABI)
 
+  /** Cumulative JVM GC milliseconds across all collectors — the r13
+    * session-pressure attribution counter: per-query deltas separate
+    * "this query's plan is slow" from "the session's accumulated heap
+    * churn taxed this query" (a full-registry run showed mid-registry
+    * queries 2x their isolated times; the artifact must say why).
+    */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   /** Per-query clean-run ceiling (seconds). Default 3 s. Four documented
     * classes get 4 s: the >=6-stage prep capstones, the iterative graph
     * ops (10-round PageRank, 4-round LPA — per-round barrier floor
@@ -219,15 +231,18 @@ object Bench {
     // and code without re-running on a quiet host — now each timing
     // carries its own contention evidence).
     var qForeign = Map.empty[String, Seq[Double]]
+    var qGc = Map.empty[String, Seq[Double]]
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                 name: String): Double = {
       val c0 = cpuSample()
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       finally Caches.release()
       val sec = (System.nanoTime() - t0) / 1e9
       val c1 = cpuSample()
+      qGc += name -> (qGc.getOrElse(name, Seq.empty[Double]) :+ (gcMillis() - g0) / 1e3)
       val f =
         if (c0._1 < 0 || c1._1 < 0 || sec < 0.2) -1.0
         else ((c1._1 - c0._1) - (c1._2 - c0._2)) / (sec * UserHz)
@@ -438,6 +453,19 @@ object Bench {
     val qf = foreignAtMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // GC seconds charged to the run that produced each shipped min, plus
+    // the session total — attributes "slow because the session's heap was
+    // churning" separately from "slow plan" (see gcMillis doc)
+    val gcAtMin: Map[String, Double] = finalResults.keys.map { n =>
+      val runs = allRuns(n)
+      val gs = qGc.getOrElse(n, Seq.empty[Double])
+      val idx = runs.indexOf(runs.min)
+      n -> (if (idx >= 0 && idx < gs.length) gs(idx) else -1.0)
+    }.toMap
+    val qg = gcAtMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val gcTotal = gcMillis() / 1e3
     val vq = varianceQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-run spreads for every variance-flagged query plus the
     // ceiling-adjacent ones (best > 2.5 s): [a, b, c?] in run order, so a
@@ -475,6 +503,7 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""query_foreign_at_min":$qf,""" +
+      s""""query_gc_at_min":$qg,"gc_total_sec":${f"$gcTotal%.1f"},""" +
       decodeJson + contention + s""","variance_queries":$vq,""" +
       s""""spreads":$spreads,"ceiling_breaches":$breaches,""" +
       s""""contention_suspect_breaches":$suspectJson,"clean":$clean}"""
@@ -501,7 +530,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$headQs,""" +
-      s""""foreign_at_min":$headF,"sf":"$sfDir",""" +
+      s""""foreign_at_min":$headF,"gc_total_sec":${f"$gcTotal%.1f"},""" +
+      s""""sf":"$sfDir",""" +
       decodeJson + contention +
       s""","spreads":${spreadJson(breachNames)},""" +
       s""""ceiling_breaches":$breaches,""" +

@@ -147,12 +147,18 @@ object Hashing {
     * (idempotent). Column and SQL surfaces both resolve through the
     * registry.
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    nativeFunctions.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+  def register(spark: SparkSession): Unit =
+    // once per session: ~70 query builds call this inside the bench's
+    // timed region; re-registering 35 functions is only map inserts, but
+    // each replace also logs a WARN through log4j — memoizing removes
+    // both the churn and the log spam
+    graft.Caches.sessionMemo(spark, "hashing:registered") {
+      val reg = spark.sessionState.functionRegistry
+      nativeFunctions.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      true
     }
-  }
 
   /** Column API: partition number for `key` under the chosen algorithm.
     * Call [[register]] on the session first for the native variants.
