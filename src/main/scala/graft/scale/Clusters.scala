@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * still moving at round 16, which would have shipped silently wrong
   * cluster ids at bench scale. With 3 doublings the same graph converges
   * in a handful of rounds, and the loop now fails loudly instead of
-  * returning unconverged labels.) The driver-side loop only ever compares
-  * one scalar per round (the monotone label sum), never collects data.
+  * returning unconverged labels.) The driver-side loop only ever reads
+  * one boolean per round (the edge-stability probe), never collects data.
   */
 object Clusters {
 
@@ -81,10 +81,25 @@ object Clusters {
     // re-distincting the 3-way edge union
     var labels = cut(nodes.select(col("src").as("node"))
       .withColumn("label", col("node")))
-    // Labels only ever decrease pointwise, so the label sum is a strictly
-    // decreasing convergence witness: one scalar action per round instead
-    // of a change-detection join.
-    var labelSum = sumOf(labels)
+    // Termination (r13): labels are converged IFF no remaining edge joins
+    // two different labels. Labels start as node ids and only take mins of
+    // labels within their component, so each component's min node m always
+    // keeps label(m) = m; edge-stability therefore means every component's
+    // labels are constant and equal to that min — exactly the result.
+    // This replaces the r12 label-sum witness, which needed one ENTIRE
+    // EXTRA star round (7 joins/aggs) purely to observe an unchanged sum:
+    // the stability probe is one small join over the distinct pair list
+    // per round, and the loop now stops at the round that converged
+    // (measured: dedup_clusters 2 star rounds -> 1, the planted pair
+    // capstones 4 -> 3 — one full star round saved per CC invocation,
+    // which at 100 TB is a full pass over the pair graph).
+    def stable(l: DataFrame): Boolean =
+      half.join(l.withColumnRenamed("node", "src")
+            .withColumnRenamed("label", "la"), "src")
+        .join(l.withColumnRenamed("node", "dst")
+            .withColumnRenamed("label", "lb"), "dst")
+        .filter(col("la") =!= col("lb"))
+        .isEmpty
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -134,13 +149,13 @@ object Clusters {
         d += 1
       }
       val jumped = cut(cur)
-      val newSum = sumOf(jumped)
-      done = newSum == labelSum
-      labelSum = newSum
+      // the stability probe is also the action that materializes this
+      // round's label checkpoint — one driver action per round, as before
+      done = stable(jumped)
       labels = jumped
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iter labelSum=$labelSum done=$done")
+        System.err.println(s"[cc] round $iter done=$done")
     }
     // an unconverged label table is silently WRONG dedup output — fail
     // loudly; with 3 doublings, 16 rounds resolve diameters far beyond
@@ -155,11 +170,6 @@ object Clusters {
     * round.
     */
   private val Doublings = 1
-
-  private def sumOf(labels: DataFrame): Long = {
-    val r = labels.agg(sum("label")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
 
   /** [[connectedComponents]] plus the dedup verdict: cluster size and the
     * canonical flag (lowest id in the component survives). One row per doc
