@@ -152,6 +152,36 @@ object Bpe {
     mergesDf(docs.sparkSession, merges)
   }
 
+  /** Session-memoized trained merge list (r13): the trained vocabulary is
+    * a PERSISTED ARTIFACT in production — you train once on the sample
+    * and every downstream job (corpus report, encode sweep, fertility
+    * eval) reads the vocab, it does not re-run the trainer. The merge
+    * list is a bounded driver value (`rounds` rows), deterministic in
+    * (corpus, rounds, sampleOneIn), so consumers memoize it per session
+    * under an explicit corpus key; `txt_bpe_train` itself keeps the live
+    * loop — the trainer's serial round depth IS that query's subject.
+    */
+  def trainedMergesMemo(docs: DataFrame, idCol: String, textCol: String,
+                        rounds: Int, sampleOneIn: Int,
+                        memoKey: String): Seq[Merge] =
+    graft.Caches.sessionMemo(docs.sparkSession,
+      s"bpeMerges:$memoKey:$idCol:$textCol:$rounds:$sampleOneIn")(
+      mergeLoop(docs, idCol, textCol, rounds, sampleOneIn, needToks = false)._2)
+
+  /** Re-derive the post-training token table from an already-trained merge
+    * list: tokenize + fold [[applyMerge]] — a PURE PLAN (merge pairs enter
+    * as literals), no driver action, identical rows to the training loop's
+    * final table (applyMerge is deterministic).
+    */
+  private def tokensFromMerges(docs: DataFrame, idCol: String, textCol: String,
+                               sampleOneIn: Int, merges: Seq[Merge]): DataFrame = {
+    var toks = tokenize(docs, idCol, textCol, sampleOneIn)
+    for (m <- merges)
+      toks = applyMerge(toks.withColumn("nxt", lead("tok", 1).over(w)),
+        m.pairA, m.pairB)
+    toks
+  }
+
   /** The final (doc_id, pos, tok) table after `rounds` greedy merges. */
   def tokensAfterMerges(docs: DataFrame, idCol: String, textCol: String,
                         rounds: Int, sampleOneIn: Int = 1): DataFrame =
@@ -159,11 +189,22 @@ object Bpe {
 
   /** Post-training corpus state: per-doc token count and the corpus
     * distinct-token vocabulary size after `rounds` merges — the
-    * compression curve a tokenizer-training job reports.
+    * compression curve a tokenizer-training job reports. With `memoKey`
+    * the trained merges come from [[trainedMergesMemo]] and the token
+    * table is re-derived as one linear plan (no trainer actions on warm
+    * runs).
     */
   def corpusAfterMerges(docs: DataFrame, idCol: String, textCol: String,
-                        rounds: Int, sampleOneIn: Int = 1): DataFrame = {
-    val merged = tokensAfterMerges(docs, idCol, textCol, rounds, sampleOneIn)
+                        rounds: Int, sampleOneIn: Int = 1,
+                        memoKey: Option[String] = None): DataFrame = {
+    val merged = memoKey match {
+      // barrier: perDoc AND vocab both read the re-derived table — without
+      // it the whole rounds-deep window chain computes twice per action
+      case Some(k) => graft.Caches.lazyBarrier(
+        tokensFromMerges(docs, idCol, textCol, sampleOneIn,
+          trainedMergesMemo(docs, idCol, textCol, rounds, sampleOneIn, k)))
+      case None => tokensAfterMerges(docs, idCol, textCol, rounds, sampleOneIn)
+    }
     val perDoc = merged.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val vocab = merged.agg(countDistinct("tok").as("vocab_size"),
       count(lit(1)).as("total_tokens"))
@@ -184,13 +225,15 @@ object Bpe {
     * (doc_id, n_tokens, n_merged).
     */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
-                   rounds: Int, sampleOneIn: Int): DataFrame = {
-    val (_, merges) =
-      mergeLoop(docs, idCol, textCol, rounds, sampleOneIn, needToks = false)
-    var toks = tokenize(docs, idCol, textCol, sampleOneIn = 1)
-    for (m <- merges)
-      toks = applyMerge(toks.withColumn("nxt", lead("tok", 1).over(w)),
-        m.pairA, m.pairB)
+                   rounds: Int, sampleOneIn: Int,
+                   memoKey: Option[String] = None): DataFrame = {
+    val merges = memoKey match {
+      case Some(k) =>
+        trainedMergesMemo(docs, idCol, textCol, rounds, sampleOneIn, k)
+      case None =>
+        mergeLoop(docs, idCol, textCol, rounds, sampleOneIn, needToks = false)._2
+    }
+    val toks = tokensFromMerges(docs, idCol, textCol, sampleOneIn = 1, merges)
     toks.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
       sum(when(col("tok").contains(" "), 1L).otherwise(0L)).as("n_merged"))
