@@ -495,7 +495,10 @@ object SignalQueries {
     "emb_dim_cov" -> QueryDef(
       build = (s, dir) => {
         val embs = Tables.embeddings(s, dir)
-        val ndims = embs.select(size(col("embedding"))).head.getInt(0)
+        // schema-class scalar (embedding width) — one probe job per
+        // session, not per run (r13: same memo class as the band plan)
+        val ndims = graft.Caches.sessionMemo(s, s"ndims:$dir")(
+          embs.select(size(col("embedding"))).head.getInt(0))
         val sp = triPairSums(s, embs, ndims)
         // per-dim sums; the squared sums (sxxᵢ) are the DIAGONAL of sp —
         // the oracle's SUM(a.vq*a.vq) over pair rows is the same integer
@@ -1192,7 +1195,8 @@ object SignalQueries {
     "emb_pca_power" -> QueryDef(
       build = (s, dir) => {
         val embs = Tables.embeddings(s, dir)
-        val ndims = embs.select(size(col("embedding"))).head.getInt(0)
+        val ndims = graft.Caches.sessionMemo(s, s"ndims:$dir")(
+          embs.select(size(col("embedding"))).head.getInt(0))
         // Exact product sums over the UPPER TRIANGLE only via the fused
         // graft_tri_products kernel, then mirror: IEEE multiplication
         // commutes bit-exactly, so c_ji built from the same (sp, sx, sy,
@@ -1452,7 +1456,12 @@ object SignalQueries {
         // barrier: the distinct basket frame feeds FOUR consumers (the
         // total, the part frequencies, both self-join sides) — without
         // it the distinct's shuffle replays per consumer (round-8 fix:
-        // 2.5 s -> ~1.4 s at sf0.1)
+        // 2.5 s -> ~1.4 s at sf0.1). r13 note: a group-and-enumerate
+        // rewrite (collect_set per order + in-group pair HOF, the
+        // jaccardPairsCapped shape) was MEASURED SLOWER here (1.7 →
+        // 1.9 s): the interpreted nested-transform pair enumeration loses
+        // more than the removed self-join saves on TPC-H's ~4-item
+        // baskets — the codegen'd join wins at this fan-out.
         val i = graft.Caches.lazyBarrier(Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey").distinct())
         val n = i.agg(countDistinct(col("l_orderkey")).as("t"))

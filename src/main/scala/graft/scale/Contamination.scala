@@ -59,16 +59,25 @@ object Contamination {
     */
   def overlapBloomPruned(train: DataFrame, eval: DataFrame, idCol: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         fpp: Double = 0.01): DataFrame = {
-    // persisted: the gram set is scanned twice (sizing count + bloom build)
-    val evalGrams = graft.Caches.persist(eval.select(
-      explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s")))
-    val expected = math.max(1L, evalGrams.count())
-    val bloom = evalGrams.stat.bloomFilter("s", expected, fpp)
-    val bytes = {
+                         fpp: Double = 0.01,
+                         memoKey: Option[String] = None): DataFrame = {
+    def build(): Array[Byte] = {
+      // persisted: the gram set is scanned twice (sizing count + bloom build)
+      val evalGrams = graft.Caches.persist(eval.select(
+        explode(array_distinct(TextOps.shingleHashes(col("text"), shingleN))).as("s")))
+      val expected = math.max(1L, evalGrams.count())
+      val bloom = evalGrams.stat.bloomFilter("s", expected, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
+    }
+    // with memoKey: the suite bloom is a persisted artifact (built once
+    // per suite, reused per probe — the gramSet/BPE-merges memo class);
+    // the prune + exact semi-join still run per action
+    val bytes = memoKey match {
+      case Some(k) => graft.Caches.sessionMemo(eval.sparkSession,
+        s"contamBloom:$k:$shingleN:$fpp")(build())
+      case None => build()
     }
     // per-executor lazy deserialization: the closure ships the bytes once,
     // each executor materializes the sketch once

@@ -220,9 +220,26 @@ object NearDup {
     * case candidate volume O(shingles · maxDf²) regardless of corpus skew.
     * Deterministic and SQL-reproducible (oracle-checked), unlike sampling.
     */
+  /** The df-capped group index [[jaccardPairsCapped]] and
+    * [[containmentPairs]] share: sorted doc lists per (block,
+    * shingle-hash) group no wider than `maxDf` — the persistable inverted
+    * index of the capped pair family (the (blk, s) key is spent once the
+    * group exists, so only the sorted doc list survives). Callers that
+    * probe the same corpus repeatedly can build this once and pass it via
+    * `groupsOpt` (r13: both registered consumers session-pin it).
+    */
+  def dfCappedGroups(docs: DataFrame, idCol: String, blockCol: String,
+                     shingleN: Int = 3, maxDf: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
+      .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(sort_array(col("ds")).as("ds"))
+
   def jaccardPairsCapped(docs: DataFrame, idCol: String, blockCol: String,
                          shingleN: Int = 3, threshold: Double = 0.2,
-                         maxDf: Int = 4): DataFrame = {
+                         maxDf: Int = 4,
+                         groupsOpt: Option[DataFrame] = None): DataFrame = {
     // One aggregation gives both the document frequency (list size) and the
     // collision group; no self-join of the exploded index ever happens. Pair
     // generation runs in-place over each kept group's sorted doc list —
@@ -231,14 +248,8 @@ object NearDup {
     // polynomial hash of the shingle, not the string: fixed-width longs
     // through the shuffle instead of n-gram text (the oracle replays the
     // same mod-P hash, so a collision merges identically on both engines).
-    val groups = graft.Caches.persist(
-      docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-          explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
-        .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
-        .filter(size(col("ds")) <= maxDf)
-        // the (blk, s) key is spent once the group exists — persist ONLY
-        // the sorted doc list, narrowing the frame both consumers re-read
-        .select(sort_array(col("ds")).as("ds")))
+    val groups = groupsOpt.getOrElse(graft.Caches.persist(
+      dfCappedGroups(docs, idCol, blockCol, shingleN, maxDf)))
     val nsh = groups.select(explode(col("ds")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val co = groups
@@ -266,15 +277,10 @@ object NearDup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, blockCol: String,
                        shingleN: Int = 3, threshold: Double = 0.8,
-                       maxDf: Int = 4): DataFrame = {
-    val groups = graft.Caches.persist(
-      docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-          explode(TextOps.shingleHashes(col("text"), shingleN)).as("s"))
-        .groupBy("blk", "s").agg(collect_list(col("doc")).as("ds"))
-        .filter(size(col("ds")) <= maxDf)
-        // the (blk, s) key is spent once the group exists — persist ONLY
-        // the sorted doc list, narrowing the frame both consumers re-read
-        .select(sort_array(col("ds")).as("ds")))
+                       maxDf: Int = 4,
+                       groupsOpt: Option[DataFrame] = None): DataFrame = {
+    val groups = groupsOpt.getOrElse(graft.Caches.persist(
+      dfCappedGroups(docs, idCol, blockCol, shingleN, maxDf)))
     val nsh = groups.select(explode(col("ds")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val co = groups
